@@ -1,0 +1,72 @@
+"""Table catalog: load the driver's synthetic parquet tables and (for
+the Nessus domain) the engine's own silver tables.
+
+The testdata star schema (TESTDATA.md) stands in for the reference's
+warehouse (``/root/reference/schema.sql``): dimension chains
+(region←nation←customer / folder←scan) and fact chains
+(orders←lineitem / scan_run←host←host_vuln←vuln_output).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Tables small enough to broadcast at any realistic scale factor
+# (dimension tables in TPC-H grow sub-linearly or are fixed-size).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one parquet table. Columnar scan with predicate pushdown and
+    column pruning supplied by Catalyst — callers express filters and
+    selects declaratively and they reach the scan.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as nanos-long and convert (the
+    values are microsecond-aligned, so the cast is lossless). The conf
+    only affects schema conversion at read time and is harmless for the
+    micros-typed tables.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(table_path(sf_dir, name))
+        # integer division: ts/1000 via `/` promotes to double, which
+        # cannot represent ~1.7e18 ns exactly and rounds ±1 micro
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> None:
+    """Register each table as a temp view so operators can be expressed
+    in either DataFrame or SQL form against the same catalog."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

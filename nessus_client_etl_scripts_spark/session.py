@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs one JVM with N threads (``local[N]``); production
+posture is a multi-executor cluster — every default here is chosen to
+survive that switch (AQE on, adaptive partition coalescing, skew-join
+handling, Arrow for the Pandas-UDF paths, UTC session timezone so
+date/timestamp semantics are environment-independent).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partitioning: ~cores for local mode. On a real cluster this
+# is overridden (or simply left to AQE's coalescing, which shrinks the
+# initialPartitionNum down to what the data actually needs).
+_DEFAULT_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "nessus-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    Scale posture (100 TB / 1000 executors): everything below is
+    cluster-safe — AQE re-plans shuffle partition counts and demotes or
+    promotes joins at runtime, skew-join splitting handles hot keys
+    (e.g. informational-severity plugins that appear on every host),
+    and no config pins local-only behavior except the master URL.
+    """
+    cpus = _DEFAULT_LOCAL_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not SparkSession.getActiveSession():
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
