@@ -1,0 +1,66 @@
+"""Benchmark harness — runs the declared queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query executes fully (noop sink — no driver-side collect cost), so
+the timing covers scan → shuffle → agg/join/window, the same stages that
+dominate at cluster scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nessus_client_etl_scripts_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+
+    # Warmup: run every query once at the smallest sf so JIT + the
+    # whole-stage-codegen cache are hot (plan shape is identical across
+    # sf dirs). Measures steady-state throughput — the cluster posture —
+    # not single-process cold-start compile time.
+    warmup_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warmup_dir):
+        for name, fn in entrymod.queries().items():
+            try:
+                fn(spark, warmup_dir).write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001 — warmup must never fail the bench
+                pass
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Split small inputs across all cores: openCost caps the split
+        # size for tiny files (default 4m leaves a 10 MB table on 3
+        # tasks); at 100 TB maxPartitionBytes dominates, so lowering it
+        # costs nothing at scale.
+        .config("spark.sql.files.openCostInBytes", "512k")
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions or cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
