@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (SURVEY.md §7 Phase 4).
+
+Two tiers:
+- Brute-force cosine top-k — the exact baseline. Query side broadcast,
+  corpus side streamed: no shuffle of the corpus at all, so it scales
+  to any corpus size as long as the query set stays broadcast-able.
+- LSH-bucketed (random hyperplane / SimHash-for-vectors) — the scale
+  path: sign-bit sketch → bucket equi-join, probing only same-bucket
+  corpus vectors. Trades recall for a candidate set ~1/2^bits the size.
+
+All vector math is within-row array algebra on ``array<float>`` cast to
+double (zip_with product + left-fold sum — sequential, deterministic,
+matching DuckDB's list_dot_product semantics for the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column | str) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic float order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k: broadcast the query set against the corpus and rank
+    per query. Output: (query_id, neighbor_id, score, rank).
+
+    The corpus never shuffles — each task scans its partition once per
+    plan, scoring |queries| vectors per row. The per-query rank window
+    shuffles only (query_id, neighbor_id, score) triples.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    score = (
+        cosine(F.col("qv"), F.col("cv"))
+        if metric == "cosine"
+        else -l2_distance(F.col("qv"), F.col("cv"))
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def hyperplane_sketch(vec: Column | str, bits: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane sign sketch: bit j = sign(v · h_j) where h_j is
+    a deterministic pseudo-random hyperplane derived from xxhash64(j, i)
+    — reproducible across runs/executors with no driver-side state."""
+    v = _as_double(vec)
+    def bit(j: int) -> Column:
+        # hyperplane component h_{j,i} in [-1, 1): hash → unit interval
+        prods = F.transform(
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda i: v[i.cast("int")]
+            * (
+                (
+                    F.pmod(
+                        F.xxhash64(F.lit(j) * F.lit(dim) + i), F.lit(10**6)
+                    ).cast("double")
+                    / F.lit(5 * 10**5)
+                )
+                - F.lit(1.0)
+            ),
+        )
+        return F.when(
+            F.aggregate(prods, F.lit(0.0), lambda a, x: a + x) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+
+    out = F.lit(0)
+    for j in range(bits):
+        out = out + F.shiftleft(bit(j).cast("long"), j)
+    return out.cast("long")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: equi-join on the hyperplane bucket, exact
+    cosine within the bucket. At 100 TB the bucket key shrinks the
+    candidate pair space by ~2^bits; multi-probe (flipping one bit) can
+    recover recall — left as a parameter sweep for tuning."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        hyperplane_sketch(vec_col, bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        hyperplane_sketch(vec_col, bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

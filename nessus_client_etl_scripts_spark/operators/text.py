@@ -1,0 +1,133 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Extensions beyond the reference's operator set (SURVEY.md §7 Phase 4):
+language-ID heuristics, quality scoring, token counting, and document
+fingerprinting over a ``documents(doc_id, text, ...)`` table. Design
+rule: everything here is built-in ``pyspark.sql.functions`` column
+algebra (JVM-side, codegen'd) — no Python in the hot path, so a 100 TB
+corpus runs at scan speed with no serialization wall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword list for ratio features (the synthetic
+# corpus vocabulary includes these; a production list is a config).
+STOPWORDS = ("the", "a")
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for exact-dup detection: lowercase, trim,
+    collapse internal whitespace."""
+    return F.regexp_replace(F.trim(F.lower(_col(text))), r"\s+", " ")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (the baseline token counter)."""
+    return F.split(_col(text), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish upper-bound token estimate: word-piece boundaries at
+    non-alphanumerics plus 4-char chunks of long words — a regex
+    heuristic, deliberately tokenizer-free."""
+    c = _col(text)
+    pieces = F.split(c, r"[^A-Za-z0-9]+")
+    return F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4)).cast("int"),
+    )
+
+
+def stopword_count(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(
+        F.filter(tokens(text), lambda t: t.isin(*stopwords))
+    )
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: length, token count, mean token
+    length, stopword ratio, punctuation ratio. All closed-form column
+    algebra (mean token length derives from char/token counts, so no
+    per-token loop)."""
+    c = _col(text)
+    n_tok = token_count(c)
+    n_chars = F.length(c)
+    # tokens are single-space separated after normalization:
+    # total token chars = n_chars - (n_tok - 1)
+    mean_tok_len = (
+        (n_chars - (n_tok - F.lit(1))) / n_tok
+    ).cast("double")
+    n_stop = stopword_count(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "mean_token_len": mean_tok_len,
+        "stopword_ratio": (n_stop / n_tok).cast("double"),
+        "punct_ratio": (n_punct / n_chars).cast("double"),
+    }
+
+
+def quality_keep(text: Column | str, min_tokens: int = 10, max_stop: float = 0.6) -> Column:
+    """Keep/drop decision in the style of C4/Gopher rules: enough
+    tokens, stopword ratio in a sane band (evidence of natural text)."""
+    f = quality_features(text)
+    return (
+        (f["n_tokens"] >= min_tokens)
+        & (f["stopword_ratio"] > 0)
+        & (f["stopword_ratio"] <= max_stop)
+    )
+
+
+# marker words → language, checked in order (deterministic heuristic;
+# a real system plugs in fastText/CLD3 via a Pandas UDF)
+LANG_MARKERS: tuple[tuple[str, str], ...] = (
+    ("the", "en"),
+    ("le", "fr"),
+    ("der", "de"),
+    ("el", "es"),
+)
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Marker-word language ID: first matching marker wins, else
+    'unknown'. One pass over the token array per marker — constant
+    column algebra, no UDF."""
+    toks = tokens(text)
+    expr: Column = F.lit("unknown")
+    for marker, lang in reversed(LANG_MARKERS):
+        expr = F.when(F.array_contains(toks, marker), lang).otherwise(expr)
+    return expr
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Engine-portable (md5 is standard), suitable as a global dedup key —
+    at 100 TB the 128-bit space makes collisions negligible."""
+    return F.md5(normalize_text(text))
+
+
+def rolling_hash_fingerprint(text: Column | str, window: int = 8) -> Column:
+    """Content-defined fingerprint: min of rolling window hashes over
+    the token stream (winnowing-style). Built from array ops:
+    slide a window over tokens, hash each window, take the min."""
+    toks = tokens(normalize_text(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0)))
+    window_hashes = F.transform(
+        idx,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    )
+    return F.array_min(window_hashes)

@@ -1,0 +1,336 @@
+"""Phase-4 declared queries: dedup / similarity / text analysis over
+the ``documents`` and ``embeddings`` tables (SURVEY.md §7 Phase 4 —
+the training-data-pipeline extensions beyond reference parity).
+
+Registered into the same registry as ``testdata_queries``; importing
+this module populates the driver-visible surface. Queries whose Spark
+form uses xxhash64 (no DuckDB equivalent) are registered rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from ..operators.similarity import brute_force_topk, dot, lsh_topk
+from ..operators.text import (
+    fingerprint_md5,
+    lang_guess,
+    quality_features,
+    quality_keep,
+    rolling_hash_fingerprint,
+)
+from .testdata_queries import register
+
+_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "q20_dedup_exact",
+    f"""
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM (SELECT doc_id, {_NORM_SQL} AS nt FROM documents) t
+GROUP BY nt
+""",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text, deterministic
+    keeper (min doc_id) + duplicate count per group."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q21_distinct_count_by_lang",
+    """
+SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct
+FROM documents GROUP BY lang
+""",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count profiling per language — the exact counterpart of
+    the approx profile (q31); partial aggregation pushes the distinct
+    through the shuffle."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_distinct"),
+        )
+    )
+
+
+@register(
+    "q22_token_stats",
+    """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        / len(string_split(text, ' '))) AS mean_token_len
+FROM documents
+""",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + closed-form mean token
+    length (no per-token iteration — column algebra only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+@register(
+    "q23_quality_filter",
+    """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the', 'a'))) AS BIGINT) AS n_stopwords,
+       (CAST(len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a'))) AS DOUBLE)
+        / len(string_split(text, ' '))) AS stopword_ratio,
+       (len(string_split(text, ' ')) >= 10
+        AND CAST(len(list_filter(string_split(text, ' '),
+                                 t -> t IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' ')) > 0
+        AND CAST(len(list_filter(string_split(text, ' '),
+                                 t -> t IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' ')) <= 0.6) AS keep
+FROM documents
+""",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio features + a C4/Gopher-style
+    keep decision, all JVM-side array algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    n_stop = F.size(F.filter(F.split("text", " "), lambda t: t.isin("the", "a")))
+    return docs.select(
+        "doc_id",
+        n_stop.cast("long").alias("n_stopwords"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        quality_keep("text").alias("keep"),
+    )
+
+
+@register(
+    "q24_lang_id_confusion",
+    """
+SELECT lang,
+       CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+            WHEN list_contains(string_split(text, ' '), 'le') THEN 'fr'
+            WHEN list_contains(string_split(text, ' '), 'der') THEN 'de'
+            WHEN list_contains(string_split(text, ' '), 'el') THEN 'es'
+            ELSE 'unknown' END AS lang_guess,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID vs. the labeled lang — a confusion
+    matrix. (Production swaps the heuristic for a model scorer behind
+    the same column contract.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_guess("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "q25_fingerprint_md5",
+    f"""
+SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+""",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable document fingerprint: md5 of normalized text
+    (global dedup key; 128-bit space — collision-safe at corpus scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
+
+
+@register(
+    "q26_ngram_jaccard_pairs",
+    f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 2, 1)),
+           i -> array_to_string(string_split({_NORM_SQL}, ' ')[i:i+2], ' ')
+         )) AS sh
+  FROM documents
+), sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM base
+), posting AS (
+  SELECT doc_id, lang, unnest(sh) AS shingle FROM base
+), pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS inter
+  FROM posting l JOIN posting r
+    ON l.lang = r.lang AND l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       (CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter)) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE (CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter)) >= 0.01
+""",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: shingle inverted index (explode +
+    self-join = posting-list intersection), language blocking bounds
+    the candidate space."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, block_cols=("lang",), k=3, threshold=0.01
+    )
+
+
+_COSINE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 20),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS score
+  FROM c, q WHERE query_id != neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q27_cosine_topk", _COSINE_ORACLE)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline): query set
+    broadcast, corpus streamed — the corpus side never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, metric="cosine"
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "q30_embedding_l2_topk",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 20),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         -sqrt(list_dot_product(qv, qv) + list_dot_product(cv, cv)
+               - 2 * list_dot_product(qv, cv)) AS score
+  FROM c, q WHERE query_id != neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 top-k via the ||a-b||² = ||a||²+||b||²-2a·b identity — dot
+    products only, so the float expression is engine-portable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    score = -F.sqrt(
+        dot(F.col("qv"), F.col("qv"))
+        + dot(F.col("cv"), F.col("cv"))
+        - F.lit(2) * dot(F.col("qv"), F.col("cv"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+# --- rows-only (xxhash64-based; no DuckDB hash-family equivalent) ---
+
+
+@register("q28_minhash_lsh_candidates", None)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs: 64-hash signature (xxhash64 seed
+    family), 16 bands × 4 rows, bucket equi-join. Rows-only check —
+    the hash family has no DuckDB twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, num_hashes=64, bands=16, k=3)
+
+
+@register("q29_simhash", None)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (bit-majority of token hashes),
+    packed into one long — within-row algebra, rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64("text").alias("simhash"))
+
+
+@register("q31_profile_approx", None)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate profiling: approx_count_distinct (HLL++) + exact
+    counts per source — the sketch the exact q21 validates against.
+    Rows-only: HLL estimates are engine-specific."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct("text").alias("approx_distinct_text"),
+        F.approx_count_distinct("lang").alias("approx_distinct_lang"),
+    )
+
+
+@register("q32_lsh_topk", None)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k: sign-bit bucket equi-join +
+    exact cosine within bucket (the 100 TB-scale ANN path). Rows-only:
+    bucket assignment depends on the xxhash64-derived hyperplanes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, bits=6)
+
+
+@register("q33_rolling_fingerprint", None)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (min of window hashes
+    over the token stream) — content-defined, shift-tolerant."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_hash_fingerprint("text").alias("fingerprint")
+    )
