@@ -59,6 +59,7 @@ def normalize_scan_runs(
     scan_run_docs: DataFrame,
     folder_docs: DataFrame | None = None,
     scan_docs: DataFrame | None = None,
+    id_mode: str = "monotonic",
 ) -> dict[str, DataFrame]:
     """Normalize nested scan-run documents into the warehouse tables.
 
@@ -69,7 +70,24 @@ def normalize_scan_runs(
     export.py:144-215) is peeled one ``explode`` at a time; each level
     keeps only the columns its table needs, so column pruning reaches
     the parquet scan (ReadSchema carries just the struct fields used).
+
+    ``id_mode``:
+    - ``'monotonic'`` (batch): ``monotonically_increasing_id()`` —
+      unique within one job, zero coordination.
+    - ``'hash'`` (streaming/append): ``xxhash64`` of the natural key +
+      array position — deterministic across micro-batches, so appending
+      the same document twice yields the same ids (idempotent upsert
+      key) and ids never collide between batches the way per-batch
+      monotonic counters would.
     """
+    if id_mode not in ("monotonic", "hash"):
+        raise ValueError(f"unknown id_mode: {id_mode!r}")
+
+    def mint(*natural: object):
+        if id_mode == "monotonic":
+            return F.monotonically_increasing_id()
+        return F.xxhash64(*natural)
+
     docs = scan_run_docs
 
     # --- scan_run: top-level projection (P1), one row per document.
@@ -90,10 +108,10 @@ def normalize_scan_runs(
     # nessus_host_id ← the document's host_id (export.py:172).
     targets = docs.select(
         F.col("history_id").cast("int").alias("scan_run_id"),
-        F.explode("targets").alias("t"),
+        F.posexplode("targets").alias("tpos", "t"),
     )
     host = targets.select(
-        F.monotonically_increasing_id().alias("host_id"),
+        mint(F.col("scan_run_id"), F.col("t.host_id")).alias("host_id"),
         F.col("t.host_id").cast("int").alias("nessus_host_id"),
         "scan_run_id",
         F.col("t.scan_id").cast("int").alias("scan_id"),
@@ -110,8 +128,13 @@ def normalize_scan_runs(
     # host_vuln_id is minted BEFORE the outputs explode so vuln_output
     # inherits it structurally.
     vulns = targets.select(
-        F.explode("t.vulnerabilities").alias("v")
-    ).withColumn("host_vuln_id", F.monotonically_increasing_id())
+        "scan_run_id",
+        F.col("t.host_id").alias("_nhid"),
+        F.posexplode("t.vulnerabilities").alias("vpos", "v"),
+    ).withColumn(
+        "host_vuln_id",
+        mint(F.col("scan_run_id"), F.col("_nhid"), F.col("vpos")),
+    )
 
     host_vuln = vulns.select(
         "host_vuln_id",
@@ -125,9 +148,17 @@ def normalize_scan_runs(
     # — already port/output structs at this layer; the raw ports-map
     # variant is handled upstream by functions.explode_port_map).
     vuln_output = (
-        vulns.select("host_vuln_id", F.explode("v.outputs").alias("o"))
+        vulns.select(
+            "host_vuln_id",
+            "scan_run_id",
+            "_nhid",
+            "vpos",
+            F.posexplode("v.outputs").alias("opos", "o"),
+        )
         .select(
-            F.monotonically_increasing_id().alias("vuln_output_id"),
+            mint(
+                F.col("scan_run_id"), F.col("_nhid"), F.col("vpos"), F.col("opos")
+            ).alias("vuln_output_id"),
             "host_vuln_id",
             F.col("o.port").alias("port"),
             F.col("o.output").alias("output"),

@@ -1,0 +1,171 @@
+"""Structured Streaming tests: AvailableNow incremental normalize
+(checkpoint replaces the batch watermark), watermarked windows,
+session windows, and the custom stateful operator."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from nessus_client_etl_scripts_spark.pipeline import fixtures
+from nessus_client_etl_scripts_spark.streaming import (
+    run_incremental_normalize,
+    sessionized_stream,
+    windowed_severity_counts,
+)
+
+
+def _land_documents(path, scan_ids, runs):
+    os.makedirs(path, exist_ok=True)
+    for s in scan_ids:
+        for r in runs:
+            doc = fixtures.scan_run_doc(s, r)
+            with open(os.path.join(path, f"scan_run_{s}_{doc['history_id']}.json"), "w") as f:
+                json.dump(doc, f)
+
+
+def test_incremental_normalize_exactly_once(spark, tmp_path):
+    """Two AvailableNow passes: the second run processes ONLY files
+    landed since the first (checkpointed offsets = the watermark)."""
+    src = str(tmp_path / "landed")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    _land_documents(src, scan_ids=[0, 1], runs=[0, 1])
+    run_incremental_normalize(spark, src, silver, ckpt)
+    sr = spark.read.parquet(f"{silver}/scan_run")
+    assert sr.count() == 4
+
+    # second pass with no new files: nothing appended
+    run_incremental_normalize(spark, src, silver, ckpt)
+    assert spark.read.parquet(f"{silver}/scan_run").count() == 4
+
+    # land one new document → exactly one new row
+    _land_documents(src, scan_ids=[2], runs=[0])
+    run_incremental_normalize(spark, src, silver, ckpt)
+    sr = spark.read.parquet(f"{silver}/scan_run")
+    assert sr.count() == 5
+    assert sr.filter(F.col("scan_id") == 2).count() == 1
+
+    # hash-mode surrogate FKs hold across batches
+    hv = spark.read.parquet(f"{silver}/host_vuln")
+    vo = spark.read.parquet(f"{silver}/vuln_output")
+    assert vo.join(hv, "host_vuln_id", "left_anti").count() == 0
+    assert hv.count() == hv.select("host_vuln_id").distinct().count()
+
+
+def test_windowed_counts_batch_streaming_parity(spark, tmp_path):
+    """The SAME operator expression runs in both modes and agrees —
+    one semantics, two execution engines."""
+    rows = [
+        (1, "2024-01-01 10:05:00", "a", 1.0),
+        (2, "2024-01-01 10:55:00", "a", 2.0),
+        (3, "2024-01-01 11:05:00", "b", 4.0),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    expected = {
+        (r.window_start.hour, r.event_type): (r.n_events, r.total_value)
+        for r in windowed_severity_counts(batch).collect()
+    }
+    assert expected == {(10, "a"): (2, 3.0), (11, "b"): (1, 4.0)}
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    with open(f"{src}/ev.json", "w") as f:
+        for eid, ts, et, v in rows:
+            f.write(json.dumps({"event_id": eid, "ts": ts, "event_type": et, "value": v}) + "\n")
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string, value double")
+        .json(src)
+    )
+    q = (
+        windowed_severity_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_parity")
+        # complete mode: emits all window state each trigger. (append
+        # would emit only watermark-CLOSED windows — and a terminating
+        # AvailableNow run does not finalize still-open ones.)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.hour, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM win_parity").collect()
+    }
+    assert got == expected
+
+
+def test_sessionized_stream_batch_mode(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:10:00", 2.0),  # same session (gap 30m)
+        (1, "2024-01-01 12:00:00", 3.0),  # new session
+        (2, "2024-01-01 10:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = sessionized_stream(df).orderBy("user_id", "session_start").collect()
+    assert [(r.user_id, r.n_events, r.session_value) for r in out] == [
+        (1, 2, 3.0),
+        (1, 1, 3.0),
+        (2, 1, 5.0),
+    ]
+
+
+def test_running_severity_totals_state(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches."""
+    from nessus_client_etl_scripts_spark.streaming.stateful import (
+        running_severity_totals,
+    )
+
+    src = str(tmp_path / "runs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def land(fname, scan_id, crit):
+        row = {
+            "scan_id": scan_id,
+            "critical_count": crit,
+            "high_count": 1,
+            "medium_count": 0,
+            "low_count": 0,
+            "info_count": 0,
+        }
+        with open(f"{src}/{fname}", "w") as f:
+            f.write(json.dumps(row) + "\n")
+
+    schema = (
+        "scan_id int, critical_count int, high_count int, "
+        "medium_count int, low_count int, info_count int"
+    )
+
+    out = str(tmp_path / "out")
+
+    def drain(pass_dir):
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        stream = spark.readStream.schema(schema).json(src)
+        q = (
+            running_severity_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(f"{out}/{pass_dir}")
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.scan_id: (r.total_critical_count, r.n_runs)
+            for r in spark.read.parquet(f"{out}/{pass_dir}").collect()
+        }
+
+    land("a.json", 1, 3)
+    assert drain("p1") == {1: (3, 1)}
+    land("b.json", 1, 2)  # second batch: totals accumulate via state
+    assert drain("p2") == {1: (5, 2)}
