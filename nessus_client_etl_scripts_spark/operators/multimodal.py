@@ -1,0 +1,218 @@
+"""Multimodal column plumbing — opaque binary media + typed metadata.
+
+Design (the 100 TB training-data posture): image/audio/video payloads
+travel as ``binary`` columns next to a typed ``meta`` struct; decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so bytes cross the JVM↔Python boundary once per
+batch, never per row. Decode itself is pluggable: this container has
+no image/audio libraries, so the default codec is a DETERMINISTIC FAKE
+(seeded from the payload bytes) and the real-library path raises
+``NotImplementedError`` until a codec is installed — the Spark-side
+contract (schemas, batch iteration, output cardinality, partitioning)
+is real and fully tested either way.
+
+Scale notes:
+- ``spark.sql.execution.arrow.maxPartitionBytes`` doesn't see binary
+  blobs; bound batch memory with
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set per-job to
+  ~batch_bytes / avg_blob_size).
+- media tables should be written with blobs LAST in the schema and
+  read with column pruning — metadata-only queries must never touch
+  the bytes (parquet column chunks make that free).
+- frame sampling EXPANDS rows (one in → many out); mapInPandas yields
+  multiple frames per input row without materializing whole videos.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("meta", MEDIA_META),
+        T.StructField("content", T.BinaryType()),  # blobs last: prune cheaply
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+_FEATURE_DIM = 8
+
+
+def _fake_decode(content: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real codec: expand payload bytes
+    into a pseudo-pixel array seeded by their checksum. Replace with
+    PIL/libav behind the same signature when the libs exist."""
+    seed = zlib.crc32(content) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=64, dtype=np.int64)
+
+
+def _require_real_codec() -> None:
+    try:  # pragma: no cover - container has no codec libs
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real media decode needs an image/audio library (e.g. Pillow); "
+            "not available in this environment — use stub=True"
+        ) from e
+
+
+def media_features(df: DataFrame, stub: bool = True) -> DataFrame:
+    """Decode + featurize each media row → fixed-dim feature vector.
+
+    mapInPandas contract: input batches arrive as pandas frames of the
+    FULL media schema; output declares FEATURE_SCHEMA. One Python
+    worker call per Arrow batch — vectorized over the batch, and the
+    blob column is dropped on output so downstream stages shuffle
+    features, not bytes.
+    """
+    if not stub:
+        _require_real_codec()
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                raw = bytes(content)
+                px = _fake_decode(raw)
+                # fixed-dim pooled feature: per-chunk means
+                feat = px.reshape(_FEATURE_DIM, -1).mean(axis=1).astype(np.float32)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "n_bytes": len(raw),
+                        "checksum": zlib.crc32(raw),
+                        "mean_intensity": float(px.mean()),
+                        "feature": feat,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
+
+    return df.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def resize_media(df: DataFrame, width: int, height: int, stub: bool = True) -> DataFrame:
+    """Resize images: same schema out as in, meta updated, content
+    re-encoded. The stub re-encodes deterministically (checksum-chained
+    bytes of the requested size) so tests can assert the contract:
+    byte length tracks the target dims and meta reflects them."""
+    if not stub:
+        _require_real_codec()
+    out_len = max(1, (width * height) // 8)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            metas, blobs = [], []
+            for meta, content in zip(pdf["meta"], pdf["content"]):
+                raw = bytes(content)
+                seed = zlib.crc32(raw).to_bytes(4, "big")
+                blobs.append((seed * (out_len // 4 + 1))[:out_len])
+                m = dict(meta) if meta is not None else {}
+                m["width"], m["height"] = width, height
+                metas.append(m)
+            out["meta"], out["content"] = metas, blobs
+            yield out
+
+    return df.mapInPandas(resize, df.schema)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sample videos: one output row per sampled timestamp — the
+    row-expanding shape (a video of duration D emits ceil(D/every_ms)
+    frames). Non-video rows emit nothing."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, meta, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["meta"], pdf["content"]
+            ):
+                if kind != "video" or meta is None:
+                    continue
+                duration = int(meta["duration_ms"] or 0)
+                raw = bytes(content)
+                base = zlib.crc32(raw)
+                for i, ts in enumerate(range(0, duration, every_ms)):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "ts_ms": ts,
+                            # stub "decode frame at ts": checksum chained
+                            # with the timestamp (deterministic per frame)
+                            "frame_checksum": zlib.crc32(
+                                ts.to_bytes(4, "big"), base
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat the testdata ``documents`` table as a media corpus
+    (utf-8 payload bytes + synthesized meta) — exercises the full
+    binary-column pipeline against driver-provided data."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    meta = F.struct(
+        (F.col("n_chars") % 640 + 16).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 16).cast("int").alias("height"),
+        F.lit(3).alias("channels"),
+        F.lit(16000).alias("sample_rate"),
+        ((F.col("n_chars") % 10 + 1) * 1000).cast("int").alias("duration_ms"),
+        F.lit("stub").alias("codec"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        meta.alias("meta"),
+        F.encode("text", "utf-8").alias("content"),
+    )

@@ -326,6 +326,18 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, bits=6)
 
 
+@register("q34_media_features", None)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline over binary columns: documents as a media
+    corpus (utf-8 payloads + typed meta) → Arrow-batched mapInPandas
+    decode/featurize (stub codec — deterministic fake). Rows-only:
+    the feature extraction has no SQL twin."""
+    from ..operators.multimodal import documents_as_media, media_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_features(documents_as_media(docs))
+
+
 @register("q33_rolling_fingerprint", None)
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint (min of window hashes
