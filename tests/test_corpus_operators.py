@@ -1,0 +1,121 @@
+"""Known-answer unit tests for the training-pipeline operators:
+dedup (exact / MinHash-LSH / SimHash / Jaccard), similarity search,
+and text analysis. The oracle harness checks these at sf0.01; these
+tests pin SEMANTICS on tiny hand-built corpora."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from nessus_client_etl_scripts_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+)
+from nessus_client_etl_scripts_spark.operators.similarity import brute_force_topk
+from nessus_client_etl_scripts_spark.operators.text import (
+    lang_guess,
+    quality_keep,
+    token_count,
+)
+
+NEAR_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR_B = "the quick brown fox jumps over the lazy dog near the river bank now"
+FAR = "completely different content about databases and distributed query engines"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, NEAR_A, "en"),
+        (2, NEAR_B, "en"),
+        (3, FAR, "en"),
+        (4, "  The QUICK brown fox jumps over the lazy dog near the river bank today ", "en"),
+        (5, NEAR_A, "en"),  # byte-exact duplicate of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_normalizes(corpus):
+    out = {r.keep_id: r.dup_count for r in exact_dedup(corpus).collect()}
+    # doc 4 differs only by case/whitespace → same group as 1 and 5
+    assert out[1] == 3
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_shingles_small_doc(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = df.select(shingles("text", k=3).alias("s")).collect()[0].s
+    assert sorted(got) == ["a b c", "b c d"]
+
+
+def test_minhash_lsh_finds_near_dups_not_far(corpus):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(corpus, num_hashes=64, bands=16).collect()
+    }
+    assert (1, 2) in pairs  # one-word difference → near-dup
+    assert (1, 5) in pairs and (1, 4) in pairs  # exact dups always collide
+    assert not any(3 in p for p in pairs)  # unrelated doc stays alone
+
+
+def test_ngram_jaccard_scores(corpus):
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, block_cols=(), k=3, threshold=0.0).collect()
+    }
+    assert out[(1, 5)] == pytest.approx(1.0)  # identical docs
+    assert 0.5 < out[(1, 2)] < 1.0  # near-dup: high but < 1
+    assert (1, 3) not in out or out[(1, 3)] < 0.1
+
+
+def test_simhash_hamming_tracks_similarity(corpus):
+    sh = {r.doc_id: r.h for r in corpus.select("doc_id", simhash64("text").alias("h")).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(sh[1], sh[5]) == 0  # identical text → identical hash
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])  # near-dup closer than far
+
+
+def test_brute_force_topk_known_neighbors(spark):
+    vecs = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),  # closest to 1
+        (3, [0.0, 1.0]),  # orthogonal to 1
+        (4, [-1.0, 0.0]),  # opposite to 1
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 1), k=3)
+    ranked = [r.neighbor_id for r in out.orderBy("rank").collect()]
+    assert ranked == [2, 3, 4]  # cosine order: 2 > 3 > 4
+    scores = {r.neighbor_id: r.score for r in out.collect()}
+    assert scores[2] == pytest.approx(0.9 / math.hypot(0.9, 0.1))
+    assert scores[3] == pytest.approx(0.0)
+    assert scores[4] == pytest.approx(-1.0)
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the a the a the a the a the a the a"), (2, "short text"), (3, NEAR_A)],
+        "id int, text string",
+    )
+    counts = {r.id: r.n for r in df.select("id", token_count("text").alias("n")).collect()}
+    assert counts == {1: 12, 2: 2, 3: 14}
+    keep = {r.id: r.k for r in df.select("id", quality_keep("text").alias("k")).collect()}
+    assert keep[1] is False  # all stopwords → ratio 1.0 > 0.6
+    assert keep[2] is False  # too short
+    assert keep[3] is True
+
+
+def test_lang_guess_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "le chat noir"), (3, "der hund"), (4, "xyz abc")],
+        "id int, text string",
+    )
+    got = {r.id: r.g for r in df.select("id", lang_guess("text").alias("g")).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "unknown"}
