@@ -1,0 +1,59 @@
+"""Lake readers — SURVEY.md §2.1 S3/S4's read side.
+
+The landed lake is ``{root}/{file_type}/deployment_id=…/
+snapshot_date=YYYYMMDD/`` (the reference's key layout export.py:97 as
+real partition columns — write side in pipeline.export_pipeline).
+Readers always pass the declared bronze schema: at 100 TB, schema
+inference is a second full listing+sample pass, and partition pruning
+only works when snapshot filters stay declarative.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .nessus_schemas import SCAN_RUN_DOC_SCHEMA
+
+
+def read_scan_run_documents(
+    spark: SparkSession,
+    lake_root: str,
+    deployment_id: str | None = None,
+    since: str | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Read landed scan-run documents; deployment/snapshot filters are
+    partition predicates (pruned at listing time, zero data touched
+    outside the range)."""
+    path = os.path.join(lake_root, "scan_run")
+    if fmt == "json":
+        df = spark.read.schema(
+            SCAN_RUN_DOC_SCHEMA.add("deployment_id", "string").add(
+                "snapshot_date", "string"
+            )
+        ).json(path)
+    else:
+        df = spark.read.parquet(path)
+    if deployment_id is not None:
+        df = df.filter(F.col("deployment_id") == deployment_id)
+    if since is not None:
+        df = df.filter(F.col("snapshot_date") >= since)
+    return df
+
+
+def read_dimension_snapshot(
+    spark: SparkSession,
+    lake_root: str,
+    file_type: str,
+    deployment_id: str | None = None,
+) -> DataFrame:
+    """Latest dimension snapshot (folder/scan): the max snapshot_date
+    partition only — resolved from partition values, not data."""
+    df = spark.read.parquet(os.path.join(lake_root, file_type))
+    if deployment_id is not None:
+        df = df.filter(F.col("deployment_id") == deployment_id)
+    latest = df.select(F.max("snapshot_date").alias("d")).collect()[0].d
+    return df.filter(F.col("snapshot_date") == latest)
