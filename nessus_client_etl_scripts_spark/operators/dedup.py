@@ -35,9 +35,18 @@ def exact_dedup(
     )
 
 
-def shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct word k-shingles of the normalized text."""
-    toks = tokens(normalize_text(text))
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles from an ALREADY-MATERIALIZED token
+    array column.
+
+    Expression-blowup rule (learned the hard way): a lambda body in a
+    higher-order function re-evaluates any non-attribute expression it
+    references ONCE PER ELEMENT, and Catalyst's CollapseProject will
+    happily inline an aliased expensive expression back into every use
+    site only when it deems it cheap. Passing tokenization in as a
+    materialized column attribute keeps the per-element work to a
+    slice+concat instead of regex+split of the whole document.
+    """
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     return F.array_distinct(
@@ -45,22 +54,56 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(
-    text: Column | str, num_hashes: int = 64, k: int = 3
-) -> Column:
-    """MinHash signature: for seed s in 0..n-1, min over shingles of
-    xxhash64(shingle, seed). Entirely within-row array algebra — the
-    signature computation is embarrassingly parallel and codegen'd.
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles of the normalized text. Convenience
+    form for small inputs/tests; hot paths must stage tokens first
+    (see shingles_from_tokens) or the tokenizer re-runs per shingle."""
+    return shingles_from_tokens(tokens(normalize_text(text)), k)
 
-    xxhash64's seed parameter gives the independent hash family; no
-    Python, no UDF.
+
+def shingle_posting(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = (), k: int = 3,
+) -> DataFrame:
+    """(doc_id[, blocks], shingle) posting list — the staged explode all
+    shingle-based operators build on. Tokenization and shingling are
+    materialized in separate projections so each runs once per doc."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in block_cols],
+        tokens(normalize_text(text_col)).alias("toks"),
+    )
+    sh = toks.select(
+        "doc_id", *block_cols, shingles_from_tokens(F.col("toks"), k).alias("sh")
+    )
+    return sh.select("doc_id", *block_cols, F.explode("sh").alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, sig array<long>) MinHash signatures: explode shingles,
+    then per seed s in 0..n-1 take min(xxhash64(shingle, s)) per doc.
+
+    Formulated as an AGGREGATION, not within-row array algebra: each
+    shingle is hashed num_hashes times total (not num_hashes times per
+    reference to the shingle expression), partial mins combine
+    map-side, and the shuffle carries num_hashes longs per doc per map
+    partition. xxhash64's seed parameter gives the independent hash
+    family; no Python, no UDF.
     """
-    sh = shingles(text, k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(sh, lambda x: F.xxhash64(x, s))
-        ),
+    posting = shingle_posting(df, text_col, id_col, k=k)
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(s))).alias(f"_h{s}")
+        for s in range(num_hashes)
+    ]
+    sig = posting.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("sig")
     )
 
 
@@ -82,10 +125,7 @@ def minhash_lsh_candidates(
     accidental collisions rare.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(text_col, num_hashes, k).alias("sig"),
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -122,31 +162,42 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash64(text: Column | str, bits: int = 64) -> Column:
-    """SimHash over tokens: per bit position, majority vote of the
-    token hashes' bits, packed into one long. Within-row algebra
-    (bits × |tokens| bit ops per doc, all codegen'd). Bit positions are
-    unrolled as Python ints because the shift builtins take literal
-    shift amounts."""
-    hs = F.transform(tokens(normalize_text(text)), lambda t: F.xxhash64(t))
-    n = F.size(hs)
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash: per bit position, majority
+    vote of the token hashes' bits, packed into one long.
 
-    def _bit_counter(j: int):
-        # closure factory: the merge lambda must be exactly 2-ary for
-        # the higher-order function binding, so j is captured, not a
-        # default parameter
-        return lambda acc, h: acc + F.shiftrightunsigned(h, j).bitwiseAND(
-            F.lit(1).cast("long")
-        )
-
-    out = F.lit(0).cast("long")
+    Explode→aggregate formulation: each token is hashed ONCE; per bit
+    the vote is sum(±1) with map-side partial aggregation (one long per
+    bit per doc in the shuffle). The earlier within-row version
+    re-evaluated the tokenizer per bit per fold step — 128× blowup.
+    Ties vote 1 (2·ones ≥ n ⇔ Σ(2·bit−1) ≥ 0).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(text_col)).alias("toks"),
+    )
+    hashed = toks.select("doc_id", F.explode("toks").alias("tok")).select(
+        "doc_id", F.xxhash64("tok").alias("h")
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1).cast("long"))
+                * 2 - 1
+            ).alias(f"_v{j}")
+            for j in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("long")
     for j in range(bits):
-        ones = F.aggregate(hs, F.lit(0).cast("long"), _bit_counter(j))
-        bit = F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(
+        bit = F.when(F.col(f"_v{j}") >= 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-        out = out.bitwiseOR(F.shiftleft(bit, j))
-    return out
+        packed = packed.bitwiseOR(F.shiftleft(bit, j))
+    return votes.select("doc_id", packed.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -166,15 +217,10 @@ def ngram_jaccard_pairs(
     Blocking columns (e.g. language) keep hot shingles from exploding
     the candidate space at corpus scale.
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in block_cols],
-        shingles(text_col, k).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
-    sizes = base.select("doc_id", "n_sh")
-    posting = base.select(
-        "doc_id", *block_cols, F.explode("sh").alias("shingle")
-    )
+    posting = shingle_posting(df, text_col, id_col, block_cols, k)
+    # sizes derived FROM the posting (shingles are distinct, so the
+    # per-doc count is the set size) — the shingle pipeline runs once
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     joined = (
         posting.alias("l")
         .join(

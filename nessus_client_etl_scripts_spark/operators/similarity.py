@@ -94,7 +94,11 @@ def brute_force_topk(
 def hyperplane_sketch(vec: Column | str, bits: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane sign sketch: bit j = sign(v · h_j) where h_j is
     a deterministic pseudo-random hyperplane derived from xxhash64(j, i)
-    — reproducible across runs/executors with no driver-side state."""
+    — reproducible across runs/executors with no driver-side state.
+
+    Pass an ALREADY-MATERIALIZED double-array column attribute: lambda
+    bodies re-evaluate non-attribute expressions per element × per bit
+    (see dedup.shingles_from_tokens for the rule)."""
     v = _as_double(vec)
     def bit(j: int) -> Column:
         # hyperplane component h_{j,i} in [-1, 1): hash → unit interval
@@ -133,16 +137,14 @@ def lsh_topk(
     cosine within the bucket. At 100 TB the bucket key shrinks the
     candidate pair space by ~2^bits; multi-probe (flipping one bit) can
     recover recall — left as a parameter sweep for tuning."""
+    # stage the double-cast vector first; the sketch reads the staged
+    # attribute so the cast-transform runs once, not per bit×component
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(vec_col).alias("qv"),
-        hyperplane_sketch(vec_col, bits).alias("bucket"),
-    )
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).select("query_id", "qv", hyperplane_sketch(F.col("qv"), bits).alias("bucket"))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(vec_col).alias("cv"),
-        hyperplane_sketch(vec_col, bits).alias("bucket"),
-    )
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).select("neighbor_id", "cv", hyperplane_sketch(F.col("cv"), bits).alias("bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -119,11 +119,11 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(normalize_text(text))
 
 
-def rolling_hash_fingerprint(text: Column | str, window: int = 8) -> Column:
+def rolling_hash_from_tokens(toks: Column, window: int = 8) -> Column:
     """Content-defined fingerprint: min of rolling window hashes over
-    the token stream (winnowing-style). Built from array ops:
-    slide a window over tokens, hash each window, take the min."""
-    toks = tokens(normalize_text(text))
+    an ALREADY-MATERIALIZED token array (winnowing-style). Takes the
+    attribute form because the slide lambda references the array per
+    window position (see dedup.shingles_from_tokens for the rule)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0)))
     window_hashes = F.transform(
@@ -131,3 +131,9 @@ def rolling_hash_fingerprint(text: Column | str, window: int = 8) -> Column:
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
     )
     return F.array_min(window_hashes)
+
+
+def rolling_hash_fingerprint(text: Column | str, window: int = 8) -> Column:
+    """Convenience form for small inputs; hot paths stage tokens first
+    and call rolling_hash_from_tokens on the attribute."""
+    return rolling_hash_from_tokens(tokens(normalize_text(text)), window)

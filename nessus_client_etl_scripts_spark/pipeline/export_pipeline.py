@@ -120,6 +120,10 @@ def write_partitioned(
     path = lake_root if file_type is None else os.path.join(lake_root, file_type)
     (
         out.write.mode("overwrite")
+        # dynamic: replace only the partitions this write produces.
+        # Static overwrite would clobber every previous snapshot under
+        # the root — re-running a day must be idempotent for THAT day.
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("deployment_id", "snapshot_date")
         .format(fmt)
         .save(path)
@@ -160,14 +164,22 @@ def run_export(
         F.broadcast(fresh), ["scan_id", "history_id"], "left_semi"
     )
 
-    n_new = new_runs.count()  # A4 existence gate (export.py:222,238)
-    written = {"scan_run": 0, "folder": 0, "scan": 0}
+    # A4 existence gate (export.py:222,238) measured BY the write itself
+    # (Observation rides the job) — one pass over the documents, not a
+    # count pass plus a write pass. An empty write is a no-op under
+    # dynamic partition overwrite, so writing before knowing is safe.
+    from pyspark.sql import Observation
 
-    if n_new > 0:
-        write_partitioned(
-            new_runs, lake_root, deployment_id, today, file_type="scan_run"
-        )
-        written["scan_run"] = n_new
+    obs = Observation("export_gate")
+    write_partitioned(
+        new_runs.observe(obs, F.count(F.lit(1)).alias("n")),
+        lake_root,
+        deployment_id,
+        today,
+        file_type="scan_run",
+    )
+    n_new = obs.get["n"]
+    written = {"scan_run": int(n_new), "folder": 0, "scan": 0}
 
     # Dimension snapshots: gated in watermark mode (export.py:240-243),
     # unconditional in lookback mode (export_last_month.py:122-124,213).

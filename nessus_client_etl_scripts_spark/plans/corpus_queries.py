@@ -25,7 +25,6 @@ from ..operators.text import (
     lang_guess,
     quality_features,
     quality_keep,
-    rolling_hash_fingerprint,
 )
 from .testdata_queries import register
 
@@ -299,9 +298,10 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q29_simhash", None)
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (bit-majority of token hashes),
-    packed into one long — within-row algebra, rows-only check."""
+    packed into one long — explode→aggregate with map-side partial
+    votes, rows-only check."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64("text").alias("simhash"))
+    return simhash64(docs)
 
 
 @register("q31_profile_approx", None)
@@ -341,8 +341,12 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q33_rolling_fingerprint", None)
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint (min of window hashes
-    over the token stream) — content-defined, shift-tolerant."""
+    over the token stream) — content-defined, shift-tolerant. Tokens
+    staged as an attribute so the tokenizer runs once per doc."""
+    from ..operators.text import normalize_text, rolling_hash_from_tokens, tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", rolling_hash_fingerprint("text").alias("fingerprint")
+    toks = docs.select("doc_id", tokens(normalize_text("text")).alias("toks"))
+    return toks.select(
+        "doc_id", rolling_hash_from_tokens(F.col("toks")).alias("fingerprint")
     )

@@ -73,7 +73,7 @@ def test_ngram_jaccard_scores(corpus):
 
 
 def test_simhash_hamming_tracks_similarity(corpus):
-    sh = {r.doc_id: r.h for r in corpus.select("doc_id", simhash64("text").alias("h")).collect()}
+    sh = {r.doc_id: r.simhash for r in simhash64(corpus).collect()}
 
     def ham(a, b):
         return bin((a ^ b) & (2**64 - 1)).count("1")

@@ -88,6 +88,26 @@ def test_export_lookback_mode_unconditional_dims(spark, tmp_path):
     assert out["scan"] > 0 and out["folder"] == fixtures.N_FOLDERS
 
 
+def test_export_day2_keeps_day1_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: a later export must not clobber
+    earlier snapshots under the same root."""
+    lake = str(tmp_path / "lake")
+    scans = fixtures.scan_docs(spark)
+    docs = fixtures.scan_run_docs(spark)
+    run_export(spark, scans, docs, lake, DEP, mode="watermark", today=DAY1)
+    # lookback far enough that every run is fresh again on day 2
+    run_export(
+        spark, scans, docs, lake, DEP,
+        mode="lookback", lookback_days=100_000, today=DAY2,
+    )
+    sr = spark.read.parquet(f"{lake}/scan_run")
+    per_day = {
+        str(r.snapshot_date): r.n  # partition values infer as int on read
+        for r in sr.groupBy("snapshot_date").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_day == {DAY1.strftime("%Y%m%d"): 31, DAY2.strftime("%Y%m%d"): 31}
+
+
 def test_export_partition_layout_prunes(spark, tmp_path):
     """The written lake uses real partition columns; a snapshot_date
     filter must prune to one partition directory (PartitionFilters)."""
