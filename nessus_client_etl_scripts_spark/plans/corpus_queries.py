@@ -326,6 +326,29 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, bits=6)
 
 
+@register(
+    "q35_bpe_token_estimate",
+    """
+SELECT doc_id,
+       CAST(list_aggregate(
+         list_transform(string_split_regex(text, '[^A-Za-z0-9]+'),
+                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT)),
+         'sum') AS BIGINT) AS bpe_tokens
+FROM documents
+""",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate (word-piece boundaries at non-alnum +
+    4-char chunks of long words) — the tokenizer-free budget counter a
+    training pipeline uses before committing to a real tokenizer."""
+    from ..operators.text import bpe_ish_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count("text").cast("long").alias("bpe_tokens")
+    )
+
+
 @register("q34_media_features", None)
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline over binary columns: documents as a media
