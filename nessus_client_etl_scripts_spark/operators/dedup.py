@@ -76,7 +76,14 @@ def shingle_posting(
     sh = toks.select(
         "doc_id", *block_cols, shingles_from_tokens(F.col("toks"), k).alias("sh")
     )
-    return sh.select("doc_id", *block_cols, F.explode("sh").alias("shingle"))
+    # explode_outer, deliberately: plain explode triggers Catalyst's
+    # InferFiltersFromGenerate, which inserts a `size(sh) > 0` filter
+    # with the ENTIRE shingle expression re-inlined below the staged
+    # projections (re-running the tokenizer per row, with the
+    # per-element blowup). Shingle arrays are never empty (the index
+    # sequence always has >=1 element), so outer semantics are
+    # identical and the inferred filter never appears.
+    return sh.select("doc_id", *block_cols, F.explode_outer("sh").alias("shingle"))
 
 
 def minhash_signatures(
@@ -97,11 +104,15 @@ def minhash_signatures(
     family; no Python, no UDF.
     """
     posting = shingle_posting(df, text_col, id_col, k=k)
+    # hash the shingle STRING once; derive the n-member family by
+    # re-hashing the resulting 8-byte long per seed (hashing ~20 string
+    # bytes 64x per shingle costs ~4x more than hashing 8 bytes 64x)
+    hashed = posting.select("doc_id", F.xxhash64("shingle").alias("h0"))
     aggs = [
-        F.min(F.xxhash64("shingle", F.lit(s))).alias(f"_h{s}")
+        F.min(F.xxhash64("h0", F.lit(s))).alias(f"_h{s}")
         for s in range(num_hashes)
     ]
-    sig = posting.groupBy("doc_id").agg(*aggs)
+    sig = hashed.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("sig")
     )
@@ -179,7 +190,9 @@ def simhash64(
         F.col(id_col).alias("doc_id"),
         tokens(normalize_text(text_col)).alias("toks"),
     )
-    hashed = toks.select("doc_id", F.explode("toks").alias("tok")).select(
+    # explode_outer: avoids the inferred size>0 filter re-inlining the
+    # tokenizer (see shingle_posting); split() output is never empty
+    hashed = toks.select("doc_id", F.explode_outer("toks").alias("tok")).select(
         "doc_id", F.xxhash64("tok").alias("h")
     )
     votes = hashed.groupBy("doc_id").agg(

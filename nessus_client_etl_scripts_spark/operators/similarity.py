@@ -91,38 +91,38 @@ def brute_force_topk(
     )
 
 
+def _hyperplanes(bits: int, dim: int, seed: int = 0x5EED) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, generated ONCE on the
+    driver. Components ship to executors as folded literal arrays —
+    they are row-independent, so computing them inside a row expression
+    (the earlier form hashed (j·dim+i) per row per bit per component)
+    was pure waste."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
 def hyperplane_sketch(vec: Column | str, bits: int = 8, dim: int = 64) -> Column:
-    """Random-hyperplane sign sketch: bit j = sign(v · h_j) where h_j is
-    a deterministic pseudo-random hyperplane derived from xxhash64(j, i)
-    — reproducible across runs/executors with no driver-side state.
+    """Random-hyperplane sign sketch: bit j = sign(v · h_j), h_j a
+    deterministic literal array (reproducible across runs/executors,
+    no per-row hyperplane recomputation).
 
     Pass an ALREADY-MATERIALIZED double-array column attribute: lambda
     bodies re-evaluate non-attribute expressions per element × per bit
     (see dedup.shingles_from_tokens for the rule)."""
     v = _as_double(vec)
-    def bit(j: int) -> Column:
-        # hyperplane component h_{j,i} in [-1, 1): hash → unit interval
-        prods = F.transform(
-            F.sequence(F.lit(0), F.size(v) - 1),
-            lambda i: v[i.cast("int")]
-            * (
-                (
-                    F.pmod(
-                        F.xxhash64(F.lit(j) * F.lit(dim) + i), F.lit(10**6)
-                    ).cast("double")
-                    / F.lit(5 * 10**5)
-                )
-                - F.lit(1.0)
-            ),
+    out = F.lit(0).cast("long")
+    for j, plane in enumerate(_hyperplanes(bits, dim)):
+        h = F.array(*[F.lit(x) for x in plane])  # constant-folded
+        dotp = F.aggregate(
+            F.zip_with(v, h, lambda x, y: F.coalesce(x * y, F.lit(0.0))),
+            F.lit(0.0),
+            lambda a, x: a + x,
         )
-        return F.when(
-            F.aggregate(prods, F.lit(0.0), lambda a, x: a + x) >= 0, F.lit(1)
-        ).otherwise(F.lit(0))
-
-    out = F.lit(0)
-    for j in range(bits):
-        out = out + F.shiftleft(bit(j).cast("long"), j)
-    return out.cast("long")
+        bit = F.when(dotp >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        out = out.bitwiseOR(F.shiftleft(bit, j))
+    return out
 
 
 def lsh_topk(
