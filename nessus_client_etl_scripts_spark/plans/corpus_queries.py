@@ -361,6 +361,28 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(documents_as_media(docs))
 
 
+@register("q36_nessus_folder_results", None)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Nessus surface end-to-end: deterministic nested scan-run
+    documents → bronze→silver normalization (explode chains) →
+    get_folder_results(folder 1, plugin filter) — the reference's
+    richest stored procedure as one Catalyst plan. Surrogate-id columns
+    are dropped (they depend on partitioning); everything else is
+    deterministic. Rows-only check."""
+    from ..pipeline import fixtures
+    from ..pipeline.normalize import normalize_scan_runs
+    from .nessus_api import get_folder_results
+
+    tables = normalize_scan_runs(
+        fixtures.scan_run_docs(spark),
+        folder_docs=fixtures.folder_docs(spark),
+        scan_docs=fixtures.scan_docs(spark),
+        id_mode="hash",
+    )
+    out = get_folder_results(tables, folder_id=1, plugin_id=5)
+    return out.drop("host_vuln_id", "host_id", "vuln_output_id")
+
+
 @register("q33_rolling_fingerprint", None)
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint (min of window hashes
