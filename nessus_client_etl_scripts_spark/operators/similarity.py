@@ -162,3 +162,143 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + probed search
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd iterations in pure DataFrame algebra →
+    (centroid_id, centroid array<double>).
+
+    - init: the n_centroids rows with the smallest xxhash64(id) — a
+      deterministic pseudo-random sample, no driver-side RNG state;
+    - assign: broadcast the centroid table, pick argmin L2 per vector
+      (a window over corpus×centroids, centroids side tiny);
+    - update: element-wise mean via posexplode → groupBy(centroid,
+      dim) → avg → collect_list ordered by dim. At 100 TB the shuffle
+      carries (centroid, dim, partial sum/count) — dim×k cells per map
+      partition, independent of corpus size.
+
+    Fixed iteration count (no convergence test) keeps the plan static
+    and the result reproducible.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("_vid"), _as_double(vec_col).alias("v")
+    )
+    cents = (
+        v.withColumn("_h", F.xxhash64("_vid"))
+        .orderBy("_h", "_vid")
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(Window.orderBy("_h", "_vid")) - 1).alias(
+                "centroid_id"
+            ),
+            F.col("v").alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = assign_to_centroids(v, cents, vec_attr="v", id_attr="_vid")
+        comps = assigned.join(v, "_vid").select(
+            "centroid_id", F.posexplode("v").alias("dim", "x")
+        )
+        cents = (
+            comps.groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("dm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("dm"), lambda s: s.getField("m")).alias(
+                    "centroid"
+                ),
+            )
+        )
+    return cents
+
+
+def assign_to_centroids(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    vec_attr: str = "v",
+    id_attr: str = "_vid",
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, centroid_id[, probe_rank]) — the nprobe nearest centroids
+    per vector. Centroid table broadcasts; the rank window shuffles
+    only (id, centroid_id, dist) triples."""
+    scored = vecs.join(F.broadcast(centroids)).select(
+        id_attr,
+        "centroid_id",
+        l2_distance(F.col(vec_attr), F.col("centroid")).alias("_d"),
+    )
+    w = Window.partitionBy(id_attr).orderBy("_d", "centroid_id")
+    ranked = scored.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= nprobe
+    )
+    return ranked.select(id_attr, "centroid_id")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed under their
+    nearest coarse centroid (the inverted file); each query probes its
+    nprobe nearest centroids and scores exact cosine only within those
+    buckets. nprobe = n_centroids degrades gracefully to brute force
+    (the recall/test anchor); small nprobe prunes the candidate space
+    to ~nprobe/n_centroids of the corpus.
+    """
+    cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c_assign = assign_to_centroids(
+        c, cents, vec_attr="cv", id_attr="neighbor_id", nprobe=1
+    )
+    q_probe = assign_to_centroids(
+        q, cents, vec_attr="qv", id_attr="query_id", nprobe=nprobe
+    )
+    candidates = (
+        c_assign.join(q_probe, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        candidates.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

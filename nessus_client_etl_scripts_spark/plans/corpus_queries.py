@@ -383,6 +383,21 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.drop("host_vuln_id", "host_id", "vuln_output_id")
 
 
+@register("q39_ivf_topk", None)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic DataFrame-algebra k-means
+    coarse quantizer, corpus bucketed under nearest centroid, queries
+    probe nprobe buckets, exact cosine within. The third ANN tier
+    (brute q27 / LSH q32 / IVF q39). Rows-only: centroid assignment
+    has no SQL twin."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_centroids=16, nprobe=4
+    )
+
+
 @register("q33_rolling_fingerprint", None)
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint (min of window hashes

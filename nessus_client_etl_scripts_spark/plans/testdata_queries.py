@@ -660,6 +660,90 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q37_rollup_hierarchy",
+    """
+SELECT COALESCE(n_name, 'ALL') AS n_name,
+       COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+""",
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup (nation → segment → grand total) — the
+    folder→scan→total reporting shape, via the built-in ROLLUP grouping
+    sets. One pass, partial aggregation per grouping set; NULL grouping
+    markers coalesced to 'ALL' so the oracle comparison is exact."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    cust = t["customer"].join(
+        F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "n_name", "c_mktsegment")
+    joined = t["orders"].join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(dsum("o_totalprice", "total_price"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("c_mktsegment"),
+            "total_price",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "q38_embedding_near_dup",
+    """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+         AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+      >= 0.99
+""",
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs above a cosine threshold,
+    blocked on the label column (the production path blocks on an LSH
+    bucket — q32's sketch — this declared variant blocks on a semantic
+    key so DuckDB can verify the scores exactly)."""
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
+    )
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.99)
+    )
+
+
+@register(
     "q19_sessionize",
     """
 WITH marked AS (

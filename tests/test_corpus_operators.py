@@ -119,3 +119,37 @@ def test_lang_guess_markers(spark):
     )
     got = {r.id: r.g for r in df.select("id", lang_guess("text").alias("g")).collect()}
     assert got == {1: "en", 2: "fr", 3: "de", 4: "unknown"}
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """nprobe = n_centroids probes every bucket -> IVF must return
+    exactly the brute-force answer (the recall anchor)."""
+    from nessus_client_etl_scripts_spark.catalog import load_table
+    from nessus_client_etl_scripts_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = brute_force_topk(emb, queries, k=3)
+    ivf = ivf_topk(emb, queries, k=3, n_centroids=4, nprobe=4, iters=2)
+    b = {(r.query_id, r.rank): r.neighbor_id for r in brute.collect()}
+    v = {(r.query_id, r.rank): r.neighbor_id for r in ivf.collect()}
+    assert b == v
+
+
+def test_ivf_topk_pruned_probe_recall(spark):
+    """nprobe=1 of 4 buckets: candidates shrink but results stay a
+    subset of valid neighbors with positive recall."""
+    from nessus_client_etl_scripts_spark.catalog import load_table
+    from nessus_client_etl_scripts_spark.operators.similarity import (
+        brute_force_topk as bf,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {(r.query_id, r.neighbor_id) for r in bf(emb, queries, k=5).collect()}
+    ivf = ivf_topk(emb, queries, k=5, n_centroids=4, nprobe=1, iters=2)
+    got = [(r.query_id, r.neighbor_id) for r in ivf.collect()]
+    assert len(got) > 0
+    recall = len(set(got) & brute) / len(brute)
+    assert recall > 0.3  # 1-of-4 buckets must still find a fair share
