@@ -131,3 +131,35 @@ def test_yyyymmdd_guard_and_parse(spark):
 def test_epoch_to_date_utc(spark):
     df = spark.createDataFrame([(1704067200,)], "e long")  # 2024-01-01 UTC
     assert df.select(epoch_to_date("e").alias("d")).collect()[0].d == dt.date(2024, 1, 1)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be result-invariant: same rows as the plain join,
+    with the hot key spread across salt buckets."""
+    from nessus_client_etl_scripts_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 99)], "k int, v int"
+    )  # key 1 is hot
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], "k int, name string")
+    plain = facts.join(dim, "k").orderBy("k", "v").collect()
+    salted = salted_join(facts, dim, "k", salt=4).orderBy("k", "v").collect()
+    assert [tuple(r) for r in salted] == [tuple(r) for r in plain]
+
+
+def test_salted_join_random_salt_still_exact(spark):
+    from nessus_client_etl_scripts_spark.operators.skew import (
+        replicate_for_salt,
+        with_salt,
+    )
+    import pyspark.sql.functions as FF
+
+    facts = with_salt(
+        spark.createDataFrame([(1, i) for i in range(20)], "k int, v int"), 4
+    )
+    dim = replicate_for_salt(
+        spark.createDataFrame([(1, "x")], "k int, name string"), 4
+    )
+    out = facts.join(dim, ["k", "_salt"]).drop("_salt")
+    assert out.count() == 20
+    assert facts.select(FF.countDistinct("_salt")).collect()[0][0] > 1
