@@ -70,3 +70,25 @@ def register_views(
     in either DataFrame or SQL form against the same catalog."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    Bucketing pre-shuffles ONCE at write time: two tables bucketed by
+    their join key with the same bucket count join with NO Exchange —
+    at 100 TB that deletes the dominant cost of every fact⋈fact join
+    (host⋈host_vuln⋈vuln_output on scan_run keys, lineitem⋈orders on
+    orderkey). The warehouse is Spark's local metastore here; on a
+    cluster this is the same call against the shared catalog.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
