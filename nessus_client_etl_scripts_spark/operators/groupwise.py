@@ -1,0 +1,48 @@
+"""Group-wise Pandas operators — ``applyInPandas`` (the third Pandas
+API surface next to mapInPandas in multimodal.py and
+applyInPandasWithState in streaming/stateful.py).
+
+Used where per-group logic wants a real dataframe library (rank
+methods, interpolation, model scoring) but the grouping/shuffle stays
+in Spark. One Arrow batch per group — groups must fit an executor's
+memory, which is the operator's documented contract (salt or pre-split
+pathological groups first; see operators/skew.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def quantile_rank(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, groups..., value, pct_rank) — min-method percentile rank of
+    ``value_col`` within each group: rank_min / group_size.
+
+    Exactly reproducible in SQL (RANK() / COUNT(*) OVER partition), so
+    the oracle harness verifies the whole applyInPandas path — schema
+    contract, group iteration, Arrow transfer — value-exactly.
+    """
+    out_schema = T.StructType(
+        [df.schema[id_col]]
+        + [df.schema[c] for c in group_cols]
+        + [df.schema[value_col], T.StructField("pct_rank", T.DoubleType())]
+    )
+    cols = [id_col, *group_cols, value_col]
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[cols].copy()
+        out["pct_rank"] = pdf[value_col].rank(method="min") / len(pdf)
+        return out
+
+    return df.select(*cols).groupBy(*group_cols).applyInPandas(
+        per_group, out_schema
+    )

@@ -383,6 +383,58 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.drop("host_vuln_id", "host_id", "vuln_output_id")
 
 
+@register(
+    "q40_rank_analytics",
+    """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(rank() OVER w AS BIGINT) AS bal_rank,
+       percent_rank() OVER w AS bal_pct,
+       c_acctbal - lag(c_acctbal) OVER w2 AS gap_to_prev
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal),
+       w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window suite beyond the reference's W1: rank,
+    percent_rank, and lag deltas per segment — rank-based so the values
+    are bit-exact across engines (no float aggregation order). One
+    shuffle on the partition key serves all three windows."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    w2 = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.percent_rank().over(w).alias("bal_pct"),
+        (F.col("c_acctbal") - F.lag("c_acctbal").over(w2)).alias("gap_to_prev"),
+    )
+
+
+@register(
+    "q41_groupwise_pandas_rank",
+    """
+SELECT doc_id, lang, n_chars,
+       CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY lang) AS pct_rank
+FROM documents
+""",
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas group-wise operator under full oracle
+    verification: min-method percentile rank per language computed IN
+    PANDAS (one Arrow batch per group), matched value-exactly against
+    the window-SQL twin — proving the Pandas path end to end."""
+    from ..operators.groupwise import quantile_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_rank(docs, ["lang"], "n_chars", "doc_id")
+
+
 @register("q39_ivf_topk", None)
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: deterministic DataFrame-algebra k-means

@@ -153,3 +153,15 @@ def test_ivf_topk_pruned_probe_recall(spark):
     assert len(got) > 0
     recall = len(set(got) & brute) / len(brute)
     assert recall > 0.3  # 1-of-4 buckets must still find a fair share
+
+
+def test_quantile_rank_known_values(spark):
+    """applyInPandas group-wise rank: hand-checked min-method pct."""
+    from nessus_client_etl_scripts_spark.operators.groupwise import quantile_rank
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 20), (4, "a", 30), (5, "b", 7)],
+        "id long, g string, v long",
+    )
+    out = {r.id: r.pct_rank for r in quantile_rank(df, ["g"], "v", "id").collect()}
+    assert out == {1: 0.25, 2: 0.5, 3: 0.5, 4: 1.0, 5: 1.0}
