@@ -154,7 +154,11 @@ def run_export(
     if mode == "watermark":
         floor = compute_watermark(os.path.join(lake_root, "scan_run"), deployment_id)
     else:
-        floor = today - dt.timedelta(days=lookback_days)
+        # A lookback longer than the calendar means "everything".
+        try:
+            floor = today - dt.timedelta(days=lookback_days)
+        except OverflowError:
+            floor = dt.date(1970, 1, 1)
 
     fresh = fresh_completed_runs(scan_docs, floor).select("scan_id", "history_id")
 
