@@ -169,6 +169,94 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def _probe_expr(vec_attr: str, cents: list[list[float]], nprobe: int) -> Column:
+    """Array of the nprobe nearest centroid ids for one vector — a pure
+    projection over literal centroid arrays (constant-folded), sorted
+    by (distance, centroid_id) for a deterministic tie order.
+
+    This is the scale-critical shape: centroid assignment needs NO
+    join and NO shuffle — each row scores k literal arrays in place.
+    The earlier formulation (broadcast join + per-id ranking window)
+    shuffled |corpus| × k rows every iteration for what is a per-row
+    argmin."""
+    scored = F.array(
+        *[
+            F.struct(
+                l2_distance(
+                    F.col(vec_attr), F.array(*[F.lit(x) for x in c])
+                ).alias("d"),
+                F.lit(i).alias("centroid_id"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["centroid_id"]
+    )
+
+
+def _kmeans_py(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations → driver-side centroid list.
+
+    - init: the n_centroids rows with the smallest xxhash64(id) — a
+      deterministic pseudo-random sample, no driver-side RNG state;
+    - assign: per-row literal argmin (_probe_expr — narrow, no
+      shuffle);
+    - update: element-wise mean via posexplode → groupBy(centroid,
+      dim) → avg. At 100 TB the shuffle carries (centroid, dim,
+      partial sum/count) — dim×k cells per map partition, independent
+      of corpus size.
+
+    Centroids live on the driver between iterations (k×dim doubles —
+    bytes at any corpus scale; the same state-handling as spark.ml's
+    KMeans). Keeping them lazy instead would embed every previous
+    iteration's lineage into the next plan and re-execute the whole
+    history each time the centroid table is referenced.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("_vid"), _as_double(vec_col).alias("v")
+    )
+    init = (
+        v.withColumn("_h", F.xxhash64("_vid"))
+        .orderBy("_h", "_vid")
+        .limit(n_centroids)
+        .select("v")
+        .collect()
+    )
+    cents = [list(r["v"]) for r in init]
+    for _ in range(iters):
+        # assignment staged BEFORE the generator: a posexplode in the
+        # same select rewrites sibling expressions and loses struct
+        # field names inside _probe_expr (same staging rule as the
+        # lambda-body materialization in dedup.py)
+        assigned = v.select(
+            F.element_at(_probe_expr("v", cents, 1), 1).alias("centroid_id"),
+            "v",
+        ).select("centroid_id", F.posexplode("v").alias("dim", "x"))
+        rows = (
+            assigned.groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cent: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cent.setdefault(r["centroid_id"], {})[r["dim"]] = r["m"]
+        # empty clusters keep their previous centroid
+        cents = [
+            [by_cent[i][d] for d in range(len(cents[i]))]
+            if i in by_cent
+            else cents[i]
+            for i in range(len(cents))
+        ]
+    return cents
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -176,57 +264,12 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic Lloyd iterations in pure DataFrame algebra →
-    (centroid_id, centroid array<double>).
-
-    - init: the n_centroids rows with the smallest xxhash64(id) — a
-      deterministic pseudo-random sample, no driver-side RNG state;
-    - assign: broadcast the centroid table, pick argmin L2 per vector
-      (a window over corpus×centroids, centroids side tiny);
-    - update: element-wise mean via posexplode → groupBy(centroid,
-      dim) → avg → collect_list ordered by dim. At 100 TB the shuffle
-      carries (centroid, dim, partial sum/count) — dim×k cells per map
-      partition, independent of corpus size.
-
-    Fixed iteration count (no convergence test) keeps the plan static
-    and the result reproducible.
-    """
-    v = corpus.select(
-        F.col(id_col).alias("_vid"), _as_double(vec_col).alias("v")
+    """Lloyd k-means → (centroid_id, centroid array<double>) DataFrame
+    (see _kmeans_py for the iteration design)."""
+    cents = _kmeans_py(corpus, n_centroids, iters, id_col, vec_col)
+    return corpus.sparkSession.createDataFrame(
+        list(enumerate(cents)), "centroid_id int, centroid array<double>"
     )
-    cents = (
-        v.withColumn("_h", F.xxhash64("_vid"))
-        .orderBy("_h", "_vid")
-        .limit(n_centroids)
-        .select(
-            (F.row_number().over(Window.orderBy("_h", "_vid")) - 1).alias(
-                "centroid_id"
-            ),
-            F.col("v").alias("centroid"),
-        )
-    )
-    for _ in range(iters):
-        assigned = assign_to_centroids(v, cents, vec_attr="v", id_attr="_vid")
-        comps = assigned.join(v, "_vid").select(
-            "centroid_id", F.posexplode("v").alias("dim", "x")
-        )
-        cents = (
-            comps.groupBy("centroid_id", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "m"))
-                ).alias("dm")
-            )
-            .select(
-                "centroid_id",
-                F.transform(F.col("dm"), lambda s: s.getField("m")).alias(
-                    "centroid"
-                ),
-            )
-        )
-    return cents
 
 
 def assign_to_centroids(
@@ -236,19 +279,19 @@ def assign_to_centroids(
     id_attr: str = "_vid",
     nprobe: int = 1,
 ) -> DataFrame:
-    """(id, centroid_id[, probe_rank]) — the nprobe nearest centroids
-    per vector. Centroid table broadcasts; the rank window shuffles
-    only (id, centroid_id, dist) triples."""
-    scored = vecs.join(F.broadcast(centroids)).select(
+    """(id, centroid_id) — the nprobe nearest centroids per vector.
+
+    The centroid table is collected (k×dim doubles) and applied as a
+    literal projection: no join, no shuffle, ties broken on the lower
+    centroid_id."""
+    cents_rows = sorted(
+        centroids.collect(), key=lambda r: r["centroid_id"]
+    )
+    cents = [list(r["centroid"]) for r in cents_rows]
+    return vecs.select(
         id_attr,
-        "centroid_id",
-        l2_distance(F.col(vec_attr), F.col("centroid")).alias("_d"),
+        F.explode(_probe_expr(vec_attr, cents, nprobe)).alias("centroid_id"),
     )
-    w = Window.partitionBy(id_attr).orderBy("_d", "centroid_id")
-    ranked = scored.withColumn("_r", F.row_number().over(w)).filter(
-        F.col("_r") <= nprobe
-    )
-    return ranked.select(id_attr, "centroid_id")
 
 
 def ivf_topk(
@@ -268,18 +311,20 @@ def ivf_topk(
     (the recall/test anchor); small nprobe prunes the candidate space
     to ~nprobe/n_centroids of the corpus.
     """
-    cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    cents = _kmeans_py(corpus, n_centroids, iters, id_col, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     )
-    c_assign = assign_to_centroids(
-        c, cents, vec_attr="cv", id_attr="neighbor_id", nprobe=1
+    c_assign = c.select(
+        "neighbor_id",
+        F.element_at(_probe_expr("cv", cents, 1), 1).alias("centroid_id"),
     )
-    q_probe = assign_to_centroids(
-        q, cents, vec_attr="qv", id_attr="query_id", nprobe=nprobe
+    q_probe = q.select(
+        "query_id",
+        F.explode(_probe_expr("qv", cents, nprobe)).alias("centroid_id"),
     )
     candidates = (
         c_assign.join(q_probe, "centroid_id")

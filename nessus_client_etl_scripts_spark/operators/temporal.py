@@ -1,0 +1,151 @@
+"""Temporal join operators: as-of join and band (range) join.
+
+The reference's closest construct is W1's "latest run per scan"
+(get_scan_stats.sql:14-16) — a point-in-time lookup against a single
+table. These operators generalize that to two-stream point-in-time
+semantics, which Spark lacks as a built-in:
+
+- ``as_of_join``: for each left row, the most recent right row with
+  the same key and ``right_ts <= left_ts`` (backward as-of; the
+  time-series "last known value" join).
+- ``band_join``: pairs within ``|left_val - right_val| <= band`` of
+  each other — an inequality join executed as an equi-join.
+
+Both are compositions of existing DataFrame ops (no UDFs, no
+mapPartitions), so Catalyst/AQE plan them like any other query.
+
+Scale design (the reason these shapes were chosen):
+
+- The naive as-of formulation is an inequality join (``l.key = r.key
+  AND r.ts <= l.ts`` + argmax), which Spark can only execute as a
+  broadcast nested-loop or a sort-merge with per-row rescans —
+  quadratic in the worst case. The union trick below is one hash
+  shuffle on the key + one sort, i.e. exactly the cost of a window
+  function, regardless of how skewed the match multiplicity is.
+- The naive band join is a cross join + filter. Bucketing each side
+  by ``floor(val / band)`` and probing the three adjacent buckets
+  turns it into an equi-join whose fan-out is bounded by actual
+  near-pair density, not |L|×|R|.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side__"
+_SEQ = "__asof_seq__"
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    right_tiebreaker: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join via the union-and-carry-forward trick.
+
+    Interleave both streams on (key, ts), sort right rows before left
+    rows at equal timestamps (inclusive ``right_ts <= left_ts``), and
+    carry each right attribute forward with ``last(..., ignorenulls)``.
+    Left rows with no prior right row get nulls (left-outer as-of).
+
+    ``right_tiebreaker`` orders right rows that share (key, ts): the
+    greatest tiebreaker value wins, making the result deterministic.
+
+    Returns the left rows plus ``{prefix}{col}`` for each requested
+    right column and ``{prefix}ts`` (the matched right timestamp).
+
+    One shuffle on ``on`` + one sort — the same physical shape as a
+    ranking window (W1), so it scales identically: AQE sizes the
+    partitions, skewed keys split, nothing is quadratic.
+    """
+    on = list(on)
+    carried = [c for c in right_cols if c not in on]
+
+    lhs = left.withColumn(_SIDE, F.lit(1)).withColumn(
+        _SEQ, F.lit(None).cast("long")
+    )
+    seq = (
+        F.col(right_tiebreaker).cast("long")
+        if right_tiebreaker
+        else F.lit(0).cast("long")
+    )
+    rhs = right.select(
+        *on,
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias(_SIDE),
+        seq.alias(_SEQ),
+        *[F.col(c).alias(f"{prefix}{c}") for c in carried],
+    )
+
+    combined = lhs.unionByName(rhs, allowMissingColumns=True)
+    # Right rows first at equal ts (side 0 < 1) → inclusive match;
+    # among same-ts right rows the greatest tiebreaker is "last".
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(left_ts), F.col(_SIDE), F.col(_SEQ))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = {
+        f"{prefix}{c}": F.last(f"{prefix}{c}", ignorenulls=True).over(w)
+        for c in carried
+    }
+    carry[f"{prefix}ts"] = F.last(
+        F.when(F.col(_SIDE) == 0, F.col(left_ts)), ignorenulls=True
+    ).over(w)
+
+    return (
+        combined.withColumns(carry)
+        .filter(F.col(_SIDE) == 1)
+        .drop(_SIDE, _SEQ)
+    )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_val: str,
+    right_val: str,
+    band: Column | float | int,
+) -> DataFrame:
+    """Pairs with ``|left_val - right_val| <= band``, as an equi-join.
+
+    Each left row probes the three band-width buckets its match window
+    can overlap; the right side carries its own bucket. After the
+    equi-join on (keys…, bucket) the exact predicate filters residues.
+
+    At scale this is one shuffle keyed by (on…, bucket). The bucket
+    column bounds every partition's candidate set to genuinely nearby
+    values — the cross-join blowup of a naive theta join never forms.
+    """
+    band_col = band if isinstance(band, Column) else F.lit(band)
+    on = list(on)
+
+    lb = left.withColumn(
+        "__band_bucket__",
+        F.explode(
+            F.array(
+                F.floor(F.col(left_val) / band_col) - 1,
+                F.floor(F.col(left_val) / band_col),
+                F.floor(F.col(left_val) / band_col) + 1,
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__band_bucket__", F.floor(F.col(right_val) / band_col)
+    )
+    # Inner only: each matching pair meets in exactly one bucket (the
+    # right row's), so no dedup is needed; an outer variant would have
+    # to collapse the 3× exploded probes first.
+    joined = lb.join(rb, [*on, "__band_bucket__"], "inner").filter(
+        F.abs(F.col(left_val) - F.col(right_val)) <= band_col
+    )
+    return joined.drop("__band_bucket__")

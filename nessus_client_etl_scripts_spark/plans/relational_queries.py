@@ -1,0 +1,355 @@
+"""Relational-completeness query registry: temporal joins, outer/anti
+joins, set operations, cube grouping, percentiles, and range frames.
+
+The reference's query surface stops at inner equi-joins + one ranking
+window (SURVEY.md §2.3/§2.5 — "Not present: outer/anti joins,
+theta/range/as-of/interval joins"). A user switching engines gets these
+for free from Spark, so the engine declares them as first-class,
+oracle-verified operators over the same testdata star schema:
+
+- q42 as-of join           (operators/temporal.as_of_join)
+- q43 band/range join      (operators/temporal.band_join)
+- q44 anti join            (left_anti + NOT EXISTS oracle)
+- q45 set operations       (INTERSECT / EXCEPT)
+- q46 cube grouping        (df.cube + grouping_id)
+- q47 discrete percentiles (window-rank formulation, engine-exact)
+- q48 range-frame window   (7-day trailing aggregate)
+
+Cross-engine determinism follows testdata_queries.py's rules: decimal
+aggregation of money columns, integer-floor epoch seconds (epoch_us //
+1_000_000 on the DuckDB side matches Spark's micros-truncating cast),
+explicit tiebreakers on every argmax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, load_tables
+from ..operators.temporal import as_of_join, band_join
+from .testdata_queries import dsum, register
+
+# ---------------------------------------------------------------------------
+# q42 — as-of join: for each click, the user's most recent prior purchase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q42_asof_click_purchase",
+    """
+SELECT c.user_id, c.event_id, c.ts,
+       p.event_id AS asof_event_id,
+       p.ts       AS asof_ts,
+       p.value    AS asof_value
+FROM (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'click') c
+LEFT JOIN LATERAL (
+  SELECT event_id, ts, value
+  FROM events p
+  WHERE p.event_type = 'purchase'
+    AND p.user_id = c.user_id AND p.ts <= c.ts
+  ORDER BY p.ts DESC, p.event_id DESC
+  LIMIT 1) p ON TRUE
+""",
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join — "last known value" point-in-time lookup.
+
+    The oracle is the literal argmax (LATERAL top-1 per probe row); the
+    engine runs the union-and-carry-forward plan: one shuffle on
+    user_id + one sort, linear in |events| where the naive form is a
+    per-row rescan. Ties on (user_id, ts) break on greatest event_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return as_of_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        right_tiebreaker="event_id",
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("asof_event_id"),
+        F.col("asof_ts"),
+        F.col("asof_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — band join: error events within 120 s of a click by the same user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q43_band_error_click",
+    """
+SELECT e.user_id,
+       e.event_id AS err_event_id,
+       c.event_id AS click_event_id,
+       (epoch_us(c.ts) // 1000000) - (epoch_us(e.ts) // 1000000) AS dt_sec
+FROM events e
+JOIN events c
+  ON e.user_id = c.user_id
+ AND e.event_type = 'error' AND c.event_type = 'click'
+ AND ABS((epoch_us(e.ts) // 1000000) - (epoch_us(c.ts) // 1000000)) <= 120
+""",
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join — |t_error − t_click| ≤ 120 s per user, as an
+    equi-join on (user_id, time bucket). The oracle is the plain
+    inequality join; the engine's bucketed plan shuffles once on
+    (user_id, bucket) and never forms the |E|×|C| cross product.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_event_id"), sec.alias("err_sec")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        sec.alias("click_sec"),
+    )
+    return band_join(
+        errors, clicks, on=["user_id"], left_val="err_sec",
+        right_val="click_sec", band=120,
+    ).select(
+        "user_id",
+        "err_event_id",
+        "click_event_id",
+        (F.col("click_sec") - F.col("err_sec")).alias("dt_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — anti join: customers with no orders, per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q44_anti_orderless_customers",
+    """
+SELECT n.n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate < TIMESTAMP '1996-01-01')
+GROUP BY n.n_name
+""",
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS) — the TPC-H Q22 shape: customers with no
+    order before 1996, per nation. The date predicate pushes into the
+    orders scan (row-group skipping) before the key column is even
+    materialized; Catalyst plans a hash anti join on o_custkey and the
+    nation dim broadcasts."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "nation"))
+    orderless = t["customer"].join(
+        t["orders"]
+        .filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        orderless.join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "acctbal_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — set operations: INTERSECT / EXCEPT membership classes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q45_set_ops_membership",
+    """
+WITH clicks AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     purch  AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'both' AS grp, user_id FROM (SELECT user_id FROM clicks INTERSECT SELECT user_id FROM purch)
+UNION ALL
+SELECT 'click_only' AS grp, user_id FROM (SELECT user_id FROM clicks EXCEPT SELECT user_id FROM purch)
+UNION ALL
+SELECT 'purchase_only' AS grp, user_id FROM (SELECT user_id FROM purch EXCEPT SELECT user_id FROM clicks)
+""",
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations — intersect/except over distinct key sets,
+    tagged into one relation. Both ops plan as aggregate + join under
+    Catalyst (no sort needed); distinct key sets are small after the
+    map-side partial distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    tag = lambda df, g: df.select(F.lit(g).alias("grp"), "user_id")  # noqa: E731
+    return (
+        tag(clicks.intersect(purch), "both")
+        .unionByName(tag(clicks.subtract(purch), "click_only"))
+        .unionByName(tag(purch.subtract(clicks), "purchase_only"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q46 — cube: all grouping combinations of (status, priority)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q46_cube_status_priority",
+    """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS grp_id,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (the 2^n companion to q37's ROLLUP), with the
+    grouping_id bit vector declared so the oracle checks which grouping
+    set produced each row, not just the coalesced labels."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias(
+                "o_orderpriority"
+            ),
+            "grp_id",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47 — discrete percentiles via rank formulation (engine-exact)
+# ---------------------------------------------------------------------------
+
+_PCTS = ((25, "p25"), (50, "p50"), (75, "p75"), (95, "p95"))
+
+
+@register(
+    "q47_percentile_disc",
+    """
+WITH ranked AS (
+  SELECT l_returnflag, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT l_returnflag, """
+    + ", ".join(
+        f"MAX(CASE WHEN rn * 100 >= {p} * n AND (rn - 1) * 100 < {p} * n "
+        f"THEN l_quantity END) AS {a}"
+        for p, a in _PCTS
+    )
+    + """
+FROM ranked GROUP BY l_returnflag
+""",
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (type-1 quantile: smallest x with
+    rank/n ≥ p) by rank arithmetic — integer-only (rn*100 vs p*n), so
+    the engine and oracle agree bit-for-bit where interpolated
+    percentile_cont would diverge in float rounding. One window shuffle
+    + one aggregation, both on l_returnflag."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                (F.col("rn") * 100 >= p * F.col("n"))
+                & ((F.col("rn") - 1) * 100 < p * F.col("n")),
+                F.col("l_quantity"),
+            )
+        ).alias(a)
+        for p, a in _PCTS
+    ]
+    return ranked.groupBy("l_returnflag").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# q48 — range frame: 7-day trailing spend per customer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q48_trailing_window",
+    """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS trailing_sum,
+       COUNT(*) OVER w AS trailing_cnt
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+""",
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame window — 7-day trailing order value per customer.
+    The frame is value-based (all peers included), so ties on
+    o_orderdate need no tiebreaker to be deterministic. Engine orders
+    by epoch-day so rangeBetween(-7, 0) is exactly the oracle's
+    INTERVAL 7 DAY frame (order dates are midnight-aligned)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-7, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_cnt"),
+    )

@@ -718,25 +718,37 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs above a cosine threshold,
     blocked on the label column (the production path blocks on an LSH
     bucket — q32's sketch — this declared variant blocks on a semantic
-    key so DuckDB can verify the scores exactly)."""
-    from ..operators.similarity import cosine
+    key so DuckDB can verify the scores exactly).
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    Norms are per-ROW quantities, so they are materialized before the
+    pair join — per-pair work drops from three dot products to one,
+    while the emitted value is bit-identical (same sqrt(dot(v,v)),
+    computed |V| times instead of |pairs| times)."""
+    from ..operators.similarity import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    emb = emb.select("vec_id", "label", "v", l2_norm(F.col("v")).alias("nrm"))
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("va"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("norm_a"),
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("vb"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("norm_b"),
     )
     pairs = a.join(
         b,
         (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
     )
-    sim = cosine(F.col("va"), F.col("vb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         pairs.select("vec_a", "vec_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.99)
