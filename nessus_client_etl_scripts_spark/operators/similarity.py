@@ -15,6 +15,8 @@ matching DuckDB's list_dot_product semantics for the oracle).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -169,30 +171,36 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
-def _probe_expr(vec_attr: str, cents: list[list[float]], nprobe: int) -> Column:
-    """Array of the nprobe nearest centroid ids for one vector — a pure
-    projection over literal centroid arrays (constant-folded), sorted
-    by (distance, centroid_id) for a deterministic tie order.
+def _probe_udf(cents: list[list[float]], nprobe: int):
+    """Vectorized Pandas UDF: vec → array of the nprobe nearest
+    centroid ids, ties broken on the lower centroid_id (stable argsort
+    over (n, k) distances).
 
     This is the scale-critical shape: centroid assignment needs NO
-    join and NO shuffle — each row scores k literal arrays in place.
-    The earlier formulation (broadcast join + per-id ranking window)
-    shuffled |corpus| × k rows every iteration for what is a per-row
-    argmin."""
-    scored = F.array(
-        *[
-            F.struct(
-                l2_distance(
-                    F.col(vec_attr), F.array(*[F.lit(x) for x in c])
-                ).alias("d"),
-                F.lit(i).alias("centroid_id"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
-    return F.transform(
-        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["centroid_id"]
-    )
+    join and NO shuffle — each Arrow batch scores against the closed-
+    over (k × dim) centroid matrix with one matmul. Two earlier
+    formulations lose at scale: a broadcast join + ranking window
+    shuffles |corpus| × k rows per iteration for what is a per-row
+    argmin, and inlining the centroids as literal column expressions
+    makes the plan (and its codegen) grow O(k × dim) — fine for k=16,
+    unplannable for the k in the thousands a 100 TB IVF index wants.
+    """
+    C = np.asarray(cents, dtype=np.float64)  # (k, dim)
+    cn = np.einsum("kd,kd->k", C, C)
+
+    @F.pandas_udf("array<int>")
+    def probe(batch: pd.Series) -> pd.Series:
+        if batch.empty:
+            return pd.Series([], dtype=object)
+        M = np.stack(batch.to_numpy()).astype(np.float64, copy=False)
+        # ||x-c||^2 expanded; only the ranking matters, so the expansion's
+        # float rounding is irrelevant to the returned ids except on
+        # exact ties, which the stable sort settles by centroid_id
+        d = np.einsum("nd,nd->n", M, M)[:, None] - 2.0 * (M @ C.T) + cn[None, :]
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series([r.tolist() for r in idx])
+
+    return probe
 
 
 def _kmeans_py(
@@ -206,8 +214,8 @@ def _kmeans_py(
 
     - init: the n_centroids rows with the smallest xxhash64(id) — a
       deterministic pseudo-random sample, no driver-side RNG state;
-    - assign: per-row literal argmin (_probe_expr — narrow, no
-      shuffle);
+    - assign: per-row vectorized argmin (_probe_udf — narrow, no
+      shuffle, one matmul per Arrow batch);
     - update: element-wise mean via posexplode → groupBy(centroid,
       dim) → avg. At 100 TB the shuffle carries (centroid, dim,
       partial sum/count) — dim×k cells per map partition, independent
@@ -221,7 +229,7 @@ def _kmeans_py(
     """
     v = corpus.select(
         F.col(id_col).alias("_vid"), _as_double(vec_col).alias("v")
-    )
+    ).persist()  # scanned iters+1 times; same caching spark.ml KMeans does
     init = (
         v.withColumn("_h", F.xxhash64("_vid"))
         .orderBy("_h", "_vid")
@@ -231,12 +239,10 @@ def _kmeans_py(
     )
     cents = [list(r["v"]) for r in init]
     for _ in range(iters):
-        # assignment staged BEFORE the generator: a posexplode in the
-        # same select rewrites sibling expressions and loses struct
-        # field names inside _probe_expr (same staging rule as the
-        # lambda-body materialization in dedup.py)
+        # assignment staged BEFORE the generator (same staging rule as
+        # the lambda-body materialization in dedup.py)
         assigned = v.select(
-            F.element_at(_probe_expr("v", cents, 1), 1).alias("centroid_id"),
+            F.element_at(_probe_udf(cents, 1)("v"), 1).alias("centroid_id"),
             "v",
         ).select("centroid_id", F.posexplode("v").alias("dim", "x"))
         rows = (
@@ -254,6 +260,7 @@ def _kmeans_py(
             else cents[i]
             for i in range(len(cents))
         ]
+    v.unpersist()
     return cents
 
 
@@ -281,8 +288,8 @@ def assign_to_centroids(
 ) -> DataFrame:
     """(id, centroid_id) — the nprobe nearest centroids per vector.
 
-    The centroid table is collected (k×dim doubles) and applied as a
-    literal projection: no join, no shuffle, ties broken on the lower
+    The centroid table is collected (k×dim doubles) and closed over by
+    the vectorized probe: no join, no shuffle, ties broken on the lower
     centroid_id."""
     cents_rows = sorted(
         centroids.collect(), key=lambda r: r["centroid_id"]
@@ -290,7 +297,7 @@ def assign_to_centroids(
     cents = [list(r["centroid"]) for r in cents_rows]
     return vecs.select(
         id_attr,
-        F.explode(_probe_expr(vec_attr, cents, nprobe)).alias("centroid_id"),
+        F.explode(_probe_udf(cents, nprobe)(vec_attr)).alias("centroid_id"),
     )
 
 
@@ -320,11 +327,11 @@ def ivf_topk(
     )
     c_assign = c.select(
         "neighbor_id",
-        F.element_at(_probe_expr("cv", cents, 1), 1).alias("centroid_id"),
+        F.element_at(_probe_udf(cents, 1)("cv"), 1).alias("centroid_id"),
     )
     q_probe = q.select(
         "query_id",
-        F.explode(_probe_expr("qv", cents, nprobe)).alias("centroid_id"),
+        F.explode(_probe_udf(cents, nprobe)("qv")).alias("centroid_id"),
     )
     candidates = (
         c_assign.join(q_probe, "centroid_id")
