@@ -93,18 +93,31 @@ def as_of_join(
         .orderBy(F.col(left_ts), F.col(_SIDE), F.col(_SEQ))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carry = {
-        f"{prefix}{c}": F.last(f"{prefix}{c}", ignorenulls=True).over(w)
-        for c in carried
-    }
-    carry[f"{prefix}ts"] = F.last(
-        F.when(F.col(_SIDE) == 0, F.col(left_ts)), ignorenulls=True
+    # Carry ONE struct of (ts, all right columns), not each column
+    # independently: per-column last(..., ignorenulls) would back-fill a
+    # NULL field of the winning right row from an OLDER row, mixing
+    # values across right rows and diverging from LATERAL top-1
+    # semantics. The struct is non-null exactly on right rows, so
+    # last(ignorenulls) picks the winning ROW; its NULL fields stay NULL.
+    match = F.last(
+        F.when(
+            F.col(_SIDE) == 0,
+            F.struct(
+                F.col(left_ts).alias("__ts__"),
+                *[F.col(f"{prefix}{c}").alias(c) for c in carried],
+            ),
+        ),
+        ignorenulls=True,
     ).over(w)
 
+    unpack = {f"{prefix}{c}": F.col(f"__asof_match__.{c}") for c in carried}
+    unpack[f"{prefix}ts"] = F.col("__asof_match__.__ts__")
     return (
-        combined.withColumns(carry)
+        combined.withColumn("__asof_match__", match)
         .filter(F.col(_SIDE) == 1)
         .drop(_SIDE, _SEQ)
+        .withColumns(unpack)
+        .drop("__asof_match__")
     )
 
 

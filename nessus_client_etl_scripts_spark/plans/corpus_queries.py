@@ -354,11 +354,26 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline over binary columns: documents as a media
     corpus (utf-8 payloads + typed meta) → Arrow-batched mapInPandas
     decode/featurize (stub codec — deterministic fake). Rows-only:
-    the feature extraction has no SQL twin."""
+    the feature extraction has no SQL twin.
+
+    The operator API returns the raw ``feature array<float>``; the
+    DECLARED output replaces it with a 64-bit hash of the vector so the
+    driver's pandas canonicalizer (sort_values over every column) can
+    hash rows — lists are unhashable there (CORRECTNESS_r01 q34 err)."""
     from ..operators.multimodal import documents_as_media, media_features
 
     docs = load_table(spark, sf_dir, "documents")
-    return media_features(documents_as_media(docs))
+    feats = media_features(documents_as_media(docs))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "checksum",
+        "mean_intensity",
+        F.xxhash64(
+            F.concat_ws(",", F.transform("feature", lambda x: x.cast("string")))
+        ).alias("feature_hash"),
+    )
 
 
 @register("q36_nessus_folder_results", None)

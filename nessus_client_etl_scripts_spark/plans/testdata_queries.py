@@ -537,8 +537,13 @@ GROUP BY n.n_name
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 at analytic scale — 5-way star join + hash agg (the shape of
     get_folder_results over a full warehouse). lineitem⋈orders
-    sort-merges on orderkey; customer/nation/region broadcast; the
-    region filter prunes before the join."""
+    sort-merges on orderkey; nation/region broadcast (true dims); the
+    region filter prunes before the join.
+
+    customer and orders⋈customer are FACT-PROPORTIONAL (TPC-H scales
+    them linearly), so they carry NO broadcast hint — a forced hint
+    overrides AQE's 64 MB threshold and OOMs executors at 100×. AQE
+    still promotes them to broadcast at small SF where they fit."""
     t = load_tables(
         spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region")
     )
@@ -552,7 +557,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("c_custkey", "n_name")
     ord_c = t["orders"].join(
-        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        cust, F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", "n_name")
     li = t["lineitem"].select(
         "l_orderkey",
@@ -676,14 +681,17 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchy rollup (nation → segment → grand total) — the
     folder→scan→total reporting shape, via the built-in ROLLUP grouping
     sets. One pass, partial aggregation per grouping set; NULL grouping
-    markers coalesced to 'ALL' so the oracle comparison is exact."""
+    markers coalesced to 'ALL' so the oracle comparison is exact.
+
+    nation broadcasts (true dim); customer is fact-proportional, so no
+    forced hint — AQE promotes it only where it actually fits."""
     t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
     cust = t["customer"].join(
         F.broadcast(t["nation"].select("n_nationkey", "n_name")),
         F.col("c_nationkey") == F.col("n_nationkey"),
     ).select("c_custkey", "n_name", "c_mktsegment")
     joined = t["orders"].join(
-        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        cust, F.col("o_custkey") == F.col("c_custkey")
     )
     return (
         joined.rollup("n_name", "c_mktsegment")
@@ -711,7 +719,7 @@ FROM embeddings a JOIN embeddings b
 WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-      >= 0.99
+      >= 0.40
 """,
 )
 def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,6 +727,11 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked on the label column (the production path blocks on an LSH
     bucket — q32's sketch — this declared variant blocks on a semantic
     key so DuckDB can verify the scores exactly).
+
+    Threshold 0.40 sits just under the synthetic corpus's maximum
+    same-label cosine (~0.475 at sf0.01), so the oracle verifies a
+    NON-EMPTY result (5 pairs at sf0.01, 86 at sf0.1) — the earlier
+    0.99 matched zero pairs and only verified the empty set.
 
     Norms are per-ROW quantities, so they are materialized before the
     pair join — per-pair work drops from three dot products to one,
@@ -751,7 +764,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         pairs.select("vec_a", "vec_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.99)
+        .filter(F.col("cos_sim") >= 0.40)
     )
 
 

@@ -76,6 +76,28 @@ def test_as_of_join_does_not_leak_across_keys(spark):
     assert out[0].asof_rid is None
 
 
+def test_as_of_join_null_field_of_winning_row_stays_null(spark):
+    """The most recent matching right row carries ALL its columns —
+    including NULL ones. A per-column carry would back-fill the NULL
+    from an older right row (mixing rows); the struct carry must not."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-01 12:00:00"))], "k long, lid long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 900, _ts("2024-01-01 09:00:00"), 1.0),  # older, v NOT null
+            (1, 901, _ts("2024-01-01 11:00:00"), None),  # winner, v IS null
+        ],
+        "k long, rid long, ts timestamp, v double",
+    )
+    out = as_of_join(
+        left, right, ["k"], "ts", "ts", ["rid", "v"], right_tiebreaker="rid"
+    ).collect()
+    assert out[0].asof_rid == 901
+    assert out[0].asof_v is None  # not back-filled from rid=900
+    assert out[0].asof_ts == _ts("2024-01-01 11:00:00")
+
+
 def test_band_join_boundaries_and_bucket_edges(spark):
     # band=10; pairs straddling bucket boundaries must still match,
     # and the exact |l-r|<=10 edge is inclusive.
