@@ -92,26 +92,47 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     k: int = 3,
+    family: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, sig array<long>) MinHash signatures: explode shingles,
-    then per seed s in 0..n-1 take min(xxhash64(shingle, s)) per doc.
+    """(doc_id, sig) MinHash signatures: explode shingles, then per
+    seed s in 0..n-1 take min(hash(shingle, s)) per doc.
 
     Formulated as an AGGREGATION, not within-row array algebra: each
     shingle is hashed num_hashes times total (not num_hashes times per
     reference to the shingle expression), partial mins combine
-    map-side, and the shuffle carries num_hashes longs per doc per map
-    partition. xxhash64's seed parameter gives the independent hash
-    family; no Python, no UDF.
+    map-side, and the shuffle carries num_hashes values per doc per map
+    partition.
+
+    ``family``:
+    - ``'xxhash64'`` (default, hot path): seed parameter gives the
+      independent family; sig is ``array<long>`` (8 B/element).
+    - ``'md5'`` (engine-portable parity path): min over md5 HEX STRINGS
+      — MinHash only needs a uniform hash with a total order, and
+      fixed-width lowercase hex ordering == 128-bit big-endian integer
+      ordering, so string min is a valid permutation min. md5 exists in
+      DuckDB too, which makes the whole pipeline oracle-checkable
+      (VERDICT r1 §Next-2). sig is ``array<string>`` (32 B/element) and
+      each shingle pays num_hashes md5s — ~2-4× the xxhash64 cost, the
+      price of cross-engine verifiability.
     """
     posting = shingle_posting(df, text_col, id_col, k=k)
-    # hash the shingle STRING once; derive the n-member family by
-    # re-hashing the resulting 8-byte long per seed (hashing ~20 string
-    # bytes 64x per shingle costs ~4x more than hashing 8 bytes 64x)
-    hashed = posting.select("doc_id", F.xxhash64("shingle").alias("h0"))
-    aggs = [
-        F.min(F.xxhash64("h0", F.lit(s))).alias(f"_h{s}")
-        for s in range(num_hashes)
-    ]
+    if family == "md5":
+        # hash the shingle once; derive the family by re-hashing the
+        # 32-char digest with a seed prefix (seed diversification)
+        hashed = posting.select("doc_id", F.md5("shingle").alias("h0"))
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("h0")))).alias(f"_h{s}")
+            for s in range(num_hashes)
+        ]
+    else:
+        # hash the shingle STRING once; derive the n-member family by
+        # re-hashing the resulting 8-byte long per seed (hashing ~20
+        # string bytes 64x per shingle costs ~4x more than 8 bytes 64x)
+        hashed = posting.select("doc_id", F.xxhash64("shingle").alias("h0"))
+        aggs = [
+            F.min(F.xxhash64("h0", F.lit(s))).alias(f"_h{s}")
+            for s in range(num_hashes)
+        ]
     sig = hashed.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("sig")
@@ -125,35 +146,42 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 3,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows of
     ``num_hashes/bands`` values, hash each band to a bucket, and emit
     candidate pairs that share any (band, bucket).
 
-    The shuffle key is (band_idx, bucket_hash) — 16 bytes/doc/band.
-    Hot buckets (boilerplate docs) are the skew risk; AQE skew-join
-    splitting handles them, and the band hash's 64-bit range keeps
-    accidental collisions rare.
+    The shuffle key is (band_idx, bucket_hash) — 16 bytes/doc/band
+    (40 with the md5 family's hex-string buckets). Hot buckets
+    (boilerplate docs) are the skew risk; AQE skew-join splitting
+    handles them, and the band hash's wide range keeps accidental
+    collisions rare. ``family`` as in :func:`minhash_signatures`.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, family)
+    if family == "md5":
+        def bucket_of(b):
+            return F.md5(
+                F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+            )
+    else:
+        def bucket_of(b):
+            return F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            )
     banded = sig.select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), bucket_of(b).alias("bucket")),
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
@@ -175,7 +203,7 @@ def minhash_lsh_candidates(
 
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    bits: int = 64,
+    bits: int = 64, family: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash: per bit position, majority
     vote of the token hashes' bits, packed into one long.
@@ -185,6 +213,13 @@ def simhash64(
     bit per doc in the shuffle). The earlier within-row version
     re-evaluated the tokenizer per bit per fold step — 128× blowup.
     Ties vote 1 (2·ones ≥ n ⇔ Σ(2·bit−1) ≥ 0).
+
+    ``family='md5'`` (engine-portable parity path): bit j is bit
+    (j mod 4) of hex nibble (j div 4) of md5(token) — the nibbles are
+    STAGED as 16 int columns before the aggregation so each row parses
+    each hex digit once, not once per bit. DuckDB reproduces the exact
+    same bits via strpos('0123456789abcdef', …), so the full simhash is
+    oracle-checkable (requires bits <= 64).
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -192,17 +227,27 @@ def simhash64(
     )
     # explode_outer: avoids the inferred size>0 filter re-inlining the
     # tokenizer (see shingle_posting); split() output is never empty
-    hashed = toks.select("doc_id", F.explode_outer("toks").alias("tok")).select(
-        "doc_id", F.xxhash64("tok").alias("h")
-    )
+    exploded = toks.select("doc_id", F.explode_outer("toks").alias("tok"))
+    if family == "md5":
+        hashed = exploded.select("doc_id", F.md5("tok").alias("h")).select(
+            "doc_id",
+            *[
+                F.conv(F.substring("h", i + 1, 1), 16, 10)
+                .cast("long")
+                .alias(f"_n{i}")
+                for i in range((bits + 3) // 4)
+            ],
+        )
+        bit_at = lambda j: F.shiftrightunsigned(  # noqa: E731
+            F.col(f"_n{j // 4}"), j % 4
+        ).bitwiseAND(F.lit(1).cast("long"))
+    else:
+        hashed = exploded.select("doc_id", F.xxhash64("tok").alias("h"))
+        bit_at = lambda j: F.shiftrightunsigned("h", j).bitwiseAND(  # noqa: E731
+            F.lit(1).cast("long")
+        )
     votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1).cast("long"))
-                * 2 - 1
-            ).alias(f"_v{j}")
-            for j in range(bits)
-        ]
+        *[F.sum(bit_at(j) * 2 - 1).alias(f"_v{j}") for j in range(bits)]
     )
     packed = F.lit(0).cast("long")
     for j in range(bits):

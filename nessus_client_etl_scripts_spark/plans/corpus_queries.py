@@ -283,25 +283,100 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- rows-only (xxhash64-based; no DuckDB hash-family equivalent) ---
+# --- md5-portable hash family: oracle-checkable in DuckDB -----------
+# (the xxhash64 defaults remain the hot path; the DECLARED queries run
+# the md5 family so every hash value has a DuckDB twin — VERDICT r1 §2)
 
 
-@register("q28_minhash_lsh_candidates", None)
+def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16) -> str:
+    """DuckDB twin of minhash_lsh_candidates(family='md5')."""
+    rows = num_hashes // bands
+    sig_aggs = ",\n         ".join(
+        f"min(md5('{s}:' || h0)) AS _h{s}" for s in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(concat_ws(','"
+        + "".join(f", _h{b * rows + r}" for r in range(rows))
+        + ")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 2, 1)),
+           i -> array_to_string(string_split({_NORM_SQL}, ' ')[i:i+2], ' ')
+         )) AS sh
+  FROM documents
+), posting AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM base
+), hashed AS (
+  SELECT doc_id, md5(shingle) AS h0 FROM posting
+), sig AS (
+  SELECT doc_id, {sig_aggs}
+  FROM hashed GROUP BY doc_id
+), banded AS (
+{band_rows}
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+
+@register("q28_minhash_lsh_candidates", _minhash_lsh_oracle())
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH candidate pairs: 64-hash signature (xxhash64 seed
-    family), 16 bands × 4 rows, bucket equi-join. Rows-only check —
-    the hash family has no DuckDB twin."""
+    """MinHash LSH candidate pairs: 64-hash signature (md5 seed-prefix
+    family — portable string-min, see minhash_signatures), 16 bands ×
+    4 rows, bucket equi-join. Fully oracle-checked against the DuckDB
+    twin of the same md5 pipeline."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, num_hashes=64, bands=16, k=3)
+    return minhash_lsh_candidates(
+        docs, num_hashes=64, bands=16, k=3, family="md5"
+    )
 
 
-@register("q29_simhash", None)
+def _simhash_oracle(bits: int = 64) -> str:
+    """DuckDB twin of simhash64(family='md5'): same nibble-bit votes."""
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substring(h, {i + 1}, 1)) - 1)"
+
+    votes = ",\n         ".join(
+        f"SUM(2 * (({nib(j // 4)} >> {j % 4}) & 1) - 1) AS v{j}"
+        for j in range(bits)
+    )
+    packed = "\n       + ".join(
+        [f"(CASE WHEN v{j} >= 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+         for j in range(bits - 1)]
+        # bit 63 is the two's-complement sign bit: adding -2^63 equals
+        # setting it, without BIGINT overflow in either engine
+        + [f"(CASE WHEN v{bits - 1} >= 0 THEN -9223372036854775808 "
+           "ELSE 0::BIGINT END)"]
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({packed} AS BIGINT) AS simhash
+FROM votes
+"""
+
+
+@register("q29_simhash", _simhash_oracle())
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (bit-majority of token hashes),
     packed into one long — explode→aggregate with map-side partial
-    votes, rows-only check."""
+    votes. md5 nibble-bit family, so the exact packed value is
+    oracle-checked bit-for-bit in DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash64(docs)
+    return simhash64(docs, family="md5")
 
 
 @register("q31_profile_approx", None)
@@ -317,13 +392,56 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q32_lsh_topk", None)
+def _lsh_topk_oracle(bits: int = 6, dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of lsh_topk: the SAME driver-deterministic
+    hyperplanes (operators.similarity._hyperplanes) embedded as list
+    literals — repr() round-trips every float exactly, and q27 proved
+    list_dot_product matches Spark's sequential fold bit-for-bit, so
+    the sign bits (and hence buckets) agree."""
+    from ..operators.similarity import _hyperplanes
+
+    bucket = "\n       + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]) "
+        f">= 0 THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(_hyperplanes(bits, dim))
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v,
+       {bucket} AS bucket
+  FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS score
+  FROM c JOIN q USING (bucket) WHERE query_id != neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("q32_lsh_topk", _lsh_topk_oracle())
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k: sign-bit bucket equi-join +
-    exact cosine within bucket (the 100 TB-scale ANN path). Rows-only:
-    bucket assignment depends on the xxhash64-derived hyperplanes."""
+    exact cosine within bucket (the 100 TB-scale ANN path). The
+    hyperplanes are deterministic driver literals, so DuckDB recomputes
+    the identical buckets and scores (see _lsh_topk_oracle)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, bits=6)
+    out = lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, bits=6)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 @register(
@@ -465,15 +583,29 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q33_rolling_fingerprint", None)
+@register(
+    "q33_rolling_fingerprint",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       list_aggregate(list_transform(
+         generate_series(1, greatest(len(toks) - 7, 1)),
+         i -> md5(array_to_string(toks[i:i+7], ' '))), 'min') AS fingerprint
+FROM t
+""",
+)
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint (min of window hashes
     over the token stream) — content-defined, shift-tolerant. Tokens
-    staged as an attribute so the tokenizer runs once per doc."""
+    staged as an attribute so the tokenizer runs once per doc. md5
+    string-min family → the exact fingerprint is oracle-checked."""
     from ..operators.text import normalize_text, rolling_hash_from_tokens, tokens
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(normalize_text("text")).alias("toks"))
     return toks.select(
-        "doc_id", rolling_hash_from_tokens(F.col("toks")).alias("fingerprint")
+        "doc_id",
+        rolling_hash_from_tokens(F.col("toks"), family="md5").alias("fingerprint"),
     )
