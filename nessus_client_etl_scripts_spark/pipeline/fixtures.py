@@ -15,6 +15,8 @@ so golden assertions are stable across runs and machines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.nessus_schemas import (
@@ -135,20 +137,18 @@ def all_scan_ids() -> list[int]:
     return list(range(N_FOLDERS * SCANS_PER_FOLDER))
 
 
-def scan_run_docs(spark: SparkSession) -> DataFrame:
-    rows = [scan_run_doc(s, r) for s in all_scan_ids() for r in range(RUNS_PER_SCAN)]
-    return spark.createDataFrame(rows, SCAN_RUN_DOC_SCHEMA)
+def scan_run_doc_rows() -> list[dict]:
+    return [scan_run_doc(s, r) for s in all_scan_ids() for r in range(RUNS_PER_SCAN)]
 
 
-def folder_docs(spark: SparkSession) -> DataFrame:
-    rows = [
+def folder_doc_rows() -> list[dict]:
+    return [
         {"id": f, "type": "custom" if f else "main", "name": f"folder-{f}"}
         for f in range(N_FOLDERS)
     ]
-    return spark.createDataFrame(rows, FOLDER_DOC_SCHEMA)
 
 
-def scan_docs(spark: SparkSession) -> DataFrame:
+def scan_doc_rows() -> list[dict]:
     """Scan listing WITH history arrays (the raw shape export.py:229
     consumes: status + last_modification_date per run). Scan 2 has
     history=None (P5 null-guard fixture); the last run of scan 3 is
@@ -177,4 +177,171 @@ def scan_docs(spark: SparkSession) -> DataFrame:
                 "history": history,
             }
         )
-    return spark.createDataFrame(rows, SCAN_DOC_SCHEMA)
+    return rows
+
+
+def scan_run_docs(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(scan_run_doc_rows(), SCAN_RUN_DOC_SCHEMA)
+
+
+def folder_docs(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(folder_doc_rows(), FOLDER_DOC_SCHEMA)
+
+
+def scan_docs(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(scan_doc_rows(), SCAN_DOC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Parquet twin of the fixtures — lets NON-Spark engines (the DuckDB
+# correctness oracle) read the exact same documents, closing the loop on
+# the Nessus-native pipeline: bronze→silver→get_folder_results becomes
+# oracle-checkable end to end (VERDICT r1 §Next-3).
+# ---------------------------------------------------------------------------
+
+_FIXTURE_VERSION = "v1"  # bump when any fixture constant above changes
+
+
+def fixture_parquet_dir() -> str:
+    """Repo-local cache dir (never outside the repo tree)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(os.path.dirname(os.path.dirname(here)), ".fixture_lake")
+
+
+def _pa_scan_run_schema():
+    import pyarrow as pa
+
+    risk = pa.struct(
+        [
+            ("cvss_base_score", pa.string()),
+            ("cvss3_base_score", pa.string()),
+            ("cvss_vector", pa.string()),
+            ("cvss3_vector", pa.string()),
+        ]
+    )
+    plugattr = pa.struct(
+        [
+            ("see_also", pa.list_(pa.string())),
+            ("synopsis", pa.string()),
+            ("description", pa.string()),
+            ("solution", pa.string()),
+            ("plugin_publication_date", pa.string()),
+            ("plugin_modification_date", pa.string()),
+            ("risk_information", risk),
+        ]
+    )
+    plugin = pa.struct(
+        [
+            ("plugin_id", pa.int32()),
+            ("severity", pa.int32()),
+            ("name", pa.string()),
+            ("family", pa.string()),
+            ("pluginattributes", plugattr),
+            ("ref", pa.string()),
+        ]
+    )
+    host_vuln = pa.struct(
+        [
+            ("nessus_host_id", pa.int32()),
+            ("scan_run_id", pa.int32()),
+            ("plugin_id", pa.int32()),
+        ]
+    )
+    output = pa.struct([("port", pa.string()), ("output", pa.string())])
+    vuln = pa.struct(
+        [
+            ("plugin", plugin),
+            ("host_vuln", host_vuln),
+            ("outputs", pa.list_(output)),
+            ("severity", pa.int32()),
+            ("count", pa.int32()),
+        ]
+    )
+    counters = [
+        (c, pa.int32())
+        for c in ("critical_count", "high_count", "medium_count", "low_count", "info_count")
+    ]
+    target = pa.struct(
+        [
+            ("host_id", pa.int32()),
+            ("history_id", pa.int32()),
+            ("scan_id", pa.int32()),
+            ("host_ip", pa.string()),
+            ("host_fqdn", pa.string()),
+            ("host_start", pa.string()),
+            ("host_end", pa.string()),
+            ("os", pa.string()),
+            *counters,
+            ("vulnerabilities", pa.list_(vuln)),
+        ]
+    )
+    return pa.schema(
+        [
+            ("history_id", pa.int32()),
+            ("scan_id", pa.int32()),
+            ("scanner_start", pa.int64()),
+            ("scanner_end", pa.int64()),
+            ("host_count", pa.int32()),
+            *counters,
+            ("targets", pa.list_(target)),
+        ]
+    )
+
+
+def _pa_scan_schema():
+    import pyarrow as pa
+
+    hist = pa.struct(
+        [
+            ("history_id", pa.int32()),
+            ("status", pa.string()),
+            ("last_modification_date", pa.int64()),
+        ]
+    )
+    return pa.schema(
+        [
+            ("id", pa.int32()),
+            ("folder_id", pa.int32()),
+            ("type", pa.string()),
+            ("name", pa.string()),
+            ("status", pa.string()),
+            ("last_modification_date", pa.int64()),
+            ("history", pa.list_(hist)),
+        ]
+    )
+
+
+def ensure_fixture_parquet(root: str | None = None) -> str:
+    """Write the fixture documents as nested parquet via pyarrow (no
+    Spark session needed). Idempotent per fixture version; returns the
+    directory. Types mirror the Spark bronze schemas exactly (int32
+    where Spark declares IntegerType), so both engines see identical
+    values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = root or fixture_parquet_dir()
+    marker = os.path.join(root, f".{_FIXTURE_VERSION}")
+    if os.path.exists(marker):
+        return root
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist(scan_run_doc_rows(), schema=_pa_scan_run_schema()),
+        os.path.join(root, "scan_run_docs.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist(scan_doc_rows(), schema=_pa_scan_schema()),
+        os.path.join(root, "scan_docs.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            folder_doc_rows(),
+            schema=pa.schema(
+                [("id", pa.int32()), ("type", pa.string()), ("name", pa.string())]
+            ),
+        ),
+        os.path.join(root, "folder_docs.parquet"),
+    )
+    with open(marker, "w"):
+        pass
+    return root

@@ -494,14 +494,85 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q36_nessus_folder_results", None)
+def _q36_oracle() -> str | None:
+    """DuckDB twin of the full Nessus pipeline: the SAME fixture
+    documents (written as nested parquet via pyarrow —
+    fixtures.ensure_fixture_parquet) flattened with unnest and filtered
+    per get_folder_results(folder 1, plugin 5) semantics
+    (/root/reference/queries/get_folder_results.sql:13-89).
+
+    Deliberately an INDEPENDENT formulation: where the engine builds
+    silver tables and re-joins them (host ⋈ host_vuln ⋈ plugin ⋈
+    vuln_output), the oracle walks the document nesting directly — so a
+    join-key bug on the engine side cannot cancel out."""
+    try:
+        from ..pipeline.fixtures import ensure_fixture_parquet
+
+        root = ensure_fixture_parquet()
+    except Exception:  # pragma: no cover — fall back to rows-only
+        return None
+    return f"""
+WITH scans AS (
+  SELECT id AS scan_id
+  FROM read_parquet('{root}/scan_docs.parquet') WHERE folder_id = 1
+), runs AS (
+  SELECT d.*, row_number() OVER (PARTITION BY d.scan_id
+           ORDER BY d.scanner_start DESC, d.history_id DESC) AS rn
+  FROM read_parquet('{root}/scan_run_docs.parquet') d
+  JOIN scans s ON d.scan_id = s.scan_id
+), tgt AS (
+  SELECT history_id, unnest(targets) AS t FROM runs WHERE rn = 1
+), vuln AS (
+  SELECT history_id, t, unnest(t.vulnerabilities) AS v FROM tgt
+), outp AS (
+  SELECT t, v, unnest(v.outputs) AS o FROM vuln
+)
+SELECT
+  v.plugin.plugin_id AS plugin_id,
+  v.host_vuln.nessus_host_id AS nessus_host_id,
+  v.host_vuln.scan_run_id AS scan_run_id,
+  t.scan_id AS scan_id,
+  t.host_ip AS host_ip,
+  t.host_fqdn AS host_fqdn,
+  t.host_start AS host_start,
+  t.host_end AS host_end,
+  t.os AS os,
+  t.critical_count AS critical_count,
+  t.high_count AS high_count,
+  t.medium_count AS medium_count,
+  t.low_count AS low_count,
+  t.info_count AS info_count,
+  v.plugin.severity AS severity,
+  v.plugin.name AS name,
+  v.plugin.family AS family,
+  v.plugin.pluginattributes.synopsis AS synopsis,
+  v.plugin.pluginattributes.description AS description,
+  v.plugin.pluginattributes.solution AS solution,
+  CAST(v.plugin.pluginattributes.risk_information.cvss_base_score AS DOUBLE)
+    AS cvss_base_score,
+  CAST(v.plugin.pluginattributes.risk_information.cvss3_base_score AS DOUBLE)
+    AS cvss3_base_score,
+  v.plugin.pluginattributes.risk_information.cvss_vector AS cvss_vector,
+  v.plugin.pluginattributes.risk_information.cvss3_vector AS cvss3_vector,
+  array_to_string(v.plugin.pluginattributes.see_also, chr(10)) AS ref,
+  v.plugin.pluginattributes.plugin_publication_date AS pub_date,
+  v.plugin.pluginattributes.plugin_modification_date AS mod_date,
+  o.port AS port,
+  o.output AS output
+FROM outp
+WHERE v.plugin.plugin_id = 5
+"""
+
+
+@register("q36_nessus_folder_results", _q36_oracle())
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL Nessus surface end-to-end: deterministic nested scan-run
     documents → bronze→silver normalization (explode chains) →
     get_folder_results(folder 1, plugin filter) — the reference's
     richest stored procedure as one Catalyst plan. Surrogate-id columns
     are dropped (they depend on partitioning); everything else is
-    deterministic. Rows-only check."""
+    deterministic and verified against the independent document-walk
+    oracle (_q36_oracle), closing S5/P1-P3/J4/C3/C4/F10/F11."""
     from ..pipeline import fixtures
     from ..pipeline.normalize import normalize_scan_runs
     from .nessus_api import get_folder_results
