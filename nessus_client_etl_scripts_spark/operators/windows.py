@@ -54,6 +54,105 @@ def latest_per_group(
     )
 
 
+def two_phase_rank(
+    df: DataFrame,
+    part_col: str,
+    val_col: str,
+    key_col: str,
+    rank_col: str = "rank",
+    pct_col: str = "pct_rank",
+    gap_col: str = "gap_to_prev",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact rank / percent_rank / lag-gap per group WITHOUT a
+    low-cardinality window partition — the 100 TB-safe replacement for
+    ``Window.partitionBy(part).orderBy(val)`` when ``part`` has a
+    handful of distinct values (which funnels the whole table into
+    that many tasks).
+
+    Two phases, all shuffles fine-grained:
+
+    1. ``repartitionByRange(part, val, key)`` gives a total order
+       across partitions; a tiny per-(part, partition) stats pass
+       (count, max val) is collected (≤ P×|parts| rows — same
+       driver-side small-state pattern as zipWithIndex / spark.ml
+       KMeans) and turned into broadcast row-number OFFSETS and each
+       partition's predecessor value.
+    2. A window keyed by (part, partition_id) — P×|parts| groups, so
+       every core works — computes local row numbers and local lag;
+       global row_number = local + offset, rank = min global
+       row_number over the (part, val) tie group (fine-grained
+       groupBy + join), percent_rank = (rank-1)/(n-1), and the lag
+       gap falls back to the predecessor partition's max val for each
+       partition's first row.
+
+    Determinism note: phase 1's stats job and phase 2's main job both
+    recompute the range exchange; RangePartitioner's sampling is
+    seeded deterministically per partition, so both jobs see identical
+    boundaries — the same in-session stability zipWithIndex relies on.
+
+    Matches SQL ``rank()/percent_rank()/lag() OVER (PARTITION BY part
+    ORDER BY val [, key])`` exactly, including percent_rank = 0 for
+    single-row groups and a NULL gap for each group's first row.
+    """
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    num = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    staged = df.repartitionByRange(
+        num, F.col(part_col), F.col(val_col), F.col(key_col)
+    ).withColumn("_pid", F.spark_partition_id())
+
+    stats = (
+        staged.groupBy(part_col, "_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max(val_col).alias("last_val"))
+        .collect()
+    )
+    by_part: dict = {}
+    for r in stats:
+        by_part.setdefault(r[part_col], []).append(r)
+    recs, totals = [], {}
+    for p, rows in by_part.items():
+        rows.sort(key=lambda r: r["_pid"])
+        off, prev_last = 0, None
+        for r in rows:
+            recs.append((p, r["_pid"], off, prev_last))
+            off += r["cnt"]
+            prev_last = r["last_val"]
+        totals[p] = off
+    schema = T.StructType(
+        [
+            df.schema[part_col],
+            T.StructField("_pid", T.IntegerType()),
+            T.StructField("_off", T.LongType()),
+            T.StructField("_prev_last", df.schema[val_col].dataType),
+            T.StructField("_n", T.LongType()),
+        ]
+    )
+    offsets = spark.createDataFrame(
+        [(p, pid, off, prev, totals[p]) for (p, pid, off, prev) in recs], schema
+    )
+
+    w_local = Window.partitionBy(part_col, "_pid").orderBy(val_col, key_col)
+    t = (
+        staged.join(F.broadcast(offsets), [part_col, "_pid"])
+        .withColumn("_grn", F.row_number().over(w_local) + F.col("_off"))
+        .withColumn(
+            gap_col,
+            F.col(val_col)
+            - F.coalesce(F.lag(val_col).over(w_local), F.col("_prev_last")),
+        )
+    )
+    mins = t.groupBy(part_col, val_col).agg(F.min("_grn").alias(rank_col))
+    out = t.join(mins, [part_col, val_col]).withColumn(
+        pct_col,
+        F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+            (F.col(rank_col) - 1).cast("double") / (F.col("_n") - 1)
+        ),
+    )
+    return out.select(*df.columns, rank_col, pct_col, gap_col)
+
+
 def top_k_per_group(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -1,0 +1,69 @@
+"""two_phase_rank must equal the plain window formulation exactly —
+rank/percent_rank/lag-gap — including ties (shared rank, zero gap
+inside a tie group), single-row groups (percent_rank = 0), and tie
+groups that span range-partition boundaries (forced via a tiny
+num_partitions)."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nessus_client_etl_scripts_spark.operators.windows import two_phase_rank
+
+
+def _window_truth(df):
+    w = Window.partitionBy("g").orderBy("v")
+    w2 = Window.partitionBy("g").orderBy("v", "k")
+    return df.select(
+        "g",
+        "k",
+        "v",
+        F.rank().over(w).cast("long").alias("rank"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        (F.col("v") - F.lag("v").over(w2)).alias("gap_to_prev"),
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r.g, r.k, r.v, r.rank, r.pct_rank, r.gap_to_prev) for r in df.collect()
+    )
+
+
+def test_two_phase_rank_matches_window(spark):
+    data = [
+        # group a: ties (10.0 x3), duplicates across the value range
+        ("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 10.0),
+        ("a", 4, 12.5), ("a", 5, 12.5), ("a", 6, 20.0), ("a", 7, 1.0),
+        # group b: strictly increasing
+        ("b", 1, 1.0), ("b", 2, 2.0), ("b", 3, 3.0),
+        # group c: single row → percent_rank 0, gap null
+        ("c", 1, 42.0),
+    ]
+    df = spark.createDataFrame(data, "g string, k long, v double")
+    out = two_phase_rank(df, "g", "v", "k")
+    assert _rows(out) == _rows(_window_truth(df))
+
+
+def test_two_phase_rank_ties_across_partition_boundaries(spark):
+    # 40 rows in one group, heavy ties; num_partitions=8 forces tie
+    # groups to straddle range-partition boundaries, exercising the
+    # min-over-tie-group rank and the predecessor-partition lag path.
+    data = [("g", k, float(k % 5)) for k in range(40)]
+    df = spark.createDataFrame(data, "g string, k long, v double")
+    out = two_phase_rank(df, "g", "v", "k", num_partitions=8)
+    assert _rows(out) == _rows(_window_truth(df))
+
+
+def test_two_phase_rank_no_low_cardinality_window_partition(spark):
+    """The executed plan must not contain a window partitioned only by
+    the group column — the whole point is that window partitioning is
+    (group, partition_id)."""
+    data = [("g", k, float(k)) for k in range(20)]
+    df = spark.createDataFrame(data, "g string, k long, v double")
+    plan = (
+        two_phase_rank(df, "g", "v", "k", num_partitions=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_pid" in plan  # window keyed by (g, _pid)
