@@ -265,6 +265,7 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = (),
     k: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup: explode distinct shingles, self-join on
     shingle (plus optional blocking columns to bound the pair space),
@@ -274,15 +275,35 @@ def ngram_jaccard_pairs(
     a posting-list intersection, executed as one shuffle on shingle.
     Blocking columns (e.g. language) keep hot shingles from exploding
     the candidate space at corpus scale.
-    """
+
+    ``max_df``: drop shingles whose document frequency (within the
+    block) exceeds the cap BEFORE the self-join — a shingle shared by
+    d documents contributes d² join rows, so one boilerplate shingle
+    at corpus scale is a quadratic hot bucket (VERDICT r1 §perf, q26).
+    Set sizes stay derived from the UNCAPPED posting, so for pairs
+    whose overlap is not boilerplate-only the Jaccard is exact or a
+    slight underestimate (capped shingles leave the numerator only) —
+    the standard inverted-index prefix-filter trade."""
     posting = shingle_posting(df, text_col, id_col, block_cols, k)
     # sizes derived FROM the posting (shingles are distinct, so the
     # per-doc count is the set size) — the shingle pipeline runs once
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    joinable = posting
+    if max_df is not None:
+        hot = (
+            posting.groupBy(*block_cols, "shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select(*block_cols, "shingle")
+        )
+        # anti join against the (small) hot-shingle set; map-side
+        # partial agg means the DF count shuffles one long per
+        # (block, shingle) per partition, never documents
+        joinable = posting.join(hot, [*block_cols, "shingle"], "left_anti")
     joined = (
-        posting.alias("l")
+        joinable.alias("l")
         .join(
-            posting.alias("r"),
+            joinable.alias("r"),
             [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
             + [
                 F.col("l.shingle") == F.col("r.shingle"),

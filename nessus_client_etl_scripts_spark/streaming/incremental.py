@@ -53,22 +53,35 @@ def run_incremental_normalize(
     checkpoint_dir: str,
     timeout_sec: int = 120,
 ) -> None:
-    """One AvailableNow pass: new documents → append to silver parquet.
+    """One AvailableNow pass: new documents → silver parquet.
 
     Each micro-batch runs the full bronze→silver normalization and
-    appends. Surrogate ids are content-derived (id_mode='hash'), so
-    appends are idempotent per document; `plugin` is written with
-    append too — readers dedup on plugin_id (latest-wins is a separate
-    compaction concern, as in any streaming dimension load).
+    lands under a ``_batch_id=<epoch>`` partition with DYNAMIC
+    partition overwrite. Structured Streaming replays a failed batch
+    under the SAME batch_id (the checkpointed epoch), so a replay
+    overwrites its own partition instead of double-appending — the
+    standard foreachBatch idempotence pattern. Content-derived
+    surrogate ids (id_mode='hash') additionally make any
+    cross-batch re-delivery a key-equality dedup, not a heuristic;
+    `plugin` readers dedup on plugin_id (latest-wins compaction is a
+    separate concern, as in any streaming dimension load).
     """
     streamed = stream_scan_run_documents(spark, source_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        from pyspark.sql import functions as F
+
         tables = normalize_scan_runs(batch_df, id_mode="hash")
         for name, df in tables.items():
-            df.write.mode("append").parquet(os.path.join(silver_root, name))
+            (
+                df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(os.path.join(silver_root, name))
+            )
 
     q = (
         streamed.writeStream.foreachBatch(process_batch)

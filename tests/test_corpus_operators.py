@@ -72,6 +72,39 @@ def test_ngram_jaccard_scores(corpus):
     assert (1, 3) not in out or out[(1, 3)] < 0.1
 
 
+def test_ngram_jaccard_max_df_drops_boilerplate_shingles(spark):
+    """A shingle present in every doc (boilerplate header) is a d²
+    join bomb; max_df must remove it from the join while keeping true
+    near-dup pairs (distinctive overlap) intact."""
+    boiler = "standard legal disclaimer header"
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta epsilon"),
+        (2, f"{boiler} alpha beta gamma delta zeta"),   # near-dup of 1
+        (3, f"{boiler} totally unrelated body of text here"),
+        (4, f"{boiler} another separate document entirely today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, block_cols=(), k=3, threshold=0.0, max_df=3
+        ).collect()
+    }
+    # near-dup pair survives on its distinctive shingles
+    assert (1, 2) in capped and capped[(1, 2)] > 0.2
+    # pairs whose ONLY overlap was the boilerplate header disappear
+    assert (3, 4) not in capped
+    # uncapped run DOES pair 3-4 via the boilerplate — the cap is what
+    # removed it, not the data
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            df, block_cols=(), k=3, threshold=0.0
+        ).collect()
+    }
+    assert (3, 4) in uncapped
+
+
 def test_simhash_hamming_tracks_similarity(corpus):
     sh = {r.doc_id: r.simhash for r in simhash64(corpus).collect()}
 
