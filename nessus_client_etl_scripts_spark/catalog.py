@@ -57,6 +57,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread_for_compute(
+    df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Round-robin repartition IFF the source provides fewer splits
+    than the session's parallelism — otherwise a no-op (no shuffle
+    node added at all).
+
+    Why: parquet scans parallelize at row-group granularity. A corpus
+    landed as few single-row-group files (the driver testdata, or any
+    small-file bronze drop) gives the scan 1-2 tasks, so a per-row-heavy
+    pipeline (shingling, hashing, vector scoring, media decode) runs
+    nearly serially no matter how many cores exist. One cheap narrow
+    shuffle of the raw rows before the heavy work spreads it across
+    the cluster. At 100 TB the file/row-group count exceeds any
+    executor count, the guard sees enough splits, and no shuffle is
+    introduced — this is load balancing for the degenerate case, not a
+    standing cost. The partition check inspects the planned RDD only;
+    no job runs."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:

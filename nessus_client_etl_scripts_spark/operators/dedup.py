@@ -14,6 +14,33 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text, tokens
 
+# 2^31 - 1 (Mersenne prime) — modulus of the universal MinHash family.
+# Chosen so a·x + b stays under 2^59: the whole family runs in plain
+# 64-bit LONG arithmetic (whole-stage-codegen'd in Spark, native BIGINT
+# in DuckDB) — a 2^61−1 variant needs 128-bit products, which Spark can
+# only do via BigDecimal (measured 5× slower end to end). 31-bit hash
+# values are the classic MinHash width (datasketch's default family);
+# min-value ties from the narrower range are identical on both engines,
+# so cross-engine parity is unaffected.
+MERSENNE_31 = (1 << 31) - 1
+
+
+def minhash_affine_coeffs(
+    num_hashes: int, seed: int = 0xC0FFEE
+) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the universal-hash MinHash
+    family h_s(x) = (a_s·x + b_s) mod (2^31−1) — the standard MinHash
+    construction (one base hash per element, n affine transforms).
+    Driver-generated constants, so any engine can reproduce them as
+    literals."""
+    import random
+
+    rng = random.Random(0xC0FFEE if seed is None else seed)
+    return [
+        (rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -67,7 +94,13 @@ def shingle_posting(
 ) -> DataFrame:
     """(doc_id[, blocks], shingle) posting list — the staged explode all
     shingle-based operators build on. Tokenization and shingling are
-    materialized in separate projections so each runs once per doc."""
+    materialized in separate projections so each runs once per doc.
+    The input is spread across cores first when the source is
+    under-split (catalog.spread_for_compute) — shingling is the
+    per-row-heavy stage of every dedup pipeline."""
+    from ..catalog import spread_for_compute
+
+    df = spread_for_compute(df)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in block_cols],
@@ -106,23 +139,30 @@ def minhash_signatures(
     ``family``:
     - ``'xxhash64'`` (default, hot path): seed parameter gives the
       independent family; sig is ``array<long>`` (8 B/element).
-    - ``'md5'`` (engine-portable parity path): min over md5 HEX STRINGS
-      — MinHash only needs a uniform hash with a total order, and
-      fixed-width lowercase hex ordering == 128-bit big-endian integer
-      ordering, so string min is a valid permutation min. md5 exists in
-      DuckDB too, which makes the whole pipeline oracle-checkable
-      (VERDICT r1 §Next-2). sig is ``array<string>`` (32 B/element) and
-      each shingle pays num_hashes md5s — ~2-4× the xxhash64 cost, the
-      price of cross-engine verifiability.
+    - ``'md5'`` (engine-portable parity path): ONE md5 per shingle,
+      truncated to a 28-bit integer (7 hex chars), then the standard
+      universal-hash MinHash family h_s(x) = (a_s·x + b_s) mod 2^31−1
+      with driver-literal coefficients — every intermediate fits a
+      64-bit long (a·x < 2^59), so the math is exact, codegen-fast,
+      and bit-identical in DuckDB, making the whole pipeline
+      oracle-checkable (VERDICT r1 §Next-2). Costs one md5 + 64
+      long-affine transforms per shingle — measured within ~15% of
+      the xxhash64 path (two earlier portable variants, 64 md5s per
+      shingle and a decimal(38) 61-bit family, were 2.7× / 5× slower).
     """
     posting = shingle_posting(df, text_col, id_col, k=k)
     if family == "md5":
-        # hash the shingle once; derive the family by re-hashing the
-        # 32-char digest with a seed prefix (seed diversification)
-        hashed = posting.select("doc_id", F.md5("shingle").alias("h0"))
+        hashed = posting.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10)
+            .cast("long")
+            .alias("h0"),
+        )
         aggs = [
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("h0")))).alias(f"_h{s}")
-            for s in range(num_hashes)
+            F.min(
+                (F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(MERSENNE_31)
+            ).alias(f"_h{s}")
+            for s, (a, b) in enumerate(minhash_affine_coeffs(num_hashes))
         ]
     else:
         # hash the shingle STRING once; derive the n-member family by
@@ -161,9 +201,16 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k, family)
     if family == "md5":
+        # the bucket key is the band slice SERIALIZED, not re-hashed —
+        # ~40-80 B through the shuffle, and the DuckDB twin is a plain
+        # concat of the same longs (no second hash to mirror)
         def bucket_of(b):
-            return F.md5(
-                F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+            return F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
             )
     else:
         def bucket_of(b):
@@ -221,6 +268,9 @@ def simhash64(
     same bits via strpos('0123456789abcdef', …), so the full simhash is
     oracle-checkable (requires bits <= 64).
     """
+    from ..catalog import spread_for_compute
+
+    df = spread_for_compute(df)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(normalize_text(text_col)).alias("toks"),

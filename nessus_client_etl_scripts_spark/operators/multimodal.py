@@ -107,6 +107,9 @@ def media_features(df: DataFrame, stub: bool = True) -> DataFrame:
     """
     if not stub:
         _require_real_codec()
+    from ..catalog import spread_for_compute
+
+    df = spread_for_compute(df)  # decode is the per-row-heavy stage
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

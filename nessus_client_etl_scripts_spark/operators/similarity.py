@@ -68,10 +68,12 @@ def brute_force_topk(
     plan, scoring |queries| vectors per row. The per-query rank window
     shuffles only (query_id, neighbor_id, score) triples.
     """
+    from ..catalog import spread_for_compute
+
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     )
-    c = corpus.select(
+    c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     )
     score = (
@@ -139,12 +141,14 @@ def lsh_topk(
     cosine within the bucket. At 100 TB the bucket key shrinks the
     candidate pair space by ~2^bits; multi-probe (flipping one bit) can
     recover recall — left as a parameter sweep for tuning."""
+    from ..catalog import spread_for_compute
+
     # stage the double-cast vector first; the sketch reads the staged
     # attribute so the cast-transform runs once, not per bit×component
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     ).select("query_id", "qv", hyperplane_sketch(F.col("qv"), bits).alias("bucket"))
-    c = corpus.select(
+    c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     ).select("neighbor_id", "cv", hyperplane_sketch(F.col("cv"), bits).alias("bucket"))
     scored = (
@@ -227,7 +231,9 @@ def _kmeans_py(
     iteration's lineage into the next plan and re-execute the whole
     history each time the centroid table is referenced.
     """
-    v = corpus.select(
+    from ..catalog import spread_for_compute
+
+    v = spread_for_compute(corpus).select(
         F.col(id_col).alias("_vid"), _as_double(vec_col).alias("v")
     ).persist()  # scanned iters+1 times; same caching spark.ml KMeans does
     init = (
@@ -318,8 +324,10 @@ def ivf_topk(
     (the recall/test anchor); small nprobe prunes the candidate space
     to ~nprobe/n_centroids of the corpus.
     """
+    from ..catalog import spread_for_compute
+
     cents = _kmeans_py(corpus, n_centroids, iters, id_col, vec_col)
-    c = corpus.select(
+    c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     )
     q = queries.select(

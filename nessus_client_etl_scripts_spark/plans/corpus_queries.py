@@ -261,12 +261,14 @@ FROM ranked WHERE rank <= 5
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 top-k via the ||a-b||² = ||a||²+||b||²-2a·b identity — dot
     products only, so the float expression is engine-portable."""
+    from ..catalog import spread_for_compute
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
     )
-    c = emb.select(
+    c = spread_for_compute(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
     )
@@ -292,15 +294,21 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16) -> str:
-    """DuckDB twin of minhash_lsh_candidates(family='md5')."""
+    """DuckDB twin of minhash_lsh_candidates(family='md5'): same 28-bit
+    md5 base hash ('0x'||hex cast), same affine coefficients (driver
+    literals) — plain BIGINT math on both sides."""
+    from ..operators.dedup import MERSENNE_31, minhash_affine_coeffs
+
     rows = num_hashes // bands
+    coeffs = minhash_affine_coeffs(num_hashes)
     sig_aggs = ",\n         ".join(
-        f"min(md5('{s}:' || h0)) AS _h{s}" for s in range(num_hashes)
+        f"min(({a} * h0 + {b}) % {MERSENNE_31}) AS _h{s}"
+        for s, (a, b) in enumerate(coeffs)
     )
     band_rows = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band, md5(concat_ws(','"
-        + "".join(f", _h{b * rows + r}" for r in range(rows))
-        + ")) AS bucket FROM sig"
+        f"  SELECT doc_id, {b} AS band, concat_ws(','"
+        + "".join(f", _h{b * rows + r}::VARCHAR" for r in range(rows))
+        + ") AS bucket FROM sig"
         for b in range(bands)
     )
     return f"""
@@ -314,7 +322,8 @@ WITH base AS (
 ), posting AS (
   SELECT doc_id, unnest(sh) AS shingle FROM base
 ), hashed AS (
-  SELECT doc_id, md5(shingle) AS h0 FROM posting
+  SELECT doc_id, ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h0
+  FROM posting
 ), sig AS (
   SELECT doc_id, {sig_aggs}
   FROM hashed GROUP BY doc_id
@@ -692,7 +701,9 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-min family → the exact fingerprint is oracle-checked."""
     from ..operators.text import normalize_text, rolling_hash_from_tokens, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread_for_compute
+
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokens(normalize_text("text")).alias("toks"))
     return toks.select(
         "doc_id",

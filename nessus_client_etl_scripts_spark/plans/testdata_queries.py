@@ -737,9 +737,10 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join — per-pair work drops from three dot products to one,
     while the emitted value is bit-identical (same sqrt(dot(v,v)),
     computed |V| times instead of |pairs| times)."""
+    from ..catalog import spread_for_compute
     from ..operators.similarity import dot, l2_norm
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
