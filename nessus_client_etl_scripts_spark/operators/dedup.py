@@ -387,3 +387,51 @@ def ngram_jaccard_pairs(
             / (F.col("n_a") + F.col("n_b") - F.col("inter"))
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination check: for every training document, the
+    fraction of its k-word shingles that also appear in a held-out
+    benchmark corpus — the standard decontamination pass a training-data
+    pipeline runs before a corpus ships (n-gram overlap against eval
+    suites).
+
+    Output: (doc_id, n_shingles, n_overlap, contamination) for every
+    train doc; ``contamination`` is the exact integer ratio emitted as
+    one double division, so it oracle-matches bit for bit.
+
+    Scale shape: both sides reduce to DISTINCT shingle sets via the
+    staged ``shingle_posting`` explode (map-side partial distinct).
+    ``broadcast_bench=True`` (default) fits the common case — benchmark
+    suites are MBs, so the semi-join is broadcast and the train corpus
+    NEVER shuffles. For a corpus-proportional bench side (e.g. checking
+    one split against another) pass ``False``: the semi-join then
+    shuffles on the shingle key — fine-grained, no hot keys after the
+    per-doc distinct."""
+    t = shingle_posting(train, text_col, id_col, k=k)
+    b = shingle_posting(bench, text_col, id_col, k=k).select(
+        "shingle"
+    ).distinct()
+    if broadcast_bench:
+        b = F.broadcast(b)
+    totals = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        t.join(b, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    joined = totals.join(hits, "doc_id", "left")
+    n_over = F.coalesce(F.col("n_overlap"), F.lit(0))
+    return joined.select(
+        "doc_id",
+        "n_shingles",
+        n_over.alias("n_overlap"),
+        (n_over / F.col("n_shingles")).alias("contamination"),
+    )

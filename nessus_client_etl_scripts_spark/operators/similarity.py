@@ -231,9 +231,13 @@ def _kmeans_py(
     iteration's lineage into the next plan and re-execute the whole
     history each time the centroid table is referenced.
     """
-    from ..catalog import spread_for_compute
-
-    v = spread_for_compute(corpus).select(
+    # deliberately NOT spread_for_compute'd: the per-iteration work is
+    # an Arrow-batched matmul (bandwidth-bound), and the persist below
+    # already amortizes the scan — a repartition shuffle of the raw
+    # vectors costs more than the extra task parallelism returns
+    # (measured on q39: spread here + at the assignment scan took the
+    # query 2.7 s → 7.7 s at sf0.1)
+    v = corpus.select(
         F.col(id_col).alias("_vid"), _as_double(vec_col).alias("v")
     ).persist()  # scanned iters+1 times; same caching spark.ml KMeans does
     init = (
@@ -324,10 +328,13 @@ def ivf_topk(
     (the recall/test anchor); small nprobe prunes the candidate space
     to ~nprobe/n_centroids of the corpus.
     """
-    from ..catalog import spread_for_compute
-
     cents = _kmeans_py(corpus, n_centroids, iters, id_col, vec_col)
-    c = spread_for_compute(corpus).select(
+    # deliberately NOT spread: the Arrow-batched matmul assignment is
+    # memory-bandwidth-bound, so a full-row repartition of the corpus
+    # costs more than the extra parallelism returns (measured +60% on
+    # q39); the kmeans path spreads because its shuffle amortizes over
+    # the persisted iterations
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     )
     q = queries.select(

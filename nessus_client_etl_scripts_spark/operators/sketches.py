@@ -1,0 +1,162 @@
+"""Engine-portable HyperLogLog distinct-count sketch.
+
+Spark's ``approx_count_distinct`` (HLL++) and DuckDB's
+``approx_count_distinct`` use different register layouts and bias
+tables, so a query built on either can only ever be rows-only checked.
+This module builds a HyperLogLog from primitives BOTH engines compute
+bit-identically, making the *approximate* profile oracle-verifiable
+(VERDICT r1 left q31 as one of three rows-only-by-nature queries; this
+removes one):
+
+- base hash: md5 truncated to 48 bits (12 hex chars) → BIGINT —
+  the md5-portability pattern proven by the MinHash/SimHash family.
+- bucket: top ``B`` bits (integer shift); register suffix width
+  ``r = 48 − B``.
+- rho: 1 + leading-zero count of the suffix, via a generated integer
+  CASE chain — no log(), no floats, exact in any engine.
+- harmonic denominator: exact BIGINT sum of ``2^(rmax − M_j)``;
+  empty registers contribute ``2^rmax``.
+- estimate: ``alpha_m·m²·2^rmax / denom`` — ONE literal-over-integer
+  IEEE division, so even the double is bit-identical cross-engine.
+
+The raw HLL estimate (Flajolet et al. 2007, no small-range
+linear-counting correction) is emitted deliberately: the correction
+needs ln(), whose last ulp varies by libm and would break cross-engine
+value hashing. At the 100 TB posture cardinalities sit far above the
+2.5m correction regime, so raw HLL is the operative formula anyway;
+the exact companion query (q21) anchors accuracy at test scale.
+
+Scale shape: two hash-partitioned aggregations — (group, bucket) then
+(group) — both with map-side partial aggregation; at most ``m`` rows
+per group reach the second shuffle regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 48  # 12 hex chars of md5 → fits BIGINT exactly in both engines
+BUCKET_BITS = 9  # m = 512 registers → ~4.6% standard error
+M = 1 << BUCKET_BITS
+R = HASH_BITS - BUCKET_BITS  # register suffix width
+RMAX = R + 1  # rho of an all-zero suffix
+ALPHA = 0.7213 / (1 + 1.079 / M)  # bias constant for m ≥ 128
+# single numerator literal: alpha·m²·2^rmax (exact float literal; the
+# only rounding in the whole estimate is the final division)
+EST_NUMERATOR = ALPHA * M * M * float(1 << RMAX)
+_SUFFIX_MASK = (1 << R) - 1
+
+
+def _rho_spark(value: Column) -> Column:
+    """1 + leading zeros of the 39-bit md5 suffix — integer CASE chain."""
+    h = F.conv(F.substring(F.md5(value), 1, HASH_BITS // 4), 16, 10).cast(
+        "long"
+    )
+    w = h.bitwiseAND(F.lit(_SUFFIX_MASK))
+    rho = F.when(value.isNull(), F.lit(None).cast("int"))
+    for j in range(1, R + 1):
+        rho = rho.when(w >= (1 << (R - j)), j)
+    return h, rho.otherwise(RMAX)
+
+
+def _bucket_spark(value: Column) -> tuple[Column, Column]:
+    h, rho = _rho_spark(value)
+    return F.shiftright(h, R), rho
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    corrected: bool = False,
+) -> DataFrame:
+    """(group_cols…, n_rows, approx_distinct) — portable-HLL estimate of
+    ``count(distinct value_col)`` per group. NULL values are excluded
+    from the sketch (matching COUNT(DISTINCT) semantics) but counted in
+    ``n_rows``.
+
+    ``corrected=True`` applies the small-range linear-counting
+    correction (``m·ln(m/V)`` when the raw estimate is below ``2.5m``
+    and empty registers remain) — the accurate choice for API callers,
+    but NOT used by the declared oracle query because ln()'s last ulp
+    varies by libm and would break bit-exact cross-engine hashing."""
+    bucket, rho = _bucket_spark(F.col(value_col))
+    lvl1 = (
+        df.select(*group_cols, bucket.alias("_b"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.max("_rho").alias("_m"), F.count(F.lit(1)).alias("_cnt"))
+    )
+    lvl2 = lvl1.groupBy(*group_cols).agg(
+        F.sum("_cnt").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("_b").isNotNull(),
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), cast({RMAX} - _m as int))"
+                ),
+            )
+        ).alias("_s"),
+        F.count("_b").alias("_nb"),
+    )
+    denom = (
+        F.coalesce(F.col("_s"), F.lit(0))
+        + (F.lit(M) - F.col("_nb")) * F.lit(1 << RMAX)
+    ).cast("double")
+    raw = F.lit(EST_NUMERATOR) / denom
+    est = raw
+    if corrected:
+        zeros = F.lit(M) - F.col("_nb")
+        est = F.when(
+            (raw <= F.lit(2.5 * M)) & (zeros > 0),
+            F.lit(M) * F.log(F.lit(float(M)) / zeros.cast("double")),
+        ).otherwise(raw)
+    return lvl2.select(
+        *group_cols,
+        "n_rows",
+        est.alias("approx_distinct"),
+    )
+
+
+def hll_distinct_sql(
+    table: str, group_col: str, value_col: str, out_col: str = "approx_distinct"
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` — the SAME hash, CASE chain,
+    integer register sum, and single-division estimate, so the emitted
+    double matches Spark's bit for bit."""
+    rho_branches = "\n         ".join(
+        f"WHEN w >= {1 << (R - j)} THEN {j}" for j in range(1, R + 1)
+    )
+    return f"""
+WITH h AS (
+  SELECT {group_col},
+         CASE WHEN {value_col} IS NULL THEN NULL
+              ELSE ('0x' || substring(md5({value_col}), 1, {HASH_BITS // 4}))::BIGINT
+         END AS h
+  FROM {table}
+), hw AS (
+  SELECT {group_col}, h, h & {_SUFFIX_MASK} AS w FROM h
+), k AS (
+  SELECT {group_col},
+         h >> {R} AS b,
+         CASE WHEN h IS NULL THEN NULL
+         {rho_branches}
+         ELSE {RMAX} END AS rho
+  FROM hw
+), regs AS (
+  SELECT {group_col}, b, max(rho) AS m, count(*) AS cnt
+  FROM k GROUP BY {group_col}, b
+), agg AS (
+  SELECT {group_col},
+         sum(cnt) AS n_rows,
+         sum(CASE WHEN b IS NOT NULL
+                  THEN 1::BIGINT << ({RMAX} - m) END) AS s,
+         count(b) AS nb
+  FROM regs GROUP BY {group_col}
+)
+SELECT {group_col}, n_rows,
+       {EST_NUMERATOR!r}
+         / (coalesce(s, 0) + ({M} - nb) * {1 << RMAX}::BIGINT)::DOUBLE
+         AS {out_col}
+FROM agg
+"""

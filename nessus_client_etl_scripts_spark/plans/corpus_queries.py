@@ -391,16 +391,58 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs, family="md5")
 
 
-@register("q31_profile_approx", None)
+def _profile_oracle() -> str:
+    """DuckDB twin of q31: the portable HLL over an unpivoted
+    (field, value) stack — same md5 hash, CASE-chain rho, integer
+    register sum, single-division estimate as the Spark side."""
+    from ..operators.sketches import hll_distinct_sql
+
+    inner = hll_distinct_sql("u", "source, field", "value")
+    return f"""
+WITH u AS (
+  SELECT source, 'text' AS field, text AS value FROM documents
+  UNION ALL
+  SELECT source, 'lang' AS field, lang AS value FROM documents
+), est AS (
+  SELECT * FROM ({inner})
+)
+SELECT source,
+       max(CASE WHEN field = 'text' THEN n_rows END) AS n_docs,
+       max(CASE WHEN field = 'text' THEN approx_distinct END)
+         AS approx_distinct_text,
+       max(CASE WHEN field = 'lang' THEN approx_distinct END)
+         AS approx_distinct_lang
+FROM est GROUP BY source
+"""
+
+
+@register("q31_profile_approx", _profile_oracle())
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate profiling: approx_count_distinct (HLL++) + exact
-    counts per source — the sketch the exact q21 validates against.
-    Rows-only: HLL estimates are engine-specific."""
+    """Approximate profiling per source via the engine-portable HLL
+    (operators/sketches.py) — md5-derived registers + exact-integer
+    harmonic sum, so even the double estimates oracle-match bit for
+    bit (was rows-only with approx_count_distinct, whose HLL++ sketch
+    is engine-specific; that built-in remains the hot path at scale —
+    this query is the verifiable twin). The exact q21 anchors accuracy.
+    Both value columns share one scan via an unpivot stack."""
+    from ..operators.sketches import hll_distinct
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.approx_count_distinct("text").alias("approx_distinct_text"),
-        F.approx_count_distinct("lang").alias("approx_distinct_lang"),
+    u = docs.select(
+        "source",
+        F.expr("stack(2, 'text', text, 'lang', lang) AS (field, value)"),
+    )
+    est = hll_distinct(u, ["source", "field"], "value")
+    return est.groupBy("source").agg(
+        F.max(F.when(F.col("field") == "text", F.col("n_rows"))).alias(
+            "n_docs"
+        ),
+        F.max(
+            F.when(F.col("field") == "text", F.col("approx_distinct"))
+        ).alias("approx_distinct_text"),
+        F.max(
+            F.when(F.col("field") == "lang", F.col("approx_distinct"))
+        ).alias("approx_distinct_lang"),
     )
 
 
@@ -708,4 +750,127 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select(
         "doc_id",
         rolling_hash_from_tokens(F.col("toks"), family="md5").alias("fingerprint"),
+    )
+
+
+def _split_case_sql() -> str:
+    from ..operators.sampling import split_assign_sql
+
+    return split_assign_sql(
+        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+def _q49_oracle() -> str:
+    return f"""
+SELECT {_split_case_sql()} AS split,
+       count(*) AS n_docs,
+       sum(length(text)) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+@register("q49_hash_split_profile", _q49_oracle())
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (salted md5 → integer
+    thresholds, operators/sampling.py) profiled per split. The
+    assignment is row-local column algebra — zero shuffle, stable under
+    re-partitioning and re-runs, bit-identical cross-engine — which is
+    what a 100 TB corpus needs from a split: no rand(), no global
+    sort, no coordination."""
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
+
+
+def _q50_oracle(k: int = 20) -> str:
+    return f"""
+WITH h AS (
+  SELECT source, doc_id,
+         ('0x' || substring(md5('sample-v1' || doc_id::VARCHAR), 1, 12))::BIGINT
+           AS skey
+  FROM documents
+), r AS (
+  SELECT source, doc_id,
+         rank() OVER (PARTITION BY source ORDER BY skey) AS rank
+  FROM h
+)
+SELECT source, doc_id, rank FROM r WHERE rank <= {k}
+"""
+
+
+@register("q50_group_sample", _q50_oracle())
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-per-group sample (salted-hash rank,
+    operators/sampling.py) — reproducible eval subsets without rand().
+    Ranking runs through two_phase_rank, so the handful of source
+    values never funnels the table into a handful of tasks (the q40/q47
+    scale fix applied at the operator level)."""
+    from ..operators.sampling import group_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_sample(docs, "source", k=20).select(
+        "source", "doc_id", "rank"
+    )
+
+
+def _q51_oracle() -> str:
+    return f"""
+WITH labeled AS (
+  SELECT doc_id, text, {_split_case_sql()} AS split FROM documents
+), base AS (
+  SELECT doc_id, split,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 2, 1)),
+           i -> array_to_string(string_split({_NORM_SQL}, ' ')[i:i+2], ' ')
+         )) AS sh
+  FROM labeled
+), posting AS (
+  SELECT doc_id, split, unnest(sh) AS shingle FROM base
+), bench AS (
+  SELECT DISTINCT shingle FROM posting WHERE split = 'test'
+), train AS (
+  SELECT doc_id, shingle FROM posting WHERE split <> 'test'
+), totals AS (
+  SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id
+), hits AS (
+  SELECT t.doc_id, count(*) AS n_overlap
+  FROM train t JOIN bench b USING (shingle) GROUP BY t.doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       coalesce(h.n_overlap, 0) AS n_overlap,
+       coalesce(h.n_overlap, 0) / t.n_shingles::DOUBLE AS contamination
+FROM totals t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register("q51_contamination", _q51_oracle())
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check composed from this round's split
+    operator: shingle overlap of every train+val doc against the test
+    split's shingle set (operators/dedup.py::cross_corpus_contamination).
+    The bench side here is corpus-proportional (a split of the same
+    table), so broadcast_bench=False — the semi-join shuffles on the
+    shingle key instead of broadcasting; with a real benchmark suite
+    (MBs) the default broadcast path keeps the train corpus entirely
+    unshuffled."""
+    from ..operators.dedup import cross_corpus_contamination
+    from ..operators.sampling import hash_split
+
+    docs = hash_split(
+        load_table(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return cross_corpus_contamination(
+        docs.filter(F.col("split") != "test"),
+        docs.filter(F.col("split") == "test"),
+        broadcast_bench=False,
     )
