@@ -874,3 +874,23 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("split") == "test"),
         broadcast_bench=False,
     )
+
+
+def _q52_oracle() -> str:
+    from ..operators.packing import pack_sequences_sql
+
+    return pack_sequences_sql(budget=512)
+
+
+@register("q52_sequence_packing", _q52_oracle())
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing per source
+    (operators/packing.py) — the training-batch construction step.
+    Iterative semantics (bin fill resets at boundaries, so no window
+    cumsum can express it), yet fully oracle-checked: the DuckDB twin
+    runs the same recurrence as a recursive CTE. The Spark side is
+    applyInPandas per shard under the one-batch-per-group contract."""
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512)

@@ -96,3 +96,31 @@ def test_group_sample_k_per_group_reproducible(spark):
 
 def test_hll_register_count_constant():
     assert M == 512
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    from nessus_client_etl_scripts_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [
+        ("s", 1, "a b c"),        # 3 tokens
+        ("s", 2, "d e f g"),      # 4 → 3+4=7 > 6 → new bin
+        ("s", 3, "h i"),          # 2 → 4+2=6 ≤ 6 → same bin
+        ("s", 4, " ".join("x" * 1 for _ in range(9))),  # 9 > budget → own bin
+        ("s", 5, "y"),            # fill 9 > budget → new bin
+        ("t", 6, "z"),            # separate group restarts at 0
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["bin_id"], r["n_tokens"])
+        for r in pack_sequences(df, budget=6).collect()
+    }
+    assert got == {
+        1: (0, 3),
+        2: (1, 4),
+        3: (1, 2),
+        4: (2, 9),
+        5: (3, 1),
+        6: (0, 1),
+    }
