@@ -416,22 +416,21 @@ def cross_corpus_contamination(
     shuffles on the shingle key — fine-grained, no hot keys after the
     per-doc distinct."""
     t = shingle_posting(train, text_col, id_col, k=k)
-    b = shingle_posting(bench, text_col, id_col, k=k).select(
-        "shingle"
-    ).distinct()
+    b = (
+        shingle_posting(bench, text_col, id_col, k=k)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
     if broadcast_bench:
         b = F.broadcast(b)
-    totals = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        t.join(b, "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    joined = totals.join(hits, "doc_id", "left")
-    n_over = F.coalesce(F.col("n_overlap"), F.lit(0))
-    return joined.select(
-        "doc_id",
-        "n_shingles",
-        n_over.alias("n_overlap"),
-        (n_over / F.col("n_shingles")).alias("contamination"),
+    # ONE pass over the train posting: a left join tags each shingle
+    # with membership, and a single aggregation produces both counts —
+    # the naive totals⋈hits formulation scans and shingles the train
+    # corpus twice and adds a doc-keyed join
+    tagged = t.join(b, "shingle", "left")
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("_hit").alias("n_overlap"),
+        (F.count("_hit") / F.count(F.lit(1))).alias("contamination"),
     )
