@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from nessus_client_etl_scripts_spark.plans import corpus_queries as _cq  # noqa: F401 — registers q20+
 from nessus_client_etl_scripts_spark.plans import relational_queries as _rq  # noqa: F401 — registers q42+
+from nessus_client_etl_scripts_spark.plans import streaming_queries as _sq  # noqa: F401 — registers q53
 from nessus_client_etl_scripts_spark.plans import testdata_queries as _tq
 
 SF0001 = "/root/testdata/sf0.001"

@@ -1,0 +1,131 @@
+"""Declared STREAMING query — Structured Streaming executed end-to-end
+inside the driver's batch harness (SURVEY.md §2.9).
+
+q53 runs the sessionization pipeline through a real streaming engine
+pass: file-source ``readStream`` over the events parquet →
+``session_window`` stateful aggregation → ``availableNow`` trigger →
+memory sink, then returns the sink table as a plain DataFrame. The
+DuckDB oracle is the gap-islands formulation of the SAME semantics, so
+the streaming engine's stateful operator is value-exact
+oracle-checked — not just rows-only smoke — including the decimal-safe
+value sums.
+
+Semantics note: ``session_window`` merges an event into a session iff
+its timestamp is within gap of the session end INCLUSIVE (an event
+landing exactly at ``last + gap`` extends the session — windows merge
+on touch; pinned by ``test_streaming_sessions_gap_boundary``). That is
+the same ``<=`` rule as batch q19's lag-islands; the only output
+difference is ``session_end = max(ts) + gap`` (the window bound)
+instead of q19's ``max(ts)``.
+
+Scale shape: the state store keys on (user, session); partial
+aggregation runs map-side before the session-merge shuffle; the
+watermark (in a real continuous run) bounds state. ``availableNow``
+is the production backfill/catch-up mode — identical code path serves
+the continuous deployment.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .testdata_queries import dsum, register
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_run_ids = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of catalog.load_table(..., 'events'): file-source
+    readStream with the nanos-as-long schema and the same lossless
+    micros conversion (`div`, not `/` — see catalog.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(result: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming aggregation to completion (availableNow) into
+    a memory sink and return the sink table. Complete mode: every
+    session state is emitted once input is exhausted — the batch-parity
+    mode for a bounded backfill (append would hold back sessions inside
+    the watermark horizon)."""
+    spark = result.sparkSession
+    tbl = f"{name}_{next(_run_ids)}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgq53_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(tbl)
+
+
+_Q53_ORACLE = """
+WITH marked AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP)
+                   - LAG(CAST(ts AS TIMESTAMP))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("q53_streaming_sessions", _Q53_ORACLE)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions computed BY THE STREAMING ENGINE (readStream →
+    session_window state store → availableNow → memory sink) and
+    verified value-exact against a batch gap-islands oracle."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "session_value"),
+        )
+    ).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "session_value",
+    )
+    return run_available_now(agg, "q53_sessions")

@@ -169,3 +169,43 @@ def test_running_severity_totals_state(spark, tmp_path):
     assert drain("p1") == {1: (3, 1)}
     land("b.json", 1, 2)  # second batch: totals accumulate via state
     assert drain("p2") == {1: (5, 2)}
+
+
+def test_streaming_sessions_gap_boundary(spark, tmp_path):
+    """session_window merges on touch: an event exactly gap after the
+    previous one EXTENDS the session (inclusive boundary) — the <=
+    semantics q53's oracle mirrors."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nessus_client_etl_scripts_spark.plans.streaming_queries import (
+        q53,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                [base, base + pd.Timedelta(minutes=30),
+                 base + pd.Timedelta(minutes=59)]
+            ),
+            "user_id": [7, 7, 7],
+            "event_type": ["a"] * 3,
+            "value": [1.0, 2.0, 4.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    tbl = tbl.set_column(
+        1, "ts", tbl.column("ts").cast(pa.timestamp("ns"))
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    rows = {
+        (r["session_start"].isoformat(), r["n_events"], r["session_value"])
+        for r in q53(spark, str(tmp_path)).collect()
+    }
+    # event 2 lands exactly at gap → session extends (merge-on-touch);
+    # event 3 is 29 min after event 2 → still the same session
+    assert rows == {("2024-01-01T00:00:00", 3, 7.0)}
