@@ -25,7 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -77,13 +77,33 @@ FRAME_SCHEMA = T.StructType(
 _FEATURE_DIM = 8
 
 
+def _md5_hex(content: bytes) -> str:
+    return hashlib.md5(content).hexdigest()
+
+
+def _md5_checksum48(content: bytes) -> int:
+    """48-bit content checksum from md5 — the same engine-portable
+    truncation the dedup/sketch family uses, so any SQL engine with
+    md5 can recompute it (crc32 previously used here has no DuckDB
+    twin, which kept the whole multimodal surface rows-only)."""
+    return int(_md5_hex(content)[:12], 16)
+
+
 def _fake_decode(content: bytes) -> np.ndarray:
-    """Deterministic stand-in for a real codec: expand payload bytes
-    into a pseudo-pixel array seeded by their checksum. Replace with
-    PIL/libav behind the same signature when the libs exist."""
-    seed = zlib.crc32(content) & 0xFFFFFFFF
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=64, dtype=np.int64)
+    """Deterministic stand-in for a real codec: 64 pseudo-pixels, each
+    the first byte of md5(md5(content) ':' index). Replace with
+    PIL/libav behind the same signature when the libs exist. The md5
+    chain (not a seeded RNG) makes the stub reproducible OUTSIDE numpy
+    — the DuckDB oracle recomputes every pixel, so even the stub
+    pipeline is value-checked end to end."""
+    base = _md5_hex(content)
+    return np.array(
+        [
+            int(hashlib.md5(f"{base}:{j}".encode()).hexdigest()[:2], 16)
+            for j in range(64)
+        ],
+        dtype=np.int64,
+    )
 
 
 def _require_real_codec() -> None:
@@ -126,7 +146,7 @@ def media_features(df: DataFrame, stub: bool = True) -> DataFrame:
                         "media_id": mid,
                         "kind": kind,
                         "n_bytes": len(raw),
-                        "checksum": zlib.crc32(raw),
+                        "checksum": _md5_checksum48(raw),
                         "mean_intensity": float(px.mean()),
                         "feature": feat,
                     }
@@ -151,7 +171,7 @@ def resize_media(df: DataFrame, width: int, height: int, stub: bool = True) -> D
             metas, blobs = [], []
             for meta, content in zip(pdf["meta"], pdf["content"]):
                 raw = bytes(content)
-                seed = zlib.crc32(raw).to_bytes(4, "big")
+                seed = hashlib.md5(raw).digest()[:4]
                 blobs.append((seed * (out_len // 4 + 1))[:out_len])
                 m = dict(meta) if meta is not None else {}
                 m["width"], m["height"] = width, height
@@ -177,17 +197,21 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     continue
                 duration = int(meta["duration_ms"] or 0)
                 raw = bytes(content)
-                base = zlib.crc32(raw)
+                base = _md5_hex(raw)
                 for i, ts in enumerate(range(0, duration, every_ms)):
                     rows.append(
                         {
                             "media_id": mid,
                             "frame_idx": i,
                             "ts_ms": ts,
-                            # stub "decode frame at ts": checksum chained
-                            # with the timestamp (deterministic per frame)
-                            "frame_checksum": zlib.crc32(
-                                ts.to_bytes(4, "big"), base
+                            # stub "decode frame at ts": content hash
+                            # chained with the timestamp — md5-portable,
+                            # so the frame sampler oracle-checks too
+                            "frame_checksum": int(
+                                hashlib.md5(
+                                    f"{base}:{ts}".encode()
+                                ).hexdigest()[:12],
+                                16,
                             ),
                         }
                     )

@@ -521,17 +521,57 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q34_media_features", None)
+def _q34_oracle() -> str:
+    """DuckDB twin of the md5-chain stub codec: every pseudo-pixel is
+    recomputed from the content bytes, and every emitted value is a
+    dyadic rational (integer sums over /8.0 and /64.0), so the doubles
+    match Spark's float32-cast features bit for bit."""
+    chunk_sums = ",\n         ".join(
+        f"sum(CASE WHEN j // 8 = {i} THEN p END) AS s{i}" for i in range(8)
+    )
+    f_cols = ",\n       ".join(f"a.s{i} / 8.0 AS f{i}" for i in range(8))
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         text
+  FROM documents
+), base AS (
+  SELECT media_id, kind,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS h
+  FROM m
+), px AS (
+  SELECT media_id, g.j,
+         ('0x' || substring(md5(h || ':' || g.j::VARCHAR), 1, 2))::BIGINT AS p
+  FROM base, generate_series(0, 63) AS g(j)
+), agg AS (
+  SELECT media_id, sum(p) AS total,
+         {chunk_sums}
+  FROM px GROUP BY media_id
+)
+SELECT b.media_id, b.kind, CAST(b.n_bytes AS BIGINT) AS n_bytes,
+       ('0x' || substring(b.h, 1, 12))::BIGINT AS checksum,
+       a.total / 64.0 AS mean_intensity,
+       {f_cols}
+FROM base b JOIN agg a USING (media_id)
+"""
+
+
+@register("q34_media_features", _q34_oracle())
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline over binary columns: documents as a media
     corpus (utf-8 payloads + typed meta) → Arrow-batched mapInPandas
-    decode/featurize (stub codec — deterministic fake). Rows-only:
-    the feature extraction has no SQL twin.
-
-    The operator API returns the raw ``feature array<float>``; the
-    DECLARED output replaces it with a 64-bit hash of the vector so the
-    driver's pandas canonicalizer (sort_values over every column) can
-    hash rows — lists are unhashable there (CORRECTNESS_r01 q34 err)."""
+    decode/featurize. The stub codec is an md5 chain over the content
+    bytes, so the DuckDB oracle recomputes every pseudo-pixel — the
+    whole multimodal path (schema, batching, pooling arithmetic) is
+    value-exact checked, no longer rows-only. Features are emitted as
+    scalar columns (f0..f7): every value is a dyadic rational (integer
+    sum / 8.0), exact in float32 AND double, and scalars keep the
+    driver's pandas canonicalizer happy (lists are unhashable there —
+    CORRECTNESS_r01 q34 err)."""
     from ..operators.multimodal import documents_as_media, media_features
 
     docs = load_table(spark, sf_dir, "documents")
@@ -542,10 +582,44 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "checksum",
         "mean_intensity",
-        F.xxhash64(
-            F.concat_ws(",", F.transform("feature", lambda x: x.cast("string")))
-        ).alias("feature_hash"),
+        *[
+            F.col("feature")[i].cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
     )
+
+
+_Q54_ORACLE = """
+WITH v AS (
+  SELECT doc_id AS media_id, md5(text) AS h,
+         (n_chars % 10 + 1) * 1000 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+)
+, f AS (
+  SELECT media_id, h,
+         unnest(generate_series(0, duration_ms // 1000 - 1)) AS i
+  FROM v
+)
+SELECT media_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * 1000 AS INT) AS ts_ms,
+       ('0x' || substring(md5(h || ':' || (i * 1000)::VARCHAR), 1, 12))::BIGINT
+         AS frame_checksum
+FROM f
+"""
+
+
+@register("q54_frame_sample", _Q54_ORACLE)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding frame sampler: one row per sampled video timestamp
+    (mapInPandas yields many rows per input — the shape a real frame
+    extractor has). md5-chain frame checksums make even this stub
+    oracle-checkable: the DuckDB twin regenerates every frame row via
+    generate_series."""
+    from ..operators.multimodal import documents_as_media, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(docs), every_ms=1000)
 
 
 def _q36_oracle() -> str | None:
