@@ -160,9 +160,8 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
 
 
-@register(
-    "q26_ngram_jaccard_pairs",
-    f"""
+# q26's full pair query — also the edge set of q55's component oracle
+_JACCARD_PAIRS_SQL = f"""
 WITH base AS (
   SELECT doc_id, lang,
          list_distinct(list_transform(
@@ -186,8 +185,10 @@ FROM pairs p
 JOIN sizes sa ON p.doc_a = sa.doc_id
 JOIN sizes sb ON p.doc_b = sb.doc_id
 WHERE (CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter)) >= 0.01
-""",
-)
+"""
+
+
+@register("q26_ngram_jaccard_pairs", _JACCARD_PAIRS_SQL)
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup: shingle inverted index (explode +
     self-join = posting-list intersection), language blocking bounds
@@ -968,3 +969,41 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, budget=512)
+
+
+def _q55_oracle() -> str:
+    return f"""
+WITH RECURSIVE jp AS ({_JACCARD_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jp
+), reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a AS id, r.r AS r FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@register("q55_dedup_clusters", _q55_oracle())
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the q26 Jaccard
+    pair graph (operators/graph.py — min-label propagation to
+    fixpoint), giving each document the minimum doc_id of its
+    component as a deterministic canonical representative. This is the
+    step that turns pairwise similarity into keep/drop decisions. The
+    oracle computes the same components via recursive transitive
+    closure — an independent formulation, so a propagation bug cannot
+    cancel out."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, block_cols=("lang",), k=3, threshold=0.01, max_df=1000
+    )
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )

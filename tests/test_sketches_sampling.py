@@ -124,3 +124,19 @@ def test_pack_sequences_greedy_semantics(spark):
         5: (3, 1),
         6: (0, 1),
     }
+
+
+def test_connected_components_min_label(spark):
+    from nessus_client_etl_scripts_spark.operators.graph import (
+        connected_components,
+    )
+
+    # two components: a 7-chain (exercises multi-round propagation and
+    # the localCheckpoint path) and one isolated edge
+    edges = [(i, i + 1) for i in range(1, 7)] + [(10, 11)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == {**{i: 1 for i in range(1, 8)}, 10: 10, 11: 10}
