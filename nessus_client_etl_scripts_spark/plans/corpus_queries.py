@@ -1007,3 +1007,42 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
+
+
+_Q56_ORACLE = f"""
+SELECT t AS token,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS t
+  FROM documents
+)
+GROUP BY t
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 100
+"""
+
+
+@register("q56_vocab_top100", _Q56_ORACLE)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters: exact global top-100 tokens by
+    occurrence count (tie-broken by token for a deterministic LIMIT
+    boundary) plus document frequency. Scale shape: the explode never
+    leaves the map side raw — partial aggregation reduces the shuffle
+    to the vocabulary (not token instances), and the global
+    sort+limit moves only per-partition top-100s to one reducer."""
+    from ..operators.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(normalize_text("text"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(100)
+    )
