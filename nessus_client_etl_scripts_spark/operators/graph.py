@@ -21,10 +21,13 @@ Scale notes:
   al., "Connected Components in MapReduce and Beyond") halves diameters
   per round and is the drop-in refinement if a corpus ever shows long
   chains.
-- Labels persist per iteration and unpersist eagerly; lineage is cut by
-  ``localCheckpoint`` every few rounds so the plan doesn't deepen with
-  iteration count (the same treatment GraphX/spark.ml give iterative
-  graph state).
+- Labels are ``localCheckpoint``ed EVERY round. This is not optional
+  hygiene: the labels plan references its predecessor three times
+  (messages, union, convergence join), so the un-truncated logical
+  plan grows ~3^i and Catalyst ANALYSIS — pure driver-side work —
+  dominates by round 3 (measured 83 s/round at sf0.1 with truncation
+  every 5 rounds; ~0.3 s/round truncating eagerly). Checkpointed
+  state is bounded: one (id, label) row per vertex.
 - Convergence is detected via a count of changed labels — one cheap
   job per iteration over (id, label) pairs only.
 """
@@ -40,7 +43,6 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 20,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(id, cluster_id) for every vertex of the undirected edge set;
     ``cluster_id`` is the minimum vertex id in the component."""
@@ -58,22 +60,22 @@ def connected_components(
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
-    for i in range(max_iter):
+    for _ in range(max_iter):
         # neighbor messages: each edge forwards the source's current
         # label to the destination; min with own label per vertex
         msgs = sym.join(
             labels.withColumnRenamed("id", "a"), "a"
         ).select(F.col("b").alias("id"), "label")
+        # eager localCheckpoint: materializes AND truncates lineage to a
+        # LogicalRDD, keeping every round's analysis cost constant
         new_labels = (
             labels.union(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint()
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -81,7 +83,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

