@@ -365,3 +365,39 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trailing_sum"),
         F.count(F.lit(1)).over(w).alias("trailing_cnt"),
     )
+
+
+_Q57_ORACLE = """
+SELECT p_brand,
+       count(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+@register("q57_salted_join_brand", _Q57_ORACLE)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-join equivalence proof: lineitem ⋈ part through
+    operators/skew.salted_join (fact side salted, dim side replicated
+    salt×, join key widened to (key, _salt)) must aggregate to exactly
+    the plain-join oracle — salting spreads hot keys over reducers
+    WITHOUT changing join semantics, and this query pins that with a
+    value-exact cross-engine check. The deterministic salt_by keeps
+    row placement stable across retries (exactly-once posture)."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_quantity"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    j = salted_join(li, part, "l_partkey", salt=8, salt_by="l_orderkey")
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
