@@ -146,3 +146,66 @@ def rolling_hash_fingerprint(text: Column | str, window: int = 8) -> Column:
     """Convenience form for small inputs; hot paths stage tokens first
     and call rolling_hash_from_tokens on the attribute."""
     return rolling_hash_from_tokens(tokens(normalize_text(text)), window)
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Token n-grams as space-joined strings, entirely row-local array
+    algebra (no shuffle, no UDF). Returns an EMPTY array when the
+    document has fewer than n tokens — the guard matters because
+    Spark's ``sequence(1, 0)`` generates a DESCENDING ``[1, 0]``, not
+    ``[]`` (step defaults to -1 when stop < start)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_ngram_fraction(toks: Column, n: int) -> Column:
+    """Gopher/Dolma-style repetition signal: the fraction of a
+    document's n-grams that repeat an earlier n-gram of the same
+    document. Integer counts + ONE IEEE division, so the double is
+    bit-identical cross-engine. 0.0 for documents shorter than n."""
+    g = ngrams(toks, n)
+    total = F.size(g)
+    dupes = total - F.size(F.array_distinct(g))
+    return F.when(
+        total > 0, dupes.cast("double") / total
+    ).otherwise(F.lit(0.0))
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    stride: int = 24,
+):
+    """Overlapping fixed-token-window chunking — the context-window
+    splitter every LLM training pipeline runs before tokenize+pack.
+
+    Row-local generate: ``posexplode(sequence(1, n_tokens, stride))``
+    expands each document into its chunk starts inside the projection —
+    no shuffle, no UDF, and the expansion factor (~n/stride) is bounded
+    per row, so executors never hold more than one document's chunks.
+    The final chunk may be shorter than ``chunk_size`` (slice clamps at
+    the array end); with ``stride < chunk_size`` consecutive chunks
+    overlap by ``chunk_size - stride`` tokens."""
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+    chunk_toks = F.slice(tokens(F.col(text_col)), F.col("start"), chunk_size)
+    return (
+        df.select(
+            id_col,
+            text_col,
+            F.posexplode(starts).alias("chunk_id", "start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size(chunk_toks).cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", chunk_toks).alias("chunk_text"),
+        )
+    )

@@ -1056,3 +1056,148 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 — repetition signals (duplicate n-gram fractions)
+# ---------------------------------------------------------------------------
+
+_Q58_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS g2,
+         list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS g3
+  FROM t)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN len(g2) > 0
+            THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN len(g3) > 0
+            THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+            ELSE 0.0 END AS dup_3gram_frac
+FROM g
+"""
+
+
+@register("q58_repetition_signals", _Q58_ORACLE)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (Gopher-style duplicate n-gram
+    fraction) per document. Entirely row-local array algebra inside one
+    projection — zero shuffles, zero UDFs, so at 100 TB it runs at
+    parquet scan speed with full whole-stage codegen. The fractions are
+    integer counts through a single IEEE division, bit-exact vs the
+    DuckDB twin."""
+    from ..operators.text import duplicate_ngram_fraction, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        duplicate_ngram_fraction(toks, 2).alias("dup_2gram_frac"),
+        duplicate_ngram_fraction(toks, 3).alias("dup_3gram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q59 — overlapping context-window chunking
+# ---------------------------------------------------------------------------
+
+_Q59_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST((i - 1) // 24 AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, i, i + 31)) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, i, i + 31), ' ') AS chunk_text
+FROM t, generate_series(1, len(toks), 24) AS g(i)
+"""
+
+
+@register("q59_doc_chunking", _Q59_ORACLE)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token chunks, stride 24 (8-token
+    overlap) — the splitter that feeds tokenize+pack (q52). The row
+    expansion happens inside the projection via posexplode of the
+    per-document start sequence: no shuffle, bounded ~n/stride fan-out
+    per row, so a 100 TB corpus chunks in a single map stage."""
+    from ..operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=32, stride=24)
+
+
+# ---------------------------------------------------------------------------
+# q60 — per-source TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+_Q60_ORACLE = """
+WITH t AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT source, term, COUNT(*) AS tf FROM t GROUP BY source, term
+), dfq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT source, term, tf, df,
+         tf * (CAST(n_docs AS DOUBLE) / df) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT source, term, tf, df, score,
+         row_number() OVER (
+           PARTITION BY source ORDER BY score DESC, term ASC) AS rnk
+  FROM scored)
+SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("q60_tfidf_top_terms", _Q60_ORACLE)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF top-5 terms. IDF is the raw ratio N/df (one
+    IEEE division, one multiply — ln() is deliberately avoided because
+    libm results are not bit-portable across engines; the RANKING is
+    identical either way since ln is monotone in N/df).
+
+    Scale shape: both aggregations partial-combine, so the shuffles
+    carry at most |vocab x sources| and |vocab| rows — corpus-size
+    independent. The ranking window partitions by source over the
+    ALREADY-AGGREGATED vocab-bounded frame (thousands of rows, not the
+    corpus), so the low-cardinality-partition trap flagged for q47/q40
+    does not apply: the window input is dimension-sized by
+    construction."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source", "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.col("n_docs").cast("double") / F.col("df")),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "source", "term", "tf", "df", "score",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

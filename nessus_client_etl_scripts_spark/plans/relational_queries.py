@@ -401,3 +401,173 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q58-q64 extensions: unpivot, listagg, PII scrubbing, exact correlation
+# ---------------------------------------------------------------------------
+
+_Q61_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM base
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM base
+UNION ALL
+SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM base
+"""
+
+
+@register("q61_unpivot_measures", _Q61_ORACLE)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) of per-flag decimal-exact measure
+    columns — the reshape step feature stores and metric exporters run
+    constantly. Spark's native ``DataFrame.unpivot`` expands rows
+    inside the projection (an Expand node: no shuffle, no UDF); the
+    oracle is the portable UNION ALL formulation. The input frame is
+    already aggregated (|returnflag| rows), so the 3x expansion is
+    dimension-sized at any corpus scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        dsum("l_discount", "sum_disc"),
+    )
+    return base.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "value",
+    )
+
+
+_Q62_ORACLE = """
+SELECT r_name,
+       COUNT(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register("q62_listagg_nations", _Q62_ORACLE)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): Spark has no
+    ordered string_agg, so the engine composes it exactly as
+    ``array_join(array_sort(collect_list(...)))`` — the sort happens
+    per GROUP after partial aggregation, so determinism does not depend
+    on row arrival order (the trap with a bare collect_list). Groups
+    must fit in memory per key, which holds for dimension rollups; for
+    fact-scale groups the two-phase-rank + take-ordered path applies
+    instead."""
+    t = load_tables(spark, sf_dir, ("nation", "region"))
+    nat = t["nation"].join(
+        F.broadcast(t["region"]),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return nat.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations"
+        ),
+    )
+
+
+_Q63_ORACLE = """
+SELECT c_custkey,
+       regexp_replace(substring(c_name, 1, length(c_name) - 4),
+                      '[0-9]', '*', 'g')
+         || substring(c_name, length(c_name) - 3, 4) AS masked_name,
+       CAST(length(c_name)
+            - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+            AS BIGINT) AS n_digits,
+       md5('pepper' || '|' || c_name) AS surrogate_id,
+       CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band
+FROM customer
+"""
+
+
+@register("q63_pii_scrub", _Q63_ORACLE)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: digit masking with a keep-last-4 retention rule,
+    a digit-count audit column, a salted-hash surrogate key
+    (pseudonymization — the salt is config, a literal here), and
+    k-anonymity-style numeric generalization (acctbal banded to 1000s).
+    All row-local built-ins (regexp_replace / substr / md5 / floor):
+    zero shuffles, codegen end-to-end, so scrubbing 100 TB is a pure
+    map over the scan. Spark's regexp_replace is replace-all by
+    default, matching the DuckDB 'g' flag."""
+    cust = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    ln = F.length(name)
+    masked = F.concat(
+        F.regexp_replace(name.substr(F.lit(1), ln - F.lit(4)), "[0-9]", "*"),
+        name.substr(ln - F.lit(3), F.lit(4)),
+    )
+    n_digits = ln - F.length(F.regexp_replace(name, "[0-9]", ""))
+    return cust.select(
+        "c_custkey",
+        masked.alias("masked_name"),
+        n_digits.cast("long").alias("n_digits"),
+        F.md5(F.concat_ws("|", F.lit("pepper"), name)).alias("surrogate_id"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("long")
+        .alias("acctbal_band"),
+    )
+
+
+_Q64_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         AS corr_qty_price,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS ols_slope
+FROM base
+"""
+
+
+@register("q64_exact_corr", _Q64_ORACLE)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Pearson correlation + OLS slope with cross-engine
+    bit-exact results. Built-in ``corr()`` streams doubles in partition
+    order, so two engines (or two runs with different partitioning)
+    disagree in the last bits; instead the five moment sums run through
+    exact DECIMAL partial aggregation (order-free), and the closed-form
+    combination is a FIXED expression tree of IEEE ops evaluated
+    identically by both engines. One shuffle of |groups| x 7 cells;
+    decimal(18,4) per-value bounds hold (price^2 < 1.2e10), and Spark
+    widens the sum accumulator to decimal(28,4) automatically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sx"),
+        dsum("l_extendedprice", "sy"),
+        dsum(q * p, "sxy", 4),
+        dsum(q * q, "sxx", 4),
+        dsum(p * p, "syy", 4),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    return base.select(
+        "l_returnflag",
+        "n",
+        (num / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        (num / (n * sxx - sx * sx)).alias("ols_slope"),
+    )
