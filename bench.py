@@ -44,11 +44,20 @@ def main() -> None:
     # is a shared VM) adds seconds of one-sided noise to single shots;
     # the min of two runs is the reproducible steady-state figure.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(2):
         for name, fn in sorted(entrymod.queries().items()):
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001 — one broken query must
+                # not null the whole round's bench record
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                timings.pop(name, None)
+                continue
             dt = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, dt), dt)
 
@@ -61,6 +70,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

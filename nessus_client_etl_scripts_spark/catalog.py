@@ -40,20 +40,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     column pruning supplied by Catalyst — callers express filters and
     selects declaratively and they reach the scan.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as nanos-long and convert (the
-    values are microsecond-aligned, so the cast is lossless). The conf
-    only affects schema conversion at read time and is harmless for the
-    micros-typed tables.
+    ``events.ts`` has shipped in two physical encodings across driver
+    testdata generations: parquet TIMESTAMP(NANOS) (which Spark's
+    vectorized reader only accepts as nanos-long via the legacy conf)
+    and plain TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ
+    under Spark 4's NTZ inference). Normalize both to session-local
+    TimestampType so every downstream query and the DuckDB oracle (which
+    reads naive micros) see identical wall-clock values — the session
+    timezone is pinned to UTC in ``session.get_spark``, so the NTZ→LTZ
+    cast is value-preserving.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        # integer division: ts/1000 via `/` promotes to double, which
-        # cannot represent ~1.7e18 ns exactly and rounds ±1 micro
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanos-as-long generation: integer division, because
+            # ts/1000 via `/` promotes to double, which cannot
+            # represent ~1.7e18 ns exactly and rounds ±1 micro
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        if not isinstance(ts_type, T.TimestampType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -148,7 +148,7 @@ WITH h AS (
   FROM k GROUP BY {group_col}, b
 ), agg AS (
   SELECT {group_col},
-         sum(cnt) AS n_rows,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,  -- DuckDB sum(int)=HUGEINT; pandas would coerce to float64
          sum(CASE WHEN b IS NOT NULL
                   THEN 1::BIGINT << ({RMAX} - m) END) AS s,
          count(b) AS nb

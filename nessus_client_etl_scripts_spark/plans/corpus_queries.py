@@ -843,7 +843,7 @@ def _q49_oracle() -> str:
     return f"""
 SELECT {_split_case_sql()} AS split,
        count(*) AS n_docs,
-       sum(length(text)) AS total_chars
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1
 """
 
@@ -1112,12 +1112,18 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q59_ORACLE = """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  -- list-valued range() + unnest instead of a lateral generate_series:
+  -- DuckDB's table-function form rejects column parameters in a join
+  SELECT doc_id, toks,
+         unnest(range(1, len(toks) + 1, 24)) AS i
+  FROM t
 )
 SELECT doc_id,
        CAST((i - 1) // 24 AS BIGINT) AS chunk_id,
        CAST(len(list_slice(toks, i, i + 31)) AS BIGINT) AS n_chunk_tokens,
        array_to_string(list_slice(toks, i, i + 31), ' ') AS chunk_text
-FROM t, generate_series(1, len(toks), 24) AS g(i)
+FROM s
 """
 
 

@@ -36,31 +36,32 @@ from pyspark.sql import types as T
 
 from .testdata_queries import dsum, register
 
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 _run_ids = itertools.count()
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of catalog.load_table(..., 'events'): file-source
-    readStream with the nanos-as-long schema and the same lossless
-    micros conversion (`div`, not `/` — see catalog.py)."""
+    readStream normalizing ``ts`` to TimestampType whatever the parquet
+    physical encoding (TIMESTAMP(NANOS)-as-long or TIMESTAMP(MICROS) —
+    see catalog.load_table). A streaming source needs an explicit
+    schema, so the batch reader's inferred schema (footer-only, no job)
+    supplies the generation-specific ``ts`` type."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..catalog import table_path
+
+    inferred = spark.read.parquet(table_path(sf_dir, "events")).schema
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(inferred)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = inferred["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # lossless micros conversion (`div`, not `/` — see catalog.py)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not isinstance(ts_type, T.TimestampType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_available_now(result: DataFrame, name: str) -> DataFrame:

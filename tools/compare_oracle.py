@@ -31,7 +31,7 @@ def _cell(v) -> str:
     if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
         return "<null>"
     if isinstance(v, float):
-        return repr(v)
+        return repr(float(v))  # float(): numpy 2 reprs np.float64 verbosely
     return str(v)
 
 
@@ -67,9 +67,17 @@ def main() -> int:
             print(f"ok    {name}: rows-only ({len(s_rows)} rows)")
             continue
         try:
-            res = con.execute(oracles[name])
-            o_cols = [d[0] for d in res.description]
-            o_rows = res.fetchall()
+            # Arrow fetch, not fetchall: CORRECTNESS_r02 showed the
+            # driver sees DuckDB HUGEINT (sum of integers) as float
+            # ("120588.0" vs Spark's "120588" → hash mismatch on q49)
+            # while nullable BIGINT stays integer (q42 green) — that is
+            # exactly DuckDB's Arrow conversion. fetchall()'s python
+            # ints would mask the HUGEINT class of mismatch locally.
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            o_cols = list(tbl.column_names)
+            o_rows = [
+                tuple(d[c] for c in o_cols) for d in tbl.to_pylist()
+            ]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
