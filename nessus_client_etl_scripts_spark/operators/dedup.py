@@ -434,3 +434,73 @@ def cross_corpus_contamination(
         F.count("_hit").alias("n_overlap"),
         (F.count("_hit") / F.count(F.lit(1))).alias("contamination"),
     )
+
+
+def verify_pairs_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs — the
+    second stage of the scale-path near-dedup pipeline: LSH proposes
+    (minhash_lsh_candidates), this verifies, and only verified pairs
+    feed cluster formation (connected_components).
+
+    Candidates are a vanishing fraction of the corpus (banding bounds
+    false positives), so the expensive set intersection runs on
+    |candidates| rows, never all-pairs. The per-doc distinct shingle
+    arrays join to the pair list by doc id — two narrow shuffles keyed
+    on ids; the arrays traverse the shuffle once each. ``jaccard`` is
+    |∩| / |∪| as one IEEE division of exact integers, so it matches any
+    engine bit for bit.
+    """
+    from ..catalog import spread_for_compute
+
+    staged = spread_for_compute(docs).select(
+        F.col(id_col).alias("_vid"),
+        tokens(normalize_text(text_col)).alias("_toks"),
+    )
+    sh = staged.select(
+        "_vid", shingles_from_tokens(F.col("_toks"), k).alias("_sh")
+    )
+    a = sh.select(F.col("_vid").alias("doc_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col("_vid").alias("doc_b"), F.col("_sh").alias("_sh_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def novel_documents(
+    incoming: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest novelty filter: keep only incoming documents
+    whose normalized-text fingerprint does not already exist in the
+    reference corpus — exact dedup ACROSS corpora as a left-anti join,
+    the batch-boundary companion to :func:`exact_dedup`'s within-corpus
+    groupBy.
+
+    Scale shape: both sides reduce to md5 fingerprints before the
+    shuffle (16 bytes/doc through the wire, not documents); the anti
+    join shuffles on the fingerprint key, which is uniform by
+    construction — no skew, no broadcast requirement, and AQE can still
+    promote the existing side to broadcast when a small reference
+    corpus fits (daily increment vs yesterday's delta).
+    """
+    fp = F.md5(normalize_text(text_col))
+    seen = existing.select(fp.alias("_fp")).distinct()
+    return (
+        incoming.withColumn("_fp", fp)
+        .join(seen, "_fp", "left_anti")
+        .drop("_fp")
+    )

@@ -114,3 +114,82 @@ def group_sample(
         ranked.filter(F.col("rank") <= k)
         .drop("_skey", "pct_rank", "gap_to_prev")
     )
+
+
+def mixture_weights_case(
+    weights: dict[str, float], group_col: str = "source"
+) -> Column:
+    """Per-group mixture weight as a literal CASE chain. Missing groups
+    get weight 1.0 (one epoch, no resampling)."""
+    expr: Column | None = None
+    for name, w in weights.items():
+        cond = F.col(group_col) == name
+        expr = F.when(cond, F.lit(float(w))) if expr is None else expr.when(
+            cond, F.lit(float(w))
+        )
+    return expr.otherwise(F.lit(1.0)) if expr is not None else F.lit(1.0)
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic fractional up/down-sampling to a target training
+    mixture: a row with group weight ``w`` is emitted ``floor(w)`` times
+    plus one more iff its salted hash falls below ``frac(w)`` of the
+    hash space — i.e. exactly ``w`` epochs in expectation, with the
+    fractional epoch chosen reproducibly per row (no ``rand()``, stable
+    under re-partitioning, bit-identical cross-engine).
+
+    ``copy_id`` (0-based) distinguishes the emitted copies so a
+    downstream shuffle can spread them. Row expansion happens inside the
+    projection (``explode`` of a per-row integer sequence): no shuffle,
+    bounded ceil(w) fan-out, so a 100 TB corpus re-weights in a single
+    map stage at parquet scan speed.
+
+    Weight semantics: w=0.25 keeps a deterministic quarter of the
+    group, w=1.0 passes through, w=2.5 emits 2 copies always and a 3rd
+    for half the rows — the standard "epochs per source" knob of a
+    training-mix builder.
+    """
+    w = mixture_weights_case(weights, group_col)
+    base = F.floor(w).cast("long")
+    frac_bound = ((w - F.floor(w)) * F.lit(float(HASH_SPACE))).cast("long")
+    extra = (_u48(F.col(key_col), salt) < frac_bound).cast("long")
+    n = (base + extra).alias("n_copies")
+    with_n = df.withColumn("n_copies", n).filter(F.col("n_copies") > 0)
+    # sequence(0, n-1) is safe here: n >= 1 past the filter, so the
+    # descending-sequence trap (start > stop) cannot trigger
+    return with_n.withColumn(
+        "copy_id", F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1))
+    )
+
+
+def mixture_resample_sql(
+    weights: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> tuple[str, str]:
+    """DuckDB twins of :func:`mixture_resample`'s per-row pieces:
+    (n_copies expression, copy_id unnest expression over that count).
+    Same salt, same md5 truncation, same integer threshold — the
+    fractional-epoch coin flips agree bit for bit."""
+    branches = " ".join(
+        f"WHEN {group_col} = '{name}' THEN {float(w)!r}"
+        for name, w in weights.items()
+    )
+    w = f"(CASE {branches} ELSE 1.0 END)"
+    u = (
+        f"('0x' || substring(md5('{salt}' || ({key_col})::VARCHAR), 1, 12))"
+        "::BIGINT"
+    )
+    n = (
+        f"(CAST(floor({w}) AS BIGINT) + CASE WHEN {u} < "
+        f"CAST(({w} - floor({w})) * {float(HASH_SPACE)!r} AS BIGINT) "
+        "THEN 1 ELSE 0 END)"
+    )
+    return n, f"unnest(range(0, {n}))"

@@ -163,17 +163,32 @@ def ngrams(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def duplicate_ngram_fraction(toks: Column, n: int) -> Column:
-    """Gopher/Dolma-style repetition signal: the fraction of a
-    document's n-grams that repeat an earlier n-gram of the same
-    document. Integer counts + ONE IEEE division, so the double is
-    bit-identical cross-engine. 0.0 for documents shorter than n."""
-    g = ngrams(toks, n)
+def duplicate_fraction_from_ngrams(g: Column) -> Column:
+    """Gopher/Dolma-style repetition signal over an
+    ALREADY-MATERIALIZED n-gram array attribute: the fraction of the
+    n-grams that repeat an earlier one. Integer counts + ONE IEEE
+    division, so the double is bit-identical cross-engine. 0.0 for
+    empty arrays (documents shorter than n).
+
+    The argument MUST be a staged column attribute, not an inline
+    ``ngrams(...)`` expression: this body references it three times
+    (two sizes + array_distinct), and an inline expression would be
+    copied into each use site by CollapseProject, re-running the whole
+    tokenize+transform per copy (the q58 blowup: 13 s → 1 s at sf0.1
+    after staging)."""
     total = F.size(g)
     dupes = total - F.size(F.array_distinct(g))
     return F.when(
         total > 0, dupes.cast("double") / total
     ).otherwise(F.lit(0.0))
+
+
+def duplicate_ngram_fraction(toks: Column, n: int) -> Column:
+    """Convenience form for small inputs/tests — builds the n-gram
+    array inline, so the expression is re-evaluated per reference. Hot
+    paths stage ``ngrams(toks, n)`` in their own projection and call
+    :func:`duplicate_fraction_from_ngrams` on the attribute."""
+    return duplicate_fraction_from_ngrams(ngrams(toks, n))
 
 
 def chunk_documents(

@@ -297,10 +297,12 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the md5 family so every hash value has a DuckDB twin — VERDICT r1 §2)
 
 
-def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16) -> str:
-    """DuckDB twin of minhash_lsh_candidates(family='md5'): same 28-bit
-    md5 base hash ('0x'||hex cast), same affine coefficients (driver
-    literals) — plain BIGINT math on both sides."""
+def _minhash_cte(num_hashes: int = 64, bands: int = 16) -> str:
+    """Shared DuckDB CTE chain for the md5 MinHash+LSH family: same
+    28-bit md5 base hash ('0x'||hex cast), same affine coefficients
+    (driver literals) as minhash_signatures(family='md5') — plain
+    BIGINT math on both sides. Ends with a ``cand`` relation of
+    candidate pairs; composing oracles append their own final SELECT."""
     from ..operators.dedup import MERSENNE_31, minhash_affine_coeffs
 
     rows = num_hashes // bands
@@ -333,10 +335,17 @@ WITH base AS (
   FROM hashed GROUP BY doc_id
 ), banded AS (
 {band_rows}
-)
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM banded l JOIN banded r
-  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)"""
+
+
+def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16) -> str:
+    return f"""
+{_minhash_cte(num_hashes, bands)}
+SELECT doc_a, doc_b FROM cand
 """
 
 
@@ -1088,20 +1097,36 @@ FROM g
 @register("q58_repetition_signals", _Q58_ORACLE)
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signal (Gopher-style duplicate n-gram
-    fraction) per document. Entirely row-local array algebra inside one
-    projection — zero shuffles, zero UDFs, so at 100 TB it runs at
-    parquet scan speed with full whole-stage codegen. The fractions are
-    integer counts through a single IEEE division, bit-exact vs the
-    DuckDB twin."""
-    from ..operators.text import duplicate_ngram_fraction, tokens
+    fraction) per document. Entirely row-local array algebra — zero
+    shuffles, zero UDFs, so at 100 TB it runs at parquet scan speed
+    with full whole-stage codegen. The fractions are integer counts
+    through a single IEEE division, bit-exact vs the DuckDB twin.
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    return docs.select(
+    Staged-token attribute rule: tokens and each n-gram array
+    materialize in their own projections; the fraction body references
+    its array three times, and inlining the transform into each use
+    site re-runs tokenization per copy (measured 13 s → ~1 s at
+    sf0.1)."""
+    from ..catalog import spread_for_compute
+    from ..operators.text import (
+        duplicate_fraction_from_ngrams,
+        ngrams,
+        tokens,
+    )
+
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    arrs = staged.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        duplicate_ngram_fraction(toks, 2).alias("dup_2gram_frac"),
-        duplicate_ngram_fraction(toks, 3).alias("dup_3gram_frac"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        ngrams(F.col("toks"), 2).alias("g2"),
+        ngrams(F.col("toks"), 3).alias("g3"),
+    )
+    return arrs.select(
+        "doc_id",
+        "n_tokens",
+        duplicate_fraction_from_ngrams(F.col("g2")).alias("dup_2gram_frac"),
+        duplicate_fraction_from_ngrams(F.col("g3")).alias("dup_3gram_frac"),
     )
 
 
@@ -1206,4 +1231,191 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "term", "tf", "df", "score",
             F.col("rnk").cast("long").alias("rnk"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65 — LSH candidates verified with exact Jaccard (full near-dup path)
+# ---------------------------------------------------------------------------
+
+
+def _q65_oracle(threshold: float = 0.3) -> str:
+    return f"""
+{_minhash_cte()},
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                  AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN base a ON c.doc_a = a.doc_id
+  JOIN base b ON c.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold!r}
+"""
+
+
+@register("q65_lsh_verified_pairs", _q65_oracle())
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE scale-path near-dedup pipeline in one plan: MinHash
+    LSH proposes candidate pairs (q28's operator), exact shingle-set
+    Jaccard verifies them (verify_pairs_jaccard), and only pairs above
+    threshold survive — at 100 TB the quadratic work is confined to the
+    LSH-bounded candidate set while verification touches |candidates|
+    rows. The jaccard value is one IEEE division of exact integers, so
+    the whole two-stage pipeline is value-exact against the DuckDB twin
+    (candidates CTE shared with q28's oracle)."""
+    from ..operators.dedup import minhash_lsh_candidates, verify_pairs_jaccard
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        docs, num_hashes=64, bands=16, k=3, family="md5"
+    )
+    return verify_pairs_jaccard(docs, cand, k=3, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# q66 — deterministic training-mixture resampling (epochs per language)
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"en": 2.25, "de": 1.5, "zh": 0.5}
+
+
+def _q66_oracle() -> str:
+    from ..operators.sampling import mixture_resample_sql
+
+    n_sql, unnest_sql = mixture_resample_sql(_MIX_WEIGHTS, group_col="lang")
+    return f"""
+WITH expanded AS (
+  SELECT doc_id, lang, {n_sql} AS n_copies, {unnest_sql} AS copy_id
+  FROM documents
+  WHERE {n_sql} > 0
+)
+SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(copy_id AS BIGINT) AS copy_id
+FROM expanded
+"""
+
+
+@register("q66_mixture_resample", _q66_oracle())
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional up/down-sampling to a target training
+    mixture (operators/sampling.py::mixture_resample): language weights
+    {en: 2.25, de: 1.5, zh: 0.5, *: 1.0} — 2 guaranteed epochs of en
+    plus a reproducible quarter more, half of zh dropped. Row-local
+    hash coin flips + in-projection explode: zero shuffles, so the
+    re-weight runs at parquet scan speed at any corpus size."""
+    from ..operators.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_resample(docs, _MIX_WEIGHTS, group_col="lang").select(
+        "doc_id", "lang", "n_copies", F.col("copy_id").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q67 — incremental-ingest novelty filter (cross-corpus anti-join dedup)
+# ---------------------------------------------------------------------------
+
+
+def _q67_oracle() -> str:
+    case = _split_case_sql()
+    return f"""
+WITH labeled AS (
+  SELECT doc_id, source, text, {case} AS split FROM documents
+), existing AS (
+  SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM labeled WHERE split = 'train'
+), incoming AS (
+  SELECT doc_id, source, md5({_NORM_SQL}) AS fp
+  FROM labeled WHERE split <> 'train'
+)
+SELECT i.doc_id, i.source
+FROM incoming i
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = i.fp)
+"""
+
+
+@register("q67_novelty_ingest", _q67_oracle())
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest novelty filter: an incoming batch (the
+    non-train splits, standing in for today's crawl) is kept only where
+    its normalized-text fingerprint is unseen in the existing corpus
+    (the train split) — exact dedup ACROSS corpora as a left-anti join
+    on 16-byte fingerprints (operators/dedup.py::novel_documents).
+    Both sides reduce to hashes before the shuffle; the anti-join key
+    is uniform md5, so no skew at 100 TB."""
+    from ..operators.dedup import novel_documents
+    from ..operators.sampling import hash_split
+
+    docs = hash_split(
+        load_table(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    incoming = docs.filter(F.col("split") != "train")
+    existing = docs.filter(F.col("split") == "train")
+    return novel_documents(incoming, existing).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# q69 — per-label embedding centroids (vector aggregation)
+# ---------------------------------------------------------------------------
+
+_Q69_ORACLE = """
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS v,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+), q AS (
+  SELECT label, dim, CAST(floor(v[dim + 1] * 1000000.0) AS BIGINT) AS vq
+  FROM e
+), g AS (
+  SELECT CAST(label AS BIGINT) AS label, dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(vq) AS BIGINT) AS s
+  FROM q GROUP BY label, dim
+)
+SELECT label, dim, n,
+       CAST(s AS DOUBLE) / 1000000.0 / n AS centroid
+FROM g
+"""
+
+
+@register("q69_label_centroids", _Q69_ORACLE)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the vector aggregation behind
+    class prototypes / IVF seeding: posexplode to (label, dim, value),
+    partial-agg sums map-side, one shuffle of |labels|x|dims| cells
+    (corpus-size independent, like the IVF centroid update).
+
+    Cross-engine float rule: a float sum's value depends on reduction
+    order, and double→decimal cast ROUNDING differs between engines at
+    dyadic ties (Spark HALF_UP vs DuckDB HALF_EVEN — a float32 with a
+    coarse mantissa lands exactly on .5 at the 12th decimal often
+    enough to matter). So the declared query sums floor-quantized
+    integers (floor is unambiguous; v*1e6 is the same IEEE multiply on
+    both sides) and divides once at the end. The production path is the
+    same plan with a plain double sum — same shuffle shape, no
+    quantization."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    )
+    q = ex.select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("val").cast("double") * F.lit(1000000.0))
+        .cast("long")
+        .alias("vq"),
+    )
+    g = q.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vq").alias("s")
+    )
+    return g.select(
+        "label",
+        "dim",
+        "n",
+        (F.col("s").cast("double") / F.lit(1000000.0) / F.col("n")).alias(
+            "centroid"
+        ),
     )

@@ -130,3 +130,44 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_value",
     )
     return run_available_now(agg, "q53_sessions")
+
+
+_Q68_ORACLE = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("q68_streaming_hourly", _Q68_ORACLE)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup computed BY THE STREAMING ENGINE: the
+    same readStream file source as q53, a 1-hour ``window`` stateful
+    aggregation, availableNow to completion, memory sink — the
+    streaming twin of batch q18's hourly rollup, value-exact against a
+    date_trunc oracle (decimal-safe sums).
+
+    Scale shape: tumbling windows keep ONE state row per (window,
+    event_type); partial aggregation combines map-side before the
+    state-store shuffle, and in a continuous deployment the event-time
+    watermark expires closed windows so state stays bounded — the
+    availableNow backfill here exercises the identical operator and
+    state-store path the 24/7 pipeline runs."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(agg, "q68_hourly")

@@ -140,3 +140,72 @@ def test_connected_components_min_label(spark):
         for r in connected_components(df).collect()
     }
     assert got == {**{i: 1 for i in range(1, 8)}, 10: 10, 11: 10}
+
+
+def test_mixture_resample_copies_and_determinism(spark):
+    from nessus_client_etl_scripts_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    rows = [(i, "en" if i % 2 else "zh") for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = mixture_resample(df, {"en": 2.5, "zh": 0.5}, group_col="lang")
+    got = out.groupBy("doc_id", "lang", "n_copies").count().collect()
+    for r in got:
+        # copy_id expansion matches the declared count exactly
+        assert r["count"] == r["n_copies"]
+        if r["lang"] == "en":
+            assert r["n_copies"] in (2, 3)  # floor(2.5) + {0,1}
+        else:
+            assert r["n_copies"] == 1  # zh rows that survived the 0.5 coin
+    # zh downsampling dropped some rows entirely
+    zh_kept = {r["doc_id"] for r in got if r["lang"] == "zh"}
+    assert 0 < len(zh_kept) < 50
+    # determinism: second run identical
+    again = mixture_resample(df, {"en": 2.5, "zh": 0.5}, group_col="lang")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_novel_documents_anti_join(spark):
+    from nessus_client_etl_scripts_spark.operators.dedup import (
+        novel_documents,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma  delta")], ["doc_id", "text"]
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta"),  # normalizes to a seen fingerprint
+            (11, "gamma delta"),  # whitespace-normalized duplicate
+            (12, "epsilon zeta"),  # novel
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"] for r in novel_documents(incoming, existing).collect()}
+    assert got == {12}
+
+
+def test_verify_pairs_jaccard_exact_values(spark):
+    from nessus_client_etl_scripts_spark.operators.dedup import (
+        verify_pairs_jaccard,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),     # shingles: {a b c, b c d, c d e}
+            (2, "a b c d x"),     # shares {a b c, b c d} -> J = 2/4
+            (3, "p q r s t"),     # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in verify_pairs_jaccard(docs, pairs, threshold=0.1).collect()
+    }
+    assert got == {(1, 2): 0.5}
