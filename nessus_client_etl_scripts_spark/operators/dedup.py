@@ -187,6 +187,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     k: int = 3,
     family: str = "xxhash64",
+    materialize_signatures: bool = False,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows of
     ``num_hashes/bands`` values, hash each band to a bucket, and emit
@@ -197,9 +198,20 @@ def minhash_lsh_candidates(
     (boilerplate docs) are the skew risk; AQE skew-join splitting
     handles them, and the band hash's wide range keeps accidental
     collisions rare. ``family`` as in :func:`minhash_signatures`.
+
+    ``materialize_signatures``: Catalyst does no common-subexpression
+    sharing across a self-join, so the plan shingles+hashes the corpus
+    TWICE (visible as two full scan→explode→agg chains in explain).
+    True persists the signature frame (MEMORY_AND_DISK) so the heavy
+    stage runs once — the right call at cluster scale, where a real
+    pipeline lands signatures as a table anyway; default False keeps
+    declared queries side-effect-free (an 8-second sf0.1 job gains
+    little from a cache round-trip).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k, family)
+    if materialize_signatures:
+        sig = sig.persist()
     if family == "md5":
         # the bucket key is the band slice SERIALIZED, not re-hashed —
         # ~40-80 B through the shuffle, and the DuckDB twin is a plain

@@ -1419,3 +1419,141 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q70 — JSONL source/sink roundtrip proof
+# ---------------------------------------------------------------------------
+
+_CKSUM = "('0x' || substring(md5(text), 1, 12))::BIGINT"
+
+_Q70_ORACLE = f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum({_CKSUM}) AS BIGINT) AS text_cksum,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+FROM documents GROUP BY source
+"""
+
+
+@register("q70_jsonl_roundtrip", _Q70_ORACLE)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink proof: land the corpus as line-delimited JSON
+    (sources/text_corpus.py — the splittable interchange format of
+    training pipelines, generalizing the reference's JSON lake,
+    /root/reference/export.py:89-108), read it back with the declared
+    schema, and aggregate an order-insensitive content checksum per
+    source. The oracle computes the same aggregate from the PARQUET
+    table, so matching values prove the JSON write→read roundtrip is
+    lossless (text bytes, ids, counters) — not just row counts.
+
+    Checksum is a sum of 48-bit md5 prefixes: sums of 500..5k such
+    terms stay far under 2^63, both engines do exact BIGINT math, and
+    the order-insensitivity makes it partitioning-independent."""
+    import os
+    import tempfile
+
+    from ..sources.text_corpus import (
+        DOCUMENTS_SCHEMA,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_jsonl_{sf_tag}", "documents"
+    )
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, DOCUMENTS_SCHEMA)
+    cksum = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("long")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(cksum).alias("text_cksum"),
+        F.sum("n_chars").alias("n_chars_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — source-level shingle-Jaccard similarity matrix
+# ---------------------------------------------------------------------------
+
+_Q71_ORACLE = f"""
+WITH base AS (
+  SELECT source, doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 2, 1)),
+           i -> array_to_string(string_split({_NORM_SQL}, ' ')[i:i+2], ' ')
+         )) AS sh
+  FROM documents
+), src_sh AS (
+  SELECT DISTINCT source, unnest(sh) AS shingle FROM base
+), sizes AS (
+  SELECT source, count(*) AS n_sh FROM src_sh GROUP BY source
+), inter AS (
+  SELECT l.source AS source_a, r.source AS source_b, count(*) AS n_inter
+  FROM src_sh l JOIN src_sh r
+    ON l.shingle = r.shingle AND l.source < r.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(i.n_inter AS DOUBLE)
+         / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.source_a = sa.source
+JOIN sizes sb ON i.source_b = sb.source
+"""
+
+
+@register("q71_source_similarity", _Q71_ORACLE)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level provenance analytics: pairwise shingle-Jaccard
+    between SOURCES (not documents) — the overlap matrix a data-mixing
+    team reads before weighting sources (q66). Same staged shingle
+    posting as the doc-level dedup family, collapsed to distinct
+    (source, shingle) BEFORE the self-join, so join fan-out per shingle
+    is bounded by |sources|² (a few hundred), never |docs|² — the
+    aggregation granularity, not the corpus size, bounds the shuffle.
+    Jaccard is exact integers through one IEEE division."""
+    from ..operators.dedup import shingle_posting
+
+    docs = load_table(spark, sf_dir, "documents")
+    posting = shingle_posting(docs, block_cols=("source",), k=3)
+    src_sh = posting.select("source", "shingle").distinct()
+    sizes = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    left = src_sh.alias("l")
+    right = src_sh.alias("r")
+    inter = (
+        left.join(
+            right,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.source") < F.col("r.source")),
+        )
+        .groupBy(
+            F.col("l.source").alias("source_a"),
+            F.col("r.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )

@@ -119,3 +119,58 @@ def test_rest_to_pipeline_end_to_end(spark, fake_transport, tmp_path):
         mode="watermark", today=dt.date(2024, 2, 1),
     )
     assert out["scan_run"] == 2
+
+
+def test_jsonl_roundtrip_preserves_values(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from nessus_client_etl_scripts_spark.sources.text_corpus import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    rows = [
+        (1, 'quotes " and \\ backslash', 10),
+        (2, "unicode: héllo wörld — ünïcode 中文", 20),
+        (3, "newline-free but\ttab and trailing space ", None),
+        (4, None, 40),  # null text survives
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "corpus")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_jsonl_partitioned_write_prunes(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from nessus_client_etl_scripts_spark.sources.text_corpus import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "en")], schema
+    )
+    path = str(tmp_path / "part")
+    write_jsonl(df, path, partition_cols=("lang",))
+    back = read_jsonl(spark, path, schema).filter("lang = 'en'")
+    # partition pruning: the filter becomes a PartitionFilters entry,
+    # not a row-level filter over all partitions
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert {r["doc_id"] for r in back.collect()} == {1, 3}
