@@ -822,3 +822,126 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         dsum("value", "session_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — ordered funnel (view → click → purchase) per user
+# ---------------------------------------------------------------------------
+
+_Q72_ORACLE = """
+WITH w1 AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+           OVER (PARTITION BY user_id) AS view_ts
+  FROM events
+), w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= view_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS click_ts
+  FROM w1
+), w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= click_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS purchase_ts
+  FROM w2
+)
+SELECT user_id, min(view_ts) AS view_ts, min(click_ts) AS click_ts,
+       min(purchase_ts) AS purchase_ts,
+       CAST(CASE WHEN min(purchase_ts) IS NOT NULL THEN 3
+                 WHEN min(click_ts) IS NOT NULL THEN 2
+                 WHEN min(view_ts) IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM w3 GROUP BY user_id
+"""
+
+
+@register("q72_funnel_stages", _Q72_ORACLE)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel: the first view, the first click AT OR
+    AFTER that view, and the first purchase at or after that click, per
+    user — the sequential-pattern analytics staple. Three stacked
+    unbounded windows over the SAME partitioning collapse into one
+    Exchange, and the final per-user aggregate REUSES that hash
+    partitioning (WindowExec preserves child distribution) — verified
+    one Exchange in the whole physical plan, no self-joins over the
+    fact table. Timestamps and the derived stage label are value-exact
+    against the oracle."""
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "view_ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "click_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("view_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "purchase_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("click_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    agg = s3.groupBy("user_id").agg(
+        F.min("view_ts").alias("view_ts"),
+        F.min("click_ts").alias("click_ts"),
+        F.min("purchase_ts").alias("purchase_ts"),
+    )
+    stage = (
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("click_ts").isNotNull(), 2)
+        .when(F.col("view_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return agg.withColumn("funnel_stage", stage.cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q73 — cohort retention (first-seen date × day offset)
+# ---------------------------------------------------------------------------
+
+_Q73_ORACLE = """
+WITH d AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         min(CAST(CAST(ts AS TIMESTAMP) AS DATE))
+           OVER (PARTITION BY user_id) AS cohort_date
+  FROM events
+)
+SELECT cohort_date, CAST(date_diff('day', cohort_date, day) AS BIGINT)
+         AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM d GROUP BY 1, 2
+"""
+
+
+@register("q73_cohort_retention", _Q73_ORACLE)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen date,
+    activity counted per day offset — the standard retention analysis.
+    One window shuffle (user partitioning) plus one aggregation shuffle
+    on (cohort, offset) — a dimension-bounded key space (days²), so the
+    final shuffle is corpus-size independent; the distinct-user count
+    partial-aggregates map-side."""
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    w = Window.partitionBy("user_id")
+    d = ev.withColumn("cohort_date", F.min("day").over(w))
+    return d.groupBy(
+        "cohort_date",
+        F.datediff("day", "cohort_date").cast("long").alias("day_offset"),
+    ).agg(F.countDistinct("user_id").cast("long").alias("n_active"))
