@@ -171,3 +171,35 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "q68_hourly")
+
+
+_Q74_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@register("q74_streaming_distinct", _Q74_ORACLE)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication state: ``dropDuplicates`` over
+    (user_id, event_type) holds one state row per key in the state
+    store and emits only first arrivals; counting the survivors per
+    event_type equals a batch COUNT(DISTINCT user_id). WHICH physical
+    row survives depends on arrival order, so the declared output is
+    the order-independent aggregate — the state-store semantics (key
+    set size) are what's being verified, and they are exact.
+
+    Scale shape: dedup state is keyed on the dedup columns and
+    partitioned by them (one shuffle); in a continuous deployment
+    ``dropDuplicatesWithinWatermark`` bounds the same state by event
+    time. The downstream count reuses the dedup shuffle's partitioning
+    for its partial aggregate."""
+    ev = stream_events(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return run_available_now(agg, "q74_distinct")
