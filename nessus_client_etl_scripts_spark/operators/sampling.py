@@ -193,3 +193,36 @@ def mixture_resample_sql(
         "THEN 1 ELSE 0 END)"
     )
     return n, f"unnest(range(0, {n}))"
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    stride: int,
+    order_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Weight-proportional systematic sampling: lay the rows on the
+    cumulative-weight axis (in a deterministic total order) and select
+    every row whose weight interval covers a multiple of ``stride`` —
+    each row is chosen with probability proportional to its weight,
+    with NO random numbers, NO ln()/pow() (whose libm results are not
+    bit-portable cross-engine), and exact integer arithmetic
+    throughout.
+
+    The cumulative sum runs through the distributed prefix-sum
+    (windows.scalable_cumsum), so there is no single-task global
+    window; everything else is row-local. ``n_hits`` counts the grid
+    points inside the interval (a row heavier than ``stride`` is
+    sampled multiply — the standard PPS-systematic semantics)."""
+    from .windows import scalable_cumsum
+
+    c = scalable_cumsum(df, order_cols, weight_col, out_col="cum_w")
+    prev = F.col("cum_w") - F.col(weight_col)
+    n_hits = (
+        F.floor(F.col("cum_w") / F.lit(stride))
+        - F.floor(prev / F.lit(stride))
+    ).cast("long")
+    return (
+        c.withColumn("n_hits", n_hits)
+        .filter(F.col("n_hits") > 0)
+    )

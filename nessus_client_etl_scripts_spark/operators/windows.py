@@ -170,3 +170,66 @@ def top_k_per_group(
     if keep_rank:
         return out.withColumnRenamed(rank_col, keep_rank)
     return out.drop(rank_col)
+
+
+def scalable_cumsum(
+    df: DataFrame,
+    order_cols: tuple[str, ...],
+    val_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact GLOBAL running sum over a total order — the distributed
+    prefix-sum (scan) primitive — without the single-task trap of
+    ``Window.orderBy(...)`` with no partition key (which funnels the
+    entire table through one task).
+
+    Same two-phase shape as :func:`two_phase_rank`:
+    ``repartitionByRange(order_cols)`` establishes a total order across
+    partitions; a tiny per-partition stats job (P rows) is collected
+    and prefix-summed on the driver into broadcast offsets; each
+    partition then computes its local running sum in parallel and adds
+    its offset. Both jobs recompute the range exchange with identical
+    deterministically-seeded boundaries (the zipWithIndex stability
+    argument).
+
+    Matches SQL ``SUM(val) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)`` exactly for integer-typed ``val_col`` (float prefix
+    sums are order-defined anyway — prefer integer weights)."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    num = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    staged = df.repartitionByRange(
+        num, *[F.col(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
+
+    stats = sorted(
+        staged.groupBy("_pid").agg(F.sum(val_col).alias("s")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    recs, off = [], 0
+    for r in stats:
+        recs.append((r["_pid"], off))
+        off += r["s"] or 0
+    offsets = spark.createDataFrame(
+        recs,
+        T.StructType(
+            [
+                T.StructField("_pid", T.IntegerType()),
+                T.StructField("_off", T.LongType()),
+            ]
+        ),
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        staged.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.sum(val_col).over(w_local) + F.col("_off"))
+        .select(*df.columns, out_col)
+    )

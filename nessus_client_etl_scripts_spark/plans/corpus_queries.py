@@ -1557,3 +1557,42 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — weight-proportional systematic sample via distributed prefix sum
+# ---------------------------------------------------------------------------
+
+_Q75_ORACLE = """
+WITH c AS (
+  SELECT doc_id, source, n_chars,
+         sum(n_chars) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+  FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(cum_w AS BIGINT) AS cum_w,
+       CAST(cum_w // 5000 - (cum_w - n_chars) // 5000 AS BIGINT) AS n_hits
+FROM c
+WHERE cum_w // 5000 - (cum_w - n_chars) // 5000 > 0
+"""
+
+
+@register("q75_weighted_sample", _Q75_ORACLE)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional (PPS) systematic sample of documents, sized
+    by character count: rows whose cumulative-weight interval crosses a
+    5000-char grid point. The global running sum is the DISTRIBUTED
+    prefix-sum (operators/windows.py::scalable_cumsum — range
+    repartition + driver-side P-row offset scan + per-partition local
+    windows), not a partition-less ``Window.orderBy`` that would funnel
+    100 TB through one task. Selection itself is row-local integer
+    arithmetic — no rand(), no ln(), bit-identical in any engine."""
+    from ..operators.sampling import weighted_systematic_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_systematic_sample(
+        docs, weight_col="n_chars", stride=5000
+    )

@@ -67,3 +67,45 @@ def test_two_phase_rank_no_low_cardinality_window_partition(spark):
         .toString()
     )
     assert "_pid" in plan  # window keyed by (g, _pid)
+
+
+def test_scalable_cumsum_matches_global_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from nessus_client_etl_scripts_spark.operators.windows import (
+        scalable_cumsum,
+    )
+
+    rows = [(i, (i * 37) % 101) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, ["k", "w"]).repartition(7)
+    got = {
+        r["k"]: r["cumsum"]
+        for r in scalable_cumsum(df, ("k",), "w", num_partitions=5).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["k"]: r["c"]
+        for r in df.withColumn("c", F.sum("w").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_weighted_systematic_sample_covers_grid_exactly(spark):
+    from nessus_client_etl_scripts_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    # weights sum to 100; stride 10 -> exactly 10 grid hits in total,
+    # heavy rows (w=25 > stride) sampled multiply
+    rows = [(1, 25), (2, 5), (3, 25), (4, 20), (5, 25)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = weighted_systematic_sample(
+        df, weight_col="w", stride=10, order_cols=("doc_id",)
+    )
+    hits = {r["doc_id"]: r["n_hits"] for r in out.collect()}
+    assert sum(hits.values()) == 10
+    assert hits[1] >= 2  # heavy first row covers >=2 grid points
+    assert 2 not in hits or hits[2] <= 1
