@@ -1,0 +1,129 @@
+"""Spark 4 Python Data Source for the Nessus REST surface — the
+DISTRIBUTED upgrade of ``rest.py``'s driver-side fetches.
+
+The reference parallelizes its per-run/per-host HTTP fan-out with a
+driver-local thread pool (`/root/reference/export.py:182-183`); the
+Python Data Source API moves that fan-out onto the CLUSTER: the reader
+lists scan runs once on the driver (``partitions()``), then each
+(scan_id, history_id) becomes an ``InputPartition`` whose payload is
+fetched INSIDE an executor task (``read()``). 1000 executors fetch
+1000 runs concurrently with retry/speculation/locality handled by the
+scheduler — no thread-pool code, and back-pressure is just task
+scheduling.
+
+Output contract: ``(scan_id, history_id, payload)`` with the payload
+as a raw JSON string. Parsing stays declarative downstream —
+``F.from_json(payload, SCAN_RUN_DOC_SCHEMA)`` feeds the same
+normalize pipeline as lake-landed documents, so the source swaps
+between "fetch live" and "read landed JSON" without touching the
+plan.
+
+Offline posture (this container has no network and no ``requests``):
+the transport is built per partition from the options dict. With
+``fixture_json`` set (a JSON object: scan listing + per-run payloads)
+the source serves those payloads — the same injectable-transport idea
+as ``rest.py``, but serialized through the options channel because
+executors cannot receive Python callables. With ``base_url``/
+``access_key``/``secret_key`` set, each task builds a real HTTP
+transport (import-gated on ``requests``).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+SCHEMA_DDL = "scan_id bigint, history_id bigint, payload string"
+
+
+class RunPartition(InputPartition):
+    def __init__(self, scan_id: int, history_id: int):
+        self.scan_id = scan_id
+        self.history_id = history_id
+
+
+def _fixture_payloads(options: dict) -> dict[str, str] | None:
+    raw = options.get("fixture_json")
+    if raw is None:
+        return None
+    return {k: json.dumps(v) for k, v in json.loads(raw).items()}
+
+
+class NessusRunsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = options
+
+    def partitions(self) -> list[InputPartition]:
+        """Driver-side run discovery: one partition per completed scan
+        run — the unit of the reference's per-run loop
+        (export.py:225-238). The listing is entity-scale (small); the
+        payloads are what fan out."""
+        fx = _fixture_payloads(self.options)
+        if fx is not None:
+            runs = json.loads(fx["runs"])
+        else:  # pragma: no cover — needs network
+            runs = _http_transport(self.options)("/scans/runs")
+        return [RunPartition(r["scan_id"], r["history_id"]) for r in runs]
+
+    def read(self, partition: RunPartition):
+        """Executor-side payload fetch for ONE run. Task retry gives
+        per-run retry; failed fetches fail loudly (the reference's
+        fire-and-forget upload swallowed errors — export.py:102-103 —
+        which SURVEY.md §2.1 S4 explicitly drops)."""
+        fx = _fixture_payloads(self.options)
+        key = f"scan_run_{partition.scan_id}_{partition.history_id}"
+        if fx is not None:
+            payload = fx[key]
+        else:  # pragma: no cover — needs network
+            payload = json.dumps(
+                _http_transport(self.options)(
+                    f"/scans/{partition.scan_id}"
+                    f"?history_id={partition.history_id}"
+                )
+            )
+        yield (partition.scan_id, partition.history_id, payload)
+
+
+def _http_transport(options: dict):  # pragma: no cover — needs network
+    try:
+        import requests
+    except ImportError as e:
+        raise NotImplementedError(
+            "HTTP transport needs the 'requests' package; use the "
+            "fixture_json option for offline reads"
+        ) from e
+    base = options["base_url"]
+    headers = {
+        "X-ApiKeys": (
+            f"accessKey={options['access_key']}; "
+            f"secretKey={options['secret_key']}"
+        )
+    }
+
+    def fetch(path: str) -> dict:
+        r = requests.get(base + path, headers=headers, timeout=60)
+        r.raise_for_status()
+        return r.json()
+
+    return fetch
+
+
+class NessusRunsDataSource(DataSource):
+    """Register with ``spark.dataSource.register(NessusRunsDataSource)``
+    then read with ``spark.read.format("nessus_runs")
+    .option(...).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "nessus_runs"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema) -> NessusRunsReader:
+        return NessusRunsReader(self.options)

@@ -174,3 +174,44 @@ def test_jsonl_partitioned_write_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
     assert {r["doc_id"] for r in back.collect()} == {1, 3}
+
+
+def test_python_datasource_distributed_fetch(spark):
+    """The Spark 4 Python Data Source fans run fetches out as executor
+    tasks (one InputPartition per run) and the payloads parse into the
+    declared document schema downstream."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from nessus_client_etl_scripts_spark.pipeline import fixtures
+    from nessus_client_etl_scripts_spark.sources.nessus_schemas import (
+        SCAN_RUN_DOC_SCHEMA,
+    )
+    from nessus_client_etl_scripts_spark.sources.rest_datasource import (
+        NessusRunsDataSource,
+    )
+
+    spark.dataSource.register(NessusRunsDataSource)
+    runs = [
+        {"scan_id": s, "history_id": 0} for s in fixtures.all_scan_ids()[:4]
+    ]
+    payload = {"runs": runs}
+    for r in runs:
+        payload[f"scan_run_{r['scan_id']}_{r['history_id']}"] = (
+            fixtures.scan_run_doc(r["scan_id"], 0)
+        )
+    df = (
+        spark.read.format("nessus_runs")
+        .option("fixture_json", json.dumps(payload))
+        .load()
+    )
+    # one partition per run — the distributed fan-out contract
+    assert df.rdd.getNumPartitions() == 4
+    parsed = df.select(
+        "scan_id",
+        F.from_json("payload", SCAN_RUN_DOC_SCHEMA).alias("doc"),
+    ).select("scan_id", "doc.history_id", F.size("doc.targets").alias("n"))
+    rows = {r["scan_id"]: r["n"] for r in parsed.collect()}
+    assert set(rows) == {r["scan_id"] for r in runs}
+    assert all(n >= 1 for n in rows.values())
