@@ -571,3 +571,120 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (num / (n * sxx - sx * sx)).alias("ols_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q76 — single-pass column profiler (data-quality metadata)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_returnflag",
+    "l_linestatus",
+)
+
+_Q76_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count({c}) AS BIGINT) AS n_non_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_str,
+       max(CAST({c} AS VARCHAR)) AS max_str
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("q76_column_profile", _Q76_ORACLE)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler — the data-quality pass a warehouse
+    runs on every load (null rates, cardinalities, value ranges per
+    column). The Spark form UNPIVOTS the profiled columns into
+    (col_name, value) with ``stack`` inside ONE projection, so the
+    table is scanned once for all columns and the aggregate
+    partial-combines map-side to |cols| rows per partition —
+    vs. the naive per-column loop that rescans the table |cols| times.
+    min/max are LEXICOGRAPHIC over the stringified values (the unpivot
+    erases the native type, so both sides must aggregate the VARCHAR
+    form — '9999' > '14999'); cardinalities and null counts are
+    representation-independent. Only integer and flag columns are
+    profiled here: float stringification differs across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stack_expr = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS
+    )
+    u = li.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS (col_name, value)"
+        )
+    )
+    return u.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_non_null"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min("value").alias("min_str"),
+        F.max("value").alias("max_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77 — FK integrity audit (schema.sql's constraints as a declared check)
+# ---------------------------------------------------------------------------
+
+_Q77_ORACLE = """
+SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS n_child,
+       CAST(count(*) FILTER (WHERE NOT EXISTS (
+         SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+         AS BIGINT) AS n_orphans
+FROM lineitem l
+UNION ALL
+SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE NOT EXISTS (
+         SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         AS BIGINT)
+FROM orders o
+UNION ALL
+SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE NOT EXISTS (
+         SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+         AS BIGINT)
+FROM lineitem l
+"""
+
+
+@register("q77_fk_integrity", _Q77_ORACLE)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: Spark does not ENFORCE foreign keys
+    (SURVEY.md §2.1 S5 maps schema.sql's FK constraints —
+    /root/reference/schema.sql:61-62,82-84,153 — to join-key
+    conventions), so the warehouse needs a declared CHECK instead.
+    Each relationship is one left-anti-shaped membership probe: the
+    child streams once, the parent key set reduces to distinct keys
+    first, and orphan counting partial-aggregates — at 100 TB each
+    audit costs one child scan + one key-set join (AQE broadcasts the
+    dimension-sized parents)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    def audit(child, child_key, parent, parent_key, label):
+        keys = parent.select(
+            F.col(parent_key).alias("_pk")
+        ).distinct().withColumn("_hit", F.lit(1))
+        tagged = child.select(F.col(child_key).alias("_ck")).join(
+            keys, F.col("_ck") == F.col("_pk"), "left"
+        )
+        return tagged.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).alias("n_child"),
+            (F.count(F.lit(1)) - F.count("_hit")).alias("n_orphans"),
+        )
+
+    return (
+        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionAll(audit(orders, "o_custkey", cust, "c_custkey", "orders->customer"))
+        .unionAll(audit(li, "l_partkey", part, "p_partkey", "lineitem->part"))
+    )
