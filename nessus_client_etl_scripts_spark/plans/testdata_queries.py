@@ -945,3 +945,69 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_date",
         F.datediff("day", "cohort_date").cast("long").alias("day_offset"),
     ).agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+
+
+# ---------------------------------------------------------------------------
+# q78 — hourly spine with gap filling (dense time series from sparse events)
+# ---------------------------------------------------------------------------
+
+_Q78_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS t0,
+         date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS t1
+  FROM events WHERE event_type = 'purchase'
+), spine AS (
+  SELECT unnest(range((SELECT t0 FROM bounds),
+                      (SELECT t1 FROM bounds) + INTERVAL 1 HOUR,
+                      INTERVAL 1 HOUR)) AS hour
+), counts AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT s.hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n_purchases,
+       coalesce(c.v, 0.0) AS total_value
+FROM spine s LEFT JOIN counts c ON s.hour = c.hour
+"""
+
+
+@register("q78_hourly_spine", _Q78_ORACLE)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time series from sparse events: a generated spine
+    (sequence over the observed hour range, exploded from ONE bounds
+    row) left-joined to the hourly aggregate, zero-filling silent
+    hours — the gap-filling prelude every downstream
+    forecasting/alerting consumer needs. The spine derives from a
+    1-row aggregate (driver-free, engine-side), its explode is bounded
+    by the time range (dimension-sized, not data-sized), and the join
+    broadcasts the aggregated side when it fits. Sums are
+    decimal-exact."""
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "v"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    return (
+        spine.join(counts, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n_purchases"),
+            F.coalesce("v", F.lit(0.0)).alias("total_value"),
+        )
+    )
