@@ -252,14 +252,24 @@ def severity_rollup(
 
     Distributed form: explode → conditional-sum pivot; map-side partial
     aggregation means the shuffle carries ≤5 longs per group.
+
+    Explode OUTER-ness mirrors the reference's loop semantics (found by
+    the property suite): a run with zero targets still yields a
+    zero-counter run row (calculate_severities over an empty list,
+    export.py:194), and a host with zero vulnerabilities still yields a
+    zero-counter host row (export.py:170) — but a hostless run must NOT
+    mint a phantom host row, so the target explode is outer only at
+    run level. pivot_sum's ``otherwise(0)`` turns the null-severity
+    carrier rows into zeros.
     """
+    explode_targets = F.explode_outer if level == "run" else F.explode
     base = docs.select(
         F.col("history_id").cast("int").alias("scan_run_id"),
-        F.explode("targets").alias("t"),
+        explode_targets("targets").alias("t"),
     ).select(
         "scan_run_id",
         F.col("t.host_id").cast("int").alias("nessus_host_id"),
-        F.explode("t.vulnerabilities").alias("v"),
+        F.explode_outer("t.vulnerabilities").alias("v"),
     )
     keys = ["scan_run_id"] if level == "run" else ["scan_run_id", "nessus_host_id"]
     flat = base.select(
