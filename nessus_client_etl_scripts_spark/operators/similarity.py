@@ -369,3 +369,90 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def codebook_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a FIXED codebook (driver-literal centroids):
+    the search half of the IVF pipeline with the trainer factored out —
+    which is the production shape anyway (codebooks are trained rarely
+    and shipped as artifacts; searches run constantly against them).
+
+    Everything is JVM-side column algebra: per row, the distance to
+    each centroid is a sequential-fold dot product (deterministic float
+    order — the q27-proven portable primitive), the cell ranking is an
+    ``array_sort`` over (distance, index) structs (total order, index
+    tie-break), corpus rows keep their nearest cell and queries probe
+    the ``nprobe`` nearest. Scoring then runs only inside probed cells.
+    Unlike the Pandas-UDF matmul in :func:`ivf_topk` (the
+    throughput path for trained codebooks), every arithmetic step here
+    has an exact DuckDB twin, so the whole SEARCH path is
+    value-oracle-checkable.
+
+    Scale note: the cell-join key space equals |centroids|; a real
+    deployment sizes the codebook ~√N (thousands of cells at 100 TB),
+    which keeps the join key space wide and each posting list
+    executor-sized. AQE skew-join covers hot cells.
+    """
+    c2 = [
+        sum(x * x for x in cent)  # exact python double sum, driver-side
+        for cent in centroids
+    ]
+
+    def cell_ranking(v: Column) -> Column:
+        pairs = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(-2.0) * dot(v, F.array(*[F.lit(x) for x in cent]))
+                        + F.lit(float(norm2))
+                    ).alias("d"),
+                    F.lit(i).alias("i"),
+                )
+                for i, (cent, norm2) in enumerate(zip(centroids, c2))
+            ]
+        )
+        return F.array_sort(pairs)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c_assign = c.select(
+        "neighbor_id", "cv", cell_ranking(F.col("cv"))[0]["i"].alias("cell")
+    )
+    q_probe = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.transform(
+                F.slice(cell_ranking(F.col("qv")), 1, nprobe),
+                lambda s: s["i"],
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        c_assign.join(F.broadcast(q_probe), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

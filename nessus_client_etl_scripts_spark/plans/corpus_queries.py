@@ -1605,3 +1605,73 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_systematic_sample(
         docs, weight_col="n_chars", stride=5000
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — IVF search against a fixed codebook (value-exact ANN)
+# ---------------------------------------------------------------------------
+
+
+def _q79_oracle(n_cents: int = 16, dim: int = 64, nprobe: int = 2, k: int = 5) -> str:
+    from ..operators.similarity import _hyperplanes
+
+    cents = _hyperplanes(n_cents, dim, seed=0xC0DE)
+    values = ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(ci, c) AS (VALUES
+    {values}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), dists AS (
+  SELECT vec_id, ci,
+         -2.0 * list_dot_product(v, c) + list_dot_product(c, c) AS d
+  FROM e CROSS JOIN cents
+), ranked_cells AS (
+  SELECT vec_id, ci,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+  FROM dists
+), corpus_cell AS (
+  SELECT e.vec_id AS neighbor_id, e.v AS cv, r.ci AS cell
+  FROM e JOIN ranked_cells r ON e.vec_id = r.vec_id AND r.rn = 1
+), probes AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, r.ci AS cell
+  FROM e JOIN ranked_cells r ON e.vec_id = r.vec_id AND r.rn <= {nprobe}
+  WHERE e.vec_id < 20
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS score
+  FROM corpus_cell JOIN probes USING (cell)
+  WHERE query_id != neighbor_id
+), final AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM final WHERE rank <= {k}
+"""
+
+
+@register("q79_ivf_codebook_topk", _q79_oracle())
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search against a fixed (driver-literal) codebook —
+    the production retrieval shape: codebooks train rarely (q39's
+    k-means, rows-only by nature), searches run constantly, and THIS
+    path is value-exact oracle-checked end to end: fold-dot distances,
+    (distance, index)-sorted cell ranking, nprobe probing, in-cell
+    cosine top-k. Together q39 + q79 split the IVF pipeline exactly
+    where a real system splits it (train artifact vs serve plan),
+    leaving only the iterative trainer outside the oracle gate."""
+    from ..operators.similarity import _hyperplanes, codebook_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _hyperplanes(16, 64, seed=0xC0DE)
+    return codebook_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), cents, k=5, nprobe=2
+    )
