@@ -688,3 +688,50 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(audit(orders, "o_custkey", cust, "c_custkey", "orders->customer"))
         .unionAll(audit(li, "l_partkey", part, "p_partkey", "lineitem->part"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — full-outer reconciliation (order dates vs ship dates)
+# ---------------------------------------------------------------------------
+
+_Q80_ORACLE = """
+WITH o AS (
+  SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS day,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE) AS day,
+         count(*) AS n_shipments
+  FROM lineitem GROUP BY 1
+)
+SELECT coalesce(o.day, s.day) AS day,
+       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(s.n_shipments, 0) AS BIGINT) AS n_shipments
+FROM o FULL OUTER JOIN s ON o.day = s.day
+"""
+
+
+@register("q80_full_outer_reconciliation", _Q80_ORACLE)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two independently-aggregated
+    calendars (order placement vs shipment activity) — the audit query
+    shape for comparing feeds that should overlap but may each have
+    days the other lacks. Both sides aggregate BEFORE the join, so the
+    full-outer operates on day-cardinality frames (dimension-sized at
+    any corpus scale); zero-filled coalesces make gaps explicit."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    s = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_shipments"))
+    return (
+        o.join(s, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_shipments", F.lit(0)).alias("n_shipments"),
+        )
+    )
