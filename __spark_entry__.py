@@ -32,8 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return _tq.spark_queries()
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Sorted by query number (insertion order == iteration order for the
+    driver): reference-parity queries first, newest extensions last, so
+    a budget-bounded correctness run covers the core surface before the
+    long tail (CORRECTNESS_r02 recorded only the first 50 registered —
+    registration order, not importance, decided what got checked)."""
+    return dict(sorted(_tq.spark_queries().items()))
 
 
 def oracle_sql() -> dict[str, str]:
