@@ -620,10 +620,21 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS (col_name, value)"
         )
     )
-    return u.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("value").alias("n_non_null"),
-        F.countDistinct("value").alias("n_distinct"),
+    # two-phase: pre-aggregate on (col_name, value) first — the
+    # fine-grained shuffle key partial-combines to |distinct values|
+    # rows map-side, and the finalize aggregates that bounded frame.
+    # The one-shot groupBy(col_name) form mixed COUNT DISTINCT with
+    # plain aggregates, which Catalyst plans as an Expand over the
+    # whole unpivoted fact (rows × aggregates) shuffled on 5 keys —
+    # measured 6.3 s vs ~1 s at sf0.1
+    per_value = u.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_value.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNotNull(), F.col("cnt"))
+              .otherwise(F.lit(0))).alias("n_non_null"),
+        F.count("value").alias("n_distinct"),
         F.min("value").alias("min_str"),
         F.max("value").alias("max_str"),
     )
