@@ -746,3 +746,71 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shipments", F.lit(0)).alias("n_shipments"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q81 — dimension-snapshot diff (change-data-capture over S6 snapshots)
+# ---------------------------------------------------------------------------
+
+_Q81_ORACLE = """
+WITH old_s AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         max(CAST(o_orderdate AS TIMESTAMP)) AS last_order
+  FROM orders
+  WHERE CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+  GROUP BY o_custkey
+), new_s AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         max(CAST(o_orderdate AS TIMESTAMP)) AS last_order
+  FROM orders
+  WHERE CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-01-01'
+  GROUP BY o_custkey
+)
+SELECT coalesce(o.o_custkey, n.o_custkey) AS o_custkey,
+       o.n_orders AS old_n_orders,
+       o.last_order AS old_last_order,
+       n.n_orders AS new_n_orders,
+       n.last_order AS new_last_order,
+       CASE WHEN o.o_custkey IS NULL THEN 'added'
+            WHEN n.o_custkey IS NULL THEN 'removed'
+            WHEN o.n_orders IS NOT DISTINCT FROM n.n_orders
+             AND o.last_order IS NOT DISTINCT FROM n.last_order
+            THEN 'unchanged'
+            ELSE 'changed' END AS change_type
+FROM old_s o FULL OUTER JOIN new_s n ON o.o_custkey = n.o_custkey
+"""
+
+
+@register("q81_snapshot_diff", _Q81_ORACLE)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two dimension snapshots
+    (operators/scd.py::snapshot_diff) — the consumer side of the
+    reference's daily full-snapshot uploads (S6, export.py:241-243):
+    per-customer order profiles as of 1997 vs 1998, every key
+    classified added/changed/unchanged with null-safe comparisons (the
+    row-expiry decision an SCD Type-2 loader makes). One FULL OUTER
+    join over dimension-sized aggregates; classification is row-local."""
+    from ..operators.scd import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            orders.filter(
+                F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.max("o_orderdate").alias("last_order"),
+            )
+        )
+
+    return snapshot_diff(
+        snap("1997-01-01"),
+        snap("1998-01-01"),
+        key_cols=["o_custkey"],
+        compare_cols=["n_orders", "last_order"],
+    )

@@ -163,3 +163,29 @@ def test_salted_join_random_salt_still_exact(spark):
     out = facts.join(dim, ["k", "_salt"]).drop("_salt")
     assert out.count() == 20
     assert facts.select(FF.countDistinct("_salt")).collect()[0][0] > 1
+
+
+def test_snapshot_diff_classification(spark):
+    from nessus_client_etl_scripts_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        ["k", "name", "val"],
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 30), (4, "D", 40), (5, "e", 50)],
+        ["k", "name", "val"],
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(
+            old, new, key_cols=["k"], compare_cols=["name", "val"]
+        ).collect()
+    }
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",  # NULL -> 30 counts as change (null-safe compare)
+        4: "changed",
+        5: "added",
+    }
