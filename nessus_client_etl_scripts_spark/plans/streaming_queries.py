@@ -30,7 +30,7 @@ from __future__ import annotations
 import itertools
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -64,18 +64,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def run_available_now(result: DataFrame, name: str) -> DataFrame:
+def run_available_now(
+    result: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming aggregation to completion (availableNow) into
-    a memory sink and return the sink table. Complete mode: every
-    session state is emitted once input is exhausted — the batch-parity
+    a memory sink and return the sink table. Complete mode (default):
+    every state is emitted once input is exhausted — the batch-parity
     mode for a bounded backfill (append would hold back sessions inside
-    the watermark horizon)."""
+    the watermark horizon). applyInPandasWithState forbids complete;
+    its callers pass "append" and reduce the per-batch emissions
+    downstream."""
     spark = result.sparkSession
     tbl = f"{name}_{next(_run_ids)}"
     q = (
         result.writeStream.format("memory")
         .queryName(tbl)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="sgq53_"))
         .trigger(availableNow=True)
         .start()
@@ -203,3 +207,48 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users")
     )
     return run_available_now(agg, "q74_distinct")
+
+
+_Q83_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+@register("q83_streaming_custom_state", _Q83_ORACLE)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState,
+    streaming/stateful.py::running_user_totals) verified value-exact:
+    per-user lifetime event counts + value totals held as integer
+    cents in the state store. Quantization happens JVM-side before the
+    Arrow boundary (round(value*100) — exact for 2-decimal source
+    data), so state arithmetic is pure integer and the FINAL emission
+    per user equals the batch aggregate no matter how availableNow
+    micro-batched the input; intermediate per-batch emissions are
+    strictly dominated and dropped by keeping each user's max-count
+    row. §2.9's extension point is now oracle-gated, not just
+    unit-tested."""
+    from ..streaming.stateful import running_user_totals
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    sink = run_available_now(
+        running_user_totals(ev), "q83_user_totals", output_mode="append"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total_cents").cast("double") / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+    )

@@ -1011,3 +1011,60 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("v", F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q82 — time-weighted average value per user (duration-weighted mean)
+# ---------------------------------------------------------------------------
+
+_Q82_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         (epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER w) // 1000000)
+           - (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS dt_sec
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), v AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,2)) * dt_sec AS wv,
+         dt_sec
+  FROM t WHERE dt_sec IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dt_sec) AS BIGINT) AS total_sec,
+       CAST(CAST(sum(wv) AS DOUBLE)
+            / CAST(sum(dt_sec) AS DOUBLE) AS DOUBLE) AS twa_value
+FROM v GROUP BY user_id
+"""
+
+
+@register("q82_time_weighted_avg", _Q82_ORACLE)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean — the value between two observations
+    holds until the next one, so each reading weights by its holding
+    period (the metering/finance semantics a plain AVG gets wrong).
+    lead() over (user, time) gives holding durations in ONE window
+    shuffle; weights are exact decimal×integer products summed
+    exactly, with a single IEEE division at the end — engine-exact.
+    The per-user aggregate reuses the window's hash partitioning
+    (same single-Exchange shape as q72)."""
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    t = ev.withColumn(
+        "dt_sec", F.lead(F.col("ts")).over(w).cast("long") - sec
+    ).filter(F.col("dt_sec").isNotNull())
+    wv = F.col("value").cast(T.DecimalType(18, 2)) * F.col("dt_sec")
+    return t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_sec").alias("total_sec"),
+        (
+            F.sum(wv).cast("double")
+            / F.sum("dt_sec").cast("double")
+        ).alias("twa_value"),
+    )

@@ -84,3 +84,48 @@ def running_severity_totals(scan_runs: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+USER_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+
+USER_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("cents", LongType())]
+)
+
+
+def _update_user_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Integer-cent running totals: the value column arrives ALREADY
+    quantized to cents (JVM-side round before the UDF), so the state
+    arithmetic is exact integer math — batch order and batch count
+    cannot change the final totals, which is what makes the operator's
+    end state oracle-checkable."""
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(pdf["cents"].sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        [{"user_id": key[0], "n_events": n, "total_cents": cents}]
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user lifetime event count + exact value total over the
+    event stream (columns: user_id, cents) — emits the cumulative
+    state after every micro-batch; the final emission per user is the
+    stream-end total regardless of how the input was batched."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        USER_TOTALS_SCHEMA,
+        USER_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
