@@ -1,5 +1,10 @@
-"""Declared STREAMING query — Structured Streaming executed end-to-end
-inside the driver's batch harness (SURVEY.md §2.9).
+"""Declared STREAMING queries — Structured Streaming executed
+end-to-end inside the driver's batch harness (SURVEY.md §2.9): q53
+session windows, q68 tumbling windows, q74 dropDuplicates state, q83
+custom applyInPandasWithState — each a REAL streaming-engine pass
+(readStream → stateful op → availableNow → memory sink) whose
+declared output is batching/arrival-order independent, hence
+value-oracle-checkable.
 
 q53 runs the sessionization pipeline through a real streaming engine
 pass: file-source ``readStream`` over the events parquet →
