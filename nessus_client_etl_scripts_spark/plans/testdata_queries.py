@@ -1068,3 +1068,70 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("dt_sec").cast("double")
         ).alias("twa_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — right-to-be-forgotten audit (deletion propagation across tables)
+# ---------------------------------------------------------------------------
+
+_Q84_ORACLE = """
+WITH forget AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+)
+SELECT 'events' AS tbl,
+       CAST((SELECT count(*) FROM events) AS BIGINT) AS n_before,
+       CAST((SELECT count(*) FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM forget f
+                               WHERE f.user_id = e.user_id))
+            AS BIGINT) AS n_after,
+       CAST((SELECT count(*) FROM events e
+             WHERE EXISTS (SELECT 1 FROM forget f
+                           WHERE f.user_id = e.user_id))
+            AS BIGINT) AS n_removed
+UNION ALL
+SELECT 'customer',
+       CAST((SELECT count(*) FROM customer) AS BIGINT),
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM forget f
+                               WHERE f.user_id = c.c_custkey))
+            AS BIGINT),
+       CAST((SELECT count(*) FROM customer c
+             WHERE EXISTS (SELECT 1 FROM forget f
+                           WHERE f.user_id = c.c_custkey))
+            AS BIGINT)
+"""
+
+
+@register("q84_forget_audit", _Q84_ORACLE)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit: given a deletion set of subject
+    ids, report per-table before/after/removed row counts — the
+    verification step of a GDPR/CCPA erasure job over a lake (the
+    scrub itself is the same anti-join with a write; the audit is what
+    compliance keeps). Each table costs one scan + one anti/semi
+    membership probe against the forget-key set; counts come from ONE
+    left join per table (removed = rows with a match, kept = rows
+    without), partial-aggregated map-side — no second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    forget = (
+        ev.filter(F.col("user_id") % 97 == 0)
+        .select(F.col("user_id").alias("_fk"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+
+    def audit(df: DataFrame, key: str, label: str) -> DataFrame:
+        tagged = df.select(F.col(key).alias("_k")).join(
+            F.broadcast(forget), F.col("_k") == F.col("_fk"), "left"
+        )
+        return tagged.agg(
+            F.lit(label).alias("tbl"),
+            F.count(F.lit(1)).alias("n_before"),
+            (F.count(F.lit(1)) - F.count("_hit")).alias("n_after"),
+            F.count("_hit").alias("n_removed"),
+        )
+
+    return audit(ev, "user_id", "events").unionAll(
+        audit(cust, "c_custkey", "customer")
+    )

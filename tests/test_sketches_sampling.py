@@ -209,3 +209,21 @@ def test_verify_pairs_jaccard_exact_values(spark):
         for r in verify_pairs_jaccard(docs, pairs, threshold=0.1).collect()
     }
     assert got == {(1, 2): 0.5}
+
+
+def test_exact_dedup_idempotent_and_doubling(spark):
+    from nessus_client_etl_scripts_spark.operators.dedup import exact_dedup
+
+    rows = [(i, f"text {i % 10}") for i in range(1, 41)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    once = {
+        r["keep_id"]: r["dup_count"] for r in exact_dedup(df).collect()
+    }
+    # 10 distinct texts, keeper = min id, 4 copies each
+    assert len(once) == 10 and all(c == 4 for c in once.values())
+    doubled = {
+        r["keep_id"]: r["dup_count"]
+        for r in exact_dedup(df.union(df)).collect()
+    }
+    # union with itself: same keepers, doubled counts
+    assert doubled == {k: c * 2 for k, c in once.items()}

@@ -109,3 +109,39 @@ def test_weighted_systematic_sample_covers_grid_exactly(spark):
     assert sum(hits.values()) == 10
     assert hits[1] >= 2  # heavy first row covers >=2 grid points
     assert 2 not in hits or hits[2] <= 1
+
+
+def test_two_phase_rank_property_random_ties(spark):
+    """Property check with adversarial duplicates: two_phase_rank must
+    equal the plain window rank/percent_rank for value distributions
+    heavy in ties (the case the offset bookkeeping can get wrong)."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from nessus_client_etl_scripts_spark.operators.windows import (
+        two_phase_rank,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.choice("ab"), rng.randrange(5))  # only 5 distinct vals
+        for i in range(1, 301)
+    ]
+    df = spark.createDataFrame(rows, ["k", "part", "val"]).repartition(7)
+    got = {
+        r["k"]: (r["rank"], round(r["pct_rank"], 9))
+        for r in two_phase_rank(
+            df, part_col="part", val_col="val", key_col="k",
+            num_partitions=5,
+        ).collect()
+    }
+    w = Window.partitionBy("part").orderBy("val")
+    want = {
+        r["k"]: (r["r"], round(r["p"], 9))
+        for r in df.withColumn("r", F.rank().over(w))
+        .withColumn("p", F.percent_rank().over(w))
+        .collect()
+    }
+    assert got == want
