@@ -1,0 +1,98 @@
+"""Physical-plan regression guards: every promise the query docstrings
+make about plan shape (pushdown reached the scan, partial aggregation
+before the exchange, single-shuffle windows, no Expand traps) is
+asserted against the actual Catalyst output, so a future edit that
+silently degrades a plan fails CI rather than a benchmark round.
+
+Plans are inspected BEFORE execution (initial AdaptiveSparkPlan) —
+shapes asserted here are decided by the optimizer, not by runtime
+re-planning, and stay valid at any scale factor.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    import __spark_entry__ as m
+
+    df = m.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q04_pushes_point_predicate_to_scan(spark):
+    # the parameterized point lookup must reach parquet (row-group skip)
+    plan = _plan(spark, "q03_scan_stats_offset")
+    assert "PushedFilters" in plan
+    assert "EqualTo(o_custkey,7)" in plan.replace(" ", "")
+
+
+def test_q01_pushes_segment_filter_to_customer_scan(spark):
+    plan = _plan(spark, "q01_folder_results_latest")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan.replace(" ", "")
+
+
+def test_q16_partial_aggregation_before_exchange(spark):
+    # TPC-H Q1 shape: map-side combine means partial_* functions appear
+    plan = _plan(spark, "q16_pricing_summary")
+    assert "partial_" in plan
+
+
+def test_q72_funnel_single_exchange(spark):
+    # three stacked windows + per-user agg share one hash partitioning
+    plan = _plan(spark, "q72_funnel_stages")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_q69_centroids_single_exchange_no_expand(spark):
+    plan = _plan(spark, "q69_label_centroids")
+    assert plan.count("Exchange") == 1, plan
+    assert "Expand" not in plan
+
+
+def test_q76_profiler_avoids_expand_trap(spark):
+    # the two-phase rework must keep COUNT DISTINCT out of Expand form
+    plan = _plan(spark, "q76_column_profile")
+    assert "Expand" not in plan, plan
+
+
+def test_q67_novelty_reduces_to_fingerprints_before_join(spark):
+    # the anti join must be keyed on md5 fingerprints, not documents
+    plan = _plan(spark, "q67_novelty_ingest")
+    assert "LeftAnti" in plan
+    assert "md5" in plan
+
+
+def test_q20_dedup_partial_combines_mapside(spark):
+    plan = _plan(spark, "q20_dedup_exact")
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_no_forced_broadcast_of_fact_scale_frames(spark):
+    # VERDICT r1 flagged forced customer broadcasts as 100×
+    # scale-killers; the fix must not regress. Logical-plan hints are
+    # visible as ResolvedHint/UnresolvedHint before planning — check
+    # the optimized logical plan of the two queries that were flagged.
+    import __spark_entry__ as m
+
+    for name in ("q15_revenue_by_nation", "q37_rollup_hierarchy"):
+        df = m.queries()[name](spark, SF)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        # broadcast hints may exist for region/nation/supplier — but a
+        # hint directly above a customer scan is the regression
+        for line_block in logical.split("ResolvedHint")[1:]:
+            head = line_block[:400]
+            assert "customer" not in head, (name, head)
+
+
+@pytest.mark.parametrize(
+    "name", ["q42_asof_click_purchase", "q19_sessionize"]
+)
+def test_event_pipelines_shuffle_on_user_not_global(spark, name):
+    # as-of join and sessionization partition by user_id — a global
+    # (empty-partition-key) window would appear as SinglePartition
+    plan = _plan(spark, name)
+    assert "SinglePartition" not in plan, plan
