@@ -65,3 +65,39 @@ def salted_join(
     f = with_salt(facts, salt, deterministic_col=salt_by)
     d = replicate_for_salt(dim, salt)
     return f.join(d, keys + [SALT_COL], how).drop(SALT_COL)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    salt: int = 8,
+    count_alias: str = "n",
+    deterministic_col: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for HOT group keys: pre-aggregate on
+    (group, salt) so a key that owns half the table spreads over
+    ``salt`` reducers, then re-aggregate the salted partials.
+
+    Sums and counts re-associate exactly (integer/decimal inputs), so
+    the result is value-identical to the direct groupBy — q85 proves
+    it against the plain-SQL oracle. Spark's own partial aggregation
+    already combines map-side, which covers MOST skew; the explicit
+    salt matters when a single partition's hash bucket receives the
+    hot key's entire REDUCE side (e.g. high-cardinality payloads
+    under the same group key, or agg functions whose partial state is
+    large). Same trade as salted_join: one extra small shuffle of
+    |groups|×salt rows buys reduce-side balance.
+
+    ``deterministic_col`` salts by hash of that column (rerun-stable)
+    instead of a random salt — required when the aggregate feeds an
+    oracle-checked or checkpoint-replayed plan."""
+    salted = with_salt(df, salt, deterministic_col=deterministic_col)
+    partial_aggs = [
+        F.sum(src).alias(f"_ps_{out}") for out, src in sum_cols.items()
+    ] + [F.count(F.lit(1)).alias("_pn")]
+    partial = salted.groupBy(*group_cols, "_salt").agg(*partial_aggs)
+    final_aggs = [
+        F.sum(f"_ps_{out}").alias(out) for out in sum_cols
+    ] + [F.sum("_pn").alias(count_alias)]
+    return partial.groupBy(*group_cols).agg(*final_aggs)

@@ -814,3 +814,53 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["o_custkey"],
         compare_cols=["n_orders", "last_order"],
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 — salted-aggregation equivalence proof (hot-group-key skew)
+# ---------------------------------------------------------------------------
+
+_Q85_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("q85_salted_aggregate", _Q85_ORACLE)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted AGGREGATION equivalence (operators/skew.py::
+    salted_aggregate) — the companion proof to q57's salted join:
+    l_returnflag has 3 values, the canonical hot-reduce-key shape, so
+    the pre-aggregation on (flag, salt) spreads each key over 8
+    reducers and the re-aggregation combines |groups|×8 partials.
+    Sums are decimal-exact and counts are integers — both re-associate
+    exactly, so the result is value-identical to the direct GROUP BY
+    oracle. Deterministic salt (hash of l_orderkey) keeps the plan
+    rerun-stable."""
+    from pyspark.sql import types as T
+
+    from ..operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.col("l_quantity").cast(T.DecimalType(18, 2)).alias("_qty"),
+        F.col("l_extendedprice").cast(T.DecimalType(18, 2)).alias("_price"),
+    )
+    out = salted_aggregate(
+        li,
+        group_cols=["l_returnflag"],
+        sum_cols={"sum_qty": "_qty", "sum_price": "_price"},
+        salt=8,
+        deterministic_col="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("sum_qty").cast("double"),
+        F.col("sum_price").cast("double"),
+    )
