@@ -1675,3 +1675,60 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codebook_ivf_topk(
         emb, emb.filter(F.col("vec_id") < 20), cents, k=5, nprobe=2
     )
+
+
+# ---------------------------------------------------------------------------
+# q86 — Python UDTF (table function) sentence splitter
+# ---------------------------------------------------------------------------
+
+_Q86_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), u AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 10)) AS i FROM t
+)
+SELECT doc_id,
+       CAST((i - 1) // 10 AS BIGINT) AS sent_idx,
+       array_to_string(list_slice(toks, i, i + 9), ' ') AS sentence,
+       CAST(len(list_slice(toks, i, i + 9)) AS BIGINT) AS n_tokens
+FROM u
+"""
+
+
+@register("q86_udtf_sentences", _Q86_ORACLE)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) — the row-generating
+    extension point beyond explode: a segmenter emitting one row per
+    10-token span, registered with ``F.udtf`` and invoked LATERALLY
+    per document (~n_tokens/10 output rows per input row). The parity
+    scope deliberately needs no UDTFs (SURVEY.md §2.10 — explode
+    covers the reference's only generator shape); this declares the
+    capability for pipelines whose row expansion is genuinely
+    procedural (sentence/paragraph segmenters, parser emitters).
+    Value-exact vs the DuckDB unnest twin.
+
+    Scale note: a UDTF is the Python slow path (row-at-a-time process
+    boundary) — THIS regular split is pure column algebra in q59's
+    chunker, which is the hot-path form; reach for a UDTF only when
+    the generator logic cannot be expressed with array functions."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: bigint, sentence: string, n_tokens: bigint")
+    class SegmentSplit:
+        def eval(self, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            toks = text.split(" ")
+            for j, start in enumerate(range(0, len(toks), 10)):
+                span = toks[start : start + 10]
+                yield j, " ".join(span), len(span)
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_q86_docs")
+    spark.udtf.register("segment_split", SegmentSplit)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_tokens
+        FROM _q86_docs d, LATERAL segment_split(d.text) s
+        """
+    )
