@@ -66,3 +66,60 @@ def snapshot_diff(
         *[f"new_{c}" for c in compare_cols],
         change.alias(change_col),
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    set_cols: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames (no Delta/Iceberg
+    required): rows matched by key take the update's ``set_cols``
+    (non-key target columns outside ``set_cols`` are carried
+    through), unmatched update rows INSERT, unmatched target rows
+    carry unchanged; with ``delete_col`` set, matched updates whose
+    flag is true DELETE the target row.
+
+    One full-outer join hash-partitioned on the keys + row-local
+    coalesce resolution — the standard shuffle-once upsert. In a
+    lakehouse deployment the result overwrites the target's changed
+    partitions (write_partitioned's dynamic overwrite); the resolve
+    logic here is exactly what MERGE INTO compiles to.
+    """
+    t = target.select(
+        *[F.col(k) for k in key_cols],
+        *[
+            F.col(c).alias(f"_t_{c}")
+            for c in target.columns
+            if c not in key_cols
+        ],
+        F.lit(1).alias("_in_t"),
+    )
+    u_cols = [c for c in set_cols if c not in key_cols]
+    u = updates.select(
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"_u_{c}") for c in u_cols],
+        *([F.col(delete_col).alias("_del")] if delete_col else []),
+        F.lit(1).alias("_in_u"),
+    )
+    j = t.join(u, list(key_cols), "full_outer")
+    if delete_col:
+        # a delete-flagged update removes its matched target row AND is
+        # a no-op when unmatched (CDC tombstone for an absent key must
+        # not insert) — so drop every delete-flagged row outright
+        j = j.filter(~F.coalesce(F.col("_del"), F.lit(False)))
+    out_cols = [F.col(k) for k in key_cols]
+    for c in target.columns:
+        if c in key_cols:
+            continue
+        if c in u_cols:
+            out_cols.append(
+                F.when(F.col("_in_u").isNotNull(), F.col(f"_u_{c}"))
+                .otherwise(F.col(f"_t_{c}"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"_t_{c}").alias(c))
+    return j.select(*out_cols)

@@ -864,3 +864,83 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").cast("double"),
         F.col("sum_price").cast("double"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q87 — MERGE INTO / CDC apply (upsert + delete semantics)
+# ---------------------------------------------------------------------------
+
+_Q87_ORACLE = """
+WITH updates AS (
+  SELECT c_custkey,
+         'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS c_mktsegment,
+         (c_custkey % 11 = 0) AS is_delete
+  FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT 900000 + g.i AS c_custkey, 'SEG_NEW' AS c_mktsegment,
+         FALSE AS is_delete
+  FROM (SELECT unnest(range(0, 5)) AS i) g
+), merged AS (
+  SELECT coalesce(t.c_custkey, u.c_custkey) AS c_custkey,
+         CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+              ELSE t.c_mktsegment END AS c_mktsegment,
+         t.c_name
+  FROM customer t FULL OUTER JOIN updates u
+    ON t.c_custkey = u.c_custkey
+  WHERE NOT coalesce(u.is_delete, FALSE)
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(c_name) AS BIGINT) AS n_with_name,
+       CAST(min(c_custkey) AS BIGINT) AS min_key,
+       CAST(max(c_custkey) AS BIGINT) AS max_key
+FROM merged GROUP BY c_mktsegment
+"""
+
+
+@register("q87_merge_upsert", _Q87_ORACLE)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames (operators/scd.py::
+    merge_upsert) — the APPLY side of the CDC story whose DETECT side
+    is q81: a deterministic update batch (segment rewrites for every
+    4th customer, tombstones for every 44th, five brand-new keys)
+    merges into the customer dimension — matched rows update, new keys
+    insert, tombstones delete (and tombstones for absent keys are
+    no-ops). One shuffle-once full-outer join + row-local resolution,
+    exactly what MERGE INTO compiles to without requiring a
+    Delta/Iceberg runtime. The declared output profiles the merged
+    table per segment (counts, name-coverage, key ranges) —
+    value-exact vs the SQL merge."""
+    from ..operators.scd import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+    upd_existing = (
+        cust.filter(F.col("c_custkey") % 4 == 0)
+        .select(
+            "c_custkey",
+            F.concat(
+                F.lit("SEG_"), (F.col("c_custkey") % 3).cast("string")
+            ).alias("c_mktsegment"),
+            (F.col("c_custkey") % 11 == 0).alias("is_delete"),
+        )
+    )
+    upd_new = spark.range(5).select(
+        (F.col("id") + 900000).alias("c_custkey"),
+        F.lit("SEG_NEW").alias("c_mktsegment"),
+        F.lit(False).alias("is_delete"),
+    )
+    merged = merge_upsert(
+        cust,
+        upd_existing.unionAll(upd_new),
+        key_cols=["c_custkey"],
+        set_cols=["c_mktsegment"],
+        delete_col="is_delete",
+    )
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_name").alias("n_with_name"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )

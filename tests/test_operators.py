@@ -189,3 +189,33 @@ def test_snapshot_diff_classification(spark):
         4: "changed",
         5: "added",
     }
+
+
+def test_merge_upsert_semantics(spark):
+    from nessus_client_etl_scripts_spark.operators.scd import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")],
+        ["k", "val", "extra"],
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "B", False),   # update
+            (3, None, True),   # delete
+            (4, "d", False),   # insert
+            (9, None, True),   # tombstone for absent key -> no-op
+        ],
+        ["k", "val", "is_delete"],
+    )
+    got = {
+        r["k"]: (r["val"], r["extra"])
+        for r in merge_upsert(
+            target, updates, key_cols=["k"], set_cols=["val"],
+            delete_col="is_delete",
+        ).collect()
+    }
+    assert got == {
+        1: ("a", "x"),      # untouched
+        2: ("B", "y"),      # updated val, carried extra
+        4: ("d", None),     # inserted; target-only column null
+    }
