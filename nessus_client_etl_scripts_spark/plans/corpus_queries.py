@@ -1732,3 +1732,109 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _q86_docs d, LATERAL segment_split(d.text) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — tokenizer vocabulary coverage / OOV rate
+# ---------------------------------------------------------------------------
+
+_Q88_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ORDER BY cnt DESC, token ASC LIMIT 100
+  )
+), tagged AS (
+  SELECT t.doc_id, t.token,
+         CASE WHEN v.token IS NOT NULL THEN 1 END AS hit
+  FROM tok t LEFT JOIN vocab v ON t.token = v.token
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) - count(hit) AS BIGINT) AS n_oov,
+       CAST(count(*) - count(hit) AS DOUBLE) / count(*) AS oov_rate
+FROM tagged GROUP BY doc_id
+"""
+
+
+@register("q88_vocab_coverage", _Q88_ORACLE)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage QA: per-document out-of-vocabulary rate
+    against the corpus's own top-100 token vocabulary (the check run
+    before committing to a tokenizer/vocab for training). The vocab is
+    an aggregate bounded by |vocab| (deterministic count-then-token
+    tiebreak), broadcast into a membership probe over the token
+    stream; per-doc counts partial-combine map-side and the OOV rate
+    is exact integers through one IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(100)
+        .select("token")
+        .withColumn("_hit", F.lit(1))
+    )
+    tagged = tok.join(F.broadcast(vocab), "token", "left")
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.count(F.lit(1)) - F.count("_hit")).alias("n_oov"),
+        (
+            (F.count(F.lit(1)) - F.count("_hit")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("oov_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89 — per-source language diversity (Gini impurity, ln-free)
+# ---------------------------------------------------------------------------
+
+_Q89_ORACLE = """
+WITH c AS (
+  SELECT source, lang, count(*) AS cnt FROM documents GROUP BY source, lang
+), s AS (
+  SELECT source,
+         CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+  FROM c GROUP BY source
+)
+SELECT source, n_docs, n_langs,
+       CAST(n_docs * n_docs - sum_sq AS DOUBLE) / (n_docs * n_docs)
+         AS lang_gini
+FROM s
+"""
+
+
+@register("q89_lang_diversity", _Q89_ORACLE)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language diversity as GINI IMPURITY (1 − Σp²) —
+    chosen over Shannon entropy deliberately: entropy needs ln(),
+    whose libm results are not bit-portable across engines, while
+    Gini is pure rational arithmetic — exact integer numerator and
+    denominator through ONE IEEE division. Two dimension-bounded
+    aggregations ((source, lang) then source); the shuffle carries
+    |sources×langs| partial counts regardless of corpus size.
+    Overflow bound: n_docs² stays in int64 up to ~3e9 docs per
+    source; beyond that, promote the final expression to decimal(38)
+    (counts themselves are nowhere near the limit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+    )
+    n2 = F.col("n_docs") * F.col("n_docs")
+    return s.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        ((n2 - F.col("sum_sq")).cast("double") / n2).alias("lang_gini"),
+    )
