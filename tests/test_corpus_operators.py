@@ -198,3 +198,51 @@ def test_quantile_rank_known_values(spark):
     )
     out = {r.id: r.pct_rank for r in quantile_rank(df, ["g"], "v", "id").collect()}
     assert out == {1: 0.25, 2: 0.5, 3: 0.5, 4: 1.0, 5: 1.0}
+
+
+def test_codebook_ivf_exact_when_single_cell(spark):
+    """With ONE centroid every vector lands in the same cell, so
+    nprobe=1 IVF must equal brute-force cosine top-k exactly."""
+    import pyspark.sql.functions as F
+
+    from nessus_client_etl_scripts_spark.operators.similarity import (
+        brute_force_topk,
+        codebook_ivf_topk,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+        for i in range(1, 31)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") <= 3)
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in codebook_ivf_topk(
+            emb, q, centroids=[[0.0] * 8], k=3, nprobe=1
+        ).collect()
+    }
+    brute = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(emb, q, k=3, metric="cosine").collect()
+    }
+    assert ivf == brute
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from nessus_client_etl_scripts_spark.operators.text import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 11)))], ["doc_id", "text"]
+    )
+    got = {
+        r["chunk_id"]: (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_size=4, stride=3).collect()
+    }
+    # starts at tokens 1,4,7,10 -> sizes 4,4,4,1; 1-token overlap
+    assert got[0] == (4, "t1 t2 t3 t4")
+    assert got[1] == (4, "t4 t5 t6 t7")
+    assert got[2] == (4, "t7 t8 t9 t10")
+    assert got[3] == (1, "t10")
