@@ -96,3 +96,33 @@ def test_event_pipelines_shuffle_on_user_not_global(spark, name):
     # (empty-partition-key) window would appear as SinglePartition
     plan = _plan(spark, name)
     assert "SinglePartition" not in plan, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """100 TB posture: a fact table partitioned on its join key must be
+    pruned AT RUNTIME when the dimension side is filtered on an
+    attribute (classic star-schema DPP — the fact scan reads only the
+    partitions the filtered dim keys select, without a literal
+    partition predicate in the query)."""
+    import pyspark.sql.functions as F
+
+    fact_path = str(tmp_path / "fact")
+    li = (
+        spark.range(0, 2000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("part_key"),
+            (F.col("id") * 2).alias("val"),
+        )
+    )
+    li.write.mode("overwrite").partitionBy("part_key").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(i, "keep" if i < 2 else "drop") for i in range(5)],
+        ["part_key", "label"],
+    )
+    joined = fact.join(dim, "part_key").filter(F.col("label") == "keep")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result is correct: only part_key 0 and 1 survive
+    assert joined.count() == 800
