@@ -215,3 +215,37 @@ def test_python_datasource_distributed_fetch(spark):
     rows = {r["scan_id"]: r["n"] for r in parsed.collect()}
     assert set(rows) == {r["scan_id"] for r in runs}
     assert all(n >= 1 for n in rows.values())
+
+
+def test_jsonl_permissive_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from nessus_client_etl_scripts_spark.sources.text_corpus import (
+        read_jsonl,
+    )
+
+    p = tmp_path / "raw"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "good"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also good"}\n'
+        '{"doc_id": "not-a-number", "text": "type drift"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = read_jsonl(spark, str(p), schema, mode="PERMISSIVE").cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    # both the non-JSON line and the type-drift line are quarantined
+    # with their raw text preserved for triage
+    bad_raw = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(bad_raw) == 2
+    assert any("not json" in b for b in bad_raw)
+    df.unpersist()
