@@ -3,6 +3,16 @@
 SURVEY.md §2.9 maps the reference's nothing-here to this extension
 point).
 
+API-choice note: Spark 4's newer ``transformWithStateInPandas``
+(StatefulProcessor: typed ValueState/ListState/MapState, timers, TTL)
+was evaluated and is UNUSABLE in this container — its driver worker
+imports ``pyspark.sql.streaming.proto.StateMessage_pb2``, which needs
+the ``protobuf`` package (not installed; installs are unavailable),
+so the streaming runner crashes at init
+(STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). On a cluster with
+protobuf present, ``running_user_totals`` ports 1:1 to a
+StatefulProcessor with one ValueState.
+
 ``running_severity_totals`` keeps a per-scan cumulative severity
 counter across micro-batches: each arriving scan-run summary row
 updates its scan's lifetime totals and emits the new totals. This is
