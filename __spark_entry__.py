@@ -31,15 +31,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return _tq.spark_queries()["q01_folder_results_latest"](spark, SF0001)
 
 
+# Queries the driver has never produced a CORRECTNESS row for (r1-r3 it
+# checked the first ~50 registered names; numeric order meant q57/q59's
+# fix and q60+ were always past the budget).  Emitting these FIRST this
+# round converts local-harness green into driver-proven green; the core
+# q01-q56/q58 has been driver-stable for two rounds and follows after.
+_NEVER_DRIVER_CHECKED = ("q57", "q59") + tuple(f"q{n}" for n in range(60, 100))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Sorted by query number (insertion order == iteration order for the
-    driver): reference-parity queries first, newest extensions last, so
-    a budget-bounded correctness run covers the core surface before the
-    long tail (CORRECTNESS_r02 recorded only the first 50 registered —
-    registration order, not importance, decided what got checked)."""
-    return dict(sorted(_tq.spark_queries().items()))
+    Insertion order == driver iteration order, and the driver's
+    correctness budget covers ~50 queries per round.  Order: queries
+    without a prior driver CORRECTNESS row first (q57, q59, q60+), then
+    the two-rounds-stable core (q01-q56, q58) sorted numerically."""
+    all_queries = dict(sorted(_tq.spark_queries().items()))
+    never_checked_prefixes = _NEVER_DRIVER_CHECKED
+    first = {
+        name: fn
+        for name, fn in all_queries.items()
+        if name.split("_", 1)[0] in never_checked_prefixes
+    }
+    rest = {name: fn for name, fn in all_queries.items() if name not in first}
+    return {**first, **rest}
 
 
 def oracle_sql() -> dict[str, str]:
