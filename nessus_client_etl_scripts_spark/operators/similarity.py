@@ -379,28 +379,95 @@ def codebook_ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignment: str = "arrow",
 ) -> DataFrame:
-    """IVF top-k against a FIXED codebook (driver-literal centroids):
-    the search half of the IVF pipeline with the trainer factored out —
-    which is the production shape anyway (codebooks are trained rarely
-    and shipped as artifacts; searches run constantly against them).
+    """IVF top-k against a FIXED codebook: the search half of the IVF
+    pipeline with the trainer factored out — which is the production
+    shape anyway (codebooks are trained rarely and shipped as
+    artifacts; searches run constantly against them).
 
-    Everything is JVM-side column algebra: per row, the distance to
-    each centroid is a sequential-fold dot product (deterministic float
-    order — the q27-proven portable primitive), the cell ranking is an
-    ``array_sort`` over (distance, index) structs (total order, index
-    tie-break), corpus rows keep their nearest cell and queries probe
-    the ``nprobe`` nearest. Scoring then runs only inside probed cells.
-    Unlike the Pandas-UDF matmul in :func:`ivf_topk` (the
-    throughput path for trained codebooks), every arithmetic step here
-    has an exact DuckDB twin, so the whole SEARCH path is
-    value-oracle-checkable.
+    Cell assignment has two implementations selected by ``assignment``:
 
-    Scale note: the cell-join key space equals |centroids|; a real
-    deployment sizes the codebook ~√N (thousands of cells at 100 TB),
-    which keeps the join key space wide and each posting list
-    executor-sized. AQE skew-join covers hot cells.
+    - ``"arrow"`` (default, the scale path): each Arrow batch scores
+      against the closed-over (|cells| × dim) centroid matrix with one
+      matmul (:func:`_probe_udf`). The plan size is CONSTANT in the
+      codebook size — a thousands-of-cells codebook (the ~√N sizing a
+      100 TB IVF index wants) plans exactly like a 16-cell one.
+    - ``"literal"`` (oracle twin, small codebooks only): per-centroid
+      sequential-fold dot products inlined as column expressions with
+      an ``array_sort`` over (distance, index) structs. Every
+      arithmetic step has an exact DuckDB twin, but the expression
+      tree grows O(|cells| × dim) — it exists to value-anchor the
+      arrow path in tests, not to serve queries.
+
+    Both paths rank cells by expanded squared distance
+    ``-2·(v·c) + c·c`` (the ``v·v`` term is constant per row) with
+    ties broken on the lower cell index, and both score candidates
+    with the same sequential-fold cosine, so they return identical
+    rows whenever no two centroids are within float-rounding distance
+    of a vector — the planted-fixture test asserts exact agreement.
+
+    Scale note: the cell-join key space equals |centroids|; each
+    posting list stays executor-sized and AQE skew-join covers hot
+    cells. The probe side is broadcast — queries never shuffle the
+    corpus.
     """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    if assignment == "arrow":
+        c_assign = c.select(
+            "neighbor_id",
+            "cv",
+            F.element_at(_probe_udf(centroids, 1)("cv"), 1).alias("cell"),
+        )
+        q_probe = q.select(
+            "query_id",
+            "qv",
+            F.explode(_probe_udf(centroids, nprobe)("qv")).alias("cell"),
+        )
+    elif assignment == "literal":
+        cell_ranking = _literal_cell_ranking(centroids)
+        c_assign = c.select(
+            "neighbor_id", "cv", cell_ranking(F.col("cv"))[0]["i"].alias("cell")
+        )
+        q_probe = q.select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.transform(
+                    F.slice(cell_ranking(F.col("qv")), 1, nprobe),
+                    lambda s: s["i"],
+                )
+            ).alias("cell"),
+        )
+    else:  # pragma: no cover - guard
+        raise ValueError(f"assignment must be 'arrow' or 'literal': {assignment}")
+    scored = (
+        c_assign.join(F.broadcast(q_probe), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _literal_cell_ranking(centroids: list[list[float]]):
+    """Column-expression cell ranking for the oracle twin: (distance,
+    index) structs sorted ascending — total order, index tie-break.
+    O(|cells| × dim) expression nodes; keep codebooks small here."""
     c2 = [
         sum(x * x for x in cent)  # exact python double sum, driver-side
         for cent in centroids
@@ -421,38 +488,4 @@ def codebook_ivf_topk(
         )
         return F.array_sort(pairs)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
-    c_assign = c.select(
-        "neighbor_id", "cv", cell_ranking(F.col("cv"))[0]["i"].alias("cell")
-    )
-    q_probe = q.select(
-        "query_id",
-        "qv",
-        F.explode(
-            F.transform(
-                F.slice(cell_ranking(F.col("qv")), 1, nprobe),
-                lambda s: s["i"],
-            )
-        ).alias("cell"),
-    )
-    scored = (
-        c_assign.join(F.broadcast(q_probe), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("score"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return cell_ranking

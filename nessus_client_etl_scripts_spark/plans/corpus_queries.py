@@ -1660,14 +1660,17 @@ FROM final WHERE rank <= {k}
 
 @register("q79_ivf_codebook_topk", _q79_oracle())
 def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN search against a fixed (driver-literal) codebook —
-    the production retrieval shape: codebooks train rarely (q39's
-    k-means, rows-only by nature), searches run constantly, and THIS
-    path is value-exact oracle-checked end to end: fold-dot distances,
-    (distance, index)-sorted cell ranking, nprobe probing, in-cell
-    cosine top-k. Together q39 + q79 split the IVF pipeline exactly
-    where a real system splits it (train artifact vs serve plan),
-    leaving only the iterative trainer outside the oracle gate."""
+    """IVF ANN search against a fixed codebook — the production
+    retrieval shape: codebooks train rarely (q39's k-means, rows-only
+    by nature), searches run constantly. Cell assignment runs on the
+    SCALE path (Arrow-batched matmul against the closed-over codebook,
+    plan size constant in |cells| — similarity.codebook_ivf_topk
+    assignment='arrow'); in-cell scoring is the sequential-fold cosine
+    with an exact DuckDB twin, so the search is still value-oracle-
+    checked end to end (assignment parity arrow vs literal is pinned
+    by test_codebook_ivf_arrow_matches_literal). Together q39 + q79
+    split the IVF pipeline exactly where a real system splits it
+    (train artifact vs serve plan)."""
     from ..operators.similarity import _hyperplanes, codebook_ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -229,6 +229,81 @@ def test_codebook_ivf_exact_when_single_cell(spark):
     assert ivf == brute
 
 
+def test_codebook_ivf_arrow_matches_literal(spark):
+    """The Arrow-matmul assignment (scale path) and the literal-
+    expression assignment (oracle twin) must return identical rows —
+    same cells, same candidates, same fold-cosine scores."""
+    import pyspark.sql.functions as F
+
+    from nessus_client_etl_scripts_spark.operators.similarity import (
+        _hyperplanes,
+        codebook_ivf_topk,
+    )
+
+    rows = [
+        (i, [float((i * 13 + d * 5) % 17) - 8.0 for d in range(8)])
+        for i in range(1, 61)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") <= 5)
+    cents = _hyperplanes(16, 8, seed=0xC0DE)
+    arrow = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in codebook_ivf_topk(
+            emb, q, cents, k=3, nprobe=2, assignment="arrow"
+        ).collect()
+    }
+    literal = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in codebook_ivf_topk(
+            emb, q, cents, k=3, nprobe=2, assignment="literal"
+        ).collect()
+    }
+    assert arrow == literal
+    assert len(arrow) > 0
+
+
+def test_codebook_ivf_arrow_plan_constant_in_codebook_size(spark):
+    """The scale path's plan must NOT grow with the codebook: a
+    1,024-cell codebook (the ~sqrt(N) sizing a 100 TB index wants)
+    plans like a 16-cell one, while the literal oracle twin's
+    expression tree is already far larger at 64 cells — the reason it
+    is a test anchor, not a serving path."""
+    import pyspark.sql.functions as F
+
+    from nessus_client_etl_scripts_spark.operators.similarity import (
+        _hyperplanes,
+        codebook_ivf_topk,
+    )
+
+    rows = [
+        (i, [float((i * 3 + d) % 7) - 3.0 for d in range(8)])
+        for i in range(1, 41)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") <= 2)
+
+    def plan_len(df):
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    arrow_small = codebook_ivf_topk(
+        emb, q, _hyperplanes(16, 8, seed=1), k=3, nprobe=2
+    )
+    arrow_big = codebook_ivf_topk(
+        emb, q, _hyperplanes(1024, 8, seed=1), k=3, nprobe=2
+    )
+    literal_64 = codebook_ivf_topk(
+        emb, q, _hyperplanes(64, 8, seed=1), k=3, nprobe=2, assignment="literal"
+    )
+    small_len, big_len = plan_len(arrow_small), plan_len(arrow_big)
+    # constant-size plan: within noise of each other regardless of cells
+    assert abs(big_len - small_len) < 0.1 * small_len + 200
+    # the literal twin at 1/16th the cells is already >10x the plan text
+    assert plan_len(literal_64) > 10 * big_len
+    # and the 1,024-cell arrow query actually runs
+    assert arrow_big.count() > 0
+
+
 def test_chunk_documents_overlap_and_tail(spark):
     from nessus_client_etl_scripts_spark.operators.text import (
         chunk_documents,
