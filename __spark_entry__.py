@@ -36,7 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # fix and q60+ were always past the budget).  Emitting these FIRST this
 # round converts local-harness green into driver-proven green; the core
 # q01-q56/q58 has been driver-stable for two rounds and follows after.
-_NEVER_DRIVER_CHECKED = ("q57", "q59") + tuple(f"q{n}" for n in range(60, 100))
+_NEVER_DRIVER_CHECKED = ("q41", "q57", "q59") + tuple(
+    f"q{n}" for n in range(60, 100)
+)  # q41 renamed to its built-in form in r4 — new name, no prior row
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -775,20 +775,34 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q41_groupwise_pandas_rank",
-    """
+_PCT_RANK_ORACLE = """
 SELECT doc_id, lang, n_chars,
        CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars) AS DOUBLE)
          / COUNT(*) OVER (PARTITION BY lang) AS pct_rank
 FROM documents
-""",
-)
+"""
+
+
+@register("q41_group_pct_rank", _PCT_RANK_ORACLE)
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas group-wise operator under full oracle
-    verification: min-method percentile rank per language computed IN
-    PANDAS (one Arrow batch per group), matched value-exactly against
-    the window-SQL twin — proving the Pandas path end to end."""
+    """Group-wise min-method percentile rank via the PUBLIC built-in
+    operator (rank()/count() window algebra — JVM-side, codegen'd, one
+    shuffle on the group key). The applyInPandas twin of the same
+    computation is q91's harness probe."""
+    from ..operators.groupwise import group_pct_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_pct_rank(docs, ["lang"], "n_chars", "doc_id")
+
+
+@register("q91_pandas_rank_probe", _PCT_RANK_ORACLE)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas EXTENSION-POINT probe under full oracle
+    verification: the same min-method percentile rank as q41, computed
+    in Pandas one Arrow batch per group, matched value-exactly against
+    the window-SQL twin — proving the applyInPandas path (schema
+    contract, group iteration, Arrow transfer) end to end. Not a rank
+    operator users should copy: that is q41's built-in form."""
     from ..operators.groupwise import quantile_rank
 
     docs = load_table(spark, sf_dir, "documents")

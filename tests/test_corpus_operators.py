@@ -200,6 +200,23 @@ def test_quantile_rank_known_values(spark):
     assert out == {1: 0.25, 2: 0.5, 3: 0.5, 4: 1.0, 5: 1.0}
 
 
+def test_group_pct_rank_matches_pandas_probe(spark):
+    """The public built-in window operator and the applyInPandas probe
+    compute the same min-method percentile rank."""
+    from nessus_client_etl_scripts_spark.operators.groupwise import (
+        group_pct_rank,
+        quantile_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 20), (4, "a", 30), (5, "b", 7)],
+        "id long, g string, v long",
+    )
+    builtin = {r.id: r.pct_rank for r in group_pct_rank(df, ["g"], "v", "id").collect()}
+    pandas_ = {r.id: r.pct_rank for r in quantile_rank(df, ["g"], "v", "id").collect()}
+    assert builtin == pandas_ == {1: 0.25, 2: 0.5, 3: 0.5, 4: 1.0, 5: 1.0}
+
+
 def test_codebook_ivf_exact_when_single_cell(spark):
     """With ONE centroid every vector lands in the same cell, so
     nprobe=1 IVF must equal brute-force cosine top-k exactly."""
