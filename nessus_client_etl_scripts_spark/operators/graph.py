@@ -2,34 +2,35 @@
 
 Pairwise similarity (q26/q28/q38) only yields EDGES; to actually drop
 duplicates a pipeline needs components ("this group of documents is one
-cluster; keep the canonical member"). This module implements min-label
-propagation over the undirected pair graph:
+cluster; keep the canonical member"). Two algorithms, one contract —
+every vertex labeled with the smallest vertex id in its component:
 
-    label(v) ← min(label(v), min over neighbors' labels)
-
-iterated to fixpoint — each vertex ends with the smallest vertex id in
-its component, a deterministic canonical representative.
+- ``algorithm="star"`` (default): alternating large-star/small-star
+  contraction (Kiveris et al., "Connected Components in MapReduce and
+  Beyond"). Each phase is one join (edges ⋈ per-node neighborhood min)
+  + one distinct — hash-partitioned on vertex id. Round count is
+  O(log diameter): a path of 2^k nodes needs ~k rounds, and the
+  star-shaped dup clusters boilerplate-heavy corpora actually produce
+  collapse in ~2 rounds REGARDLESS of cluster size.
+- ``algorithm="propagation"``: min-label propagation
+  (label(v) ← min(label(v), neighbors' labels) to fixpoint). One join
+  + one groupBy-min per round, but round count equals the component
+  DIAMETER — kept for its simplicity and as the differential-test twin.
 
 Scale notes:
-- Each iteration is one join (labels ⋈ edges) + one groupBy-min — both
-  hash-partitioned on vertex id, partial-aggregated map-side. The edge
-  set never grows (unlike closure-based formulations).
-- Iteration count = component DIAMETER, and near-dup clusters are
-  short-diameter by construction (dup groups, not long chains), so the
-  loop converges in a handful of rounds; ``max_iter`` bounds
-  pathological chains. The large-star/small-star algorithm (Kiveris et
-  al., "Connected Components in MapReduce and Beyond") halves diameters
-  per round and is the drop-in refinement if a corpus ever shows long
-  chains.
-- Labels are ``localCheckpoint``ed EVERY round. This is not optional
-  hygiene: the labels plan references its predecessor three times
-  (messages, union, convergence join), so the un-truncated logical
-  plan grows ~3^i and Catalyst ANALYSIS — pure driver-side work —
-  dominates by round 3 (measured 83 s/round at sf0.1 with truncation
-  every 5 rounds; ~0.3 s/round truncating eagerly). Checkpointed
-  state is bounded: one (id, label) row per vertex.
-- Convergence is detected via a count of changed labels — one cheap
-  job per iteration over (id, label) pairs only.
+- Both phases/rounds shuffle only (vertex, vertex) pairs; the edge set
+  never grows beyond the input size in the star algorithm (each phase
+  emits at most one edge per input edge, then dedupes).
+- State is ``localCheckpoint``ed EVERY round. This is not optional
+  hygiene: the round's plan references its predecessor several times
+  (phase join, convergence anti-join), so the un-truncated logical
+  plan grows geometrically and Catalyst ANALYSIS — pure driver-side
+  work — dominates by round 3 (measured 83 s/round at sf0.1 with
+  truncation every 5 rounds; ~0.3 s/round truncating eagerly).
+- Convergence checks are cheap jobs over (vertex, vertex) pairs only:
+  the star variant stops when the canonical edge set is unchanged
+  (count equality + one limit-1 anti-join probe), propagation when no
+  label changed.
 """
 
 from __future__ import annotations
@@ -43,16 +44,120 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 20,
+    algorithm: str = "star",
 ) -> DataFrame:
     """(id, cluster_id) for every vertex of the undirected edge set;
     ``cluster_id`` is the minimum vertex id in the component."""
+    labels, _rounds = _cc_with_rounds(edges, src_col, dst_col, max_iter, algorithm)
+    return labels
+
+
+def _cc_with_rounds(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_iter: int,
+    algorithm: str,
+) -> tuple[DataFrame, int]:
+    """Internal: also returns the number of rounds run (the convergence
+    anchor the planted-fixture tests assert on)."""
+    if algorithm == "star":
+        return _cc_star(edges, src_col, dst_col, max_iter)
+    if algorithm == "propagation":
+        return _cc_propagation(edges, src_col, dst_col, max_iter)
+    raise ValueError(f"algorithm must be 'star' or 'propagation': {algorithm}")
+
+
+def _canonical(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Undirected edge set as distinct (lo, hi) pairs, self-loops
+    dropped."""
+    a, b = F.col(src_col), F.col(dst_col)
+    return (
+        edges.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def _neighborhood_min(sym: DataFrame) -> DataFrame:
+    """(node, m): m = min(node ∪ neighbors) from a symmetric edge
+    frame with columns (node, nbr)."""
+    return sym.groupBy("node").agg(
+        F.least(F.col("node"), F.min("nbr")).alias("m")
+    )
+
+
+def _cc_star(
+    edges: DataFrame, src_col: str, dst_col: str, max_iter: int
+) -> tuple[DataFrame, int]:
+    cur = _canonical(edges, src_col, dst_col).localCheckpoint()
+    nodes = (
+        cur.select(F.col("lo").alias("id"))
+        .union(cur.select(F.col("hi").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    n_cur = cur.count()
+    for _ in range(max_iter):
+        rounds += 1
+        # LARGE-STAR: center u, m = min(Γ(u) ∪ {u}); emit (v, m) for
+        # every neighbor v > u. In canonical form each edge (lo, hi)
+        # emits exactly (hi, m(lo)); m ≤ lo < hi so no self-loops.
+        sym = cur.select(
+            F.col("lo").alias("node"), F.col("hi").alias("nbr")
+        ).union(cur.select(F.col("hi").alias("node"), F.col("lo").alias("nbr")))
+        large = (
+            cur.join(
+                _neighborhood_min(sym).withColumnRenamed("node", "lo"), "lo"
+            )
+            .select(F.col("m").alias("lo"), F.col("hi").alias("hi"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # SMALL-STAR: center u over its SMALLER neighbors N⁻(u),
+        # m = min(N⁻(u)); emit (v, m) for v ∈ N⁻(u) \ {m} and (u, m).
+        # Directed larger→smaller is exactly (hi → lo) in canonical
+        # form, so m(hi) = min of its lo-side neighbors.
+        small_m = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        nxt = (
+            large.join(small_m, "hi")
+            .select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .union(small_m.select(F.col("m").alias("lo"), F.col("hi")))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            diff = (
+                nxt.join(cur, ["lo", "hi"], "left_anti").limit(1).count()
+            )
+            if diff == 0:
+                cur = nxt
+                break
+        cur, n_cur = nxt, n_nxt
+    # At convergence edges are (component_min, v) stars; a vertex's
+    # label is min(self ∪ neighbors). Isolated-from-contraction roots
+    # are covered by the (id, id) union.
+    neigh = cur.select(F.col("hi").alias("id"), F.col("lo").alias("lbl")).union(
+        cur.select(F.col("lo").alias("id"), F.col("lo").alias("lbl"))
+    )
+    labels = (
+        nodes.select("id", F.col("id").alias("lbl"))
+        .union(neigh)
+        .groupBy("id")
+        .agg(F.min("lbl").alias("cluster_id"))
+    )
+    return labels, rounds
+
+
+def _cc_propagation(
+    edges: DataFrame, src_col: str, dst_col: str, max_iter: int
+) -> tuple[DataFrame, int]:
     sym = (
-        edges.select(
-            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-        )
-        .union(
-            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-        )
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
         .persist()
     )
@@ -62,7 +167,9 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # neighbor messages: each edge forwards the source's current
         # label to the destination; min with own label per vertex
         msgs = sym.join(
@@ -87,4 +194,4 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
-    return labels.select("id", F.col("label").alias("cluster_id"))
+    return labels.select("id", F.col("label").alias("cluster_id")), rounds

@@ -131,15 +131,52 @@ def test_connected_components_min_label(spark):
         connected_components,
     )
 
-    # two components: a 7-chain (exercises multi-round propagation and
+    # two components: a 7-chain (exercises multi-round contraction and
     # the localCheckpoint path) and one isolated edge
     edges = [(i, i + 1) for i in range(1, 7)] + [(10, 11)]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {
-        r["id"]: r["cluster_id"]
-        for r in connected_components(df).collect()
-    }
-    assert got == {**{i: 1 for i in range(1, 8)}, 10: 10, 11: 10}
+    for algo in ("star", "propagation"):
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(df, algorithm=algo).collect()
+        }
+        assert got == {**{i: 1 for i in range(1, 8)}, 10: 10, 11: 10}, algo
+
+
+def test_connected_components_star_fast_on_planted_star(spark):
+    """A planted dup-cluster star (the shape boilerplate-heavy corpora
+    produce): alternating star contraction converges in ~2 rounds
+    REGARDLESS of cluster size; label propagation needs an extra round
+    for every hop the min label travels."""
+    from nessus_client_etl_scripts_spark.operators.graph import _cc_with_rounds
+
+    # star centered at the HIGHEST id (worst case for the min label:
+    # it must travel leaf -> center -> every other leaf), plus the min
+    # vertex hanging one hop off a leaf to add distance-3 paths
+    center = 500
+    edges = [(center, leaf) for leaf in range(2, 60)] + [(1, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    star_labels, star_rounds = _cc_with_rounds(df, "src", "dst", 20, "star")
+    prop_labels, prop_rounds = _cc_with_rounds(df, "src", "dst", 20, "propagation")
+    want = {r["id"]: r["cluster_id"] for r in prop_labels.collect()}
+    got = {r["id"]: r["cluster_id"] for r in star_labels.collect()}
+    assert got == want
+    assert set(got.values()) == {1}
+    assert star_rounds <= 3
+    assert star_rounds < prop_rounds
+
+
+def test_connected_components_star_log_rounds_on_path(spark):
+    """A 33-node path — worst case for propagation (rounds = diameter);
+    star contraction halves path lengths per round (O(log n))."""
+    from nessus_client_etl_scripts_spark.operators.graph import _cc_with_rounds
+
+    edges = [(i, i + 1) for i in range(1, 33)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    labels, rounds = _cc_with_rounds(df, "src", "dst", 40, "star")
+    got = {r["id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 1 for i in range(1, 34)}
+    assert rounds <= 8  # log-ish, far under the 32-round diameter
 
 
 def test_mixture_resample_copies_and_determinism(spark):
