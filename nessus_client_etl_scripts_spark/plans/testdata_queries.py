@@ -1135,3 +1135,39 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit(ev, "user_id", "events").unionAll(
         audit(cust, "c_custkey", "customer")
     )
+
+
+@register(
+    "q90_backfill_lookback",
+    """
+WITH anchor AS (
+  SELECT COALESCE(MAX(CAST(ts AS DATE)), DATE '1970-01-01') AS wm FROM events
+)
+SELECT CAST(ts AS DATE) AS run_date,
+       COUNT(*) AS n_runs,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events, anchor
+WHERE event_type = 'purchase'
+  AND CAST(ts AS DATE) >= wm - INTERVAL 30 DAY
+GROUP BY CAST(ts AS DATE)
+""",
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 lookback/backfill mode — the export_last_month variant
+    (/root/reference/export_last_month.py:208,225): the freshness floor
+    is NOT a sink watermark but today − N days (F6 date arithmetic),
+    and everything completed on/after it is re-exported. Anchored to
+    the max event date so the query is deterministic at any sf; the
+    floor is computed IN-PLAN (1-row watermark frame broadcast onto the
+    fact scan — same shape run_export(mode='lookback') uses, where the
+    write is exercised by the pipeline unit tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = max_date_watermark(ev, F.col("ts").cast("date"))
+    floor = anchor.select(F.date_sub("watermark", 30).alias("floor"))
+    fresh = ev.crossJoin(F.broadcast(floor)).filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts").cast("date") >= F.col("floor"))
+    )
+    return fresh.groupBy(F.col("ts").cast("date").alias("run_date")).agg(
+        F.count(F.lit(1)).alias("n_runs"), dsum("value", "total_value")
+    )
