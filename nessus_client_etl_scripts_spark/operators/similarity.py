@@ -107,26 +107,80 @@ def _hyperplanes(bits: int, dim: int, seed: int = 0x5EED) -> list[list[float]]:
     return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
-def hyperplane_sketch(vec: Column | str, bits: int = 8, dim: int = 64) -> Column:
-    """Random-hyperplane sign sketch: bit j = sign(v · h_j), h_j a
-    deterministic literal array (reproducible across runs/executors,
-    no per-row hyperplane recomputation).
+def _bit_dots(vec: Column | str, bits: int = 8, dim: int = 64) -> Column:
+    """array<double> of the per-hyperplane dot products v · h_j —
+    the shared primitive under the sign sketch AND multi-probe bucket
+    generation (the |dot| is exactly the confidence of bit j: small
+    magnitude = the vector sits near that hyperplane, so flipping that
+    bit probes the most promising neighbor bucket).
 
     Pass an ALREADY-MATERIALIZED double-array column attribute: lambda
     bodies re-evaluate non-attribute expressions per element × per bit
     (see dedup.shingles_from_tokens for the rule)."""
     v = _as_double(vec)
-    out = F.lit(0).cast("long")
-    for j, plane in enumerate(_hyperplanes(bits, dim)):
-        h = F.array(*[F.lit(x) for x in plane])  # constant-folded
-        dotp = F.aggregate(
-            F.zip_with(v, h, lambda x, y: F.coalesce(x * y, F.lit(0.0))),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        bit = F.when(dotp >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        out = out.bitwiseOR(F.shiftleft(bit, j))
-    return out
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(x) for x in plane]),  # constant-folded
+                    lambda x, y: F.coalesce(x * y, F.lit(0.0)),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            for plane in _hyperplanes(bits, dim)
+        ]
+    )
+
+
+def _bucket_from_dots(dots: Column) -> Column:
+    """Sign-bit bucket id from the per-bit dot array: bit j set iff
+    dots[j] >= 0."""
+    # 2^i via pow (exact in double for i <= 52; bits is <= 32 here) —
+    # F.shiftleft needs a Python-int shift, but i is a lambda Column
+    return F.aggregate(
+        F.transform(
+            dots,
+            lambda d, i: F.when(
+                d >= 0, F.pow(F.lit(2.0), i).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+
+
+def multiprobe_buckets(dots: Column, bucket: Column, probes: int) -> Column:
+    """array<long> of 1 + ``probes`` bucket ids: the exact bucket plus
+    the buckets reached by flipping each of the ``probes``
+    least-confident bits (smallest |v · h_j| — the standard multi-probe
+    LSH recall lever when 2^bits buckets over-prune; Lv et al.,
+    "Multi-Probe LSH", VLDB'07). All ids are distinct (each flip XORs a
+    different bit), so downstream candidate pairs never duplicate."""
+    flips = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    dots, lambda d, i: F.struct(F.abs(d).alias("a"), i.alias("i"))
+                )
+            ),
+            1,
+            probes,
+        ),
+        lambda s: bucket.bitwiseXOR(F.pow(F.lit(2.0), s["i"]).cast("long")),
+    )
+    return F.concat(F.array(bucket), flips)
+
+
+def hyperplane_sketch(vec: Column | str, bits: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane sign sketch: bit j = sign(v · h_j), h_j a
+    deterministic literal array (reproducible across runs/executors,
+    no per-row hyperplane recomputation).
+
+    Pass an ALREADY-MATERIALIZED double-array column attribute (see
+    :func:`_bit_dots`)."""
+    return _bucket_from_dots(_bit_dots(vec, bits, dim))
 
 
 def lsh_topk(
@@ -136,18 +190,46 @@ def lsh_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: equi-join on the hyperplane bucket, exact
     cosine within the bucket. At 100 TB the bucket key shrinks the
-    candidate pair space by ~2^bits; multi-probe (flipping one bit) can
-    recover recall — left as a parameter sweep for tuning."""
+    candidate pair space by ~2^bits; ``probes`` > 0 additionally probes
+    the buckets one bit-flip away on the query's least-confident bits
+    (multi-probe LSH) — the standard recall lever when 2^bits buckets
+    over-prune, at (1 + probes)× the candidate volume. Corpus vectors
+    still index into exactly ONE bucket, so the corpus-side layout (and
+    a persisted corpus index) is probe-count-independent."""
     from ..catalog import spread_for_compute
 
     # stage the double-cast vector first; the sketch reads the staged
     # attribute so the cast-transform runs once, not per bit×component
-    q = queries.select(
+    q_staged = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).select("query_id", "qv", hyperplane_sketch(F.col("qv"), bits).alias("bucket"))
+    )
+    if probes > 0:
+        q = (
+            q_staged.select(
+                "query_id", "qv", _bit_dots(F.col("qv"), bits).alias("dots")
+            )
+            .select(
+                "query_id",
+                "qv",
+                "dots",
+                _bucket_from_dots(F.col("dots")).alias("b0"),
+            )
+            .select(
+                "query_id",
+                "qv",
+                F.explode(
+                    multiprobe_buckets(F.col("dots"), F.col("b0"), probes)
+                ).alias("bucket"),
+            )
+        )
+    else:
+        q = q_staged.select(
+            "query_id", "qv", hyperplane_sketch(F.col("qv"), bits).alias("bucket")
+        )
     c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     ).select("neighbor_id", "cv", hyperplane_sketch(F.col("cv"), bits).alias("bucket"))

@@ -246,6 +246,66 @@ def test_codebook_ivf_exact_when_single_cell(spark):
     assert ivf == brute
 
 
+def test_lsh_multiprobe_recall_uplift(spark):
+    """Multi-probe (1-bit-flip on the least-confident bits) must
+    strictly improve recall vs single-bucket LSH at the same bits, and
+    stay a subset of exact cosine scoring (candidates only change, the
+    scoring stays exact)."""
+    from nessus_client_etl_scripts_spark.catalog import load_table
+    from nessus_client_etl_scripts_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 30)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    def recall(probes):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_topk(emb, queries, k=5, bits=8, probes=probes).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r0, r2 = recall(0), recall(2)
+    assert 0 < r0 < 1  # 8-bit buckets over-prune on this fixture
+    assert r2 > r0  # the probes recover real neighbors, not noise
+
+
+def test_multiprobe_buckets_distinct_and_flip_one_bit(spark):
+    """Each probe bucket differs from the exact bucket in exactly one
+    bit and all probe ids are distinct."""
+    from nessus_client_etl_scripts_spark.operators.similarity import (
+        _as_double,
+        _bit_dots,
+        _bucket_from_dots,
+        multiprobe_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + d * 3) % 13) - 6.0 for d in range(16)]) for i in range(8)],
+        ["vec_id", "embedding"],
+    )
+    staged = df.select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).select("vec_id", _bit_dots("v", bits=6, dim=16).alias("dots"))
+    out = staged.select(
+        "vec_id",
+        _bucket_from_dots(F.col("dots")).alias("b0"),
+        multiprobe_buckets(F.col("dots"), _bucket_from_dots(F.col("dots")), 3).alias(
+            "bs"
+        ),
+    ).collect()
+    for r in out:
+        assert len(r.bs) == 4 == len(set(r.bs))
+        assert r.bs[0] == r.b0
+        for probe in r.bs[1:]:
+            assert bin(probe ^ r.b0).count("1") == 1
+
+
 def test_codebook_ivf_arrow_matches_literal(spark):
     """The Arrow-matmul assignment (scale path) and the literal-
     expression assignment (oracle twin) must return identical rows —
