@@ -74,6 +74,7 @@ def merge_upsert(
     key_cols: Sequence[str],
     set_cols: Sequence[str],
     delete_col: str | None = None,
+    check_unique: bool = True,
 ) -> DataFrame:
     """MERGE INTO semantics on plain DataFrames (no Delta/Iceberg
     required): rows matched by key take the update's ``set_cols``
@@ -82,12 +83,49 @@ def merge_upsert(
     carry unchanged; with ``delete_col`` set, matched updates whose
     flag is true DELETE the target row.
 
+    ``updates`` must be UNIQUE on ``key_cols`` — SQL MERGE raises when
+    multiple source rows match one target row, and so does this
+    operator: ``check_unique=True`` (default) plants an in-plan
+    ``raise_error`` behind a per-key count window on the updates side,
+    so a duplicate key fails the job AT EXECUTION, distributed, with
+    the offending key in the message — not a silent full-outer-join
+    fan-out that duplicates target rows. The window shuffles only the
+    (dimension-sized) updates frame on the same key the join shuffles
+    on. Pass ``check_unique=False`` only when uniqueness is already
+    guaranteed upstream (e.g. the updates frame is itself a groupBy
+    on the keys).
+
     One full-outer join hash-partitioned on the keys + row-local
     coalesce resolution — the standard shuffle-once upsert. In a
     lakehouse deployment the result overwrites the target's changed
     partitions (write_partitioned's dynamic overwrite); the resolve
     logic here is exactly what MERGE INTO compiles to.
     """
+    if check_unique:
+        from pyspark.sql import Window
+
+        wk = Window.partitionBy(*[F.col(k) for k in key_cols])
+        updates = (
+            updates.withColumn("_kcnt", F.count(F.lit(1)).over(wk))
+            .filter(
+                F.when(
+                    F.col("_kcnt") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "merge_upsert: multiple update rows match "
+                                "key ("
+                            ),
+                            F.concat_ws(
+                                ",", *[F.col(k).cast("string") for k in key_cols]
+                            ),
+                            F.lit(") — MERGE requires a unique source"),
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+            .drop("_kcnt")
+        )
     t = target.select(
         *[F.col(k) for k in key_cols],
         *[

@@ -189,9 +189,13 @@ def scalable_cumsum(
     partitions; a tiny per-partition stats job (P rows) is collected
     and prefix-summed on the driver into broadcast offsets; each
     partition then computes its local running sum in parallel and adds
-    its offset. Both jobs recompute the range exchange with identical
-    deterministically-seeded boundaries (the zipWithIndex stability
-    argument).
+    its offset. The staged frame is ``localCheckpoint``ed BEFORE the
+    stats job: the offsets are keyed by physical partition id, so the
+    frame the final join reads must be the SAME materialization the
+    stats were collected from — re-executing the exchange against a
+    non-deterministic upstream (changed file listing order, a
+    recomputed shuffle) could silently reassign rows to partitions and
+    corrupt the offsets.
 
     Matches SQL ``SUM(val) OVER (ORDER BY order_cols ROWS UNBOUNDED
     PRECEDING)`` exactly for integer-typed ``val_col`` (float prefix
@@ -199,12 +203,19 @@ def scalable_cumsum(
     from pyspark.sql import types as T
 
     spark = df.sparkSession
-    num = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
+    if num_partitions:
+        num = num_partitions
+    else:
+        # the conf may be 'auto' under AQE-managed shuffles
+        try:
+            num = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num = spark.sparkContext.defaultParallelism
+    staged = (
+        df.repartitionByRange(num, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    staged = df.repartitionByRange(
-        num, *[F.col(c) for c in order_cols]
-    ).withColumn("_pid", F.spark_partition_id())
 
     stats = sorted(
         staged.groupBy("_pid").agg(F.sum(val_col).alias("s")).collect(),

@@ -57,13 +57,18 @@ def _fixture_payloads(options: dict) -> dict[str, str] | None:
 class NessusRunsReader(DataSourceReader):
     def __init__(self, options: dict):
         self.options = options
+        # parse the fixture ONCE here: the reader object (including
+        # this dict) is pickled to executors, so per-task read() calls
+        # must not re-parse the entire fixture JSON (O(runs x
+        # payload_bytes) redundant work per task otherwise)
+        self._fixture = _fixture_payloads(options)
 
     def partitions(self) -> list[InputPartition]:
         """Driver-side run discovery: one partition per completed scan
         run — the unit of the reference's per-run loop
         (export.py:225-238). The listing is entity-scale (small); the
         payloads are what fan out."""
-        fx = _fixture_payloads(self.options)
+        fx = self._fixture
         if fx is not None:
             runs = json.loads(fx["runs"])
         else:  # pragma: no cover — needs network
@@ -75,7 +80,7 @@ class NessusRunsReader(DataSourceReader):
         per-run retry; failed fetches fail loudly (the reference's
         fire-and-forget upload swallowed errors — export.py:102-103 —
         which SURVEY.md §2.1 S4 explicitly drops)."""
-        fx = _fixture_payloads(self.options)
+        fx = self._fixture
         key = f"scan_run_{partition.scan_id}_{partition.history_id}"
         if fx is not None:
             payload = fx[key]

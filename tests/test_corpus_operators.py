@@ -62,6 +62,19 @@ def test_minhash_lsh_finds_near_dups_not_far(corpus):
     assert not any(3 in p for p in pairs)  # unrelated doc stays alone
 
 
+def test_minhash_materialize_does_not_leak_cache(corpus, spark):
+    """materialize_signatures=True must not leave a cached frame behind
+    (repeat invocations — bench passes, gate runs — would accumulate
+    session-lifetime caches otherwise)."""
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    out = minhash_lsh_candidates(
+        corpus, num_hashes=64, bands=16, materialize_signatures=True
+    )
+    assert out.count() > 0
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before + 1  # only the localCheckpointed candidates
+
+
 def test_ngram_jaccard_scores(corpus):
     out = {
         (r.doc_a, r.doc_b): r.jaccard

@@ -219,3 +219,27 @@ def test_merge_upsert_semantics(spark):
         2: ("B", "y"),      # updated val, carried extra
         4: ("d", None),     # inserted; target-only column null
     }
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark):
+    """SQL MERGE raises when multiple source rows match one target row;
+    the DataFrame twin must fail the same way, not silently fan out."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from nessus_client_etl_scripts_spark.operators.scd import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], ["k", "val"])
+    dup_updates = spark.createDataFrame(
+        [(1, "B"), (1, "C")], ["k", "val"]
+    )
+    merged = merge_upsert(target, dup_updates, key_cols=["k"], set_cols=["val"])
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        merged.collect()
+    # opting out restores the raw fan-out for pre-deduped sources
+    rows = merge_upsert(
+        target, dup_updates, key_cols=["k"], set_cols=["val"],
+        check_unique=False,
+    ).collect()
+    assert len(rows) == 2
