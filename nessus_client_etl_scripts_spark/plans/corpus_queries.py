@@ -9,7 +9,7 @@ form uses xxhash64 (no DuckDB equivalent) are registered rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1016,13 +1016,14 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 @register("q55_dedup_clusters", _q55_oracle())
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the q26 Jaccard
-    pair graph (operators/graph.py — min-label propagation to
-    fixpoint), giving each document the minimum doc_id of its
-    component as a deterministic canonical representative. This is the
-    step that turns pairwise similarity into keep/drop decisions. The
-    oracle computes the same components via recursive transitive
-    closure — an independent formulation, so a propagation bug cannot
-    cancel out.
+    pair graph (operators/graph.py — alternating large-star/small-star
+    contraction, O(log diameter) rounds; star-shaped dup clusters
+    collapse in ~2 regardless of size), giving each document the
+    minimum doc_id of its component as a deterministic canonical
+    representative. This is the step that turns pairwise similarity
+    into keep/drop decisions (q93 resolves them). The oracle computes
+    the same components via recursive transitive closure — an
+    independent formulation, so a contraction bug cannot cancel out.
 
     Threshold 0.3, deliberately tighter than exploratory q26 (0.01):
     the corpus's jaccard distribution is bimodal — true near-dups sit
@@ -1857,4 +1858,120 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_langs",
         ((n2 - F.col("sum_sq")).cast("double") / n2).alias("lang_gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q92 — deterministic global training-order shuffle
+# ---------------------------------------------------------------------------
+
+_Q92_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+@register("q92_training_shuffle", _Q92_ORACLE)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order for training epochs: every
+    doc gets a seeded pseudo-random key (48-bit md5 prefix of
+    seed:doc_id — reproducible across runs, engines, and retries; a
+    new seed per epoch gives a fresh permutation) and its GLOBAL
+    position in that order. The position comes from the distributed
+    two-phase rank (operators/windows.py::two_phase_rank with a
+    constant group), NOT a partition-less ``row_number() OVER (ORDER
+    BY ...)`` that would funnel 100 TB through one task — data-loader
+    shards then read contiguous pos ranges."""
+    from ..operators.windows import two_phase_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string"))), 1, 12),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("shuffle_key"),
+        F.lit(0).alias("_all"),
+    )
+    ranked = two_phase_rank(
+        keyed, part_col="_all", val_col="shuffle_key", key_col="doc_id",
+        rank_col="pos",
+    )
+    return ranked.select("doc_id", "shuffle_key", F.col("pos").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q93 — near-dup cluster RESOLUTION (the keep/drop decision)
+# ---------------------------------------------------------------------------
+
+
+def _q93_oracle() -> str:
+    return f"""
+WITH RECURSIVE jp AS ({_jaccard_pairs_sql(0.3)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jp
+), reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a AS id, r.r AS r FROM edges e JOIN reach r ON e.b = r.id
+), comp AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+), labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id,
+       row_number() OVER (
+         PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1 AS keep
+FROM labeled
+"""
+
+
+@register("q93_dedup_resolve", _q93_oracle())
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the dedup story: q55's clusters resolved to keep/drop
+    decisions over the FULL corpus — per cluster keep the best member
+    (longest text, doc_id tiebreak); documents in no cluster keep
+    themselves. Output is one row per document, the exact shape a
+    training-data filter consumes.
+
+    Scale shape: components only exist for documents that appear in a
+    similarity pair (sparse by construction), so the components frame
+    is small relative to the corpus and the label join broadcasts or
+    AQE-shuffles cheaply; the keep choice is a window over cluster_id —
+    fine-grained keys, every core busy."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, block_cols=("lang",), k=3, threshold=0.3, max_df=1000
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    labeled = docs.select("doc_id", "n_chars").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("keep"),
     )
