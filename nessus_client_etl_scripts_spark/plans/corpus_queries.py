@@ -1975,3 +1975,68 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 — int8 embedding quantization + reconstruction error
+# ---------------------------------------------------------------------------
+
+_Q94_ORACLE = """
+WITH staged AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), scaled AS (
+  SELECT vec_id, v,
+         greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-12)
+           AS scale
+  FROM staged
+), recon AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> x - round(x / scale) * scale) AS r,
+         list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS q
+  FROM scaled
+)
+SELECT vec_id, scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       list_dot_product(r, r) / len(r) AS recon_mse
+FROM recon
+"""
+
+
+@register("q94_embedding_quantize", _Q94_ORACLE)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    standard 4x storage/bandwidth compression for a 100 TB embedding
+    store — with per-vector scale (max|x|/127) and the reconstruction
+    MSE that monitors quantization quality. Pure within-row column
+    algebra (transform + the q27-proven sequential-fold dot), JVM-side,
+    zero shuffle: runs at parquet scan speed. Value-exact against the
+    DuckDB twin including the float division and fold order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    staged = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    scaled = staged.select(
+        "vec_id",
+        "v",
+        F.greatest(
+            F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0),
+            F.lit(1e-12),
+        ).alias("scale"),
+    )
+    recon = scaled.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            "v", lambda x: x - F.round(x / F.col("scale")) * F.col("scale")
+        ).alias("r"),
+        F.transform(
+            "v", lambda x: F.round(x / F.col("scale")).cast("long")
+        ).alias("q"),
+    )
+    return recon.select(
+        "vec_id",
+        "scale",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        (dot(F.col("r"), F.col("r")) / F.size("r")).alias("recon_mse"),
+    )

@@ -124,3 +124,53 @@ def test_export_partition_layout_prunes(spark, tmp_path):
     assert pruned.count() == 31
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from nessus_client_etl_scripts_spark.pipeline.maintenance import (
+        compact_parquet,
+    )
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(40).write.parquet(src)  # plant a small-files mess
+    report = compact_parquet(spark, src, dst, target_mb=128)
+    assert report["files_before"] == 40
+    assert report["files_after"] < 5
+    assert report["rows"] == docs.count()
+    # content survives byte-for-byte (order-insensitive)
+    assert (
+        spark.read.parquet(dst).exceptAll(docs).count() == 0
+        and docs.exceptAll(spark.read.parquet(dst)).count() == 0
+    )
+
+
+def test_compact_parquet_partitioned_layout(spark, tmp_path):
+    from nessus_client_etl_scripts_spark.pipeline.maintenance import (
+        compact_parquet,
+    )
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(20).write.partitionBy("lang").parquet(src)
+    report = compact_parquet(
+        spark, src, dst, target_mb=128, partition_cols=("lang",)
+    )
+    assert report["files_after"] < report["files_before"]
+    out = spark.read.parquet(dst)
+    assert out.count() == docs.count()
+    # partition layout preserved for pruning
+    assert sorted(
+        r["lang"] for r in out.select("lang").distinct().collect()
+    ) == sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+
+
+def test_compact_parquet_rejects_in_place(spark, tmp_path):
+    import pytest
+
+    from nessus_client_etl_scripts_spark.pipeline.maintenance import (
+        compact_parquet,
+    )
+
+    with pytest.raises(ValueError):
+        compact_parquet(spark, str(tmp_path), str(tmp_path))
