@@ -126,3 +126,51 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     # and the result is correct: only part_key 0 and 1 survive
     assert joined.count() == 800
+
+
+def test_q94_quantize_is_shuffle_free(spark):
+    # within-row column algebra must compile to a scan-only plan:
+    # no Exchange, no Python UDF evaluation node
+    plan = _plan(spark, "q94_embedding_quantize")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_q92_shuffle_has_no_global_single_partition_window(spark):
+    # the global position must come from the two-phase rank, never a
+    # partition-less Window.orderBy (SinglePartition funnel)
+    plan = _plan(spark, "q92_training_shuffle")
+    assert "SinglePartition" not in plan, plan
+
+
+def test_multiprobe_lsh_broadcasts_query_side(spark):
+    # probes > 0 triples the probe rows but the corpus side must still
+    # stream (broadcast join, no corpus shuffle)
+    from nessus_client_etl_scripts_spark.catalog import load_table
+    from nessus_client_etl_scripts_spark.operators.similarity import lsh_topk
+
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    df = lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, probes=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_codebook_ivf_arrow_assignment_has_no_literal_centroids(spark):
+    # the serving path's plan must not inline the codebook as
+    # expressions — assignment happens inside the Arrow UDF
+    from nessus_client_etl_scripts_spark.catalog import load_table
+    from nessus_client_etl_scripts_spark.operators.similarity import (
+        _hyperplanes,
+        codebook_ivf_topk,
+    )
+
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    df = codebook_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), _hyperplanes(16, 64, seed=2), k=3
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan
