@@ -531,10 +531,11 @@ WITH base AS (
          CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy
   FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag, n,
-       (n * sxy - sx * sy)
-         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+       round((n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 1e9) / 1e9
          AS corr_qty_price,
-       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS ols_slope
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6) / 1e6
+         AS ols_slope
 FROM base
 """
 
@@ -546,10 +547,18 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so two engines (or two runs with different partitioning)
     disagree in the last bits; instead the five moment sums run through
     exact DECIMAL partial aggregation (order-free), and the closed-form
-    combination is a FIXED expression tree of IEEE ops evaluated
-    identically by both engines. One shuffle of |groups| x 7 cells;
-    decimal(18,4) per-value bounds hold (price^2 < 1.2e10), and Spark
-    widens the sum accumulator to decimal(28,4) automatically."""
+    combination is a fixed expression tree of IEEE ops. One shuffle of
+    |groups| x 7 cells; decimal(18,4) per-value bounds hold (price^2 <
+    1.2e10), and Spark widens the sum accumulator to decimal(28,4)
+    automatically.
+
+    The emitted statistics are quantized (1e-9 for corr, 1e-6 for the
+    slope): the ``a*b - c*d`` moment combination is contractible to FMA
+    by a C++ engine's codegen while the JVM never contracts, so the
+    raw doubles can disagree in the last ulp (observed at sf0.001);
+    ``round(x*10^k)/10^k`` collapses both to the same representable
+    value with ~10^-9 boundary-collision odds, keeping the oracle
+    value-exact at every sf."""
     li = load_table(spark, sf_dir, "lineitem")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     base = li.groupBy("l_returnflag").agg(
@@ -563,13 +572,13 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     num = n * sxy - sx * sy
+    corr = num / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    slope = num / (n * sxx - sx * sx)
     return base.select(
         "l_returnflag",
         "n",
-        (num / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
-            "corr_qty_price"
-        ),
-        (num / (n * sxx - sx * sx)).alias("ols_slope"),
+        (F.round(corr * F.lit(1e9)) / F.lit(1e9)).alias("corr_qty_price"),
+        (F.round(slope * F.lit(1e6)) / F.lit(1e6)).alias("ols_slope"),
     )
 
 
