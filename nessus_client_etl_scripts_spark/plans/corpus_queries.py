@@ -1997,7 +1997,7 @@ WITH staged AS (
 )
 SELECT vec_id, scale,
        CAST(list_sum(q) AS BIGINT) AS q_sum,
-       list_dot_product(r, r) / len(r) AS recon_mse
+       round(list_dot_product(r, r) / len(r) * 1e12) / 1e12 AS recon_mse
 FROM recon
 """
 
@@ -2009,8 +2009,9 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     store — with per-vector scale (max|x|/127) and the reconstruction
     MSE that monitors quantization quality. Pure within-row column
     algebra (transform + the q27-proven sequential-fold dot), JVM-side,
-    zero shuffle: runs at parquet scan speed. Value-exact against the
-    DuckDB twin including the float division and fold order."""
+    zero shuffle: runs at parquet scan speed. The MSE is quantized at
+    1e-12 — its per-element ``x - q*s`` is the FMA-contractible shape
+    that bit q64 (see PLANS.md cross-engine float rule #2)."""
     emb = load_table(spark, sf_dir, "embeddings")
     staged = emb.select(
         "vec_id",
@@ -2034,9 +2035,10 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", lambda x: F.round(x / F.col("scale")).cast("long")
         ).alias("q"),
     )
+    mse = dot(F.col("r"), F.col("r")) / F.size("r")
     return recon.select(
         "vec_id",
         "scale",
         F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
-        (dot(F.col("r"), F.col("r")) / F.size("r")).alias("recon_mse"),
+        (F.round(mse * F.lit(1e12)) / F.lit(1e12)).alias("recon_mse"),
     )
