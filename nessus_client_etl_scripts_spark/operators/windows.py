@@ -30,8 +30,16 @@ def nth_per_group(
     last ``order_by`` element (e.g. ``F.desc('scan_run_id')``).
 
     Scale: one hash shuffle on ``partition_by``; with AQE the partition
-    count adapts to the data. No driver-side iteration.
+    count adapts to the data. No driver-side iteration. With NO
+    partition columns (the global-nth case) the input is first cut to
+    the top ``offset + 1`` rows via ``orderBy().limit()`` —
+    TakeOrderedAndProject, a parallel per-partition top-k + merge — so
+    the unavoidable single-partition window sees a bounded handful of
+    rows no matter how large the input, instead of sorting the whole
+    frame into one task.
     """
+    if not partition_by:
+        df = df.orderBy(*order_by).limit(offset + 1)
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return (
         df.withColumn(rank_col, F.row_number().over(w))

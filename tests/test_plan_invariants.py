@@ -174,3 +174,11 @@ def test_codebook_ivf_arrow_assignment_has_no_literal_centroids(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan, plan
+
+
+def test_q04_global_nth_bounded_by_take_ordered(spark):
+    # the global latest-run lookup must cut to top-k via
+    # TakeOrderedAndProject before its single-partition window — the
+    # window then sees <= offset+1 rows at ANY input size
+    plan = _plan(spark, "q04_scan_results_single")
+    assert "TakeOrderedAndProject" in plan, plan
