@@ -2042,3 +2042,88 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
         (F.round(mse * F.lit(1e12)) / F.lit(1e12)).alias("recon_mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — multi-probe LSH top-k (the recall lever, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def _q95_oracle(bits: int = 6, dim: int = 64, probes: int = 2, k: int = 5) -> str:
+    """DuckDB twin of lsh_topk(probes>0): same literal hyperplanes as
+    q32's oracle, plus per-bit |dot| confidence ranking and XOR bit
+    flips for the probe buckets (ties on |dot| break by bit index,
+    matching the (abs, index) struct sort Spark side)."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(bits, dim)
+
+    def pl(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    bucket = "\n       + ".join(
+        f"(CASE WHEN list_dot_product(v, {pl(plane)}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    bit_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT query_id, qv, bucket, {j} AS j, "
+        f"abs(list_dot_product(qv, {pl(plane)})) AS abs_dot FROM q"
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v,
+       {bucket} AS bucket
+  FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b
+), qbits AS (
+  {bit_rows}
+), ranked_bits AS (
+  SELECT query_id, qv, bucket, j,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY abs_dot, j) AS conf_rank
+  FROM qbits
+), probes AS (
+  SELECT query_id, qv, bucket FROM q
+  UNION ALL
+  SELECT query_id, qv, xor(bucket, 1 << j) AS bucket
+  FROM ranked_bits WHERE conf_rank <= {probes}
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS score
+  FROM c JOIN probes USING (bucket) WHERE query_id != neighbor_id
+), final AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM final WHERE rank <= {k}
+"""
+
+
+@register("q95_lsh_multiprobe_topk", _q95_oracle())
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH top-k: besides its exact bucket each
+    query probes the buckets one bit-flip away on its 2 least-confident
+    bits (smallest |v·h_j| — the vector sits nearest those
+    hyperplanes), recovering recall that 2^bits bucketing prunes away
+    at (1+probes)x candidate volume. Corpus vectors still index into
+    exactly ONE bucket (probe-count-independent layout). The oracle
+    recomputes confidence ranking, XOR flips, and in-bucket cosine from
+    the same literal hyperplanes — the whole recall lever is
+    value-exact, not just unit-asserted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, bits=6, probes=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
