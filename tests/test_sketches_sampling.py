@@ -264,3 +264,78 @@ def test_exact_dedup_idempotent_and_doubling(spark):
     }
     # union with itself: same keepers, doubled counts
     assert doubled == {k: c * 2 for k, c in once.items()}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_star_equals_propagation(spark, edges):
+    """Differential property: on ARBITRARY graphs (self-loops, dup
+    edges, multiple components, any shape) the star-contraction and
+    label-propagation algorithms must produce identical labelings, and
+    both must agree with a driver-side union-find ground truth."""
+    from nessus_client_etl_scripts_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    star = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, max_iter=40, algorithm="star").collect()
+    }
+    prop = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            df, max_iter=40, algorithm="propagation"
+        ).collect()
+    }
+
+    # ground truth: union-find on the driver
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth_nodes = {v for e in edges for v in e if e[0] != e[1]} | {
+        v for e in edges for v in e
+    }
+    truth = {}
+    for v in truth_nodes:
+        # canonical label = min node id in the component
+        comp = [u for u in truth_nodes if find(u) == find(v)]
+        truth[v] = min(comp)
+
+    # propagation labels every vertex that appears in the symmetric
+    # edge set (incl. self-loop-only vertices); star drops pure
+    # self-loops at canonicalization — compare on the union of keys,
+    # defaulting missing entries to self (an isolated vertex IS its
+    # own cluster)
+    for v in set(star) | set(prop) | set(truth):
+        s = star.get(v, v)
+        p = prop.get(v, v)
+        t = truth.get(v, v)
+        assert s == p == t, (v, s, p, t)
