@@ -209,3 +209,62 @@ def test_streaming_sessions_gap_boundary(spark, tmp_path):
     # event 2 lands exactly at gap → session extends (merge-on-touch);
     # event 3 is 29 min after event 2 → still the same session
     assert rows == {("2024-01-01T00:00:00", 3, 7.0)}
+
+
+def test_watermark_drops_late_event_append_mode(spark, tmp_path):
+    """End-to-end late-data semantics: append mode emits a window once
+    the watermark passes its end, and an event arriving AFTER that
+    horizon is dropped — it must neither re-emit nor update the closed
+    window. Two availableNow RUNS over one checkpoint: the committed
+    watermark (11:45 after run 1) carries into run 2, exactly the
+    incremental-cron deployment shape."""
+    import os
+
+    src = str(tmp_path / "late_ev")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def land(name, rows):
+        with open(f"{src}/{name}", "w") as f:
+            for eid, ts, et, v in rows:
+                f.write(
+                    json.dumps(
+                        {"event_id": eid, "ts": ts, "event_type": et, "value": v}
+                    )
+                    + "\n"
+                )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        ).json(src)
+        q = (
+            windowed_severity_counts(stream, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.window_start.hour: (r.n_events, r.total_value)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # run 1: one event in the 10h window, one at 11:55 → watermark
+    # commits at 11:45, which closes (and emits) the 10h window
+    land("a.json", [(1, "2024-01-01 10:05:00", "a", 1.0),
+                    (2, "2024-01-01 11:55:00", "a", 2.0)])
+    assert run_once() == {10: (1, 1.0)}
+
+    # run 2: a LATE event for the closed 10h window (beyond the
+    # restored watermark — must be dropped, not resurrect or mutate
+    # the emitted window) and an on-time 12:30 event that closes the
+    # 11h window
+    land("b.json", [(3, "2024-01-01 10:20:00", "a", 100.0),
+                    (4, "2024-01-01 12:30:00", "a", 4.0)])
+    # cumulative sink contents: the late 100.0 appears NOWHERE
+    assert run_once() == {10: (1, 1.0), 11: (1, 2.0)}
