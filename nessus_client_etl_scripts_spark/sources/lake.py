@@ -86,3 +86,16 @@ def read_dimension_snapshot(
     if latest is None:  # non-local FS fallback: partition-value scan
         latest = df.select(F.max("snapshot_date").alias("d")).collect()[0].d
     return df.filter(F.col("snapshot_date") == latest)
+
+
+def read_evolved_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Declared-schema read over a lake whose files span SCHEMA
+    VERSIONS (a landed snapshot history where later days gained
+    columns): files missing a declared column yield nulls for it, and
+    columns present on disk but absent from the declaration are pruned
+    at the scan — no ``mergeSchema`` (which is a second footer pass
+    over EVERY file at listing time; at 100 TB that is a full-lake
+    metadata sweep per query). The declared schema IS the contract;
+    evolution happens by widening the declaration, never by paying an
+    inference pass."""
+    return spark.read.schema(schema).parquet(path)
