@@ -106,6 +106,20 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from .pipeline.maintenance import compact_parquet
+
+    report = compact_parquet(
+        _spark(),
+        args.src,
+        args.dst,
+        target_mb=args.target_mb,
+        partition_cols=tuple(args.partition_cols or ()),
+    )
+    print(report)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="nessus_client_etl_scripts_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -146,6 +160,15 @@ def build_parser() -> argparse.ArgumentParser:
             s.add_argument("--plugin-id", type=int, default=None)
         s.add_argument("--offset", type=int, default=0)
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser(
+        "compact", help="rewrite a parquet dataset into target-sized files"
+    )
+    c.add_argument("--src", required=True)
+    c.add_argument("--dst", required=True)
+    c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument("--partition-cols", nargs="*", default=None)
+    c.set_defaults(fn=cmd_compact)
     return p
 
 

@@ -72,3 +72,14 @@ def test_cli_export(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "'scan_run': 4" in out
     assert os.path.isdir(f"{lake}/scan_run/deployment_id=dep-cli")
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    from nessus_client_etl_scripts_spark.__main__ import main
+
+    src, dst = str(tmp_path / "s"), str(tmp_path / "d")
+    spark.range(1000).repartition(20).write.parquet(src)
+    rc = main(["compact", "--src", src, "--dst", dst, "--target-mb", "64"])
+    assert rc == 0
+    assert "files_before" in capsys.readouterr().out
+    assert spark.read.parquet(dst).count() == 1000
