@@ -67,6 +67,13 @@ def brute_force_topk(
     The corpus never shuffles — each task scans its partition once per
     plan, scoring |queries| vectors per row. The per-query rank window
     shuffles only (query_id, neighbor_id, score) triples.
+
+    Cosine norms are precomputed PER ROW before the join (|C| + |Q|
+    norm folds instead of |C| x |Q|): per candidate pair only the
+    cross dot product remains — the per-pair fold count drops 3x. The
+    values are bit-identical to folding both norms inline (same IEEE
+    ops in the same order: sqrt, sqrt, multiply, divide), so the
+    oracle hash is unchanged.
     """
     from ..catalog import spread_for_compute
 
@@ -76,11 +83,12 @@ def brute_force_topk(
     c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     )
-    score = (
-        cosine(F.col("qv"), F.col("cv"))
-        if metric == "cosine"
-        else -l2_distance(F.col("qv"), F.col("cv"))
-    )
+    if metric == "cosine":
+        q = q.withColumn("_qn", l2_norm(F.col("qv")))
+        c = c.withColumn("_cn", l2_norm(F.col("cv")))
+        score = dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
+    else:
+        score = -l2_distance(F.col("qv"), F.col("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", score.alias("score"))
@@ -204,23 +212,27 @@ def lsh_topk(
 
     # stage the double-cast vector first; the sketch reads the staged
     # attribute so the cast-transform runs once, not per bit×component
+    # per-row norms computed once before the bucket join (not per
+    # candidate pair) — see brute_force_topk; values bit-identical
     q_staged = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
+    ).withColumn("_qn", l2_norm(F.col("qv")))
     if probes > 0:
         q = (
             q_staged.select(
-                "query_id", "qv", _bit_dots(F.col("qv"), bits).alias("dots")
+                "query_id", "qv", "_qn", _bit_dots(F.col("qv"), bits).alias("dots")
             )
             .select(
                 "query_id",
                 "qv",
+                "_qn",
                 "dots",
                 _bucket_from_dots(F.col("dots")).alias("b0"),
             )
             .select(
                 "query_id",
                 "qv",
+                "_qn",
                 F.explode(
                     multiprobe_buckets(F.col("dots"), F.col("b0"), probes)
                 ).alias("bucket"),
@@ -228,18 +240,26 @@ def lsh_topk(
         )
     else:
         q = q_staged.select(
-            "query_id", "qv", hyperplane_sketch(F.col("qv"), bits).alias("bucket")
+            "query_id", "qv", "_qn",
+            hyperplane_sketch(F.col("qv"), bits).alias("bucket"),
         )
     c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).select("neighbor_id", "cv", hyperplane_sketch(F.col("cv"), bits).alias("bucket"))
+    ).select(
+        "neighbor_id",
+        "cv",
+        l2_norm(F.col("cv")).alias("_cn"),
+        hyperplane_sketch(F.col("cv"), bits).alias("bucket"),
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("score"),
+            (
+                dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -418,10 +438,10 @@ def ivf_topk(
     # the persisted iterations
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    )
+    ).withColumn("_cn", l2_norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
+    ).withColumn("_qn", l2_norm(F.col("qv")))
     c_assign = c.select(
         "neighbor_id",
         F.element_at(_probe_udf(cents, 1)("cv"), 1).alias("centroid_id"),
@@ -436,13 +456,17 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # per-row norms ride the (id, vec) projections; each candidate
+    # pair costs one cross-dot fold, not three (see brute_force_topk)
     scored = (
         candidates.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("score"),
+            (
+                dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -496,29 +520,35 @@ def codebook_ivf_topk(
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    )
+    ).withColumn("_cn", l2_norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
+    ).withColumn("_qn", l2_norm(F.col("qv")))
     if assignment == "arrow":
         c_assign = c.select(
             "neighbor_id",
             "cv",
+            "_cn",
             F.element_at(_probe_udf(centroids, 1)("cv"), 1).alias("cell"),
         )
         q_probe = q.select(
             "query_id",
             "qv",
+            "_qn",
             F.explode(_probe_udf(centroids, nprobe)("qv")).alias("cell"),
         )
     elif assignment == "literal":
         cell_ranking = _literal_cell_ranking(centroids)
         c_assign = c.select(
-            "neighbor_id", "cv", cell_ranking(F.col("cv"))[0]["i"].alias("cell")
+            "neighbor_id",
+            "cv",
+            "_cn",
+            cell_ranking(F.col("cv"))[0]["i"].alias("cell"),
         )
         q_probe = q.select(
             "query_id",
             "qv",
+            "_qn",
             F.explode(
                 F.transform(
                     F.slice(cell_ranking(F.col("qv")), 1, nprobe),
@@ -528,13 +558,16 @@ def codebook_ivf_topk(
         )
     else:  # pragma: no cover - guard
         raise ValueError(f"assignment must be 'arrow' or 'literal': {assignment}")
+    # per-pair cost: one cross-dot fold (norms precomputed per row)
     scored = (
         c_assign.join(F.broadcast(q_probe), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("score"),
+            (
+                dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
