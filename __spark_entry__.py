@@ -31,32 +31,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return _tq.spark_queries()["q01_folder_results_latest"](spark, SF0001)
 
 
-# Queries the driver has never produced a CORRECTNESS row for (r1-r3 it
-# checked the first ~50 registered names; numeric order meant q57/q59's
-# fix and q60+ were always past the budget).  Emitting these FIRST this
-# round converts local-harness green into driver-proven green; the core
-# q01-q56/q58 has been driver-stable for two rounds and follows after.
-_NEVER_DRIVER_CHECKED = ("q41", "q57", "q59") + tuple(
-    f"q{n}" for n in range(60, 100)
-)  # q41 renamed to its built-in form in r4 — new name, no prior row
+# Round-5 driver-budget ordering (the driver checks ~50 queries in
+# iteration order per round).  HEAD: queries needing a FRESH row this
+# round — q53 has NEVER been driver-checked (the one gap in r1-r4);
+# q55's last row (r2) predates the star-contraction default; q39
+# gained a full value oracle in r5 (was rows-only); q92's pos switched
+# to the true global row number; q96+ are new this round.  MIDDLE: the
+# r3-era block (q12-q40, q42-q52, q54, q56, q58 — last proven r3) so
+# the budget refreshes the oldest evidence.  TAIL: the r4-green block.
+_R5_HEAD = ("q39", "q53", "q55", "q92") + tuple(f"q{n}" for n in range(96, 100))
+_R4_GREEN = (
+    tuple(f"q{n:02d}" for n in range(1, 12))
+    + ("q41", "q57")
+    + tuple(f"q{n}" for n in range(59, 96))
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Insertion order == driver iteration order, and the driver's
-    correctness budget covers ~50 queries per round.  Order: queries
-    without a prior driver CORRECTNESS row first (q57, q59, q60+), then
-    the two-rounds-stable core (q01-q56, q58) sorted numerically."""
+    Insertion order == driver iteration order; see the ordering note
+    above (_R5_HEAD / r3-era refresh / r4-green tail)."""
     all_queries = dict(sorted(_tq.spark_queries().items()))
-    never_checked_prefixes = _NEVER_DRIVER_CHECKED
-    first = {
-        name: fn
-        for name, fn in all_queries.items()
-        if name.split("_", 1)[0] in never_checked_prefixes
+
+    def prefix(name: str) -> str:
+        return name.split("_", 1)[0]
+
+    head = {n: f for n, f in all_queries.items() if prefix(n) in _R5_HEAD}
+    mid = {
+        n: f
+        for n, f in all_queries.items()
+        if n not in head and prefix(n) not in _R4_GREEN
     }
-    rest = {name: fn for name, fn in all_queries.items() if name not in first}
-    return {**first, **rest}
+    rest = {n: f for n, f in all_queries.items() if n not in head and n not in mid}
+    return {**head, **mid, **rest}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -91,9 +91,15 @@ def _cc_star(
     edges: DataFrame, src_col: str, dst_col: str, max_iter: int
 ) -> tuple[DataFrame, int]:
     cur = _canonical(edges, src_col, dst_col).localCheckpoint()
+    # Node set from the RAW edge frame, not the canonical one: a vertex
+    # that appears only in self-loop edges (v, v) must still get its
+    # (v, v) label row — the canonical form drops self-loops, so
+    # deriving nodes from it would silently drop those vertices and
+    # break the "every vertex of the undirected edge set" contract
+    # (matching _cc_propagation, whose sym frame keeps them).
     nodes = (
-        cur.select(F.col("lo").alias("id"))
-        .union(cur.select(F.col("hi").alias("id")))
+        edges.select(F.col(src_col).alias("id"))
+        .union(edges.select(F.col(dst_col).alias("id")))
         .distinct()
         .localCheckpoint()
     )

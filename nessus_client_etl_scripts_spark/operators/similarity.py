@@ -579,6 +579,169 @@ def codebook_ivf_topk(
     )
 
 
+def _quantize_long(vec: Column, scale: float) -> Column:
+    """array<long> ``floor(x·scale)`` — floor, not round: round's
+    half-way tie direction is the one rescaling step engines disagree
+    on, while floor of a correctly-rounded product is unambiguous."""
+    return F.transform(vec, lambda x: F.floor(x * F.lit(scale)))
+
+
+def kmeans_exact_quantized(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    scale: float = 4096.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic, ENGINE-EXACT Lloyd k-means over integer-quantized
+    vectors: every arithmetic step is reproducible bit-for-bit in plain
+    SQL, which makes the TRAINER itself value-oracle-checkable (q39's
+    twin unrolls these exact iterations in DuckDB).
+
+    Exactness design (cross-engine float rules, PLANS.md):
+
+    - quantize up front: ``vq = floor(v·scale)`` per component — all
+      centroid-update sums become exact long arithmetic (training on
+      quantized vectors is standard IVF practice anyway; serving still
+      scores exact cosine on the original doubles).
+    - init: the ``n_centroids`` rows with the smallest 48-bit md5
+      prefix of ``'ivf:'||id`` (portable hash — xxhash64 has no DuckDB
+      twin), id tie-break; centroid_id = position in that order.
+    - assign: literal fold ``-2·(vq·c) + c·c`` per centroid
+      (:func:`_literal_cell_ranking` — the same sequential fold DuckDB's
+      ``list_dot_product`` runs), ``array_sort`` of (dist, index)
+      structs → argmin with index tie-break. Identical op sequence on
+      both engines → identical doubles → identical cells. JVM-codegen'd
+      column algebra: zero Python, zero shuffle in assignment.
+    - update: posexplode(vq) → groupBy(cell, dim) → exact long sum +
+      count; mean = ONE correctly-rounded long/long double division —
+      the only float op, identical everywhere. The shuffle carries
+      k×dim partial cells per map partition, independent of corpus
+      size. Empty cells keep their previous centroid.
+
+    Centroids live on the driver between iterations (k×dim doubles —
+    same state posture as spark.ml KMeans and :func:`_kmeans_py`); the
+    literal-expression assignment bounds this variant to codebooks of
+    hundreds of cells (plan grows O(k×dim)) — the arrow-matmul trainer
+    (:func:`_kmeans_py`) is the many-thousand-cell path.
+    """
+    v = (
+        corpus.select(
+            F.col(id_col).alias("_vid"), _as_double(vec_col).alias("_v")
+        )
+        .select("_vid", _quantize_long(F.col("_v"), scale).alias("vq"))
+        .withColumn("vqd", _as_double(F.col("vq")))
+        .persist()  # scanned iters+1 times
+    )
+    init = (
+        v.withColumn(
+            "_h",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ivf:"), F.col("_vid").cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .orderBy("_h", "_vid")
+        .limit(n_centroids)
+        .select("vqd")
+        .collect()
+    )
+    cents = [list(r["vqd"]) for r in init]
+    for _ in range(iters):
+        ranking = _literal_cell_ranking(cents)
+        assigned = v.select(ranking(F.col("vqd"))[0]["i"].alias("ci"), "vq")
+        rows = (
+            assigned.select("ci", F.posexplode("vq").alias("dim", "x"))
+            .groupBy("ci", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cent: dict[int, dict[int, float]] = {}
+        for r in rows:
+            # exact long sum / long count — one IEEE division, matching
+            # the oracle's CAST(SUM(..) AS DOUBLE)/COUNT(*) bit for bit
+            by_cent.setdefault(r["ci"], {})[r["dim"]] = r["s"] / r["n"]
+        cents = [
+            [by_cent[i][d] for d in range(len(cents[i]))]
+            if i in by_cent
+            else cents[i]
+            for i in range(len(cents))
+        ]
+    v.unpersist()
+    return cents
+
+
+def ivf_exact_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    scale: float = 4096.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF serve stage paired with :func:`kmeans_exact_quantized`:
+    cells assigned on the QUANTIZED vectors (the space the codebook was
+    trained in — literal fold ranking, value-exact cross-engine),
+    candidates scored with exact sequential-fold cosine on the ORIGINAL
+    doubles. Same probe/score/rank shape as :func:`codebook_ivf_topk`;
+    per-row norms precomputed before the cell join."""
+    ranking = _literal_cell_ranking(centroids)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+        )
+        .withColumn("_cn", l2_norm(F.col("cv")))
+        .withColumn("_vqd", _as_double(_quantize_long(F.col("cv"), scale)))
+        .select(
+            "neighbor_id", "cv", "_cn", ranking(F.col("_vqd"))[0]["i"].alias("cell")
+        )
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        )
+        .withColumn("_qn", l2_norm(F.col("qv")))
+        .withColumn("_vqd", _as_double(_quantize_long(F.col("qv"), scale)))
+        .select(
+            "query_id",
+            "qv",
+            "_qn",
+            F.explode(
+                F.transform(
+                    F.slice(ranking(F.col("_vqd")), 1, nprobe), lambda s: s["i"]
+                )
+            ).alias("cell"),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def _literal_cell_ranking(centroids: list[list[float]]):
     """Column-expression cell ranking for the oracle twin: (distance,
     index) structs sorted ascending — total order, index tie-break.

@@ -29,6 +29,14 @@ def nth_per_group(
     (SURVEY.md §2.5); callers pass a deterministic tiebreaker as the
     last ``order_by`` element (e.g. ``F.desc('scan_run_id')``).
 
+    HARD REQUIREMENT in the global case (empty ``partition_by``): the
+    last ``order_by`` element must make the order a unique TOTAL
+    order. The pre-window ``orderBy().limit(offset + 1)`` cut is a
+    physical top-k — with ties at the cut boundary the retained subset
+    (and therefore the returned row) would differ run to run, baked in
+    before the window can tiebreak. q04 passes ``F.desc('o_orderkey')``
+    (a key) for exactly this reason.
+
     Scale: one hash shuffle on ``partition_by``; with AQE the partition
     count adapts to the data. No driver-side iteration. With NO
     partition columns (the global-nth case) the input is first cut to
@@ -71,6 +79,7 @@ def two_phase_rank(
     pct_col: str = "pct_rank",
     gap_col: str = "gap_to_prev",
     num_partitions: int | None = None,
+    grn_col: str | None = None,
 ) -> DataFrame:
     """Exact rank / percent_rank / lag-gap per group WITHOUT a
     low-cardinality window partition — the 100 TB-safe replacement for
@@ -94,22 +103,34 @@ def two_phase_rank(
        gap falls back to the predecessor partition's max val for each
        partition's first row.
 
-    Determinism note: phase 1's stats job and phase 2's main job both
-    recompute the range exchange; RangePartitioner's sampling is
-    seeded deterministically per partition, so both jobs see identical
-    boundaries — the same in-session stability zipWithIndex relies on.
+    The staged frame is ``localCheckpoint``ed BEFORE the stats job
+    (same pin as :func:`scalable_cumsum`): the offsets are keyed by
+    physical partition id, so the frame the final join reads must be
+    the SAME materialization the stats were collected from — a
+    non-deterministic upstream (changed file listing order, a
+    recomputed shuffle) could otherwise reassign rows between the two
+    jobs and silently corrupt every rank.
 
     Matches SQL ``rank()/percent_rank()/lag() OVER (PARTITION BY part
     ORDER BY val [, key])`` exactly, including percent_rank = 0 for
     single-row groups and a NULL gap for each group's first row.
+
+    ``grn_col`` (optional) additionally exposes the dense global
+    ``row_number() OVER (PARTITION BY part ORDER BY val, key)`` —
+    unlike ``rank_col`` it never duplicates or skips values under
+    ``val``-ties, so consumers that need contiguous positions (e.g.
+    the training-shuffle's data-loader shard contract) use it instead
+    of the rank.
     """
     from pyspark.sql import types as T
 
     spark = df.sparkSession
     num = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    staged = df.repartitionByRange(
-        num, F.col(part_col), F.col(val_col), F.col(key_col)
-    ).withColumn("_pid", F.spark_partition_id())
+    staged = (
+        df.repartitionByRange(num, F.col(part_col), F.col(val_col), F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
 
     stats = (
         staged.groupBy(part_col, "_pid")
@@ -158,7 +179,10 @@ def two_phase_rank(
             (F.col(rank_col) - 1).cast("double") / (F.col("_n") - 1)
         ),
     )
-    return out.select(*df.columns, rank_col, pct_col, gap_col)
+    extra = [grn_col] if grn_col else []
+    if grn_col:
+        out = out.withColumnRenamed("_grn", grn_col)
+    return out.select(*df.columns, rank_col, pct_col, gap_col, *extra)
 
 
 def top_k_per_group(

@@ -809,18 +809,111 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_rank(docs, ["lang"], "n_chars", "doc_id")
 
 
-@register("q39_ivf_topk", None)
+def _q39_oracle(
+    n_cents: int = 16,
+    dim: int = 64,
+    iters: int = 3,
+    nprobe: int = 4,
+    k: int = 5,
+    scale: float = 4096.0,
+) -> str:
+    """DuckDB twin of the ENTIRE IVF pipeline including the trainer:
+    kmeans_exact_quantized's Lloyd iterations unrolled as CTE chains
+    (assignment = the same -2·dot+c·c fold ranking, update = exact
+    integer sums / count), then the q79-shaped probe/score/rank serve
+    stage. Self-contained — no data-dependent literals — so it holds at
+    every scale factor."""
+    dist = (
+        "-2.0 * list_dot_product(ed.vqd, c.c)"
+        " + list_dot_product(c.c, c.c)"
+    )
+    it = "".join(
+        f""", d{i} AS (
+  SELECT ed.vec_id, ed.vq, c.ci, {dist} AS d
+  FROM ed CROSS JOIN c{i - 1} c
+), a{i} AS (
+  SELECT vec_id, vq, ci FROM (
+    SELECT vec_id, vq, ci,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM d{i})
+  WHERE rn = 1
+), u{i} AS (
+  SELECT ci, t.i AS i, CAST(SUM(vq[t.i]) AS DOUBLE) / COUNT(*) AS m
+  FROM a{i} CROSS JOIN range(1, {dim + 1}) t(i)
+  GROUP BY ci, t.i
+), c{i} AS (
+  SELECT c{i - 1}.ci,
+         COALESCE((SELECT list(m ORDER BY i) FROM u{i}
+                   WHERE u{i}.ci = c{i - 1}.ci),
+                  c{i - 1}.c) AS c
+  FROM c{i - 1}
+)"""
+        for i in range(1, iters + 1)
+    )
+    return f"""
+WITH ed AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {scale!r}) AS BIGINT)) AS vq,
+         list_transform(list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {scale!r}) AS BIGINT)),
+                        y -> CAST(y AS DOUBLE)) AS vqd,
+         ('0x' || substring(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+           AS h
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS ci,
+         vqd AS c
+  FROM ed ORDER BY h, vec_id LIMIT {n_cents}
+){it}, df AS (
+  SELECT ed.vec_id, c.ci, {dist} AS d
+  FROM ed CROSS JOIN c{iters} c
+), rf AS (
+  SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+  FROM df
+), corpus_cell AS (
+  SELECT ed.vec_id AS neighbor_id, ed.v AS cv, r.ci AS cell
+  FROM ed JOIN rf r ON ed.vec_id = r.vec_id AND r.rn = 1
+), probes AS (
+  SELECT ed.vec_id AS query_id, ed.v AS qv, r.ci AS cell
+  FROM ed JOIN rf r ON ed.vec_id = r.vec_id AND r.rn <= {nprobe}
+  WHERE ed.vec_id < 20
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS score
+  FROM corpus_cell JOIN probes USING (cell)
+  WHERE query_id != neighbor_id
+), final AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM final WHERE rank <= {k}
+"""
+
+
+@register("q39_ivf_topk", _q39_oracle())
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: deterministic DataFrame-algebra k-means
-    coarse quantizer, corpus bucketed under nearest centroid, queries
-    probe nprobe buckets, exact cosine within. The third ANN tier
-    (brute q27 / LSH q32 / IVF q39). Rows-only: centroid assignment
-    has no SQL twin."""
-    from ..operators.similarity import ivf_topk
+    """IVF approximate top-k WITH its trainer under full value-oracle
+    proof: engine-exact quantized Lloyd k-means (integer-sum updates,
+    fold-ranking assignment — similarity.kmeans_exact_quantized) trains
+    the coarse codebook; the serve stage assigns cells in the quantized
+    training space and scores exact cosine on the original doubles.
+    The third ANN tier (brute q27 / LSH q32 / IVF q39); q79 keeps the
+    production split (fixed codebook, Arrow-matmul assignment) while
+    this query proves train+serve end to end against DuckDB running
+    the identical unrolled iterations."""
+    from ..operators.similarity import ivf_exact_topk, kmeans_exact_quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, n_centroids=16, nprobe=4
+    cents = kmeans_exact_quantized(emb, n_centroids=16, iters=3)
+    return ivf_exact_topk(
+        emb, emb.filter(F.col("vec_id") < 20), cents, k=5, nprobe=4
     )
 
 
@@ -1888,7 +1981,16 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase rank (operators/windows.py::two_phase_rank with a
     constant group), NOT a partition-less ``row_number() OVER (ORDER
     BY ...)`` that would funnel 100 TB through one task — data-loader
-    shards then read contiguous pos ranges."""
+    shards then read contiguous pos ranges.
+
+    ``pos`` is the true global ROW NUMBER (``grn_col``), not the rank:
+    rank collapses shuffle_key ties to their minimum position, and
+    48-bit keys collide with near-certainty at billions of docs
+    (~1800 expected collisions at 1e9 rows by birthday math), which
+    would duplicate and skip positions and break the contiguous-shard
+    contract. The row number breaks ties by doc_id, exactly matching
+    the oracle's ``row_number() OVER (ORDER BY shuffle_key, doc_id)``
+    at any scale."""
     from ..operators.windows import two_phase_rank
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1905,7 +2007,7 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = two_phase_rank(
         keyed, part_col="_all", val_col="shuffle_key", key_col="doc_id",
-        rank_col="pos",
+        grn_col="pos",
     )
     return ranked.select("doc_id", "shuffle_key", F.col("pos").cast("long"))
 
@@ -1960,6 +2062,93 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, block_cols=("lang",), k=3, threshold=0.3, max_df=1000
     )
     comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    labeled = docs.select("doc_id", "n_chars").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96 — scale-path dedup resolution (LSH-fed, end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def _q96_oracle(threshold: float = 0.3) -> str:
+    """q65's candidate CTE chain (md5 MinHash + LSH banding + exact
+    Jaccard verify) feeding q93's recursive-closure components and
+    keep/drop window — the whole scale pipeline in one twin."""
+    cte = _minhash_cte().replace("WITH base", "WITH RECURSIVE base", 1)
+    return f"""
+{cte},
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN base a ON c.doc_a = a.doc_id
+  JOIN base b ON c.doc_b = b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                 AS DOUBLE) >= {threshold!r}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM verified
+), reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a AS id, r.r AS r FROM edges e JOIN reach r ON e.b = r.id
+), comp AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+), labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id,
+       row_number() OVER (
+         PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1 AS keep
+FROM labeled
+"""
+
+
+@register("q96_dedup_resolve_lsh", _q96_oracle())
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup RESOLUTION pipeline end to end — the scale-path
+    twin of q93: MinHash LSH proposes candidates (banding-bounded — the
+    pair space is confined to same-(band, bucket) collisions, never a
+    corpus self-join), exact shingle-Jaccard verifies them, star
+    contraction forms clusters from the verified edges, and a per-
+    cluster window resolves keep/drop (longest text wins, doc_id
+    tiebreak; unclustered documents keep themselves). One row per
+    document — the exact frame a training-data filter consumes.
+
+    q93 keeps the oracle-simple quadratic-capped pair source
+    (ngram_jaccard_pairs with max_df); this query composes the same
+    resolution over the LSH path the engine actually ships at scale
+    (q65's candidates → verify → q55's components)."""
+    from ..operators.dedup import minhash_lsh_candidates, verify_pairs_jaccard
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        docs,
+        num_hashes=64,
+        bands=16,
+        k=3,
+        family="md5",
+        materialize_signatures=True,  # see q65 — signatures scanned once
+    )
+    verified = verify_pairs_jaccard(docs, cand, k=3, threshold=0.3)
+    comp = connected_components(verified, "doc_a", "doc_b").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
     labeled = docs.select("doc_id", "n_chars").join(comp, "doc_id", "left").select(

@@ -221,6 +221,9 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact detail for the latest run of ONE scan, via the scalar-subquery
     semi-join (J3) — left_semi against the 1-row latest set."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") == 7)
+    # global nth: o_orderkey (unique key) as the last order element is
+    # REQUIRED — the pre-window limit cut is nondeterministic on ties
+    # (nth_per_group docstring, hard requirement)
     latest = nth_per_group(
         orders, [], [F.desc("o_orderdate"), F.desc("o_orderkey")], offset=0
     ).select("o_orderkey")

@@ -176,6 +176,26 @@ def test_codebook_ivf_arrow_assignment_has_no_literal_centroids(spark):
     assert "ArrowEvalPython" in plan, plan
 
 
+def test_q96_pair_generation_is_banding_bounded(spark):
+    """The scale-path resolution's pair source must be the (band,
+    bucket) equi-join — never a corpus self-join: no cartesian or
+    nested-loop join anywhere in the candidate plan, and the join keys
+    are the banded bucket columns. (Asserted on the lazy candidate
+    frame: q96 itself materializes candidates eagerly via
+    localCheckpoint, which would hide the join from its final plan.)"""
+    from nessus_client_etl_scripts_spark.catalog import load_table
+    from nessus_client_etl_scripts_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    cand = minhash_lsh_candidates(docs, num_hashes=64, bands=16, family="md5")
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band" in plan and "bucket" in plan, plan
+
+
 def test_q04_global_nth_bounded_by_take_ordered(spark):
     # the global latest-run lookup must cut to top-k via
     # TakeOrderedAndProject before its single-partition window — the

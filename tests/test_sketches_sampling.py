@@ -329,13 +329,12 @@ def test_connected_components_star_equals_propagation(spark, edges):
         comp = [u for u in truth_nodes if find(u) == find(v)]
         truth[v] = min(comp)
 
-    # propagation labels every vertex that appears in the symmetric
-    # edge set (incl. self-loop-only vertices); star drops pure
-    # self-loops at canonicalization — compare on the union of keys,
-    # defaulting missing entries to self (an isolated vertex IS its
-    # own cluster)
-    for v in set(star) | set(prop) | set(truth):
-        s = star.get(v, v)
-        p = prop.get(v, v)
-        t = truth.get(v, v)
-        assert s == p == t, (v, s, p, t)
+    # both algorithms label EVERY vertex of the raw edge set, including
+    # vertices that appear only in self-loop edges (they label
+    # themselves) — exact key-set equality, no defaulting
+    assert set(star) == set(prop) == truth_nodes, (
+        set(star) ^ truth_nodes,
+        set(prop) ^ truth_nodes,
+    )
+    for v in truth_nodes:
+        assert star[v] == prop[v] == truth[v], (v, star[v], prop[v], truth[v])

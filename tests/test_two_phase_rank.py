@@ -145,3 +145,54 @@ def test_two_phase_rank_property_random_ties(spark):
         .collect()
     }
     assert got == want
+
+
+def test_two_phase_rank_grn_col_contiguous_row_numbers(spark):
+    """grn_col must be the dense global row_number (val, key order):
+    per group an exact permutation of 1..n even under heavy val ties —
+    the contract q92's data-loader shard positions depend on."""
+    data = [("a", k, float(k % 3)) for k in range(1, 31)] + [
+        ("b", k, 7.0) for k in range(1, 11)  # all-ties group
+    ]
+    df = spark.createDataFrame(data, "g string, k long, v double")
+    out = two_phase_rank(df, "g", "v", "k", num_partitions=6, grn_col="pos")
+    w = Window.partitionBy("g").orderBy("v", "k")
+    want = {
+        (r.g, r.k): r.p
+        for r in df.withColumn("p", F.row_number().over(w)).collect()
+    }
+    got = {(r.g, r.k): r.pos for r in out.collect()}
+    assert got == want
+
+
+def test_two_phase_rank_stable_under_nondeterministic_upstream(spark):
+    """The staged frame is localCheckpoint-pinned, so the _pid-keyed
+    offsets and the final join read the SAME materialization even when
+    the upstream returns rows in a different order on every execution
+    (the partition-reassignment hazard the round-4 advisory flagged:
+    without the pin, the stats job and the main job re-execute the
+    range exchange against different row orders and the broadcast
+    offsets silently mis-rank)."""
+    rows = [(i, "ab"[i % 2], (i * 13) % 7) for i in range(1, 401)]
+    base = spark.createDataFrame(rows, "k long, part string, val long")
+
+    def _shuffle(it):
+        for pdf in it:
+            # pandas .sample without random_state draws a fresh numpy
+            # seed per call → genuinely different order per execution
+            yield pdf.sample(frac=1.0)
+
+    df = base.repartition(8).mapInPandas(_shuffle, schema=base.schema)
+    out = two_phase_rank(
+        df, "part", "val", "k", num_partitions=5, grn_col="pos"
+    )
+    got = {r["k"]: (r["rank"], r["pos"]) for r in out.collect()}
+    w = Window.partitionBy("part").orderBy("val")
+    w2 = Window.partitionBy("part").orderBy("val", "k")
+    want = {
+        r["k"]: (r["r"], r["p"])
+        for r in base.withColumn("r", F.rank().over(w).cast("long"))
+        .withColumn("p", F.row_number().over(w2))
+        .collect()
+    }
+    assert got == want
