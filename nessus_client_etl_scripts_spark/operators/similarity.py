@@ -579,6 +579,47 @@ def codebook_ivf_topk(
     )
 
 
+def _cell_ranking_expr(centroids: list[list[float]], vec_attr: str) -> Column:
+    """array_sort of (d, i) structs ranking every centroid by
+    ``-2·(v·c) + c·c`` — the engine-exact cell ranking, built for BOTH
+    low plan-compile cost and zero shuffle:
+
+    - the codebook ships as ONE SQL-parsed literal
+      ``array<struct<c,c2,ci>>`` (a single ``F.expr`` round-trip —
+      building k×dim literals through the Python Column API costs
+      ~0.5 s of py4j chatter per plan, and k separate fold expressions
+      make Catalyst resolve k×dim nested lambda scopes);
+    - ONE transform lambda computes all k distances per row, so lambda
+      count is constant in k and assignment needs no join and no
+      shuffle (the corpus never moves — same posture as q79's arrow
+      path, which remains the many-thousand-cell tier).
+
+    ``repr(x)`` emits the shortest round-trip decimal and Spark's
+    ``D``-suffixed literal parses it back to the identical double; the
+    fold inside ``dot`` is the same IEEE sequence as DuckDB's
+    ``list_dot_product``, and c2 is the driver-side sequential Σc²
+    (the q79-proven pairing). Ties rank on the lower ci, matching
+    ``row_number() OVER (ORDER BY d, ci)``."""
+    items = []
+    for j, cent in enumerate(centroids):
+        c2 = sum(x * x for x in cent)
+        arr = ",".join(f"{x!r}D" for x in cent)
+        items.append(
+            f"named_struct('c', array({arr}), 'c2', {float(c2)!r}D, 'ci', {j})"
+        )
+    cells = F.expr("array(" + ",".join(items) + ")")
+    v = F.col(vec_attr)
+    return F.array_sort(
+        F.transform(
+            cells,
+            lambda s: F.struct(
+                (F.lit(-2.0) * dot(v, s["c"]) + s["c2"]).alias("d"),
+                s["ci"].alias("i"),
+            ),
+        )
+    )
+
+
 def _quantize_long(vec: Column, scale: float) -> Column:
     """array<long> ``floor(x·scale)`` — floor, not round: round's
     half-way tie direction is the one rescaling step engines disagree
@@ -608,17 +649,18 @@ def kmeans_exact_quantized(
     - init: the ``n_centroids`` rows with the smallest 48-bit md5
       prefix of ``'ivf:'||id`` (portable hash — xxhash64 has no DuckDB
       twin), id tie-break; centroid_id = position in that order.
-    - assign: literal fold ``-2·(vq·c) + c·c`` per centroid
-      (:func:`_literal_cell_ranking` — the same sequential fold DuckDB's
-      ``list_dot_product`` runs), ``array_sort`` of (dist, index)
-      structs → argmin with index tie-break. Identical op sequence on
-      both engines → identical doubles → identical cells. JVM-codegen'd
-      column algebra: zero Python, zero shuffle in assignment.
-    - update: posexplode(vq) → groupBy(cell, dim) → exact long sum +
-      count; mean = ONE correctly-rounded long/long double division —
-      the only float op, identical everywhere. The shuffle carries
-      k×dim partial cells per map partition, independent of corpus
-      size. Empty cells keep their previous centroid.
+    - assign: within-row ranking over the literal codebook
+      (:func:`_cell_ranking_expr` — one transform lambda, the same
+      sequential fold DuckDB's ``list_dot_product`` runs, ties on the
+      lower ci). Identical op sequence on both engines → identical
+      doubles → identical cells. Zero Python, zero join, zero shuffle
+      in assignment.
+    - update: groupBy(cell) with dim per-component exact long sums +
+      count (one aggregation, k groups); mean = ONE correctly-rounded
+      long/long double division — the only float op, identical
+      everywhere. The shuffle carries k×(dim+1) partial cells per map
+      partition, independent of corpus size. Empty cells keep their
+      previous centroid.
 
     Centroids live on the driver between iterations (k×dim doubles —
     same state posture as spark.ml KMeans and :func:`_kmeans_py`); the
@@ -653,9 +695,15 @@ def kmeans_exact_quantized(
         .collect()
     )
     cents = [list(r["vqd"]) for r in init]
+    dim = len(cents[0])
     for _ in range(iters):
-        ranking = _literal_cell_ranking(cents)
-        assigned = v.select(ranking(F.col("vqd"))[0]["i"].alias("ci"), "vq")
+        assigned = v.select(
+            _cell_ranking_expr(cents, "vqd")[0]["i"].alias("ci"), "vq"
+        )
+        # update: per-(cell, dim) exact long sums + counts; mean = ONE
+        # correctly-rounded long/long division, matching the oracle's
+        # CAST(SUM(vq[i]) AS DOUBLE)/COUNT(*) bit for bit. The shuffle
+        # carries k×dim partial cells per map partition.
         rows = (
             assigned.select("ci", F.posexplode("vq").alias("dim", "x"))
             .groupBy("ci", "dim")
@@ -664,13 +712,9 @@ def kmeans_exact_quantized(
         )
         by_cent: dict[int, dict[int, float]] = {}
         for r in rows:
-            # exact long sum / long count — one IEEE division, matching
-            # the oracle's CAST(SUM(..) AS DOUBLE)/COUNT(*) bit for bit
             by_cent.setdefault(r["ci"], {})[r["dim"]] = r["s"] / r["n"]
         cents = [
-            [by_cent[i][d] for d in range(len(cents[i]))]
-            if i in by_cent
-            else cents[i]
+            [by_cent[i][d] for d in range(dim)] if i in by_cent else cents[i]
             for i in range(len(cents))
         ]
     v.unpersist()
@@ -692,16 +736,20 @@ def ivf_exact_topk(
     trained in — literal fold ranking, value-exact cross-engine),
     candidates scored with exact sequential-fold cosine on the ORIGINAL
     doubles. Same probe/score/rank shape as :func:`codebook_ivf_topk`;
-    per-row norms precomputed before the cell join."""
-    ranking = _literal_cell_ranking(centroids)
+    per-row norms precomputed before the cell join; cell assignment is
+    the within-row literal-codebook ranking (:func:`_cell_ranking_expr`)
+    — the corpus never shuffles for assignment."""
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
         )
         .withColumn("_cn", l2_norm(F.col("cv")))
-        .withColumn("_vqd", _as_double(_quantize_long(F.col("cv"), scale)))
+        .withColumn("vqd", _as_double(_quantize_long(F.col("cv"), scale)))
         .select(
-            "neighbor_id", "cv", "_cn", ranking(F.col("_vqd"))[0]["i"].alias("cell")
+            "neighbor_id",
+            "cv",
+            "_cn",
+            _cell_ranking_expr(centroids, "vqd")[0]["i"].alias("cell"),
         )
     )
     q = (
@@ -709,14 +757,15 @@ def ivf_exact_topk(
             F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
         )
         .withColumn("_qn", l2_norm(F.col("qv")))
-        .withColumn("_vqd", _as_double(_quantize_long(F.col("qv"), scale)))
+        .withColumn("vqd", _as_double(_quantize_long(F.col("qv"), scale)))
         .select(
             "query_id",
             "qv",
             "_qn",
             F.explode(
                 F.transform(
-                    F.slice(ranking(F.col("_vqd")), 1, nprobe), lambda s: s["i"]
+                    F.slice(_cell_ranking_expr(centroids, "vqd"), 1, nprobe),
+                    lambda s: s["i"],
                 )
             ).alias("cell"),
         )
