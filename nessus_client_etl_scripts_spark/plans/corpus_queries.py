@@ -2316,3 +2316,224 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 20), k=5, bits=6, probes=2
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q97 — intra-document segment dedup (repeated-boilerplate removal)
+# ---------------------------------------------------------------------------
+
+_Q97_SEG = 8  # tokens per non-overlapping segment
+
+_Q97_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) + 1, {_Q97_SEG}),
+                        i -> array_to_string(
+                               list_slice(toks, i, i + {_Q97_SEG - 1}), ' '))
+           AS segs
+  FROM t
+), kept AS (
+  SELECT doc_id, segs,
+         list_filter(segs, (x, i) -> list_position(segs, x) = i) AS keep
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(segs) AS BIGINT) AS n_segments,
+       CAST(len(keep) AS BIGINT) AS n_kept,
+       (CAST(len(segs) - len(keep) AS DOUBLE) / len(segs)) AS removed_frac,
+       array_to_string(keep, ' ') AS cleaned_text
+FROM kept
+"""
+
+
+@register("q97_intradoc_dedup", _Q97_ORACLE)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document dedup — the removal counterpart of q58's
+    repetition *signal*: the document is cut into non-overlapping
+    8-token segments, every segment that repeats an earlier one in the
+    SAME document is dropped (first occurrence wins, preserving
+    order), and the cleaned text is re-assembled. This is the
+    boilerplate-stripping pass (repeated nav bars, footers, quoted
+    reply chains) an LLM corpus runs before inter-document dedup.
+
+    Scale shape: ENTIRELY row-local array algebra — tokenize, slice,
+    first-occurrence filter (``array_position == index``), re-join —
+    zero shuffles, zero UDFs, full whole-stage codegen, so at 100 TB
+    it runs at parquet scan speed like q58/q94. The first-occurrence
+    filter is O(segments²) per row in the worst case, but segments
+    per document is bounded (len/8) and the constant is a JVM array
+    scan, not a Python loop.
+
+    Staged-attribute rule (q58's lesson): ``toks`` and ``segs`` each
+    materialize in their own projection — the filter body references
+    ``segs`` per-element and inlining the tokenize+slice expression
+    would re-run it per comparison.
+
+    Spark's lambda index is 0-based where DuckDB's is 1-based; the
+    twin conditions ``array_position == i+1`` / ``list_position = i``
+    express the same first-occurrence test."""
+    from ..catalog import spread_for_compute
+    from ..operators.text import tokens
+
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    segs = staged.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(_Q97_SEG)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, _Q97_SEG)),
+        ).alias("segs"),
+    )
+    kept = segs.select(
+        "doc_id",
+        "segs",
+        F.filter(
+            "segs",
+            lambda x, i: F.array_position(F.col("segs"), x) == i + 1,
+        ).alias("keep"),
+    )
+    return kept.select(
+        "doc_id",
+        F.size("segs").cast("long").alias("n_segments"),
+        F.size("keep").cast("long").alias("n_kept"),
+        (
+            (F.size("segs") - F.size("keep")).cast("double")
+            / F.size("segs")
+        ).alias("removed_frac"),
+        F.array_join("keep", " ").alias("cleaned_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 — distributed Bloom-filter membership (bloom-pruned novelty join)
+# ---------------------------------------------------------------------------
+
+_Q98_M = 1 << 16  # filter width m (bits)
+_Q98_K = 3  # hash functions
+
+
+def _q98_bits_sql(fp_expr: str) -> str:
+    """DuckDB: the k bloom bit positions of a fingerprint, one row per
+    (row, j) via a range() lateral — md5 32-bit prefix mod m, the same
+    engine-portable construction as the HLL/MinHash family."""
+    return (
+        f"('0x' || substring(md5('bloom' || CAST(t.j AS VARCHAR) || ':' || "
+        f"{fp_expr}), 1, 8))::BIGINT % {_Q98_M}"
+    )
+
+
+_Q98_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, md5({{norm}}) AS fp FROM documents
+), corpus AS (
+  SELECT * FROM base WHERE doc_id % 10 != 0
+), probes AS (
+  SELECT * FROM base WHERE doc_id % 10 = 0
+), cbits AS (
+  SELECT DISTINCT {_q98_bits_sql('fp')} AS bit
+  FROM corpus CROSS JOIN range(1, {_Q98_K + 1}) t(j)
+), pbits AS (
+  SELECT doc_id, fp, {_q98_bits_sql('fp')} AS bit
+  FROM probes CROSS JOIN range(1, {_Q98_K + 1}) t(j)
+), agg AS (
+  SELECT p.doc_id, p.fp, bool_and(cb.bit IS NOT NULL) AS maybe_member
+  FROM pbits p LEFT JOIN cbits cb ON p.bit = cb.bit
+  GROUP BY p.doc_id, p.fp
+)
+SELECT a.doc_id, a.maybe_member,
+       (ex.fp IS NOT NULL) AS exact_member,
+       (a.maybe_member AND ex.fp IS NULL) AS false_positive
+FROM agg a
+LEFT JOIN (SELECT DISTINCT fp FROM corpus) ex ON a.fp = ex.fp
+""".format(norm=_NORM_SQL)
+
+
+def _q98_bits_spark(fp: Column) -> list[Column]:
+    return [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bloom{j}:"), fp)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _Q98_M
+        )
+        for j in range(1, _Q98_K + 1)
+    ]
+
+
+@register("q98_bloom_membership", _Q98_ORACLE)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom-filter membership — the m-BOUNDED alternative
+    to q67's exact fingerprint anti-join for "is this incoming doc
+    already in the corpus?" at 100 TB.
+
+    Why it scales: the filter side collapses the ENTIRE corpus to at
+    most m=2^16 distinct bit rows (k md5-derived positions per
+    fingerprint, then distinct) — a relation bounded by a CONSTANT, not
+    by corpus size, so it broadcasts no matter how big the corpus is.
+    Probes explode to k tiny (doc_id, bit) rows, broadcast-hash-join
+    the bit set, and ``bool_and`` per probe gives the maybe-member
+    verdict — the corpus itself never shuffles.
+
+    The exact verify then runs ONLY on bloom-accepted probes (Bloom
+    filters have no false negatives, so maybe=false ⇒ not a member):
+    the expensive fingerprint equi-join against the full corpus is
+    pruned to the hit set — the production bloom-pruned-join pattern
+    (Spark's own runtime row-level-filtering does the same with
+    InSubquery blooms). ``false_positive`` rows measure the filter's
+    realized error at these parameters.
+
+    Engine-portable construction (md5 prefix → BIGINT mod m) so the
+    whole filter — bits, verdicts, false positives — is value-exact
+    against the DuckDB twin, same as the HLL/MinHash family."""
+    from ..operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+    )
+    corpus = base.filter(F.col("doc_id") % 10 != 0)
+    probes = base.filter(F.col("doc_id") % 10 == 0)
+
+    bits = (
+        corpus.select(
+            F.explode(F.array(*_q98_bits_spark(F.col("fp")))).alias("bit")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    pbits = probes.select(
+        "doc_id",
+        "fp",
+        F.explode(F.array(*_q98_bits_spark(F.col("fp")))).alias("bit"),
+    )
+    agg = (
+        pbits.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id", "fp")
+        .agg(F.bool_and(F.coalesce("_hit", F.lit(False))).alias("maybe_member"))
+    )
+
+    # bloom-pruned exact verify: only maybe-hits touch the corpus join
+    exact = (
+        agg.filter(F.col("maybe_member"))
+        .join(
+            corpus.select("fp").distinct().withColumn("_ex", F.lit(True)),
+            "fp",
+            "left",
+        )
+        .select("doc_id", F.coalesce("_ex", F.lit(False)).alias("exact_member"))
+    )
+    return (
+        agg.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "maybe_member",
+            F.coalesce("exact_member", F.lit(False)).alias("exact_member"),
+        )
+        .withColumn(
+            "false_positive", F.col("maybe_member") & ~F.col("exact_member")
+        )
+    )

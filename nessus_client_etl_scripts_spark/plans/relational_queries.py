@@ -953,3 +953,96 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 — SCD Type-2 validity intervals (gaps-and-islands over a change log)
+# ---------------------------------------------------------------------------
+
+_Q99_ORACLE = """
+WITH flagged AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                OR lag(o_orderstatus) OVER w != o_orderstatus
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), islands AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         SUM(chg) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS interval_seq
+  FROM flagged
+), grouped AS (
+  SELECT o_custkey AS custkey, o_orderstatus AS status,
+         CAST(interval_seq AS BIGINT) AS interval_seq,
+         MIN(o_orderdate) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM islands GROUP BY 1, 2, 3
+)
+SELECT custkey, status, interval_seq, valid_from,
+       lead(valid_from) OVER (PARTITION BY custkey ORDER BY interval_seq)
+         AS valid_to,
+       n_orders
+FROM grouped
+"""
+
+
+@register("q99_scd2_intervals", _Q99_ORACLE)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history build — the warehouse extension of
+    the reference's daily dimension snapshots (S6, export.py:241-243):
+    collapse a per-entity change log into (key, value, valid_from,
+    valid_to) validity intervals, the classic gaps-and-islands.
+    Consecutive orders with the same status form one island (change
+    detected via lag, island id via a running sum of change flags);
+    each island becomes one interval row, valid_to = next interval's
+    valid_from (NULL for the open current interval).
+
+    Scale shape: every window partitions by o_custkey — a fine-grained
+    high-cardinality key, so no low-cardinality funnel — and the
+    island aggregation adds one hash shuffle on (custkey, status,
+    interval_seq). Three exchanges total over order-log-sized data,
+    each keyed fine-grained; at 100 TB the change log is the small
+    derived table (one row per dimension mutation), not the fact
+    table, so this is comfortably within a snapshot-build budget.
+
+    ``interval_seq`` is emitted (not just used internally) to keep the
+    lead() ordering deterministic even when two islands of one
+    customer share a valid_from timestamp (same-day status flip) —
+    ordering the final window by valid_from alone would be ambiguous
+    there."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderstatus").over(w)
+    flagged = orders.select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    ).withColumn(
+        "_chg",
+        F.when(
+            prev.isNull() | (prev != F.col("o_orderstatus")), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "interval_seq",
+        F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    grouped = islands.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        "interval_seq",
+    ).agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w2 = Window.partitionBy("custkey").orderBy("interval_seq")
+    return grouped.select(
+        "custkey",
+        "status",
+        "interval_seq",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_orders",
+    )

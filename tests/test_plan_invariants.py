@@ -202,3 +202,29 @@ def test_q04_global_nth_bounded_by_take_ordered(spark):
     # window then sees <= offset+1 rows at ANY input size
     plan = _plan(spark, "q04_scan_results_single")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q97_intradoc_dedup_is_rowlocal(spark):
+    # segment dedup is within-row array algebra: the only allowed
+    # exchange is spread_for_compute's round-robin scan widening —
+    # never a hash/range shuffle, never a Python eval node
+    plan = _plan(spark, "q97_intradoc_dedup")
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_q98_bloom_bitset_broadcasts(spark):
+    # the m-bounded bit set must broadcast (corpus never shuffles into
+    # the membership join) and nothing may degrade to a nested loop
+    plan = _plan(spark, "q98_bloom_membership")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q99_scd2_no_global_window(spark):
+    # every window partitions by custkey — a partition-less window
+    # would funnel the whole change log through one task
+    plan = _plan(spark, "q99_scd2_intervals")
+    assert "SinglePartition" not in plan, plan
