@@ -68,17 +68,6 @@ def _cc_with_rounds(
     raise ValueError(f"algorithm must be 'star' or 'propagation': {algorithm}")
 
 
-def _canonical(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
-    """Undirected edge set as distinct (lo, hi) pairs, self-loops
-    dropped."""
-    a, b = F.col(src_col), F.col(dst_col)
-    return (
-        edges.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-    )
-
-
 def _neighborhood_min(sym: DataFrame) -> DataFrame:
     """(node, m): m = min(node ∪ neighbors) from a symmetric edge
     frame with columns (node, nbr)."""
@@ -90,16 +79,27 @@ def _neighborhood_min(sym: DataFrame) -> DataFrame:
 def _cc_star(
     edges: DataFrame, src_col: str, dst_col: str, max_iter: int
 ) -> tuple[DataFrame, int]:
-    cur = _canonical(edges, src_col, dst_col).localCheckpoint()
-    # Node set from the RAW edge frame, not the canonical one: a vertex
-    # that appears only in self-loop edges (v, v) must still get its
-    # (v, v) label row — the canonical form drops self-loops, so
-    # deriving nodes from it would silently drop those vertices and
-    # break the "every vertex of the undirected edge set" contract
-    # (matching _cc_propagation, whose sym frame keeps them).
+    # ONE materialization of the upstream edge pipeline: canonicalize
+    # WITH self-loops kept, checkpoint, then derive both the working
+    # edge set (self-loops filtered — cheap over the checkpointed rdd)
+    # and the node set from it. The node set must see self-loop-only
+    # vertices (a (v, v)-only vertex still gets its label row — the
+    # "every vertex of the undirected edge set" contract, matching
+    # _cc_propagation), but deriving nodes from the RAW frame would
+    # re-execute the whole upstream pair generation a second time —
+    # for the dedup pipelines that feed this operator (LSH candidates,
+    # exact-Jaccard verify) that upstream is the dominant cost
+    # (measured +2.3 s on q55 at sf0.1 when nodes re-ran it).
+    a, b = F.col(src_col), F.col(dst_col)
+    base = (
+        edges.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = base.filter(F.col("lo") != F.col("hi")).localCheckpoint()
     nodes = (
-        edges.select(F.col(src_col).alias("id"))
-        .union(edges.select(F.col(dst_col).alias("id")))
+        base.select(F.col("lo").alias("id"))
+        .union(base.select(F.col("hi").alias("id")))
         .distinct()
         .localCheckpoint()
     )

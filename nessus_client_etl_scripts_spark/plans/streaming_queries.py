@@ -1,10 +1,10 @@
 """Declared STREAMING queries — Structured Streaming executed
 end-to-end inside the driver's batch harness (SURVEY.md §2.9): q53
 session windows, q68 tumbling windows, q74 dropDuplicates state, q83
-custom applyInPandasWithState — each a REAL streaming-engine pass
-(readStream → stateful op → availableNow → memory sink) whose
-declared output is batching/arrival-order independent, hence
-value-oracle-checkable.
+custom applyInPandasWithState, q100 stream-static enrichment join —
+each a REAL streaming-engine pass (readStream → stateful op →
+availableNow → memory sink) whose declared output is
+batching/arrival-order independent, hence value-oracle-checkable.
 
 q53 runs the sessionization pipeline through a real streaming engine
 pass: file-source ``readStream`` over the events parquet →
@@ -257,3 +257,46 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_Q100_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment
+"""
+
+
+@register("q100_streaming_enrich", _Q100_ORACLE)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static ENRICHMENT join computed by the streaming engine:
+    the purchase stream joins the static customer dimension (the
+    standard streaming enrichment pattern — clickstream × user profile)
+    before a per-segment stateful aggregation, availableNow to
+    completion.
+
+    Scale shape: a stream-static equi-join with a dimension-sized
+    static side plans as a broadcast into every micro-batch — the
+    stream never shuffles for the join, no state is held for it (only
+    the downstream aggregate keeps state, one row per segment), and
+    the static side is re-resolvable per batch in a continuous
+    deployment (slowly-changing dims pick up snapshot updates). The
+    event filter is pushed to the streaming source scan. Value-exact
+    against the batch join+aggregate oracle (decimal-safe sums) —
+    enrichment output is arrival-order independent."""
+    from ..catalog import load_table
+
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.filter(F.col("event_type") == "purchase").join(
+        F.broadcast(cust), "user_id"
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum("value", "total_value"),
+    )
+    return run_available_now(agg, "q100_enrich")

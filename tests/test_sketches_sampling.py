@@ -338,3 +338,33 @@ def test_connected_components_star_equals_propagation(spark, edges):
     )
     for v in truth_nodes:
         assert star[v] == prop[v] == truth[v], (v, star[v], prop[v], truth[v])
+
+
+def test_connected_components_materializes_upstream_once(spark):
+    """The edge pipeline feeding CC (LSH candidates + verify — the
+    dominant cost at scale) must execute exactly ONCE: the star
+    algorithm canonicalizes-with-self-loops and checkpoints BEFORE
+    deriving the working edge set and the node set, so neither derives
+    from the raw (un-materialized) frame. Counted via an accumulator
+    inside the upstream — a second execution would double it."""
+    from nessus_client_etl_scripts_spark.operators.graph import (
+        connected_components,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _count(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 6)], ["src", "dst"]
+    )
+    slow_upstream = edges.mapInPandas(_count, schema=edges.schema)
+    labels = {
+        (r.id, r.cluster_id)
+        for r in connected_components(slow_upstream, "src", "dst").collect()
+    }
+    assert labels == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)}
+    assert acc.value == 4  # one pass over the 4 edge rows, not two
