@@ -160,3 +160,91 @@ SELECT {group_col}, n_rows,
          AS {out_col}
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — engine-portable frequency estimation
+# ---------------------------------------------------------------------------
+
+
+def _cm_hash(j: int, value: Column, width: int) -> Column:
+    """Row j's cell for a value: md5 32-bit prefix mod width — the same
+    portable construction as the HLL/MinHash/Bloom family."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cm{j}:"), value)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def count_min_estimates(
+    items: DataFrame,
+    item_col: str,
+    queries: DataFrame,
+    depth: int = 4,
+    width: int = 1 << 12,
+    out_col: str = "cm_estimate",
+) -> DataFrame:
+    """Count-min frequency estimates (Cormode & Muthukrishnan 2005):
+    ``items`` is one row per occurrence; returns one row per ``queries``
+    row with ``out_col`` = min over the sketch's ``depth`` rows of the
+    hashed cell's count — an upper bound on the true frequency
+    (overcount only, never under).
+
+    Scale shape: the sketch is an aggregation bounded by a CONSTANT —
+    at most depth×width (j, cell) rows survive the groupBy no matter
+    how many item instances stream through, and partial aggregation
+    combines map-side, so the shuffle carries ≤ depth×width partial
+    cells per map partition. The materialized sketch broadcasts into
+    the estimate join (queries never shuffle), and because cell counts
+    are plain sums the sketch is RE-AGGREGATABLE: per-partition /
+    per-day sketches merge by adding cells — the same
+    store-sketches-merge-later posture as :func:`hll_distinct`.
+
+    Like the portable HLL, every step (md5 prefix hash, integer mod,
+    integer counts, min) is bit-identical in any engine, so the
+    *approximate* estimates are value-oracle-checkable, not just
+    rows-only.
+    """
+    item = F.col(item_col)
+    cells = (
+        items.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _cm_hash(j, item, width).alias("cell"),
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("jc")
+        )
+        .groupBy(F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    qcells = queries.select(
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cm_hash(j, item, width).alias("cell"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jc"),
+    ).select(item_col, F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
+    return (
+        qcells.join(F.broadcast(cells), ["j", "cell"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias(out_col))
+    )

@@ -2537,3 +2537,91 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
             "false_positive", F.col("maybe_member") & ~F.col("exact_member")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — count-min sketch heavy hitters (portable frequency estimates)
+# ---------------------------------------------------------------------------
+
+_Q101_D = 4
+_Q101_W = 16  # deliberately tiny so the 31-token testdata vocabulary
+# actually collides (~2 tokens/cell) and the min-over-rows estimator is
+# exercised with real overcounts; a production sketch uses w = 2^12+
+# (error ~ 2N/w with N total occurrences)
+
+
+def _q101_cm_sql(token_expr: str) -> str:
+    return (
+        f"('0x' || substring(md5('cm' || CAST(t.j AS VARCHAR) || ':' || "
+        f"{token_expr}), 1, 8))::BIGINT % {_Q101_W}"
+    )
+
+
+_Q101_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token FROM documents
+), exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM toks GROUP BY token
+), top AS (
+  SELECT token, exact_count FROM exact
+  ORDER BY exact_count DESC, token ASC LIMIT 20
+), cells AS (
+  SELECT t.j AS j, {_q101_cm_sql('token')} AS cell,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN range(0, {_Q101_D}) t(j)
+  GROUP BY 1, 2
+), est AS (
+  SELECT token, MIN(cnt) AS cm_estimate
+  FROM (
+    SELECT top.token, c.cnt
+    FROM top CROSS JOIN range(0, {_Q101_D}) t(j)
+    JOIN cells c
+      ON c.j = t.j AND c.cell = {_q101_cm_sql('top.token')}
+  ) GROUP BY token
+)
+SELECT top.token, top.exact_count, est.cm_estimate,
+       est.cm_estimate - top.exact_count AS overcount
+FROM top JOIN est ON top.token = est.token
+"""
+
+
+@register("q101_count_min_heavy_hitters", _Q101_ORACLE)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters — the FREQUENCY twin of the portable-HLL
+    distinct sketch (q31 vs exact q21): estimate the top-20 tokens'
+    occurrence counts from a depth×width count-min sketch
+    (operators/sketches.py::count_min_estimates) and emit them next to
+    the exact counts, overcount included, so the sketch's one-sided
+    error is measured in-query (cm_estimate >= exact_count always).
+
+    Scale shape: the sketch aggregation is bounded by the CONSTANT
+    depth×width whatever the corpus size — at 100 TB this is how you
+    find heavy hitters without shuffling the full vocabulary — and
+    cell counts are plain sums, so per-partition/per-day sketches
+    merge by addition (the store-sketches-merge-later posture). The
+    exact side here is the verification anchor, same as q21's role
+    for the HLL. Width is deliberately tiny (16) so the testdata's
+    31-token vocabulary actually collides and nonzero overcounts
+    prove the estimator path; every step is md5/integer algebra,
+    bit-identical in DuckDB."""
+    from ..operators.sketches import count_min_estimates
+    from ..operators.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens(normalize_text("text"))).alias("token")
+    )
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    top = exact.orderBy(F.desc("exact_count"), F.asc("token")).limit(20)
+    est = count_min_estimates(
+        toks, "token", top.select("token"), depth=_Q101_D, width=_Q101_W
+    )
+    return top.join(est, "token").select(
+        "token",
+        "exact_count",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_count")).alias("overcount"),
+    )

@@ -228,3 +228,11 @@ def test_q99_scd2_no_global_window(spark):
     # would funnel the whole change log through one task
     plan = _plan(spark, "q99_scd2_intervals")
     assert "SinglePartition" not in plan, plan
+
+
+def test_q101_count_min_sketch_broadcasts(spark):
+    # the depth x width-bounded sketch must broadcast into the estimate
+    # join, and the occurrence explode must combine map-side
+    plan = _plan(spark, "q101_count_min_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan

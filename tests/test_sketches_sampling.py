@@ -368,3 +368,26 @@ def test_connected_components_materializes_upstream_once(spark):
     }
     assert labels == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)}
     assert acc.value == 4  # one pass over the 4 edge rows, not two
+
+
+def test_count_min_never_underestimates(spark):
+    """CM guarantees cm_estimate >= true count for every queried item,
+    and equals it when the item's cells are collision-free. Tiny width
+    forces collisions over a 40-item universe."""
+    from nessus_client_etl_scripts_spark.operators.sketches import (
+        count_min_estimates,
+    )
+
+    rows = [(f"item{i % 40}",) for i in range(2000)]
+    items = spark.createDataFrame(rows, ["v"])
+    queries = items.select("v").distinct()
+    est = {
+        r["v"]: r["cm_estimate"]
+        for r in count_min_estimates(
+            items, "v", queries, depth=4, width=8
+        ).collect()
+    }
+    exact = {f"item{i}": len([r for r in rows if r[0] == f"item{i}"]) for i in range(40)}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact), (est, exact)
+    assert any(est[k] > exact[k] for k in exact)  # collisions happened
