@@ -1046,3 +1046,105 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_orders",
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — binned approximate quantiles (bounded-state percentile at scale)
+# ---------------------------------------------------------------------------
+
+_Q102_BINS = 4096
+
+_Q102_ORACLE = f"""
+WITH stats AS (
+  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+), binned AS (
+  SELECT CASE WHEN (mx - mn) / {_Q102_BINS}.0 = 0 THEN 0
+              ELSE least(CAST(floor((l_extendedprice - mn)
+                                    / ((mx - mn) / {_Q102_BINS}.0)) AS BIGINT),
+                         {_Q102_BINS - 1})
+         END AS bin
+  FROM lineitem CROSS JOIN stats
+), cells AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin, SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cells
+), pcts AS (
+  -- explicit DOUBLE: a bare decimal list literal infers DECIMAL(3,2)
+  -- and stringifies '0.50' vs the double '0.5' in the value hash
+  SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS p
+), sel AS (
+  SELECT p, MIN(bin) AS bin
+  FROM pcts CROSS JOIN cum CROSS JOIN stats
+  WHERE cum >= ceil(p * n)
+  GROUP BY p
+)
+SELECT p, bin,
+       round((mn + bin * ((mx - mn) / {_Q102_BINS}.0)) * 1e6) / 1e6
+         AS est_value
+FROM sel CROSS JOIN stats
+"""
+
+
+@register("q102_binned_quantiles", _Q102_ORACLE)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 via fixed-width binning — the
+    BOUNDED-STATE percentile path next to exact q47 (which sorts the
+    full column): two aggregation passes whose state never exceeds the
+    CONSTANT bin count, the same posture as the portable HLL (q31) and
+    count-min (q101) sketches. Error is one bin width (range/4096);
+    the estimate is the selected bin's lower edge.
+
+    Scale shape: pass 1 is a 1-row min/max/count aggregate; pass 2
+    buckets every row (row-local arithmetic against the broadcast
+    stats row) into <= 4096 cells with map-side partial counts — the
+    shuffle carries cells, not rows. The cumulative window runs over
+    the <= 4096-row cell frame: its SinglePartition is bounded by the
+    bin constant, not by data (the same bounded-small-frame exemption
+    as the driver-side k-centroid state). Bin counts are plain sums,
+    so per-partition/per-day histograms merge by addition.
+
+    Determinism: bin = floor((x - mn) / width) is two correctly-rounded
+    IEEE ops per row, identical in DuckDB; counts/ranks are integers;
+    the only emitted multi-op double (mn + bin*width) is quantized to
+    1e-6 on both sides per the FMA rule (PLANS.md float rule #2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(_Q102_BINS))
+    binned = li.crossJoin(F.broadcast(stats)).select(
+        F.when(width == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("mn")) / width),
+                F.lit(_Q102_BINS - 1),
+            )
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    cells = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.withColumn("cum", F.sum("cnt").over(w))
+    pcts = spark.createDataFrame([(0.5,), (0.95,), (0.99,)], "p double")
+    sel = (
+        pcts.crossJoin(F.broadcast(cum))
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("cum") >= F.ceil(F.col("p") * F.col("n")))
+        .groupBy("p")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return sel.crossJoin(F.broadcast(stats)).select(
+        "p",
+        "bin",
+        (
+            F.round((F.col("mn") + F.col("bin") * width) * 1e6) / 1e6
+        ).alias("est_value"),
+    )

@@ -236,3 +236,11 @@ def test_q101_count_min_sketch_broadcasts(spark):
     plan = _plan(spark, "q101_count_min_heavy_hitters")
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_q102_binned_quantiles_combines_mapside(spark):
+    # every lineitem row buckets row-locally against the broadcast
+    # stats row; the shuffle must carry <= 4096 partial bin counts,
+    # never raw rows (partial_count before the exchange)
+    plan = _plan(spark, "q102_binned_quantiles")
+    assert "partial_count" in plan, plan
