@@ -352,6 +352,77 @@ def simhash64(
     return votes.select("doc_id", packed.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    sims: DataFrame,
+    threshold: int = 3,
+    n_blocks: int = 4,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — all pairs whose 64-bit SimHashes are
+    within ``threshold`` bit flips, via pigeonhole block bucketing: the
+    hash splits into ``n_blocks`` 16-bit blocks, and any pair with
+    hamming <= threshold < n_blocks must agree EXACTLY on at least one
+    block, so candidates come from a (block_idx, block_value) equi-join
+    — never an all-pairs comparison — and exact ``bit_count(xor)``
+    verifies each candidate. The SimHash twin of the MinHash
+    LSH-candidates -> exact-verify pipeline (q65).
+
+    Scale shape: identical to LSH banding — the shuffle key is
+    (block_idx, 16-bit value), ~12 B/doc/block; hot blocks (near-empty
+    documents hashing alike) are the skew risk AQE's skew join handles.
+    The verify is row-local integer xor+popcount on the joined pair.
+
+    Shift portability note: the oracle's ``(simhash >> s) & 65535``
+    uses DuckDB's ARITHMETIC shift while Spark uses
+    ``shiftrightunsigned`` — the &-mask keeps only the low 16 bits,
+    which agree between the two shift kinds for every s, so the block
+    values are engine-identical even for negative (bit-63-set) hashes.
+    """
+    if threshold >= n_blocks:
+        raise ValueError(
+            "pigeonhole soundness needs threshold < n_blocks: "
+            f"{threshold} >= {n_blocks}"
+        )
+    blk = sims.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftrightunsigned(F.col(hash_col), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        .alias("bv"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, hash_col, F.col("bb.b").alias("b"), F.col("bb.bv").alias("bv"))
+    left, right = blk.alias("l"), blk.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.b") == F.col("r.b"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col(f"l.{hash_col}").alias("sim_a"),
+            F.col(f"r.{hash_col}").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.filter(ham <= threshold).select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

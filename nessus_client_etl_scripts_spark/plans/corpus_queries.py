@@ -361,8 +361,10 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle(bits: int = 64) -> str:
-    """DuckDB twin of simhash64(family='md5'): same nibble-bit votes."""
+def _simhash_cte(bits: int = 64) -> str:
+    """DuckDB CTE chain ending in ``sims(doc_id, simhash)`` — the twin
+    of simhash64(family='md5') (same nibble-bit votes), shared by the
+    q29 signature query and the q103 hamming-pair join."""
     def nib(i: int) -> str:
         return f"(strpos('0123456789abcdef', substring(h, {i + 1}, 1)) - 1)"
 
@@ -387,10 +389,17 @@ WITH toks AS (
   SELECT doc_id,
          {votes}
   FROM hashed GROUP BY doc_id
-)
-SELECT doc_id,
-       CAST({packed} AS BIGINT) AS simhash
-FROM votes
+), sims AS (
+  SELECT doc_id,
+         CAST({packed} AS BIGINT) AS simhash
+  FROM votes
+)"""
+
+
+def _simhash_oracle(bits: int = 64) -> str:
+    return f"""
+{_simhash_cte(bits)}
+SELECT doc_id, simhash FROM sims
 """
 
 
@@ -2625,3 +2634,47 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_estimate",
         (F.col("cm_estimate") - F.col("exact_count")).alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — SimHash hamming-radius pairs (pigeonhole blocks + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def _q103_oracle(threshold: int = 3, n_blocks: int = 4) -> str:
+    return f"""
+{_simhash_cte()},
+blocks AS (
+  SELECT doc_id, simhash, t.b AS b,
+         (simhash >> (t.b * 16)) & 65535 AS bv
+  FROM sims CROSS JOIN range(0, {n_blocks}) t(b)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.simhash AS sim_a, r.simhash AS sim_b
+  FROM blocks l JOIN blocks r
+    ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {threshold}
+"""
+
+
+@register("q103_simhash_hamming_pairs", _q103_oracle())
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS — the consumer that completes the SimHash
+    story the way q65 completes MinHash: pigeonhole block bucketing
+    (hamming <= 3 over 4 blocks forces at least one identical 16-bit
+    block) proposes candidates from a (block, value) equi-join — never
+    an all-pairs scan — and exact xor+popcount verifies each. The
+    signature frame is localCheckpoint-materialized once (doc_id +
+    one long — tiny) so the token-hash voting pipeline doesn't run
+    twice through the self-join's two chains (the same single-
+    materialization rule as minhash_lsh_candidates and the CC node
+    set)."""
+    from ..operators.dedup import simhash64, simhash_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sims = simhash64(docs, family="md5").localCheckpoint()
+    return simhash_hamming_pairs(sims, threshold=3, n_blocks=4)

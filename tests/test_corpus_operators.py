@@ -411,3 +411,38 @@ def test_chunk_documents_overlap_and_tail(spark):
     assert got[1] == (4, "t4 t5 t6 t7")
     assert got[2] == (4, "t7 t8 t9 t10")
     assert got[3] == (1, "t10")
+
+
+def test_simhash_hamming_pairs_pigeonhole_and_verify(spark):
+    """Planted hashes: pairs within the radius are found iff they share
+    a 16-bit block (pigeonhole guarantee holds because radius <
+    n_blocks); pairs beyond the radius are filtered even when they
+    collide on a block; threshold >= n_blocks is rejected."""
+    import pytest
+
+    from nessus_client_etl_scripts_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    def sgn(v):  # two's-complement wrap into Spark's signed long
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = 0x1234_5678_9ABC_DEF0
+    rows = [
+        (1, sgn(base)),
+        (2, sgn(base ^ 0b101)),     # hamming 2 from 1 -> kept
+        (3, sgn(base ^ (1 << 20) ^ (1 << 40) ^ (1 << 60) ^ 1)),  # hamming 4,
+        # one flip per block: shares NO block with 1 -> never candidate
+        (4, sgn(base ^ (1 << 63))),  # hamming 1, sign bit -> kept
+    ]
+    sims = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(sims, threshold=3).collect()
+    }
+    assert got[(1, 2)] == 2
+    assert got[(1, 4)] == 1
+    assert got[(2, 4)] == 3  # 0b101 ^ (1<<63): radius boundary, kept
+    assert (1, 3) not in got and (3, 4) not in got
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(sims, threshold=4, n_blocks=4)

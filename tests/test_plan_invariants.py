@@ -244,3 +244,11 @@ def test_q102_binned_quantiles_combines_mapside(spark):
     # never raw rows (partial_count before the exchange)
     plan = _plan(spark, "q102_binned_quantiles")
     assert "partial_count" in plan, plan
+
+
+def test_q103_hamming_pairs_block_bounded(spark):
+    # candidates must come from the (block, value) equi-join — no
+    # all-pairs scan anywhere in the plan
+    plan = _plan(spark, "q103_simhash_hamming_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
