@@ -118,6 +118,50 @@ def hll_distinct(
     )
 
 
+def hll_register_frame(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """(group_cols…, _b, _m) — the HLL REGISTER STATE itself: max rho
+    per (group, bucket). This is the mergeable form a 100 TB pipeline
+    lands as a table (per partition / per day / per source): merging
+    sketches is ``groupBy(coarser keys).agg(max(_m))`` — max is
+    associative/commutative, so merged registers are bit-identical to
+    registers built directly at the coarser key (q104 proves this
+    value-exactly)."""
+    bucket, rho = _bucket_spark(F.col(value_col))
+    return (
+        df.select(*group_cols, bucket.alias("_b"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.max("_rho").alias("_m"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str], out_col: str = "approx_distinct"
+) -> DataFrame:
+    """Finalize a register frame into the raw-HLL estimate — the same
+    integer register sum and single-division formula as
+    :func:`hll_distinct` (no small-range correction, see module doc)."""
+    lvl2 = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.when(
+                F.col("_b").isNotNull(),
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), cast({RMAX} - _m as int))"
+                ),
+            )
+        ).alias("_s"),
+        F.count("_b").alias("_nb"),
+    )
+    denom = (
+        F.coalesce(F.col("_s"), F.lit(0))
+        + (F.lit(M) - F.col("_nb")) * F.lit(1 << RMAX)
+    ).cast("double")
+    return lvl2.select(
+        *group_cols, (F.lit(EST_NUMERATOR) / denom).alias(out_col)
+    )
+
+
 def hll_distinct_sql(
     table: str, group_col: str, value_col: str, out_col: str = "approx_distinct"
 ) -> str:

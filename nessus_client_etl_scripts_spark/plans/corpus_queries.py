@@ -2678,3 +2678,98 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sims = simhash64(docs, family="md5").localCheckpoint()
     return simhash_hamming_pairs(sims, threshold=3, n_blocks=4)
+
+
+# ---------------------------------------------------------------------------
+# q104 — HLL sketch merge proof (store sketches, merge later)
+# ---------------------------------------------------------------------------
+
+
+def _q104_oracle() -> str:
+    from ..operators.sketches import (
+        EST_NUMERATOR,
+        HASH_BITS,
+        M,
+        R,
+        RMAX,
+        _SUFFIX_MASK,
+    )
+
+    rho_branches = "\n         ".join(
+        f"WHEN (h & {_SUFFIX_MASK}) >= {1 << (R - j)} THEN {j}"
+        for j in range(1, R + 1)
+    )
+    est = (
+        f"{EST_NUMERATOR!r} / (coalesce(sum(1::BIGINT << ({RMAX} - m)), 0)"
+        f" + ({M} - count(b)) * {1 << RMAX}::BIGINT)::DOUBLE"
+    )
+    return f"""
+WITH h AS (
+  SELECT lang, source,
+         ('0x' || substring(md5(text), 1, {HASH_BITS // 4}))::BIGINT AS h
+  FROM documents
+), k AS (
+  SELECT lang, source, h >> {R} AS b,
+         CASE {rho_branches} ELSE {RMAX} END AS rho
+  FROM h
+), partial AS (
+  SELECT lang, source, b, max(rho) AS m FROM k GROUP BY 1, 2, 3
+), merged_regs AS (
+  SELECT lang, b, max(m) AS m FROM partial GROUP BY 1, 2
+), merged AS (
+  SELECT lang, {est} AS merged_distinct FROM merged_regs GROUP BY lang
+), direct_regs AS (
+  SELECT lang, b, max(rho) AS m FROM k GROUP BY 1, 2
+), direct AS (
+  SELECT lang, {est} AS direct_distinct FROM direct_regs GROUP BY lang
+)
+SELECT m.lang, m.merged_distinct, d.direct_distinct,
+       m.merged_distinct = d.direct_distinct AS sketch_merge_exact
+FROM merged m JOIN direct d ON m.lang = d.lang
+"""
+
+
+@register("q104_hll_merge", _q104_oracle())
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch RE-AGGREGATION proof — the operational heart of the
+    store-sketches-merge-later posture every sketch in this engine
+    claims (HLL q31, count-min q101, bin histograms q102): per-(lang,
+    source) HLL register frames — the form a 100 TB pipeline lands as
+    a table per partition/day/source — are MERGED to per-lang by
+    ``max`` over registers, finalized, and emitted NEXT TO the
+    estimate built directly at the lang grain. max is associative, so
+    the two are bit-identical; the query emits both plus the equality
+    flag, so the driver's value hash breaks if merge semantics ever
+    drift from direct construction.
+
+    Scale shape: the partial register frame is bounded by
+    |groups|×m rows regardless of corpus size; the merge shuffle
+    carries registers, never values — re-profiling a petabyte after a
+    partition lands costs |new partition| + |registers|, not a full
+    rescan. Same md5/integer construction as q31, so everything is
+    value-exact cross-engine."""
+    from ..operators.sketches import (
+        hll_estimate_from_registers,
+        hll_register_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    partial = hll_register_frame(docs, ["lang", "source"], "text")
+    merged_regs = partial.groupBy("lang", "_b").agg(
+        F.max("_m").alias("_m")
+    )
+    merged = hll_estimate_from_registers(
+        merged_regs, ["lang"], out_col="merged_distinct"
+    )
+    direct = hll_estimate_from_registers(
+        hll_register_frame(docs, ["lang"], "text"),
+        ["lang"],
+        out_col="direct_distinct",
+    )
+    return (
+        merged.join(direct, "lang")
+        .withColumn(
+            "sketch_merge_exact",
+            F.col("merged_distinct") == F.col("direct_distinct"),
+        )
+    )
