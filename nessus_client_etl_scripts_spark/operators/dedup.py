@@ -352,6 +352,64 @@ def simhash64(
     return votes.select("doc_id", packed.alias("simhash"))
 
 
+def bloom_bit_positions(fp: Column, m: int, k: int) -> list[Column]:
+    """The k Bloom bit positions of a fingerprint column — md5 32-bit
+    prefix mod m per hash index, the engine-portable construction
+    shared with the HLL/MinHash/count-min family."""
+    return [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bloom{j}:"), fp)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+        for j in range(1, k + 1)
+    ]
+
+
+def bloom_membership(
+    corpus: DataFrame,
+    probes: DataFrame,
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+    m: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """(id_col, fp_col, maybe_member) — Bloom-filter membership of each
+    probe fingerprint against the corpus fingerprints. The filter side
+    collapses the ENTIRE corpus to at most m distinct bit rows — a
+    relation bounded by a CONSTANT, so it broadcasts regardless of
+    corpus size and the corpus never shuffles. One-sided error only:
+    maybe_member=False is definitive (no false negatives — every bit
+    of a member IS in the set by construction), True needs an exact
+    verify, which callers run bloom-pruned (q98)."""
+    bits = (
+        corpus.select(
+            F.explode(
+                F.array(*bloom_bit_positions(F.col(fp_col), m, k))
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    pbits = probes.select(
+        id_col,
+        fp_col,
+        F.explode(
+            F.array(*bloom_bit_positions(F.col(fp_col), m, k))
+        ).alias("bit"),
+    )
+    return (
+        pbits.join(F.broadcast(bits), "bit", "left")
+        .groupBy(id_col, fp_col)
+        .agg(
+            F.bool_and(F.coalesce("_hit", F.lit(False))).alias("maybe_member")
+        )
+    )
+
+
 def simhash_hamming_pairs(
     sims: DataFrame,
     threshold: int = 3,

@@ -148,6 +148,31 @@ def rolling_hash_fingerprint(text: Column | str, window: int = 8) -> Column:
     return rolling_hash_from_tokens(tokens(normalize_text(text)), window)
 
 
+def token_segments(toks: Column, seg: int) -> Column:
+    """Non-overlapping ``seg``-token segments of a STAGED token array,
+    each re-joined to a string — the unit of intra-document dedup
+    (q97). Empty input arrays produce empty segment arrays (explicit
+    positive step, so sequence(1, 0, s) is [] — see ngrams' guard)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(seg)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, seg)),
+    )
+
+
+def first_occurrence_filter(arr: Column) -> Column:
+    """Keep each element's FIRST occurrence, preserving order —
+    row-local O(n²) array scan (n bounded by the per-document segment
+    count). The argument must be a staged column attribute: the
+    predicate references it per element via array_position.
+
+    Spark's lambda index is 0-based where DuckDB's list_filter index
+    is 1-based; the twin conditions ``array_position == i+1`` /
+    ``list_position = i`` express the same test."""
+    return F.filter(
+        arr, lambda x, i: F.array_position(arr, x) == i + 1
+    )
+
+
 def ngrams(toks: Column, n: int) -> Column:
     """Token n-grams as space-joined strings, entirely row-local array
     algebra (no shuffle, no UDF). Returns an EMPTY array when the

@@ -2384,24 +2384,21 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin conditions ``array_position == i+1`` / ``list_position = i``
     express the same first-occurrence test."""
     from ..catalog import spread_for_compute
-    from ..operators.text import tokens
+    from ..operators.text import (
+        first_occurrence_filter,
+        token_segments,
+        tokens,
+    )
 
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
     staged = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     segs = staged.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks"), F.lit(_Q97_SEG)),
-            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, _Q97_SEG)),
-        ).alias("segs"),
+        "doc_id", token_segments(F.col("toks"), _Q97_SEG).alias("segs")
     )
     kept = segs.select(
         "doc_id",
         "segs",
-        F.filter(
-            "segs",
-            lambda x, i: F.array_position(F.col("segs"), x) == i + 1,
-        ).alias("keep"),
+        first_occurrence_filter(F.col("segs")).alias("keep"),
     )
     return kept.select(
         "doc_id",
@@ -2459,20 +2456,6 @@ LEFT JOIN (SELECT DISTINCT fp FROM corpus) ex ON a.fp = ex.fp
 """.format(norm=_NORM_SQL)
 
 
-def _q98_bits_spark(fp: Column) -> list[Column]:
-    return [
-        (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"bloom{j}:"), fp)), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % _Q98_M
-        )
-        for j in range(1, _Q98_K + 1)
-    ]
-
-
 @register("q98_bloom_membership", _Q98_ORACLE)
 def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Bloom-filter membership — the m-BOUNDED alternative
@@ -2498,6 +2481,7 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-portable construction (md5 prefix → BIGINT mod m) so the
     whole filter — bits, verdicts, false positives — is value-exact
     against the DuckDB twin, same as the HLL/MinHash family."""
+    from ..operators.dedup import bloom_membership
     from ..operators.text import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2507,23 +2491,7 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.filter(F.col("doc_id") % 10 != 0)
     probes = base.filter(F.col("doc_id") % 10 == 0)
 
-    bits = (
-        corpus.select(
-            F.explode(F.array(*_q98_bits_spark(F.col("fp")))).alias("bit")
-        )
-        .distinct()
-        .withColumn("_hit", F.lit(True))
-    )
-    pbits = probes.select(
-        "doc_id",
-        "fp",
-        F.explode(F.array(*_q98_bits_spark(F.col("fp")))).alias("bit"),
-    )
-    agg = (
-        pbits.join(F.broadcast(bits), "bit", "left")
-        .groupBy("doc_id", "fp")
-        .agg(F.bool_and(F.coalesce("_hit", F.lit(False))).alias("maybe_member"))
-    )
+    agg = bloom_membership(corpus, probes, m=_Q98_M, k=_Q98_K)
 
     # bloom-pruned exact verify: only maybe-hits touch the corpus join
     exact = (
