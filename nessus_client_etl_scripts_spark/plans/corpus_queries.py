@@ -2491,7 +2491,16 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.filter(F.col("doc_id") % 10 != 0)
     probes = base.filter(F.col("doc_id") % 10 == 0)
 
-    agg = bloom_membership(corpus, probes, m=_Q98_M, k=_Q98_K)
+    # The verdict frame is referenced TWICE below (the bloom-pruned
+    # exact branch filters it; the final join reads it again) — without
+    # materialization the whole scan→bits→join→groupBy pipeline
+    # executes once per reference (confirmed in PLAN_SNAPSHOTS: two
+    # identical subtrees, ReuseExchange did not fire). One eager
+    # localCheckpoint of the |probes|-row verdict halves the query; at
+    # cluster scale the same role is played by persisting the verdict.
+    agg = bloom_membership(
+        corpus, probes, m=_Q98_M, k=_Q98_K
+    ).localCheckpoint()
 
     # bloom-pruned exact verify: only maybe-hits touch the corpus join
     exact = (
