@@ -112,11 +112,78 @@ def _require_real_codec() -> None:
     except ImportError as e:
         raise NotImplementedError(
             "real media decode needs an image/audio library (e.g. Pillow); "
-            "not available in this environment — use stub=True"
+            "not available in this environment — use stub=True, or PPM "
+            "payloads via codec='ppm' (decoded natively, no libraries)"
         ) from e
 
 
-def media_features(df: DataFrame, stub: bool = True) -> DataFrame:
+# ---------------------------------------------------------------------------
+# REAL codec: binary PPM (P6) — pure bytes + numpy, no external libraries.
+# One genuinely-decodable format upgrades the multimodal surface from
+# stub-only: the Arrow plumbing carries REAL pixels for PPM payloads,
+# while compressed formats (JPEG/PNG/wav) keep the explicit
+# NotImplementedError extension point above.
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) payload to an (h, w, 3) uint8 array.
+
+    Format: ASCII header ``P6 <width> <height> <maxval>`` with
+    whitespace separators and ``#`` comments, then a single whitespace
+    byte, then ``w*h*3`` raw big-endian samples (maxval <= 255
+    supported — the 8-bit case)."""
+    if content[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    fields: list[int] = []
+    i = 2
+    n = len(content)
+    while len(fields) < 3:
+        while i < n and content[i : i + 1].isspace():
+            i += 1
+        if i < n and content[i : i + 1] == b"#":  # comment to end of line
+            while i < n and content[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+            continue
+        start = i
+        while i < n and not content[i : i + 1].isspace():
+            i += 1
+        if start == i:
+            raise ValueError("truncated PPM header")
+        fields.append(int(content[start:i]))
+    i += 1  # exactly one whitespace after maxval
+    w, h, maxval = fields[0], fields[1], fields[2]
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    expect = w * h * 3
+    raw = content[i : i + expect]
+    if len(raw) != expect:
+        raise ValueError(f"PPM payload truncated: {len(raw)} != {expect}")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(arr: np.ndarray, maxval: int = 255) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("PPM is 3-channel RGB")
+    header = f"P6\n{w} {h}\n{maxval}\n".encode()
+    return header + arr.astype(np.uint8).tobytes()
+
+
+def _resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) array — the standard
+    index-mapping formula (same as OpenCV INTER_NEAREST with the
+    floor convention): src_idx = floor(dst_idx * src / dst)."""
+    h, w, _ = arr.shape
+    rows = (np.arange(height) * h // height).astype(np.int64)
+    cols = (np.arange(width) * w // width).astype(np.int64)
+    return arr[rows][:, cols]
+
+
+def media_features(
+    df: DataFrame, stub: bool = True, codec: str = "stub"
+) -> DataFrame:
     """Decode + featurize each media row → fixed-dim feature vector.
 
     mapInPandas contract: input batches arrive as pandas frames of the
@@ -124,8 +191,17 @@ def media_features(df: DataFrame, stub: bool = True) -> DataFrame:
     worker call per Arrow batch — vectorized over the batch, and the
     blob column is dropped on output so downstream stages shuffle
     features, not bytes.
+
+    ``codec``: ``"stub"`` (default) runs the md5-chain fake decode —
+    the oracle-checkable path the declared queries use; ``"ppm"``
+    decodes REAL binary-PPM payloads natively (:func:`decode_ppm` —
+    no libraries needed) and features come from actual pixels (q105
+    value-proves this path end to end). Other real formats still need
+    an image library (``stub=False`` raises until one exists).
     """
-    if not stub:
+    if codec not in ("stub", "ppm"):
+        raise ValueError(f"codec must be 'stub' or 'ppm': {codec}")
+    if not stub and codec == "stub":
         _require_real_codec()
     from ..catalog import spread_for_compute
 
@@ -138,9 +214,16 @@ def media_features(df: DataFrame, stub: bool = True) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["content"]
             ):
                 raw = bytes(content)
-                px = _fake_decode(raw)
-                # fixed-dim pooled feature: per-chunk means
-                feat = px.reshape(_FEATURE_DIM, -1).mean(axis=1).astype(np.float32)
+                if codec == "ppm":
+                    px = decode_ppm(raw).astype(np.int64).ravel()
+                else:
+                    px = _fake_decode(raw)
+                # fixed-dim pooled feature: per-chunk means (pixel
+                # counts here are multiples of the feature dim; the
+                # ppm caller guarantees it, the stub emits 64)
+                feat = (
+                    px.reshape(_FEATURE_DIM, -1).mean(axis=1).astype(np.float32)
+                )
                 rows.append(
                     {
                         "media_id": mid,
@@ -156,12 +239,23 @@ def media_features(df: DataFrame, stub: bool = True) -> DataFrame:
     return df.mapInPandas(featurize, FEATURE_SCHEMA)
 
 
-def resize_media(df: DataFrame, width: int, height: int, stub: bool = True) -> DataFrame:
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    stub: bool = True,
+    codec: str = "stub",
+) -> DataFrame:
     """Resize images: same schema out as in, meta updated, content
-    re-encoded. The stub re-encodes deterministically (checksum-chained
-    bytes of the requested size) so tests can assert the contract:
-    byte length tracks the target dims and meta reflects them."""
-    if not stub:
+    re-encoded. With ``codec="ppm"`` this is a REAL resize —
+    decode_ppm → nearest-neighbor index mapping → encode_ppm — on
+    actual pixel data; the default stub re-encodes deterministically
+    (checksum-chained bytes of the requested size) so tests can assert
+    the contract either way: byte length tracks the target dims and
+    meta reflects them."""
+    if codec not in ("stub", "ppm"):
+        raise ValueError(f"codec must be 'stub' or 'ppm': {codec}")
+    if not stub and codec == "stub":
         _require_real_codec()
     out_len = max(1, (width * height) // 8)
 
@@ -171,8 +265,15 @@ def resize_media(df: DataFrame, width: int, height: int, stub: bool = True) -> D
             metas, blobs = [], []
             for meta, content in zip(pdf["meta"], pdf["content"]):
                 raw = bytes(content)
-                seed = hashlib.md5(raw).digest()[:4]
-                blobs.append((seed * (out_len // 4 + 1))[:out_len])
+                if codec == "ppm":
+                    blobs.append(
+                        encode_ppm(
+                            _resize_nearest(decode_ppm(raw), width, height)
+                        )
+                    )
+                else:
+                    seed = hashlib.md5(raw).digest()[:4]
+                    blobs.append((seed * (out_len // 4 + 1))[:out_len])
                 m = dict(meta) if meta is not None else {}
                 m["width"], m["height"] = width, height
                 metas.append(m)

@@ -2750,3 +2750,114 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("merged_distinct") == F.col("direct_distinct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — REAL PPM codec roundtrip, value-proven (multimodal upgrade)
+# ---------------------------------------------------------------------------
+
+_Q105_ORACLE = """
+WITH d AS (
+  SELECT doc_id, n_chars, 6 + (n_chars % 5) * 2 AS h FROM documents
+), px AS (
+  SELECT doc_id, n_chars, h, unnest(range(0, 24 * h)) AS i FROM d
+), vals AS (
+  SELECT doc_id, h, i, (n_chars + i) % 256 AS p, i // (3 * h) AS chunk
+  FROM px
+), chunks AS (
+  SELECT doc_id, chunk,
+         CAST(CAST(CAST(SUM(p) AS DOUBLE) / (3 * h) AS FLOAT) AS DOUBLE)
+           AS chunk_mean
+  FROM vals GROUP BY doc_id, chunk, h
+), means AS (
+  SELECT doc_id, CAST(SUM(p) AS DOUBLE) / (24 * h) AS mean_intensity
+  FROM vals GROUP BY doc_id, h
+)
+SELECT d.doc_id AS media_id,
+       CAST(10 + length(CAST(d.h AS VARCHAR)) + 24 * d.h AS BIGINT)
+         AS n_bytes,
+       m.mean_intensity,
+       CAST(c.chunk AS INTEGER) AS chunk,
+       c.chunk_mean
+FROM d
+JOIN means m ON d.doc_id = m.doc_id
+JOIN chunks c ON d.doc_id = c.doc_id
+"""
+
+
+@register("q105_ppm_codec_roundtrip", _Q105_ORACLE)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec, value-proven end to end: each document
+    deterministically renders an 8×h RGB gradient (pixel i =
+    (n_chars + i) mod 256), is ENCODED to actual binary-PPM bytes
+    (operators/multimodal.encode_ppm), flows through the Arrow media
+    pipeline, and is DECODED BACK by the native P6 parser
+    (decode_ppm, codec='ppm' — pure bytes + numpy, no libraries)
+    inside media_features; the per-image mean intensity and 8 pooled
+    chunk means come from the decoded pixels. The DuckDB twin computes
+    the same statistics from the gradient's closed form — so any
+    header-formatting, stride, channel-order, or truncation bug in
+    EITHER codec direction breaks the value hash. This upgrades the
+    multimodal surface from stub-only (q34/q54's md5-chain fake) to a
+    real decodable format; compressed formats keep the explicit
+    library extension point.
+
+    Float determinism: all sums are exact integer sums in double
+    range; each emitted value is one correctly-rounded division (plus
+    the float32 roundtrip both engines apply to the feature), so no
+    quantization is needed. Image heights vary per doc and pixel
+    counts are multiples of the 8-dim feature (24h = 8·3h), keeping
+    the pooling reshape exact."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        media_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                h = 6 + int(nc) % 5 * 2
+                n_px = 8 * h * 3
+                arr = (
+                    ((int(nc) + np.arange(n_px)) % 256)
+                    .astype(np.uint8)
+                    .reshape(h, 8, 3)
+                )
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "image",
+                        "meta": {
+                            "width": 8,
+                            "height": h,
+                            "channels": 3,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                            "codec": "ppm",
+                        },
+                        "content": encode_ppm(arr),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    media = docs.mapInPandas(render, MEDIA_SCHEMA)
+    feats = media_features(media, codec="ppm")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "mean_intensity",
+        F.posexplode("feature"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        "mean_intensity",
+        F.col("pos").cast("int").alias("chunk"),
+        F.col("col").cast("double").alias("chunk_mean"),
+    )

@@ -73,3 +73,67 @@ def test_documents_adapter(spark):
     assert feats.count() == n
     frames = mm.sample_frames(corpus)
     assert frames.count() > 0
+
+
+def test_ppm_decode_encode_roundtrip_and_header_forms():
+    import numpy as np
+
+    from nessus_client_etl_scripts_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    arr = (np.arange(5 * 4 * 3) % 256).astype("uint8").reshape(4, 5, 3)
+    assert (decode_ppm(encode_ppm(arr)) == arr).all()
+    # tolerant header parse: comments and mixed whitespace
+    body = arr.tobytes()
+    hdr = b"P6 # a comment\n# another\n 5\t4 \n255\n"
+    assert (decode_ppm(hdr + body) == arr).all()
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # not P6
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm(arr)[:-1])  # truncated payload
+
+
+def test_ppm_resize_matches_numpy_nearest(spark):
+    import numpy as np
+
+    from nessus_client_etl_scripts_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _resize_nearest,
+        decode_ppm,
+        encode_ppm,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(7)
+    imgs = {
+        i: rng.integers(0, 256, size=(6 + i, 9 - i, 3), dtype=np.uint8)
+        for i in range(3)
+    }
+    rows = [
+        (
+            i,
+            "image",
+            {
+                "width": a.shape[1],
+                "height": a.shape[0],
+                "channels": 3,
+                "sample_rate": None,
+                "duration_ms": None,
+                "codec": "ppm",
+            },
+            bytearray(encode_ppm(a)),
+        )
+        for i, a in imgs.items()
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_media(df, width=4, height=5, codec="ppm").collect()
+    for r in out:
+        want = _resize_nearest(imgs[r.media_id], 4, 5)
+        got = decode_ppm(bytes(r.content))
+        assert got.shape == (5, 4, 3)
+        assert (got == want).all()
+        assert r.meta.width == 4 and r.meta.height == 5
