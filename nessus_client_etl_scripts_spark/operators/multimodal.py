@@ -4,12 +4,15 @@ Design (the 100 TB training-data posture): image/audio/video payloads
 travel as ``binary`` columns next to a typed ``meta`` struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes cross the JVM↔Python boundary once per
-batch, never per row. Decode itself is pluggable: this container has
-no image/audio libraries, so the default codec is a DETERMINISTIC FAKE
-(seeded from the payload bytes) and the real-library path raises
-``NotImplementedError`` until a codec is installed — the Spark-side
-contract (schemas, batch iteration, output cardinality, partitioning)
-is real and fully tested either way.
+batch, never per row. Decode is pluggable with THREE real native
+codecs (pure bytes + numpy, no libraries): binary PPM (P6) images,
+RIFF/PCM WAV audio, and YUV4MPEG2 (y4m) video — each value-proven end
+to end by a declared query (q105/q106/q107). Compressed formats
+(JPEG/PNG/mp3/mp4) still need a library: that path raises
+``NotImplementedError`` until one is installed, and the default codec
+for arbitrary payloads is a DETERMINISTIC FAKE (md5-seeded from the
+bytes) so the Spark-side contract (schemas, batch iteration, output
+cardinality, partitioning) stays fully tested regardless.
 
 Scale notes:
 - ``spark.sql.execution.arrow.maxPartitionBytes`` doesn't see binary
@@ -181,6 +184,118 @@ def _resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     return arr[rows][:, cols]
 
 
+# ---------------------------------------------------------------------------
+# REAL codec: WAV (RIFF PCM) — pure bytes + numpy, no libraries.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode a 1-D int16 array as a mono 16-bit PCM WAV file."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    return b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 36 + n),
+            b"WAVE",
+            b"fmt ",
+            struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16),
+            b"data",
+            struct.pack("<I", n),
+            data,
+        ]
+    )
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a PCM WAV payload → (samples int16 per-channel-interleaved,
+    sample_rate, channels). Walks RIFF chunks (fmt may be followed by
+    LIST/fact etc. before data); 16-bit PCM only."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(content)
+    rate = channels = bits = None
+    samples = None
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        (size,) = struct.unpack("<I", content[i + 4 : i + 8])
+        body = content[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM WAV supported")
+        elif cid == b"data":
+            if len(body) != size:
+                raise ValueError("WAV data chunk truncated")
+            samples = np.frombuffer(body, dtype="<i2")
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return samples, rate, channels
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: YUV4MPEG2 (y4m) — uncompressed video, pure bytes.
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 5) -> bytes:
+    """Encode (n_frames, 3, h, w) uint8 YUV (C444 planar) as y4m."""
+    f, c, h, w = frames.shape
+    if c != 3:
+        raise ValueError("y4m C444 needs 3 planes")
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode()
+    out = [header]
+    for k in range(f):
+        out.append(b"FRAME\n")
+        out.append(frames[k].astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode a C444 y4m payload → ((n_frames, 3, h, w) uint8, fps)."""
+    nl = content.index(b"\n")
+    header = content[:nl].decode()
+    parts = header.split()
+    if parts[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = fps = None
+    colorspace = "C420"
+    for p in parts[1:]:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("F"):
+            fps = int(p[1:].split(":")[0])
+        elif p.startswith("C"):
+            colorspace = p
+    if colorspace != "C444":
+        raise ValueError("only C444 y4m supported")
+    if w is None or h is None or fps is None:
+        raise ValueError("y4m header missing W/H/F")
+    frame_bytes = 3 * w * h
+    i = nl + 1
+    frames = []
+    while i < len(content):
+        if content[i : i + 6] != b"FRAME\n":
+            raise ValueError("bad y4m FRAME marker")
+        i += 6
+        raw = content[i : i + frame_bytes]
+        if len(raw) != frame_bytes:
+            raise ValueError("y4m frame truncated")
+        frames.append(
+            np.frombuffer(raw, dtype=np.uint8).reshape(3, h, w)
+        )
+        i += frame_bytes
+    return np.stack(frames), fps
+
+
 def media_features(
     df: DataFrame, stub: bool = True, codec: str = "stub"
 ) -> DataFrame:
@@ -319,6 +434,106 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
 
     return df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("mean_amplitude", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio featurization: decode each WAV payload natively
+    (:func:`decode_wav` — RIFF chunk walk, 16-bit PCM) and emit
+    sample-level statistics from the actual samples. Same Arrow
+    batching contract as media_features; q106 value-proves the
+    encode→decode roundtrip against a closed-form oracle.
+
+    Float determinism: the sample sum and the sum of squares are
+    exact integers (|s| < 2^15, so the square sum stays < 2^53 for
+    any realistic clip), and mean/rms are one division (plus one
+    correctly-rounded sqrt for rms) — engine-exact, no quantization
+    needed."""
+    from ..catalog import spread_for_compute
+
+    df = spread_for_compute(df)
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                samples, rate, _channels = decode_wav(raw)
+                s = samples.astype(np.int64)
+                n = len(s)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_bytes": len(raw),
+                        "n_samples": n,
+                        "sample_rate": rate,
+                        "duration_ms": int(n * 1000 // rate),
+                        "mean_amplitude": float(int(s.sum()) / n),
+                        "rms": float(
+                            np.sqrt(int((s * s).sum()) / n)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA]
+            )
+
+    return df.mapInPandas(featurize, AUDIO_FEATURE_SCHEMA)
+
+
+Y4M_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def sample_frames_y4m(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: decode y4m payloads (:func:`decode_y4m`)
+    and emit every ``every_n``-th frame's timestamp and ACTUAL mean
+    luma (Y-plane mean of the decoded frame) — the row-expanding
+    multimodal shape (q54's stub twin) on genuine video bytes. The
+    luma mean is an exact integer sum through one division, so q107
+    value-checks the codec end to end."""
+    from ..catalog import spread_for_compute
+
+    df = spread_for_compute(df)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames, fps = decode_y4m(bytes(content))
+                for idx in range(0, frames.shape[0], every_n):
+                    y = frames[idx, 0].astype(np.int64)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": idx,
+                            "ts_ms": idx * 1000 // fps,
+                            "mean_luma": float(int(y.sum()) / y.size),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in Y4M_FRAME_SCHEMA]
+            )
+
+    return df.mapInPandas(sample, Y4M_FRAME_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

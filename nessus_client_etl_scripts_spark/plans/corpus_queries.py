@@ -2861,3 +2861,159 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("chunk"),
         F.col("col").cast("double").alias("chunk_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — REAL WAV codec roundtrip (audio)
+# ---------------------------------------------------------------------------
+
+_Q106_ORACLE = """
+WITH d AS (
+  SELECT doc_id, n_chars, 160 + (n_chars % 5) * 80 AS n FROM documents
+), s AS (
+  SELECT doc_id, n, n_chars, unnest(range(0, n)) AS i FROM d
+), v AS (
+  SELECT doc_id, n, ((n_chars * 31 + i * 7) % 65536) - 32768 AS s
+  FROM s
+), agg AS (
+  SELECT doc_id, n,
+         CAST(SUM(s) AS DOUBLE) / n AS mean_amplitude,
+         sqrt(CAST(SUM(s * s) AS DOUBLE) / n) AS rms
+  FROM v GROUP BY doc_id, n
+)
+SELECT doc_id AS media_id,
+       CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       CAST(n AS BIGINT) AS n_samples,
+       16000 AS sample_rate,
+       CAST(n * 1000 // 16000 AS INTEGER) AS duration_ms,
+       mean_amplitude, rms
+FROM agg
+"""
+
+
+@register("q106_wav_codec_roundtrip", _Q106_ORACLE)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec, value-proven: each document renders a
+    deterministic int16 sawtooth (sample i = (n_chars·31 + 7i) mod
+    2^16 − 2^15), is encoded to actual RIFF/PCM WAV bytes
+    (encode_wav), flows through the Arrow media pipeline, and is
+    decoded back by the native chunk-walking parser (decode_wav)
+    inside audio_features — sample count, byte size, duration, mean
+    amplitude, and RMS all come from the DECODED samples and must
+    match the closed-form DuckDB twin. Any header-layout, endianness,
+    or truncation bug in either direction breaks the value hash.
+    The audio twin of q105's PPM proof."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        encode_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = 160 + int(nc) % 5 * 80
+                s = (
+                    (int(nc) * 31 + np.arange(n) * 7) % 65536 - 32768
+                ).astype(np.int16)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "audio",
+                        "meta": {
+                            "width": None,
+                            "height": None,
+                            "channels": 1,
+                            "sample_rate": 16000,
+                            "duration_ms": n * 1000 // 16000,
+                            "codec": "pcm16",
+                        },
+                        "content": encode_wav(s, sample_rate=16000),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    media = docs.mapInPandas(render, MEDIA_SCHEMA)
+    return audio_features(media)
+
+
+# ---------------------------------------------------------------------------
+# q107 — REAL y4m codec + frame sampling (video)
+# ---------------------------------------------------------------------------
+
+_Q107_ORACLE = """
+WITH d AS (
+  SELECT doc_id, n_chars, 3 + n_chars % 3 AS f FROM documents
+), fr AS (
+  SELECT doc_id, n_chars, unnest(range(0, f, 2)) AS k FROM d
+), px AS (
+  SELECT doc_id, n_chars, k, unnest(range(0, 16)) AS j FROM fr
+)
+SELECT doc_id AS media_id,
+       CAST(k AS INTEGER) AS frame_idx,
+       CAST(k * 200 AS INTEGER) AS ts_ms,
+       CAST(SUM((n_chars + k * 16 + j) % 256) AS DOUBLE) / 16 AS mean_luma
+FROM px GROUP BY doc_id, k
+"""
+
+
+@register("q107_y4m_frame_sample", _Q107_ORACLE)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec + frame sampling, value-proven: each document
+    renders a deterministic 4×4 C444 YUV clip (luma pixel j of frame
+    k = (n_chars + 16k + j) mod 256, 3-5 frames at 5 fps), is encoded
+    to actual YUV4MPEG2 bytes (encode_y4m), and sample_frames_y4m
+    decodes it back and emits every 2nd frame's timestamp and ACTUAL
+    Y-plane mean — the row-expanding video shape (q54's stub twin) on
+    genuine video bytes, checked against the gradient's closed form.
+    Completes the real-codec triple: PPM image (q105), WAV audio
+    (q106), y4m video (here)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_y4m,
+        sample_frames_y4m,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                f = 3 + int(nc) % 3
+                frames = np.empty((f, 3, 4, 4), dtype=np.uint8)
+                for k in range(f):
+                    frames[k, 0] = (
+                        ((int(nc) + k * 16 + np.arange(16)) % 256)
+                        .astype(np.uint8)
+                        .reshape(4, 4)
+                    )
+                    frames[k, 1:] = 128
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "video",
+                        "meta": {
+                            "width": 4,
+                            "height": 4,
+                            "channels": 3,
+                            "sample_rate": None,
+                            "duration_ms": f * 200,
+                            "codec": "y4m",
+                        },
+                        "content": encode_y4m(frames, fps=5),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    media = docs.mapInPandas(render, MEDIA_SCHEMA)
+    return sample_frames_y4m(media, every_n=2)

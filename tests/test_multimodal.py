@@ -137,3 +137,57 @@ def test_ppm_resize_matches_numpy_nearest(spark):
         assert got.shape == (5, 4, 3)
         assert (got == want).all()
         assert r.meta.width == 4 and r.meta.height == 5
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from nessus_client_etl_scripts_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = ((np.arange(100) * 773) % 65536 - 32768).astype(np.int16)
+    raw = encode_wav(s, sample_rate=8000)
+    got, rate, ch = decode_wav(raw)
+    assert rate == 8000 and ch == 1 and (got == s).all()
+    # chunk walk: an extra LIST chunk between fmt and data must be
+    # skipped (word-aligned, odd-size padded)
+    fmt = raw[12:36]
+    data = raw[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    patched = raw[:12] + fmt + extra + data
+    got2, rate2, _ = decode_wav(patched)
+    assert rate2 == 8000 and (got2 == s).all()
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + raw[4:])
+
+
+def test_y4m_roundtrip_and_header_tolerance():
+    import numpy as np
+    import pytest
+
+    from nessus_client_etl_scripts_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    frames = (
+        (np.arange(2 * 3 * 4 * 5) % 256).astype(np.uint8).reshape(2, 3, 4, 5)
+    )
+    raw = encode_y4m(frames, fps=25)
+    got, fps = decode_y4m(raw)
+    assert fps == 25 and (got == frames).all()
+    # header param order must not matter
+    reordered = (
+        b"YUV4MPEG2 C444 F25:1 H4 W5 Ip A1:1\n" + raw.split(b"\n", 1)[1]
+    )
+    got2, fps2 = decode_y4m(reordered)
+    assert fps2 == 25 and (got2 == frames).all()
+    with pytest.raises(ValueError):
+        decode_y4m(raw[: len(raw) - 3])  # truncated frame
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F5:1 C420\n")  # unsupported subsampling
