@@ -3017,3 +3017,69 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(render, MEDIA_SCHEMA)
     return sample_frames_y4m(media, every_n=2)
+
+
+# ---------------------------------------------------------------------------
+# q108 — incremental top-k maintenance (delta-only rescoring)
+# ---------------------------------------------------------------------------
+
+_Q108_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 20 AND vec_id % 10 != 0),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS score
+  FROM c, q WHERE query_id != neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q108_incremental_topk", _Q108_ORACLE)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL top-k maintenance — the pattern a 100 TB similarity
+    index lives by (EDBT'20 incremental top-k; REPOSE's partial-result
+    reuse): when a delta batch lands, score queries against the DELTA
+    ONLY and merge with the prior per-query top-k, never rescanning
+    the base corpus. Correct because any member of the union's top-k
+    is either a delta vector or was already in the base top-k (a base
+    vector outside the prior top-k is dominated by k base vectors that
+    all remain in the union), provided the merge uses the same total
+    order (score desc, id asc) as the per-side cuts.
+
+    The ORACLE is the direct full-corpus recompute, so the equality
+    the driver checks IS the incremental-maintenance theorem,
+    value-exact: per-pair cosine is corpus-independent, so the merged
+    scores are bit-identical to the recompute's. Base = vec_id %% 10
+    != 0, delta = the rest; queries are base members (mirrors a
+    production reference set)."""
+    from ..operators.similarity import brute_force_topk
+    from ..operators.windows import top_k_per_group
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    queries = base.filter(F.col("vec_id") < 20)
+    prior = brute_force_topk(base, queries, k=5)
+    fresh = brute_force_topk(delta, queries, k=5)
+    merged = prior.select("query_id", "neighbor_id", "score").unionAll(
+        fresh.select("query_id", "neighbor_id", "score")
+    )
+    return top_k_per_group(
+        merged,
+        ["query_id"],
+        [F.desc("score"), F.asc("neighbor_id")],
+        k=5,
+        keep_rank="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))
