@@ -442,6 +442,13 @@ def simhash_hamming_pairs(
             "pigeonhole soundness needs threshold < n_blocks: "
             f"{threshold} >= {n_blocks}"
         )
+    if n_blocks * 16 > 64:
+        # block b reads bits [16b, 16b+16); a shift of >= 64 is
+        # shift-mod-64 on the JVM, silently aliasing block 4 to block
+        # 0 and breaking the shared-block guarantee (lost pairs)
+        raise ValueError(
+            f"{n_blocks} 16-bit blocks exceed the 64-bit hash"
+        )
     blk = sims.select(
         id_col,
         hash_col,

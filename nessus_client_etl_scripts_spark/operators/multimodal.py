@@ -225,6 +225,11 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
         (size,) = struct.unpack("<I", content[i + 4 : i + 8])
         body = content[i + 8 : i + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                # ValueError, not struct.error: every malformed-input
+                # path in this module raises ValueError so callers can
+                # quarantine bad media rows with one except clause
+                raise ValueError("WAV fmt chunk truncated")
             fmt, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt != 1 or bits != 16:
@@ -313,6 +318,10 @@ def media_features(
     no libraries needed) and features come from actual pixels (q105
     value-proves this path end to end). Other real formats still need
     an image library (``stub=False`` raises until one exists).
+    Precedence: ``codec`` selects the decode path; ``stub`` only
+    matters for ``codec="stub"``, where ``stub=False`` demands the
+    library-backed decoder (WAV/y4m have their own dedicated
+    operators and bypass both flags).
     """
     if codec not in ("stub", "ppm"):
         raise ValueError(f"codec must be 'stub' or 'ppm': {codec}")
@@ -331,6 +340,12 @@ def media_features(
                 raw = bytes(content)
                 if codec == "ppm":
                     px = decode_ppm(raw).astype(np.int64).ravel()
+                    if px.size % _FEATURE_DIM:
+                        raise ValueError(
+                            f"PPM pixel count {px.size} is not a "
+                            f"multiple of the feature dim {_FEATURE_DIM}"
+                            " — pad or crop the image first"
+                        )
                 else:
                     px = _fake_decode(raw)
                 # fixed-dim pooled feature: per-chunk means (pixel

@@ -287,8 +287,12 @@ def count_min_estimates(
             )
         ).alias("jc"),
     ).select(item_col, F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
+    # LEFT join + coalesce-to-0: a queried item whose (j, cell) no
+    # occurrence hashed to has a true sketch cell of 0 — an inner join
+    # would drop the row entirely (all cells empty) or take the min
+    # over occupied cells only (some empty), inflating the estimate.
     return (
-        qcells.join(F.broadcast(cells), ["j", "cell"])
+        qcells.join(F.broadcast(cells), ["j", "cell"], "left")
         .groupBy(item_col)
-        .agg(F.min("cnt").alias(out_col))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias(out_col))
     )

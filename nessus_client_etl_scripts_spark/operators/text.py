@@ -151,12 +151,19 @@ def rolling_hash_fingerprint(text: Column | str, window: int = 8) -> Column:
 def token_segments(toks: Column, seg: int) -> Column:
     """Non-overlapping ``seg``-token segments of a STAGED token array,
     each re-joined to a string — the unit of intra-document dedup
-    (q97). Empty input arrays produce empty segment arrays (explicit
-    positive step, so sequence(1, 0, s) is [] — see ngrams' guard)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.size(toks), F.lit(seg)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, seg)),
-    )
+    (q97). Empty input arrays produce empty segment arrays via an
+    explicit guard: Spark's ``sequence(1, 0, s)`` with a positive step
+    REJECTS descending bounds ('Illegal sequence boundaries'), it does
+    not return [] — the same trap ngrams() guards against. Unreachable
+    through split() output (always >= 1 element) but real for any
+    filtering tokenizer (stopword removal, array_remove)."""
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks), F.lit(seg)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, seg)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def first_occurrence_filter(arr: Column) -> Column:

@@ -2676,18 +2676,30 @@ def _q104_oracle() -> str:
         f"WHEN (h & {_SUFFIX_MASK}) >= {1 << (R - j)} THEN {j}"
         for j in range(1, R + 1)
     )
+    # NULL discipline mirrors hll_distinct_sql / the Spark register
+    # frame exactly: NULL values hash to (b=NULL, rho=NULL), the
+    # register sum counts only non-NULL buckets, count(b) skips NULLs
+    # — without the explicit CASE the rho ELSE branch would absorb
+    # NULL h as RMAX and the sum would add a phantom register,
+    # diverging from Spark the moment a text is NULL.
     est = (
-        f"{EST_NUMERATOR!r} / (coalesce(sum(1::BIGINT << ({RMAX} - m)), 0)"
+        f"{EST_NUMERATOR!r} / (coalesce(sum(CASE WHEN b IS NOT NULL"
+        f" THEN 1::BIGINT << ({RMAX} - m) END), 0)"
         f" + ({M} - count(b)) * {1 << RMAX}::BIGINT)::DOUBLE"
     )
     return f"""
 WITH h AS (
   SELECT lang, source,
-         ('0x' || substring(md5(text), 1, {HASH_BITS // 4}))::BIGINT AS h
+         CASE WHEN text IS NULL THEN NULL
+              ELSE ('0x' || substring(md5(text), 1, {HASH_BITS // 4}))::BIGINT
+         END AS h
   FROM documents
 ), k AS (
-  SELECT lang, source, h >> {R} AS b,
-         CASE {rho_branches} ELSE {RMAX} END AS rho
+  SELECT lang, source,
+         h >> {R} AS b,
+         CASE WHEN h IS NULL THEN NULL
+         {rho_branches}
+         ELSE {RMAX} END AS rho
   FROM h
 ), partial AS (
   SELECT lang, source, b, max(rho) AS m FROM k GROUP BY 1, 2, 3

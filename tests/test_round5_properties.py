@@ -190,3 +190,57 @@ def test_hamming_pairs_match_bruteforce(spark, hashes):
             if d <= 3:
                 want[(i, j)] = d
     assert got == want
+
+
+def test_count_min_absent_query_estimates_zero(spark):
+    """A queried item none of whose cells any occurrence hashed to
+    must come back with estimate 0 (and must not vanish) — the
+    left-join + coalesce contract. Width is large so the absent
+    item's cells are almost surely all empty; the assertion also
+    accepts a collision-inflated upper bound but NEVER a missing row."""
+    from nessus_client_etl_scripts_spark.operators.sketches import (
+        count_min_estimates,
+    )
+
+    items = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, ["v"])
+    queries = spark.createDataFrame([("a",), ("b",), ("absent",)], ["v"])
+    est = {
+        r["v"]: r["cm_estimate"]
+        for r in count_min_estimates(
+            items, "v", queries, depth=4, width=1 << 20
+        ).collect()
+    }
+    assert set(est) == {"a", "b", "absent"}
+    assert est["a"] == 5 and est["b"] == 3
+    assert est["absent"] == 0
+
+
+def test_token_segments_empty_array_yields_empty(spark):
+    import pyspark.sql.functions as F
+
+    from nessus_client_etl_scripts_spark.operators.text import (
+        token_segments,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["x", "y", "z"]), (2, [])], "id long, toks array<string>"
+    )
+    got = {
+        r.id: list(r.segs)
+        for r in df.select(
+            "id", token_segments(F.col("toks"), 2).alias("segs")
+        ).collect()
+    }
+    assert got == {1: ["x y", "z"], 2: []}
+
+
+def test_hamming_pairs_rejects_oversized_block_count(spark):
+    import pytest
+
+    from nessus_client_etl_scripts_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    sims = spark.createDataFrame([(1, 0), (2, 1)], "doc_id long, simhash long")
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(sims, threshold=4, n_blocks=5)
