@@ -222,7 +222,8 @@ def minhash_lsh_candidates(
 
     ``materialize_signatures``: Catalyst does no common-subexpression
     sharing across a self-join, so the plan shingles+hashes the corpus
-    TWICE (visible as two full scan→explode→agg chains in explain).
+    TWICE (visible as two full scan→tokenize→sign projection chains
+    in explain).
     True persists the signature frame (MEMORY_AND_DISK) for the
     duration of ONE eager candidate materialization (localCheckpoint),
     then unpersists before returning — the heavy stage runs once and

@@ -2062,7 +2062,15 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity pair (sparse by construction), so the components frame
     is small relative to the corpus and the label join broadcasts or
     AQE-shuffles cheaply; the keep choice is a window over cluster_id —
-    fine-grained keys, every core busy."""
+    fine-grained keys, every core busy.
+
+    Pair source: this query deliberately keeps the oracle-simple
+    n-gram-Jaccard posting join (max_df-capped) so the whole
+    resolution has a compact SQL twin; the 100 TB production shape —
+    LSH candidates → exact-Jaccard verify → components → the SAME
+    keep/drop window — is declared separately as q96
+    (q96_dedup_resolve_lsh), whose pair generation is banding-bounded
+    by construction and plan-guarded against corpus self-joins."""
     from ..operators.dedup import ngram_jaccard_pairs
     from ..operators.graph import connected_components
 
