@@ -23,6 +23,7 @@ from ..operators.similarity import brute_force_topk, dot, lsh_topk
 from ..operators.text import (
     fingerprint_md5,
     lang_guess,
+    ngrams,
     quality_features,
     quality_keep,
 )
@@ -3103,3 +3104,266 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         keep_rank="rank",
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q109 — per-source boilerplate n-gram profile (document-frequency mining)
+# ---------------------------------------------------------------------------
+
+_Q109_DF_MIN = 5  # bigram must appear in >= this many docs of one source
+
+_Q109_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT DISTINCT doc_id, source, ngram FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+    FROM t)
+), df AS (
+  SELECT source, ngram, COUNT(*) AS df FROM b GROUP BY 1, 2
+), n AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+)
+SELECT df.source, df.ngram, CAST(df.df AS BIGINT) AS df,
+       CAST(df.df AS DOUBLE) / n.n_docs AS df_frac
+FROM df JOIN n ON df.source = n.source
+WHERE df.df >= {_Q109_DF_MIN}
+"""
+
+
+@register("q109_boilerplate_ngrams", _Q109_ORACLE)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE boilerplate n-gram mining — the CCNet/RefinedWeb
+    prepass that finds phrases repeated across many documents of the
+    same origin (nav bars, cookie banners, license footers): for every
+    (source, bigram), the DOCUMENT frequency (distinct docs containing
+    it, via a row-local ``array_distinct`` before the explode so a
+    doc-internal repeat counts once), kept where df >= {_Q109_DF_MIN},
+    plus the fraction of the source's docs affected. Downstream a
+    cleaner strips these n-grams; this query is the profile itself.
+
+    Scale shape: the dedup counting trick from q20 applied to n-grams —
+    ``array_distinct`` per row turns COUNT(DISTINCT doc_id) into a
+    plain COUNT(*), so the (source, ngram) aggregation gets a MAP-SIDE
+    partial combine (no distinct-Expand, no two-level shuffle) and the
+    exchange carries one row per distinct (doc, ngram), not per token.
+    The per-source doc totals are a tiny agg (|sources| rows) joined
+    back with an explicit broadcast — the fact side never reshuffles
+    for it. At 100 TB: one fine-grained shuffle keyed by (source,
+    ngram); hot n-grams combine map-side first, so skew lands on
+    combiners, not the wire."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(ngrams(F.col("toks"), 2))).alias("ngram"),
+    )
+    df = per_doc.groupBy("source", "ngram").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        df.filter(F.col("df") >= _Q109_DF_MIN)
+        .join(F.broadcast(n_docs), "source")
+        .select(
+            "source",
+            "ngram",
+            "df",
+            (F.col("df").cast("double") / F.col("n_docs")).alias("df_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q110 — token-budget corpus selection (greedy quality fill, global scan)
+# ---------------------------------------------------------------------------
+
+_Q110_FRAC = 0.4  # select best docs until 40% of the corpus token mass
+
+_Q110_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS diversity
+  FROM documents
+), tot AS (
+  SELECT SUM(n_tokens) AS total FROM t
+), c AS (
+  SELECT doc_id, n_tokens, diversity,
+         SUM(n_tokens) OVER (ORDER BY diversity DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT c.doc_id, CAST(c.n_tokens AS BIGINT) AS n_tokens, c.diversity,
+       CAST(c.cum_tokens AS BIGINT) AS cum_tokens
+FROM c, tot
+WHERE c.cum_tokens - c.n_tokens < {_Q110_FRAC} * tot.total
+"""
+
+
+@register("q110_token_budget_select", _Q110_ORACLE)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection — the data-mixing step that picks
+    the highest-quality documents until a global token budget is full
+    (here: lexical diversity desc, budget = {_Q110_FRAC:.0%} of the
+    corpus token mass; a doc is taken while the budget is not yet
+    exhausted BEFORE it, so the boundary doc that crosses the line is
+    included — the greedy-fill convention).
+
+    Scale shape: the selection needs an exact GLOBAL running sum in
+    quality order — the single-task ``Window.orderBy`` trap — so it
+    rides :func:`scalable_cumsum` (two-phase distributed prefix sum:
+    range-exchange on (−diversity, doc_id), P-row stats collect,
+    broadcast offsets). The corpus total is a 1-row aggregate joined
+    via broadcast; the budget predicate is then row-local. At 100 TB
+    the only data-size shuffle is the range exchange itself — the same
+    cost q92's training shuffle already pays — and everything else is
+    tiny-side broadcast. Scores/tiebreaks are computed identically in
+    both engines (double division, doc_id asc), so the cut set is
+    value-exact, not approximate."""
+    from ..catalog import spread_for_compute
+    from ..operators.windows import scalable_cumsum
+
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    staged = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    t = staged.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+        ).alias("diversity"),
+    ).withColumn("neg_div", -F.col("diversity"))
+    c = scalable_cumsum(t, ("neg_div", "doc_id"), "n_tokens", out_col="cum_tokens")
+    total = t.agg(F.sum("n_tokens").alias("total"))
+    return (
+        c.join(F.broadcast(total))
+        .filter(
+            (F.col("cum_tokens") - F.col("n_tokens"))
+            < F.lit(_Q110_FRAC) * F.col("total")
+        )
+        .select("doc_id", "n_tokens", "diversity", "cum_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q111 — cross-document segment dedup (global first-occurrence, hash shuffle)
+# ---------------------------------------------------------------------------
+
+_Q111_SEG = 8  # tokens per non-overlapping segment (q97's unit)
+
+_Q111_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) + 1, {_Q111_SEG}),
+                        i -> array_to_string(
+                               list_slice(toks, i, i + {_Q111_SEG - 1}), ' '))
+           AS segs
+  FROM t
+), occ AS (
+  SELECT doc_id, CAST(u.idx AS INTEGER) AS idx, u.seg AS seg
+  FROM (SELECT doc_id,
+               unnest(list_transform(segs, (x, i) -> {{'idx': i, 'seg': x}}))
+                 AS u
+        FROM s)
+), win AS (
+  SELECT doc_id, idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+  FROM occ
+), kept AS (
+  SELECT doc_id, list(seg ORDER BY idx) AS keep
+  FROM win WHERE rn = 1 GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.segs) AS BIGINT) AS n_segments,
+       CAST(coalesce(len(k.keep), 0) AS BIGINT) AS n_kept,
+       CAST(len(s.segs) - coalesce(len(k.keep), 0) AS DOUBLE)
+         / len(s.segs) AS removed_frac,
+       coalesce(array_to_string(k.keep, ' '), '') AS cleaned_text
+FROM s LEFT JOIN kept k ON s.doc_id = k.doc_id
+"""
+
+
+@register("q111_crossdoc_dedup", _Q111_ORACLE)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document segment dedup — q97's global sibling and the
+    segment-granular middle ground between doc-level exact dedup (q20)
+    and near-dup clustering (q96): every {_Q111_SEG}-token segment
+    keeps its globally FIRST occurrence (min (doc_id, idx)) and every
+    later occurrence — in the same doc or any other — is dropped; the
+    cleaned text is re-assembled in original order. This is the
+    ExactSubstr-style pass (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better") at fixed segment granularity.
+
+    Scale shape — the shuffles carry HASHES, never text:
+    1. occurrences project (doc_id, idx, md5(seg)) — 16-byte keys;
+    2. winners = groupBy(hash).agg(MIN(struct(doc_id, idx))) — a plain
+       min, so it combines MAP-SIDE (no window over the exploded
+       frame, which would shuffle the segment text);
+    3. the keep-set joins back hash→hash, reduces to per-doc kept-idx
+       arrays (ints), and the cleaned text is rebuilt ROW-LOCALLY by
+       re-deriving the doc's own segments and filtering by index
+       membership — the document body itself crosses the wire exactly
+       once (the final doc_id agg of idx ints joined to the base).
+    At 100 TB: two fine-grained shuffles (hash 16 B/seg, doc_id + int
+    list), both with partial aggregation; worst-case hot segment (a
+    boilerplate line shared by millions of docs) degenerates into a
+    min-combine, not a window sort. Full-width md5 makes a collision
+    (2^-128) not a realistic failure mode."""
+    from ..catalog import spread_for_compute
+    from ..operators.text import token_segments
+
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", token_segments(F.col("toks"), _Q111_SEG).alias("segs")
+    )
+    occ = (
+        base.select("doc_id", F.posexplode("segs").alias("idx", "seg"))
+        .select("doc_id", "idx", F.md5("seg").alias("h"))
+        # materialize ONCE (rows are 16 B hash + two ints): occ feeds
+        # both the winner election and the keep-join, and without the
+        # pin Catalyst re-derives it from the parquet text twice —
+        # three full corpus scans instead of two (q96's same pattern)
+        .localCheckpoint()
+    )
+    winners = occ.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("w")
+    )
+    kept_idx = (
+        occ.join(winners, "h")
+        .filter(
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("idx") == F.col("w.idx"))
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("idx")).alias("keep_idx"))
+    )
+    joined = base.join(kept_idx, "doc_id", "left").withColumn(
+        "keep_idx",
+        F.coalesce(F.col("keep_idx"), F.array().cast("array<int>")),
+    )
+    kept = joined.withColumn(
+        "keep",
+        F.filter(
+            "segs", lambda s, i: F.array_contains(F.col("keep_idx"), i)
+        ),
+    )
+    return kept.select(
+        "doc_id",
+        F.size("segs").cast("long").alias("n_segments"),
+        F.size("keep").cast("long").alias("n_kept"),
+        (
+            (F.size("segs") - F.size("keep")).cast("double") / F.size("segs")
+        ).alias("removed_frac"),
+        F.array_join("keep", " ").alias("cleaned_text"),
+    )

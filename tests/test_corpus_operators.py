@@ -446,3 +446,114 @@ def test_simhash_hamming_pairs_pigeonhole_and_verify(spark):
     assert (1, 3) not in got and (3, 4) not in got
     with pytest.raises(ValueError):
         simhash_hamming_pairs(sims, threshold=4, n_blocks=4)
+
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_q109_df_matches_naive_count_distinct(spark):
+    """The array_distinct-then-count trick must equal the naive
+    COUNT(DISTINCT doc_id) over raw (possibly doc-internal-repeating)
+    n-gram occurrences — the very plan shape q109 avoids."""
+    import __spark_entry__ as m
+    from nessus_client_etl_scripts_spark.catalog import load_table
+    from nessus_client_etl_scripts_spark.operators.text import ngrams
+
+    got = {
+        (r["source"], r["ngram"]): (r["df"], r["df_frac"])
+        for r in m.queries()["q109_boilerplate_ngrams"](spark, SF0001).collect()
+    }
+    docs = load_table(spark, SF0001, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    naive = (
+        docs.select(
+            "doc_id", "source", F.explode(ngrams(F.col("toks"), 2)).alias("ngram")
+        )
+        .groupBy("source", "ngram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 5)
+        .collect()
+    )
+    assert {(r["source"], r["ngram"]): r["df"] for r in naive} == {
+        k: v[0] for k, v in got.items()
+    }
+    n_docs = {
+        r["source"]: r["n"]
+        for r in load_table(spark, SF0001, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for (src, _), (df, frac) in got.items():
+        assert frac == df / n_docs[src]
+
+
+def test_q110_budget_boundary_semantics(spark):
+    """Greedy fill: every selected doc's prefix-EXCLUSIVE cumsum is
+    under budget, the selection is a prefix of the (diversity desc,
+    doc_id) order, and adding the first excluded doc would cross it."""
+    import __spark_entry__ as m
+    from nessus_client_etl_scripts_spark.catalog import load_table
+
+    sel = (
+        m.queries()["q110_token_budget_select"](spark, SF0001)
+        .orderBy("cum_tokens")
+        .collect()
+    )
+    docs = load_table(spark, SF0001, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    all_rows = sorted(
+        docs.select(
+            "doc_id",
+            F.size("toks").alias("n"),
+            (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias(
+                "d"
+            ),
+        ).collect(),
+        key=lambda r: (-r["d"], r["doc_id"]),
+    )
+    budget = 0.4 * sum(r["n"] for r in all_rows)
+    assert 0 < len(sel) < len(all_rows)
+    # selection is exactly the greedy prefix
+    assert [r["doc_id"] for r in sel] == [
+        r["doc_id"] for r in all_rows[: len(sel)]
+    ]
+    running = 0
+    for r in all_rows[: len(sel)]:
+        assert running < budget
+        running += r["n"]
+    assert running >= budget or len(sel) == len(all_rows)
+    # cum_tokens is the inclusive prefix sum in selection order
+    cums = [r["cum_tokens"] for r in sel]
+    assert cums == sorted(cums)
+    assert cums[0] == sel[0]["n_tokens"]
+
+
+def test_q111_drop_count_equals_duplicate_occurrences(spark):
+    """Conservation law: segments dropped corpus-wide == total segment
+    occurrences minus distinct segment values (each distinct segment
+    keeps exactly its first occurrence)."""
+    import __spark_entry__ as m
+    from nessus_client_etl_scripts_spark.catalog import load_table
+    from nessus_client_etl_scripts_spark.operators.text import token_segments
+
+    out = m.queries()["q111_crossdoc_dedup"](spark, SF0001).collect()
+    segs = (
+        load_table(spark, SF0001, "documents")
+        .select(
+            F.explode(
+                token_segments(F.split("text", " "), 8)
+            ).alias("seg")
+        )
+    )
+    total_occ = segs.count()
+    distinct = segs.distinct().count()
+    assert sum(r["n_segments"] for r in out) == total_occ
+    assert sum(r["n_kept"] for r in out) == distinct
+    assert all(0 <= r["removed_frac"] <= 1 for r in out)
+    # a doc's cleaned text is a subsequence re-join of its own segments
+    for r in out:
+        if r["n_kept"] == r["n_segments"]:
+            assert len(r["cleaned_text"].split(" ")) >= r["n_kept"]

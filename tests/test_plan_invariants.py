@@ -252,3 +252,33 @@ def test_q103_hamming_pairs_block_bounded(spark):
     plan = _plan(spark, "q103_simhash_hamming_pairs")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q109_boilerplate_df_combines_mapside_without_expand(spark):
+    # array_distinct per row turns COUNT(DISTINCT doc_id) into a plain
+    # count -> partial combine before the exchange, no distinct-Expand
+    # two-level shuffle; the per-source totals join must broadcast
+    plan = _plan(spark, "q109_boilerplate_ngrams")
+    assert "partial_count" in plan, plan
+    assert "Expand" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q110_budget_select_uses_two_phase_prefix_sum(spark):
+    # the running sum must ride scalable_cumsum: a window keyed by the
+    # physical partition id plus the broadcast offsets join — never a
+    # partition-less global-order window over the corpus
+    plan = _plan(spark, "q110_token_budget_select")
+    assert "_pid" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q111_crossdoc_winners_min_combine_no_text_window(spark):
+    # winner election is groupBy(hash).min(struct) -> map-side partial
+    # min; a row_number window over the exploded segments would shuffle
+    # the segment text and sort per group instead
+    plan = _plan(spark, "q111_crossdoc_dedup")
+    assert "partial_min" in plan, plan
+    assert "row_number" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
