@@ -300,50 +300,81 @@ def simhash64(
     """(doc_id, simhash) — 64-bit SimHash: per bit position, majority
     vote of the token hashes' bits, packed into one long.
 
-    Explode→aggregate formulation: each token is hashed ONCE; per bit
-    the vote is sum(±1) with map-side partial aggregation (one long per
-    bit per doc in the shuffle). The earlier within-row version
-    re-evaluated the tokenizer per bit per fold step — 128× blowup.
+    ROW-LOCAL formulation (the r5 MinHash lesson applied to votes):
+    the per-token hash array is STAGED once as an attribute, then each
+    bit's vote is one unrolled ``F.aggregate`` fold over that array —
+    zero explode, zero shuffle, the simhash materializes inside the
+    scan stage. The history matters: a naive within-row version that
+    inlined the tokenizer into the folds re-evaluated it per bit
+    (128× blowup) and was replaced by explode→groupBy(sum) with
+    map-side partials; staging the hash array per row removes the
+    re-evaluation AND the doc-keyed exchange. Local wall time is at
+    PARITY with the explode form (interleaved A/B at sf0.1: 2.01 vs
+    2.04 s min-of-5 — the removed exchange only carried 64 partial
+    longs per doc), so the change buys plan shape for scale, not
+    local speed: one fewer full exchange and no row-count blowup
+    between scan and result. Bit-identical both families.
     Ties vote 1 (2·ones ≥ n ⇔ Σ(2·bit−1) ≥ 0).
 
     ``family='md5'`` (engine-portable parity path): bit j is bit
-    (j mod 4) of hex nibble (j div 4) of md5(token) — the nibbles are
-    STAGED as 16 int columns before the aggregation so each row parses
-    each hex digit once, not once per bit. DuckDB reproduces the exact
-    same bits via strpos('0123456789abcdef', …), so the full simhash is
-    oracle-checkable (requires bits <= 64).
+    (j mod 4) of hex nibble (j div 4) of md5(token) — the hex strings
+    and then the 16 nibble ARRAYS are staged as separate projections
+    so each hex digit parses once per token, not once per bit. DuckDB
+    reproduces the exact same bits via strpos('0123456789abcdef', …),
+    so the full simhash is oracle-checkable (requires bits <= 64).
     """
     from ..catalog import spread_for_compute
 
     df = spread_for_compute(df)
-    toks = df.select(
+    staged = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(normalize_text(text_col)).alias("toks"),
     )
-    # explode_outer: avoids the inferred size>0 filter re-inlining the
-    # tokenizer (see shingle_posting); split() output is never empty
-    exploded = toks.select("doc_id", F.explode_outer("toks").alias("tok"))
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+
+    # closure factories, NOT default-arg captures: pyspark derives the
+    # HOF lambda's arity from its parameter list, so an extra `i=i`
+    # parameter makes transform() pass the element index into it
+    def _nib(i: int):
+        return lambda h: F.conv(F.substring(h, i + 1, 1), 16, 10).cast("long")
+
+    def _vote(shift: int):
+        return lambda acc, h: (
+            acc + F.shiftrightunsigned(h, shift).bitwiseAND(one) * 2 - 1
+        )
+
     if family == "md5":
-        hashed = exploded.select("doc_id", F.md5("tok").alias("h")).select(
+        hexed = staged.select(
+            "doc_id", F.transform("toks", lambda t: F.md5(t)).alias("hs")
+        )
+        nibbled = hexed.select(
             "doc_id",
             *[
-                F.conv(F.substring("h", i + 1, 1), 16, 10)
-                .cast("long")
-                .alias(f"_n{i}")
+                F.transform("hs", _nib(i)).alias(f"_a{i}")
                 for i in range((bits + 3) // 4)
             ],
         )
-        bit_at = lambda j: F.shiftrightunsigned(  # noqa: E731
-            F.col(f"_n{j // 4}"), j % 4
-        ).bitwiseAND(F.lit(1).cast("long"))
-    else:
-        hashed = exploded.select("doc_id", F.xxhash64("tok").alias("h"))
-        bit_at = lambda j: F.shiftrightunsigned("h", j).bitwiseAND(  # noqa: E731
-            F.lit(1).cast("long")
+        votes = nibbled.select(
+            "doc_id",
+            *[
+                F.aggregate(F.col(f"_a{j // 4}"), zero, _vote(j % 4)).alias(
+                    f"_v{j}"
+                )
+                for j in range(bits)
+            ],
         )
-    votes = hashed.groupBy("doc_id").agg(
-        *[F.sum(bit_at(j) * 2 - 1).alias(f"_v{j}") for j in range(bits)]
-    )
+    else:
+        hashed = staged.select(
+            "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hs")
+        )
+        votes = hashed.select(
+            "doc_id",
+            *[
+                F.aggregate(F.col("hs"), zero, _vote(j)).alias(f"_v{j}")
+                for j in range(bits)
+            ],
+        )
     packed = F.lit(0).cast("long")
     for j in range(bits):
         bit = F.when(F.col(f"_v{j}") >= 0, F.lit(1).cast("long")).otherwise(

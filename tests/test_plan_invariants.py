@@ -282,3 +282,12 @@ def test_q111_crossdoc_winners_min_combine_no_text_window(spark):
     assert "row_number" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q29_simhash_rowlocal_no_doc_exchange(spark):
+    # row-local vote folds over the staged hash array: no explode, no
+    # doc-keyed hash exchange — the only exchange is the round-robin
+    # scan widening (same guard family as q97)
+    plan = _plan(spark, "q29_simhash")
+    assert "hashpartitioning" not in plan, plan
+    assert "Generate" not in plan, plan
