@@ -3367,3 +3367,135 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("removed_frac"),
         F.array_join("keep", " ").alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — end-to-end corpus pipeline (quality -> dedup -> budget -> shuffle)
+# ---------------------------------------------------------------------------
+
+_Q112_FRAC = 0.6  # token budget: 60% of the surviving corpus token mass
+
+_Q112_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('the', 'a'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS diversity
+  FROM documents
+), quality AS (
+  SELECT * FROM feats
+  WHERE n_tokens >= 10 AND stop_ratio > 0 AND stop_ratio <= 0.6
+), keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, {_NORM_SQL} AS nt FROM quality) t
+  GROUP BY nt
+), deduped AS (
+  SELECT q.doc_id, q.n_tokens, q.diversity
+  FROM quality q JOIN keepers k ON q.doc_id = k.doc_id
+), tot AS (
+  SELECT SUM(n_tokens) AS total FROM deduped
+), cum AS (
+  SELECT doc_id, n_tokens, diversity,
+         SUM(n_tokens) OVER (ORDER BY diversity DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM deduped
+), sel AS (
+  SELECT cum.doc_id, cum.n_tokens FROM cum, tot
+  WHERE cum.cum_tokens - cum.n_tokens < {_Q112_FRAC} * tot.total
+), keyed AS (
+  SELECT doc_id, n_tokens,
+         ('0x' || substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           AS shuffle_key
+  FROM sel
+)
+SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+       doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shuffle_key
+FROM keyed
+"""
+
+
+@register("q112_corpus_pipeline", _Q112_ORACLE)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus pipeline a user of this engine actually
+    runs before training, composed from the proven stages: C4-style
+    quality filter (q23's keep rule) → exact dedup, first occurrence
+    wins (q20's keeper) → token-budget selection at {_Q112_FRAC:.0%}
+    of the surviving token mass (q110's greedy fill) → deterministic
+    training shuffle with contiguous global positions (q92's epoch
+    order). One declared query value-proves the COMPOSITION — stage
+    boundaries (which rows survive into the next stage, in what
+    order) are exactly where hand-off bugs live, and none of the
+    per-stage oracles would catch them.
+
+    Scale shape inherits from the stages: the quality filter is
+    row-local scan algebra; dedup's winner election is a hash-groupBy
+    on normalized text with map-side partial MIN (the only shuffle
+    that carries text) followed by a fine-grained doc_id semi-join;
+    the budget fill rides `scalable_cumsum` (range exchange +
+    broadcast offsets); the final order rides `two_phase_rank`'s
+    global row number. No partition-less window, no driver-side data
+    loop anywhere — the composition adds zero shuffles beyond what
+    the stages individually pay."""
+    from ..catalog import spread_for_compute
+    from ..operators.text import normalize_text, quality_keep
+    from ..operators.windows import scalable_cumsum, two_phase_rank
+
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    quality = docs.filter(quality_keep("text"))
+    winners = (
+        quality.groupBy(normalize_text("text").alias("nt"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = quality.join(winners, "doc_id", "leftsemi")
+    t = (
+        deduped.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            (
+                F.size(F.array_distinct("toks")).cast("double")
+                / F.size("toks")
+            ).alias("diversity"),
+        )
+        .withColumn("neg_div", -F.col("diversity"))
+    )
+    c = scalable_cumsum(t, ("neg_div", "doc_id"), "n_tokens", out_col="cum_tokens")
+    total = t.agg(F.sum("n_tokens").alias("total"))
+    sel = (
+        c.join(F.broadcast(total))
+        .filter(
+            (F.col("cum_tokens") - F.col("n_tokens"))
+            < F.lit(_Q112_FRAC) * F.col("total")
+        )
+        .select("doc_id", "n_tokens")
+    )
+    keyed = sel.select(
+        "doc_id",
+        "n_tokens",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("shuffle_key"),
+        F.lit(0).alias("_all"),
+    )
+    ranked = two_phase_rank(
+        keyed, part_col="_all", val_col="shuffle_key", key_col="doc_id",
+        grn_col="pos",
+    )
+    return ranked.select(
+        F.col("pos").cast("long").alias("pos"),
+        "doc_id",
+        "n_tokens",
+        "shuffle_key",
+    )

@@ -300,3 +300,54 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value", "total_value"),
     )
     return run_available_now(agg, "q100_enrich")
+
+
+# ---------------------------------------------------------------------------
+# q113 — sliding-window rollup on the streaming engine
+# ---------------------------------------------------------------------------
+
+_Q113_ORACLE = """
+SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+         - (CAST(t.k AS INTEGER) * INTERVAL '15 minutes') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events CROSS JOIN range(0, 4) t(k)
+GROUP BY 1, 2
+"""
+
+
+@register("q113_streaming_sliding", _Q113_ORACLE)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window rollup on the streaming engine — the overlapping
+    counterpart of q68's tumbling hour: 1-hour windows advancing every
+    15 minutes, so each event contributes to exactly size/slide = 4
+    window rows (the trend-smoothing shape dashboards and rate
+    monitors ask of a stream). The oracle expands the same 4
+    epoch-aligned window starts per event with a lateral k∈[0,4) —
+    Spark's window() and DuckDB's time_bucket both align to midnight,
+    and 15 min divides a day evenly, so the grids agree exactly.
+
+    Scale shape: sliding windows multiply STATE, not input — one state
+    row per (window, event_type) with 4× the rows of the tumbling
+    case, still bounded and watermark-expirable in a continuous
+    deployment; the map-side partial aggregation means each input row
+    contributes 4 partial updates that combine before the state-store
+    shuffle. Decimal-safe sums as everywhere (float rule #1)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(agg, "q113_sliding")

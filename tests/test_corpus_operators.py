@@ -557,3 +557,24 @@ def test_q111_drop_count_equals_duplicate_occurrences(spark):
     for r in out:
         if r["n_kept"] == r["n_segments"]:
             assert len(r["cleaned_text"].split(" ")) >= r["n_kept"]
+
+
+def test_q112_pipeline_invariants(spark):
+    """Composition invariants the per-stage oracles can't see: pos is
+    a contiguous 1..N permutation, every selected doc passed the
+    quality gate, and the selected token mass stops at the budget."""
+    import __spark_entry__ as m
+    from nessus_client_etl_scripts_spark.catalog import load_table
+    from nessus_client_etl_scripts_spark.operators.text import quality_keep
+
+    out = m.queries()["q112_corpus_pipeline"](spark, SF0001).collect()
+    assert sorted(r["pos"] for r in out) == list(range(1, len(out) + 1))
+    quality_ids = {
+        r["doc_id"]
+        for r in load_table(spark, SF0001, "documents")
+        .filter(quality_keep("text"))
+        .select("doc_id")
+        .collect()
+    }
+    assert {r["doc_id"] for r in out} <= quality_ids
+    assert 0 < len(out) < len(quality_ids) or len(quality_ids) == 0

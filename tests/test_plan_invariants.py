@@ -291,3 +291,32 @@ def test_q29_simhash_rowlocal_no_doc_exchange(spark):
     plan = _plan(spark, "q29_simhash")
     assert "hashpartitioning" not in plan, plan
     assert "Generate" not in plan, plan
+
+
+def test_q112_pipeline_composition_shapes(spark):
+    """The composed pipeline must inherit every stage's scale shape.
+    The final plan only shows the two_phase_rank tail (the cumsum and
+    rank stages localCheckpoint, so upstream becomes Scan ExistingRDD)
+    — assert the dedup stage on the LAZY upstream frame (the q96
+    pattern) and the _pid-keyed window on the final plan."""
+    import pyspark.sql.functions as F
+
+    from nessus_client_etl_scripts_spark.catalog import load_table
+    from nessus_client_etl_scripts_spark.operators.text import (
+        normalize_text,
+        quality_keep,
+    )
+
+    quality = load_table(spark, SF, "documents").filter(quality_keep("text"))
+    winners = (
+        quality.groupBy(normalize_text("text").alias("nt"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = quality.join(winners, "doc_id", "leftsemi")
+    up = deduped._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in up, up
+    assert "LeftSemi" in up, up
+
+    plan = _plan(spark, "q112_corpus_pipeline")
+    assert "_pid" in plan, plan

@@ -268,3 +268,28 @@ def test_watermark_drops_late_event_append_mode(spark, tmp_path):
                     (4, "2024-01-01 12:30:00", "a", 4.0)])
     # cumulative sink contents: the late 100.0 appears NOWHERE
     assert run_once() == {10: (1, 1.0), 11: (1, 2.0)}
+
+
+def test_sliding_window_multiplicity_vs_tumbling(spark):
+    """q113's sliding 1h/15min windows must hold exactly size/slide=4
+    rows per (event, window) relative to the tumbling hourly rollup:
+    per event_type, sliding n_events sums to 4x the tumbling sum, and
+    every tumbling hour boundary is also a sliding window start."""
+    import __spark_entry__ as m
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    sliding = m.queries()["q113_streaming_sliding"](spark, sf)
+    tumbling = m.queries()["q68_streaming_hourly"](spark, sf)
+    s = {
+        r["event_type"]: r["n"]
+        for r in sliding.groupBy("event_type").agg(F.sum("n_events").alias("n")).collect()
+    }
+    t = {
+        r["event_type"]: r["n"]
+        for r in tumbling.groupBy("event_type").agg(F.sum("n_events").alias("n")).collect()
+    }
+    assert s == {k: 4 * v for k, v in t.items()}
+    slide_starts = {r["window_start"] for r in sliding.select("window_start").collect()}
+    for r in tumbling.select("window_start").collect():
+        assert r["window_start"] in slide_starts
