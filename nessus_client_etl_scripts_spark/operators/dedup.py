@@ -716,3 +716,60 @@ def novel_documents(
         .join(seen, "_fp", "left_anti")
         .drop("_fp")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame, col: str, max_dist: int = 1
+) -> DataFrame:
+    """All distinct string pairs within Levenshtein distance
+    ``max_dist`` (currently 1 — the SymSpell/typo-clustering case),
+    found WITHOUT an all-pairs comparison: deletion-neighborhood
+    blocking. Two strings at edit distance <= 1 necessarily share an
+    element of {s} ∪ del1(s) (substitution: delete the differing
+    position from both; insert/delete: the shorter string IS a del1
+    variant of the longer; equality: s itself), so exploding each
+    string into its <= len+1 variants and equi-joining on the variant
+    yields a candidate superset, and one exact ``levenshtein`` call
+    per candidate finishes the job. The converse does NOT hold
+    (del1('ab') ∩ del1('ba') != ∅ at distance 2), which is why the
+    verify step is part of the operator, not an optimization.
+
+    Scale shape: the join key is ``xxhash64(variant)`` — 8 bytes per
+    variant through the shuffle instead of the variant text; hash
+    collisions can only ADD candidates (the verify filter removes
+    them), never lose a true pair. Candidate volume is bounded by the
+    variant-group sizes (a shared variant ~= a shared typo stem), the
+    same inverted-posting bound as ``ngram_jaccard_pairs``; the
+    distance-1 ball of a length-L string is ~L·|Σ|, so blocking beats
+    the |V|² scan whenever groups stay small — salt or cap hot stems
+    the way ``shingle_posting``'s max_df does if a degenerate key
+    (e.g. the empty string's variants) turns up.
+    """
+    if max_dist != 1:  # pragma: no cover - guard
+        raise NotImplementedError(
+            "deletion-neighborhood blocking is derived for max_dist=1; "
+            "k>1 needs the PassJoin segment scheme"
+        )
+    c = F.col(col)
+    dels = F.expr(
+        f"transform(sequence(1, length({col})), "
+        f"i -> concat(substr({col}, 1, i - 1), substr({col}, i + 1)))"
+    )
+    variants = F.array_union(F.array(c), dels)
+    posting = df.select(
+        c.alias("s"),
+        F.explode_outer(variants).alias("variant"),
+    ).select("s", F.xxhash64("variant").alias("vh")).distinct()
+    lo = posting.select(F.col("s").alias("name_a"), "vh")
+    hi = posting.select(F.col("s").alias("name_b"), "vh")
+    cand = (
+        lo.join(hi, "vh")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein("name_a", "name_b") <= max_dist
+    ).withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("int")
+    )

@@ -155,7 +155,20 @@ def mixture_resample(
     for half the rows — the standard "epochs per source" knob of a
     training-mix builder.
     """
-    w = mixture_weights_case(weights, group_col)
+    return expand_by_weight(
+        df, mixture_weights_case(weights, group_col), key_col, salt
+    )
+
+
+def expand_by_weight(
+    df: DataFrame, w: Column, key_col: str, salt: str
+) -> DataFrame:
+    """The shared expansion kernel of the mixture samplers: emit each
+    row ``floor(w)`` times plus one more iff its salted 48-bit hash
+    falls below ``frac(w)`` of the hash space. ``w`` is any
+    deterministic per-row weight column; expansion is row-local
+    (explode of an integer sequence — no shuffle, ceil(w)-bounded
+    fan-out)."""
     base = F.floor(w).cast("long")
     frac_bound = ((w - F.floor(w)) * F.lit(float(HASH_SPACE))).cast("long")
     extra = (_u48(F.col(key_col), salt) < frac_bound).cast("long")
@@ -166,6 +179,47 @@ def mixture_resample(
     return with_n.withColumn(
         "copy_id", F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1))
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha_cap: float = 8.0,
+    scale: float = 0.5,
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    salt: str = "temp-mix-v1",
+) -> DataFrame:
+    """Temperature-flattened source mixture (the multilingual-LM
+    sampling rule, alpha = 0.5): per-group epochs
+    ``w_g = min(alpha_cap, scale * sqrt(M / m_g))`` where ``m_g`` is
+    the group's total ``weight_col`` mass and ``M`` the corpus total —
+    rare sources are upsampled toward uniform, dominant ones damped,
+    with the fan-out hard-capped. Unlike :func:`mixture_resample`
+    (literal per-group weights decided offline), the weights here are
+    computed IN-PLAN from corpus statistics, so the same job re-weights
+    a corpus whose composition shifted since yesterday's snapshot.
+
+    Every arithmetic step is bit-portable (integer sums; one
+    int/int→double division, correctly rounded; ``sqrt`` is IEEE
+    correctly-rounded, unlike ``pow``/``ln`` which is why alpha is
+    fixed at 1/2): the per-row coin agrees with any engine that mirrors
+    the expression. Scale shape: group masses are one exact-integer
+    aggregate (map-side combine, |groups| rows), broadcast back; the
+    1-row corpus total rides a broadcast nested-loop join; expansion is
+    the shared row-local kernel. No collect — the stats never leave
+    the cluster."""
+    stats = df.groupBy(group_col).agg(F.sum(weight_col).alias("_gmass"))
+    total = df.agg(F.sum(weight_col).alias("_tmass"))
+    w = F.least(
+        F.lit(float(alpha_cap)),
+        F.lit(float(scale))
+        * F.sqrt(F.col("_tmass").cast("double") / F.col("_gmass").cast("double")),
+    )
+    weighted = df.join(F.broadcast(stats), group_col).crossJoin(
+        F.broadcast(total)
+    )
+    return expand_by_weight(weighted, w, key_col, salt).drop("_gmass", "_tmass")
 
 
 def mixture_resample_sql(

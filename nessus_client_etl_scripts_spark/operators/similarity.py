@@ -816,3 +816,61 @@ def _literal_cell_ranking(centroids: list[list[float]]):
         return F.array_sort(pairs)
 
     return cell_ranking
+
+
+def semantic_dedup(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    assign every vector to its nearest codebook cell, then inside each
+    cell drop any vector that has a same-cell neighbor with a SMALLER
+    id and cosine >= ``threshold``. Returns every input row as
+    ``(id, cell, keep)`` — the keep/drop verdict, not just the pairs —
+    so a training pipeline filters its corpus with one semi-join.
+
+    Scale shape: the quadratic step is confined to single cells — the
+    same bound IVF search relies on (cell sizes ~N/|cells| with a
+    ~sqrt(N)-cell codebook; AQE skew-join covers hot cells). Cell
+    assignment is the Arrow-matmul scale path (:func:`_probe_udf`,
+    plan size constant in |cells|); the pair score is the
+    sequential-fold cosine with an exact DuckDB twin, so the whole
+    verdict column is value-oracle-checkable. The dropped-id set
+    re-enters through a self left-semi join on ``id`` — ids only, no
+    vectors shuffle twice.
+    """
+    assigned = (
+        vecs.select(
+            F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+        )
+        .withColumn("_n", l2_norm(F.col("v")))
+        .withColumn(
+            "cell", F.element_at(_probe_udf(centroids, 1)("v"), 1)
+        )
+    )
+    lo = assigned.select(
+        F.col("vec_id").alias("_lo"),
+        F.col("cell"),
+        F.col("v").alias("_lv"),
+        F.col("_n").alias("_ln"),
+    )
+    dropped = (
+        assigned.join(lo, "cell")
+        .filter(F.col("_lo") < F.col("vec_id"))
+        .filter(
+            dot(F.col("v"), F.col("_lv")) / (F.col("_n") * F.col("_ln"))
+            >= F.lit(float(threshold))
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("_dup", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+    )

@@ -3499,3 +3499,168 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "shuffle_key",
     )
+
+
+# ---------------------------------------------------------------------------
+# q114 — SemDeDup: cell-bounded semantic deduplication verdict
+# ---------------------------------------------------------------------------
+
+_Q114_TAU = 0.42  # just under the corpus's max intra-cell cosine
+                  # (~0.513 at sf0.01) so drops are non-empty (16/500)
+
+
+def _q114_oracle(n_cents: int = 16, dim: int = 64, tau: float = _Q114_TAU) -> str:
+    from ..operators.similarity import _hyperplanes
+
+    cents = _hyperplanes(n_cents, dim, seed=0xC0DE)
+    values = ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(ci, c) AS (VALUES
+    {values}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), dists AS (
+  SELECT vec_id, ci,
+         -2.0 * list_dot_product(v, c) + list_dot_product(c, c) AS d
+  FROM e CROSS JOIN cents
+), assigned AS (
+  SELECT vec_id, ci AS cell FROM (
+    SELECT vec_id, ci,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM dists) t
+  WHERE rn = 1
+), cellv AS (
+  SELECT e.vec_id, a.cell, e.v FROM e JOIN assigned a USING (vec_id)
+), dropped AS (
+  SELECT DISTINCT hi.vec_id
+  FROM cellv hi JOIN cellv lo
+    ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id
+  WHERE list_dot_product(hi.v, lo.v)
+          / (sqrt(list_dot_product(hi.v, hi.v))
+             * sqrt(list_dot_product(lo.v, lo.v))) >= {tau!r}
+)
+SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+       (d.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+@register("q114_semantic_dedup", _q114_oracle())
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup verdict (SemDeDup shape): every embedding is
+    assigned to its nearest codebook cell (the q79 codebook — Arrow
+    matmul assignment, plan constant in |cells|), and a vector is
+    DROPPED iff a same-cell neighbor with a smaller vec_id sits at
+    cosine >= {tau}. The declared output is the full (vec_id, cell,
+    keep) verdict table, so the quadratic step, the assignment AND the
+    keep rule are all value-oracle-checked at once.
+
+    Scale: pair generation never leaves a cell — with a ~sqrt(N)-cell
+    codebook each posting list is ~sqrt(N) rows and the per-cell
+    self-join is executor-sized (AQE skew-join covers hot cells);
+    dropped ids rejoin as a 8-byte-key left join, vectors shuffle into
+    the pair join exactly once. See operators/similarity.py::
+    semantic_dedup."""
+    from ..operators.similarity import _hyperplanes, semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _hyperplanes(16, 64, seed=0xC0DE)
+    return semantic_dedup(emb, cents, threshold=_Q114_TAU)
+
+
+# ---------------------------------------------------------------------------
+# q116 — Levenshtein-1 pair mining via deletion-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+_Q116_ORACLE = """
+WITH c AS (SELECT c_name FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM c a JOIN c b
+  ON a.c_name < b.c_name
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@register("q116_edit_distance_pairs", _Q116_ORACLE)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-matching pair mining: every distinct pair of customer
+    names (one segment) within Levenshtein distance 1, computed by
+    deletion-neighborhood blocking + exact verify (operators/dedup.py::
+    edit_distance_pairs) instead of the |V|² scan the oracle runs —
+    the entity-resolution / typo-clustering primitive a corpus
+    pipeline applies to vocabularies, titles and author strings.
+
+    The oracle IS the quadratic baseline (with a sound length-band
+    prefilter), so this query doubles as the differential proof that
+    the blocking scheme loses no pairs on real data; a planted-typo
+    unit test pins the insert/delete/substitute cases individually.
+
+    Scale: the blocked join shuffles 8-byte variant hashes (~L+1 per
+    string); candidates are bounded by variant-group sizes, and the
+    only per-candidate work is one codegen'd levenshtein."""
+    from ..operators.dedup import edit_distance_pairs
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_name")
+    )
+    return edit_distance_pairs(cust, "c_name", max_dist=1)
+
+
+# ---------------------------------------------------------------------------
+# q117 — temperature-flattened mixture from in-plan corpus statistics
+# ---------------------------------------------------------------------------
+
+_Q117_U48 = (
+    "('0x' || substring(md5('temp-mix-v1' || (doc_id)::VARCHAR), 1, 12))"
+    "::BIGINT"
+)
+
+_Q117_ORACLE = f"""
+WITH stats AS (
+  SELECT source, SUM(n_chars) AS gmass FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_chars) AS tmass FROM documents
+), w AS (
+  SELECT source,
+         least(8.0, 0.5 * sqrt(CAST(tmass AS DOUBLE) / CAST(gmass AS DOUBLE))) AS w
+  FROM stats CROSS JOIN tot
+), n AS (
+  SELECT d.doc_id, d.source,
+         (CAST(floor(w) AS BIGINT)
+          + CASE WHEN {_Q117_U48}
+                   < CAST((w - floor(w)) * 281474976710656.0 AS BIGINT)
+                 THEN 1 ELSE 0 END) AS n_copies
+  FROM documents d JOIN w USING (source)
+)
+SELECT doc_id, source, n_copies,
+       CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_id
+FROM n WHERE n_copies > 0
+"""
+
+
+@register("q117_temperature_mixture", _Q117_ORACLE)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened training mixture (alpha = 0.5): per-source
+    epochs min(8, 0.5·sqrt(M/m_s)) computed from the corpus's OWN
+    character masses in-plan (operators/sampling.py::
+    temperature_mixture) — the multilingual-LM sampling rule, where
+    q66's weights are a hand-written dict. Per-row expansion rides the
+    shared deterministic-coin kernel (expand_by_weight), so the emitted
+    multiset is bit-identical in any engine that mirrors the
+    expression — sqrt is correctly rounded everywhere, which is exactly
+    why the temperature is fixed at 1/2 instead of a pow() exponent."""
+    from ..operators.sampling import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return temperature_mixture(docs).select(
+        "doc_id", "source", "n_copies", "copy_id"
+    )

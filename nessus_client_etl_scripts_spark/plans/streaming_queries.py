@@ -351,3 +351,89 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "q113_sliding")
+
+
+# ---------------------------------------------------------------------------
+# q115 — stream-stream interval join on the streaming engine
+# ---------------------------------------------------------------------------
+
+_Q115_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       CAST(date_diff('second', CAST(c.ts AS TIMESTAMP),
+                      CAST(p.ts AS TIMESTAMP)) AS BIGINT)
+         AS secs_to_purchase,
+       p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+ AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+     + INTERVAL 30 MINUTE
+"""
+
+
+@register("q115_stream_stream_join", _Q115_ORACLE)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join computed by the streaming engine —
+    the attribution join (click ⋈ purchase within 30 minutes, same
+    user) that completes the streaming surface: q100 joined a stream
+    to a STATIC dim; this joins two live streams, the one stateful
+    join shape Structured Streaming adds over batch. Both sides carry
+    event-time watermarks and the join predicate is an equi-key plus a
+    bounded time interval, so the engine can size and expire the join
+    state from the condition itself (clicks are droppable once the
+    watermark passes click_ts + 30 min; purchases once it passes
+    purchase_ts).
+
+    Output is the matched pair set keyed by the two event ids —
+    arrival-order independent, hence value-oracle-checkable: an INNER
+    stream-stream join emits a match in whatever micro-batch completes
+    the pair, and availableNow over this bounded source drains every
+    batch before the sink is read, so the emitted set equals the batch
+    join no matter how the file source micro-batched the input.
+
+    Scale shape: state is hash-partitioned on user_id (the equi-key) —
+    the same single shuffle a batch sort-merge join would pay, held in
+    the state store with per-key time bounds instead of materialized
+    frames; the interval arithmetic is row-local. Value passthrough is
+    raw per-row doubles (float rule: no re-aggregation, bit-identical
+    in any engine)."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("secs_to_purchase"),
+        "purchase_value",
+    )
+    return run_available_now(joined, "q115_attribution", output_mode="append")
