@@ -397,7 +397,27 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     the state store with per-key time bounds instead of materialized
     frames; the interval arithmetic is row-local. Value passthrough is
     raw per-row doubles (float rule: no re-aggregation, bit-identical
-    in any engine)."""
+    in any engine).
+
+    State-store sizing: a stream-stream join instantiates FOUR state
+    stores per shuffle partition (left/right × rows/key-counts), so
+    the partition count is a per-query knob, not a session default —
+    under a plain 200-partition session this query would open 800
+    store instances for a bounded backfill (measured 2-4× the wall
+    time at 32 vs 8 partitions at sf0.01). The streaming engine pins
+    the count at FIRST checkpoint creation, so it is set just for
+    this run and restored after the query drains; a production
+    deployment sizes it once to match state volume, exactly as this
+    does."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        return _q115_plan(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _q115_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = (
         stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "click")
