@@ -722,33 +722,44 @@ def edit_distance_pairs(
     df: DataFrame, col: str, max_dist: int = 1
 ) -> DataFrame:
     """All distinct string pairs within Levenshtein distance
-    ``max_dist`` (currently 1 — the SymSpell/typo-clustering case),
-    found WITHOUT an all-pairs comparison: deletion-neighborhood
-    blocking. Two strings at edit distance <= 1 necessarily share an
-    element of {s} ∪ del1(s) (substitution: delete the differing
-    position from both; insert/delete: the shorter string IS a del1
-    variant of the longer; equality: s itself), so exploding each
-    string into its <= len+1 variants and equi-joining on the variant
-    yields a candidate superset, and one exact ``levenshtein`` call
-    per candidate finishes the job. The converse does NOT hold
-    (del1('ab') ∩ del1('ba') != ∅ at distance 2), which is why the
-    verify step is part of the operator, not an optimization.
+    ``max_dist`` (1 or 2 — the SymSpell/typo-clustering cases), found
+    WITHOUT an all-pairs comparison: deletion-neighborhood blocking.
+    Two strings at edit distance <= k necessarily share an element of
+    their delete-<=k neighborhoods (take an optimal alignment: each
+    substitution deletes the differing position from both sides, each
+    insert/delete deletes the extra char from the longer side — <= k
+    deletions per side leave equal strings), so exploding each string
+    into its deletion variants and equi-joining on the variant yields
+    a candidate superset, and one exact ``levenshtein`` call per
+    candidate finishes the job. The converse does NOT hold
+    (del1('ab') ∩ del1('ba') != ∅ at true distance 2), which is why
+    the verify step is part of the operator, not an optimization.
+
+    Why delete-neighborhood and not PassJoin segments for k=2: segment
+    blocking keys on exact segment occurrence, which degenerates to
+    the full cross product on corpora whose strings share long
+    constant regions (every key like ``Customer#…`` shares segment 1);
+    deletion variants key on the WHOLE string minus k chars, so two
+    strings collide only when they agree everywhere but ~k positions —
+    selectivity tracks the true neighbor count, not prefix entropy.
+    The price is the variant fan-out: ~L for k=1, ~L²/2 for k=2 (171
+    variants for L=18) — 8-byte hashes each, the classic SymSpell
+    space-for-selectivity trade.
 
     Scale shape: the join key is ``xxhash64(variant)`` — 8 bytes per
     variant through the shuffle instead of the variant text; hash
     collisions can only ADD candidates (the verify filter removes
     them), never lose a true pair. Candidate volume is bounded by the
     variant-group sizes (a shared variant ~= a shared typo stem), the
-    same inverted-posting bound as ``ngram_jaccard_pairs``; the
-    distance-1 ball of a length-L string is ~L·|Σ|, so blocking beats
-    the |V|² scan whenever groups stay small — salt or cap hot stems
-    the way ``shingle_posting``'s max_df does if a degenerate key
-    (e.g. the empty string's variants) turns up.
+    same inverted-posting bound as ``ngram_jaccard_pairs``; salt or
+    cap hot stems the way ``shingle_posting``'s max_df does if a
+    degenerate key (e.g. the <=k-length strings' empty variant)
+    turns up.
     """
-    if max_dist != 1:  # pragma: no cover - guard
+    if max_dist not in (1, 2):  # pragma: no cover - guard
         raise NotImplementedError(
-            "deletion-neighborhood blocking is derived for max_dist=1; "
-            "k>1 needs the PassJoin segment scheme"
+            "delete-neighborhood blocking is implemented for "
+            "max_dist in {1, 2}; larger k wants a trie/PassJoin scheme"
         )
     c = F.col(col)
     dels = F.expr(
@@ -756,6 +767,20 @@ def edit_distance_pairs(
         f"i -> concat(substr({col}, 1, i - 1), substr({col}, i + 1)))"
     )
     variants = F.array_union(F.array(c), dels)
+    if max_dist == 2:
+        # delete positions i < j of the original string; the i-range
+        # guard keeps sequence() ascending (L<=1 degenerates to the
+        # del1 variant, which array_union dedupes)
+        del2 = F.expr(
+            f"flatten(transform("
+            f"  sequence(1, greatest(length({col}) - 1, 1)), i ->"
+            f"  transform(sequence(least(i + 1, length({col})),"
+            f"                     greatest(length({col}), 1)), j ->"
+            f"    concat(substr({col}, 1, i - 1),"
+            f"           substr({col}, i + 1, j - i - 1),"
+            f"           substr({col}, j + 1)))))"
+        )
+        variants = F.array_union(variants, del2)
     posting = df.select(
         c.alias("s"),
         F.explode_outer(variants).alias("variant"),

@@ -3664,3 +3664,39 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(docs).select(
         "doc_id", "source", "n_copies", "copy_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 — Levenshtein-2 pair mining (delete-neighborhood, k=2 tier)
+# ---------------------------------------------------------------------------
+
+_Q118_ORACLE = """
+WITH c AS (SELECT c_name FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM c a JOIN c b
+  ON a.c_name < b.c_name
+ AND abs(length(a.c_name) - length(b.c_name)) <= 2
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+@register("q118_edit_distance2_pairs", _Q118_ORACLE)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k=2 tier of fuzzy pair mining: distance-<=2 pairs via the
+    delete-<=2 neighborhood (SymSpell blocking — ~L²/2 8-byte variant
+    hashes per string buy candidates that track the true neighbor
+    count; a PassJoin segment scheme would degenerate to the cross
+    product on this corpus's constant 'Customer#' prefix — see
+    operators/dedup.py::edit_distance_pairs). Same differential
+    structure as q116: the oracle is the quadratic baseline, so every
+    driver row proves blocking completeness at the wider radius
+    (8270 pairs at sf0.01 vs q116's 779)."""
+    from ..operators.dedup import edit_distance_pairs
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_name")
+    )
+    return edit_distance_pairs(cust, "c_name", max_dist=2)

@@ -209,3 +209,27 @@ def test_stream_stream_join_interval_bounds(spark, tmp_path):
         for r in q115(spark, str(tmp_path)).collect()
     }
     assert got == {(2, 1800), (5, 300)}
+
+
+def test_edit_distance_pairs_k2_matches_bruteforce(spark):
+    """k=2 delete-neighborhood blocking, differentially proven: every
+    true distance-<=2 pair survives blocking, every emitted pair
+    verifies — including insert+substitute and double-delete mixes and
+    short/empty-string edge cases."""
+    names = (
+        [f"{i:03d}" for i in range(0, 300, 11)]
+        + ["ab", "ba", "abcd", "abdc", "a", "", "abcdef", "acdf", "xbcdyf"]
+    )
+    df = spark.createDataFrame([(n,) for n in names], ["s"])
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in edit_distance_pairs(df, "s", max_dist=2).collect()
+    }
+    want = {
+        (min(a, b), max(a, b), _lev(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if _lev(a, b) <= 2
+    }
+    assert got == want
+    assert any(d == 2 for _, _, d in got)  # the k=2 tier is exercised
