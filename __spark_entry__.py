@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # to the true global row number; q96+ are new this round.  MIDDLE: the
 # r3-era block (q12-q40, q42-q52, q54, q56, q58 — last proven r3) so
 # the budget refreshes the oldest evidence.  TAIL: the r4-green block.
-_R5_HEAD = ("q39", "q53", "q55", "q92") + tuple(f"q{n}" for n in range(96, 119))
+_R5_HEAD = ("q39", "q53", "q55", "q92") + tuple(f"q{n}" for n in range(96, 125))
 _R4_GREEN = (
     tuple(f"q{n:02d}" for n in range(1, 12))
     + ("q41", "q57")

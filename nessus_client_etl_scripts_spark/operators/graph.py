@@ -201,3 +201,91 @@ def _cc_propagation(
             break
     sym.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id")), rounds
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank in EXACT int64 micro-units — (id, rank) after a fixed
+    number of power iterations over the directed edge set.
+
+    Floating-point PageRank is not value-portable across engines: each
+    vertex's new rank is a SUM of per-edge double contributions, and
+    IEEE addition is order-dependent, so a Spark hash-aggregate and a
+    DuckDB aggregate legitimately disagree in the last ulps.  This
+    variant keeps the whole recurrence in integers::
+
+        r0(v)     = scale
+        r_{k+1}(v) = floor(scale * (100 - damping_pct) / 100)
+                     + SUM over u->v of
+                       (damping_pct * r_k(u)) div (100 * outdeg(u))
+
+    Integer sums are associative, so the result is bit-identical in
+    any engine and any aggregation order — the same trick the
+    engine's Gini/diversity queries use to avoid ln().  The ``div``
+    must be INTEGER division (Spark ``div``, DuckDB ``//``): a double
+    divide would lose exactness past 2^53, which real rank masses
+    reach (85 * scale * |V| overflows the 53-bit mantissa at ~1e8
+    vertices but stays well inside int64 up to ~1e12).
+
+    Semantics notes (deliberate, documented):
+    - Dangling vertices (outdeg 0) leak their damped mass instead of
+      redistributing it — the per-iteration teleport term is constant.
+      This keeps every iteration a single edges ⋈ ranks + groupBy-sum
+      with NO global total (the redistribution variant needs a 1-row
+      broadcast each round).
+    - Fixed iteration count, no convergence probe: callers pick
+      ``iterations`` (rank ORDER stabilizes in a handful of rounds on
+      power-law graphs; the oracle unrolls the same count).
+
+    Scale shape: the degree-annotated edge frame is materialized once
+    (``localCheckpoint`` — same lineage hygiene as the CC rounds);
+    each iteration shuffles |E| (dst, contribution) int pairs into a
+    partial-combined sum, then an |V|-row left join re-anchors
+    vertices with no in-edges. Rank state is 16 bytes/vertex."""
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (src, dst, outdeg) — the static per-edge routing table
+    routed = e.join(deg, "src").localCheckpoint()
+
+    base = scale * (100 - damping_pct) // 100
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contribs = (
+            routed.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr(f"({damping_pct} * rank) div (100 * outdeg)").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -276,3 +276,98 @@ def scalable_cumsum(
         .withColumn(out_col, F.sum(val_col).over(w_local) + F.col("_off"))
         .select(*df.columns, out_col)
     )
+
+
+def scalable_running_max(
+    df: DataFrame,
+    part_col: str,
+    order_cols: tuple[str, ...],
+    val_col: str,
+    out_col: str = "run_max",
+    strict_preceding: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running MAX over a total order without a
+    low-cardinality window partition — the monoid-scan sibling of
+    :func:`scalable_cumsum` (max is associative, so the same
+    two-phase shape applies: per-partition local scan + broadcast
+    prefix-of-partition-maxima offsets).
+
+    ``Window.partitionBy(part).orderBy(...)`` funnels each group
+    through ONE task; when ``part_col`` has a handful of values (the
+    skyline's ~25 brands) that is the whole table through 25 tasks.
+    Here the range exchange on ``(part, *order_cols)`` spreads every
+    group across many partitions; the driver sees only the
+    |parts| × P partition-maxima matrix (the same bounded small-state
+    pattern as :func:`two_phase_rank`) and broadcasts, per
+    ``(part, _pid)``, the max over that group's PRECEDING partitions.
+
+    ``strict_preceding=True`` gives ``MAX(val) OVER (PARTITION BY part
+    ORDER BY order_cols ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING)`` — NULL for each group's first row; ``False`` includes
+    the current row. ROWS semantics requires the caller to make
+    ``order_cols`` a total order within each group (append a unique
+    tiebreaker — the same contract as q04's global nth).
+
+    The staged frame is ``localCheckpoint``ed BEFORE the stats
+    collect: offsets are keyed by physical partition id and must read
+    the same materialization (the two_phase_rank/scalable_cumsum
+    pinning rule)."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    if num_partitions:
+        num = num_partitions
+    else:
+        try:
+            num = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num = spark.sparkContext.defaultParallelism
+    staged = (
+        df.repartitionByRange(
+            num, F.col(part_col), *[F.col(c) for c in order_cols]
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+
+    stats = staged.groupBy(part_col, "_pid").agg(F.max(val_col).alias("m"))
+    by_part: dict = {}
+    for r in stats.collect():
+        by_part.setdefault(r[part_col], []).append(r)
+    recs = []
+    for p, rows in by_part.items():
+        rows.sort(key=lambda r: r["_pid"])
+        prev_max = None
+        for r in rows:
+            recs.append((p, r["_pid"], prev_max))
+            m = r["m"]
+            if m is not None and (prev_max is None or m > prev_max):
+                prev_max = m
+    offsets = spark.createDataFrame(
+        recs,
+        T.StructType(
+            [
+                df.schema[part_col],
+                T.StructField("_pid", T.IntegerType()),
+                T.StructField("_prior_max", df.schema[val_col].dataType),
+            ]
+        ),
+    )
+
+    end = -1 if strict_preceding else Window.currentRow
+    w_local = (
+        Window.partitionBy(part_col, "_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    # greatest() skips NULLs: local-scan max for the partition's head
+    # rows is NULL under strict_preceding, prior_max is NULL for each
+    # group's first partition — either alone carries the answer.
+    return (
+        staged.join(F.broadcast(offsets), [part_col, "_pid"])
+        .withColumn(
+            out_col, F.greatest(F.max(val_col).over(w_local), F.col("_prior_max"))
+        )
+        .select(*df.columns, out_col)
+    )

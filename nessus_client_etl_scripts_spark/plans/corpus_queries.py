@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..operators.dedup import (
@@ -3700,3 +3701,119 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_name")
     )
     return edit_distance_pairs(cust, "c_name", max_dist=2)
+
+
+# ---------------------------------------------------------------------------
+# q121 — per-source distribution divergence (Bhattacharyya / Hellinger)
+# ---------------------------------------------------------------------------
+
+_Q121_ORACLE = """
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), a AS (
+  SELECT source, term, COUNT(*) AS a FROM t GROUP BY source, term
+), tot AS (
+  SELECT term, COUNT(*) AS tot FROM t GROUP BY term
+), srcmass AS (
+  SELECT source, COUNT(*) AS amass FROM t GROUP BY source
+), allmass AS (
+  SELECT COUNT(*) AS tmass FROM t
+), contrib AS (
+  SELECT a.source,
+         CAST(sqrt(CAST(a.a * (tot.tot - a.a) AS DOUBLE))
+              AS DECIMAL(38, 12)) AS c
+  FROM a JOIN tot USING (term)
+), bc AS (
+  SELECT source, CAST(SUM(c) AS DOUBLE) AS bc_sum FROM contrib GROUP BY source
+), scored AS (
+  SELECT bc.source, srcmass.amass, allmass.tmass,
+         round(bc.bc_sum / sqrt(CAST(srcmass.amass AS DOUBLE)
+                                * CAST(allmass.tmass - srcmass.amass AS DOUBLE))
+               * 1e9) / 1e9 AS bc_norm
+  FROM bc JOIN srcmass USING (source) CROSS JOIN allmass
+)
+SELECT source, CAST(amass AS BIGINT) AS n_tokens, bc_norm,
+       round(sqrt(greatest(0.0, 1.0 - bc_norm)) * 1e9) / 1e9 AS hellinger
+FROM scored
+"""
+
+
+@register("q121_source_divergence", _Q121_ORACLE)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution divergence from the REST of the
+    corpus — the mixture-health metric a data pipeline watches to
+    catch a source drifting off-distribution (dedup gone wrong,
+    crawler contamination, a source collapsing to boilerplate).
+
+    KL/JS divergence needs ln(), which is not bit-portable across
+    engines (libm differs by ulps) — the q60/q89 rule. The
+    Bhattacharyya coefficient BC = sum_i sqrt(p_i * q_i) needs only
+    sqrt, which IEEE 754 requires to be CORRECTLY rounded, so every
+    per-term contribution sqrt(a_i * b_i) is bit-identical in any
+    engine (a_i, b_i exact int64 counts; the product must stay under
+    2^53 for the double cast to be exact — per-term counts beyond
+    ~9e15 products mean a >petatoken single term, far past any real
+    vocab). Hellinger distance = sqrt(1 - BC_norm) then inherits
+    portability.
+
+    The remaining hazard is the SUM over the vocab — IEEE addition is
+    order-dependent — solved by quantizing each contribution to
+    DECIMAL(38,12) before aggregation (exact, associative): a
+    scale-12 decimal midpoint at magnitude >= 1 is not representable
+    as a double, so round-to-nearest can never tie and both engines
+    quantize identically; the dsum pattern, generalized to irrational
+    inputs. One residual: DuckDB's DECIMAL->DOUBLE cast is doubly
+    rounded (int128 -> double, then /1e12) and measured 1 ulp off
+    Spark's correctly-rounded BigDecimal conversion, so the two
+    emitted multi-op doubles are quantized to 1e-9 (PLANS.md float
+    rule #2, the q102 treatment).
+
+    Scale shape: two partial-combined aggregations bounded by
+    |sources x vocab| and |vocab|; the divergence math is row-local
+    over the vocab-sized frame. The corpus-sized explode never
+    crosses a shuffle carrying text — only (source, term) keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    a = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("a"))
+    tot = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tot"))
+    srcmass = terms.groupBy("source").agg(F.count(F.lit(1)).alias("amass"))
+    allmass = terms.agg(F.count(F.lit(1)).alias("tmass"))
+    contrib = a.join(tot, "term").select(
+        "source",
+        F.sqrt((F.col("a") * (F.col("tot") - F.col("a"))).cast("double"))
+        .cast(T.DecimalType(38, 12))
+        .alias("c"),
+    )
+    bc = contrib.groupBy("source").agg(
+        F.sum("c").cast("double").alias("bc_sum")
+    )
+    scored = (
+        bc.join(F.broadcast(srcmass), "source")
+        .crossJoin(F.broadcast(allmass))
+        .withColumn(
+            "bc_norm",
+            F.round(
+                F.col("bc_sum")
+                / F.sqrt(
+                    F.col("amass").cast("double")
+                    * (F.col("tmass") - F.col("amass")).cast("double")
+                )
+                * 1e9
+            )
+            / 1e9,
+        )
+    )
+    return scored.select(
+        "source",
+        F.col("amass").alias("n_tokens"),
+        "bc_norm",
+        (
+            F.round(
+                F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("bc_norm")))
+                * 1e9
+            )
+            / 1e9
+        ).alias("hellinger"),
+    )
