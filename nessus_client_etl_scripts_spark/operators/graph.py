@@ -210,6 +210,8 @@ def pagerank_integer(
     iterations: int = 3,
     scale: int = 1_000_000,
     damping_pct: int = 85,
+    broadcast_vertices: int = 5_000_000,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """PageRank in EXACT int64 micro-units — (id, rank) after a fixed
     number of power iterations over the directed edge set.
@@ -244,17 +246,31 @@ def pagerank_integer(
       power-law graphs; the oracle unrolls the same count).
 
     Scale shape: the degree-annotated edge frame is materialized once
-    (``localCheckpoint`` — same lineage hygiene as the CC rounds);
-    each iteration shuffles |E| (dst, contribution) int pairs into a
-    partial-combined sum, then an |V|-row left join re-anchors
-    vertices with no in-edges. Rank state is 16 bytes/vertex."""
-    e = (
-        edges.select(
-            F.col(src_col).cast("long").alias("src"),
-            F.col(dst_col).cast("long").alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint()
+    (``localCheckpoint`` — same lineage hygiene as the CC rounds).
+    Rank state is 16 bytes/vertex, so up to ``broadcast_vertices``
+    vertices (default 5M ≈ 80 MB) the per-iteration edges ⋈ ranks
+    join BROADCASTS the rank state and the edge table never crosses a
+    shuffle — the explicit hint matters because checkpointed frames
+    have unknown stats and neither Catalyst nor AQE will pick the
+    broadcast on its own. Past the threshold the join falls back to
+    hash-partitioned shuffle — the Pregel regime, where per-superstep
+    |E| message traffic is the honest cost. Either way the combine is
+    map-side partial (shuffle carries ≤ tasks × |V| partial sums, not
+    |E| rows), and an |V|-row left join re-anchors vertices with no
+    in-edges."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    if not edges_distinct:
+        # callers whose edge set is distinct by construction pass
+        # edges_distinct=True and skip an |E| shuffle
+        e = e.distinct()
+    # the ONE |E|-sized materialization; everything per-iteration
+    # reads this frame map-side
+    e = e.localCheckpoint()
+    deg = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
     )
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -262,24 +278,29 @@ def pagerank_integer(
         .distinct()
         .localCheckpoint()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # (src, dst, outdeg) — the static per-edge routing table
-    routed = e.join(deg, "src").localCheckpoint()
 
     base = scale * (100 - damping_pct) // 100
+    # nodes is already materialized (localCheckpoint) — the count is a
+    # cheap metadata pass, and it decides the per-iteration join mode.
+    small_state = nodes.count() <= broadcast_vertices
+    hint = F.broadcast if small_state else (lambda df: df)
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for _ in range(iterations):
+        # per-SOURCE outgoing unit: the damped-rank division happens on
+        # the |V|-sized frame (ranks ⋈ deg, both vertex state), so the
+        # edge scan only multiplies by a prejoined constant — the edge
+        # table itself never carries through an aggregation upstream
+        unit = ranks.join(deg.withColumnRenamed("src", "id"), "id").select(
+            F.col("id").alias("src"),
+            F.expr(f"({damping_pct} * rank) div (100 * outdeg)").alias("c"),
+        )
         contribs = (
-            routed.join(ranks.withColumnRenamed("id", "src"), "src")
-            .select(
-                F.col("dst").alias("id"),
-                F.expr(f"({damping_pct} * rank) div (100 * outdeg)").alias("c"),
-            )
-            .groupBy("id")
+            e.join(hint(unit), "src")
+            .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("c").alias("in_mass"))
         )
         ranks = (
-            nodes.join(contribs, "id", "left")
+            nodes.join(hint(contribs), "id", "left")
             .select(
                 "id",
                 (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0))).alias(

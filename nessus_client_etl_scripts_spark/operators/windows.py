@@ -371,3 +371,64 @@ def scalable_running_max(
         )
         .select(*df.columns, out_col)
     )
+
+
+def scalable_row_number(
+    df: DataFrame,
+    order_cols: tuple[str, ...],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY order_cols)`` (1-based)
+    without a single-task global window — and without
+    :func:`two_phase_rank`'s tie-group ``groupBy + join``, which exists
+    only to compute RANK semantics (min row number per value tie) and
+    doubles the shuffle volume for callers that don't need it.  When
+    the caller's order is already a total order (append a unique
+    tiebreaker — the q04 contract), the row number is all that's
+    needed: file chunking (q119), training-shuffle positions,
+    pagination.
+
+    One range exchange + per-partition local window + broadcast count
+    offsets; the staged frame is ``localCheckpoint``ed before the
+    stats collect (the two_phase_rank/scalable_cumsum pinning rule:
+    offsets are keyed by physical partition id and must read the same
+    materialization)."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    if num_partitions:
+        num = num_partitions
+    else:
+        try:
+            num = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num = spark.sparkContext.defaultParallelism
+    staged = (
+        df.repartitionByRange(num, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    stats = sorted(
+        staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    recs, off = [], 0
+    for r in stats:
+        recs.append((r["_pid"], off))
+        off += r["c"]
+    offsets = spark.createDataFrame(
+        recs,
+        T.StructType(
+            [
+                T.StructField("_pid", T.IntegerType()),
+                T.StructField("_off", T.LongType()),
+            ]
+        ),
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        staged.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.row_number().over(w_local) + F.col("_off"))
+        .select(*df.columns, out_col)
+    )

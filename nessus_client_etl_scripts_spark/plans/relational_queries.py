@@ -1188,10 +1188,12 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The interleave (operators/layout.zorder_key) is 5 shift/mask ops
     per dimension, fused into the scan by whole-stage codegen; the
-    global file assignment is two_phase_rank's range-exchange row
-    number (NO single-task Window.orderBy) chunked into
-    4096-row files; the zone maps are one partial-combined groupBy
-    whose shuffle carries |files| rows. The emitted table IS the
+    global file assignment is scalable_row_number's range-exchange
+    row number (NO single-task Window.orderBy, and no two_phase_rank
+    tie-group join — Z-values are near-unique and (zval, rk) is a
+    total order, so RANK semantics would only double the shuffle)
+    chunked into 4096-row files; the zone maps are one
+    partial-combined groupBy whose shuffle carries |files| rows. The emitted table IS the
     scan-pruning metadata: a predicate on either key overlaps few
     files' [min, max] ranges precisely because Z-order keeps both
     dimensions locally contiguous — against a one-column sort, the
@@ -1201,7 +1203,7 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-scan objects (/root/reference/export.py upload loop); this is
     the layout-maintenance pass on top of SURVEY.md §2 S4."""
     from ..operators.layout import zone_maps, zorder_key
-    from ..operators.windows import two_phase_rank
+    from ..operators.windows import scalable_row_number
 
     li = load_table(spark, sf_dir, "lineitem")
     keyed = li.select(
@@ -1211,11 +1213,8 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
         .cast("long")
         .alias("rk"),
-        F.lit(0).alias("_all"),
     )
-    ranked = two_phase_rank(
-        keyed, part_col="_all", val_col="zval", key_col="rk", grn_col="rn"
-    )
+    ranked = scalable_row_number(keyed, order_cols=("zval", "rk"), out_col="rn")
     files = ranked.withColumn(
         "file_id", F.expr(f"(rn - 1) div {_Q119_ROWS_PER_FILE}")
     )
@@ -1521,6 +1520,9 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=_Q124_ITERS,
         scale=_Q124_SCALE,
         damping_pct=_Q124_DAMP,
+        # pairs is distinct and the two unioned arms live in disjoint
+        # (even/odd) id namespaces — no internal re-distinct needed
+        edges_distinct=True,
     )
     top = ranks.orderBy(F.desc("rank"), F.asc("id")).limit(50)
     return top.select(
