@@ -1240,9 +1240,9 @@ WITH files AS (
                                ROWS UNBOUNDED PRECEDING) AS cum_bytes
   FROM files
 )
-SELECT (cum_bytes - size_bytes) // {_Q120_TARGET} AS bin_id,
+SELECT CAST((cum_bytes - size_bytes) // {_Q120_TARGET} AS BIGINT) AS bin_id,
        CAST(count(*) AS BIGINT) AS n_files,
-       SUM(size_bytes) AS total_bytes,
+       CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
        MIN(file_day) AS min_day, MAX(file_day) AS max_day
 FROM packed GROUP BY bin_id
 """
