@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from nessus_client_etl_scripts_spark.plans import corpus_queries as _cq  # noqa: F401 — registers q20+
 from nessus_client_etl_scripts_spark.plans import relational_queries as _rq  # noqa: F401 — registers q42+
+from nessus_client_etl_scripts_spark.plans import round6_queries as _r6  # noqa: F401 — registers q125+
 from nessus_client_etl_scripts_spark.plans import streaming_queries as _sq  # noqa: F401 — registers q53
 from nessus_client_etl_scripts_spark.plans import testdata_queries as _tq
 
@@ -31,19 +32,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return _tq.spark_queries()["q01_folder_results_latest"](spark, SF0001)
 
 
-# Round-5 driver-budget ordering (the driver checks ~50 queries in
-# iteration order per round).  HEAD: queries needing a FRESH row this
-# round — q53 has NEVER been driver-checked (the one gap in r1-r4);
-# q55's last row (r2) predates the star-contraction default; q39
-# gained a full value oracle in r5 (was rows-only); q92's pos switched
-# to the true global row number; q96+ are new this round.  MIDDLE: the
-# r3-era block (q12-q40, q42-q52, q54, q56, q58 — last proven r3) so
-# the budget refreshes the oldest evidence.  TAIL: the r4-green block.
-_R5_HEAD = ("q39", "q53", "q55", "q92") + tuple(f"q{n}" for n in range(96, 125))
-_R4_GREEN = (
-    tuple(f"q{n:02d}" for n in range(1, 12))
-    + ("q41", "q57")
-    + tuple(f"q{n}" for n in range(59, 96))
+# Round-6 driver-budget ordering (the driver checks ~50 queries in
+# iteration order per round).  HEAD, in priority order: q120 (its r5
+# row is the only non-green — a HUGEINT-vs-BIGINT oracle cast, fixed
+# post-r5, needs its first green row); q125-q131 (new this round);
+# then the oldest-evidence blocks — the r2-era queries (q51/q52/q54/
+# q56/q58, last proven r2) and the r3-era block (q29-q50, last proven
+# r3).  MIDDLE: the r4-green block (second-oldest evidence) so the
+# remaining ~17 budget slots refresh it front-first.  TAIL: the 49
+# queries proven green in r5.
+_R6_HEAD = (
+    ("q120",)
+    + tuple(f"q{n}" for n in range(125, 132))
+    + ("q51", "q52", "q54", "q56", "q58")
+    + tuple(f"q{n}" for n in range(29, 39))
+    + ("q40",)
+    + tuple(f"q{n}" for n in range(42, 51))
+)
+_R5_GREEN = (
+    tuple(f"q{n}" for n in range(96, 120))
+    + tuple(f"q{n}" for n in range(121, 125))
+    + tuple(f"q{n:02d}" for n in range(12, 29))
+    + ("q39", "q53", "q55", "q92")
 )
 
 
@@ -51,17 +61,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Insertion order == driver iteration order; see the ordering note
-    above (_R5_HEAD / r3-era refresh / r4-green tail)."""
+    above (_R6_HEAD / r4-green middle / r5-green tail)."""
     all_queries = dict(sorted(_tq.spark_queries().items()))
 
     def prefix(name: str) -> str:
         return name.split("_", 1)[0]
 
-    head = {n: f for n, f in all_queries.items() if prefix(n) in _R5_HEAD}
+    head = {
+        n: all_queries[n]
+        for p in _R6_HEAD
+        for n in all_queries
+        if prefix(n) == p
+    }
     mid = {
         n: f
         for n, f in all_queries.items()
-        if n not in head and prefix(n) not in _R4_GREEN
+        if n not in head and prefix(n) not in _R5_GREEN
     }
     rest = {n: f for n, f in all_queries.items() if n not in head and n not in mid}
     return {**head, **mid, **rest}

@@ -798,3 +798,77 @@ def edit_distance_pairs(
     ).withColumn(
         "dist", F.levenshtein("name_a", "name_b").cast("int")
     )
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = (),
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / |A| — the quote/subset
+    detector Jaccard misses: a short document fully embedded in a long
+    one has low Jaccard (union is dominated by the long doc) but
+    containment 1.0 from the short side. Standard measure for
+    quote/boilerplate inclusion in web-corpus dedup (Broder's
+    containment, the companion to resemblance).
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` — ONE
+    shuffle on (block, shingle), intersection counts via map-side
+    partial agg, per-doc set sizes derived from the same posting —
+    but emits ORDERED pairs (containment is directional), keeping only
+    the `<` half of the join and deriving both directions from one
+    intersection count (halves the join fan-in vs a `!=` join).
+    ``max_df`` caps boilerplate shingles before the self-join exactly
+    as in the Jaccard variant (a d-doc shingle costs d² join rows)."""
+    posting = shingle_posting(df, text_col, id_col, block_cols, k)
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    joinable = posting
+    if max_df is not None:
+        hot = (
+            posting.groupBy(*block_cols, "shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select(*block_cols, "shingle")
+        )
+        joinable = posting.join(hot, [*block_cols, "shingle"], "left_anti")
+    inter = (
+        joinable.alias("l")
+        .join(
+            joinable.alias("r"),
+            [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
+            + [
+                F.col("l.shingle") == F.col("r.shingle"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_lo"), F.col("r.doc_id").alias("doc_hi")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # both directions from the single undirected intersection count
+    directed = inter.select(
+        F.col("doc_lo").alias("doc_a"), F.col("doc_hi").alias("doc_b"), "inter"
+    ).unionByName(
+        inter.select(
+            F.col("doc_hi").alias("doc_a"),
+            F.col("doc_lo").alias("doc_b"),
+            "inter",
+        )
+    )
+    with_sizes = directed.join(
+        sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+            "n_sh", "n_a"
+        ),
+        "doc_a",
+    )
+    return with_sizes.select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("n_a").cast("long").alias("n_a"),
+        (F.col("inter") / F.col("n_a")).alias("containment"),
+    ).filter(F.col("containment") >= threshold)

@@ -1,0 +1,104 @@
+"""Corpus n-gram language-model statistics — the "train global stats,
+score every document against them" two-pass shape that backs
+perplexity-style quality filtering in LLM data pipelines (CCNet/Dolma
+run a KenLM here; this is the engine-native integer-exact analogue).
+
+Scale posture: the model side is an aggregation (map-side partial
+combine, shuffle carries (bigram, count) longs, never documents); the
+scoring side is one equi-join on the bigram key. At 100 TB the stats
+frame is corpus-vocabulary-bounded, orders of magnitude smaller than
+the corpus — AQE broadcasts it when it fits, falls back to a shuffle
+join keyed on short strings when it doesn't. All emitted doubles are
+single IEEE divisions of exact integers, so scores verify value-exactly
+cross-engine (PLANS.md float rule #2: no logs/exps in the hot path —
+portable across libm implementations by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, tokens
+
+
+def bigrams_from_tokens(toks: Column) -> Column:
+    """Adjacent token pairs of a STAGED token array as space-joined
+    strings; empty array below 2 tokens (the sequence(1,0) descending
+    trap — see text.ngrams)."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_bigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, bigram) posting — tokenization and the bigram build are
+    staged in separate projections so each runs once per document
+    (the q58 expression-staging rule), then exploded. The input is
+    spread across cores first (shingling-class per-row work)."""
+    from ..catalog import spread_for_compute
+
+    staged = spread_for_compute(df).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(text_col)).alias("toks"),
+    )
+    bg = staged.select(
+        "doc_id", bigrams_from_tokens(F.col("toks")).alias("bg")
+    )
+    return bg.select("doc_id", F.explode_outer("bg").alias("bigram"))
+
+
+def bigram_counts(posting: DataFrame) -> DataFrame:
+    """Corpus bigram frequency table from a (doc_id, bigram) posting —
+    one hash aggregation, partial-combined map-side."""
+    return (
+        posting.filter(F.col("bigram").isNotNull())
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("bg_count"))
+    )
+
+
+def bigram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Per-document novelty score against the corpus bigram LM: the
+    fraction of a document's bigrams that are corpus-rare (global
+    count ≤ ``rare_max_count``), plus the mean corpus frequency of its
+    bigrams. High rare-ratio flags out-of-distribution / noisy text;
+    near-zero flags boilerplate — the integer-exact stand-in for the
+    KenLM perplexity band filter (CCNet's head/middle/tail split).
+
+    Two jobs over ONE posting materialization shape: counts aggregate
+    then join back to the same posting on the bigram key. Every output
+    is an exact integer or a single division of exact integers.
+    """
+    posting = doc_bigrams(df, text_col, id_col)
+    counts = bigram_counts(posting)
+    scored = posting.filter(F.col("bigram").isNotNull()).join(
+        counts, "bigram"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("bg_count").cast("long").alias("sum_count"),
+        F.sum(
+            F.when(F.col("bg_count") <= rare_max_count, 1).otherwise(0)
+        ).cast("long").alias("n_rare"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "sum_count",
+        "n_rare",
+        (F.col("n_rare") / F.col("n_bigrams")).alias("rare_ratio"),
+        (F.col("sum_count") / F.col("n_bigrams")).alias("mean_count"),
+    )

@@ -280,3 +280,45 @@ def weighted_systematic_sample(
         c.withColumn("n_hits", n_hits)
         .filter(F.col("n_hits") > 0)
     )
+
+def stratified_exact_split(
+    df: DataFrame,
+    strata_cols: tuple[str, ...],
+    frac: float,
+    key_col: str = "doc_id",
+    salt: str = "strata-v1",
+    out_col: str = "split",
+    eval_name: str = "eval",
+    train_name: str = "train",
+) -> DataFrame:
+    """Exact-count stratified holdout: within every stratum, the first
+    ``ceil(frac·n)`` rows by salted content hash go to ``eval_name``.
+
+    :func:`hash_split` is per-row Bernoulli-by-hash — unbiased but with
+    binomial jitter per stratum, so a small stratum can land a split
+    far from ``frac`` (or empty). Eval sets for stratified benchmarks
+    need the EXACT per-stratum proportion; the construction is a
+    row_number + count window inside each stratum, both deterministic
+    from (hash, key) with the hash tie broken by ``key_col``.
+
+    Scale: one shuffle on the strata key serves both window functions
+    (same partitioning, Catalyst reuses the exchange). Strata are
+    (lang, source)-grained — thousands of groups, so plain windows
+    distribute fine; a lower-cardinality stratification should swap in
+    two_phase_rank (see group_sample).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy("_skey", key_col)
+    wn = Window.partitionBy(*strata_cols)
+    hashed = df.withColumn("_skey", _u48(F.col(key_col), salt))
+    marked = hashed.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    return marked.withColumn(
+        out_col,
+        F.when(
+            F.col("_rn") <= F.ceil(F.col("_n") * F.lit(frac)),
+            F.lit(eval_name),
+        ).otherwise(F.lit(train_name)),
+    ).drop("_skey", "_rn", "_n")

@@ -874,3 +874,79 @@ def semantic_dedup(
         F.col("cell").cast("int").alias("cell"),
         F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
     )
+
+def embedding_standardize_checksum(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension z-score standardization (the feature-scaling pass
+    before clustering / ANN indexing), emitted as per-vector integer
+    checksums so the fit+transform verifies value-exactly cross-engine.
+
+    Float portability (PLANS.md float rule #2): per-dim mean/variance
+    over raw doubles would be an order-dependent double sum. Instead
+    every element is quantized ONCE to integer micro-units
+    (round(x·1e6)), all moments are EXACT integer sums (variance
+    numerator n·Σx² − (Σx)² in DECIMAL(38,0) — BIGINT would overflow
+    at corpus scale), and the only doubles are single IEEE ops on
+    identical inputs: mean = Σ/(n·1e6), var = num/(n²·1e12),
+    std = sqrt(var), z = (x−mean)/std. The emitted per-vector
+    ``z_sum_milli``/``z_min_milli``/``z_max_milli`` are rounded-integer
+    reductions of those identical doubles — exact in any engine.
+
+    Scale shape: posexplode fans each vector into its dims (row-local,
+    bounded ×d); the stats frame aggregates to d rows (map-side
+    partial) and BROADCASTS back into the transform — the corpus side
+    never shuffles for the join; the final per-vector reduce is one
+    hash agg keyed on ``id_col``. The 2^53 exactness ceiling on
+    CAST(Σx AS DOUBLE) allows ~1.8e9 rows per dim at |x|≤5; beyond
+    that, lower ``micro``.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(_as_double(vec_col)).alias("dim", "x"),
+    ).withColumn("e_int", F.round(F.col("x") * micro).cast("long"))
+    stats = (
+        exploded.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("e_int").alias("s1"),
+            F.sum(F.col("e_int").cast("decimal(38,0)") * F.col("e_int")).alias(
+                "s2"
+            ),
+        )
+        .select(
+            "dim",
+            "n",
+            (
+                F.col("s1").cast("double")
+                / (F.col("n").cast("double") * F.lit(float(micro)))
+            ).alias("mean"),
+            F.sqrt(
+                (
+                    F.col("n").cast("decimal(38,0)") * F.col("s2")
+                    - F.col("s1").cast("decimal(38,0)")
+                    * F.col("s1").cast("decimal(38,0)")
+                ).cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n").cast("double")
+                    * F.lit(float(micro) * float(micro))
+                )
+            ).alias("std"),
+        )
+    )
+    z = (F.col("x") - F.col("mean")) / F.col("std")
+    zmilli = F.round(z * 1000).cast("long")
+    return (
+        exploded.join(F.broadcast(stats), "dim")
+        .select("vec_id", zmilli.alias("zm"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum("zm").cast("long").alias("z_sum_milli"),
+            F.min("zm").cast("long").alias("z_min_milli"),
+            F.max("zm").cast("long").alias("z_max_milli"),
+        )
+    )

@@ -256,3 +256,76 @@ def chunk_documents(
             F.concat_ws(" ", chunk_toks).alias("chunk_text"),
         )
     )
+
+def most_common_token_count(toks: Column) -> Column:
+    """Highest single-token frequency in a STAGED token array — the
+    Gopher "most common word fraction" numerator. Row-local O(d·n)
+    array scan (d = distinct tokens, n bounded by document length), no
+    shuffle. The argument must be a staged attribute: the outer
+    transform references the full array once per distinct token.
+
+    DuckDB twin: ``list_max(list_transform(list_distinct(l),
+    t -> len(list_filter(l, x -> x = t))))``."""
+    return F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+
+
+def gopher_rules(
+    toks: Column,
+    *,
+    min_tokens: int = 15,
+    max_tokens: int = 100000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 10.0,
+    max_common_frac: float = 0.125,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1)
+    over a STAGED token array: token-count band, mean-token-length
+    band, most-common-word fraction cap, alphabetic-word floor, and a
+    stopword-presence floor. Everything is integer array algebra plus
+    single IEEE divisions, so every emitted double is bit-identical
+    cross-engine (PLANS.md float rule: one correctly-rounded op on
+    identical inputs). No UDFs, no shuffle — the whole rule set runs
+    in the scan projection at 100 TB.
+
+    Returns named flag/feature columns; callers combine ``keep`` from
+    the individual rules so the per-rule rejection census stays
+    queryable (the production knob Gopher-style pipelines tune)."""
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_len = (
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+        / nd
+    )
+    common_frac = most_common_token_count(toks).cast("double") / nd
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("^[a-z]+$"))).cast("double")
+        / nd
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    rules = {
+        "n_tokens": n.cast("long"),
+        "mean_token_len": mean_len,
+        "most_common_frac": common_frac,
+        "alpha_frac": alpha_frac,
+        "stop_hits": stop_hits.cast("long"),
+        "rule_len": (n >= min_tokens) & (n <= max_tokens),
+        "rule_mean_len": (mean_len >= min_mean_len) & (mean_len <= max_mean_len),
+        "rule_common": common_frac <= max_common_frac,
+        "rule_alpha": alpha_frac >= min_alpha_frac,
+        "rule_stop": stop_hits >= min_stop_hits,
+    }
+    rules["keep"] = (
+        rules["rule_len"]
+        & rules["rule_mean_len"]
+        & rules["rule_common"]
+        & rules["rule_alpha"]
+        & rules["rule_stop"]
+    )
+    return rules
