@@ -822,7 +822,18 @@ def containment_pairs(
     the `<` half of the join and deriving both directions from one
     intersection count (halves the join fan-in vs a `!=` join).
     ``max_df`` caps boilerplate shingles before the self-join exactly
-    as in the Jaccard variant (a d-doc shingle costs d² join rows)."""
+    as in the Jaccard variant (a d-doc shingle costs d² join rows).
+
+    Both pair directions come from a row-local explode of the single
+    `<`-half count — a union of two selects over the aggregate would
+    re-execute the entire self-join subtree per branch (measured 2×).
+    The posting is deliberately NOT persisted: caching the wide
+    exploded-string frame forces a columnar-cache materialization and
+    breaks the whole-stage pipelines on both self-join sides (measured
+    5× slower than recomputation at sf0.1 — recomputing a projection
+    chain over a small parquet scan is cheaper than one cache write +
+    five cache reads; contrast lm.bigram_novelty, where the cached
+    frame feeds cheap consumers and persist wins)."""
     posting = shingle_posting(df, text_col, id_col, block_cols, k)
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = posting
@@ -849,16 +860,24 @@ def containment_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    # both directions from the single undirected intersection count
+    # both directions from the single undirected intersection count —
+    # a row-local explode, never a re-execution of the join subtree
     directed = inter.select(
-        F.col("doc_lo").alias("doc_a"), F.col("doc_hi").alias("doc_b"), "inter"
-    ).unionByName(
-        inter.select(
-            F.col("doc_hi").alias("doc_a"),
-            F.col("doc_lo").alias("doc_b"),
-            "inter",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_lo").alias("doc_a"),
+                    F.col("doc_hi").alias("doc_b"),
+                    F.col("inter").alias("inter"),
+                ),
+                F.struct(
+                    F.col("doc_hi").alias("doc_a"),
+                    F.col("doc_lo").alias("doc_b"),
+                    F.col("inter").alias("inter"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.inter")
     with_sizes = directed.join(
         sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
             "n_sh", "n_a"
