@@ -310,3 +310,58 @@ def pagerank_integer(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle participation counts — the standard graph
+    clustering-coefficient / community-structure primitive next to
+    PageRank (centrality) and connected components (clustering).
+
+    Algorithm: canonicalize every edge to (a < b), build wedges by
+    joining edges on the shared middle vertex with the a < b < c
+    orientation, then close each wedge against the edge set. The
+    orientation counts every triangle EXACTLY once (its vertices
+    admit a single increasing ordering), so no /3 correction or
+    dedup of permutations is needed.
+
+    Scale shape: two hash equi-joins over (long, long) edge pairs —
+    16 B shuffle keys, map-side combinable final count. Id-ordered
+    orientation keeps the oracle trivially expressible; production
+    deployments at extreme skew orient by (degree, id) instead —
+    same plan, different ordering column — which bounds wedge
+    fan-out per vertex by O(sqrt(|E|)) (Suri & Vassilvitskii's MR
+    triangle counting). The wedge join is the plan's cost center and
+    is exactly the candidate-pair pattern elsewhere in this engine:
+    skew on a hub vertex is AQE-splittable because the join is a
+    plain equi-join."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    wedges = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            F.col("e1.b") == F.col("e2.a"),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        e.alias("e3"),
+        (F.col("a") == F.col("e3.a")) & (F.col("c") == F.col("e3.b")),
+    ).select("a", "b", "c")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

@@ -108,3 +108,85 @@ def bigram_novelty(
         (F.col("n_rare") / F.col("n_bigrams")).alias("rare_ratio"),
         (F.col("sum_count") / F.col("n_bigrams")).alias("mean_count"),
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    vocab_size: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise-mutual-information-style co-occurrence lift for every
+    pair of the top-``vocab_size`` tokens: lift(a,b) =
+    P(a,b)/(P(a)·P(b)) = (n_ab · N)/(n_a · n_b) over document-level
+    presence — collocation mining / embedding-free association, the
+    corpus statistic under phrase detectors (word2vec's phrase pass)
+    and topic drift monitors. The LOG of lift is classic PMI; the
+    raw odds ratio is emitted instead because it is rank-equivalent
+    per pair and libm-free (PLANS.md float rule — one exact-integer
+    division, value-portable cross-engine).
+
+    Scale shape: the pair space is bounded by vocab_size², NOT the
+    corpus — the only corpus-sized work is one token explode for
+    document frequencies (map-side combined) and one row-local
+    intersection per doc. The vocabulary is cut by a
+    TakeOrderedAndProject over the df aggregate and collected to the
+    driver (vocab_size strings — bounded small state, the q79
+    codebook pattern), then inlined as a SORTED literal array so
+    per-doc pair generation is an in-row combination explode of an
+    array no longer than the vocab — never a posting self-join."""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(tokens(normalize_text(text_col))).alias("dtoks"),
+    )
+    presence = staged.select(
+        "doc_id", F.explode("dtoks").alias("tok")
+    )
+    dfc = presence.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t")
+    )
+    vocab_rows = (
+        dfc.orderBy(F.desc("df_t"), F.asc("tok")).limit(vocab_size).collect()
+    )
+    vocab = sorted(r["tok"] for r in vocab_rows)
+    vocab_df = {r["tok"]: r["df_t"] for r in vocab_rows}
+    vlit = F.array(*[F.lit(t) for t in vocab])
+
+    # array_intersect preserves the FIRST argument's order, so the
+    # pre-sorted literal vocabulary makes every per-doc hit array
+    # sorted — pair generation emits (a < b) by construction.
+    hits = staged.select(
+        "doc_id", F.array_intersect(vlit, F.col("dtoks")).alias("hv")
+    )
+    n = F.size("hv")
+    combos = hits.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("hv"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("hv"), i + F.lit(2), n),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+    pair_counts = combos.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    )
+    n_docs = staged.count()
+    dfa = F.create_map(
+        *[x for t in vocab for x in (F.lit(t), F.lit(vocab_df[t]))]
+    )
+    return pair_counts.select(
+        "tok_a",
+        "tok_b",
+        "n_ab",
+        dfa[F.col("tok_a")].cast("long").alias("n_a"),
+        dfa[F.col("tok_b")].cast("long").alias("n_b"),
+        (
+            (F.col("n_ab") * F.lit(n_docs)).cast("double")
+            / (dfa[F.col("tok_a")] * dfa[F.col("tok_b")]).cast("double")
+        ).alias("lift"),
+    )

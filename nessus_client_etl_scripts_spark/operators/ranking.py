@@ -1,0 +1,186 @@
+"""Lexical ranking + hybrid-retrieval fusion operators.
+
+BM25 keyword scoring and reciprocal-rank fusion — the retrieval
+side of a training-data pipeline (mining docs for a topic, hybrid
+lexical+dense candidate generation before dedup/selection).
+
+Reference parity note: the reference engine (a cron ETL around a
+vulnerability-scanner REST API) has no search surface; these extend
+the LLM-data-pipeline layer (SURVEY.md §7 Phase 4) the brief asks
+for. Float portability follows PLANS.md: all corpus statistics are
+exact integers, each per-(doc, term) contribution is one
+deterministic IEEE double chain on identical inputs, and the only
+cross-row float reduction is an exact BIGINT sum of micro-rounded
+contributions — no log/exp (the Robertson-Sparck-Jones idf is used
+in its raw odds-ratio form, not its log), no order-dependent double
+sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..catalog import spread_for_compute
+from .text import normalize_text, tokens
+
+__all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 scores for a literal keyword set over a document
+    corpus, returned per matching document as an exact
+    ``score_micro`` BIGINT (round(score · 1e6)).
+
+    Shape, built for the 100 TB corpus rather than the 500-doc test
+    slice:
+
+    - term frequencies are computed ROW-LOCALLY by exploding the
+      |Q|-element literal term array against the staged token array
+      (fan-out = |Q|, a constant) — no corpus-side posting explode,
+      no shuffle to form (doc, term) pairs;
+    - corpus stats are two tiny aggregates: a 1-row (N, Σdl) frame
+      and a |Q|-row document-frequency frame, both broadcast back —
+      the corpus never shuffles;
+    - idf uses the raw RSJ odds ratio (N − df + 0.5)/(df + 0.5)
+      rather than its log: rank-equivalent per term, and libm-free
+      so the doubles are bit-identical cross-engine (PLANS.md
+      rule #2);
+    - each (doc, term) contribution is a single double chain on
+      exact integer inputs, micro-rounded, then summed as BIGINT —
+      the per-doc score is order-independent and exact.
+    """
+    staged = spread_for_compute(df).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(text_col)).alias("toks"),
+    )
+    lens = staged.select("doc_id", F.size("toks").alias("dl"), "toks")
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        lens.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.size(
+                                F.filter(
+                                    F.col("toks"), lambda x: x == F.lit(t)
+                                )
+                            ).alias("tf"),
+                        )
+                        for t in terms
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "dl", F.col("p.term").alias("term"),
+                F.col("p.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = tf.join(F.broadcast(df_counts), "term").crossJoin(
+        F.broadcast(stats)
+    )
+
+    nd = F.col("n_docs").cast("double")
+    dft = F.col("df_t").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / nd
+    # raw RSJ odds-ratio idf — mirrored token-for-token in oracles
+    idf = (nd - dft + F.lit(0.5)) / (dft + F.lit(0.5))
+    contrib = idf * (
+        (tfd * F.lit(k1 + 1.0))
+        / (tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dld / avgdl)))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.round(contrib * F.lit(1e6)).cast("long").alias("contrib_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("contrib_micro").cast("long").alias("score_micro"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global BM25 top-k with a dense 1..k rank. The cut happens in
+    a TakeOrderedAndProject (per-partition heaps + one k-row merge —
+    never a global sort), and the row_number window then runs on the
+    k-row result only, so the single-partition ranking funnel is
+    bounded by k, not the corpus."""
+    top = (
+        bm25_scores(df, terms, text_col, id_col)
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _rrf_term(rank_col: Column, k_rrf: int) -> Column:
+    """1/(k + rank) with the addition exact-integer and the division
+    the single double op — identical IEEE result in any engine."""
+    return F.lit(1).cast("double") / (
+        (F.lit(k_rrf) + rank_col).cast("double")
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    top: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two candidate rankings (Cormack et
+    al. 2009): score = 1/(k+rank_a) + 1/(k+rank_b) over the ids both
+    retrievers returned.
+
+    Candidate-set semantics: both inputs are TOP-N frames (each
+    produced scale-safely by its retriever's own TakeOrdered cut),
+    so this join is a broadcast of two k-row frames — fusion never
+    touches the corpus. The two divisions are each a single IEEE op
+    on exact integers and their sum has a fixed two-term order, so
+    the fused score is bit-identical cross-engine without rounding."""
+    a = ranked_a.select(
+        F.col(id_col), F.col(rank_col).alias("rank_a")
+    )
+    b = ranked_b.select(
+        F.col(id_col), F.col(rank_col).alias("rank_b")
+    )
+    fused = a.join(b, id_col).select(
+        id_col,
+        F.col("rank_a").cast("long").alias("rank_a"),
+        F.col("rank_b").cast("long").alias("rank_b"),
+        (
+            _rrf_term(F.col("rank_a"), k_rrf)
+            + _rrf_term(F.col("rank_b"), k_rrf)
+        ).alias("rrf_score"),
+    )
+    cut = fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(top)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return cut.withColumn("fused_rank", F.row_number().over(w).cast("long"))

@@ -259,3 +259,92 @@ def decayed_sum_pow2(
             (F.col("_scaled_sum") / F.lit(denom)).alias(out_col),
         )
     )
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_sec: int = 3600,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Regularize an irregular per-group time series onto a fixed
+    bucket grid, linearly interpolating the buckets with no
+    observations — the gap-fill/`interpolate` verb of time-series
+    engines (TimescaleDB/QuestDB), composed from DataFrame ops.
+
+    Shape — deliberately NOT the spine-join formulation: generating a
+    calendar spine and left-joining observations onto it costs a
+    second shuffle and leaves interpolation needing two more window
+    passes (last/next non-null). Instead each observed bucket looks
+    one step ahead via ``lead`` and row-locally EMITS the buckets up
+    to (excluding) the next observation — interpolation becomes
+    closed-form on (this, next) alone:
+
+    - one shuffle total (groupBy group+bucket, and the per-group
+      window rides the same grouping);
+    - explode fan-out = gap length, bounded by the group's real
+      span, never |groups| × |calendar|;
+    - per-bucket values are exact integer cents (sum of
+      round(value·scale) — no order-dependent double sums), and each
+      interpolated value is ONE double chain on exact ints:
+      v + ((v_next − v)·i)/gap, micro-rounded back to cents.
+
+    The final bucket of each group is emitted as observed (lead is
+    null → gap defaults to 1 → the sequence collapses to [0])."""
+    bucket = (
+        F.floor(F.col(ts_col).cast("long") / F.lit(bucket_sec)).cast("long")
+    )
+    hourly = (
+        df.groupBy(*group_cols, bucket.alias("_bk"))
+        .agg(
+            F.sum(
+                F.round(F.col(value_col) * F.lit(cents_scale)).cast("long")
+            ).alias("_v"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_bk")
+    led = hourly.select(
+        *group_cols,
+        "_bk",
+        "_v",
+        "n_obs",
+        F.lead("_bk").over(w).alias("_nbk"),
+        F.lead("_v").over(w).alias("_nv"),
+    ).withColumn(
+        "_gap", F.coalesce(F.col("_nbk") - F.col("_bk"), F.lit(1))
+    )
+    filled = led.select(
+        *group_cols,
+        "_bk",
+        "_v",
+        "_nv",
+        "_gap",
+        "n_obs",
+        F.explode(F.sequence(F.lit(0), F.col("_gap") - 1)).alias("_i"),
+    )
+    interp = (
+        F.col("_v").cast("double")
+        + ((F.col("_nv") - F.col("_v")) * F.col("_i")).cast("double")
+        / F.col("_gap").cast("double")
+    )
+    return filled.select(
+        *group_cols,
+        # epoch seconds, not a timestamp: engines disagree on the
+        # tz-ness of integer→timestamp constructors (DuckDB's
+        # to_timestamp is TIMESTAMPTZ), and a BIGINT bucket key is
+        # what a downstream join wants anyway
+        ((F.col("_bk") + F.col("_i")) * F.lit(bucket_sec)).alias(
+            "bucket_epoch"
+        ),
+        F.when(F.col("_i") == 0, F.col("_v"))
+        .otherwise(F.round(interp).cast("long"))
+        .alias("value_cents"),
+        (F.col("_i") == 0).alias("observed"),
+        F.when(F.col("_i") == 0, F.col("n_obs"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_obs"),
+    )
