@@ -356,10 +356,10 @@ def triangle_counts(
             F.col("e2.b").alias("c"),
         )
     )
-    tri = wedges.join(
+    tri = wedges.alias("w").join(
         e.alias("e3"),
-        (F.col("a") == F.col("e3.a")) & (F.col("c") == F.col("e3.b")),
-    ).select("a", "b", "c")
+        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
+    ).select("w.a", "w.b", "w.c")
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")

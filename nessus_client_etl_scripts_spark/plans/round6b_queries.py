@@ -237,3 +237,171 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(
         docs, block_cols=("lang",), k=3, window=5
     )
+
+
+# ---------------------------------------------------------------------------
+# q135 — triangle counting on the item co-interaction graph
+# ---------------------------------------------------------------------------
+
+_Q135_ORACLE = """
+WITH ui AS (
+  SELECT DISTINCT user_id, CAST(props->>'$.k' AS BIGINT) AS item FROM events
+), co AS (
+  SELECT a.item AS ia, b.item AS ib, count(*) AS nu
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+), e AS (
+  SELECT ia AS a, ib AS b FROM co WHERE nu >= 40
+), w AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT unnest([w.a, w.b, w.c]) AS node
+  FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b
+)
+GROUP BY node
+"""
+
+
+@register("q135_triangle_count", _Q135_ORACLE)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts on the item co-interaction graph
+    (items linked when ≥ 40 users touched both) — the clustering-
+    coefficient primitive completing the graph suite (components
+    q55, PageRank q124). Edge construction is the per-user pair
+    explode bounded by per-user activity (never a global item×item
+    product); counting is two (long, long) hash equi-joins with the
+    a<b<c orientation so each triangle counts exactly once
+    (operators/graph.triangle_counts — see docstring for the
+    degree-ordered variant at skew)."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).distinct()
+    co = (
+        ui.alias("l")
+        .join(
+            ui.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.item") < F.col("r.item")),
+        )
+        .groupBy(F.col("l.item").alias("src"), F.col("r.item").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("nu"))
+        .filter(F.col("nu") >= 40)
+        .select("src", "dst")
+    )
+    from ..operators.graph import triangle_counts
+
+    return triangle_counts(co)
+
+
+# ---------------------------------------------------------------------------
+# q136 — PMI co-occurrence lift over the top-vocabulary
+# ---------------------------------------------------------------------------
+
+_Q136_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS dt
+  FROM documents
+), p AS (
+  SELECT doc_id, unnest(dt) AS tok FROM t
+), dfc AS (
+  SELECT tok, count(*) AS df_t FROM p GROUP BY tok
+), vocab AS (
+  SELECT tok, df_t FROM dfc ORDER BY df_t DESC, tok ASC LIMIT 50
+), hits AS (
+  SELECT p.doc_id, p.tok FROM p JOIN vocab USING (tok)
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+  FROM hits a JOIN hits b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+), nd AS (
+  SELECT count(*) AS n FROM t
+)
+SELECT tok_a, tok_b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(va.df_t AS BIGINT) AS n_a,
+       CAST(vb.df_t AS BIGINT) AS n_b,
+       CAST(n_ab * nd.n AS DOUBLE) / CAST(va.df_t * vb.df_t AS DOUBLE)
+         AS lift
+FROM pairs
+JOIN vocab va ON tok_a = va.tok
+JOIN vocab vb ON tok_b = vb.tok
+CROSS JOIN nd
+"""
+
+
+@register("q136_pmi_cooccurrence", _Q136_ORACLE)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level co-occurrence lift (exp-PMI) for all top-50
+    vocabulary pairs — collocation mining / association statistics
+    (operators/lm.pmi_pairs). The pair space is vocab²-bounded, not
+    corpus-bounded: the vocabulary cut is a TakeOrderedAndProject
+    collected to the driver (50 strings, the q79 codebook pattern)
+    and inlined sorted, so per-doc pair generation is an in-row
+    combination explode — the corpus never self-joins. Lift is one
+    exact-integer division (rank-equivalent to PMI, libm-free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.lm import pmi_pairs
+
+    return pmi_pairs(docs, vocab_size=50)
+
+
+# ---------------------------------------------------------------------------
+# q137 — time-series gap-fill with linear interpolation
+# ---------------------------------------------------------------------------
+
+_Q137_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 3600 AS bk,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), hourly AS (
+  SELECT user_id, bk,
+         CAST(sum(cents) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM e GROUP BY 1, 2
+), led AS (
+  SELECT user_id, bk, v, n_obs,
+         lead(bk) OVER w AS nbk,
+         lead(v) OVER w AS nv
+  FROM hourly WINDOW w AS (PARTITION BY user_id ORDER BY bk)
+), g AS (
+  SELECT *, coalesce(nbk - bk, 1) AS gap FROM led
+), f AS (
+  SELECT user_id, bk, v, nv, gap, n_obs,
+         unnest(generate_series(0, gap - 1)) AS i
+  FROM g
+)
+SELECT user_id,
+       CAST((bk + i) * 3600 AS BIGINT) AS bucket_epoch,
+       CASE WHEN i = 0 THEN v
+            ELSE CAST(round(CAST(v AS DOUBLE)
+                 + (CAST((nv - v) * i AS DOUBLE) / CAST(gap AS DOUBLE)))
+                 AS BIGINT) END AS value_cents,
+       (i = 0) AS observed,
+       CASE WHEN i = 0 THEN n_obs ELSE CAST(0 AS BIGINT) END AS n_obs
+FROM f
+"""
+
+
+@register("q137_gap_fill_interpolate", _Q137_ORACLE)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill with linear interpolation of per-user value
+    series (operators/temporal.gap_fill_interpolate) — the
+    time-series regularization verb. NOT a spine join: each observed
+    bucket emits its forward gap row-locally via lead()+sequence
+    (fan-out = real gap length), so one shuffle serves the hourly
+    aggregate, the window, and the fill. Hourly values are exact
+    integer cents; each interpolated point is one double chain on
+    exact ints, rounded back to cents."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.temporal import gap_fill_interpolate
+
+    return gap_fill_interpolate(
+        ev, ["user_id"], "ts", "value", bucket_sec=3600, cents_scale=100
+    )

@@ -11,6 +11,13 @@ import pyspark.sql.functions as F
 from nessus_client_etl_scripts_spark.operators.dedup import (
     sorted_neighborhood_pairs,
 )
+from nessus_client_etl_scripts_spark.operators.graph import (
+    triangle_counts,
+)
+from nessus_client_etl_scripts_spark.operators.lm import pmi_pairs
+from nessus_client_etl_scripts_spark.operators.temporal import (
+    gap_fill_interpolate,
+)
 from nessus_client_etl_scripts_spark.operators.ranking import (
     bm25_scores,
     bm25_topk,
@@ -173,3 +180,124 @@ def test_snm_jaccard_values(spark):
     assert dup["inter"] == 3  # 5 tokens → 3 distinct 3-shingles
     other = [r for p, r in by_pair.items() if p != (1, 2)]
     assert all(r["jaccard"] == 0.0 for r in other)
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangle_simple(spark):
+    # triangle 1-2-3 plus a dangling edge 3-4
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(
+            _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_orientation_and_dupes(spark):
+    # reversed/duplicate edges must canonicalize; K4 has C(4,3)=4
+    # triangles, each vertex participating in 3
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_edges(spark, k4 + k4)).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_self_loops_dropped(spark):
+    got = triangle_counts(_edges(spark, [(1, 1), (1, 2), (2, 2)])).collect()
+    assert got == []
+
+
+# ---------------------------------------------------------------------------
+# pmi_pairs
+# ---------------------------------------------------------------------------
+
+def test_pmi_lift_values(spark):
+    # a,b always together (lift = N/(n_a*n_b) * n_ab); c independent
+    texts = ["a b", "a b", "a b c", "c d"]
+    df = _docs(spark, texts)
+    got = {
+        (r["tok_a"], r["tok_b"]): r
+        for r in pmi_pairs(df, vocab_size=3).collect()
+    }
+    # vocab by df: a=3, b=3, c=2 (d excluded at size 3)
+    ab = got[("a", "b")]
+    assert (ab["n_ab"], ab["n_a"], ab["n_b"]) == (3, 3, 3)
+    assert ab["lift"] == (3 * 4) / (3 * 3)
+    bc = got[("b", "c")]
+    assert (bc["n_ab"], bc["lift"]) == (1, (1 * 4) / (3 * 2))
+
+
+def test_pmi_pairs_ordered_and_bounded(spark):
+    texts = ["x y z w", "x y z w", "x y"]
+    got = pmi_pairs(_docs(spark, texts), vocab_size=2).collect()
+    # only vocab pairs appear, and always in (a < b) order
+    assert all(r["tok_a"] < r["tok_b"] for r in got)
+    assert len(got) <= 1
+
+
+# ---------------------------------------------------------------------------
+# gap_fill_interpolate
+# ---------------------------------------------------------------------------
+
+def test_gap_fill_linear_midpoints(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 30), 10.0),
+        (1, dt.datetime(2024, 1, 1, 3, 15), 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    got = sorted(
+        gap_fill_interpolate(df, ["user_id"], "ts", "value").collect(),
+        key=lambda r: r["bucket_epoch"],
+    )
+    # hours 0,1,2,3 → 1000 cents observed, two interpolated, 4000 observed
+    assert [r["value_cents"] for r in got] == [1000, 2000, 3000, 4000]
+    assert [r["observed"] for r in got] == [True, False, False, True]
+    assert [r["n_obs"] for r in got] == [1, 0, 0, 1]
+
+
+def test_gap_fill_aggregates_within_bucket(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 10), 1.25),
+        (1, dt.datetime(2024, 1, 1, 0, 50), 2.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    got = gap_fill_interpolate(df, ["user_id"], "ts", "value").collect()
+    assert len(got) == 1
+    assert got[0]["value_cents"] == 350
+    assert got[0]["n_obs"] == 2 and got[0]["observed"]
+
+
+def test_gap_fill_no_cross_group_fill(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1.0),
+        (2, dt.datetime(2024, 1, 1, 5, 0), 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    got = gap_fill_interpolate(df, ["user_id"], "ts", "value").collect()
+    # each group has a single observation → exactly one row each
+    assert sorted((r["user_id"], r["observed"]) for r in got) == [
+        (1, True),
+        (2, True),
+    ]
