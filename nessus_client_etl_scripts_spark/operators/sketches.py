@@ -296,3 +296,71 @@ def count_min_estimates(
         .groupBy(item_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias(out_col))
     )
+
+
+def hll_pairwise_overlap(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Approximate distinct-value OVERLAP between every pair of keys
+    by inclusion–exclusion over HLL register frames:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), with est(A∪B) finalized from
+    the per-bucket ``max`` merge of the two register frames — the
+    audience-overlap / cross-source-contamination estimator that
+    never rescans raw data.
+
+    Scale shape: the only corpus-sized work is building the register
+    frame ONCE (|keys|·m rows out, map-side combined); every pairwise
+    union is register-frame algebra — two broadcast-sized joins and a
+    (key_a, key_b, bucket) max-merge bounded by |keys|²·m rows,
+    independent of input cardinality. The estimate stays the raw-HLL
+    single-division formula, so all three doubles (and their fixed
+    2-term inclusion–exclusion sum) verify bit-exactly cross-engine."""
+    regs = hll_register_frame(df, [key_col], value_col)
+    keys = regs.select(key_col).distinct()
+    pairs = (
+        keys.alias("ka")
+        .join(
+            keys.alias("kb"),
+            F.col(f"ka.{key_col}") < F.col(f"kb.{key_col}"),
+        )
+        .select(
+            F.col(f"ka.{key_col}").alias("key_a"),
+            F.col(f"kb.{key_col}").alias("key_b"),
+        )
+    )
+    singles = hll_estimate_from_registers(regs, [key_col], "est")
+    side_a = pairs.join(
+        regs.withColumnRenamed(key_col, "key_a"), "key_a"
+    ).select("key_a", "key_b", "_b", "_m")
+    side_b = pairs.join(
+        regs.withColumnRenamed(key_col, "key_b"), "key_b"
+    ).select("key_a", "key_b", "_b", "_m")
+    union_regs = (
+        side_a.unionByName(side_b)
+        .groupBy("key_a", "key_b", "_b")
+        .agg(F.max("_m").alias("_m"))
+    )
+    union_est = hll_estimate_from_registers(
+        union_regs, ["key_a", "key_b"], "approx_union"
+    )
+    est_a = singles.select(
+        F.col(key_col).alias("key_a"), F.col("est").alias("approx_a")
+    )
+    est_b = singles.select(
+        F.col(key_col).alias("key_b"), F.col("est").alias("approx_b")
+    )
+    return (
+        union_est.join(F.broadcast(est_a), "key_a")
+        .join(F.broadcast(est_b), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            "approx_a",
+            "approx_b",
+            "approx_union",
+            (
+                (F.col("approx_a") + F.col("approx_b"))
+                - F.col("approx_union")
+            ).alias("approx_inter"),
+        )
+    )

@@ -348,3 +348,85 @@ def gap_fill_interpolate(
         .cast("long")
         .alias("n_obs"),
     )
+
+
+def position_credit_bp(rn: Column, n: Column) -> Column:
+    """U-shaped (position-based) attribution credit in exact basis
+    points: a lone touch takes all 10000; two touches split 5000/5000;
+    otherwise first and last take 4000 each and the middles split the
+    remaining 2000 by integer division, with the remainder assigned
+    to the LAST touch so every conversion's credits sum to exactly
+    10000. Integer bp ON PURPOSE: percentage doubles would need an
+    order-dependent float sum downstream; bp aggregates as plain
+    BIGINTs (the q130 exactness pattern)."""
+    # integer division of positive ints as floor(a/b) — CaseWhen
+    # codegen is an if/else-if chain, so the n <= 2 branches match
+    # first and the division never sees n − 2 = 0
+    mid = F.floor(F.lit(2000) / (n - F.lit(2))).cast("long")
+    return (
+        F.when(n == 1, F.lit(10000))
+        .when(n == 2, F.lit(5000))
+        .when(rn == 1, F.lit(4000))
+        .when(rn == n, F.lit(4000) + (F.lit(2000) - mid * (n - 2)))
+        .otherwise(mid)
+        .cast("long")
+    )
+
+
+def position_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    lookback_sec: int = 7 * 86400,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Multi-touch position-based attribution: every conversion
+    credits ALL its preceding touches within the lookback window
+    (strictly earlier), U-shaped (see :func:`position_credit_bp`) —
+    the many-touch generalization of the single-match as-of join
+    (q42 is last-touch; this is the full credit assignment).
+
+    Shape: one equi-join on the user key (per-user touch×conversion
+    fan-out is bounded by per-user activity in the window — the same
+    justification as the q135 co-occurrence explode; a hot user is
+    AQE-splittable because the join is plain hash), then ONE window
+    over (user, conversion) ordering touches by (ts, id) serves both
+    the position rank and the touch count. All credits are exact
+    integer basis points summing to 10000 per conversion."""
+    t = touches.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_tts"),
+        F.col(id_col).alias("_tid"),
+        F.col(type_col).alias("touch_type"),
+    )
+    c = conversions.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_cts"),
+        F.col(id_col).alias("_cid"),
+    )
+    j = t.join(c, "_u").filter(
+        (F.col("_tts").cast("long") < F.col("_cts").cast("long"))
+        & (
+            F.col("_cts").cast("long") - F.col("_tts").cast("long")
+            <= F.lit(lookback_sec)
+        )
+    )
+    w = Window.partitionBy("_u", "_cid").orderBy("_tts", "_tid")
+    wall = Window.partitionBy("_u", "_cid")
+    ranked = j.select(
+        "_u",
+        "_cid",
+        "_tid",
+        "touch_type",
+        F.row_number().over(w).alias("rn"),
+    ).withColumn("n_t", F.count(F.lit(1)).over(wall))
+    credited = ranked.withColumn(
+        "credit_bp", position_credit_bp(F.col("rn"), F.col("n_t"))
+    )
+    return credited.groupBy("touch_type").agg(
+        F.sum("credit_bp").cast("long").alias("credited_bp"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.countDistinct("_u", "_cid").cast("long").alias("n_conversions"),
+    )

@@ -405,3 +405,153 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_interpolate(
         ev, ["user_id"], "ts", "value", bucket_sec=3600, cents_scale=100
     )
+
+
+# ---------------------------------------------------------------------------
+# q138 — HLL audience overlap (inclusion–exclusion over register frames)
+# ---------------------------------------------------------------------------
+
+
+def _q138_oracle() -> str:
+    from ..operators.sketches import (
+        EST_NUMERATOR,
+        HASH_BITS,
+        M,
+        R,
+        RMAX,
+        _SUFFIX_MASK,
+    )
+
+    rho_branches = "\n         ".join(
+        f"WHEN (h & {_SUFFIX_MASK}) >= {1 << (R - j)} THEN {j}"
+        for j in range(1, R + 1)
+    )
+
+    def est(prefix: str) -> str:
+        return (
+            f"{EST_NUMERATOR!r} / (coalesce(sum(CASE WHEN {prefix}b IS NOT"
+            f" NULL THEN 1::BIGINT << ({RMAX} - {prefix}m) END), 0)"
+            f" + ({M} - count({prefix}b)) * {1 << RMAX}::BIGINT)::DOUBLE"
+        )
+
+    return f"""
+WITH h AS (
+  SELECT event_type AS key,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, {HASH_BITS // 4}))::BIGINT
+           AS h
+  FROM events
+), k AS (
+  SELECT key, h >> {R} AS b,
+         CASE {rho_branches} ELSE {RMAX} END AS rho
+  FROM h
+), regs AS (
+  SELECT key, b, max(rho) AS m FROM k GROUP BY 1, 2
+), singles AS (
+  SELECT key, {est("")} AS est FROM regs GROUP BY key
+), keys AS (
+  SELECT DISTINCT key FROM regs
+), pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b
+  FROM keys a JOIN keys b ON a.key < b.key
+), union_regs AS (
+  SELECT key_a, key_b, b, max(m) AS m FROM (
+    SELECT p.key_a, p.key_b, r.b, r.m
+    FROM pairs p JOIN regs r ON r.key = p.key_a
+    UNION ALL
+    SELECT p.key_a, p.key_b, r.b, r.m
+    FROM pairs p JOIN regs r ON r.key = p.key_b
+  ) GROUP BY 1, 2, 3
+), union_est AS (
+  SELECT key_a, key_b, {est("")} AS approx_union
+  FROM union_regs GROUP BY key_a, key_b
+)
+SELECT u.key_a, u.key_b,
+       sa.est AS approx_a,
+       sb.est AS approx_b,
+       u.approx_union,
+       (sa.est + sb.est) - u.approx_union AS approx_inter
+FROM union_est u
+JOIN singles sa ON u.key_a = sa.key
+JOIN singles sb ON u.key_b = sb.key
+"""
+
+
+@register("q138_hll_overlap", _q138_oracle())
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between every pair of event types by HLL
+    inclusion–exclusion (operators/sketches.hll_pairwise_overlap):
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), the union estimate finalized
+    from the max-merged register frames — overlap WITHOUT rescanning
+    raw data, the companion to q104's merge proof. The corpus is
+    scanned once to build |keys|·m register rows; all pairwise work
+    is register algebra bounded by |keys|²·m. All three estimates
+    (and the fixed-order 2-term inclusion–exclusion) are the raw-HLL
+    single-division doubles, bit-identical cross-engine."""
+    from ..operators.sketches import hll_pairwise_overlap
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    return hll_pairwise_overlap(ev, "key", "uid")
+
+
+# ---------------------------------------------------------------------------
+# q139 — U-shaped multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_Q139_ORACLE = """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('click', 'view')
+), c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT t.user_id, c.event_id AS cid, t.event_id AS tid, t.event_type,
+         t.ts AS tts
+  FROM t JOIN c ON t.user_id = c.user_id
+   AND epoch_us(CAST(t.ts AS TIMESTAMP)) // 1000000
+       < epoch_us(CAST(c.ts AS TIMESTAMP)) // 1000000
+   AND epoch_us(CAST(c.ts AS TIMESTAMP)) // 1000000
+       - epoch_us(CAST(t.ts AS TIMESTAMP)) // 1000000 <= 604800
+), ranked AS (
+  SELECT user_id, cid, tid, event_type,
+         row_number() OVER (PARTITION BY user_id, cid
+                            ORDER BY tts, tid) AS rn,
+         count(*) OVER (PARTITION BY user_id, cid) AS n_t
+  FROM j
+), credited AS (
+  SELECT event_type AS touch_type, user_id, cid,
+         CASE WHEN n_t = 1 THEN 10000
+              WHEN n_t = 2 THEN 5000
+              WHEN rn = 1 THEN 4000
+              WHEN rn = n_t
+                THEN 4000 + (2000 - (2000 // (n_t - 2)) * (n_t - 2))
+              ELSE 2000 // (n_t - 2) END AS credit_bp
+  FROM ranked
+)
+SELECT touch_type,
+       CAST(sum(credit_bp) AS BIGINT) AS credited_bp,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT (user_id, cid)) AS BIGINT) AS n_conversions
+FROM credited GROUP BY touch_type
+"""
+
+
+@register("q139_position_attribution", _Q139_ORACLE)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution: every purchase credits ALL
+    its click/view touches in the prior 7 days — 40/20/40 first/
+    middles/last in exact integer basis points summing to 10000 per
+    conversion (operators/temporal.position_attribution; q42's as-of
+    join is the single-match special case). One user-keyed equi-join
+    bounded by per-user activity, one window serving both position
+    rank and touch count, integer-only aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view"))
+    conversions = ev.filter(F.col("event_type") == "purchase")
+    from ..operators.temporal import position_attribution
+
+    return position_attribution(
+        touches, conversions, "user_id", "ts", "event_id"
+    )

@@ -301,3 +301,139 @@ def test_gap_fill_no_cross_group_fill(spark):
         (1, True),
         (2, True),
     ]
+
+
+# ---------------------------------------------------------------------------
+# hll_pairwise_overlap
+# ---------------------------------------------------------------------------
+
+def test_hll_overlap_inclusion_exclusion(spark):
+    from nessus_client_etl_scripts_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_pairwise_overlap,
+        hll_register_frame,
+    )
+
+    # cardinalities ABOVE the 2.5·m small-range regime (m=512 →
+    # 1280): the engine emits the RAW Flajolet estimate (no
+    # linear-counting correction — libm-free portability, see
+    # sketches module doc), which is only accurate up there
+    rows = (
+        [("a", f"u{i}") for i in range(3000)]
+        + [("b", f"u{i}") for i in range(2000, 5000)]
+        + [("c", f"u{i}") for i in range(10000, 13000)]
+    )
+    df = spark.createDataFrame(rows, "key string, uid string")
+    got = {
+        (r["key_a"], r["key_b"]): r
+        for r in hll_pairwise_overlap(df, "key", "uid").collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = got[("a", "b")]
+    # identity holds exactly by construction
+    assert ab["approx_inter"] == (
+        ab["approx_a"] + ab["approx_b"]
+    ) - ab["approx_union"]
+    # estimates are in a sane band around the true values (m=512 →
+    # ~4.6% rel err; inclusion–exclusion compounds it, allow wide)
+    assert abs(ab["approx_a"] - 3000) < 450
+    assert abs(ab["approx_union"] - 5000) < 750
+    assert abs(ab["approx_inter"] - 1000) < 750
+    # disjoint sets → overlap near zero relative to set size
+    assert abs(got[("a", "c")]["approx_inter"]) < 750
+    # union estimate must come from the merged registers: est(A∪C)
+    # equals finalizing max-merged frames, not est(A)+est(C)
+    regs = hll_register_frame(df, ["key"], "uid")
+    direct_union = (
+        hll_estimate_from_registers(
+            regs.filter(F.col("key").isin("a", "c")).groupBy("_b").agg(
+                F.max("_m").alias("_m")
+            ).select(F.lit(1).alias("g"), "_b", "_m"),
+            ["g"],
+            "u",
+        ).collect()[0]["u"]
+    )
+    assert got[("a", "c")]["approx_union"] == direct_union
+
+
+# ---------------------------------------------------------------------------
+# position_attribution
+# ---------------------------------------------------------------------------
+
+def _events(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 10)
+    return spark.createDataFrame(
+        [
+            (eid, base + dt.timedelta(hours=h), u, et)
+            for (eid, h, u, et) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def _attribution(spark, rows, lookback_sec=7 * 86400):
+    from nessus_client_etl_scripts_spark.operators.temporal import (
+        position_attribution,
+    )
+
+    ev = _events(spark, rows)
+    return {
+        r["touch_type"]: r
+        for r in position_attribution(
+            ev.filter(F.col("event_type").isin("click", "view")),
+            ev.filter(F.col("event_type") == "purchase"),
+            "user_id",
+            "ts",
+            "event_id",
+            lookback_sec=lookback_sec,
+        ).collect()
+    }
+
+
+def test_attribution_u_shape_five_touches(spark):
+    rows = [
+        (1, 0, 1, "click"),
+        (2, 1, 1, "view"),
+        (3, 2, 1, "view"),
+        (4, 3, 1, "view"),
+        (5, 4, 1, "click"),
+        (6, 5, 1, "purchase"),
+    ]
+    got = _attribution(spark, rows)
+    # first(click)=4000, last(click)=4000+rem, middles(view)=666 each
+    # mid = 2000 // 3 = 666, rem = 2000 - 1998 = 2
+    assert got["click"]["credited_bp"] == 4000 + 4000 + 2
+    assert got["view"]["credited_bp"] == 666 * 3
+    total = sum(r["credited_bp"] for r in got.values())
+    assert total == 10000
+
+
+def test_attribution_edge_counts(spark):
+    # n=1 → 10000; n=2 → 5000/5000; strictly-before and lookback
+    rows = [
+        (1, 0, 1, "click"),
+        (2, 1, 1, "purchase"),        # user 1: single touch
+        (3, 0, 2, "view"),
+        (4, 1, 2, "click"),
+        (5, 2, 2, "purchase"),        # user 2: two touches
+        (6, 5, 3, "purchase"),        # user 3: converts with no touch
+        (7, 6, 3, "click"),           # touch AFTER conversion — ignored
+    ]
+    got = _attribution(spark, rows)
+    assert got["click"]["credited_bp"] == 10000 + 5000
+    assert got["view"]["credited_bp"] == 5000
+    assert got["click"]["n_conversions"] == 2
+    assert got["view"]["n_conversions"] == 1
+
+
+def test_attribution_lookback_excludes_old_touches(spark):
+    rows = [
+        (1, 0, 1, "click"),            # 10 h before purchase
+        (2, 9, 1, "view"),             # 1 h before
+        (3, 10, 1, "purchase"),
+    ]
+    got = _attribution(spark, rows, lookback_sec=3600)
+    assert "click" not in got
+    assert got["view"]["credited_bp"] == 10000
