@@ -950,3 +950,129 @@ def embedding_standardize_checksum(
             F.max("zm").cast("long").alias("z_max_milli"),
         )
     )
+
+
+def _codebook_cells_expr(centroids: list[list[float]]) -> Column:
+    """The literal ``array<struct<c,c2,ci>>`` codebook expression —
+    the single-``F.expr`` shipping trick of :func:`_cell_ranking_expr`
+    factored for reuse (PQ ships one per subspace)."""
+    items = []
+    for j, cent in enumerate(centroids):
+        c2 = sum(x * x for x in cent)
+        arr = ",".join(f"{x!r}D" for x in cent)
+        items.append(
+            f"named_struct('c', array({arr}), 'c2', {float(c2)!r}D, 'ci', {j})"
+        )
+    return F.expr("array(" + ",".join(items) + ")")
+
+
+def pq_codebooks(
+    m: int = 4, subdim: int = 16, k: int = 8, seed: int = 0x9900
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace PQ codebooks (the q79 posture:
+    codebooks are rarely-retrained ARTIFACTS; a production system
+    trains them with the q39 quantized-Lloyd trainer per subspace)."""
+    return [_hyperplanes(k, subdim, seed=seed + s) for s in range(m)]
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011) — the COMPRESSED-DOMAIN scan tier of the ANN
+    suite (brute q27 / LSH q32 / IVF q39+q79): corpus vectors are
+    encoded ONCE into m small codes (here 4 bytes replacing 64
+    doubles, a 128× memory cut), and each query scans codes with a
+    per-subspace distance TABLE — never touching raw corpus vectors.
+
+    Scale shape:
+
+    - encoding is row-local literal-fold ranking per subspace (the
+      q39 assignment machinery on sliced attributes): zero shuffle,
+      zero join — at 100 TB the code table is the only thing that
+      persists, 4 B/vector;
+    - the ADC scan broadcasts the query frame (queries carry their
+      m×k distance tables as plain array columns, built row-locally
+      against the same literal codebooks); the corpus side streams
+      codes through one whole-stage-codegen'd projection — the
+      corpus never shuffles, exactly the q27 exhaustive-scan posture
+      but over codes instead of vectors;
+    - every ADC distance is a FIXED-ORDER m-term sum of doubles each
+      produced by the same -2·dot+c² fold both engines run — the
+      whole pipeline is value-exact cross-engine with no rounding.
+
+    IVF-PQ composition (cell-bucketed candidate generation + ADC
+    rerank) is q79's bucketing joined to this scan; kept separate so
+    each tier stays independently oracle-checkable."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    cells = [_codebook_cells_expr(cb) for cb in codebooks]
+
+    def slices(frame: DataFrame, out_id: str) -> DataFrame:
+        staged = frame.select(
+            F.col(id_col).alias(out_id), _as_double(vec_col).alias("_v")
+        )
+        return staged.select(
+            out_id,
+            *[
+                F.slice(F.col("_v"), s * subdim + 1, subdim).alias(f"_sv{s}")
+                for s in range(m)
+            ],
+        )
+
+    # NB: the lambdas must stay single-parameter — a two-parameter
+    # lambda makes Spark's transform() bind (element, index), so a
+    # `_s=s` default-capture trick would receive the index Column
+    def _code_col(s: int) -> Column:
+        def rank_item(st: Column) -> Column:
+            return F.struct(
+                (
+                    F.lit(-2.0) * dot(F.col(f"_sv{s}"), st["c"]) + st["c2"]
+                ).alias("d"),
+                st["ci"].alias("i"),
+            )
+
+        return F.array_sort(F.transform(cells[s], rank_item))[0]["i"].alias(
+            f"code_{s}"
+        )
+
+    def _dtab_col(s: int) -> Column:
+        def dist_item(st: Column) -> Column:
+            return F.lit(-2.0) * dot(F.col(f"_sv{s}"), st["c"]) + st["c2"]
+
+        return F.transform(cells[s], dist_item).alias(f"_dt{s}")
+
+    enc = slices(corpus, "neighbor_id").select(
+        "neighbor_id", *[_code_col(s) for s in range(m)]
+    )
+    qt = slices(queries, "query_id").select(
+        "query_id", *[_dtab_col(s) for s in range(m)]
+    )
+    pairs = enc.crossJoin(F.broadcast(qt)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    adc = F.element_at(F.col("_dt0"), F.col("code_0") + 1)
+    for s in range(1, m):
+        adc = adc + F.element_at(F.col(f"_dt{s}"), F.col(f"code_{s}") + 1)
+    # micro-quantized: `-2·dot+c²` is an a·b+c polynomial that C++
+    # engines FMA-contract and the JVM does not (1-ulp, data-dependent
+    # — the PLANS.md quantization rule), so the raw double can't be
+    # emitted or ranked on
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(adc * F.lit(1e6)).cast("long").alias("adc_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_micro", "rank")
+    )

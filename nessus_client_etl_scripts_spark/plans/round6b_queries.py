@@ -555,3 +555,80 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     return position_attribution(
         touches, conversions, "user_id", "ts", "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — product-quantization ANN (asymmetric distance computation)
+# ---------------------------------------------------------------------------
+
+
+def _q140_oracle(m: int = 4, subdim: int = 16, kk: int = 8, k: int = 5) -> str:
+    from ..operators.similarity import pq_codebooks
+
+    cbs = pq_codebooks(m=m, subdim=subdim, k=kk)
+    values = ",\n    ".join(
+        f"({s}, {ci}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for s, cb in enumerate(cbs)
+        for ci, c in enumerate(cb)
+    )
+    adc_terms = " + ".join(
+        f"max(CASE WHEN s = {s} THEN d END)" for s in range(m)
+    )
+    return f"""
+WITH cents(s, ci, c) AS (VALUES
+    {values}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sub AS (
+  SELECT vec_id, t.s,
+         list_slice(v, t.s * {subdim} + 1, t.s * {subdim} + {subdim}) AS sv
+  FROM e CROSS JOIN range(0, {m}) t(s)
+), dist AS (
+  SELECT sub.vec_id, sub.s, cents.ci,
+         -2.0 * list_dot_product(sv, c) + list_dot_product(c, c) AS d
+  FROM sub JOIN cents ON cents.s = sub.s
+), codes AS (
+  SELECT vec_id, s, ci FROM (
+    SELECT vec_id, s, ci,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, ci) AS rn
+    FROM dist)
+  WHERE rn = 1
+), pairt AS (
+  SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id, qd.s, qd.d
+  FROM codes c JOIN dist qd ON qd.s = c.s AND qd.ci = c.ci
+  WHERE qd.vec_id < 10 AND qd.vec_id != c.vec_id
+), wide AS (
+  SELECT query_id, neighbor_id,
+         CAST(round(({adc_terms}) * 1000000.0) AS BIGINT) AS adc_micro
+  FROM pairt GROUP BY 1, 2
+), final AS (
+  SELECT query_id, neighbor_id, adc_micro,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY adc_micro ASC, neighbor_id ASC) AS rank
+  FROM wide)
+SELECT query_id, neighbor_id, adc_micro, CAST(rank AS BIGINT) AS rank
+FROM final WHERE rank <= {k}
+"""
+
+
+@register("q140_pq_adc_topk", _q140_oracle())
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the compressed-
+    domain tier of the ANN suite: corpus encoded once into 4
+    subspace codes (4 B/vector for 64 doubles), queries scan codes
+    via per-subspace asymmetric distance tables
+    (operators/similarity.pq_adc_topk). Encoding is row-local
+    literal-fold ranking (zero shuffle); the ADC scan broadcasts
+    queries and streams codes through one codegen projection; every
+    distance is a fixed-order 4-term sum of fold-exact doubles, so
+    the whole pipeline value-verifies against the literal-codebook
+    oracle twin. Codebooks are deterministic artifacts (the q79
+    posture; per-subspace training is q39's trainer applied to
+    slices)."""
+    from ..operators.similarity import pq_adc_topk, pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 10), pq_codebooks(), k=5
+    )

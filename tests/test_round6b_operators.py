@@ -437,3 +437,53 @@ def test_attribution_lookback_excludes_old_touches(spark):
     got = _attribution(spark, rows, lookback_sec=3600)
     assert "click" not in got
     assert got["view"]["credited_bp"] == 10000
+
+
+# ---------------------------------------------------------------------------
+# pq_adc_topk
+# ---------------------------------------------------------------------------
+
+def test_pq_adc_identical_vector_ranks_first(spark):
+    from nessus_client_etl_scripts_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+    import random
+
+    rng = random.Random(7)
+    dim, m, subdim = 16, 4, 4
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = [(0, base)]  # query
+    rows.append((1, list(base)))  # exact duplicate of the query
+    rows += [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(2, 40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cbs = pq_codebooks(m=m, subdim=subdim, k=4)
+    got = pq_adc_topk(
+        df, df.filter(F.col("vec_id") == 0), cbs, k=3
+    ).collect()
+    assert [r["query_id"] for r in got] == [0, 0, 0]
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    # the duplicate shares every code with the query → minimal ADC
+    assert got[0]["neighbor_id"] == 1
+    assert got[0]["adc_micro"] <= got[1]["adc_micro"]
+
+
+def test_pq_codes_bounded_and_deterministic(spark):
+    from nessus_client_etl_scripts_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = pq_codebooks(m=2, subdim=4, k=4)
+    a = pq_adc_topk(df, df.filter(F.col("vec_id") < 3), cbs, k=4).collect()
+    b = pq_adc_topk(df, df.filter(F.col("vec_id") < 3), cbs, k=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(r["rank"] <= 4 for r in a)
