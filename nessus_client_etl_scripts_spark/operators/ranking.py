@@ -42,81 +42,78 @@ def bm25_scores(
     Shape, built for the 100 TB corpus rather than the 500-doc test
     slice:
 
-    - term frequencies are computed ROW-LOCALLY by exploding the
-      |Q|-element literal term array against the staged token array
-      (fan-out = |Q|, a constant) — no corpus-side posting explode,
-      no shuffle to form (doc, term) pairs;
-    - corpus stats are two tiny aggregates: a 1-row (N, Σdl) frame
-      and a |Q|-row document-frequency frame, both broadcast back —
-      the corpus never shuffles;
+    - term frequencies are |Q| ROW-LOCAL columns over the staged
+      token array (one array filter per term — no posting explode,
+      no (doc, term) pair frame at all);
+    - ALL corpus statistics — N, Σdl, and every per-term document
+      frequency — come from ONE tiny aggregate (a single 1-row frame
+      of conditional sums), broadcast back via a cross join: the
+      corpus is traversed exactly twice (stats + scoring) and never
+      shuffles;
     - idf uses the raw RSJ odds ratio (N − df + 0.5)/(df + 0.5)
       rather than its log: rank-equivalent per term, and libm-free
       so the doubles are bit-identical cross-engine (PLANS.md
       rule #2);
-    - each (doc, term) contribution is a single double chain on
-      exact integer inputs, micro-rounded, then summed as BIGINT —
-      the per-doc score is order-independent and exact.
+    - each per-term contribution is a single double chain on exact
+      integer inputs, micro-rounded to BIGINT, and the per-doc score
+      is their ROW-LOCAL fixed-order integer sum — associative, so
+      it equals the oracle's unordered SUM over (doc, term) rows
+      exactly, with no groupBy(doc) shuffle in the plan (a tf=0
+      term contributes a clean 0).
     """
     staged = spread_for_compute(df).select(
         F.col(id_col).alias("doc_id"),
         tokens(normalize_text(text_col)).alias("toks"),
     )
-    lens = staged.select("doc_id", F.size("toks").alias("dl"), "toks")
+    nt = len(terms)
+
+    # arity matters: a 2-param lambda makes filter() bind (elem, idx)
+    def _tf_col(i: int, t: str) -> Column:
+        def eq(x: Column) -> Column:
+            return x == F.lit(t)
+
+        return F.size(F.filter(F.col("toks"), eq)).alias(f"tf_{i}")
+
+    lens = staged.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[_tf_col(i, t) for i, t in enumerate(terms)],
+    )
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(nt)
+        ],
     )
-    tf = (
-        lens.select(
-            "doc_id",
-            "dl",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("term"),
-                            F.size(
-                                F.filter(
-                                    F.col("toks"), lambda x: x == F.lit(t)
-                                )
-                            ).alias("tf"),
-                        )
-                        for t in terms
-                    ]
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", "dl", F.col("p.term").alias("term"),
-                F.col("p.tf").alias("tf"))
-        .filter(F.col("tf") > 0)
-    )
-    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    scored = tf.join(F.broadcast(df_counts), "term").crossJoin(
-        F.broadcast(stats)
-    )
+    scored = lens.crossJoin(F.broadcast(stats))
 
     nd = F.col("n_docs").cast("double")
-    dft = F.col("df_t").cast("double")
-    tfd = F.col("tf").cast("double")
     dld = F.col("dl").cast("double")
     avgdl = F.col("sum_dl").cast("double") / nd
-    # raw RSJ odds-ratio idf — mirrored token-for-token in oracles
-    idf = (nd - dft + F.lit(0.5)) / (dft + F.lit(0.5))
-    contrib = idf * (
-        (tfd * F.lit(k1 + 1.0))
-        / (tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dld / avgdl)))
-    )
-    return (
-        scored.select(
-            "doc_id",
-            F.round(contrib * F.lit(1e6)).cast("long").alias("contrib_micro"),
+
+    def contrib_micro(i: int) -> Column:
+        dft = F.col(f"df_{i}").cast("double")
+        tfd = F.col(f"tf_{i}").cast("double")
+        # raw RSJ odds-ratio idf — mirrored token-for-token in oracles
+        idf = (nd - dft + F.lit(0.5)) / (dft + F.lit(0.5))
+        c = idf * (
+            (tfd * F.lit(k1 + 1.0))
+            / (tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dld / avgdl)))
         )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum("contrib_micro").cast("long").alias("score_micro"),
-        )
-    )
+        return F.round(c * F.lit(1e6)).cast("long")
+
+    score = contrib_micro(0)
+    n_hit = (F.col("tf_0") > 0).cast("long")
+    for i in range(1, nt):
+        score = score + contrib_micro(i)
+        n_hit = n_hit + (F.col(f"tf_{i}") > 0).cast("long")
+    return scored.select(
+        "doc_id",
+        n_hit.alias("n_terms"),
+        score.alias("score_micro"),
+    ).filter(F.col("n_terms") > 0)
 
 
 def bm25_topk(
