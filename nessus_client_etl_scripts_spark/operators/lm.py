@@ -190,3 +190,78 @@ def pmi_pairs(
             / (dfa[F.col("tok_a")] * dfa[F.col("tok_b")]).cast("double")
         ).alias("lift"),
     )
+
+
+def top_bigram(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> str:
+    """The corpus's most frequent adjacent token pair (count desc,
+    lexical asc tie-break) — the merge-candidate selection of one BPE
+    training iteration. One map-side-combined aggregation + a
+    TakeOrdered(1); the single winning row is driver state (the
+    watermark-collect pattern)."""
+    row = (
+        bigram_counts(doc_bigrams(df, text_col, id_col))
+        .orderBy(F.desc("bg_count"), F.asc("bigram"))
+        .limit(1)
+        .collect()
+    )
+    return row[0]["bigram"]
+
+
+def bpe_merge_step(
+    df: DataFrame,
+    pair: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    marker: str = "~",
+) -> DataFrame:
+    """Apply ONE BPE merge (Sennrich et al. 2016) corpus-wide and
+    report the per-document effect — the inner loop of tokenizer
+    training at corpus scale (select top pair → merge → recount),
+    here as a single declarative step so the driver can iterate.
+
+    Non-overlapping greedy left-to-right pair merging — the BPE rule
+    ("a a a" merges once under pair (a,a), not twice) — is expressed
+    WITHOUT any sequential fold: double every token separator, so
+    each token owns its boundary spaces, then a single literal
+    ``replace`` of " a  b " → " a~b " performs exactly the greedy
+    non-overlapping scan (string replace resumes AFTER each
+    replacement); the merge count falls out of the length difference
+    (the replacement is one char shorter). Pure string algebra —
+    row-local, zero shuffle, identical semantics in any engine.
+
+    ``marker`` must not occur in the normalized text (asserted
+    against the pair itself; corpus-wide absence is the caller's
+    contract, trivially true for whitespace-tokenized lowercase
+    corpora and a '~' marker)."""
+    a, b = pair.split(" ")
+    assert marker not in pair
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        normalize_text(text_col).alias("norm"),
+    )
+    s2 = F.concat(
+        F.lit(" "), F.regexp_replace(F.col("norm"), " ", "  "), F.lit(" ")
+    )
+    target = f" {a}  {b} "
+    repl = f" {a}{marker}{b} "
+    exp = staged.select(
+        "doc_id",
+        F.size(tokens(F.col("norm"))).alias("n_tokens_before"),
+        s2.alias("_s2"),
+    ).select(
+        "doc_id",
+        "n_tokens_before",
+        (
+            F.length("_s2") - F.length(F.replace(F.col("_s2"), F.lit(target), F.lit(repl)))
+        ).cast("long").alias("n_merges"),
+    )
+    return exp.select(
+        "doc_id",
+        F.lit(pair).alias("merged_pair"),
+        F.col("n_tokens_before").cast("long").alias("n_tokens_before"),
+        "n_merges",
+        (F.col("n_tokens_before") - F.col("n_merges"))
+        .cast("long")
+        .alias("n_tokens_after"),
+    )

@@ -18,7 +18,7 @@ table into a handful of tasks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_SPACE = 1 << 48  # 12 hex chars of md5
@@ -322,3 +322,54 @@ def stratified_exact_split(
             F.lit(eval_name),
         ).otherwise(F.lit(train_name)),
     ).drop("_skey", "_rn", "_n")
+
+
+def negative_samples(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "neg-v1",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive
+    training: for each query id, the k corpus ids with the smallest
+    salted md5 of (salt, query_id, corpus_id) — a fresh pseudo-random
+    permutation of the corpus PER QUERY, reproducible across runs,
+    engines, and repartitioning (the hash_split determinism contract
+    applied to pairs).
+
+    Shape: the query ID LIST broadcasts against the corpus (the
+    corpus never shuffles); scoring is one row-local md5; the per-
+    query top-k is a rank window hash-partitioned on query_id —
+    fan-in per partition is |corpus| rows per query, the honest cost
+    of uniform sampling without replacement, bounded below any join
+    alternative. Self-pairs are excluded (a query is never its own
+    negative)."""
+    c = corpus.select(F.col(id_col).alias("neg_id"))
+    q = queries.select(F.col(id_col).alias("query_id"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neg_id") != F.col("query_id")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col("query_id").cast("string"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy(F.asc("_h"), F.asc("neg_id"))
+    return (
+        pairs.select("query_id", "neg_id", h.alias("_h"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neg_id", F.col("_h").alias("draw_key"), "rank")
+    )

@@ -632,3 +632,102 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         emb, emb.filter(F.col("vec_id") < 10), pq_codebooks(), k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — deterministic negative sampling for contrastive training
+# ---------------------------------------------------------------------------
+
+_Q141_ORACLE = """
+WITH q AS (
+  SELECT doc_id AS query_id FROM documents WHERE doc_id < 20
+), pairs AS (
+  SELECT q.query_id, c.doc_id AS neg_id,
+         ('0x' || substring(md5('neg-v1:' || CAST(q.query_id AS VARCHAR)
+                                || ':' || CAST(c.doc_id AS VARCHAR)), 1, 12))::BIGINT
+           AS draw_key
+  FROM documents c CROSS JOIN q
+  WHERE c.doc_id != q.query_id
+), ranked AS (
+  SELECT query_id, neg_id, draw_key,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY draw_key ASC, neg_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neg_id, draw_key, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q141_negative_sampling", _Q141_ORACLE)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling
+    (operators/sampling.negative_samples): 5 negatives per query doc
+    drawn by salted-md5 ranking — a reproducible per-query
+    pseudo-random permutation, stable across runs, engines, and
+    repartitioning (the training-data contract hash_split
+    established, applied to contrastive pairs). Query ids broadcast;
+    the corpus never shuffles; per-query top-k is one rank window on
+    the query key."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.sampling import negative_samples
+
+    return negative_samples(docs, docs.filter(F.col("doc_id") < 20), k=5)
+
+
+# ---------------------------------------------------------------------------
+# q142 — one BPE merge iteration, corpus-wide
+# ---------------------------------------------------------------------------
+
+_Q142_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+), tok AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS l FROM t
+), bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i + 1])) AS bigram
+  FROM tok WHERE len(l) >= 2
+), top AS (
+  SELECT bigram, count(*) AS c FROM bg GROUP BY 1
+  ORDER BY c DESC, bigram ASC LIMIT 1
+), s AS (
+  SELECT doc_id,
+         CAST(len(l) AS BIGINT) AS n_tokens_before,
+         ' ' || replace(norm, ' ', '  ') || ' ' AS s2
+  FROM tok
+)
+SELECT s.doc_id,
+       top.bigram AS merged_pair,
+       s.n_tokens_before,
+       CAST(length(s2) - length(replace(s2,
+            ' ' || replace(top.bigram, ' ', '  ') || ' ',
+            ' ' || replace(top.bigram, ' ', '~') || ' ')) AS BIGINT)
+         AS n_merges,
+       s.n_tokens_before
+         - CAST(length(s2) - length(replace(s2,
+              ' ' || replace(top.bigram, ' ', '  ') || ' ',
+              ' ' || replace(top.bigram, ' ', '~') || ' ')) AS BIGINT)
+         AS n_tokens_after
+FROM s CROSS JOIN top
+"""
+
+
+@register("q142_bpe_merge_step", _Q142_ORACLE)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus-wide BPE training iteration (Sennrich et al. 2016):
+    select the most frequent adjacent token pair (map-side-combined
+    count + TakeOrdered(1) — operators/lm.top_bigram), then apply
+    the merge greedily non-overlapping to every document and report
+    per-doc merge effects (operators/lm.bpe_merge_step). The greedy
+    scan is pure row-local string algebra — separator doubling makes
+    a single literal replace() perform exactly the non-overlapping
+    BPE pass, with the merge count falling out of the length delta —
+    zero shuffle after the pair-selection aggregate, no sequential
+    fold, no UDF. The driver loop (select→merge→recount per round)
+    is this query iterated."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.lm import bpe_merge_step, top_bigram
+
+    pair = top_bigram(docs)
+    return bpe_merge_step(docs, pair)

@@ -487,3 +487,74 @@ def test_pq_codes_bounded_and_deterministic(spark):
     b = pq_adc_topk(df, df.filter(F.col("vec_id") < 3), cbs, k=4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(r["rank"] <= 4 for r in a)
+
+
+# ---------------------------------------------------------------------------
+# negative_samples
+# ---------------------------------------------------------------------------
+
+def test_negative_samples_deterministic_no_self(spark):
+    from nessus_client_etl_scripts_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(30)], "doc_id long"
+    )
+    q = corpus.filter(F.col("doc_id") < 3)
+    a = negative_samples(corpus, q, k=4).collect()
+    b = negative_samples(corpus, q, k=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        assert len(rows) == 4
+        assert all(r["neg_id"] != qid for r in rows)
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4]
+    # different queries draw different permutations (salted per pair)
+    assert {r["neg_id"] for r in by_q[0]} != {r["neg_id"] for r in by_q[1]}
+
+
+def test_negative_samples_salt_changes_draw(spark):
+    from nessus_client_etl_scripts_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    corpus = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    q = corpus.filter(F.col("doc_id") == 0)
+    a = {r["neg_id"] for r in negative_samples(corpus, q, k=5).collect()}
+    b = {
+        r["neg_id"]
+        for r in negative_samples(corpus, q, k=5, salt="other").collect()
+    }
+    assert a != b
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_step / top_bigram
+# ---------------------------------------------------------------------------
+
+def test_top_bigram_and_tiebreak(spark):
+    from nessus_client_etl_scripts_spark.operators.lm import top_bigram
+
+    # "a b" ×2, "b a" ×1, plus "x y" ×2 → tie between 'a b' and 'x y'
+    # broken lexically → 'a b'
+    df = _docs(spark, ["a b a b", "x y", "x y"])
+    assert top_bigram(df) == "a b"
+
+
+def test_bpe_merge_greedy_nonoverlap(spark):
+    from nessus_client_etl_scripts_spark.operators.lm import bpe_merge_step
+
+    df = _docs(spark, ["a a a", "a a a a", "b a a b", "c c"])
+    got = {
+        r["doc_id"]: r for r in bpe_merge_step(df, "a a").collect()
+    }
+    # "a a a" → 1 merge (greedy non-overlapping), "a a a a" → 2
+    assert got[0]["n_merges"] == 1 and got[0]["n_tokens_after"] == 2
+    assert got[1]["n_merges"] == 2 and got[1]["n_tokens_after"] == 2
+    assert got[2]["n_merges"] == 1 and got[2]["n_tokens_after"] == 3
+    assert got[3]["n_merges"] == 0 and got[3]["n_tokens_after"] == 2
+    assert all(r["merged_pair"] == "a a" for r in got.values())
