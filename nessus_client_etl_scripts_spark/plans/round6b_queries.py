@@ -1,19 +1,28 @@
-"""Round-6 second wave — q132…q134: BM25 keyword retrieval, hybrid
-lexical+dense reciprocal-rank fusion, and sorted-neighborhood
-blocking.
+"""Round-6 second wave — q132…q144: the retrieval/graph/sketch
+extensions of the LLM-data-pipeline surface (SURVEY.md §7 Phase 4).
 
-These extend the retrieval/dedup side of the LLM-data-pipeline
-surface (SURVEY.md §7 Phase 4): mining a corpus for topical
-documents (BM25), fusing a lexical ranking with an embedding
-ranking (RRF — the standard hybrid-search combiner), and a third
-candidate-generation family (sorted neighborhood) whose candidate
-count is linear and data-independent, complementing LSH banding
-(q28) and posting self-joins (q26/q127).
+- q132 BM25 keyword retrieval; q133 lexical⊕dense hybrid via
+  reciprocal-rank fusion; q143 positional phrase search — the
+  search tier (candidate mining before dedup/selection).
+- q134 sorted-neighborhood blocking — the third candidate family
+  next to LSH banding (q28) and posting self-joins (q26/q127):
+  linear, data-independent candidate counts.
+- q135 triangle counting (graph suite: components q55, PageRank
+  q124); q136 PMI co-occurrence lift; q144 Markov transition
+  matrix.
+- q137 time-series gap-fill interpolation; q139 U-shaped
+  multi-touch attribution (q42's as-of is the single-match case).
+- q138 HLL audience overlap by inclusion–exclusion over register
+  frames (q104's merge machinery, applied pairwise).
+- q140 product-quantization ANN (compressed-domain tier of brute
+  q27 / LSH q32 / IVF q39+q79); q141 deterministic negative
+  sampling; q142 one corpus-wide BPE merge iteration.
 
-Float portability per PLANS.md: BM25 uses the raw RSJ odds-ratio
-idf (no log), per-term contributions micro-round before an exact
-BIGINT sum; RRF terms are single divisions of exact integers summed
-in a fixed 2-term order; Jaccard is one division of exact integers.
+Float portability per PLANS.md: no logs/exps anywhere (RSJ
+odds-ratio idf, lift-not-PMI); contributions micro-round before
+exact BIGINT sums; emitted doubles are single IEEE ops (or
+fixed-order short sums) on exact integers; the one FMA-contractible
+polynomial (PQ's −2·dot+c²) is micro-quantized on both sides.
 """
 
 from __future__ import annotations
@@ -731,3 +740,120 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pair = top_bigram(docs)
     return bpe_merge_step(docs, pair)
+
+
+# ---------------------------------------------------------------------------
+# q143 — positional-index phrase search
+# ---------------------------------------------------------------------------
+
+_Q143_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), posting AS (
+  SELECT doc_id, i AS pos, l[i] AS tok
+  FROM t CROSS JOIN LATERAL unnest(generate_series(1, len(l))) AS u(i)
+  WHERE l[i] IN ('hash', 'join')
+), a AS (
+  SELECT doc_id, pos FROM posting WHERE tok = 'hash'
+), b AS (
+  SELECT doc_id, pos FROM posting WHERE tok = 'join'
+), matches AS (
+  SELECT a.doc_id, a.pos
+  FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM matches GROUP BY doc_id
+"""
+
+
+@register("q143_phrase_search", _Q143_ORACLE)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("hash join") over a POSITIONAL inverted
+    index — the search-engine primitive BM25 (q132) cannot express:
+    term adjacency. The posting explodes (doc, pos, tok) but filters
+    to the phrase's terms BEFORE the join (posting lists, not the
+    corpus), then adjacency is one equi-join on (doc, pos+1) — the
+    k-term phrase generalizes to k−1 chained equi-joins, each keyed
+    on 16-B (doc, pos) pairs. The row-local bigram trick (q142)
+    only handles adjacency of 2; this is the index-shaped path a
+    100 TB search tier actually runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.text import normalize_text as _norm, tokens as _toks
+
+    staged = docs.select(
+        "doc_id", _toks(_norm("text")).alias("toks")
+    )
+    posting = (
+        staged.select(
+            "doc_id", F.posexplode("toks").alias("pos0", "tok")
+        )
+        .filter(F.col("tok").isin("hash", "join"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    a = posting.filter(F.col("tok") == "hash").select("doc_id", "pos")
+    b = posting.filter(F.col("tok") == "join").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    matches = a.join(b, ["doc_id", "pos"])
+    return matches.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q144 — event-type transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+
+_Q144_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), totals AS (
+  SELECT from_type, sum(n) AS n_from FROM trans GROUP BY 1
+)
+SELECT t.from_type, t.to_type,
+       CAST(t.n AS BIGINT) AS n,
+       CAST(tt.n_from AS BIGINT) AS n_from,
+       CAST(t.n AS DOUBLE) / CAST(tt.n_from AS DOUBLE) AS p
+FROM trans t JOIN totals tt USING (from_type)
+"""
+
+
+@register("q144_transition_matrix", _Q144_ORACLE)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the path-analysis aggregate behind funnel mining and
+    next-event prediction features. One shuffle (the user window)
+    produces all transitions row-locally via lag; the |types|²
+    matrix and its row totals are tiny broadcast aggregates;
+    probabilities are single divisions of exact counts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_from").cast("long").alias("n_from"),
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+            "p"
+        ),
+    )

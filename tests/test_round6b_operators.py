@@ -558,3 +558,58 @@ def test_bpe_merge_greedy_nonoverlap(spark):
     assert got[2]["n_merges"] == 1 and got[2]["n_tokens_after"] == 3
     assert got[3]["n_merges"] == 0 and got[3]["n_tokens_after"] == 2
     assert all(r["merged_pair"] == "a a" for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# q143/q144 plan-level semantics (operators are inline compositions)
+# ---------------------------------------------------------------------------
+
+def test_phrase_search_adjacency(spark):
+    from nessus_client_etl_scripts_spark.plans.round6b_queries import q143
+    import nessus_client_etl_scripts_spark.catalog as cat
+
+    # build a tiny corpus through a temp parquet dir
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            [
+                (1, "hash join is a hash join thing"),
+                (2, "join hash reversed here"),
+                (3, "hash and join far apart"),
+            ],
+            "doc_id long, text string",
+        )
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["doc_id"]: r for r in q143(spark, d).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_matches"] == 2
+    assert got[1]["first_pos"] == 1
+
+
+def test_transition_matrix_probabilities(spark):
+    from nessus_client_etl_scripts_spark.plans.round6b_queries import q144
+    import tempfile, os, datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b
+        (1, base, 1, "a", 0.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 1, "b", 0.0, "{}"),
+        (3, base + dt.timedelta(minutes=2), 1, "a", 0.0, "{}"),
+        (4, base, 2, "a", 0.0, "{}"),
+        (5, base + dt.timedelta(minutes=1), 2, "b", 0.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["from_type"], r["to_type"]): r for r in q144(spark, d).collect()
+        }
+    assert got[("a", "b")]["n"] == 2 and got[("a", "b")]["p"] == 1.0
+    assert got[("b", "a")]["n"] == 1 and got[("b", "a")]["p"] == 1.0
+    assert got[("a", "b")]["n_from"] == 2
