@@ -857,3 +857,93 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — cross-source quantile normalization
+# ---------------------------------------------------------------------------
+
+_Q145_ORACLE = """
+WITH e AS (
+  SELECT event_id, event_type, value FROM events
+), g AS (
+  SELECT value, row_number() OVER (ORDER BY value, event_id) AS gpos FROM e
+), n AS (
+  SELECT count(*) AS n_total FROM e
+), s AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_grp
+  FROM e
+), m AS (
+  SELECT event_id, event_type, value,
+         CASE WHEN n_grp = 1 THEN (n_total + 1) // 2
+              ELSE 1 + ((rn - 1) * (n_total - 1)) // (n_grp - 1)
+         END AS pos
+  FROM s CROSS JOIN n
+)
+SELECT m.event_id, m.event_type, m.value, g.value AS q_value
+FROM m JOIN g ON m.pos = g.gpos
+"""
+
+
+@register("q145_quantile_normalize", _Q145_ORACLE)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-type value distributions onto
+    the GLOBAL empirical distribution — the batch-effect correction
+    that makes heterogeneous sources comparable (microarray-style
+    quantile mapping): each row's within-type rank is mapped to the
+    global value at the proportional position (exact integer
+    position arithmetic, no interpolation — the value passes through
+    verbatim, so no float divergence is possible).
+
+    Both rankings run through two_phase_rank (operators/windows) —
+    the 100 TB-safe replacement for a low-cardinality window
+    partition: event_type has a handful of values and the global
+    ranking has ONE, exactly the funnel-into-few-tasks shapes the
+    two-phase range exchange exists for. The position join is a
+    fine-grained equi-join on a long key."""
+    from ..operators.windows import two_phase_rank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n_total_df = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    grp_n = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_grp")
+    )
+    g = two_phase_rank(
+        ev.withColumn("_g", F.lit("all")),
+        "_g",
+        "value",
+        "event_id",
+        grn_col="gpos",
+    ).select(F.col("gpos").alias("pos"), F.col("value").alias("q_value"))
+    s = two_phase_rank(
+        ev, "event_type", "value", "event_id", grn_col="rn"
+    ).select("event_id", "event_type", "value", "rn")
+    m = (
+        s.join(F.broadcast(grp_n), "event_type")
+        .crossJoin(F.broadcast(n_total_df))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(
+                F.col("n_grp") == 1,
+                F.floor((F.col("n_total") + 1) / 2).cast("long"),
+            )
+            .otherwise(
+                1
+                + F.floor(
+                    ((F.col("rn") - 1) * (F.col("n_total") - 1))
+                    / (F.col("n_grp") - 1)
+                ).cast("long")
+            )
+            .alias("pos"),
+        )
+    )
+    return m.join(g, "pos").select(
+        "event_id", "event_type", "value", "q_value"
+    )
