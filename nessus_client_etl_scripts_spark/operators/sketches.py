@@ -364,3 +364,56 @@ def hll_pairwise_overlap(
             ).alias("approx_inter"),
         )
     )
+
+
+def hll_rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Trailing-window approximate distinct count per day — "distinct
+    users in the last N days, every day" — via HLL register algebra:
+    each day's register frame is built ONCE from the raw data, then
+    every day's trailing window is the bucket-wise ``max`` merge of
+    its last N daily frames. The rolling merge is a row-local
+    explode of each register row into the ≤N target days it serves
+    (the interval_bucket_overlap idea applied to sketch state), so
+    raw data is scanned once and the rolling state is
+    |days|·m rows — a trailing-distinct a 100 TB events table can
+    actually afford (the exact form re-scans N days per day).
+
+    Day boundaries are UTC epoch-day integers (``floor(epoch /
+    86400)``), emitted as ``day_epoch`` (the day's start in epoch
+    seconds)."""
+    day = F.floor(F.col(ts_col).cast("long") / F.lit(86400)).cast("long")
+    bucket, rho = _bucket_spark(F.col(value_col))
+    daily = (
+        df.select(day.alias("_day"), bucket.alias("_b"), rho.alias("_rho"))
+        .groupBy("_day", "_b")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    targets = daily.select(
+        F.explode(
+            F.sequence(F.col("_day"), F.col("_day") + F.lit(window_days - 1))
+        ).alias("day"),
+        "_day",
+        "_b",
+        "_m",
+    )
+    # a register only serves target days that actually exist in the
+    # data range; crop to the observed day span so trailing windows
+    # at the corpus edge don't invent empty future days
+    span = daily.agg(
+        F.min("_day").alias("_lo"), F.max("_day").alias("_hi")
+    )
+    cropped = targets.crossJoin(F.broadcast(span)).filter(
+        (F.col("day") >= F.col("_lo")) & (F.col("day") <= F.col("_hi"))
+    )
+    merged = cropped.groupBy("day", "_b").agg(F.max("_m").alias("_m"))
+    est = hll_estimate_from_registers(merged, ["day"], out_col)
+    return est.select(
+        (F.col("day") * 86400).cast("long").alias("day_epoch"),
+        out_col,
+    )

@@ -947,3 +947,77 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.join(g, "pos").select(
         "event_id", "event_type", "value", "q_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — trailing-window distinct users per day (rolling HLL merge)
+# ---------------------------------------------------------------------------
+
+
+def _q146_oracle(window_days: int = 7) -> str:
+    from ..operators.sketches import (
+        EST_NUMERATOR,
+        HASH_BITS,
+        M,
+        R,
+        RMAX,
+        _SUFFIX_MASK,
+    )
+
+    rho_branches = "\n         ".join(
+        f"WHEN (h & {_SUFFIX_MASK}) >= {1 << (R - j)} THEN {j}"
+        for j in range(1, R + 1)
+    )
+    est = (
+        f"{EST_NUMERATOR!r} / (coalesce(sum(CASE WHEN b IS NOT NULL"
+        f" THEN 1::BIGINT << ({RMAX} - m) END), 0)"
+        f" + ({M} - count(b)) * {1 << RMAX}::BIGINT)::DOUBLE"
+    )
+    return f"""
+WITH h AS (
+  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 86400 AS d,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, {HASH_BITS // 4}))::BIGINT
+           AS h
+  FROM events
+), k AS (
+  SELECT d, h >> {R} AS b,
+         CASE {rho_branches} ELSE {RMAX} END AS rho
+  FROM h
+), daily AS (
+  SELECT d, b, max(rho) AS m FROM k GROUP BY 1, 2
+), span AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), targets AS (
+  SELECT t.day, daily.b, daily.m
+  FROM daily
+  CROSS JOIN LATERAL unnest(generate_series(d, d + {window_days - 1}))
+    AS t(day)
+  CROSS JOIN span
+  WHERE t.day >= span.lo AND t.day <= span.hi
+), merged AS (
+  SELECT day, b, max(m) AS m FROM targets GROUP BY 1, 2
+)
+SELECT CAST(day * 86400 AS BIGINT) AS day_epoch,
+       {est} AS approx_distinct
+FROM merged GROUP BY day
+"""
+
+
+@register("q146_rolling_hll_users", _q146_oracle())
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users, daily — the rolling-retention
+    metric — via HLL REGISTER ALGEBRA
+    (operators/sketches.hll_rolling_distinct): raw events are
+    scanned once into per-day register frames; each trailing window
+    is the bucket-wise max merge of its ≤7 daily frames, produced by
+    a row-local explode of register rows into the days they serve
+    (the q128 bucket idea applied to sketch state). Rolling state is
+    |days|·m rows regardless of event volume — the exact-distinct
+    form re-scans 7 days of raw data PER DAY. Estimates are the raw
+    single-division HLL doubles, bit-identical cross-engine."""
+    from ..operators.sketches import hll_rolling_distinct
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", F.col("user_id").cast("string").alias("uid")
+    )
+    return hll_rolling_distinct(ev, "ts", "uid", window_days=7)

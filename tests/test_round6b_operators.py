@@ -613,3 +613,50 @@ def test_transition_matrix_probabilities(spark):
     assert got[("a", "b")]["n"] == 2 and got[("a", "b")]["p"] == 1.0
     assert got[("b", "a")]["n"] == 1 and got[("b", "a")]["p"] == 1.0
     assert got[("a", "b")]["n_from"] == 2
+
+
+# ---------------------------------------------------------------------------
+# hll_rolling_distinct
+# ---------------------------------------------------------------------------
+
+def test_rolling_hll_window_semantics(spark):
+    from nessus_client_etl_scripts_spark.operators.sketches import (
+        hll_register_frame,
+        hll_estimate_from_registers,
+        hll_rolling_distinct,
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # day 0: u0..u1999, day 1: u1000..u2999, day 9: u0..u499
+    rows = (
+        [(base, f"u{i}") for i in range(2000)]
+        + [(base + dt.timedelta(days=1), f"u{i}") for i in range(1000, 3000)]
+        + [(base + dt.timedelta(days=9), f"u{i}") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, uid string")
+    got = {
+        r["day_epoch"]: r["approx_distinct"]
+        for r in hll_rolling_distinct(df, "ts", "uid", window_days=7).collect()
+    }
+    d0 = int(base.timestamp()) // 86400 * 86400
+    # observed days: 0, 1, 9 → windows exist for days 0..9 cropped to
+    # the observed span; every day in [0, 9] that any register serves
+    assert min(got) == d0 and max(got) == d0 + 9 * 86400
+    # day 1 window = day0 ∪ day1 = 3000 distinct (±HLL error)
+    assert abs(got[d0 + 86400] - 3000) < 450
+    # day 7 window covers only day 1 (day 0 aged out)
+    assert abs(got[d0 + 7 * 86400] - 2000) < 300
+    # day 9 covers day 9 only — raw HLL overestimates tiny counts,
+    # so just require it far below day 1's window
+    assert got[d0 + 9 * 86400] < got[d0 + 86400] / 2
+    # the day-1 estimate equals a direct merge of day0+day1 registers
+    regs = hll_register_frame(
+        df.filter(F.col("ts") < base + dt.timedelta(days=2)).select(
+            F.lit(1).alias("g"), "uid"
+        ),
+        ["g"],
+        "uid",
+    )
+    direct = hll_estimate_from_registers(regs, ["g"], "e").collect()[0]["e"]
+    assert got[d0 + 86400] == direct
