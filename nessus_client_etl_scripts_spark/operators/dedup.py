@@ -200,6 +200,48 @@ def minhash_signatures(
     return h0.select("doc_id", F.array(*sig_elems).alias("sig"))
 
 
+def _banded_frame(
+    sig: DataFrame, num_hashes: int, bands: int, family: str
+) -> DataFrame:
+    """(doc_id, band, bucket) LSH banding of a signature frame —
+    shared by candidate generation and the calibration operator. For
+    the md5 family the bucket key is the band slice SERIALIZED, not
+    re-hashed — ~40-80 B through the shuffle, and the DuckDB twin is
+    a plain concat of the same longs (no second hash to mirror); the
+    xxhash64 family re-hashes to a compact 8-byte key."""
+    rows_per_band = num_hashes // bands
+
+    if family == "md5":
+        def bucket_of(b):
+            return F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+            )
+    else:
+        def bucket_of(b):
+            return F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(b.alias("band"), bucket_of(b).alias("bucket")),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -234,42 +276,10 @@ def minhash_lsh_candidates(
     real pipeline lands signatures as a table instead; default False
     keeps declared queries fully lazy.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k, family)
     if materialize_signatures:
         sig = sig.persist()
-    if family == "md5":
-        # the bucket key is the band slice SERIALIZED, not re-hashed —
-        # ~40-80 B through the shuffle, and the DuckDB twin is a plain
-        # concat of the same longs (no second hash to mirror)
-        def bucket_of(b):
-            return F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                    lambda v: v.cast("string"),
-                ),
-            )
-    else:
-        def bucket_of(b):
-            return F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                )
-            )
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(b.alias("band"), bucket_of(b).alias("bucket")),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _banded_frame(sig, num_hashes, bands, family)
     left = banded.alias("l")
     right = banded.alias("r")
     out = (
@@ -983,3 +993,69 @@ def containment_pairs(
         F.col("n_a").cast("long").alias("n_a"),
         (F.col("inter") / F.col("n_a")).alias("containment"),
     ).filter(F.col("containment") >= threshold)
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    family: str = "md5",
+) -> DataFrame:
+    """LSH candidate pairs WITH their MinHash-estimated Jaccard —
+    the signature-agreement fraction (matching positions / hashes)
+    whose expectation IS the true Jaccard (the MinHash property).
+    Production pipelines use this estimate to SKIP exact
+    verification when the estimate is decisive; q148 pairs it with
+    the exact value to expose the estimator's calibration error.
+
+    The signature frame is computed ONCE and persisted for the
+    duration of the call (banding + both join probes read the cache;
+    Catalyst has no CSE across self-joins — the q65 lesson), then
+    released after an eager cut. Agreement is a row-local zip_with
+    over two 64-long arrays; the estimate is one exact-integer
+    division."""
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, k, family
+    ).persist()
+    banded = _banded_frame(sig, num_hashes, bands, family)
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            .cast("long")
+            .alias("est_matches"),
+        )
+        .withColumn(
+            "est_jaccard",
+            F.col("est_matches").cast("double") / F.lit(float(num_hashes)),
+        )
+    )
+    out = est.localCheckpoint()
+    sig.unpersist()
+    return out

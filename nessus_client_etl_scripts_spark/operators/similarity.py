@@ -1076,3 +1076,100 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_micro", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the composed production ANN index (Jégou et al. 2011;
+    the FAISS `IVFx,PQy` shape): the coarse IVF codebook bounds the
+    CANDIDATE SET (only nprobe cells join), and PQ codes bound the
+    BYTES per candidate (4-byte codes + per-query distance tables
+    instead of raw vectors). q79 proves the bucketing tier and q140
+    the compressed-scan tier in isolation; this composes them —
+    corpus rows carry (cell, code_0..m) only, queries explode into
+    nprobe probes carrying their ADC tables, and the join is one
+    hash equi-join on the cell key. ADC distances are micro-quantized
+    (the q140 FMA rule) and ranked per query."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    cells = [_codebook_cells_expr(cb) for cb in codebooks]
+
+    def _sub_cols(vec: Column) -> list[Column]:
+        return [
+            F.slice(vec, s * subdim + 1, subdim).alias(f"_sv{s}")
+            for s in range(m)
+        ]
+
+    def _code_col(s: int) -> Column:
+        def rank_item(st: Column) -> Column:
+            return F.struct(
+                (
+                    F.lit(-2.0) * dot(F.col(f"_sv{s}"), st["c"]) + st["c2"]
+                ).alias("d"),
+                st["ci"].alias("i"),
+            )
+
+        return F.array_sort(F.transform(cells[s], rank_item))[0]["i"].alias(
+            f"code_{s}"
+        )
+
+    def _dtab_col(s: int) -> Column:
+        def dist_item(st: Column) -> Column:
+            return F.lit(-2.0) * dot(F.col(f"_sv{s}"), st["c"]) + st["c2"]
+
+        return F.transform(cells[s], dist_item).alias(f"_dt{s}")
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v")
+        )
+        .select(
+            "neighbor_id",
+            _cell_ranking_expr(coarse_cents, "_v")[0]["i"].alias("cell"),
+            *_sub_cols(F.col("_v")),
+        )
+        .select("neighbor_id", "cell", *[_code_col(s) for s in range(m)])
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_v")
+        )
+        .select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.slice(_cell_ranking_expr(coarse_cents, "_v"), 1, nprobe),
+                    lambda s: s["i"],
+                )
+            ).alias("cell"),
+            *_sub_cols(F.col("_v")),
+        )
+        .select("query_id", "cell", *[_dtab_col(s) for s in range(m)])
+    )
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    adc = F.element_at(F.col("_dt0"), F.col("code_0") + 1)
+    for s in range(1, m):
+        adc = adc + F.element_at(F.col(f"_dt{s}"), F.col(f"code_{s}") + 1)
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(adc * F.lit(1e6)).cast("long").alias("adc_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_micro", "rank")
+    )

@@ -1021,3 +1021,175 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", F.col("user_id").cast("string").alias("uid")
     )
     return hll_rolling_distinct(ev, "ts", "uid", window_days=7)
+
+
+# ---------------------------------------------------------------------------
+# q147 — IVF-PQ composed ANN (coarse cells + compressed-domain rerank)
+# ---------------------------------------------------------------------------
+
+
+def _q147_oracle(
+    n_coarse: int = 16,
+    dim: int = 64,
+    m: int = 4,
+    subdim: int = 16,
+    kk: int = 8,
+    nprobe: int = 4,
+    k: int = 5,
+) -> str:
+    from ..operators.similarity import _hyperplanes, pq_codebooks
+
+    coarse = _hyperplanes(n_coarse, dim, seed=0xC0DE)
+    coarse_values = ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(coarse)
+    )
+    cbs = pq_codebooks(m=m, subdim=subdim, k=kk)
+    pq_values = ",\n    ".join(
+        f"({s}, {ci}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for s, cb in enumerate(cbs)
+        for ci, c in enumerate(cb)
+    )
+    adc_terms = " + ".join(
+        f"max(CASE WHEN s = {s} THEN d END)" for s in range(m)
+    )
+    return f"""
+WITH coarse(ci, c) AS (VALUES
+    {coarse_values}
+), cents(s, ci, c) AS (VALUES
+    {pq_values}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cdists AS (
+  SELECT vec_id, ci,
+         -2.0 * list_dot_product(v, c) + list_dot_product(c, c) AS d
+  FROM e CROSS JOIN coarse
+), cranked AS (
+  SELECT vec_id, ci,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+  FROM cdists
+), sub AS (
+  SELECT vec_id, t.s,
+         list_slice(v, t.s * {subdim} + 1, t.s * {subdim} + {subdim}) AS sv
+  FROM e CROSS JOIN range(0, {m}) t(s)
+), dist AS (
+  SELECT sub.vec_id, sub.s, cents.ci,
+         -2.0 * list_dot_product(sv, c) + list_dot_product(c, c) AS d
+  FROM sub JOIN cents ON cents.s = sub.s
+), codes AS (
+  SELECT vec_id, s, ci FROM (
+    SELECT vec_id, s, ci,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, ci) AS rn
+    FROM dist)
+  WHERE rn = 1
+), corpus_cell AS (
+  SELECT vec_id AS neighbor_id, ci AS cell FROM cranked WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, ci AS cell FROM cranked
+  WHERE rn <= {nprobe} AND vec_id < 10
+), pairt AS (
+  SELECT p.query_id, cc.neighbor_id, qd.s, qd.d
+  FROM corpus_cell cc
+  JOIN probes p USING (cell)
+  JOIN codes c2 ON c2.vec_id = cc.neighbor_id
+  JOIN dist qd ON qd.vec_id = p.query_id
+              AND qd.s = c2.s AND qd.ci = c2.ci
+  WHERE p.query_id != cc.neighbor_id
+), wide AS (
+  SELECT query_id, neighbor_id,
+         CAST(round(({adc_terms}) * 1000000.0) AS BIGINT) AS adc_micro
+  FROM pairt GROUP BY 1, 2
+), final AS (
+  SELECT query_id, neighbor_id, adc_micro,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY adc_micro ASC, neighbor_id ASC) AS rank
+  FROM wide)
+SELECT query_id, neighbor_id, adc_micro, CAST(rank AS BIGINT) AS rank
+FROM final WHERE rank <= {k}
+"""
+
+
+@register("q147_ivfpq_topk", _q147_oracle())
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed production ANN index (the FAISS
+    `IVF16,PQ4` shape): q79's coarse cells bound the CANDIDATE SET
+    (nprobe=4 cells join), q140's PQ codes bound the BYTES per
+    candidate (operators/similarity.ivfpq_topk). Corpus rows carry
+    (cell, 4 codes); queries explode into probes carrying their ADC
+    tables; one hash equi-join on the cell key; ADC micro-quantized
+    per the FMA rule. Completes the ANN ladder: brute q27 → LSH
+    q32/q95 → IVF q39/q79 → PQ q140 → IVF-PQ q147."""
+    from ..operators.similarity import (
+        _hyperplanes,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        _hyperplanes(16, 64, seed=0xC0DE),
+        pq_codebooks(),
+        k=5,
+        nprobe=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148 — MinHash estimator calibration (estimate vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _q148_oracle(num_hashes: int = 64) -> str:
+    from .corpus_queries import _minhash_cte
+
+    agree_terms = " + ".join(
+        f"CAST(a._h{s} = b._h{s} AS INT)" for s in range(num_hashes)
+    )
+    return f"""
+{_minhash_cte()},
+agree AS (
+  SELECT c.doc_a, c.doc_b, ({agree_terms}) AS est_matches
+  FROM cand c
+  JOIN sig a ON c.doc_a = a.doc_id
+  JOIN sig b ON c.doc_b = b.doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                  AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN base a ON c.doc_a = a.doc_id
+  JOIN base b ON c.doc_b = b.doc_id
+)
+SELECT g.doc_a, g.doc_b,
+       CAST(g.est_matches AS BIGINT) AS est_matches,
+       CAST(g.est_matches AS DOUBLE) / CAST({num_hashes} AS DOUBLE)
+         AS est_jaccard,
+       v.jaccard
+FROM agree g JOIN verified v ON g.doc_a = v.doc_a AND g.doc_b = v.doc_b
+"""
+
+
+@register("q148_minhash_calibration", _q148_oracle())
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: every LSH candidate pair with
+    BOTH its signature-agreement estimate (matching positions / 64 —
+    whose expectation IS the true Jaccard) and the exact shingle-set
+    value (operators/dedup.minhash_estimate_pairs +
+    verify_pairs_jaccard at threshold 0). Production pipelines use
+    the estimate to skip exact verification when decisive; this
+    query is the monitoring view that keeps the estimator honest.
+    Signatures compute once (persisted for the call, the q65
+    lesson); agreement is a row-local zip_with; both emitted doubles
+    are single exact-integer divisions."""
+    from ..operators.dedup import minhash_estimate_pairs, verify_pairs_jaccard
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = minhash_estimate_pairs(docs, family="md5")
+    exact = verify_pairs_jaccard(
+        docs, est.select("doc_a", "doc_b"), k=3, threshold=0.0
+    )
+    return est.join(exact, ["doc_a", "doc_b"])

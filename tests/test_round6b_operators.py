@@ -660,3 +660,63 @@ def test_rolling_hll_window_semantics(spark):
     )
     direct = hll_estimate_from_registers(regs, ["g"], "e").collect()[0]["e"]
     assert got[d0 + 86400] == direct
+
+
+# ---------------------------------------------------------------------------
+# minhash_estimate_pairs / ivfpq_topk
+# ---------------------------------------------------------------------------
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    from nessus_client_etl_scripts_spark.operators.dedup import (
+        minhash_estimate_pairs,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    # doc 2 shares a long prefix with doc 1 → high jaccard; doc 3 disjoint
+    rows = [
+        (1, " ".join(words)),
+        (2, " ".join(words[:36] + ["x1", "x2", "x3", "x4"])),
+        (3, " ".join(f"z{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in minhash_estimate_pairs(df, family="md5").collect()
+    }
+    assert (1, 2) in got  # near-dup pair must surface via banding
+    r = got[(1, 2)]
+    assert 0 <= r["est_matches"] <= 64
+    assert r["est_jaccard"] == r["est_matches"] / 64
+    # true jaccard of the shingle sets is ~0.65; the 64-hash estimate
+    # has std ~0.06 — allow a generous band
+    assert 0.4 < r["est_jaccard"] <= 1.0
+
+
+def test_ivfpq_duplicate_ranks_first(spark):
+    from nessus_client_etl_scripts_spark.operators.similarity import (
+        _hyperplanes,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+    import random
+
+    rng = random.Random(11)
+    dim = 16
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = [(0, base), (1, list(base))] + [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(2, 60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ivfpq_topk(
+        df,
+        df.filter(F.col("vec_id") == 0),
+        _hyperplanes(8, dim, seed=0xC0DE),
+        pq_codebooks(m=4, subdim=4, k=4),
+        k=3,
+        nprobe=2,
+    ).collect()
+    # the exact duplicate shares the query's cell AND all its codes
+    assert got[0]["neighbor_id"] == 1
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    # candidate set is cell-bounded: every result is a real row id
+    assert all(0 <= r["neighbor_id"] < 60 for r in got)
