@@ -417,3 +417,86 @@ def hll_rolling_distinct(
         (F.col("day") * 86400).cast("long").alias("day_epoch"),
         out_col,
     )
+
+
+def cm_join_size_estimate(
+    a: DataFrame,
+    a_col: str,
+    b: DataFrame,
+    b_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Equi-join CARDINALITY estimation from count-min sketches of the
+    two join keys (Cormode & Muthukrishnan 2005 §4.2: the sketch
+    inner product ⟨cmA_j, cmB_j⟩ upper-bounds |A ⋈ B| for every row
+    j; the min over rows is the estimate) — the optimizer/planner
+    statistic that prices a join WITHOUT running it, from sketches
+    each side maintains independently.
+
+    Scale shape: each input is scanned once into a ≤ depth×width
+    cell aggregate (map-side combined — the sketch size is a
+    CONSTANT); the inner product is a join of two sketch-sized
+    frames on (j, cell); everything downstream is a handful of rows.
+    Because cells are plain sums, per-partition/per-day sketches
+    merge by addition first — the same store-sketches-merge-later
+    posture as the HLL family. All math is exact integers, so the
+    *estimate* itself is value-oracle-checkable.
+
+    Returns one row: (exact_size, cm_estimate, overcount) — the
+    exact companion join is computed alongside for calibration (it
+    is the thing a production planner does NOT have; here it keeps
+    the estimator honest, the q148 pattern)."""
+    def cells(df: DataFrame, col: str) -> DataFrame:
+        v = F.col(col).cast("string")
+        return (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("j"),
+                                _cm_hash(j, v, width).alias("cell"),
+                            )
+                            for j in range(depth)
+                        ]
+                    )
+                ).alias("jc")
+            )
+            .groupBy(F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    ca = cells(a, a_col)
+    cb = cells(b, b_col)
+    per_row = (
+        ca.alias("x")
+        .join(
+            cb.alias("y"),
+            (F.col("x.j") == F.col("y.j"))
+            & (F.col("x.cell") == F.col("y.cell")),
+        )
+        .groupBy(F.col("x.j").alias("j"))
+        .agg(F.sum(F.col("x.cnt") * F.col("y.cnt")).alias("ip"))
+    )
+    # disjoint inputs produce an EMPTY inner-product / exact frame —
+    # a 0-cardinality estimate, not a NULL
+    est = per_row.agg(
+        F.coalesce(F.min("ip"), F.lit(0)).cast("long").alias("cm_estimate")
+    )
+    fa = a.groupBy(F.col(a_col).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    fb = b.groupBy(F.col(b_col).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    exact = fa.join(fb, "k").agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+        .cast("long")
+        .alias("exact_size")
+    )
+    return exact.crossJoin(est).select(
+        "exact_size",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_size")).alias("overcount"),
+    )

@@ -1193,3 +1193,70 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, est.select("doc_a", "doc_b"), k=3, threshold=0.0
     )
     return est.join(exact, ["doc_a", "doc_b"])
+
+
+# ---------------------------------------------------------------------------
+# q149 — join-cardinality estimation from count-min sketches
+# ---------------------------------------------------------------------------
+
+
+def _q149_oracle(depth: int = 4, width: int = 256) -> str:
+    def cm_cell(expr: str, j: str) -> str:
+        return (
+            f"('0x' || substring(md5('cm' || CAST({j} AS VARCHAR) || ':'"
+            f" || {expr}), 1, 8))::BIGINT % {width}"
+        )
+
+    return f"""
+WITH ja AS (
+  SELECT t.j AS j, {cm_cell("CAST(user_id AS VARCHAR)", "t.j")} AS cell,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN range(0, {depth}) t(j)
+  GROUP BY 1, 2
+), jb AS (
+  SELECT t.j AS j, {cm_cell("CAST(o_custkey AS VARCHAR)", "t.j")} AS cell,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders CROSS JOIN range(0, {depth}) t(j)
+  GROUP BY 1, 2
+), ip AS (
+  SELECT x.j, sum(x.cnt * y.cnt) AS ip
+  FROM ja x JOIN jb y ON x.j = y.j AND x.cell = y.cell
+  GROUP BY x.j
+), est AS (
+  SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS cm_estimate FROM ip
+), fa AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS na
+  FROM events GROUP BY 1
+), fb AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS nb
+  FROM orders GROUP BY 1
+), exact AS (
+  SELECT CAST(sum(na * nb) AS BIGINT) AS exact_size
+  FROM fa JOIN fb USING (k)
+)
+SELECT exact.exact_size, est.cm_estimate,
+       CAST(est.cm_estimate - exact.exact_size AS BIGINT) AS overcount
+FROM exact CROSS JOIN est
+"""
+
+
+@register("q149_join_size_estimate", _q149_oracle())
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation WITHOUT running the join — the
+    optimizer statistic: count-min sketches of events.user_id and
+    orders.o_custkey, estimate = min over sketch rows of the cell
+    inner product (an upper bound for every row — Cormode &
+    Muthukrishnan §4.2), emitted next to the exact size for
+    calibration (operators/sketches.cm_join_size_estimate). Each
+    table is scanned once into a constant-size cell aggregate;
+    sketches merge by addition (store-per-partition, estimate
+    later). Width 256 is deliberately small so hash collisions make
+    the overcount VISIBLE at test scale."""
+    from ..operators.sketches import cm_join_size_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return cm_join_size_estimate(ev, "user_id", orders, "o_custkey")
+# (coalesce mirrors the operator's empty-join guard; with this data
+# the join is never empty, but oracle and engine must agree on the
+# degenerate case too)

@@ -720,3 +720,39 @@ def test_ivfpq_duplicate_ranks_first(spark):
     assert [r["rank"] for r in got] == [1, 2, 3]
     # candidate set is cell-bounded: every result is a real row id
     assert all(0 <= r["neighbor_id"] < 60 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# cm_join_size_estimate
+# ---------------------------------------------------------------------------
+
+def test_cm_join_estimate_upper_bounds_exact(spark):
+    from nessus_client_etl_scripts_spark.operators.sketches import (
+        cm_join_size_estimate,
+    )
+
+    a = spark.createDataFrame(
+        [(i % 10,) for i in range(200)], "k long"
+    )  # keys 0..9, 20 each
+    b = spark.createDataFrame(
+        [(i % 20,) for i in range(100)], "k long"
+    )  # keys 0..19, 5 each
+    got = cm_join_size_estimate(a, "k", b, "k", width=64).collect()[0]
+    # exact: 10 shared keys × 20 × 5
+    assert got["exact_size"] == 1000
+    # count-min inner product NEVER under-estimates
+    assert got["cm_estimate"] >= got["exact_size"]
+    assert got["overcount"] == got["cm_estimate"] - got["exact_size"]
+
+
+def test_cm_join_estimate_disjoint_small(spark):
+    from nessus_client_etl_scripts_spark.operators.sketches import (
+        cm_join_size_estimate,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(100, 105)], "k long")
+    got = cm_join_size_estimate(a, "k", b, "k", width=4096).collect()[0]
+    assert got["exact_size"] == 0
+    # wide sketch + 5 keys/side → collisions vanish; estimate ~0
+    assert got["cm_estimate"] <= 2
