@@ -847,15 +847,19 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_type").alias("from_type"),
         F.col("event_type").alias("to_type"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    totals = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
-    return trans.join(F.broadcast(totals), "from_type").select(
+    # row totals via a window over the |types|²-row matrix — a
+    # totals-groupBy + re-join would re-execute the event-window
+    # subtree (Catalyst has no CSE across self-references)
+    wt = Window.partitionBy("from_type")
+    return trans.select(
         "from_type",
         "to_type",
         F.col("n").cast("long").alias("n"),
-        F.col("n_from").cast("long").alias("n_from"),
-        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
-            "p"
-        ),
+        F.sum("n").over(wt).cast("long").alias("n_from"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wt).cast("double")
+        ).alias("p"),
     )
 
 
