@@ -1264,3 +1264,94 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (coalesce mirrors the operator's empty-join guard; with this data
 # the join is never empty, but oracle and engine must agree on the
 # degenerate case too)
+
+
+# ---------------------------------------------------------------------------
+# q150 — incremental rollup maintenance (partial-aggregate merge proof)
+# ---------------------------------------------------------------------------
+
+_Q150_ORACLE = """
+WITH split AS (
+  SELECT min(ts) + (max(ts) - min(ts)) / 2 AS cut FROM events
+), base AS (
+  SELECT user_id, count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS s
+  FROM events CROSS JOIN split WHERE ts < cut GROUP BY user_id
+), delta AS (
+  SELECT user_id, count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS s
+  FROM events CROSS JOIN split WHERE ts >= cut GROUP BY user_id
+), merged AS (
+  SELECT user_id,
+         CAST(sum(n) AS BIGINT) AS n_merged,
+         CAST(sum(s) AS BIGINT) AS s_merged
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+  GROUP BY user_id
+), direct AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_direct,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_direct
+  FROM events GROUP BY user_id
+)
+SELECT m.user_id, m.n_merged, m.s_merged, d.n_direct, d.s_direct,
+       (m.n_merged = d.n_direct AND m.s_merged = d.s_direct)
+         AS maintenance_exact
+FROM merged m JOIN direct d USING (user_id)
+"""
+
+
+@register("q150_incremental_rollup", _Q150_ORACLE)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance proof — the batch
+    analogue of q104's sketch-merge: a per-user rollup kept as
+    PARTIAL aggregates (count + exact integer-cent sum) over a base
+    segment is refreshed by MERGING the delta segment's partials —
+    never rescanning the base — and emitted NEXT TO the
+    direct-from-raw rollup with an equality flag, so the driver hash
+    breaks if merge semantics ever drift. count/sum are the
+    decomposable-aggregate class (AVG = merged s/n downstream); at
+    100 TB this is the nightly-refresh shape: the base scan happens
+    once in history, every refresh touches only the delta."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    span = ev.agg(
+        (
+            F.min("ts").cast("long")
+            + (F.max("ts").cast("long") - F.min("ts").cast("long")) / 2
+        ).alias("cut_epoch")
+    )
+    e = ev.crossJoin(F.broadcast(span))
+    base = (
+        e.filter(F.col("ts").cast("long") < F.col("cut_epoch"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    )
+    delta = (
+        e.filter(F.col("ts").cast("long") >= F.col("cut_epoch"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_merged"),
+            F.sum("s").cast("long").alias("s_merged"),
+        )
+    )
+    direct = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_direct"),
+        F.sum("cents").cast("long").alias("s_direct"),
+    )
+    return merged.join(direct, "user_id").select(
+        "user_id",
+        "n_merged",
+        "s_merged",
+        "n_direct",
+        "s_direct",
+        (
+            (F.col("n_merged") == F.col("n_direct"))
+            & (F.col("s_merged") == F.col("s_direct"))
+        ).alias("maintenance_exact"),
+    )

@@ -756,3 +756,31 @@ def test_cm_join_estimate_disjoint_small(spark):
     assert got["exact_size"] == 0
     # wide sketch + 5 keys/side → collisions vanish; estimate ~0
     assert got["cm_estimate"] <= 2
+
+
+def test_incremental_rollup_flag_always_true(spark):
+    from nessus_client_etl_scripts_spark.plans.round6b_queries import q150
+    import tempfile, os, datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), i % 3, "click", float(i), "{}")
+        for i in range(50)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = q150(spark, d).collect()
+    assert len(got) == 3
+    assert all(r["maintenance_exact"] for r in got)
+    assert all(r["n_merged"] == r["n_direct"] for r in got)
+    # exact integer cents: sum over each user's values
+    by_user = {}
+    for i in range(50):
+        by_user.setdefault(i % 3, []).append(float(i))
+    for r in got:
+        assert r["s_merged"] == sum(round(v * 100) for v in by_user[r["user_id"]])
