@@ -1355,3 +1355,124 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s_merged") == F.col("s_direct"))
         ).alias("maintenance_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — zone-map pruning effectiveness: Z-order vs linear layout
+# ---------------------------------------------------------------------------
+
+_Q151_FILE_ROWS = 4096
+_Q151_PREDS = ((1, 5), (6, 10), (1, 50))
+
+
+def _q151_oracle() -> str:
+    from ..operators.layout import zorder_key_sql
+
+    z = zorder_key_sql("l_partkey", "l_suppkey")
+    preds = ",\n    ".join(f"({lo}, {hi})" for lo, hi in _Q151_PREDS)
+    return f"""
+WITH keyed AS (
+  SELECT l_partkey, l_suppkey,
+         {z} AS zval,
+         l_orderkey * 8 + l_linenumber AS rk
+  FROM lineitem
+), rz AS (
+  SELECT 'zorder' AS layout, l_suppkey,
+         row_number() OVER (ORDER BY zval, rk) AS rn
+  FROM keyed
+), rl AS (
+  SELECT 'linear' AS layout, l_suppkey,
+         row_number() OVER (ORDER BY l_partkey, rk) AS rn
+  FROM keyed
+), files AS (
+  SELECT layout, (rn - 1) // {_Q151_FILE_ROWS} AS file_id,
+         count(*) AS n_rows,
+         min(l_suppkey) AS mn, max(l_suppkey) AS mx
+  FROM (SELECT * FROM rz UNION ALL SELECT * FROM rl)
+  GROUP BY 1, 2
+), preds(pred_lo, pred_hi) AS (VALUES
+    {preds}
+)
+SELECT layout,
+       CAST(pred_lo AS BIGINT) AS pred_lo,
+       CAST(pred_hi AS BIGINT) AS pred_hi,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN NOT (mx < pred_lo OR mn > pred_hi)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+       CAST(sum(CASE WHEN NOT (mx < pred_lo OR mn > pred_hi)
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(CASE WHEN NOT (mx < pred_lo OR mn > pred_hi)
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS scan_fraction
+FROM files CROSS JOIN preds
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q151_zone_map_pruning", _q151_oracle())
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness — the metric that justifies q119's
+    layout pass: build zone maps for the SAME table under the
+    Z-order layout and a naive primary-key-sorted layout, replay
+    range predicates on the SECONDARY key (l_suppkey) against each,
+    and emit files/rows scanned per (layout, predicate). Z-order
+    keeps both dimensions locally contiguous so its secondary-key
+    zone maps prune; the linear layout's suppkey ranges each span
+    the whole domain and scan everything — the emitted table is that
+    argument as data. All planning math runs on the |files|-row
+    metadata frame; file assignment is scalable_row_number (range
+    exchange, never a single-task window)."""
+    from ..operators.layout import zone_maps, zorder_key
+    from ..operators.windows import scalable_row_number
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_partkey",
+        "l_suppkey",
+        zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zval"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rk"),
+    )
+    layouts = []
+    for tag, order in (("zorder", ("zval", "rk")), ("linear", ("l_partkey", "rk"))):
+        rn = scalable_row_number(keyed, order, out_col="rn")
+        files = zone_maps(
+            rn.select(
+                "l_suppkey",
+                F.floor((F.col("rn") - 1) / _Q151_FILE_ROWS).alias("file_id"),
+            ),
+            "file_id",
+            ("l_suppkey",),
+        )
+        layouts.append(files.select(F.lit(tag).alias("layout"), "*"))
+    zm = layouts[0].unionByName(layouts[1])
+    preds = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lo).cast("long").alias("pred_lo"),
+                    F.lit(hi).cast("long").alias("pred_hi"),
+                )
+                for lo, hi in _Q151_PREDS
+            ]
+        )
+    ).alias("p")
+    crossed = zm.select("*", preds).select(
+        "layout",
+        "n_rows",
+        F.col("min_l_suppkey").alias("mn"),
+        F.col("max_l_suppkey").alias("mx"),
+        F.col("p.pred_lo").alias("pred_lo"),
+        F.col("p.pred_hi").alias("pred_hi"),
+    )
+    scanned = ~((F.col("mx") < F.col("pred_lo")) | (F.col("mn") > F.col("pred_hi")))
+    return crossed.groupBy("layout", "pred_lo", "pred_hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(scanned.cast("int")).cast("long").alias("n_scanned"),
+        F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+        (
+            F.sum(scanned.cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("scan_fraction"),
+    )
