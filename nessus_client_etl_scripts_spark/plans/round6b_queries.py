@@ -1,4 +1,4 @@
-"""Round-6 second wave — q132…q144: the retrieval/graph/sketch
+"""Round-6 second wave — q132…q151: the retrieval/graph/sketch
 extensions of the LLM-data-pipeline surface (SURVEY.md §7 Phase 4).
 
 - q132 BM25 keyword retrieval; q133 lexical⊕dense hybrid via
@@ -15,8 +15,13 @@ extensions of the LLM-data-pipeline surface (SURVEY.md §7 Phase 4).
 - q138 HLL audience overlap by inclusion–exclusion over register
   frames (q104's merge machinery, applied pairwise).
 - q140 product-quantization ANN (compressed-domain tier of brute
-  q27 / LSH q32 / IVF q39+q79); q141 deterministic negative
-  sampling; q142 one corpus-wide BPE merge iteration.
+  q27 / LSH q32 / IVF q39+q79); q147 IVF-PQ, their composition;
+  q141 deterministic negative sampling; q142 one corpus-wide BPE
+  merge iteration; q148 MinHash estimator calibration.
+- q145 quantile normalization; q146 trailing-window distinct via
+  rolling HLL merges; q149 count-min join-size estimation; q150
+  incremental rollup maintenance; q151 zone-map pruning
+  effectiveness (Z-order vs linear, the q119 layout's payoff).
 
 Float portability per PLANS.md: no logs/exps anywhere (RSJ
 odds-ratio idf, lift-not-PMI); contributions micro-round before
