@@ -1481,3 +1481,90 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("scan_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q152 — per-group trend: least-squares slope from exact integer moments
+# ---------------------------------------------------------------------------
+
+_Q152_ORACLE = """
+WITH ref AS (
+  SELECT min((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 3600) AS h0
+  FROM events
+), pts AS (
+  SELECT event_type,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 3600
+           - (SELECT h0 FROM ref) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n, sx, sy,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_hour,
+       CAST(round(((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) * 1000000.0)
+            AS BIGINT) AS intercept_micro
+FROM m
+"""
+
+
+@register("q152_trend_slope", _Q152_ORACLE)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend — is each event type's value
+    drifting? — computed ENTIRELY from exact integer moments (n, Σx,
+    Σy, Σxy, Σx² in BIGINT over hour offsets × integer cents): one
+    map-side-combined aggregate per group, slope = ONE division of
+    exact integers (bit-portable, the q64 correlation trick applied
+    to regression), intercept micro-rounded because slope·Σx is an
+    FMA-contractible polynomial (the q140 rule). The reference
+    timestamp is a 1-row broadcast min — no window, no second scan
+    funnel."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).alias("h"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    ref = base.agg(F.min("h").alias("h0"))
+    pts = base.crossJoin(F.broadcast(ref)).select(
+        "event_type", (F.col("h") - F.col("h0")).alias("x"), "y"
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    intercept = (
+        (
+            F.col("sy").cast("double")
+            - slope * F.col("sx").cast("double")
+        )
+        / F.col("n").cast("double")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        slope.alias("slope_cents_per_hour"),
+        F.round(intercept * F.lit(1e6)).cast("long").alias("intercept_micro"),
+    )
