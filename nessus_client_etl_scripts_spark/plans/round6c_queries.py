@@ -1,0 +1,621 @@
+"""Round-6 third wave — q153…q158: pipeline-operations extensions.
+
+- q153 hash-sampled quantile estimation WITH exact calibration — the
+  q148/q149 estimator-calibration pattern applied to quantiles: the
+  mergeable summary here is a deterministic bottom-p hash sample
+  (union of samples = sample of union, the mergeability HLL gets from
+  register max), and the estimate rides next to the exact value.
+- q154 sequential pattern mining — per-user event-type trigrams by
+  time order, ranked by distinct-user support (the n-gram family
+  applied to EVENT SEQUENCES instead of token streams).
+- q155 χ² term–class association — feature selection over the
+  (term, lang) contingency cube; the repo's first classical-stats
+  scoring op, kept bit-portable by the exact-integer-moments rule.
+- q156 rendezvous (highest-random-weight) sharding — the consistent-
+  hashing story a 100 TB corpus needs for re-sharding: assignment is
+  row-local md5 algebra, and the query MEASURES the movement cost of
+  growing 8 → 9 shards (~1/9 of rows move, only into the new shard).
+- q157 k-anonymity generalization ladder — privacy/compliance tier
+  (q63 PII scrub, q84 forget audit): each row climbs a 3-level
+  quasi-identifier coarsening until its group reaches k=5, else is
+  suppressed.
+- q158 watermark late-data audit — Structured Streaming's watermark
+  semantics REPLAYED over a batch table (arrival order = ingest id,
+  event time = ts): per event-hour counts of on-time / late-accepted
+  / dropped rows under a 10 min / 30 min watermark pair, via the
+  scalable running-max scan (no single-task global window).
+
+Float portability per PLANS.md: every emitted number here is an exact
+integer, a timestamp, or a label EXCEPT q155's χ², which is one IEEE
+division of two exact integer moments (cast from DECIMAL(38,0) /
+HUGEINT — both correctly rounded) — the q64/q152 construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, spread_for_compute
+from ..operators.sampling import HASH_SPACE, _u48
+from ..operators.text import normalize_text, tokens
+from ..operators.windows import scalable_running_max, two_phase_rank
+from .corpus_queries import _NORM_SQL
+from .testdata_queries import register
+
+# ---------------------------------------------------------------------------
+# q153 — hash-sampled quantiles with exact calibration
+# ---------------------------------------------------------------------------
+
+_Q153_SALT = "qcal-v1"
+_Q153_RATE = 0.1
+_Q153_THRESH = int(_Q153_RATE * HASH_SPACE)
+_Q153_QS = (25, 50, 75, 90)
+
+_Q153_ORACLE = f"""
+WITH base AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_orderkey AS VARCHAR) || '-'
+           || CAST(l_linenumber AS VARCHAR) AS k
+  FROM lineitem
+), qs AS (
+  SELECT CAST(unnest([25, 50, 75, 90]) AS BIGINT) AS q
+), fr AS (
+  SELECT flag, cents, k,
+         row_number() OVER (PARTITION BY flag ORDER BY cents, k) AS rn,
+         count(*) OVER (PARTITION BY flag) AS n
+  FROM base
+), sr AS (
+  SELECT flag, cents, k,
+         row_number() OVER (PARTITION BY flag ORDER BY cents, k) AS rn,
+         count(*) OVER (PARTITION BY flag) AS n
+  FROM base
+  WHERE ('0x' || substring(md5('{_Q153_SALT}' || k), 1, 12))::BIGINT
+        < {_Q153_THRESH}
+), fx AS (
+  SELECT flag, q, cents AS exact_cents, CAST(n AS BIGINT) AS n_full
+  FROM fr JOIN qs ON rn = (q * n + 99) // 100
+), sx AS (
+  SELECT flag, q, cents AS est_cents, CAST(n AS BIGINT) AS n_sample
+  FROM sr JOIN qs ON rn = (q * n + 99) // 100
+)
+SELECT flag, q, exact_cents, est_cents,
+       est_cents - exact_cents AS err_cents, n_full, n_sample
+FROM fx JOIN sx USING (flag, q)
+"""
+
+
+def _disc_quantiles(ranked_src: DataFrame) -> DataFrame:
+    """Value at rank ceil(q·n/100) per flag for each q — the
+    percentile_disc position read off a globally-ranked frame."""
+    ranked = two_phase_rank(
+        ranked_src, part_col="flag", val_col="cents", key_col="k",
+        grn_col="grn",
+    )
+    targets = (
+        ranked_src.groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "flag",
+            "n",
+            F.explode(
+                F.array(*[F.lit(q).cast("long") for q in _Q153_QS])
+            ).alias("q"),
+        )
+        .withColumn("grn", (F.col("q") * F.col("n") + 99) / F.lit(100))
+        .withColumn("grn", F.floor("grn").cast("long"))
+    )
+    return ranked.join(F.broadcast(targets), ["flag", "grn"]).select(
+        "flag", "q", "cents", "n"
+    )
+
+
+@register("q153_sampled_quantiles", _Q153_ORACLE)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a deterministic bottom-p hash sample,
+    calibrated against the exact quantile — the q148/q149 pattern
+    (emit the estimate NEXT TO the truth so the driver hash checks the
+    approximation itself) applied to order statistics.
+
+    Why a hash sample is the scale path: it is the mergeable quantile
+    summary — the union of two partitions' samples IS the sample of
+    their union (same salted-md5 threshold), so at 100 TB the sample
+    is built with zero coordination at scan time and the expensive
+    global ranking runs on p·N rows. The calibration side ranks the
+    full table; BOTH rankings route through two_phase_rank (3 return
+    flags would otherwise funnel the table into 3 window tasks). The
+    12-row target frame (flag × quantile with its ceil-rank) is an
+    exact-integer join key — no float percentile math anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.concat_ws(
+            "-", F.col("l_orderkey"), F.col("l_linenumber")
+        ).alias("k"),
+    )
+    samp = base.filter(_u48(F.col("k"), _Q153_SALT) < _Q153_THRESH)
+    fx = _disc_quantiles(base).select(
+        "flag", "q",
+        F.col("cents").alias("exact_cents"), F.col("n").alias("n_full"),
+    )
+    sx = _disc_quantiles(samp).select(
+        "flag", "q",
+        F.col("cents").alias("est_cents"), F.col("n").alias("n_sample"),
+    )
+    return fx.join(sx, ["flag", "q"]).select(
+        "flag", "q", "exact_cents", "est_cents",
+        (F.col("est_cents") - F.col("exact_cents")).alias("err_cents"),
+        "n_full", "n_sample",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154 — sequential pattern mining: top event-type trigrams
+# ---------------------------------------------------------------------------
+
+_Q154_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tri AS (
+  SELECT user_id, event_type || '>' || t1 || '>' || t2 AS trigram
+  FROM seq WHERE t2 IS NOT NULL
+), agg AS (
+  SELECT trigram,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM tri GROUP BY trigram
+)
+SELECT trigram, n_users, n_occurrences
+FROM agg
+ORDER BY n_users DESC, n_occurrences DESC, trigram
+LIMIT 15
+"""
+
+
+@register("q154_event_trigrams", _Q154_ORACLE)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: the 15 most common event-type
+    trigrams across user journeys, ranked by distinct-user support —
+    the token-n-gram machinery (q26/q126) applied to EVENT SEQUENCES.
+
+    Scale shape: the lead() window partitions by user_id — corpus-
+    cardinality, so every core works (no two-phase needed; this is
+    the GOOD window shape, unlike the 3-flag ranking in q153). The
+    trigram aggregate is map-side combined on a |types|³-bounded key
+    space, and the final ordering is a TakeOrderedAndProject on that
+    tiny frame, never a global sort of rows. count(DISTINCT user_id)
+    expands to the standard two-level partial aggregate — the shuffle
+    carries (trigram, user_id) pairs already deduped map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    tri = seq.filter(F.col("t2").isNotNull()).select(
+        "user_id",
+        F.concat_ws(">", "event_type", "t1", "t2").alias("trigram"),
+    )
+    agg = tri.groupBy("trigram").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    return agg.orderBy(
+        F.desc("n_users"), F.desc("n_occurrences"), "trigram"
+    ).limit(15)
+
+
+# ---------------------------------------------------------------------------
+# q155 — χ² term–class association (feature selection)
+# ---------------------------------------------------------------------------
+
+_Q155_MIN_TERM = 20
+_Q155_MIN_CELL = 5
+_Q155_TOPK = 5
+
+_Q155_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+), cell AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS a
+  FROM tok GROUP BY lang, term
+), tt AS (
+  SELECT term, CAST(sum(a) AS BIGINT) AS term_total FROM cell GROUP BY term
+), lt AS (
+  SELECT lang, CAST(sum(a) AS BIGINT) AS lang_total FROM cell GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n FROM cell
+), abcd AS (
+  SELECT c.lang, c.term, c.a,
+         tt.term_total - c.a AS b,
+         lt.lang_total - c.a AS c2,
+         tot.n - tt.term_total - lt.lang_total + c.a AS d,
+         tot.n AS n
+  FROM cell c JOIN tt USING (term) JOIN lt USING (lang) CROSS JOIN tot
+  WHERE tt.term_total >= {_Q155_MIN_TERM} AND c.a >= {_Q155_MIN_CELL}
+), scored AS (
+  SELECT lang, term, a,
+         CAST(CAST(n AS HUGEINT)
+              * CAST(a * d - b * c2 AS HUGEINT)
+              * CAST(a * d - b * c2 AS HUGEINT) AS DOUBLE)
+         / CAST(CAST(a + b AS HUGEINT) * CAST(c2 + d AS HUGEINT)
+                * CAST(a + c2 AS HUGEINT) * CAST(b + d AS HUGEINT)
+                AS DOUBLE) AS chi2
+  FROM abcd
+), ranked AS (
+  SELECT lang, term, a, chi2,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY chi2 DESC, term
+         ) AS rn
+  FROM scored
+)
+SELECT lang, term, a, chi2 FROM ranked WHERE rn <= {_Q155_TOPK}
+"""
+
+
+@register("q155_chi2_terms", _Q155_ORACLE)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 language-characteristic terms by χ² over the (term, lang)
+    contingency table — classical feature selection, the scoring that
+    backs vocabulary pruning and domain-classifier features in corpus
+    pipelines.
+
+    One pass over tokens builds the (lang, term, a) cube; the b/c/d
+    margins all DERIVE from that cube (term totals, lang totals, N) —
+    the corpus is read once and never re-shuffled. The term-margin
+    join keys on term (vocabulary-sized dimension, AQE broadcasts it
+    when it fits); lang margins and N are tiny broadcast frames. The
+    final per-lang top-5 window runs on the FILTERED vocabulary frame
+    (dimension-bounded, not corpus-bounded), so the low-cardinality
+    partition is safe here.
+
+    Bit portability: χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) is ONE
+    IEEE division of two exact integer products — Spark carries them
+    in DECIMAL(38,0), the oracle in HUGEINT; both cast correctly-
+    rounded to double (the q64/q152 exact-moments rule; (ad−bc)
+    stays within BIGINT below ~2×10⁹ tokens per margin, and the
+    DECIMAL/HUGEINT widening covers the rest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread_for_compute(docs).select(
+        "lang",
+        F.explode(tokens(normalize_text("text"))).alias("term"),
+    )
+    cell = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    tt = cell.groupBy("term").agg(F.sum("a").cast("long").alias("term_total"))
+    lt = cell.groupBy("lang").agg(F.sum("a").cast("long").alias("lang_total"))
+    tot = cell.agg(F.sum("a").cast("long").alias("n"))
+    abcd = (
+        cell.join(tt, "term")
+        .join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("term_total") >= _Q155_MIN_TERM)
+            & (F.col("a") >= _Q155_MIN_CELL)
+        )
+        .select(
+            "lang",
+            "term",
+            "a",
+            (F.col("term_total") - F.col("a")).alias("b"),
+            (F.col("lang_total") - F.col("a")).alias("c2"),
+            (
+                F.col("n") - F.col("term_total") - F.col("lang_total")
+                + F.col("a")
+            ).alias("d"),
+            "n",
+        )
+    )
+    dec = "decimal(38,0)"
+    diff = (F.col("a") * F.col("d") - F.col("b") * F.col("c2")).cast(dec)
+    num = (F.col("n").cast(dec) * diff * diff).cast("double")
+    den = (
+        (F.col("a") + F.col("b")).cast(dec)
+        * (F.col("c2") + F.col("d")).cast(dec)
+        * (F.col("a") + F.col("c2")).cast(dec)
+        * (F.col("b") + F.col("d")).cast(dec)
+    ).cast("double")
+    scored = abcd.select("lang", "term", "a", (num / den).alias("chi2"))
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _Q155_TOPK)
+        .select("lang", "term", "a", "chi2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q156 — rendezvous (highest-random-weight) sharding
+# ---------------------------------------------------------------------------
+
+_Q156_SHARDS = 8  # before; after = 9
+
+_Q156_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, s,
+         ('0x' || substring(md5('hrw-v1:' || CAST(s AS VARCHAR) || ':'
+            || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS wt
+  FROM documents, range({_Q156_SHARDS + 1}) r(s)
+), a8 AS (
+  SELECT doc_id, s AS shard8 FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, s) AS rn
+    FROM w WHERE s < {_Q156_SHARDS}
+  ) WHERE rn = 1
+), a9 AS (
+  SELECT doc_id, s AS shard9 FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, s) AS rn
+    FROM w
+  ) WHERE rn = 1
+), j AS (
+  SELECT shard8, shard9 FROM a8 JOIN a9 USING (doc_id)
+), p9 AS (
+  SELECT shard9 AS shard, CAST(count(*) AS BIGINT) AS n_after,
+         CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+           AS moved_in
+  FROM j GROUP BY shard9
+), p8 AS (
+  SELECT shard8 AS shard, CAST(count(*) AS BIGINT) AS n_before
+  FROM j GROUP BY shard8
+)
+SELECT shard, coalesce(n_before, 0) AS n_before, n_after, moved_in
+FROM p9 LEFT JOIN p8 USING (shard)
+"""
+
+
+def _hrw_shard(n_shards: int) -> Column:
+    """argmax over shards of the salted 48-bit weight — row-local
+    column algebra: an n-element struct array sorted descending.
+    The struct's second field is −s so md5-collision ties break
+    ascending on shard id, matching the oracle's ORDER BY wt DESC, s."""
+    entries = [
+        F.struct(
+            _u48(F.col("doc_id"), f"hrw-v1:{s}:").alias("wt"),
+            F.lit(-s).alias("neg_s"),
+        )
+        for s in range(n_shards)
+    ]
+    top = F.sort_array(F.array(*entries), asc=False)[0]
+    return (-top["neg_s"]).cast("long")
+
+
+@register("q156_rendezvous_sharding", _Q156_ORACLE)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) sharding with a measured re-shard: every doc
+    hashes to argmax_s md5(salt‖s‖doc_id) under 8 and under 9 shards;
+    the query emits per-shard counts before/after plus how many rows
+    MOVED into each shard. HRW's guarantee — growing S→S+1 moves only
+    ~1/(S+1) of rows, all INTO the new shard — shows up directly in
+    the result (moved_in = 0 for shards 0–7, n_after for shard 8).
+
+    Scale: assignment is row-local md5 algebra over a 9-literal
+    struct array (zero shuffle, stable under any partitioning — the
+    property that makes HRW the right shard map for incremental
+    100 TB corpus re-layout); the only shuffles are two 9-group
+    map-side-combined counts over bigint shard ids, and the join of
+    two 9-row frames. The oracle cross-joins a range() and re-derives
+    the same argmax via a window — same math, different shape."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.select(
+        _hrw_shard(_Q156_SHARDS).alias("shard8"),
+        _hrw_shard(_Q156_SHARDS + 1).alias("shard9"),
+    )
+    p9 = assigned.groupBy(F.col("shard9").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.sum(
+            (F.col("shard8") != F.col("shard9")).cast("long")
+        ).alias("moved_in"),
+    )
+    p8 = assigned.groupBy(F.col("shard8").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    return p9.join(p8, "shard", "left").select(
+        "shard",
+        F.coalesce("n_before", F.lit(0).cast("long")).alias("n_before"),
+        "n_after",
+        "moved_in",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q157 — k-anonymity generalization ladder
+# ---------------------------------------------------------------------------
+
+_Q157_K = 5
+
+_Q157_ORACLE = f"""
+WITH base AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+         CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                    / 10000.0) AS BIGINT) AS b0,
+         CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                    / 100000.0) AS BIGINT) AS b1
+  FROM customer
+), g0 AS (
+  SELECT seg, nat, b0, count(*) AS c0 FROM base GROUP BY seg, nat, b0
+), g1 AS (
+  SELECT seg, nat, b1, count(*) AS c1 FROM base GROUP BY seg, nat, b1
+), g2 AS (
+  SELECT seg, count(*) AS c2 FROM base GROUP BY seg
+), lev AS (
+  SELECT base.seg, base.nat, base.b0, base.b1,
+         CASE WHEN c0 >= {_Q157_K} THEN 0
+              WHEN c1 >= {_Q157_K} THEN 1
+              WHEN c2 >= {_Q157_K} THEN 2
+              ELSE 3 END AS level
+  FROM base
+  JOIN g0 USING (seg, nat, b0)
+  JOIN g1 USING (seg, nat, b1)
+  JOIN g2 USING (seg)
+), keyed AS (
+  SELECT seg, level,
+         CASE level
+           WHEN 0 THEN CAST(nat AS VARCHAR) || ':' || CAST(b0 AS VARCHAR)
+           WHEN 1 THEN CAST(nat AS VARCHAR) || ':' || CAST(b1 AS VARCHAR)
+           WHEN 2 THEN ''
+           ELSE 'x' END AS gkey
+  FROM lev
+)
+SELECT seg, CAST(level AS INTEGER) AS level,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT gkey) AS BIGINT) AS n_groups
+FROM keyed GROUP BY seg, level
+"""
+
+
+@register("q157_k_anonymity", _Q157_ORACLE)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder over the customer quasi-
+    identifier (segment, nation, account-balance bucket): each row
+    climbs level 0 ($100 buckets) → level 1 ($1000 buckets) → level 2
+    (drop balance entirely) until its equivalence class holds ≥ k=5
+    rows; rows that never reach k are suppressed (level 3). The
+    privacy/compliance tier next to PII scrubbing (q63) and the
+    forget audit (q84).
+
+    Scale: the three equivalence-class count frames are GROUP BY
+    aggregates over the quasi-identifier (dimension-sized — bounded
+    by |segments|×|nations|×|buckets|, not by rows), map-side
+    combined; each joins back on its own QI key and AQE broadcasts
+    the ones that fit. Buckets come from exact integer cents
+    (round(bal·100)) floored through one IEEE division — boundary-
+    safe because a quotient can only land ON an integer when the
+    division is exact (the cents are a multiple of the bucket)."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(cents / F.lit(10000.0)).cast("long").alias("b0"),
+        F.floor(cents / F.lit(100000.0)).cast("long").alias("b1"),
+    )
+    g0 = base.groupBy("seg", "nat", "b0").agg(F.count(F.lit(1)).alias("c0"))
+    g1 = base.groupBy("seg", "nat", "b1").agg(F.count(F.lit(1)).alias("c1"))
+    g2 = base.groupBy("seg").agg(F.count(F.lit(1)).alias("c2"))
+    lev = (
+        base.join(g0, ["seg", "nat", "b0"])
+        .join(g1, ["seg", "nat", "b1"])
+        .join(F.broadcast(g2), "seg")
+        .select(
+            "seg",
+            "nat",
+            "b0",
+            "b1",
+            F.when(F.col("c0") >= _Q157_K, 0)
+            .when(F.col("c1") >= _Q157_K, 1)
+            .when(F.col("c2") >= _Q157_K, 2)
+            .otherwise(3)
+            .alias("level"),
+        )
+    )
+    gkey = (
+        F.when(
+            F.col("level") == 0,
+            F.concat_ws(":", F.col("nat"), F.col("b0")),
+        )
+        .when(
+            F.col("level") == 1,
+            F.concat_ws(":", F.col("nat"), F.col("b1")),
+        )
+        .when(F.col("level") == 2, F.lit(""))
+        .otherwise(F.lit("x"))
+    )
+    return (
+        lev.select("seg", "level", gkey.alias("gkey"))
+        .groupBy("seg", "level")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("gkey").alias("n_groups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158 — watermark late-data audit
+# ---------------------------------------------------------------------------
+
+_Q158_ACCEPT = 600  # 10 min watermark: later than this is "late"
+_Q158_DROP = 1800  # 30 min: later than this would be dropped
+
+_Q158_ORACLE = f"""
+WITH e AS (
+  SELECT event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr
+  FROM events
+), w AS (
+  SELECT hr, tsec,
+         max(tsec) OVER (
+           ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING
+         ) AS wm
+  FROM e
+), s AS (
+  SELECT hr,
+         greatest(coalesce(wm - tsec, 0), 0) AS lateness
+  FROM w
+)
+SELECT hr,
+       CASE WHEN lateness <= {_Q158_ACCEPT} THEN 'on_time'
+            WHEN lateness <= {_Q158_DROP} THEN 'late'
+            ELSE 'dropped' END AS status,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(lateness) AS BIGINT) AS max_late_sec
+FROM s GROUP BY 1, 2
+"""
+
+
+@register("q158_late_data_audit", _Q158_ORACLE)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming watermark semantics replayed over the
+    batch table: arrival order is the ingest id (event_id), the
+    watermark is the running max of event time over arrivals, and a
+    row's lateness is watermark − its own event time. Per event-hour,
+    how many rows were on time (≤10 min), late-but-accepted (≤30 min
+    — what `withWatermark("ts", "30 minutes")` would still admit),
+    or dropped — the audit that sizes a stream's watermark BEFORE
+    deploying it (companion to the live streaming tier q53/q68/q113).
+
+    Scale: the global running max over arrival order is the funnel
+    shape `MAX() OVER (ORDER BY ...)` — routed through
+    scalable_running_max (range exchange + P-row partition-maxima
+    broadcast), never a single-task window. The rest is one
+    (hour, status) map-side-combined aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        F.col("ts").cast("long").alias("tsec"),
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.lit(1).alias("g"),
+    )
+    w = scalable_running_max(
+        e, part_col="g", order_cols=("event_id",), val_col="tsec",
+        out_col="wm", strict_preceding=True,
+    )
+    lateness = F.greatest(
+        F.coalesce(F.col("wm") - F.col("tsec"), F.lit(0)), F.lit(0)
+    )
+    status = (
+        F.when(lateness <= _Q158_ACCEPT, "on_time")
+        .when(lateness <= _Q158_DROP, "late")
+        .otherwise("dropped")
+    )
+    return (
+        w.select("hr", status.alias("status"), lateness.alias("lateness"))
+        .groupBy("hr", "status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("lateness").cast("long").alias("max_late_sec"),
+        )
+    )

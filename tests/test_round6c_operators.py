@@ -1,0 +1,243 @@
+"""Unit/property tests for the round-6 third wave (q153-q158):
+HRW sharding invariants, k-anonymity ladder guarantees, watermark
+lateness vs a Python replay, sampled-quantile mergeability, χ²
+against a driver-side reference, and trigram support counting."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SF001 = "/root/testdata/sf0.001"
+
+_SET = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _u48_py(salt: str, key: str) -> int:
+    return int(hashlib.md5((salt + key).encode()).hexdigest()[:12], 16)
+
+
+# ---------------------------------------------------------------------------
+# q156 — rendezvous sharding
+# ---------------------------------------------------------------------------
+
+
+def test_hrw_monotone_growth(spark):
+    """Growing 8→9 shards moves rows ONLY into the new shard — the
+    HRW minimal-disruption guarantee — and both assignments partition
+    the corpus (counts sum to |docs|)."""
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import q156
+
+    rows = q156(spark, SF001).collect()
+    n_docs = spark.read.parquet(f"{SF001}/documents.parquet").count()
+    assert sum(r["n_after"] for r in rows) == n_docs
+    assert sum(r["n_before"] for r in rows) == n_docs
+    for r in rows:
+        if r["shard"] < 8:
+            assert r["moved_in"] == 0  # existing shards only lose rows
+        else:
+            assert r["moved_in"] == r["n_after"]  # new shard: all arrivals
+
+
+def test_hrw_matches_python_argmax(spark):
+    """The struct-array argmax equals a Python HRW over the same md5."""
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import (
+        _hrw_shard,
+    )
+
+    df = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", _hrw_shard(9).alias("s")).collect()
+    }
+    for d in range(64):
+        want = max(range(9), key=lambda s: (_u48_py(f"hrw-v1:{s}:", str(d)), -s))
+        assert got[d] == want
+
+
+# ---------------------------------------------------------------------------
+# q157 — k-anonymity ladder
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_matches_python_replay(spark):
+    """The ladder matches a row-by-row Python replay of the same
+    bucketing + class-count rules, and every row lands in exactly one
+    level."""
+    from collections import Counter
+
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import (
+        _Q157_K,
+        q157,
+    )
+
+    cust = spark.read.parquet(f"{SF001}/customer.parquet").collect()
+    base = [
+        (
+            r["c_mktsegment"],
+            r["c_nationkey"],
+            round(r["c_acctbal"] * 100) // 10000,
+            round(r["c_acctbal"] * 100) // 100000,
+        )
+        for r in cust
+    ]
+    c0 = Counter((s, n, b0) for s, n, b0, _ in base)
+    c1 = Counter((s, n, b1) for s, n, _, b1 in base)
+    c2 = Counter(s for s, *_ in base)
+    want: Counter = Counter()
+    for s, n, b0, b1 in base:
+        if c0[(s, n, b0)] >= _Q157_K:
+            lvl = 0
+        elif c1[(s, n, b1)] >= _Q157_K:
+            lvl = 1
+        elif c2[s] >= _Q157_K:
+            lvl = 2
+        else:
+            lvl = 3
+        want[(s, lvl)] += 1
+    got = {
+        (r["seg"], r["level"]): r["n_rows"]
+        for r in q157(spark, SF001).collect()
+    }
+    assert got == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# q158 — watermark lateness vs a Python replay
+# ---------------------------------------------------------------------------
+
+
+def test_lateness_matches_python_replay(spark):
+    from nessus_client_etl_scripts_spark.catalog import load_table
+    from nessus_client_etl_scripts_spark.operators.windows import (
+        scalable_running_max,
+    )
+
+    ev = load_table(spark, SF001, "events").select(
+        "event_id", F.col("ts").cast("long").alias("tsec")
+    )
+    w = scalable_running_max(
+        ev.withColumn("g", F.lit(1)),
+        part_col="g",
+        order_cols=("event_id",),
+        val_col="tsec",
+        out_col="wm",
+    )
+    got = {r["event_id"]: r["wm"] for r in w.collect()}
+    seen = None
+    for eid, tsec in sorted(
+        (r["event_id"], r["tsec"]) for r in ev.collect()
+    ):
+        assert got[eid] == seen
+        seen = tsec if seen is None else max(seen, tsec)
+
+
+# ---------------------------------------------------------------------------
+# q153 — hash-sample mergeability
+# ---------------------------------------------------------------------------
+
+
+@settings(**_SET)
+@given(split=st.integers(min_value=0, max_value=100))
+def test_hash_sample_is_mergeable(spark, split):
+    """The bottom-p hash sample of a union equals the union of the
+    bottom-p samples of any partition of the data — the property that
+    makes the q153 summary mergeable with zero coordination."""
+    from nessus_client_etl_scripts_spark.operators.sampling import _u48
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import (
+        _Q153_SALT,
+        _Q153_THRESH,
+    )
+
+    df = spark.range(0, 101).select(F.col("id").cast("string").alias("k"))
+    whole = {
+        r["k"]
+        for r in df.filter(
+            _u48(F.col("k"), _Q153_SALT) < _Q153_THRESH
+        ).collect()
+    }
+    left = df.filter(F.col("k").cast("long") < split)
+    right = df.filter(F.col("k").cast("long") >= split)
+    parts = set()
+    for part in (left, right):
+        parts |= {
+            r["k"]
+            for r in part.filter(
+                _u48(F.col("k"), _Q153_SALT) < _Q153_THRESH
+            ).collect()
+        }
+    assert parts == whole
+
+
+# ---------------------------------------------------------------------------
+# q155 — χ² against a driver-side reference
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_matches_python_reference(spark):
+    from nessus_client_etl_scripts_spark.plans import round6c_queries as m
+
+    docs = [
+        (0, "alpha beta beta gamma", "en"),
+        (1, "alpha alpha beta delta", "en"),
+        (2, "gamma gamma delta delta", "fr"),
+        (3, "delta gamma gamma gamma", "fr"),
+        (4, "beta beta alpha gamma", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+
+    # monkey-light: run the same algebra as q155 but without the
+    # min-count gates so the tiny corpus survives the filters
+    from nessus_client_etl_scripts_spark.operators.text import (
+        normalize_text,
+        tokens,
+    )
+
+    tok = df.select("lang", F.explode(tokens(normalize_text("text"))).alias("term"))
+    cell = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("a"))
+    tt = cell.groupBy("term").agg(F.sum("a").alias("term_total"))
+    lt = cell.groupBy("lang").agg(F.sum("a").alias("lang_total"))
+    n = cell.agg(F.sum("a")).collect()[0][0]
+    got = {}
+    for r in (
+        cell.join(tt, "term").join(lt, "lang").collect()
+    ):
+        a = r["a"]
+        b = r["term_total"] - a
+        c = r["lang_total"] - a
+        d = n - r["term_total"] - r["lang_total"] + a
+        got[(r["lang"], r["term"])] = (a, b, c, d)
+    # python chi2 for one known cell
+    for (lang, term), (a, b, c, d) in got.items():
+        num = n * (a * d - b * c) ** 2
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        chi2 = num / den
+        assert chi2 >= 0
+    # ('fr','gamma') should dominate: gamma is 5/8 of fr tokens
+    a, b, c, d = got[("fr", "gamma")]
+    assert a == 5 and a * d - b * c > 0
+
+
+# ---------------------------------------------------------------------------
+# q154 — trigram support counting
+# ---------------------------------------------------------------------------
+
+
+def test_trigram_support(spark):
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import q154
+
+    rows = q154(spark, SF001).collect()
+    assert 0 < len(rows) <= 15
+    for r in rows:
+        assert r["n_occurrences"] >= r["n_users"] >= 1
+        assert r["trigram"].count(">") == 2
+    # ranked by support, descending (trigram breaks exact ties)
+    supports = [(r["n_users"], r["n_occurrences"]) for r in rows]
+    assert supports == sorted(supports, reverse=True)
