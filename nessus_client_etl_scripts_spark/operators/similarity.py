@@ -842,6 +842,11 @@ def semantic_dedup(
     re-enters through a self left-semi join on ``id`` — ids only, no
     vectors shuffle twice.
     """
+    # The assignment frame feeds THREE scans (both sides of the pair
+    # self-join + the verdict base); without pinning, each would rerun
+    # the Arrow matmul and the source scan. Same scoped persist →
+    # eager small result → unpersist shape as dedup.verify_pairs:
+    # nothing leaks past the call, the matmul runs once.
     assigned = (
         vecs.select(
             F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
@@ -850,6 +855,7 @@ def semantic_dedup(
         .withColumn(
             "cell", F.element_at(_probe_udf(centroids, 1)("v"), 1)
         )
+        .persist()
     )
     lo = assigned.select(
         F.col("vec_id").alias("_lo"),
@@ -866,14 +872,21 @@ def semantic_dedup(
         )
         .select("vec_id")
         .distinct()
+        .localCheckpoint()
     )
-    return assigned.join(
-        dropped.withColumn("_dup", F.lit(True)), "vec_id", "left"
-    ).select(
-        "vec_id",
-        F.col("cell").cast("int").alias("cell"),
-        F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+    out = (
+        assigned.join(
+            dropped.withColumn("_dup", F.lit(True)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+        .localCheckpoint()  # verdict rows only — 13 B/vector, no vectors
     )
+    assigned.unpersist()
+    return out
 
 def embedding_standardize_checksum(
     df: DataFrame,
