@@ -432,3 +432,85 @@ def scalable_row_number(
         .withColumn(out_col, F.row_number().over(w_local) + F.col("_off"))
         .select(*df.columns, out_col)
     )
+
+
+def scalable_prefix_sums(
+    df: DataFrame,
+    order_cols: tuple[str, ...],
+    val_cols: tuple[str, ...] = (),
+    derive: dict[str, Column] | None = None,
+    out_prefix: str = "cum_",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running sums of SEVERAL columns over ONE total order
+    with ONE range exchange — the n-monoid generalization of
+    :func:`scalable_cumsum`.
+
+    Callers that need multiple prefix coordinates over the same order
+    (q153 reads both a global row position — prefix sum of 1 — and a
+    sample-local position — prefix sum of the sample indicator) would
+    otherwise pay a full staged exchange PER coordinate; here the
+    stage, the stats collect and the broadcast are shared, and each
+    extra coordinate costs one long per partition in the driver stats
+    plus one window sum.
+
+    ``derive`` maps extra summand names to Column expressions that are
+    evaluated ON THE STAGED FRAME, after the exchange: an expensive
+    indicator (q153's salted md5) would otherwise be computed on every
+    pre-exchange pass over the input — the range-bounds sampling job
+    plus the exchange itself each re-evaluate the child projection.
+    Derived columns are summed exactly like ``val_cols``.
+
+    Same pinning rule as the siblings: the staged frame is
+    ``localCheckpoint``ed before the stats job because the offsets are
+    keyed by physical partition id."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    if num_partitions:
+        num = num_partitions
+    else:
+        try:
+            num = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num = spark.sparkContext.defaultParallelism
+    staged = (
+        df.repartitionByRange(num, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    if derive:
+        for name, expr in derive.items():
+            staged = staged.withColumn(name, expr)
+        val_cols = tuple(val_cols) + tuple(derive)
+    stats = sorted(
+        staged.groupBy("_pid")
+        .agg(*[F.sum(c).alias(c) for c in val_cols])
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    recs, run = [], {c: 0 for c in val_cols}
+    for r in stats:
+        recs.append((r["_pid"], *[run[c] for c in val_cols]))
+        for c in val_cols:
+            run[c] += r[c] or 0
+    offsets = spark.createDataFrame(
+        recs,
+        T.StructType(
+            [T.StructField("_pid", T.IntegerType())]
+            + [T.StructField(f"_off_{c}", T.LongType()) for c in val_cols]
+        ),
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = staged.join(F.broadcast(offsets), "_pid")
+    for c in val_cols:
+        out = out.withColumn(
+            f"{out_prefix}{c}", F.sum(c).over(w_local) + F.col(f"_off_{c}")
+        )
+    return out.select(
+        *df.columns, *[f"{out_prefix}{c}" for c in val_cols]
+    )

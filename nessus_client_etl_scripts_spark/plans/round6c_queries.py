@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, spread_for_compute
 from ..operators.sampling import HASH_SPACE, _u48
 from ..operators.text import normalize_text, tokens
-from ..operators.windows import scalable_running_max, two_phase_rank
+from ..operators.windows import scalable_prefix_sums, scalable_running_max
 from .corpus_queries import _NORM_SQL
 from .testdata_queries import register
 
@@ -86,28 +86,20 @@ FROM fx JOIN sx USING (flag, q)
 """
 
 
-def _disc_quantiles(ranked_src: DataFrame) -> DataFrame:
-    """Value at rank ceil(q·n/100) per flag for each q — the
-    percentile_disc position read off a globally-ranked frame."""
-    ranked = two_phase_rank(
-        ranked_src, part_col="flag", val_col="cents", key_col="k",
-        grn_col="grn",
-    )
-    targets = (
-        ranked_src.groupBy("flag")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "flag",
-            "n",
-            F.explode(
-                F.array(*[F.lit(q).cast("long") for q in _Q153_QS])
-            ).alias("q"),
-        )
-        .withColumn("grn", (F.col("q") * F.col("n") + 99) / F.lit(100))
-        .withColumn("grn", F.floor("grn").cast("long"))
-    )
-    return ranked.join(F.broadcast(targets), ["flag", "grn"]).select(
-        "flag", "q", "cents", "n"
+def _q153_targets(counts: DataFrame, n_col: str, off_col: str) -> DataFrame:
+    """12-row (flag, q, n, grn) target frame: per-flag quantile
+    position ceil(q·n/100) shifted by the flag's global offset."""
+    return counts.select(
+        "flag",
+        F.col(n_col).alias("n"),
+        F.col(off_col).alias("off"),
+        F.explode(
+            F.array(*[F.lit(q).cast("long") for q in _Q153_QS])
+        ).alias("q"),
+    ).withColumn(
+        "grn",
+        F.col("off")
+        + F.floor((F.col("q") * F.col("n") + 99) / F.lit(100)).cast("long"),
     )
 
 
@@ -122,11 +114,16 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary — the union of two partitions' samples IS the sample of
     their union (same salted-md5 threshold), so at 100 TB the sample
     is built with zero coordination at scan time and the expensive
-    global ranking runs on p·N rows. The calibration side ranks the
-    full table; BOTH rankings route through two_phase_rank (3 return
-    flags would otherwise funnel the table into 3 window tasks). The
-    12-row target frame (flag × quantile with its ceil-rank) is an
-    exact-integer join key — no float percentile math anywhere."""
+    global ranking runs on p·N rows. BOTH position reads (full-table
+    and in-sample) come off ONE scalable_prefix_sums pass over
+    (flag, cents, key): the global position is the prefix sum of 1,
+    the sample-local position the prefix sum of the sample indicator
+    — one range exchange, one stats collect, shared staged frame. The
+    3-value flag column never becomes a window partition (per-flag
+    positions are global positions minus broadcast per-flag offsets),
+    and no tie-group join runs (rank semantics aren't needed to read
+    4 positions). The 12-row target frames are exact-integer join
+    keys — no float percentile math anywhere."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
         F.col("l_returnflag").alias("flag"),
@@ -135,14 +132,60 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
             "-", F.col("l_orderkey"), F.col("l_linenumber")
         ).alias("k"),
     )
-    samp = base.filter(_u48(F.col("k"), _Q153_SALT) < _Q153_THRESH)
-    fx = _disc_quantiles(base).select(
-        "flag", "q",
-        F.col("cents").alias("exact_cents"), F.col("n").alias("n_full"),
+    # Order by (flag, cents) only: the emitted VALUE at a position is
+    # tie-invariant (all rows in a cents-tie run carry the same cents),
+    # so the unique-key tiebreak would buy nothing and widen the range
+    # exchange. The salted sample indicator is a late-derived summand —
+    # its md5 runs once, on the staged frame.
+    cum = scalable_prefix_sums(
+        base,
+        ("flag", "cents"),
+        derive={
+            "one": F.lit(1).cast("long"),
+            "ins": (_u48(F.col("k"), _Q153_SALT) < _Q153_THRESH).cast(
+                "long"
+            ),
+        },
     )
-    sx = _disc_quantiles(samp).select(
-        "flag", "q",
-        F.col("cents").alias("est_cents"), F.col("n").alias("n_sample"),
+    w = Window.orderBy("flag").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # |flags| rows — the single-task window is metadata-sized
+    counts = (
+        base.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (_u48(F.col("k"), _Q153_SALT) < _Q153_THRESH).cast("long")
+            ).alias("ns"),
+        )
+        .select(
+            "flag",
+            "n",
+            "ns",
+            F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off"),
+            F.coalesce(F.sum("ns").over(w), F.lit(0)).alias("soff"),
+        )
+    )
+    fx = (
+        cum.withColumnRenamed("cum_one", "grn")
+        .drop("flag")
+        .join(F.broadcast(_q153_targets(counts, "n", "off")), "grn")
+        .select(
+            "flag", "q",
+            F.col("cents").alias("exact_cents"),
+            F.col("n").alias("n_full"),
+        )
+    )
+    sx = (
+        cum.filter(F.col("ins") == 1)
+        .withColumnRenamed("cum_ins", "grn")
+        .drop("flag")
+        .join(F.broadcast(_q153_targets(counts, "ns", "soff")), "grn")
+        .select(
+            "flag", "q",
+            F.col("cents").alias("est_cents"),
+            F.col("n").alias("n_sample"),
+        )
     )
     return fx.join(sx, ["flag", "q"]).select(
         "flag", "q", "exact_cents", "est_cents",

@@ -241,3 +241,43 @@ def test_trigram_support(spark):
     # ranked by support, descending (trigram breaks exact ties)
     supports = [(r["n_users"], r["n_occurrences"]) for r in rows]
     assert supports == sorted(supports, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# scalable_prefix_sums — multi-monoid scan vs Python reference
+# ---------------------------------------------------------------------------
+
+
+@settings(**_SET)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_prefix_sums_match_python(spark, vals):
+    from nessus_client_etl_scripts_spark.operators.windows import (
+        scalable_prefix_sums,
+    )
+
+    rows = [(i, k, v) for i, (k, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid long, k long, v long")
+    got = {
+        r["rid"]: (r["cum_one"], r["cum_v"])
+        for r in scalable_prefix_sums(
+            df,
+            ("k", "rid"),
+            ("v",),
+            derive={"one": F.lit(1).cast("long")},
+            num_partitions=4,
+        ).collect()
+    }
+    c1, cv = 0, 0
+    for rid, k, v in sorted(rows, key=lambda r: (r[1], r[0])):
+        c1 += 1
+        cv += v
+        assert got[rid] == (c1, cv)
