@@ -511,6 +511,10 @@ def scalable_prefix_sums(
         out = out.withColumn(
             f"{out_prefix}{c}", F.sum(c).over(w_local) + F.col(f"_off_{c}")
         )
+    # derived summands are part of the contract: callers filter on
+    # them (q153 keeps sample rows via the indicator), so emit them
+    # explicitly rather than leaning on missing-reference resolution
+    derived = tuple(derive) if derive else ()
     return out.select(
-        *df.columns, *[f"{out_prefix}{c}" for c in val_cols]
+        *df.columns, *derived, *[f"{out_prefix}{c}" for c in val_cols]
     )

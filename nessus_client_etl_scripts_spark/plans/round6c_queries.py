@@ -662,3 +662,234 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lateness").cast("long").alias("max_late_sec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — deterministic Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_Q159_B = 32
+# inverse-CDF thresholds of Poisson(1) scaled to the 48-bit hash
+# space (driver-side constants — both engines compare against the
+# SAME literals, so no libm call ever runs in either plan)
+_Q159_T = (
+    103548857136060,   # P(X<=0)
+    207097714272121,   # P(X<=1)
+    258872142840152,   # P(X<=2)
+    276130285696162,   # P(X<=3)
+    280444821410164,   # P(X<=4)
+)
+
+_Q159_CASE_SQL = (
+    "CASE WHEN u < 103548857136060 THEN 0 "
+    "WHEN u < 207097714272121 THEN 1 "
+    "WHEN u < 258872142840152 THEN 2 "
+    "WHEN u < 276130285696162 THEN 3 "
+    "WHEN u < 280444821410164 THEN 4 ELSE 5 END"
+)
+
+_Q159_ORACLE = f"""
+WITH src AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), drawn AS (
+  SELECT b,
+         ('0x' || substring(md5('boot-v1:' || CAST(b AS VARCHAR) || ':'
+            || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS u,
+         cents
+  FROM src, range({_Q159_B}) r(b)
+), weighted AS (
+  SELECT b, {_Q159_CASE_SQL} AS w, cents FROM drawn
+), rep AS (
+  SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+         CAST(sum(w * cents) AS BIGINT) AS tot_cents
+  FROM weighted GROUP BY b
+), scored AS (
+  SELECT b, n_eff, tot_cents,
+         CAST(tot_cents AS DOUBLE) / CAST(n_eff AS DOUBLE) AS mean_val
+  FROM rep
+)
+SELECT b, n_eff, tot_cents, mean_val,
+       CAST(row_number() OVER (ORDER BY mean_val, b) AS BIGINT) AS rk
+FROM scored
+"""
+
+
+@register("q159_poisson_bootstrap", _Q159_ORACLE)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap of the mean purchase value —
+    THE resampling scheme that works at 100 TB: classical bootstrap
+    needs n draws WITH replacement from the whole corpus (a global
+    shuffle per replicate), while Poisson(1) weights are row-LOCAL
+    (each row draws its own replicate multiset membership), so all
+    {B} replicates ride one scan. The replicate means, ranked, are
+    the bootstrap distribution — rk 2/31 of 32 bracket a ~90 % CI.
+
+    Determinism: the Poisson draw is the salted 48-bit hash compared
+    against PRECOMPUTED inverse-CDF literals (driver constants — the
+    engines never call exp()), so every replicate is bit-reproducible
+    and the whole bootstrap distribution is value-oracle-checked.
+    Each replicate mean is one IEEE division of two exact BIGINTs.
+
+    Scale: the ×{B} row expansion collapses immediately into a
+    map-side-combined (b, Σw, Σw·cents) aggregate — the shuffle
+    carries {B} rows per task, the ranking window sees {B} rows
+    total. Doubling precision (B=64) doubles neither scan nor
+    shuffle volume meaningfully."""
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    drawn = src.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_Q159_B - 1))).alias("b"),
+        "event_id",
+        "cents",
+    ).select(
+        "b",
+        "cents",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot-v1:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    w = (
+        F.when(F.col("u") < _Q159_T[0], 0)
+        .when(F.col("u") < _Q159_T[1], 1)
+        .when(F.col("u") < _Q159_T[2], 2)
+        .when(F.col("u") < _Q159_T[3], 3)
+        .when(F.col("u") < _Q159_T[4], 4)
+        .otherwise(5)
+    )
+    rep = (
+        drawn.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("tot_cents"),
+        )
+    )
+    scored = rep.select(
+        "b",
+        "n_eff",
+        "tot_cents",
+        (
+            F.col("tot_cents").cast("double") / F.col("n_eff").cast("double")
+        ).alias("mean_val"),
+    )
+    rkw = Window.orderBy("mean_val", "b")  # 32 rows — metadata-sized
+    return scored.withColumn(
+        "rk", F.row_number().over(rkw).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q160 — burst detection with an exact-integer variance test
+# ---------------------------------------------------------------------------
+
+_Q160_MIN_HIST = 12
+
+_Q160_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000
+           AS hsec,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), trailed AS (
+  SELECT event_type, hr, cnt,
+         CAST(count(*) OVER w AS BIGINT) AS n_hist,
+         CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS s,
+         CAST(coalesce(sum(cnt * cnt) OVER w, 0) AS BIGINT) AS q
+  FROM hourly
+  WINDOW w AS (
+    PARTITION BY event_type ORDER BY hsec
+    RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING
+  )
+)
+SELECT event_type, hr, cnt, n_hist, s, q,
+       (n_hist * cnt - s) * (n_hist * cnt - s) AS dev_sq,
+       9 * (n_hist * q - s * s) AS var_bound,
+       (n_hist * cnt - s > 0
+        AND (n_hist * cnt - s) * (n_hist * cnt - s)
+            > 9 * (n_hist * q - s * s)) AS is_burst
+FROM trailed
+WHERE n_hist >= {_Q160_MIN_HIST}
+"""
+
+
+@register("q160_burst_detection", _Q160_ORACLE)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type burst detection: an hour is a burst when its event
+    count exceeds the trailing-24 h mean by 3σ — with the test done
+    ENTIRELY in exact integers: (n·cnt − S)² > 9·(n·Q − S²) is the
+    3σ z-test cleared of its divisions and square root (n = hours
+    present in the window, S = Σcnt, Q = Σcnt²), so the verdict
+    column is bit-portable with no float anywhere in the query.
+
+    The trailing window is RANGE-based over epoch seconds (86400..
+    3600 preceding), not ROWS — hours with zero events are simply
+    absent, and a ROWS frame would silently stretch across them;
+    RANGE keeps the physical 24 h horizon and n_hist carries the
+    true sample size.
+
+    Scale: the corpus collapses to the (type, hour) frame in one
+    map-side-combined aggregate — everything after runs on
+    |types|×|hours| dimension rows, so the low-cardinality window
+    partition is metadata-sized by construction (the same bound as
+    q18's rollup), never a corpus funnel."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("hsec", F.col("hr").cast("long"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hsec")
+        .rangeBetween(-86400, -3600)
+    )
+    trailed = hourly.select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_hist"),
+        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        .cast("long")
+        .alias("s"),
+        F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(w), F.lit(0))
+        .cast("long")
+        .alias("q"),
+    )
+    dev = F.col("n_hist") * F.col("cnt") - F.col("s")
+    var_bound = 9 * (
+        F.col("n_hist") * F.col("q") - F.col("s") * F.col("s")
+    )
+    return trailed.filter(F.col("n_hist") >= _Q160_MIN_HIST).select(
+        "event_type",
+        "hr",
+        "cnt",
+        "n_hist",
+        "s",
+        "q",
+        (dev * dev).alias("dev_sq"),
+        var_bound.alias("var_bound"),
+        ((dev > 0) & (dev * dev > var_bound)).alias("is_burst"),
+    )

@@ -281,3 +281,84 @@ def test_prefix_sums_match_python(spark, vals):
         c1 += 1
         cv += v
         assert got[rid] == (c1, cv)
+
+
+# ---------------------------------------------------------------------------
+# q159 — Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+
+def test_poisson_bootstrap_replicates(spark):
+    """32 replicates, each a plausible resample: n_eff ~ n (Poisson(1)
+    weights sum to ~n), means bracket the point estimate, ranks are a
+    permutation of 1..32."""
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import q159
+
+    rows = q159(spark, SF001).collect()
+    assert len(rows) == 32
+    assert sorted(r["rk"] for r in rows) == list(range(1, 33))
+    ev = spark.read.parquet(f"{SF001}/events.parquet")
+    n = ev.filter(F.col("event_type") == "purchase").count()
+    for r in rows:
+        assert 0.5 * n < r["n_eff"] < 1.5 * n
+        assert r["mean_val"] * r["n_eff"] == r["tot_cents"] or abs(
+            r["mean_val"] - r["tot_cents"] / r["n_eff"]
+        ) < 1e-9
+
+
+def test_poisson_weights_distribution(spark):
+    """The hash-thresholded weights follow Poisson(1) closely over a
+    large key set (mean ~1, P(0) ~ 1/e)."""
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import _Q159_T
+
+    df = spark.range(0, 20000).select(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("boot-v1:0:"), F.col("id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u")
+    )
+    w = (
+        F.when(F.col("u") < _Q159_T[0], 0)
+        .when(F.col("u") < _Q159_T[1], 1)
+        .when(F.col("u") < _Q159_T[2], 2)
+        .when(F.col("u") < _Q159_T[3], 3)
+        .when(F.col("u") < _Q159_T[4], 4)
+        .otherwise(5)
+    )
+    stats = df.select(w.alias("w")).agg(
+        F.avg("w").alias("m"), F.avg((F.col("w") == 0).cast("int")).alias("p0")
+    ).collect()[0]
+    assert abs(stats["m"] - 1.0) < 0.05
+    assert abs(stats["p0"] - 0.3679) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# q160 — burst detection
+# ---------------------------------------------------------------------------
+
+
+def test_burst_integer_test_matches_float_z(spark):
+    """The integer inequality (n·cnt−S)² > 9(nQ−S²) agrees with the
+    float z > 3 test on every emitted row (when var > 0)."""
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import q160
+
+    rows = q160(spark, SF001).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        n, cnt, s, q = r["n_hist"], r["cnt"], r["s"], r["q"]
+        var = (n * q - s * s) / (n * n)
+        mean = s / n
+        if var > 0:
+            z = (cnt - mean) / math.sqrt(var)
+            assert r["is_burst"] == (z > 3)
+        else:
+            assert r["is_burst"] == (cnt > mean)
