@@ -1059,3 +1059,146 @@ def minhash_estimate_pairs(
     out = est.localCheckpoint()
     sig.unpersist()
     return out
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_pct: int = 60,
+    k: int | None = 3,
+) -> DataFrame:
+    """Exact set-similarity join by PREFIX FILTERING (the PPJoin
+    family, Xiao et al. / Chaudhuri et al. shape) — the fourth
+    candidate-generation family next to LSH banding (probabilistic
+    recall), full posting self-joins (exact, df-capped lossy), and
+    sorted neighborhood (window-bounded): candidates are EXACT with
+    NO cap, because two token sets with Jaccard >= t must share at
+    least one token among each one's (n - ceil(t*n) + 1) RAREST
+    tokens when all sets are ordered by one global frequency order.
+
+    Stages: distinct (doc, term) posting -> global df ranks
+    (vocabulary-sized dimension join) -> per-doc rarity positions
+    (doc-keyed window, corpus-cardinality partitions) -> posting
+    self-join restricted to prefix rows -> exact verify via
+    array_intersect on the pair-bounded candidate set. The shuffle
+    carries prefix tokens (the rarest — the low-df end of the
+    vocabulary, so posting lists in the join are short by
+    construction) and token arrays move once, keyed by candidate
+    pair.
+
+    ``threshold_pct`` is an integer percentage so every prefix-length
+    and similarity comparison stays in exact integer arithmetic:
+    p = n - ceil(t*n) + 1 with ceil(t*n) = (pct*n + 99) // 100, and
+    the final filter is 100*inter >= pct*union — no float boundary
+    anywhere (the emitted jaccard is one IEEE division for human
+    eyes, not for the cut)."""
+    from ..catalog import spread_for_compute
+
+    pct = int(threshold_pct)
+    if k:
+        # k-shingle sets (the near-dup semantics): far more
+        # discriminative than unigram sets — a small shared
+        # vocabulary makes unigram SETS of unrelated documents
+        # nearly identical, which floods any exact joiner
+        toks = shingle_posting(df, text_col, id_col, (), k).select(
+            "doc_id", F.col("shingle").alias("term")
+        )
+    else:
+        toks = (
+            spread_for_compute(df)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.explode_outer(
+                    tokens(normalize_text(text_col))
+                ).alias("term"),
+            )
+            .distinct()
+        )
+    # document frequency via a term-partitioned window (vocabulary-
+    # cardinality partitions), not a groupBy+join: the join form
+    # evaluates the whole shingle pipeline an extra time for the
+    # aggregate side, the window rides the shuffle it needs anyway
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy("doc_id").orderBy("dfc", "term")
+    w_n = Window.partitionBy("doc_id")
+    pos = (
+        toks.withColumn("dfc", F.count(F.lit(1)).over(w_term))
+        .withColumn("idx", F.row_number().over(w_doc))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+    )
+    prefix = pos.filter(
+        F.col("idx")
+        <= F.col("n") - ((F.lit(pct) * F.col("n") + 99) / 100).cast("long")
+        + 1
+    ).select("doc_id", "term", "idx", "n")
+    # PPJoin's two candidate prunes, both exact-integer and both
+    # applied ON the join rows BEFORE any dedup or array movement:
+    # - length filter: Jaccard >= t forces set sizes within 1/t of
+    #   each other (|A∩B| <= min sizes, union >= max), so
+    #   100*min(n_a,n_b) >= pct*max(n_a,n_b);
+    # - positional filter: matching at rarity positions (i, j) caps
+    #   the best-case overlap at min(n_a-i, n_b-j)+1, which must
+    #   reach the required overlap alpha = ceil(t/(1+t)*(n_a+n_b)).
+    a_n, b_n = F.col("a.n"), F.col("b.n")
+    alpha = F.floor(
+        (F.lit(pct) * (a_n + b_n) + F.lit(100 + pct) - 1)
+        / F.lit(100 + pct)
+    )
+    overlap_ub = (
+        F.least(a_n - F.col("a.idx"), b_n - F.col("b.idx")) + 1
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            [
+                F.col("a.term") == F.col("b.term"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.lit(100) * F.least(a_n, b_n)
+                >= F.lit(pct) * F.greatest(a_n, b_n),
+                overlap_ub >= alpha,
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("term")).alias("ts"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    paired = cand.join(
+        sets.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("ts").alias("ts_a"),
+            F.col("n").alias("n_a"),
+        ),
+        "doc_a",
+    ).join(
+        sets.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("ts").alias("ts_b"),
+            F.col("n").alias("n_b"),
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("long")
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        paired.withColumn("inter", inter)
+        .withColumn("uni", union)
+        .filter(F.lit(100) * F.col("inter") >= F.lit(pct) * F.col("uni"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "n_a",
+            "n_b",
+            (
+                F.col("inter").cast("double") / F.col("uni").cast("double")
+            ).alias("jaccard"),
+        )
+    )

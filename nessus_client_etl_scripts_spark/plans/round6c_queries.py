@@ -893,3 +893,123 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_bound.alias("var_bound"),
         ((dev > 0) & (dev * dev > var_bound)).alias("is_burst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — prefix-filter set-similarity join (PPJoin family)
+# ---------------------------------------------------------------------------
+
+_Q161_PCT = 60
+
+_Q161_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 2, 1)),
+           i -> array_to_string(string_split({_NORM_SQL}, ' ')[i:i+2], ' ')
+         )) AS sh
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(sh) AS term FROM base
+), dfreq AS (
+  SELECT term, count(*) AS dfc FROM tok GROUP BY term
+), pos AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY dfc, term) AS idx,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM tok JOIN dfreq USING (term)
+), pref AS (
+  SELECT doc_id, term FROM pos
+  WHERE idx <= n - ({_Q161_PCT} * n + 99) // 100 + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b
+    ON a.term = b.term AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.doc_a
+  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.inter, sa.n AS n_a, sb.n AS n_b,
+       CAST(i.inter AS DOUBLE)
+         / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 100 * i.inter >= {_Q161_PCT} * (sa.n + sb.n - i.inter)
+"""
+
+
+@register("q161_prefix_filter_pairs", _Q161_ORACLE)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set similarity join (Jaccard >= 0.6) by prefix
+    filtering — the PPJoin-family candidate generator: exact recall
+    with NO df cap, because sets with Jaccard >= t must share a token
+    among each other's rarest (n − ⌈t·n⌉ + 1) tokens under one global
+    frequency order. Completes the candidate-generation quartet: LSH
+    bands (probabilistic), posting self-join (exact, capped-lossy),
+    sorted neighborhood (linear), prefix filter (exact, uncapped).
+    See operators/dedup.py::prefix_filter_pairs for the scale shape
+    (prefix tokens are the LOW-df vocabulary end, so the self-join's
+    posting lists are short by construction; verification arrays move
+    once, keyed by candidate pair). All prefix lengths and the
+    similarity cut are exact integer arithmetic — the emitted jaccard
+    double is display-only."""
+    from ..operators.dedup import prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_pairs(docs, threshold_pct=_Q161_PCT, k=3)
+
+
+# ---------------------------------------------------------------------------
+# q162 — GROUPING SETS with grouping_id provenance
+# ---------------------------------------------------------------------------
+
+_Q162_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+"""
+
+
+@register("q162_grouping_sets", _Q162_ORACLE)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS with GROUPING() provenance flags — the
+    general form of the cube (q46) / rollup (q37) tier, via Spark SQL
+    (the DataFrame API has cube/rollup but not arbitrary sets; the
+    SQL surface IS part of the engine). One Expand node feeds a
+    single map-side-combined aggregate — the four groupings shuffle
+    together, never as four scans; grouping flags disambiguate the
+    NULL-as-ALL rows exactly as in the oracle.
+
+    Scale: Expand multiplies rows by |sets| BEFORE partial
+    aggregation collapses them to the grouping keys — the shuffle
+    carries |sets|×|distinct keys| rows, not |sets|×|input|."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).createOrReplaceTempView("q162_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM q162_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        """
+    )

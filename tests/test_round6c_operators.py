@@ -362,3 +362,68 @@ def test_burst_integer_test_matches_float_z(spark):
             assert r["is_burst"] == (z > 3)
         else:
             assert r["is_burst"] == (cnt > mean)
+
+
+# ---------------------------------------------------------------------------
+# q161 — prefix-filter pairs vs brute force
+# ---------------------------------------------------------------------------
+
+
+@settings(**_SET)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "green", "fox", "dog", "cat"]),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_prefix_filter_matches_bruteforce(spark, docs):
+    """PPJoin candidates + exact verify == quadratic Jaccard over
+    3-shingle sets: the prefix, length and positional prunes lose no
+    qualifying pair on arbitrary inputs."""
+    from nessus_client_etl_scripts_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["inter"]
+        for r in prefix_filter_pairs(df, threshold_pct=60, k=3).collect()
+    }
+
+    def sh(ws):
+        if len(ws) <= 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = sh(docs[a]), sh(docs[b])
+            inter = len(sa & sb)
+            uni = len(sa | sb)
+            if 100 * inter >= 60 * uni:
+                want[(a, b)] = inter
+    assert got == want
+
+
+def test_grouping_sets_totals(spark):
+    """The () grouping-set row equals the table totals and the
+    single-dimension sets sum to it."""
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import q162
+
+    rows = q162(spark, SF001).collect()
+    total = [r for r in rows if r["g_status"] == 1 and r["g_priority"] == 1]
+    assert len(total) == 1
+    by_status = [
+        r for r in rows if r["g_status"] == 0 and r["g_priority"] == 1
+    ]
+    assert sum(r["n_orders"] for r in by_status) == total[0]["n_orders"]
+    assert sum(r["total_cents"] for r in by_status) == total[0]["total_cents"]
