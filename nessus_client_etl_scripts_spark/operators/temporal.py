@@ -48,16 +48,25 @@ def as_of_join(
     right_cols: Sequence[str],
     right_tiebreaker: str | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join via the union-and-carry-forward trick.
+    """As-of join via the union-and-carry trick.
 
-    Interleave both streams on (key, ts), sort right rows before left
-    rows at equal timestamps (inclusive ``right_ts <= left_ts``), and
-    carry each right attribute forward with ``last(..., ignorenulls)``.
-    Left rows with no prior right row get nulls (left-outer as-of).
+    ``direction='backward'`` (default): for each left row, the most
+    recent right row with ``right_ts <= left_ts`` — interleave both
+    streams on (key, ts), sort right rows before left rows at equal
+    timestamps, and carry each right attribute forward with
+    ``last(..., ignorenulls)``. ``direction='forward'``: the EARLIEST
+    right row with ``right_ts >= left_ts`` (next-event attribution /
+    label lookahead) — right rows sort after left rows at equal
+    timestamps and attributes are carried BACKWARD with
+    ``first(..., ignorenulls)`` over the following frame. Either way,
+    left rows with no match get nulls (left-outer as-of).
 
     ``right_tiebreaker`` orders right rows that share (key, ts): the
-    greatest tiebreaker value wins, making the result deterministic.
+    greatest tiebreaker value wins backward, the SMALLEST forward
+    (both are "the row nearest the left timestamp from its side"),
+    making the result deterministic.
 
     Returns the left rows plus ``{prefix}{col}`` for each requested
     right column and ``{prefix}ts`` (the matched right timestamp).
@@ -66,6 +75,9 @@ def as_of_join(
     ranking window (W1), so it scales identically: AQE sizes the
     partitions, skewed keys split, nothing is quadratic.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    fwd = direction == "forward"
     on = list(on)
     carried = [c for c in right_cols if c not in on]
 
@@ -77,21 +89,32 @@ def as_of_join(
         if right_tiebreaker
         else F.lit(0).cast("long")
     )
+    # backward: right rows sort BEFORE left at equal ts (side 0 < 1)
+    # so the inclusive match carries forward; forward: right rows sort
+    # AFTER left (side 2 > 1) and the match carries backward
+    rside = 2 if fwd else 0
     rhs = right.select(
         *on,
         F.col(right_ts).alias(left_ts),
-        F.lit(0).alias(_SIDE),
+        F.lit(rside).alias(_SIDE),
         seq.alias(_SEQ),
         *[F.col(c).alias(f"{prefix}{c}") for c in carried],
     )
 
     combined = lhs.unionByName(rhs, allowMissingColumns=True)
-    # Right rows first at equal ts (side 0 < 1) → inclusive match;
-    # among same-ts right rows the greatest tiebreaker is "last".
+    # among same-ts right rows the frame-nearest tiebreaker wins:
+    # greatest backward (last of the preceding frame), smallest
+    # forward (first of the following frame)
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col(left_ts), F.col(_SIDE), F.col(_SEQ))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(
+            *(
+                (Window.currentRow, Window.unboundedFollowing)
+                if fwd
+                else (Window.unboundedPreceding, Window.currentRow)
+            )
+        )
     )
     # Carry ONE struct of (ts, all right columns), not each column
     # independently: per-column last(..., ignorenulls) would back-fill a
@@ -99,15 +122,17 @@ def as_of_join(
     # values across right rows and diverging from LATERAL top-1
     # semantics. The struct is non-null exactly on right rows, so
     # last(ignorenulls) picks the winning ROW; its NULL fields stay NULL.
-    match = F.last(
-        F.when(
-            F.col(_SIDE) == 0,
-            F.struct(
-                F.col(left_ts).alias("__ts__"),
-                *[F.col(f"{prefix}{c}").alias(c) for c in carried],
-            ),
+    row_struct = F.when(
+        F.col(_SIDE) == rside,
+        F.struct(
+            F.col(left_ts).alias("__ts__"),
+            *[F.col(f"{prefix}{c}").alias(c) for c in carried],
         ),
-        ignorenulls=True,
+    )
+    match = (
+        F.first(row_struct, ignorenulls=True)
+        if fwd
+        else F.last(row_struct, ignorenulls=True)
     ).over(w)
 
     unpack = {f"{prefix}{c}": F.col(f"__asof_match__.{c}") for c in carried}

@@ -39,7 +39,11 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, spread_for_compute
 from ..operators.sampling import HASH_SPACE, _u48
 from ..operators.text import normalize_text, tokens
-from ..operators.windows import scalable_prefix_sums, scalable_running_max
+from ..operators.windows import (
+    scalable_prefix_sums,
+    scalable_row_number,
+    scalable_running_max,
+)
 from .corpus_queries import _NORM_SQL
 from .testdata_queries import register
 
@@ -1012,4 +1016,391 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority), ())
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q163 — FORWARD as-of join (next-event attribution)
+# ---------------------------------------------------------------------------
+
+_Q163_ORACLE = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts, value
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT c.click_id, c.user_id, c.cts, min(p.pts) AS pts
+  FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.pts >= c.cts
+  GROUP BY c.click_id, c.user_id, c.cts
+), sel AS (
+  SELECT m.click_id, m.user_id, m.cts, m.pts, p.value,
+         row_number() OVER (
+           PARTITION BY m.click_id ORDER BY p.event_id
+         ) AS rn
+  FROM m LEFT JOIN p ON p.user_id = m.user_id AND p.pts = m.pts
+)
+SELECT click_id, user_id,
+       CAST(date_diff('second', cts, pts) AS BIGINT) AS secs_to_purchase,
+       value AS purchase_value
+FROM sel WHERE rn = 1
+"""
+
+
+@register("q163_asof_forward", _Q163_ORACLE)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click matched to the EARLIEST purchase
+    at or after it (same user) — next-event attribution / label
+    lookahead, the mirror of q42's backward "last known value". Same
+    union-and-carry physical shape (one user-keyed shuffle + one
+    sort — window cost, never an inequality join's nested loop), with
+    the carry reversed: right rows sort AFTER left rows at equal
+    timestamps and first(ignorenulls) runs over the FOLLOWING frame;
+    same-timestamp purchases tie-break to the smallest event_id (the
+    frame-nearest row from the right side). The oracle is the naive
+    min-over-inequality-join formulation — each driver row proves the
+    carry trick against the quadratic baseline. Gap seconds are an
+    exact integer difference of epoch seconds; the purchase value is
+    a raw per-row passthrough."""
+    from ..operators.temporal import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    j = as_of_join(
+        clicks,
+        purch,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+        right_tiebreaker="event_id",
+        direction="forward",
+    )
+    return j.select(
+        "click_id",
+        "user_id",
+        (F.col("asof_ts").cast("long") - F.col("ts").cast("long")).alias(
+            "secs_to_purchase"
+        ),
+        F.col("asof_value").alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q164 — Gini concentration per group (exact integer moments)
+# ---------------------------------------------------------------------------
+
+_Q164_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey AS k
+  FROM orders
+), ranked AS (
+  SELECT prio, cents,
+         row_number() OVER (PARTITION BY prio ORDER BY cents, k) AS i
+  FROM base
+), mom AS (
+  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(sum(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT))
+              AS HUGEINT) AS siy
+  FROM ranked GROUP BY prio
+)
+SELECT prio, n, total_cents,
+       CAST(2 * siy - CAST((n + 1) AS HUGEINT)
+              * CAST(total_cents AS HUGEINT) AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT)
+                * CAST(total_cents AS HUGEINT) AS DOUBLE) AS gini
+FROM mom
+"""
+
+
+@register("q164_gini_concentration", _Q164_ORACLE)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Gini coefficient of order revenue — the
+    inequality/concentration metric a mixture pipeline watches (is
+    one source's token mass concentrating into few documents?) —
+    computed from exact integer moments: with values ranked ascending
+    per group, G = (2·Σi·yᵢ − (n+1)·Σy) / (n·Σy), ONE division of
+    exact integers (DECIMAL(38,0) on Spark, HUGEINT in the oracle —
+    the q152/q155 rule, since Σi·y reaches n²·y̅).
+
+    The 5-value priority column never becomes a window partition: the
+    ranking is one global scalable_row_number over (prio, cents, key)
+    and per-group positions are global positions minus broadcast
+    per-group offsets (the q153 shape). One range exchange + one
+    map-side-combined moment aggregate — no second pass, no sort of
+    the moments."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    )
+    ranked = scalable_row_number(base, ("prio", "cents", "k"), out_col="grn")
+    w = Window.orderBy("prio").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        base.groupBy("prio")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "prio", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off")
+        )
+    )
+    dec = "decimal(38,0)"
+    mom = (
+        ranked.join(F.broadcast(offs), "prio")
+        .select(
+            "prio",
+            "cents",
+            (F.col("grn") - F.col("off")).alias("i"),
+        )
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum(
+                (F.col("i").cast(dec) * F.col("cents").cast(dec))
+            ).cast(dec).alias("siy"),
+        )
+    )
+    num = (
+        F.lit(2).cast(dec) * F.col("siy")
+        - (F.col("n") + 1).cast(dec) * F.col("total_cents").cast(dec)
+    ).cast("double")
+    den = (
+        F.col("n").cast(dec) * F.col("total_cents").cast(dec)
+    ).cast("double")
+    return mom.select("prio", "n", "total_cents", (num / den).alias("gini"))
+
+
+# ---------------------------------------------------------------------------
+# q165 — frequent item pairs (market-basket association)
+# ---------------------------------------------------------------------------
+
+_Q165_MIN_SUPPORT = 2
+
+_Q165_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+), pc AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY part
+), nb AS (
+  SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_baskets FROM items
+), pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY a.part, b.part
+), f AS (
+  SELECT * FROM pairs WHERE support >= {_Q165_MIN_SUPPORT}
+)
+SELECT part_a, part_b, support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+       CAST(support * n_baskets AS DOUBLE)
+         / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+FROM f
+JOIN pc ca ON ca.part = f.part_a
+JOIN pc cb ON cb.part = f.part_b
+CROSS JOIN nb
+"""
+
+
+@register("q165_frequent_pairs", _Q165_ORACLE)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent item PAIRS with lift — the Apriori second pass
+    (co-occurrence mining over baskets), the association-rule
+    primitive next to PMI (q136, token windows) but over transaction
+    baskets with support counting.
+
+    Scale: the pair explosion is per-basket quadratic but baskets are
+    small (≤7 lineitems) — the self-join on the basket key fans out
+    |basket|² per order, bounded by data model, and collapses
+    map-side into (pair, support) counts; a pathological mega-basket
+    would need a basket-size cap, the same guard as q26's max_df.
+    Item counts and the basket total are dimension-sized; lift is one
+    IEEE division of exact integer products."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    pc = items.groupBy("part").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    nb = items.agg(F.countDistinct("okey").alias("n_baskets"))
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            [
+                F.col("a.okey") == F.col("b.okey"),
+                F.col("a.part") < F.col("b.part"),
+            ],
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= _Q165_MIN_SUPPORT)
+    )
+    return (
+        pairs.join(
+            pc.select(F.col("part").alias("part_a"), F.col("cnt").alias("cnt_a")),
+            "part_a",
+        )
+        .join(
+            pc.select(F.col("part").alias("part_b"), F.col("cnt").alias("cnt_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "cnt_a",
+            "cnt_b",
+            (
+                (F.col("support") * F.col("n_baskets")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q166 — Merkle-style snapshot diff by range digests
+# ---------------------------------------------------------------------------
+
+_Q166_MOD_THRESH = int(0.005 * HASH_SPACE)
+
+_Q166_U48_ROW = (
+    "('0x' || substring(md5('row-v1' || CAST(k AS VARCHAR) || ':'"
+    " || CAST(cents AS VARCHAR)), 1, 12))::BIGINT"
+)
+
+_Q166_ORACLE = f"""
+WITH a AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), b AS (
+  SELECT k,
+         CASE WHEN ('0x' || substring(md5('mod-v1'
+                || CAST(k AS VARCHAR)), 1, 12))::BIGINT
+                < {_Q166_MOD_THRESH}
+              THEN cents + 1 ELSE cents END AS cents
+  FROM a
+), da AS (
+  SELECT k // 10000 AS b0, k // 1000 AS b1,
+         CAST(count(*) AS BIGINT) AS rows_a,
+         CAST(sum({_Q166_U48_ROW}) AS BIGINT) AS hsum_a
+  FROM a GROUP BY 1, 2
+), db AS (
+  SELECT k // 10000 AS b0, k // 1000 AS b1,
+         CAST(count(*) AS BIGINT) AS rows_b,
+         CAST(sum({_Q166_U48_ROW}) AS BIGINT) AS hsum_b
+  FROM b GROUP BY 1, 2
+), dirty AS (
+  SELECT b0, b1, rows_a, rows_b FROM da JOIN db USING (b0, b1)
+  WHERE hsum_a <> hsum_b OR rows_a <> rows_b
+), drill AS (
+  SELECT a.k // 1000 AS b1, CAST(count(*) AS BIGINT) AS n_changed
+  FROM a JOIN b USING (k)
+  WHERE a.cents <> b.cents AND a.k // 1000 IN (SELECT b1 FROM dirty)
+  GROUP BY 1
+)
+SELECT d.b0, d.b1, d.rows_a AS n_rows, coalesce(dr.n_changed, 0) AS n_changed
+FROM dirty d LEFT JOIN drill dr ON dr.b1 = d.b1
+"""
+
+
+@register("q166_merkle_diff", _Q166_ORACLE)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy snapshot reconciliation by hierarchical range
+    digests (the Merkle-tree pattern): both table versions collapse
+    into per-range digests (Σ of salted row hashes + row count per
+    1000-key bucket, rolled up under a 10000-key parent), digests are
+    compared instead of rows, and ROW-level comparison runs ONLY
+    inside dirty buckets. The 100 TB story is the point: two replicas
+    exchange |key-space|/1000 digest rows (metadata-sized) to find
+    what changed, and the expensive row join touches dirty ranges
+    alone — this query's drill stage joins ~0.5 % of rows.
+
+    The second snapshot is derived in-plan by a deterministic salted
+    perturbation (~0.5 % of rows get cents+1), so the query PROVES the
+    digest scheme: every emitted bucket has n_changed >= 1, and a unit
+    test checks discovered change totals equal the planted ones. Sum
+    digests (not xor) keep both engines in plain BIGINT aggregation;
+    a same-bucket hash-sum collision between different row sets has
+    probability ~2^-48 per bucket."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = a.select(
+        "k",
+        F.when(
+            _u48(F.col("k"), "mod-v1") < _Q166_MOD_THRESH,
+            F.col("cents") + 1,
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+
+    def digests(df: DataFrame, suffix: str) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("row-v1"),
+                        F.col("k").cast("string"),
+                        F.lit(":"),
+                        F.col("cents").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            df.select(
+                F.floor(F.col("k") / 10000).cast("long").alias("b0"),
+                F.floor(F.col("k") / 1000).cast("long").alias("b1"),
+                h.alias("h"),
+            )
+            .groupBy("b0", "b1")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"rows_{suffix}"),
+                F.sum("h").cast("long").alias(f"hsum_{suffix}"),
+            )
+        )
+
+    dirty = (
+        digests(a, "a")
+        .join(digests(b, "b"), ["b0", "b1"])
+        .filter(
+            (F.col("hsum_a") != F.col("hsum_b"))
+            | (F.col("rows_a") != F.col("rows_b"))
+        )
+        .select("b0", "b1", "rows_a", "rows_b")
+    )
+    drill = (
+        a.withColumn("b1", F.floor(F.col("k") / 1000).cast("long"))
+        .join(F.broadcast(dirty.select("b1")), "b1", "leftsemi")
+        .join(b.withColumnRenamed("cents", "cents_b"), "k")
+        .filter(F.col("cents") != F.col("cents_b"))
+        .groupBy("b1")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_changed"))
+    )
+    return dirty.join(drill, "b1", "left").select(
+        "b0",
+        "b1",
+        F.col("rows_a").alias("n_rows"),
+        F.coalesce("n_changed", F.lit(0).cast("long")).alias("n_changed"),
     )

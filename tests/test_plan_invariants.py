@@ -320,3 +320,40 @@ def test_q112_pipeline_composition_shapes(spark):
 
     plan = _plan(spark, "q112_corpus_pipeline")
     assert "_pid" in plan, plan
+
+
+def test_q156_hrw_assignment_is_shuffle_free(spark):
+    # the HRW argmax is row-local column algebra: the ONLY exchanges
+    # are the two 9-group count aggregates and their join
+    plan = _plan(spark, "q156_rendezvous_sharding")
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan  # no explode — argmax via sort_array
+
+
+def test_q161_prefix_filter_no_cartesian_and_partial_agg(spark):
+    plan = _plan(spark, "q161_prefix_filter_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # equi-join candidates
+    assert "partial_" in plan  # df counts combine map-side
+
+
+def test_q159_bootstrap_partial_aggregation(spark):
+    # the x32 explode must collapse map-side: partial sum before the
+    # 32-group exchange
+    plan = _plan(spark, "q159_poisson_bootstrap")
+    assert "partial_sum" in plan
+
+
+def test_q160_range_window_on_aggregated_frame(spark):
+    # window runs AFTER the (type, hour) aggregate — specifiedwindowframe
+    # over the dimension frame, input aggregated first
+    plan = _plan(spark, "q160_burst_detection")
+    assert "partial_count" in plan
+    assert plan.index("Window") < plan.index("Scan parquet") or \
+        "RangeFrame" in plan or "specifiedwindowframe" in plan
+
+
+def test_q162_grouping_sets_single_expand_single_agg_pair(spark):
+    plan = _plan(spark, "q162_grouping_sets")
+    assert plan.count("Expand") == 1
+    assert "partial_" in plan
