@@ -196,3 +196,36 @@ def test_two_phase_rank_stable_under_nondeterministic_upstream(spark):
         .collect()
     }
     assert got == want
+
+
+def test_prefix_sums_stable_under_nondeterministic_upstream(spark):
+    """scalable_prefix_sums shares the pinning rule: its offsets are
+    keyed by physical partition id, so the staged frame must be the
+    same materialization for the stats job, the derive projection and
+    the window join — proven against a per-execution-shuffled
+    upstream."""
+    from nessus_client_etl_scripts_spark.operators.windows import (
+        scalable_prefix_sums,
+    )
+
+    rows = [(i, (i * 29) % 11, (i * 7) % 5) for i in range(1, 301)]
+    base = spark.createDataFrame(rows, "k long, ord long, v long")
+
+    def _shuffle(it):
+        for pdf in it:
+            yield pdf.sample(frac=1.0)
+
+    df = base.repartition(8).mapInPandas(_shuffle, schema=base.schema)
+    out = scalable_prefix_sums(
+        df,
+        ("ord", "k"),
+        ("v",),
+        derive={"one": F.lit(1).cast("long")},
+        num_partitions=5,
+    )
+    got = {r["k"]: (r["cum_one"], r["cum_v"]) for r in out.collect()}
+    c1 = cv = 0
+    for k, o, v in sorted(rows, key=lambda r: (r[1], r[0])):
+        c1 += 1
+        cv += v
+        assert got[k] == (c1, cv)
