@@ -2002,7 +2002,7 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract. The row number breaks ties by doc_id, exactly matching
     the oracle's ``row_number() OVER (ORDER BY shuffle_key, doc_id)``
     at any scale."""
-    from ..operators.windows import two_phase_rank
+    from ..operators.windows import scalable_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
@@ -2016,9 +2016,8 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shuffle_key"),
         F.lit(0).alias("_all"),
     )
-    ranked = two_phase_rank(
-        keyed, part_col="_all", val_col="shuffle_key", key_col="doc_id",
-        grn_col="pos",
+    ranked = scalable_row_number(
+        keyed, ("shuffle_key", "doc_id"), out_col="pos"
     )
     return ranked.select("doc_id", "shuffle_key", F.col("pos").cast("long"))
 
@@ -3442,7 +3441,7 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stages individually pay."""
     from ..catalog import spread_for_compute
     from ..operators.text import normalize_text, quality_keep
-    from ..operators.windows import scalable_cumsum, two_phase_rank
+    from ..operators.windows import scalable_cumsum, scalable_row_number
 
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
     quality = docs.filter(quality_keep("text"))
@@ -3490,9 +3489,8 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shuffle_key"),
         F.lit(0).alias("_all"),
     )
-    ranked = two_phase_rank(
-        keyed, part_col="_all", val_col="shuffle_key", key_col="doc_id",
-        grn_col="pos",
+    ranked = scalable_row_number(
+        keyed, ("shuffle_key", "doc_id"), out_col="pos"
     )
     return ranked.select(
         F.col("pos").cast("long").alias("pos"),

@@ -32,7 +32,7 @@ polynomial (PQ's −2·dot+c²) is micro-quantized on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -907,13 +907,16 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     position arithmetic, no interpolation — the value passes through
     verbatim, so no float divergence is possible).
 
-    Both rankings run through two_phase_rank (operators/windows) —
-    the 100 TB-safe replacement for a low-cardinality window
-    partition: event_type has a handful of values and the global
-    ranking has ONE, exactly the funnel-into-few-tasks shapes the
-    two-phase range exchange exists for. The position join is a
-    fine-grained equi-join on a long key."""
-    from ..operators.windows import two_phase_rank
+    Both rankings are POSITION reads (row_number, never rank/pct),
+    so they ride scalable_row_number — the 100 TB-safe replacement
+    for a low-cardinality window partition that also skips
+    two_phase_rank's tie-group groupBy+join (rank semantics would
+    double the shuffle for nothing here; the q153 lesson applied
+    back): the global ranking directly, the per-type ranking as one
+    global row_number over (type, value, id) minus broadcast
+    per-type offsets. The position join is a fine-grained equi-join
+    on a long key."""
+    from ..operators.windows import scalable_row_number
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
@@ -922,16 +925,29 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp_n = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_grp")
     )
-    g = two_phase_rank(
-        ev.withColumn("_g", F.lit("all")),
-        "_g",
-        "value",
-        "event_id",
-        grn_col="gpos",
-    ).select(F.col("gpos").alias("pos"), F.col("value").alias("q_value"))
-    s = two_phase_rank(
-        ev, "event_type", "value", "event_id", grn_col="rn"
-    ).select("event_id", "event_type", "value", "rn")
+    g = scalable_row_number(
+        ev.select("value", "event_id"), ("value", "event_id"),
+        out_col="pos",
+    ).select("pos", F.col("value").alias("q_value"))
+    wo = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # |types| rows — metadata-sized
+    offs = grp_n.select(
+        "event_type",
+        F.coalesce(F.sum("n_grp").over(wo), F.lit(0)).alias("off"),
+    )
+    s = (
+        scalable_row_number(
+            ev, ("event_type", "value", "event_id"), out_col="grn"
+        )
+        .join(F.broadcast(offs), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("grn") - F.col("off")).alias("rn"),
+        )
+    )
     m = (
         s.join(F.broadcast(grp_n), "event_type")
         .crossJoin(F.broadcast(n_total_df))

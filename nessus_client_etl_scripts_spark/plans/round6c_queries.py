@@ -1,4 +1,5 @@
-"""Round-6 third wave — q153…q158: pipeline-operations extensions.
+"""Round-6 third wave onward — q153…q166: pipeline-operations
+extensions.
 
 - q153 hash-sampled quantile estimation WITH exact calibration — the
   q148/q149 estimator-calibration pattern applied to quantiles: the
@@ -24,6 +25,14 @@
   event time = ts): per event-hour counts of on-time / late-accepted
   / dropped rows under a 10 min / 30 min watermark pair, via the
   scalable running-max scan (no single-task global window).
+- q159 deterministic Poisson bootstrap (row-local resampling, CDF
+  literals); q160 exact-integer burst detection (RANGE window over
+  the hour frame); q161 PPJoin prefix-filter similarity join (exact
+  candidates, three integer prunes); q162 GROUPING SETS with
+  GROUPING() provenance; q163 forward as-of (next-event
+  attribution); q164 per-group Gini from exact moments; q165
+  frequent item pairs with lift; q166 Merkle-style snapshot diff by
+  range digests.
 
 Float portability per PLANS.md: every emitted number here is an exact
 integer, a timestamp, or a label EXCEPT q155's χ², which is one IEEE
