@@ -99,21 +99,19 @@ def group_sample(
 ) -> DataFrame:
     """Deterministic uniform sample of ``k`` rows per group: rank rows
     by salted content hash inside each group and keep the first ``k``.
-    Uses :func:`two_phase_rank` so a low-cardinality ``group_col`` (the
-    common case — a handful of sources/languages) still spreads the
-    ranking across all cores instead of one task per group; md5 ties
-    are broken by ``key_col`` inside the rank, so the sample is unique
-    and reproducible."""
-    from .windows import two_phase_rank
+    Uses :func:`grouped_row_number` so a low-cardinality ``group_col``
+    (the common case — a handful of sources/languages) still spreads
+    the ranking across all cores instead of one task per group, and no
+    tie-group join runs (the 48-bit salted keys are unique with
+    ``key_col`` as the final tiebreak, so row_number IS the rank —
+    positions are all a top-k cut needs)."""
+    from .windows import grouped_row_number
 
     hashed = df.withColumn("_skey", _u48(F.col(key_col), salt))
-    ranked = two_phase_rank(
-        hashed, part_col=group_col, val_col="_skey", key_col=key_col
+    ranked = grouped_row_number(
+        hashed, group_col, ("_skey", key_col), out_col="rank"
     )
-    return (
-        ranked.filter(F.col("rank") <= k)
-        .drop("_skey", "pct_rank", "gap_to_prev")
-    )
+    return ranked.filter(F.col("rank") <= k).drop("_skey")
 
 
 def mixture_weights_case(

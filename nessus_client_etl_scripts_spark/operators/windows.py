@@ -518,3 +518,50 @@ def scalable_prefix_sums(
     return out.select(
         *df.columns, *derived, *[f"{out_prefix}{c}" for c in val_cols]
     )
+
+
+def grouped_row_number(
+    df: DataFrame,
+    part_col: str,
+    order_cols: tuple[str, ...],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group ``row_number() OVER (PARTITION BY part ORDER BY …)``
+    without a low-cardinality window partition AND without rank
+    semantics: ONE global :func:`scalable_row_number` over
+    (part, *order) minus broadcast per-group offsets (the count of
+    rows in ordering-earlier groups).
+
+    This is the factored form of the position-read pattern that
+    emerged across q153/q164/q145/q123: when a consumer reads
+    POSITIONS (medians, percentile cuts, top-k under unique keys),
+    two_phase_rank's tie-group groupBy+join — which exists only to
+    give ties a shared RANK — is pure overhead; dropping it roughly
+    halved each of those queries' shuffle volume.
+
+    The offsets frame is |groups| rows; its cumulative window is a
+    deliberate single-task sort of metadata. Group ordering inside
+    the offsets window and inside the range exchange are both
+    Spark-native orderings of the same column, so they agree by
+    construction."""
+    ranked = scalable_row_number(
+        df, (part_col, *order_cols), out_col="_grn",
+        num_partitions=num_partitions,
+    )
+    w = Window.orderBy(part_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        df.groupBy(part_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            part_col,
+            F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_off"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(offs), part_col)
+        .withColumn(out_col, F.col("_grn") - F.col("_off"))
+        .select(*df.columns, out_col)
+    )

@@ -1399,11 +1399,12 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both medians are ORDER STATISTICS per language, and lang is a
     handful of values: Window.partitionBy(lang).orderBy(...) would
     funnel the corpus through |langs| tasks, so both passes run
-    two_phase_rank's global row number (range exchange, broadcast
-    offsets) and select rank == (n+1)//2 against a broadcast
-    per-group count. Two scans + two fine-grained rank passes,
-    never a low-cardinality window."""
-    from ..operators.windows import two_phase_rank
+    grouped_row_number (range exchange + broadcast offsets — no
+    tie-group join, positions are all a median read needs) and
+    select rn == (n+1)//2 against a broadcast per-group count. Two
+    scans + two fine-grained position passes, never a
+    low-cardinality window."""
+    from ..operators.windows import grouped_row_number
 
     docs = load_table(spark, sf_dir, "documents").select(
         "lang", "doc_id", "n_chars"
@@ -1411,8 +1412,8 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
 
     def _group_median(df: DataFrame, val: str, out: str) -> DataFrame:
-        ranked = two_phase_rank(
-            df, part_col="lang", val_col=val, key_col="doc_id", grn_col="rn"
+        ranked = grouped_row_number(
+            df, "lang", (val, "doc_id"), out_col="rn"
         )
         return (
             ranked.join(F.broadcast(cnt), "lang")
