@@ -46,7 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries proven green in r5.
 _R6_HEAD = (
     ("q120",)
-    + tuple(f"q{n}" for n in range(125, 170))
+    + tuple(f"q{n}" for n in range(125, 167))
     + ("q51", "q52", "q54", "q56", "q58")
     + tuple(f"q{n}" for n in range(29, 39))
     + ("q40",)

@@ -12,7 +12,7 @@ assignment is bit-identical in any engine that has md5.
 
 Scale shape: split assignment is row-local column algebra (zero
 shuffle, survives any partitioning); per-group sampling reuses
-``two_phase_rank`` so a handful of group values never funnels the
+``grouped_row_number`` so a handful of group values never funnels the
 table into a handful of tasks.
 """
 
@@ -303,7 +303,7 @@ def stratified_exact_split(
     (same partitioning, Catalyst reuses the exchange). Strata are
     (lang, source)-grained — thousands of groups, so plain windows
     distribute fine; a lower-cardinality stratification should swap in
-    two_phase_rank (see group_sample).
+    grouped_row_number (see group_sample).
     """
     from pyspark.sql import Window
 

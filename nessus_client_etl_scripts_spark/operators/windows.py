@@ -552,8 +552,12 @@ def grouped_row_number(
     w = Window.orderBy(part_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # offsets from the RANKED frame, not the raw input: ranked reads
+    # the localCheckpoint-pinned staged materialization, so the
+    # caller's upstream (a parquet scan, an expensive projection) is
+    # evaluated once, not once per consumer
     offs = (
-        df.groupBy(part_col)
+        ranked.groupBy(part_col)
         .agg(F.count(F.lit(1)).alias("_n"))
         .select(
             part_col,

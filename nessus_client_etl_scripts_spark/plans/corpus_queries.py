@@ -1005,7 +1005,8 @@ WITH h AS (
   FROM documents
 ), r AS (
   SELECT source, doc_id,
-         rank() OVER (PARTITION BY source ORDER BY skey) AS rank
+         row_number() OVER (PARTITION BY source ORDER BY skey, doc_id)
+           AS rank
   FROM h
 )
 SELECT source, doc_id, rank FROM r WHERE rank <= {k}
@@ -1014,11 +1015,13 @@ SELECT source, doc_id, rank FROM r WHERE rank <= {k}
 
 @register("q50_group_sample", _q50_oracle())
 def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic uniform k-per-group sample (salted-hash rank,
+    """Deterministic uniform k-per-group sample (salted-hash order,
     operators/sampling.py) — reproducible eval subsets without rand().
-    Ranking runs through two_phase_rank, so the handful of source
-    values never funnels the table into a handful of tasks (the q40/q47
-    scale fix applied at the operator level)."""
+    Ranking runs through grouped_row_number (row_number with doc_id as
+    the final tiebreak — exactly k rows even under a 48-bit hash
+    collision at the boundary, where rank() would return k+1), and the
+    handful of source values never funnels the table into a handful of
+    tasks (the q40/q47 scale fix applied at the operator level)."""
     from ..operators.sampling import group_sample
 
     docs = load_table(spark, sf_dir, "documents")

@@ -916,7 +916,7 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     global row_number over (type, value, id) minus broadcast
     per-type offsets. The position join is a fine-grained equi-join
     on a long key."""
-    from ..operators.windows import scalable_row_number
+    from ..operators.windows import grouped_row_number, scalable_row_number
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
@@ -929,25 +929,9 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("value", "event_id"), ("value", "event_id"),
         out_col="pos",
     ).select("pos", F.col("value").alias("q_value"))
-    wo = Window.orderBy("event_type").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # |types| rows — metadata-sized
-    offs = grp_n.select(
-        "event_type",
-        F.coalesce(F.sum("n_grp").over(wo), F.lit(0)).alias("off"),
-    )
-    s = (
-        scalable_row_number(
-            ev, ("event_type", "value", "event_id"), out_col="grn"
-        )
-        .join(F.broadcast(offs), "event_type")
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            (F.col("grn") - F.col("off")).alias("rn"),
-        )
-    )
+    s = grouped_row_number(
+        ev, "event_type", ("value", "event_id"), out_col="rn"
+    ).select("event_id", "event_type", "value", "rn")
     m = (
         s.join(F.broadcast(grp_n), "event_type")
         .crossJoin(F.broadcast(n_total_df))

@@ -49,8 +49,8 @@ from ..catalog import load_table, spread_for_compute
 from ..operators.sampling import HASH_SPACE, _u48
 from ..operators.text import normalize_text, tokens
 from ..operators.windows import (
+    grouped_row_number,
     scalable_prefix_sums,
-    scalable_row_number,
     scalable_running_max,
 )
 from .corpus_queries import _NORM_SQL
@@ -101,8 +101,12 @@ FROM fx JOIN sx USING (flag, q)
 
 def _q153_targets(counts: DataFrame, n_col: str, off_col: str) -> DataFrame:
     """12-row (flag, q, n, grn) target frame: per-flag quantile
-    position ceil(q·n/100) shifted by the flag's global offset."""
-    return counts.select(
+    position ceil(q·n/100) shifted by the flag's global offset. Flags
+    with n = 0 (a group entirely outside the hash sample) emit no
+    target at all — their ceil-rank would collapse onto the PREVIOUS
+    flag's last position and join a foreign row; the oracle likewise
+    emits nothing for them."""
+    return counts.filter(F.col(n_col) > 0).select(
         "flag",
         F.col(n_col).alias("n"),
         F.col(off_col).alias("off"),
@@ -164,12 +168,11 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, -1
     )  # |flags| rows — the single-task window is metadata-sized
     counts = (
-        base.groupBy("flag")
+        cum.groupBy("flag")  # reads the pinned staged frame — no
+        # second parquet scan, no per-row md5 re-evaluation
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(
-                (_u48(F.col("k"), _Q153_SALT) < _Q153_THRESH).cast("long")
-            ).alias("ns"),
+            F.sum("ins").cast("long").alias("ns"),
         )
         .select(
             "flag",
@@ -1142,34 +1145,20 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
     the q152/q155 rule, since Σi·y reaches n²·y̅).
 
     The 5-value priority column never becomes a window partition: the
-    ranking is one global scalable_row_number over (prio, cents, key)
-    and per-group positions are global positions minus broadcast
-    per-group offsets (the q153 shape). One range exchange + one
-    map-side-combined moment aggregate — no second pass, no sort of
-    the moments."""
+    ranking is grouped_row_number (one global scalable_row_number over
+    (prio, cents, key) minus broadcast per-group offsets). One range
+    exchange + one map-side-combined moment aggregate — no second
+    pass, no sort of the moments."""
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
         F.col("o_orderpriority").alias("prio"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.col("o_orderkey").alias("k"),
     )
-    ranked = scalable_row_number(base, ("prio", "cents", "k"), out_col="grn")
-    w = Window.orderBy("prio").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (
-        base.groupBy("prio")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .select(
-            "prio", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off")
-        )
-    )
+    ranked = grouped_row_number(base, "prio", ("cents", "k"), out_col="i")
     dec = "decimal(38,0)"
     mom = (
-        ranked.join(F.broadcast(offs), "prio")
-        .select(
-            "prio",
-            "cents",
-            (F.col("grn") - F.col("off")).alias("i"),
-        )
+        ranked.select("prio", "cents", "i")
         .groupBy("prio")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

@@ -509,3 +509,21 @@ def test_merkle_diff_finds_exactly_planted_changes(spark):
     assert sum(r["n_changed"] for r in rows) == planted
     for r in rows:
         assert r["n_changed"] >= 1  # every emitted bucket is truly dirty
+
+
+def test_q153_targets_skip_empty_sample_groups(spark):
+    """A flag whose rows all fall outside the hash sample must emit NO
+    sample targets: its ceil-rank would otherwise collapse onto the
+    previous flag's last cumulative position and join a foreign row
+    (review finding, round 6)."""
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import (
+        _q153_targets,
+    )
+
+    counts = spark.createDataFrame(
+        [("A", 10, 0), ("N", 0, 10), ("R", 7, 17)],
+        "flag string, ns long, soff long",
+    )
+    rows = _q153_targets(counts, "ns", "soff").collect()
+    assert {r["flag"] for r in rows} == {"A", "R"}
+    assert len(rows) == 8  # 4 quantile targets per surviving flag
