@@ -545,27 +545,66 @@ def grouped_row_number(
     the offsets window and inside the range exchange are both
     Spark-native orderings of the same column, so they agree by
     construction."""
-    ranked = scalable_row_number(
-        df, (part_col, *order_cols), out_col="_grn",
-        num_partitions=num_partitions,
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    if num_partitions:
+        num = num_partitions
+    else:
+        try:
+            num = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num = spark.sparkContext.defaultParallelism
+    # The machinery is inlined (not scalable_row_number + a consumer
+    # aggregate) so BOTH offset frames read the pinned staged
+    # materialization directly: the per-pid stats as a tiny collect,
+    # the per-group counts as one hash aggregate over checkpointed
+    # rows — no re-evaluation of the caller's upstream and no forcing
+    # of the ranking window just to count groups.
+    staged = (
+        df.repartitionByRange(
+            num, F.col(part_col), *[F.col(c) for c in order_cols]
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    w = Window.orderBy(part_col).rowsBetween(
+    stats = sorted(
+        staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    recs, off = [], 0
+    for r in stats:
+        recs.append((r["_pid"], off))
+        off += r["c"]
+    pid_offs = spark.createDataFrame(
+        recs,
+        T.StructType(
+            [
+                T.StructField("_pid", T.IntegerType()),
+                T.StructField("_poff", T.LongType()),
+            ]
+        ),
+    )
+    w_group = Window.orderBy(part_col).rowsBetween(
         Window.unboundedPreceding, -1
-    )
-    # offsets from the RANKED frame, not the raw input: ranked reads
-    # the localCheckpoint-pinned staged materialization, so the
-    # caller's upstream (a parquet scan, an expensive projection) is
-    # evaluated once, not once per consumer
+    )  # |groups| rows — the single-task cumulative is metadata-sized
     offs = (
-        ranked.groupBy(part_col)
+        staged.groupBy(part_col)
         .agg(F.count(F.lit(1)).alias("_n"))
         .select(
             part_col,
-            F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_off"),
+            F.coalesce(F.sum("_n").over(w_group), F.lit(0)).alias("_goff"),
         )
     )
+    w_local = Window.partitionBy("_pid").orderBy(part_col, *order_cols)
     return (
-        ranked.join(F.broadcast(offs), part_col)
-        .withColumn(out_col, F.col("_grn") - F.col("_off"))
+        staged.join(F.broadcast(pid_offs), "_pid")
+        .join(F.broadcast(offs), part_col)
+        .withColumn(
+            out_col,
+            F.row_number().over(w_local)
+            + F.col("_poff")
+            - F.col("_goff"),
+        )
         .select(*df.columns, out_col)
     )
