@@ -1402,3 +1402,105 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rows_a").alias("n_rows"),
         F.coalesce("n_changed", F.lit(0).cast("long")).alias("n_changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — leakage-safe train/val/test split (cluster-integral assignment)
+# ---------------------------------------------------------------------------
+
+_Q167_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_Q167_SALT = "leak-split-v1"
+_Q167_TAU = 0.3
+
+
+def _q167_oracle() -> str:
+    """q96's full chain (MinHash LSH candidates → exact-Jaccard verify
+    → recursive-closure components) with the salted split assigned to
+    the CLUSTER id instead of the doc id."""
+    from ..operators.sampling import split_assign_sql
+    from .corpus_queries import _minhash_cte
+
+    cte = _minhash_cte().replace("WITH base", "WITH RECURSIVE base", 1)
+    split_sql = split_assign_sql(
+        "cluster_id", _Q167_WEIGHTS, salt=_Q167_SALT
+    )
+    return f"""
+{cte},
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN base a ON c.doc_a = a.doc_id
+  JOIN base b ON c.doc_b = b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                 AS DOUBLE) >= {_Q167_TAU!r}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM verified
+), reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a AS id, r.r AS r FROM edges e JOIN reach r ON e.b = r.id
+), comp AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+), labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id, {split_sql} AS split,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS cluster_size
+FROM labeled
+"""
+
+
+@register("q167_leakage_safe_split", _q167_oracle())
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the salted-hash assignment
+    (q49's split kernel) keyed on the NEAR-DUP CLUSTER id instead of
+    the document id, so a document and its near-duplicates land in the
+    same split by construction — the guarantee that stops benchmark
+    answers leaking from test into train through paraphrases, which a
+    row-keyed split (q49) cannot give. Clusters come from the
+    engine's scale dedup path (q96: LSH candidates → exact-Jaccard
+    verify → star-contraction components); singleton documents are
+    their own cluster and split i.i.d., identical to q49's marginal
+    distribution.
+
+    Scale: everything up to the cluster frame is the proven q96
+    pipeline (banding-bounded pairs, O(log d) contraction rounds);
+    the split itself is row-local integer threshold algebra on the
+    8-byte cluster id — assignment adds ZERO shuffle beyond the
+    cluster build. The no-straddle property is structural (split is a
+    function of cluster_id) and pinned by a pair-level unit test."""
+    from ..operators.dedup import minhash_lsh_candidates, verify_pairs_jaccard
+    from ..operators.graph import connected_components
+    from ..operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        docs, num_hashes=64, bands=16, k=3, family="md5",
+        materialize_signatures=True,
+    )
+    verified = verify_pairs_jaccard(docs, cand, k=3, threshold=_Q167_TAU)
+    comp = connected_components(verified, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        split_assign(
+            F.col("cluster_id"), _Q167_WEIGHTS, salt=_Q167_SALT
+        ).alias("split"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    )

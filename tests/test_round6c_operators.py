@@ -527,3 +527,36 @@ def test_q153_targets_skip_empty_sample_groups(spark):
     rows = _q153_targets(counts, "ns", "soff").collect()
     assert {r["flag"] for r in rows} == {"A", "R"}
     assert len(rows) == 8  # 4 quantile targets per surviving flag
+
+
+def test_leakage_safe_split_no_straddle(spark):
+    """Every verified near-dup pair lands in ONE split — the guarantee
+    the cluster-keyed assignment exists for — and split fractions are
+    roughly the declared weights over clusters."""
+    from nessus_client_etl_scripts_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        verify_pairs_jaccard,
+    )
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import (
+        _Q167_TAU,
+        q167,
+    )
+
+    out = q167(spark, SF001).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    cand = minhash_lsh_candidates(
+        docs, num_hashes=64, bands=16, k=3, family="md5"
+    )
+    pairs = verify_pairs_jaccard(
+        docs, cand, k=3, threshold=_Q167_TAU
+    ).collect()
+    for p in pairs:
+        assert split_of[p["doc_a"]] == split_of[p["doc_b"]]
+    # members of one cluster agree on size and split
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(
+            (r["split"], r["cluster_size"])
+        )
+    assert all(len(v) == 1 for v in by_cluster.values())
