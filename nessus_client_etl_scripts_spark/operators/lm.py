@@ -265,3 +265,190 @@ def bpe_merge_step(
         .cast("long")
         .alias("n_tokens_after"),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Laplace-smoothed bigram conditional-likelihood score per
+    document — the engine-native analogue of the KenLM perplexity
+    filter (CCNet/Gopher quality tier): train p(w2|w1) =
+    (c(w1,w2)+1)/(c(w1·)+V) on the corpus itself, then score each
+    document by its mean per-bigram probability. Where
+    :func:`bigram_novelty` reads the JOINT frequency (how rare is
+    this pair), this reads the CONDITIONAL model (how predictable is
+    the next token given the previous one) — the two are the
+    frequency- and model-based halves of the same filter family.
+
+    Float portability (PLANS.md): the geometric mean (true
+    perplexity) needs log sums whose accumulation order differs
+    across engines, so the ARITHMETIC mean of probabilities is
+    emitted instead — rank-equivalent for the band-filter use and
+    exactly portable: each per-bigram probability is one IEEE
+    division of exact integers, micro-rounded to a BIGINT BEFORE the
+    order-independent integer sum; the mean is one integer floor
+    division.
+
+    Scale: the model is two map-side-combined aggregations bounded by
+    the observed-bigram vocabulary (≪ corpus); scoring is one
+    equi-join of the posting against the model — AQE broadcasts the
+    model when it fits (real-text bigram tables are ~10⁷ rows /
+    ~100 MB, broadcastable), else a shuffle join on short string
+    keys. The posting feeds both subtrees un-persisted (the
+    bigram_novelty recompute-beats-cache finding)."""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(text_col)).alias("toks"),
+    )
+    posting = (
+        staged.select(
+            "doc_id", bigrams_from_tokens(F.col("toks")).alias("bg")
+        )
+        .select("doc_id", F.explode("bg").alias("bigram"))
+    )
+    model = posting.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    # context count c(w1·) = sum of c12 over the first token; vocab V
+    # over all tokens (unigrams, so the last token of each doc counts)
+    ctx = model.groupBy(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("c12").cast("long").alias("c1"))
+    vocab = staged.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").cast("long").alias("v")
+    )
+    contrib = (
+        model.withColumn(
+            "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+        )
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.round(
+                F.lit(1000000.0)
+                * (
+                    (F.col("c12") + F.lit(1)).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("p_micro"),
+        )
+    )
+    scored = posting.join(contrib, "bigram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("p_micro").cast("long").alias("sum_prob_micro"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("sum_prob_micro", F.lit(0).cast("long")).alias(
+                "sum_prob_micro"
+            ),
+            F.coalesce(
+                F.expr("sum_prob_micro div n_bigrams"), F.lit(0).cast("long")
+            ).alias("mean_prob_micro"),
+        )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    buckets: int = 64,
+    salt: str = "dsir-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-n-gram importance weighting (DSIR, Xie et al. 2023):
+    score every document by how much more likely its tokens are under
+    a TARGET distribution (rows matching ``target_pred``) than under
+    the full SOURCE corpus, over ``buckets`` hashed unigram features.
+    High scorers are "target-like" — the data-selection verb that
+    upsamples in-domain text when curating a pretraining mix.
+
+    DSIR sums log-likelihood ratios; the portable variant emitted
+    here weight-sums the MICRO-ROUNDED probability ratios instead
+    (rank-preserving for the select-top-fraction use): each bucket's
+    ratio (cnt_T+1)(n_S+B) / (cnt_S+1)(n_T+B) is one IEEE division
+    of two exact BIGINT products (both < 2⁵³ through sf10, so the
+    doubles are exact), micro-rounded once, then combined per
+    document as Σ c_b·r_b over exact integers — order-independent,
+    log-free (PLANS.md float rule).
+
+    Scale: the ratio table is B rows (driver-chosen constant) —
+    broadcast by construction; the per-document bucket histogram is
+    one map-side-combined aggregation on (doc_id, bucket); nothing
+    corpus-sized ever shuffles except that histogram's 16-byte keys."""
+    from .sampling import _u48
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("is_target"),
+        tokens(normalize_text(text_col)).alias("toks"),
+    )
+    words = staged.select(
+        "doc_id", "is_target", F.explode("toks").alias("w")
+    ).select(
+        "doc_id",
+        "is_target",
+        (_u48(F.col("w"), salt) % F.lit(buckets)).alias("b"),
+    )
+    src = words.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cnt_s"))
+    tgt = (
+        words.filter("is_target")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_t"))
+    )
+    totals = words.agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+    )
+    ratio = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.lit(1000000.0)
+                * (
+                    (
+                        (F.coalesce("cnt_t", F.lit(0)) + F.lit(1))
+                        * (F.col("n_s") + F.lit(buckets))
+                    ).cast("double")
+                    / (
+                        (F.col("cnt_s") + F.lit(1))
+                        * (F.col("n_t") + F.lit(buckets))
+                    ).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("r_micro"),
+        )
+    )
+    hist = words.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        hist.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("r_micro")).cast("long").alias("imp_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "imp_micro",
+            F.expr("imp_micro div n_tokens").alias("mean_ratio_micro"),
+            (F.expr("imp_micro div n_tokens") >= F.lit(1000000)).alias(
+                "selected"
+            ),
+        )
+    )

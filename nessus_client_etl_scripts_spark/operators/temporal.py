@@ -455,3 +455,67 @@ def position_attribution(
         F.count(F.lit(1)).cast("long").alias("n_touches"),
         F.countDistinct("_u", "_cid").cast("long").alias("n_conversions"),
     )
+
+
+def interval_overlap_join(
+    intervals: DataFrame,
+    order_col: str,
+    start_col: str,
+    end_col: str,
+    carry: Sequence[str] = (),
+    bucket: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval×interval overlap SELF-join — every pair of intervals
+    (from rows whose ``order_col`` strictly orders, so each unordered
+    pair emits once and an interval never pairs with itself) whose
+    closed [start, end] ranges intersect, with the overlap length.
+    The concurrency verb (sessions active together, bookings that
+    clash, co-running jobs) that SQL writes as an inequality theta
+    join — which Spark can only nest-loop.
+
+    Scale shape: each interval explodes into the fixed-width buckets
+    it spans (fan-out = duration/bucket, row-local `sequence`), then
+    candidates meet in ONE equi-join on the bucket key — hash
+    shuffle, AQE-skewable, never |I|². A pair spanning several shared
+    buckets would match once per bucket, so each pair is CLAIMED by
+    exactly one bucket — the one containing the later start
+    (greatest(start_a, start_b) div bucket) — a row-local predicate,
+    not a post-hoc distinct. Start/end are BIGINT (epoch micros);
+    ``bucket`` must exceed 0 and should sit near the typical interval
+    length so per-bucket population stays bounded.
+
+    Returns ``a_<order>``, ``b_<order>``, carry columns prefixed
+    ``a_``/``b_``, and ``overlap`` = least(end)−greatest(start) ≥ 0.
+    """
+    cols = [order_col, start_col, end_col, *carry]
+    bkts = intervals.select(
+        *cols,
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {bucket}"),
+                F.expr(f"{end_col} div {bucket}"),
+            )
+        ).alias("_bkt"),
+    )
+    a = bkts.select(
+        "_bkt", *[F.col(c).alias(f"a_{c}") for c in cols]
+    )
+    b = bkts.select(
+        "_bkt", *[F.col(c).alias(f"b_{c}") for c in cols]
+    )
+    sa, ea = F.col(f"a_{start_col}"), F.col(f"a_{end_col}")
+    sb, eb = F.col(f"b_{start_col}"), F.col(f"b_{end_col}")
+    claimed = F.col("_bkt") == F.expr(
+        f"greatest(a_{start_col}, b_{start_col}) div {bucket}"
+    )
+    pairs = a.join(b, "_bkt").filter(
+        (F.col(f"a_{order_col}") < F.col(f"b_{order_col}"))
+        & (sa <= eb)
+        & (sb <= ea)
+        & claimed
+    )
+    return pairs.select(
+        *[F.col(f"a_{c}") for c in cols],
+        *[F.col(f"b_{c}") for c in cols],
+        (F.least(ea, eb) - F.greatest(sa, sb)).alias("overlap"),
+    )

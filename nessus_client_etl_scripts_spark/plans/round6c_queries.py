@@ -1504,3 +1504,211 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("split"),
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — Laplace-smoothed bigram LM quality score
+# ---------------------------------------------------------------------------
+
+_Q168_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), pairs AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS bigram
+  FROM t, unnest(range(1, len(l))) AS u(i)
+), model AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c12 FROM pairs GROUP BY bigram
+), ctx AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+  FROM model GROUP BY 1
+), voc AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+  FROM (SELECT unnest(l) AS w FROM t)
+), contrib AS (
+  SELECT m.bigram,
+         CAST(round(1000000.0 * (CAST(c12 + 1 AS DOUBLE)
+                                 / CAST(c1 + v AS DOUBLE))) AS BIGINT)
+           AS p_micro
+  FROM model m
+  JOIN ctx ON split_part(m.bigram, ' ', 1) = ctx.w1
+  CROSS JOIN voc
+), scored AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(p_micro) AS BIGINT) AS sum_prob_micro
+  FROM pairs p JOIN contrib USING (bigram) GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(sum_prob_micro, 0) AS sum_prob_micro,
+       coalesce(sum_prob_micro // n_bigrams, 0) AS mean_prob_micro
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+@register("q168_bigram_lm_score", _Q168_ORACLE)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score bigram language model (operators/lm.
+    bigram_lm_score): Laplace-smoothed conditional p(w2|w1) fitted on
+    the corpus, every document scored by its mean per-bigram
+    probability — the perplexity-band quality filter of CCNet/Dolma
+    re-expressed log-free (arithmetic-mean surrogate; see the
+    operator docstring for the portability argument). Complements
+    q126's joint-frequency novelty with the CONDITIONAL model."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.lm import bigram_lm_score
+
+    return bigram_lm_score(docs)
+
+
+# ---------------------------------------------------------------------------
+# q169 — DSIR-style hashed-unigram importance weighting
+# ---------------------------------------------------------------------------
+
+_Q169_B = 64
+_Q169_SALT = "dsir-v1"
+
+_Q169_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), w AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5('{_Q169_SALT}' || w), 1, 12))::BIGINT
+           % {_Q169_B} AS b
+  FROM (SELECT doc_id, lang, unnest(l) AS w FROM t)
+), src AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cnt_s FROM w GROUP BY b
+), tgt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cnt_t FROM w
+  WHERE lang = 'en' GROUP BY b
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_s,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+  FROM w
+), ratio AS (
+  SELECT s.b,
+         CAST(round(1000000.0 *
+           (CAST((coalesce(cnt_t, 0) + 1) * (n_s + {_Q169_B}) AS DOUBLE)
+            / CAST((cnt_s + 1) * (n_t + {_Q169_B}) AS DOUBLE))) AS BIGINT)
+           AS r_micro
+  FROM src s LEFT JOIN tgt USING (b) CROSS JOIN tot
+), hist AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2
+), sc AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(c * r_micro) AS BIGINT) AS imp_micro
+  FROM hist JOIN ratio USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, imp_micro,
+       imp_micro // n_tokens AS mean_ratio_micro,
+       (imp_micro // n_tokens) >= 1000000 AS selected
+FROM sc
+"""
+
+
+@register("q169_dsir_importance", _Q169_ORACLE)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (operators/lm.
+    dsir_importance): hashed-unigram likelihood ratios of the
+    lang='en' TARGET slice against the full corpus SOURCE, weight-
+    summed per document — the domain-upsampling selection verb of a
+    pretraining-mix curator. Ratio table is B=64 broadcast rows; the
+    only corpus-sized shuffle carries (doc_id, bucket) longs."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.lm import dsir_importance
+
+    return dsir_importance(
+        docs, F.col("lang") == "en", buckets=_Q169_B, salt=_Q169_SALT
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170 — concurrent-session interval overlap join
+# ---------------------------------------------------------------------------
+
+_Q170_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                   <= 1800000000
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+), iv AS (
+  SELECT user_id, CAST(sid AS BIGINT) AS sid,
+         epoch_us(CAST(min(ts) AS TIMESTAMP)) AS s_us,
+         epoch_us(CAST(max(ts) AS TIMESTAMP)) AS e_us,
+         count(*) AS n
+  FROM sessions GROUP BY user_id, sid
+), mi AS (
+  SELECT * FROM iv WHERE n >= 2
+)
+SELECT a.user_id AS user_a, a.sid AS session_a,
+       b.user_id AS user_b, b.sid AS session_b,
+       least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us
+FROM mi a JOIN mi b
+  ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+"""
+
+
+@register("q170_concurrent_sessions", _Q170_ORACLE)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/temporal.
+    interval_overlap_join): which user sessions were ACTIVE AT THE
+    SAME TIME — q19's gap sessionization built into [start, end]
+    intervals (multi-event sessions only, so intervals have real
+    extent), then the bucketed self-join the oracle writes as an
+    inequality theta join. Hour buckets bound candidate fan-out; the
+    later-start claim rule dedupes multi-bucket pairs row-locally.
+    One shuffle for sessionize (reused by the agg), one for the
+    bucket equi-join — never |sessions|²."""
+    from ..operators.temporal import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w) <= 1_800_000_000, 0).otherwise(1),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_session").over(wrun).cast("long")
+    )
+    iv = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("s_us"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("e_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    pairs = interval_overlap_join(
+        iv.select(
+            F.col("user_id").alias("u"), "sid", "s_us", "e_us"
+        ),
+        order_col="u",
+        start_col="s_us",
+        end_col="e_us",
+        carry=("sid",),
+    )
+    return pairs.select(
+        F.col("a_u").alias("user_a"),
+        F.col("a_sid").alias("session_a"),
+        F.col("b_u").alias("user_b"),
+        F.col("b_sid").alias("session_b"),
+        F.col("overlap").alias("overlap_us"),
+    )

@@ -560,3 +560,111 @@ def test_leakage_safe_split_no_straddle(spark):
             (r["split"], r["cluster_size"])
         )
     assert all(len(v) == 1 for v in by_cluster.values())
+
+
+def test_bigram_lm_score_bounds_and_counts(spark):
+    """Mean smoothed probability lies in (0, 1e6]; n_bigrams is
+    token_count-1 for every multi-token doc."""
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import q168
+
+    out = {r["doc_id"]: r for r in q168(spark, SF001).collect()}
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    import re
+
+    for d in docs:
+        toks = re.sub(r"\s+", " ", d["text"].strip().lower()).split(" ")
+        r = out[d["doc_id"]]
+        assert r["n_bigrams"] == max(len(toks) - 1, 0)
+        if r["n_bigrams"]:
+            assert 0 < r["mean_prob_micro"] <= 1_000_000
+            assert r["mean_prob_micro"] == r["sum_prob_micro"] // r["n_bigrams"]
+
+
+def test_dsir_importance_reconstruction(spark):
+    """imp_micro equals the hand-computed Σ c_b · r_b for every doc —
+    the bucket histogram, ratio table, and weighting all agree with a
+    direct Python reimplementation."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import (
+        _Q169_B,
+        _Q169_SALT,
+        q169,
+    )
+
+    def bucket(w):
+        h = hashlib.md5((_Q169_SALT + w).encode()).hexdigest()[:12]
+        return int(h, 16) % _Q169_B
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    src, tgt = Counter(), Counter()
+    per_doc = {}
+    for d in docs:
+        toks = re.sub(r"\s+", " ", d["text"].strip().lower()).split(" ")
+        bs = [bucket(w) for w in toks]
+        per_doc[d["doc_id"]] = Counter(bs)
+        src.update(bs)
+        if d["lang"] == "en":
+            tgt.update(bs)
+    n_s, n_t = sum(src.values()), sum(tgt.values())
+    r = {
+        b: round(
+            1e6 * ((tgt[b] + 1) * (n_s + _Q169_B))
+            / ((src[b] + 1) * (n_t + _Q169_B))
+        )
+        for b in src
+    }
+    for row in q169(spark, SF001).collect():
+        c = per_doc[row["doc_id"]]
+        imp = sum(cnt * r[b] for b, cnt in c.items())
+        assert row["imp_micro"] == imp
+        assert row["n_tokens"] == sum(c.values())
+        assert row["selected"] == (imp // sum(c.values()) >= 1_000_000)
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """The bucketed+claimed self-join emits exactly the quadratic
+    truth: every overlapping cross-user session pair once, none
+    twice, with the exact overlap length."""
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import q170
+
+    got = {
+        (r["user_a"], r["session_a"], r["user_b"], r["session_b"]): r[
+            "overlap_us"
+        ]
+        for r in q170(spark, SF001).collect()
+    }
+    # brute force from the same sessionization (driver-side)
+    ev = sorted(
+        spark.read.parquet(f"{SF001}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    iv = {}
+    last, sid = {}, {}
+    for r in ev:
+        u, t = r["user_id"], r["ts"]
+        import calendar
+
+        us = calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+        if u not in last or us - last[u] > 1_800_000_000:
+            sid[u] = sid.get(u, 0) + 1
+        last[u] = us
+        key = (u, sid[u])
+        s, e, n = iv.get(key, (us, us, 0))
+        iv[key] = (min(s, us), max(e, us), n + 1)
+    multi = {k: v for k, v in iv.items() if v[2] >= 2}
+    want = {}
+    ks = sorted(multi)
+    for i, ka in enumerate(ks):
+        for kb in ks[i + 1:]:
+            if ka[0] == kb[0]:
+                continue
+            (sa, ea, _), (sb, eb, _) = multi[ka], multi[kb]
+            if sa <= eb and sb <= ea:
+                a, b = (ka, kb) if ka[0] < kb[0] else (kb, ka)
+                want[(a[0], a[1], b[0], b[1])] = min(ea, eb) - max(
+                    multi[a][0], multi[b][0]
+                )
+    assert got == want
