@@ -1712,3 +1712,354 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_sid").alias("session_b"),
         F.col("overlap").alias("overlap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — incremental join-view maintenance (delta algebra, self-proving)
+# ---------------------------------------------------------------------------
+
+_Q171_CUT_O = "2000-01-01"  # orders ingested after this are the ΔO batch
+_Q171_CUT_L = "2000-06-01"  # lineitems shipped after this are the ΔL batch
+
+_Q171_REV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+_Q171_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey,
+         l_shipdate >= TIMESTAMP '{_Q171_CUT_L}' AS new_l,
+         {_Q171_REV} AS rev
+  FROM lineitem
+), od AS (
+  SELECT o_orderkey, o_orderpriority,
+         o_orderdate >= TIMESTAMP '{_Q171_CUT_O}' AS new_o
+  FROM orders
+), full_v AS (
+  SELECT o_orderpriority, sum(rev) AS rev, count(*) AS n
+  FROM li JOIN od ON l_orderkey = o_orderkey GROUP BY 1
+), old_v AS (
+  SELECT o_orderpriority, sum(rev) AS rev, count(*) AS n
+  FROM li JOIN od ON l_orderkey = o_orderkey
+  WHERE NOT new_l AND NOT new_o GROUP BY 1
+), d_l AS (
+  SELECT o_orderpriority, sum(rev) AS rev, count(*) AS n
+  FROM li JOIN od ON l_orderkey = o_orderkey
+  WHERE new_l GROUP BY 1
+), d_o AS (
+  SELECT o_orderpriority, sum(rev) AS rev, count(*) AS n
+  FROM li JOIN od ON l_orderkey = o_orderkey
+  WHERE NOT new_l AND new_o GROUP BY 1
+), inc AS (
+  SELECT o_orderpriority, sum(rev) AS rev, sum(n) AS n
+  FROM (SELECT * FROM old_v UNION ALL SELECT * FROM d_l
+        UNION ALL SELECT * FROM d_o)
+  GROUP BY 1
+)
+SELECT f.o_orderpriority,
+       CAST(f.n AS BIGINT) AS n_full,
+       CAST(coalesce(i.n, 0) AS BIGINT) AS n_inc,
+       CAST(f.rev AS DOUBLE) AS rev_full,
+       CAST(coalesce(i.rev, 0) AS DOUBLE) AS rev_inc,
+       (f.n = coalesce(i.n, 0) AND f.rev = coalesce(i.rev, 0)) AS matches
+FROM full_v f LEFT JOIN inc i ON f.o_orderpriority = i.o_orderpriority
+"""
+
+
+@register("q171_delta_join_view", _Q171_ORACLE)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE of an aggregated join view —
+    the delta algebra (A+ΔA)⋈(B+ΔB) = A⋈B + ΔA⋈B' + A⋈ΔB executed
+    as three filtered joins: the materialized OLD state (old⋈old),
+    the new-lineitem delta against the FULL updated orders side, and
+    the old-lineitem × new-orders cross term. The query emits the
+    incrementally-maintained view NEXT TO the full recompute with a
+    per-group matches flag — self-proving, the q166/q150 pattern, so
+    the driver hash pins the delta rule itself.
+
+    Scale: this is THE pattern that keeps a 100 TB rollup fresh —
+    the recurring cost is the two delta joins, whose lineitem/orders
+    scans carry pushed-down date predicates (PushedFilters on the
+    parquet scan; at scale these are partition prunes over the
+    ingest-date layout), each orders-of-magnitude smaller than the
+    full join the view would otherwise recompute. The full join here
+    exists only as the embedded oracle. All revenue sums ride exact
+    DECIMAL and cast to double once at emission (float rule #1);
+    the matches flag compares DECIMALS, not doubles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_shipdate") >= F.lit(_Q171_CUT_L).cast("timestamp")).alias(
+            "new_l"
+        ),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("rev"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_orderdate") >= F.lit(_Q171_CUT_O).cast("timestamp")).alias(
+            "new_o"
+        ),
+    )
+
+    def view(l, o):
+        return (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("rev").alias("rev"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+
+    full_v = view(li, od)
+    old_v = view(li.filter(~F.col("new_l")), od.filter(~F.col("new_o")))
+    d_l = view(li.filter(F.col("new_l")), od)
+    d_o = view(li.filter(~F.col("new_l")), od.filter(F.col("new_o")))
+    inc = (
+        old_v.unionByName(d_l)
+        .unionByName(d_o)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("rev").alias("rev"), F.sum("n").alias("n"))
+    )
+    f, i = full_v.alias("f"), inc.alias("i")
+    return f.join(
+        i, F.col("f.o_orderpriority") == F.col("i.o_orderpriority"), "left"
+    ).select(
+        F.col("f.o_orderpriority").alias("o_orderpriority"),
+        F.col("f.n").alias("n_full"),
+        F.coalesce(F.col("i.n"), F.lit(0)).cast("long").alias("n_inc"),
+        F.col("f.rev").cast("double").alias("rev_full"),
+        F.coalesce(F.col("i.rev"), F.lit(0)).cast("double").alias("rev_inc"),
+        (
+            (F.col("f.n") == F.coalesce(F.col("i.n"), F.lit(0)))
+            & (
+                F.col("f.rev")
+                == F.coalesce(F.col("i.rev"), F.lit(0).cast("decimal(12,2)"))
+            )
+        ).alias("matches"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q172 — declarative data-quality expectation audit
+# ---------------------------------------------------------------------------
+
+_Q172_ORACLE = """
+SELECT 'orders.custkey_not_null' AS constraint,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'orders.status_accepted', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'lineitem.quantity_in_range', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.price_positive', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'orders.orderkey_unique', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+       count(*) = count(DISTINCT o_orderkey)
+FROM orders
+UNION ALL
+SELECT 'lineitem.orderkey_in_orders', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+@register("q172_expectation_audit", _Q172_ORACLE)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/expectations): six
+    constraints over orders/lineitem — null-rate, accepted value
+    set, numeric range, positivity, key uniqueness, referential
+    integrity — each one audit row with exact violation counts. The
+    four row-local checks cost TWO scans total (one conditional
+    aggregation per table), uniqueness is a (key,count) combine, and
+    the FK check is a left-anti join that never moves a non-key
+    column. The promote-or-quarantine decision of a bronze→silver
+    ingest, as a query the driver value-checks."""
+    from ..operators.expectations import (
+        row_expectations,
+        subset_expectation,
+        unique_expectation,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = [
+        row_expectations(
+            od,
+            {
+                "orders.custkey_not_null": F.col("o_custkey").isNull(),
+                "orders.status_accepted": ~F.col("o_orderstatus").isin(
+                    "O", "F", "P"
+                ),
+            },
+        ),
+        row_expectations(
+            li,
+            {
+                "lineitem.quantity_in_range": (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                "lineitem.price_positive": F.col("l_extendedprice") <= 0,
+            },
+        ),
+        unique_expectation(od, "o_orderkey", "orders.orderkey_unique"),
+        subset_expectation(
+            li, "l_orderkey", od, "o_orderkey", "lineitem.orderkey_in_orders"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q173 — rank-biased overlap between lexical and dense rankings
+# ---------------------------------------------------------------------------
+
+_Q173_K = 20
+
+
+def _q173_oracle() -> str:
+    from .round6b_queries import _BM25_CORE_SQL
+
+    return f"""
+WITH {_BM25_CORE_SQL},
+bm25_top AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS ra
+  FROM scores
+  QUALIFY ra <= {_Q173_K}
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), cos AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(embedding::DOUBLE[], qv)
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qv, qv))) AS score
+  FROM embeddings CROSS JOIN q WHERE vec_id != 0
+), cos_top AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rb
+  FROM cos
+  QUALIFY rb <= {_Q173_K}
+), both_in AS (
+  SELECT greatest(ra, rb) AS m FROM bm25_top JOIN cos_top USING (doc_id)
+), depths AS (
+  SELECT CAST(unnest(range(1, {_Q173_K} + 1)) AS BIGINT) AS d
+), ov AS (
+  SELECT d,
+         CAST((SELECT count(*) FROM both_in WHERE m <= d) AS BIGINT)
+           AS overlap_d
+  FROM depths
+), terms AS (
+  SELECT d, overlap_d,
+         CAST(round(1000000000000.0 * CAST(overlap_d AS DOUBLE)
+                    / CAST(d * (1::BIGINT << d) AS DOUBLE)) AS BIGINT)
+           AS term_pico
+  FROM ov
+)
+SELECT d, overlap_d, term_pico,
+       CAST(sum(term_pico) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS rbo_pico
+FROM terms
+"""
+
+
+@register("q173_rank_overlap", _q173_oracle())
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the BM25
+    lexical ranking and the dense cosine ranking — the retrieval-
+    evaluation verb that tells a hybrid-search operator HOW MUCH the
+    two retrievers agree, depth-weighted so the top of the list
+    dominates. Persistence p = 1/2, so every RBO weight is the dyadic
+    rational 2⁻ᵈ and each depth's term round(1e12·overlap_d/(d·2ᵈ))
+    is ONE correctly-rounded division of exact integers — no pow(),
+    no log, no order-dependent float sum (the cumulative RBO is an
+    integer running sum). Emits the full depth profile d=1..20 with
+    the agreement curve, q148-style (estimate next to its inputs).
+
+    Scale: both rankings are TakeOrderedAndProject heaps over their
+    corpus (no global sort); everything after is algebra on two
+    20-row broadcast frames. A pair contributes to overlap_d for all
+    d ≥ max(rank_a, rank_b) — counted once per depth via a tiny
+    inequality join of two ≤20-row frames, never a corpus scan."""
+    from ..operators.ranking import bm25_scores
+    from ..operators.similarity import cosine
+    from .round6b_queries import _BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    wa = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    lex = (
+        bm25_scores(docs, _BM25_TERMS)
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(_Q173_K)
+        .withColumn("ra", F.row_number().over(wa))
+        .select("doc_id", "ra")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(
+                F.col("embedding").cast("array<double>"), F.col("qv")
+            ).alias("score"),
+        )
+    )
+    wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    den = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_Q173_K)
+        .withColumn("rb", F.row_number().over(wb))
+        .select("doc_id", "rb")
+    )
+    both = lex.join(den, "doc_id").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    depths = spark.range(1, _Q173_K + 1).select(F.col("id").alias("d"))
+    ov = (
+        depths.join(F.broadcast(both), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("m").cast("long").alias("overlap_d"))
+    )
+    term = F.round(
+        F.lit(1000000000000.0)
+        * F.col("overlap_d").cast("double")
+        / F.expr("d * shiftleft(1L, cast(d AS int))").cast("double")
+    ).cast("long")
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ov.withColumn("term_pico", term)
+        .withColumn(
+            "rbo_pico", F.sum("term_pico").over(wc).cast("long")
+        )
+        .select("d", "overlap_d", "term_pico", "rbo_pico")
+    )

@@ -668,3 +668,76 @@ def test_interval_overlap_join_matches_bruteforce(spark):
                     multi[a][0], multi[b][0]
                 )
     assert got == want
+
+
+def test_delta_join_view_self_proves(spark):
+    """The incremental state+delta composition reproduces the full
+    recompute exactly (decimal equality, not float closeness)."""
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import q171
+
+    rows = q171(spark, SF001).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["matches"] is True
+        assert r["n_full"] == r["n_inc"]
+        assert r["rev_full"] == r["rev_inc"]
+
+
+def test_expectation_audit_clean_and_dirty(spark):
+    """All six constraints pass on the generated TPC-H data; planted
+    violations are counted exactly."""
+    from nessus_client_etl_scripts_spark.operators.expectations import (
+        row_expectations,
+        subset_expectation,
+        unique_expectation,
+    )
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import q172
+
+    audit = {r["constraint"]: r for r in q172(spark, SF001).collect()}
+    assert len(audit) == 6
+    assert all(r["passed"] for r in audit.values())
+    assert all(r["n_violations"] == 0 for r in audit.values())
+
+    dirty = spark.createDataFrame(
+        [(1, None), (2, "x"), (2, "y"), (3, "z")], ["k", "v"]
+    )
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["constraint"]: r
+        for r in row_expectations(dirty, {"v_null": F.col("v").isNull()})
+        .unionByName(unique_expectation(dirty, "k", "k_unique"))
+        .unionByName(
+            subset_expectation(
+                dirty,
+                "k",
+                spark.createDataFrame([(1,), (2,)], ["p"]),
+                "p",
+                "k_in_parent",
+            )
+        )
+        .collect()
+    }
+    assert rows["v_null"]["n_violations"] == 1 and not rows["v_null"]["passed"]
+    assert rows["k_unique"]["n_violations"] == 1  # 4 rows, 3 keys
+    assert rows["k_in_parent"]["n_violations"] == 1  # k=3 orphan
+
+
+def test_rank_overlap_curve_invariants(spark):
+    """overlap_d and rbo_pico are nondecreasing in d; each term equals
+    the hand-computed round(1e12·overlap/(d·2^d)); overlap never
+    exceeds d."""
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import q173
+
+    rows = sorted(q173(spark, SF001).collect(), key=lambda r: r["d"])
+    assert [r["d"] for r in rows] == list(range(1, 21))
+    prev_ov, prev_rbo, cum = -1, -1, 0
+    for r in rows:
+        assert 0 <= r["overlap_d"] <= r["d"]
+        assert r["overlap_d"] >= prev_ov
+        expected = round(1e12 * r["overlap_d"] / (r["d"] * (1 << r["d"])))
+        assert r["term_pico"] == expected
+        cum += r["term_pico"]
+        assert r["rbo_pico"] == cum
+        assert r["rbo_pico"] >= prev_rbo
+        prev_ov, prev_rbo = r["overlap_d"], r["rbo_pico"]
