@@ -37,16 +37,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-6 driver-budget ordering (the driver checks ~50 queries in
 # iteration order per round).  HEAD, in priority order: q120 (its r5
 # row is the only non-green — a HUGEINT-vs-BIGINT oracle cast, fixed
-# post-r5, needs its first green row); q125-q173 (new this round —
-# never driver-checked; 49 queries, so with q120 the head consumes
-# the full ~50 budget); then the oldest-evidence blocks — the
+# post-r5, needs its first green row); q125-q176 (new this round —
+# never driver-checked; 52 queries — the head alone overfills the
+# ~50 budget, so the r7 head starts where this round's check
+# stops); then the oldest-evidence blocks — the
 # r2-era queries (q51/q52/q54/q56/q58, last proven r2) and the
 # r3-era block (q29-q50, last proven r3) take the remaining slots.
 # MIDDLE: the r4-green block (second-oldest evidence).  TAIL: the
 # queries proven green in r5.
 _R6_HEAD = (
     ("q120",)
-    + tuple(f"q{n}" for n in range(125, 174))
+    + tuple(f"q{n}" for n in range(125, 177))
     + ("q51", "q52", "q54", "q56", "q58")
     + tuple(f"q{n}" for n in range(29, 39))
     + ("q40",)

@@ -104,3 +104,33 @@ def subset_expectation(
             F.lit(name).alias("constraint"), "n_checked", "n_violations"
         )
     )
+
+
+def fd_expectation(
+    df: DataFrame, x_cols: list[str], y_col: str, name: str
+) -> DataFrame:
+    """Functional-dependency audit X → Y: one row with the number of
+    X-groups, how many of them map to MORE than one distinct Y (the
+    violating groups), the worst group's variant count, and the holds
+    flag. Two-level aggregation — the inner groupBy carries only
+    (X, Y) keys with partial combine; the violating-group check is a
+    count-distinct per group, never a row explosion."""
+    g = df.groupBy(*x_cols).agg(
+        F.countDistinct(y_col).alias("nd")
+    )
+    return (
+        g.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.max("nd").cast("long").alias("max_variants"),
+        )
+        .select(
+            F.lit(name).alias("fd"),
+            "n_groups",
+            "n_violating",
+            "max_variants",
+            (F.col("n_violating") == 0).alias("holds"),
+        )
+    )

@@ -1186,3 +1186,88 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_micro", "rank")
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    k: int,
+    scale: float = 4096.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (Gonzalez 1985) coreset selection — the
+    diversity-sampling verb of data curation: pick the point farthest
+    from every center chosen so far, k times, then assign each point
+    to its nearest center. The selected centers are a 2-approximation
+    of the optimal k-center cover; the per-point distance column is
+    the coverage radius a curator thresholds on.
+
+    Engine-exact by the q39 quantization rule: vectors quantize to
+    floor(x·scale) integers, so every squared L2 distance
+    |v|² − 2·v·c + |c|² is arithmetic on EXACT integer-valued
+    doubles (all < 2⁵³) — bit-identical in any engine, in any
+    evaluation order, so the argmax/argmin tie-breaks (distance,
+    then id) are portable and the whole selection is
+    value-oracle-checkable.
+
+    Scale shape: k driver rounds, each ONE corpus scan computing the
+    running min-distance against ≤ k literal centers (the q79
+    codebook-literal pattern — bounded driver state, no join, no
+    shuffle) ending in a TakeOrdered(1) argmax. Total work k scans ×
+    O(k·dim) per row; the final assignment is one more scan. Never a
+    pairwise matrix.
+    """
+    q = F.transform(
+        _as_double(vec_col), lambda x: F.floor(x * F.lit(scale)).cast("long")
+    )
+    eq = df.select(
+        F.col(id_col).alias("vec_id"), q.alias("vq")
+    ).localCheckpoint()  # quantization runs once, not once per round
+
+    def d2(vcol: Column, center: list[int]) -> Column:
+        c = F.array(*[F.lit(int(x)).cast("long") for x in center])
+        prod = F.aggregate(
+            F.zip_with(vcol, c, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        self_n = F.aggregate(
+            F.zip_with(vcol, vcol, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        cn = sum(int(x) * int(x) for x in center)
+        return self_n - F.lit(2).cast("long") * prod + F.lit(cn).cast("long")
+
+    seed = eq.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(int(seed["vec_id"]), [int(x) for x in seed["vq"]])]
+    for _ in range(k - 1):
+        dm = F.least(*[d2(F.col("vq"), c) for _, c in centers]) if len(
+            centers
+        ) > 1 else d2(F.col("vq"), centers[0][1])
+        far = (
+            eq.withColumn("_dm", dm)
+            .orderBy(F.desc("_dm"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((int(far["vec_id"]), [int(x) for x in far["vq"]]))
+
+    # final assignment: argmin over the k literal centers, tie → the
+    # earlier-chosen center (selection order = struct second field)
+    cand = F.array(
+        *[
+            F.struct(
+                d2(F.col("vq"), c).alias("d2"),
+                F.lit(i).alias("ci"),
+                F.lit(cid).cast("long").alias("center_id"),
+            )
+            for i, (cid, c) in enumerate(centers)
+        ]
+    )
+    best = F.array_min(cand)
+    return eq.select(
+        "vec_id",
+        best["center_id"].alias("center_id"),
+        best["d2"].cast("long").alias("d2"),
+    )

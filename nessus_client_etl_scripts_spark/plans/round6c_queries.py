@@ -2063,3 +2063,272 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("d", "overlap_d", "term_pico", "rbo_pico")
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — functional-dependency audit
+# ---------------------------------------------------------------------------
+
+_Q174_ORACLE = """
+WITH f1 AS (
+  SELECT o_orderkey AS x, o_orderpriority AS y FROM orders
+), f2 AS (
+  SELECT o_custkey AS x, o_orderpriority AS y FROM orders
+), f3 AS (
+  SELECT c_custkey AS x, c_mktsegment AS y FROM customer
+), f4 AS (
+  SELECT lang AS x, source AS y FROM documents
+), a AS (
+  SELECT 'orders.orderkey->priority' AS fd, x, count(DISTINCT y) AS nd
+  FROM f1 GROUP BY x
+  UNION ALL
+  SELECT 'orders.custkey->priority', x, count(DISTINCT y) FROM f2 GROUP BY x
+  UNION ALL
+  SELECT 'customer.custkey->segment', CAST(x AS VARCHAR),
+         count(DISTINCT y) FROM f3 GROUP BY x
+  UNION ALL
+  SELECT 'documents.lang->source', x, count(DISTINCT y) FROM f4 GROUP BY x
+)
+SELECT fd,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(max(nd) AS BIGINT) AS max_variants,
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM a GROUP BY fd
+"""
+
+
+@register("q174_fd_audit", _Q174_ORACLE)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (operators/expectations.
+    fd_expectation) — the schema-discovery half of the q172 quality
+    gate: does X determine Y in the data as loaded? Two key-borne
+    FDs that must hold (order key → priority, customer key →
+    segment) next to two that the data genuinely violates (customer
+    → priority across their orders, lang → source) — so the audit
+    emits real violating-group and worst-case-variant counts, not
+    just green flags. Each FD is a two-level aggregation whose
+    shuffle carries (X, Y) keys only."""
+    from ..operators.expectations import fd_expectation
+
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    dc = load_table(spark, sf_dir, "documents")
+    parts = [
+        fd_expectation(
+            od, ["o_orderkey"], "o_orderpriority",
+            "orders.orderkey->priority",
+        ),
+        fd_expectation(
+            od, ["o_custkey"], "o_orderpriority",
+            "orders.custkey->priority",
+        ),
+        fd_expectation(
+            cu, ["c_custkey"], "c_mktsegment",
+            "customer.custkey->segment",
+        ),
+        fd_expectation(dc, ["lang"], "source", "documents.lang->source"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q175 — blocking quality: reduction ratio & pair completeness
+# ---------------------------------------------------------------------------
+
+_Q175_TAU = 0.5
+
+_Q175_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         {_NORM_SQL} AS norm,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 2, 1)),
+           i -> array_to_string(string_split({_NORM_SQL}, ' ')[i:i+2], ' ')
+         )) AS sh
+  FROM documents
+), truth AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM base a JOIN base b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= {_Q175_TAU!r}
+), rn AS (
+  SELECT doc_id, lang, norm,
+         row_number() OVER (PARTITION BY lang ORDER BY norm, doc_id) AS rn
+  FROM base
+), cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS da,
+         greatest(a.doc_id, b.doc_id) AS db
+  FROM rn a JOIN rn b
+    ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 4
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base
+), counts AS (
+  SELECT (SELECT n_docs FROM nd) AS n_docs,
+         (SELECT n_docs * (n_docs - 1) // 2 FROM nd) AS n_possible,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM cand JOIN truth USING (da, db)) AS n_caught
+)
+SELECT n_docs, n_possible, n_candidates, n_true, n_caught,
+       CAST(round(1000000.0
+           * CAST(n_possible - n_candidates AS DOUBLE)
+           / CAST(n_possible AS DOUBLE)) AS BIGINT) AS reduction_micro,
+       CAST(round(1000000.0 * CAST(n_caught AS DOUBLE)
+           / CAST(n_true AS DOUBLE)) AS BIGINT) AS completeness_micro
+FROM counts
+"""
+
+
+@register("q175_blocking_quality", _Q175_ORACLE)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation (Christen 2012's two standard
+    metrics): REDUCTION RATIO (how much of the |D|²/2 pair space the
+    sorted-neighborhood blocker avoids) and PAIR COMPLETENESS (what
+    fraction of the TRUE near-dup pairs — exact 3-shingle Jaccard ≥
+    0.5, the q26 posting join uncapped — the blocker's candidates
+    catch). On this corpus the lang-blocked window misses the
+    cross-language near-dups by construction, so completeness lands
+    well under 1 — the metric that tells a pipeline operator their
+    blocking key is too coarse BEFORE a 100 TB run, which is the
+    point of evaluating the blocker against a sampled truth set.
+
+    Scale: candidates are the linear n·(window−1) SN frame; truth is
+    the inverted-index posting join (at 100 TB: run on a sample, or
+    swap in the q65 LSH-verified path); the metrics are five exact
+    BIGINT counts and two micro-rounded divisions."""
+    from ..operators.dedup import ngram_jaccard_pairs, sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (
+        ngram_jaccard_pairs(docs, k=3, threshold=_Q175_TAU)
+        .select("doc_a", "doc_b")
+    )
+    cand = sorted_neighborhood_pairs(
+        docs, block_cols=("lang",), k=3, window=5
+    ).select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    caught = cand.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_caught")
+    )
+    counts = (
+        nd.crossJoin(
+            cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        )
+        .crossJoin(truth.agg(F.count(F.lit(1)).cast("long").alias("n_true")))
+        .crossJoin(caught)
+        .withColumn(
+            "n_possible",
+            F.expr("n_docs * (n_docs - 1) div 2").cast("long"),
+        )
+    )
+    return counts.select(
+        "n_docs",
+        "n_possible",
+        "n_candidates",
+        "n_true",
+        "n_caught",
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("n_possible") - F.col("n_candidates")).cast("double")
+            / F.col("n_possible").cast("double")
+        )
+        .cast("long")
+        .alias("reduction_micro"),
+        F.round(
+            F.lit(1000000.0)
+            * F.col("n_caught").cast("double")
+            / F.col("n_true").cast("double")
+        )
+        .cast("long")
+        .alias("completeness_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q176 — greedy k-center coreset selection (diversity sampling)
+# ---------------------------------------------------------------------------
+
+_Q176_K = 8
+_Q176_SCALE = 4096.0
+
+
+def _q176_oracle(k: int = _Q176_K, scale: float = _Q176_SCALE) -> str:
+    """DuckDB twin with the greedy rounds unrolled as CTE chains (the
+    q39 trainer-unroll pattern): every distance is arithmetic on
+    exact integer-valued doubles, so the chain is self-contained and
+    holds at every scale factor."""
+    d2 = (
+        "(list_dot_product(m.vqd, m.vqd)"
+        " - 2 * list_dot_product(m.vqd, c.cv)"
+        " + list_dot_product(c.cv, c.cv))"
+    )
+    rounds = []
+    for i in range(1, k):
+        prev = "eq" if i == 1 else f"m{i - 1}"
+        dm = (
+            d2.replace("m.", f"{prev}.").replace("c.", f"c{i - 1}.")
+            if i == 1
+            else f"least({prev}.dm, "
+            + d2.replace("m.", f"{prev}.").replace("c.", f"c{i - 1}.")
+            + ")"
+        )
+        rounds.append(
+            f""", m{i} AS (
+  SELECT {prev}.vec_id, {prev}.vqd, {dm} AS dm
+  FROM {prev} CROSS JOIN c{i - 1}
+), c{i} AS (
+  SELECT vec_id AS cid, vqd AS cv FROM m{i}
+  ORDER BY dm DESC, vec_id LIMIT 1
+)"""
+        )
+    centers_union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS ci, cid, cv FROM c{i}" for i in range(k)
+    )
+    return f"""
+WITH eq AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(CAST(floor(x * {scale!r}) AS BIGINT)
+                                  AS DOUBLE)) AS vqd
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, vqd AS cv FROM eq ORDER BY vec_id LIMIT 1
+){''.join(rounds)}, centers AS (
+  {centers_union}
+), assign AS (
+  SELECT m.vec_id, c.ci, c.cid, {d2} AS d2,
+         row_number() OVER (PARTITION BY m.vec_id
+                            ORDER BY {d2}, c.ci) AS rn
+  FROM eq m CROSS JOIN centers c
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS center_id, CAST(d2 AS BIGINT) AS d2
+FROM assign WHERE rn = 1
+"""
+
+
+@register("q176_kcenter_coreset", _q176_oracle())
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (operators/similarity.
+    kcenter_greedy) — DIVERSITY sampling over the embedding corpus:
+    the k=8 farthest-point centers plus every point's nearest-center
+    assignment and coverage distance, the subset-selection verb that
+    complements dedup (q114 removes redundancy; this SELECTS the
+    spread). Iterative-driver shape like the k-means trainer (q39),
+    but with a full value oracle: the q39 quantization rule makes
+    every distance exact integer arithmetic, so the 7 greedy argmax
+    rounds unroll into the DuckDB twin as CTE chains with portable
+    tie-breaks."""
+    from ..operators.similarity import kcenter_greedy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_greedy(emb, k=_Q176_K, scale=_Q176_SCALE)

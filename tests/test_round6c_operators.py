@@ -741,3 +741,78 @@ def test_rank_overlap_curve_invariants(spark):
         assert r["rbo_pico"] == cum
         assert r["rbo_pico"] >= prev_rbo
         prev_ov, prev_rbo = r["overlap_d"], r["rbo_pico"]
+
+
+def test_fd_audit_known_truths(spark):
+    """Key-borne FDs hold; the customer→priority and lang→source FDs
+    are genuinely violated with sensible worst-case variant counts."""
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import q174
+
+    rows = {r["fd"]: r for r in q174(spark, SF001).collect()}
+    assert rows["orders.orderkey->priority"]["holds"] is True
+    assert rows["orders.orderkey->priority"]["max_variants"] == 1
+    assert rows["customer.custkey->segment"]["holds"] is True
+    assert rows["orders.custkey->priority"]["holds"] is False
+    assert rows["orders.custkey->priority"]["n_violating"] > 0
+    assert rows["documents.lang->source"]["holds"] is False
+    assert rows["documents.lang->source"]["max_variants"] > 1
+
+
+def test_blocking_quality_counts_consistent(spark):
+    """The two metrics recompute from the counts; caught is bounded by
+    both candidate and truth set sizes; the lang-blocked window
+    misses the cross-language near-dups (completeness < 1)."""
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import q175
+
+    r = q175(spark, SF001).collect()[0]
+    assert r["n_possible"] == r["n_docs"] * (r["n_docs"] - 1) // 2
+    assert r["n_caught"] <= min(r["n_candidates"], r["n_true"])
+    assert 0 < r["n_true"]
+    assert r["reduction_micro"] == round(
+        1e6 * (r["n_possible"] - r["n_candidates"]) / r["n_possible"]
+    )
+    assert r["completeness_micro"] == round(
+        1e6 * r["n_caught"] / r["n_true"]
+    )
+    assert r["completeness_micro"] < 1_000_000  # cross-lang dups missed
+
+
+def test_kcenter_matches_python_greedy(spark):
+    """The distributed greedy selection + assignment equals an exact
+    integer-arithmetic Python replay: same centers in the same order,
+    same nearest-center assignment, same distances."""
+    import math
+
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import (
+        _Q176_K,
+        _Q176_SCALE,
+        q176,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").collect()
+    vq = {
+        r["vec_id"]: [int(math.floor(x * _Q176_SCALE)) for x in r["embedding"]]
+        for r in emb
+    }
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ids = sorted(vq)
+    centers = [ids[0]]
+    for _ in range(_Q176_K - 1):
+        far = max(
+            ids,
+            key=lambda i: (min(d2(vq[i], vq[c]) for c in centers), -i),
+        )
+        centers.append(far)
+    want = {}
+    for i in ids:
+        dists = [(d2(vq[i], vq[c]), ci) for ci, c in enumerate(centers)]
+        dm, ci = min(dists)
+        want[i] = (centers[ci], dm)
+    got = {
+        r["vec_id"]: (r["center_id"], r["d2"])
+        for r in q176(spark, SF001).collect()
+    }
+    assert got == want
