@@ -19,7 +19,8 @@ from nessus_client_etl_scripts_spark.plans import corpus_queries as _cq  # noqa:
 from nessus_client_etl_scripts_spark.plans import relational_queries as _rq  # noqa: F401 — registers q42+
 from nessus_client_etl_scripts_spark.plans import round6_queries as _r6  # noqa: F401 — registers q125+
 from nessus_client_etl_scripts_spark.plans import round6b_queries as _r6b  # noqa: F401 — registers q132+
-from nessus_client_etl_scripts_spark.plans import round6c_queries as _r6c  # noqa: F401 — registers q153+
+from nessus_client_etl_scripts_spark.plans import round6c_queries as _r6c  # noqa: F401 — registers q153
+from nessus_client_etl_scripts_spark.plans import round6d_queries as _r6d  # noqa: F401 — registers q177+
 from nessus_client_etl_scripts_spark.plans import streaming_queries as _sq  # noqa: F401 — registers q53
 from nessus_client_etl_scripts_spark.plans import testdata_queries as _tq
 
@@ -47,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries proven green in r5.
 _R6_HEAD = (
     ("q120",)
-    + tuple(f"q{n}" for n in range(125, 177))
+    + tuple(f"q{n}" for n in range(125, 186))
     + ("q51", "q52", "q54", "q56", "q58")
     + tuple(f"q{n}" for n in range(29, 39))
     + ("q40",)

@@ -574,3 +574,73 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         meta.alias("meta"),
         F.encode("text", "utf-8").alias("content"),
     )
+
+
+_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def image_dhash(df: DataFrame, codec: str = "ppm", bands: int = 8) -> DataFrame:
+    """Difference-hash (dHash) over DECODED pixels — the perceptual
+    fingerprint that turns near-duplicate IMAGE detection into a
+    groupBy, the multimodal twin of the text-side md5 fingerprint
+    (q25) / SimHash (q29) family.
+
+    Per image: channel-summed gray (integer addition only — no
+    division, no float), ``bands`` horizontal bands with boundaries
+    ``floor(b·h/bands)`` (exact integer pooling; a band that gets no
+    rows at small heights sums to 0), then bit(r, c) =
+    [band r sum < band r+1 sum], packed row-major into a
+    ``(bands-1)·w``-bit integer (w=8 → 56 bits, sign-safe in int64).
+    Every step is exact integer arithmetic, so the hash is
+    bit-portable across engines and replayable in closed form for a
+    synthetic corpus (q179's oracle).
+
+    Scale: the mapInPandas decode is the per-row-heavy stage (spread
+    first); output carries (media_id, dhash, n_bytes) — 24 bytes per
+    image into the dedup groupBy, never pixels.
+    """
+    if codec != "ppm":
+        raise ValueError(
+            "only the native PPM decode path is wired; compressed"
+            " codecs keep the library extension point"
+        )
+    from ..catalog import spread_for_compute
+
+    df = spread_for_compute(df)
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                px = decode_ppm(raw).astype(np.int64)
+                h, w, _ = px.shape
+                gray = px.sum(axis=2)
+                g = np.zeros((bands, w), dtype=np.int64)
+                for b in range(bands):
+                    lo, hi = b * h // bands, (b + 1) * h // bands
+                    if hi > lo:
+                        g[b] = gray[lo:hi].sum(axis=0)
+                bits = (g[:-1] < g[1:]).astype(np.int64)
+                weights = 1 << (
+                    np.arange(bands - 1, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "dhash": int((bits * weights).sum()),
+                        "n_bytes": len(raw),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "dhash", "n_bytes"]
+            )
+
+    return df.mapInPandas(hash_batch, _DHASH_SCHEMA)

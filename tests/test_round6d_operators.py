@@ -1,0 +1,202 @@
+"""Unit/property tests for the round-6 tenth wave (q177-q179):
+mutual-kNN margin invariants, leave-one-out encoding algebra vs a
+pandas replay, and the dHash codec path vs a pure-Python replay."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# q177 — margin-based mutual-kNN pair mining
+# ---------------------------------------------------------------------------
+
+
+def test_margin_pairs_are_mutual_and_unique(spark):
+    """Each surviving pair is a matching: no endpoint appears twice
+    (mutual-best is injective both ways), and every margin is
+    positive."""
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q177
+
+    rows = q177(spark, SF001).collect()
+    assert rows, "sf0.001 must yield at least one mutual pair"
+    a_ids = [r["a_id"] for r in rows]
+    b_ids = [r["b_id"] for r in rows]
+    assert len(a_ids) == len(set(a_ids))
+    assert len(b_ids) == len(set(b_ids))
+    assert all(r["a_id"] % 2 == 0 and r["b_id"] % 2 == 1 for r in rows)
+    assert all(r["margin_micro"] > 0 for r in rows)
+
+
+def test_margin_against_numpy_replay(spark):
+    """cos_pico and margin_micro match a dense numpy replay of the
+    quantize→kNN→margin pipeline on the sf0.001 corpus."""
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import (
+        _Q177_K,
+        _Q177_SCALE,
+        q177,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    V = np.floor(
+        np.array([r["embedding"] for r in emb], dtype=np.float64)
+        * _Q177_SCALE
+    )
+    norms = (V * V).sum(axis=1)
+    a_mask, b_mask = ids % 2 == 0, ids % 2 == 1
+    A, B = V[a_mask], V[b_mask]
+    aid, bid = ids[a_mask], ids[b_mask]
+    na, nb = norms[a_mask], norms[b_mask]
+    cos = (A @ B.T) / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+    pico = np.round(1e12 * cos)
+
+    def topk_sum(mat, other_ids, k):
+        out = np.empty(mat.shape[0])
+        best = np.empty(mat.shape[0], dtype=np.int64)
+        for i in range(mat.shape[0]):
+            order = np.lexsort((other_ids, -mat[i]))
+            out[i] = mat[i][order[:k]].sum()
+            best[i] = order[0]
+        return out, best
+
+    sa, best_a = topk_sum(pico, bid, _Q177_K)
+    sb, best_b = topk_sum(pico.T, aid, _Q177_K)
+    expect = {}
+    for i in range(len(aid)):
+        j = best_a[i]
+        if best_b[j] == i:
+            margin = round(
+                1e6 * ((2 * _Q177_K * pico[i, j]) / (sa[i] + sb[j]))
+            )
+            expect[(int(aid[i]), int(bid[j]))] = (
+                int(pico[i, j]),
+                int(margin),
+            )
+    got = {
+        (r["a_id"], r["b_id"]): (r["cos_pico"], r["margin_micro"])
+        for r in q177(spark, SF001).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# q178 — leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+
+def test_loo_encoding_excludes_own_row(spark):
+    """Group-constant encodings would leak; LOO must differ across
+    rows of the same group whenever targets differ, and the exact
+    identity (S_g - y) = loo * (n_g - 1) holds at micro precision."""
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q178
+
+    rows = q178(spark, SF001).collect()
+    by_g: dict[str, list] = {}
+    for r in rows:
+        by_g.setdefault(r["priority"], []).append(r)
+    for grp in by_g.values():
+        s_g = sum(r["cents"] for r in grp)
+        n_g = len(grp)
+        for r in grp:
+            assert r["n_g"] == n_g
+            expect = round(1e6 * ((s_g - r["cents"]) / (n_g - 1)))
+            assert r["loo_micro"] == expect
+        # distinct targets ⇒ distinct LOO encodings (injective in y)
+        if len({r["cents"] for r in grp}) > 1:
+            assert len({r["loo_micro"] for r in grp}) > 1
+
+
+def test_smoothing_shrinks_toward_global_mean(spark):
+    """The smoothed encoding always lies between the LOO estimate and
+    the global mean (convex combination property)."""
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q178
+
+    rows = q178(spark, SF001).collect()
+    total = sum(r["cents"] for r in rows)
+    g_micro = 1e6 * total / len(rows)
+    for r in rows:
+        lo = min(r["loo_micro"], g_micro)
+        hi = max(r["loo_micro"], g_micro)
+        assert lo - 2 <= r["smooth_micro"] <= hi + 2  # rounding slack
+
+
+# ---------------------------------------------------------------------------
+# q179 — dHash image dedup over the real PPM codec
+# ---------------------------------------------------------------------------
+
+
+def _dhash_py(arr: np.ndarray, bands: int = 8) -> int:
+    h, w, _ = arr.shape
+    gray = arr.astype(np.int64).sum(axis=2)
+    g = np.zeros((bands, w), dtype=np.int64)
+    for b in range(bands):
+        lo, hi = b * h // bands, (b + 1) * h // bands
+        if hi > lo:
+            g[b] = gray[lo:hi].sum(axis=0)
+    out = 0
+    for r in range(bands - 1):
+        for c in range(w):
+            if g[r, c] < g[r + 1, c]:
+                out += 1 << (r * w + c)
+    return out
+
+
+def test_image_dhash_matches_python_replay(spark):
+    """The mapInPandas decode→dHash equals a pure-Python encode→
+    decode→hash replay for a handful of synthetic images, including
+    heights where some bands are empty (h=6 < 8 bands)."""
+    import pandas as pd
+
+    from nessus_client_etl_scripts_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(7)
+    arrs = {
+        mid: rng.integers(0, 256, size=(h, 8, 3), dtype=np.uint8)
+        for mid, h in [(1, 6), (2, 8), (3, 11), (4, 32), (5, 6)]
+    }
+    pdf = pd.DataFrame(
+        [
+            {
+                "media_id": mid,
+                "kind": "image",
+                "meta": None,
+                "content": encode_ppm(a),
+            }
+            for mid, a in arrs.items()
+        ],
+        columns=[f.name for f in MEDIA_SCHEMA],
+    )
+    df = spark.createDataFrame(pdf, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (r["dhash"], r["n_bytes"])
+        for r in image_dhash(df, codec="ppm").collect()
+    }
+    for mid, a in arrs.items():
+        assert got[mid] == (_dhash_py(a), len(encode_ppm(a)))
+
+
+def test_dhash_dedup_groups_partition_corpus(spark):
+    """Every image lands in exactly one group; each group keeps
+    exactly one canonical member; identical gradients share a hash."""
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q179
+
+    rows = q179(spark, SF001).collect()
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").count()
+    assert len(rows) == docs
+    by_hash: dict[int, list] = {}
+    for r in rows:
+        by_hash.setdefault(r["dhash"], []).append(r)
+    for grp in by_hash.values():
+        assert len(grp) == grp[0]["group_size"]
+        assert sum(r["keep"] for r in grp) == 1
+        assert min(r["media_id"] for r in grp) == next(
+            r["media_id"] for r in grp if r["keep"]
+        )
