@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.text import normalize_text
+from .corpus_queries import _NORM_SQL
 from .testdata_queries import register
 
 # ---------------------------------------------------------------------------
@@ -409,4 +411,405 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "group_size",
         (F.col("media_id") == F.col("_canon")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 — Fellegi–Sunter record-linkage weights
+# ---------------------------------------------------------------------------
+
+_Q180_TAU = 0.5
+
+_Q180_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars,
+         {_NORM_SQL} AS norm,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 2, 1)),
+           i -> array_to_string(string_split({_NORM_SQL}, ' ')[i:i+2], ' ')
+         )) AS sh,
+         n_chars // 200 AS lb,
+         string_split({_NORM_SQL}, ' ')[1] AS tok1
+  FROM documents
+), truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM base a JOIN base b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= {_Q180_TAU!r}
+), rn AS (
+  SELECT doc_id, source, norm,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY norm, doc_id) AS rn
+  FROM base
+), cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM rn a JOIN rn b
+    ON a.source = b.source AND b.rn - a.rn BETWEEN 1 AND 4
+), labeled AS (
+  SELECT c.doc_a, c.doc_b,
+         (t.doc_a IS NOT NULL) AS m,
+         fa.lang = fb.lang AS ag_lang,
+         fa.lb = fb.lb AS ag_len,
+         fa.tok1 = fb.tok1 AS ag_tok
+  FROM cand c
+  LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  JOIN base fa ON fa.doc_id = c.doc_a
+  JOIN base fb ON fb.doc_id = c.doc_b
+), tot AS (
+  SELECT
+    CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+    CAST(SUM(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+    CAST(SUM(CASE WHEN m AND ag_lang THEN 1 ELSE 0 END) AS BIGINT) AS nm_lang,
+    CAST(SUM(CASE WHEN NOT m AND ag_lang THEN 1 ELSE 0 END) AS BIGINT) AS nu_lang,
+    CAST(SUM(CASE WHEN m AND ag_len THEN 1 ELSE 0 END) AS BIGINT) AS nm_len,
+    CAST(SUM(CASE WHEN NOT m AND ag_len THEN 1 ELSE 0 END) AS BIGINT) AS nu_len,
+    CAST(SUM(CASE WHEN m AND ag_tok THEN 1 ELSE 0 END) AS BIGINT) AS nm_tok,
+    CAST(SUM(CASE WHEN NOT m AND ag_tok THEN 1 ELSE 0 END) AS BIGINT) AS nu_tok
+  FROM labeled
+), pat AS (
+  SELECT ag_lang, ag_len, ag_tok,
+         CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         CAST(SUM(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatch
+  FROM labeled GROUP BY ag_lang, ag_len, ag_tok
+)
+SELECT p.ag_lang, p.ag_len, p.ag_tok, p.n_match, p.n_unmatch,
+       CAST(round(1000000.0 * ((
+         (CASE WHEN p.ag_lang
+               THEN ((t.nm_lang + 1) * (t.nu + 2))
+                    / ((t.nm + 2) * (t.nu_lang + 1))
+               ELSE ((t.nm - t.nm_lang + 1) * (t.nu + 2))
+                    / ((t.nm + 2) * (t.nu - t.nu_lang + 1)) END)
+         * (CASE WHEN p.ag_len
+               THEN ((t.nm_len + 1) * (t.nu + 2))
+                    / ((t.nm + 2) * (t.nu_len + 1))
+               ELSE ((t.nm - t.nm_len + 1) * (t.nu + 2))
+                    / ((t.nm + 2) * (t.nu - t.nu_len + 1)) END))
+         * (CASE WHEN p.ag_tok
+               THEN ((t.nm_tok + 1) * (t.nu + 2))
+                    / ((t.nm + 2) * (t.nu_tok + 1))
+               ELSE ((t.nm - t.nm_tok + 1) * (t.nu + 2))
+                    / ((t.nm + 2) * (t.nu - t.nu_tok + 1)) END)))
+         AS BIGINT) AS weight_micro
+FROM pat p CROSS JOIN tot t
+"""
+
+
+@register("q180_fellegi_sunter", _Q180_ORACLE)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record-linkage scoring: the sorted-neighborhood
+    candidates (blocked on source this time, so the field comparisons
+    stay informative) are labeled against the exact 3-shingle Jaccard
+    truth (the q175 pair), each pair reduced to a 3-bit agreement
+    pattern over (lang, length-bucket, first-token), and every
+    pattern gets its classical match weight: the product over fields
+    of m_k/u_k (agree) or (1−m_k)/(1−u_k) (disagree), with Laplace
+    +1/+2 smoothing so no ratio divides by zero. The weight ORDERS
+    patterns for clerical review — the decision layer q175's blocker
+    evaluation feeds into.
+
+    Exactness: m/u never materialize as floats — each smoothed ratio
+    is ONE division of exact integer PRODUCTS ((nm_k+1)·(nu+2) etc.,
+    < 2^53), and the pattern weight is the fixed left-associated
+    product of three correctly-rounded doubles, micro-rounded — the
+    q173 dyadic discipline applied to likelihood ratios.
+
+    Scale: candidates are the linear SN frame; labels come from ONE
+    equi-join against the truth pairs; the m/u table is a single
+    conditional aggregation (8 counters, one scan — the q172 rule);
+    patterns are ≤ 2³ rows, so the weight algebra is driver-trivial
+    and the whole plan shuffles id pairs, never documents."""
+    from ..operators.dedup import (
+        ngram_jaccard_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fields = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 200).cast("long").alias("lb"),
+        F.split(normalize_text("text"), " ")[0].alias("tok1"),
+    )
+    truth = (
+        ngram_jaccard_pairs(docs, k=3, threshold=_Q180_TAU)
+        .select("doc_a", "doc_b", F.lit(True).alias("_t"))
+    )
+    cand = sorted_neighborhood_pairs(
+        docs, block_cols=("source",), k=3, window=5
+    ).select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    )
+    fa = fields.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("lb").alias("lb_a"),
+        F.col("tok1").alias("tok1_a"),
+    )
+    fb = fields.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("lb").alias("lb_b"),
+        F.col("tok1").alias("tok1_b"),
+    )
+    labeled = (
+        cand.join(truth, ["doc_a", "doc_b"], "left")
+        .join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            F.col("_t").isNotNull().alias("m"),
+            (F.col("lang_a") == F.col("lang_b")).alias("ag_lang"),
+            (F.col("lb_a") == F.col("lb_b")).alias("ag_len"),
+            (F.col("tok1_a") == F.col("tok1_b")).alias("ag_tok"),
+        )
+    )
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    m = F.col("m")
+    tot = labeled.agg(
+        cnt(m).alias("nm"),
+        cnt(~m).alias("nu"),
+        cnt(m & F.col("ag_lang")).alias("nm_lang"),
+        cnt(~m & F.col("ag_lang")).alias("nu_lang"),
+        cnt(m & F.col("ag_len")).alias("nm_len"),
+        cnt(~m & F.col("ag_len")).alias("nu_len"),
+        cnt(m & F.col("ag_tok")).alias("nm_tok"),
+        cnt(~m & F.col("ag_tok")).alias("nu_tok"),
+    )
+    pat = labeled.groupBy("ag_lang", "ag_len", "ag_tok").agg(
+        cnt(m).alias("n_match"),
+        cnt(~m).alias("n_unmatch"),
+    )
+
+    def ratio(field: str):
+        nm_k, nu_k = F.col(f"nm_{field}"), F.col(f"nu_{field}")
+        nm, nu = F.col("nm"), F.col("nu")
+        return F.when(
+            F.col(f"ag_{field}"),
+            ((nm_k + 1) * (nu + 2)) / ((nm + 2) * (nu_k + 1)),
+        ).otherwise(
+            ((nm - nm_k + 1) * (nu + 2)) / ((nm + 2) * (nu - nu_k + 1))
+        )
+
+    return pat.crossJoin(F.broadcast(tot)).select(
+        "ag_lang",
+        "ag_len",
+        "ag_tok",
+        "n_match",
+        "n_unmatch",
+        F.round(
+            F.lit(1e6) * ((ratio("lang") * ratio("len")) * ratio("tok"))
+        )
+        .cast("long")
+        .alias("weight_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q181 — survivorship: golden-record construction per cluster
+# ---------------------------------------------------------------------------
+
+_Q181_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, lang, source, n_chars,
+         array_to_string(string_split({_NORM_SQL}, ' ')[1:3], ' ')
+           AS ckey
+  FROM documents
+), g AS (
+  SELECT ckey,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         MIN(doc_id) AS cluster_id,
+         MIN(source) AS source_min
+  FROM n GROUP BY ckey HAVING count(*) >= 2
+), donor AS (
+  SELECT ckey, doc_id AS text_donor FROM (
+    SELECT ckey, doc_id,
+           row_number() OVER (PARTITION BY ckey
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM n) t WHERE rn = 1
+), langm AS (
+  SELECT ckey, lang AS lang_mode FROM (
+    SELECT ckey, lang,
+           row_number() OVER (PARTITION BY ckey
+                              ORDER BY count(*) DESC, lang) AS rn
+    FROM n GROUP BY ckey, lang) t WHERE rn = 1
+)
+SELECT g.cluster_id, g.ckey, g.n_members, g.n_sources,
+       g.total_chars, d.text_donor, l.lang_mode, g.source_min
+FROM g JOIN donor d USING (ckey) JOIN langm l USING (ckey)
+"""
+
+
+@register("q181_survivorship", _Q181_ORACLE)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record construction — the master-data
+    step AFTER dedup finds clusters (q93/q96 decide keep/drop; this
+    verb MERGES): within each entity cluster (here the 3-token
+    normalized-prefix key — the same natural blocking key family as
+    q134), each golden field follows its own survivorship rule:
+    longest-text donor for the content (ties to the smallest id),
+    modal language (ties lexicographic), lexicographically-first
+    source, plus completeness metadata (member/source counts, total
+    chars). Single-member clusters pass through unchanged and are
+    filtered here to keep the output the interesting merge set.
+
+    Scale: one groupBy for the cluster stats, one high-cardinality
+    window for the donor (partition key = cluster key, no funnel),
+    and a two-level count-then-rank for the mode — every shuffle
+    carries (key, counters), never text. Adding a survivorship rule
+    adds a counter or a rank, not a scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.array_join(
+            F.slice(F.split(normalize_text("text"), " "), 1, 3), " "
+        ).alias("ckey"),
+    )
+    g = (
+        n.groupBy("ckey")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("cluster_id"),
+            F.min("source").alias("source_min"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    donor = (
+        n.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("ckey").orderBy(
+                    F.desc("n_chars"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("ckey", F.col("doc_id").alias("text_donor"))
+    )
+    langm = (
+        n.groupBy("ckey", "lang")
+        .agg(F.count("*").alias("_c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("ckey").orderBy(
+                    F.desc("_c"), F.asc("lang")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("ckey", F.col("lang").alias("lang_mode"))
+    )
+    return g.join(donor, "ckey").join(langm, "ckey").select(
+        "cluster_id",
+        "ckey",
+        "n_members",
+        "n_sources",
+        "total_chars",
+        "text_donor",
+        "lang_mode",
+        "source_min",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q182 — CUSUM changepoint surface over hourly event counts
+# ---------------------------------------------------------------------------
+
+_Q182_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), t AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM h GROUP BY event_type
+), d AS (
+  SELECT h.event_type, h.hour, h.c, t.n * h.c - t.s AS dev
+  FROM h JOIN t USING (event_type)
+), p AS (
+  SELECT event_type, hour, c, dev,
+         SUM(dev) OVER (PARTITION BY event_type ORDER BY hour
+                        ROWS UNBOUNDED PRECEDING) AS pref
+  FROM d
+), cu AS (
+  SELECT event_type, hour, c, dev,
+         pref - least(0, MIN(pref) OVER (PARTITION BY event_type
+                   ORDER BY hour ROWS UNBOUNDED PRECEDING))
+           AS cusum_pos,
+         greatest(0, MAX(pref) OVER (PARTITION BY event_type
+                   ORDER BY hour ROWS UNBOUNDED PRECEDING)) - pref
+           AS cusum_neg
+  FROM p
+)
+SELECT event_type, hour, c, dev, cusum_pos, cusum_neg,
+       cusum_pos > 0 AND cusum_pos = MAX(cusum_pos)
+         OVER (PARTITION BY event_type ORDER BY hour
+               ROWS UNBOUNDED PRECEDING) AS is_peak
+FROM cu
+"""
+
+
+@register("q182_cusum_changepoint", _Q182_ORACLE)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint surface: per event type, the classic
+    two-sided cumulative-sum statistic over hourly counts, kept EXACT
+    by scaling deviations to integers (dev = n·c − S — deviation from
+    the mean times n, so no division ever happens) and by the
+    prefix-sum identity C⁺_t = P_t − min(0, min_{j≤t} P_j) /
+    C⁻_t = max(0, max_{j≤t} P_j) − P_t, which turns the max(0, ·)
+    RECURRENCE into two running-extreme windows (the q158/q160
+    family). is_peak marks new positive-excursion records — the
+    argmax of C⁺ is the standard changepoint estimate.
+
+    Scale: the windows run over the hourly AGGREGATE (|hours|·|types|
+    rows — bounded by the time span, not the event volume); the only
+    corpus-sized operation is the first partial-combine count. A
+    years-long 100 TB event stream still yields tens of thousands of
+    window rows per type."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").cast("long").alias("c"))
+    t = h.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    d = h.join(F.broadcast(t), "event_type").withColumn(
+        "dev", F.col("n") * F.col("c") - F.col("s")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = d.withColumn("pref", F.sum("dev").over(w))
+    cu = p.select(
+        "event_type",
+        "hour",
+        "c",
+        "dev",
+        (
+            F.col("pref") - F.least(F.lit(0), F.min("pref").over(w))
+        ).alias("cusum_pos"),
+        (
+            F.greatest(F.lit(0), F.max("pref").over(w)) - F.col("pref")
+        ).alias("cusum_neg"),
+    )
+    return cu.withColumn(
+        "is_peak",
+        (F.col("cusum_pos") > 0)
+        & (F.col("cusum_pos") == F.max("cusum_pos").over(w)),
     )

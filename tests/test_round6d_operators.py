@@ -200,3 +200,126 @@ def test_dhash_dedup_groups_partition_corpus(spark):
         assert min(r["media_id"] for r in grp) == next(
             r["media_id"] for r in grp if r["keep"]
         )
+
+
+# ---------------------------------------------------------------------------
+# q180 — Fellegi–Sunter weights
+# ---------------------------------------------------------------------------
+
+
+def test_fs_weights_order_patterns_sensibly(spark):
+    """All-agree patterns must outweigh all-disagree patterns, and the
+    smoothed ratios keep every weight finite and positive."""
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q180
+
+    rows = q180(spark, SF001).collect()
+    assert rows
+    by_pat = {
+        (r["ag_lang"], r["ag_len"], r["ag_tok"]): r["weight_micro"]
+        for r in rows
+    }
+    assert all(w > 0 for w in by_pat.values())
+    if (True, True, True) in by_pat and (False, False, False) in by_pat:
+        assert by_pat[(True, True, True)] > by_pat[(False, False, False)]
+
+
+def test_fs_pattern_counts_partition_candidates(spark):
+    """Pattern counts sum to the SN candidate-pair total."""
+    import pyspark.sql.functions as F
+
+    from nessus_client_etl_scripts_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q180
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    n_cand = sorted_neighborhood_pairs(
+        docs, block_cols=("source",), k=3, window=5
+    ).count()
+    rows = q180(spark, SF001).collect()
+    assert sum(r["n_match"] + r["n_unmatch"] for r in rows) == n_cand
+
+
+# ---------------------------------------------------------------------------
+# q181 — survivorship
+# ---------------------------------------------------------------------------
+
+
+def test_survivorship_rules_hold(spark):
+    """Donor is the longest member (ties → smallest id), mode is the
+    plurality language, counts are consistent — checked against a
+    pandas replay of the clustering."""
+    from nessus_client_etl_scripts_spark.operators.text import (
+        normalize_text,
+    )
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q181
+
+    docs = (
+        spark.read.parquet(f"{SF001}/documents.parquet")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.array_join(
+                F.slice(F.split(normalize_text("text"), " "), 1, 3), " "
+            ).alias("ckey"),
+        )
+        .collect()
+    )
+    by_key: dict[str, list] = {}
+    for r in docs:
+        by_key.setdefault(r["ckey"], []).append(r)
+    rows = q181(spark, SF001).collect()
+    got = {r["ckey"]: r for r in rows}
+    expect_keys = {k for k, v in by_key.items() if len(v) >= 2}
+    assert set(got) == expect_keys
+    for k in expect_keys:
+        grp, out = by_key[k], got[k]
+        assert out["n_members"] == len(grp)
+        assert out["cluster_id"] == min(r["doc_id"] for r in grp)
+        donor = sorted(grp, key=lambda r: (-r["n_chars"], r["doc_id"]))[0]
+        assert out["text_donor"] == donor["doc_id"]
+        counts: dict[str, int] = {}
+        for r in grp:
+            counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+        mode = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert out["lang_mode"] == mode
+
+
+# ---------------------------------------------------------------------------
+# q182 — CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_matches_recurrence_replay(spark):
+    """The window-identity CUSUM equals the direct max(0, ·)
+    recurrence replayed in Python per event type."""
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q182
+
+    rows = q182(spark, SF001).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for seq in by_type.values():
+        seq.sort(key=lambda r: r["hour"])
+        cp = cn = 0
+        peak = 0
+        for r in seq:
+            cp = max(0, cp + r["dev"])
+            cn = max(0, cn - r["dev"])
+            assert r["cusum_pos"] == cp
+            assert r["cusum_neg"] == cn
+            peak = max(peak, cp)
+            assert r["is_peak"] == (cp > 0 and cp == peak)
+
+
+def test_cusum_devs_sum_to_zero(spark):
+    """Scaled deviations are exact: they sum to 0 per type (n·Σc = n·S)."""
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q182
+
+    rows = q182(spark, SF001).collect()
+    by_type: dict[str, int] = {}
+    for r in rows:
+        by_type[r["event_type"]] = by_type.get(r["event_type"], 0) + r["dev"]
+    assert all(v == 0 for v in by_type.values())
