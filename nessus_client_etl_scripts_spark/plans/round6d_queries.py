@@ -813,3 +813,320 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cusum_pos") > 0)
         & (F.col("cusum_pos") == F.max("cusum_pos").over(w)),
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — hour-of-day activity bitmaps + audience overlap
+# ---------------------------------------------------------------------------
+
+_Q183_ORACLE = """
+WITH ub AS (
+  SELECT user_id, event_type,
+         CAST(SUM(DISTINCT 1::BIGINT << hour(ts)) AS BIGINT) AS bm
+  FROM events GROUP BY user_id, event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         bit_count(a.bm & b.bm) AS inter_bits,
+         bit_count(a.bm | b.bm) AS union_bits
+  FROM ub a JOIN ub b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+)
+SELECT type_a, type_b,
+       CAST(count(*) AS BIGINT) AS n_both,
+       CAST(SUM(CASE WHEN inter_bits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cohour,
+       CAST(SUM(inter_bits) AS BIGINT) AS sum_inter_bits,
+       CAST(SUM(union_bits) AS BIGINT) AS sum_union_bits,
+       CAST(round(CAST(SUM(CAST(round((1000000.0 * inter_bits)
+                                      / union_bits) AS BIGINT))
+                       AS DOUBLE) / count(*)) AS BIGINT)
+         AS mean_jacc_micro
+FROM pairs GROUP BY type_a, type_b
+"""
+
+
+@register("q183_activity_bitmap", _Q183_ORACLE)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index encoding of user activity: each (user, event
+    type) collapses to a 24-bit hour-of-day bitmap — built portably
+    as SUM(DISTINCT 1<<hour), which equals the bitwise OR because the
+    summands are distinct powers of two — then audience overlap
+    between event types is pure bit algebra per user (AND/OR +
+    popcount), aggregated to co-activity metrics per type pair. The
+    roaring-bitmap idea at the grain where it is exact and portable.
+
+    Exactness: bitmaps, popcounts, and the co-hour counters are exact
+    integers; the per-user hour-Jaccard is micro-rounded BEFORE the
+    mean (sum of exact ints, one division, one round) so no float
+    accumulates across rows.
+
+    Scale: one partial-combine groupBy builds 8-byte bitmaps (the
+    corpus collapses to |users|·|types| longs); the pair join is
+    per-user and bounded by |types|² per user — no corpus-sized
+    shuffle after the first aggregation. Wider spans (day-of-year)
+    chunk into multiple longs the same way."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hr", F.hour("ts")
+    )
+    ub = ev.groupBy("user_id", "event_type").agg(
+        F.sum_distinct(F.expr("shiftleft(CAST(1 AS BIGINT), hr)"))
+        .cast("long")
+        .alias("bm")
+    )
+    a = ub.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("bm").alias("bm_a"),
+    )
+    b = ub.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("bm").alias("bm_b"),
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.bit_count(
+                F.col("bm_a").bitwiseAND(F.col("bm_b"))
+            ).alias("inter_bits"),
+            F.bit_count(
+                F.col("bm_a").bitwiseOR(F.col("bm_b"))
+            ).alias("union_bits"),
+        )
+    )
+    jacc = F.round(
+        (F.lit(1000000.0) * F.col("inter_bits")) / F.col("union_bits")
+    ).cast("long")
+    return (
+        pairs.withColumn("jacc_micro", jacc)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("long").alias("n_both"),
+            F.sum(F.when(F.col("inter_bits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cohour"),
+            F.sum("inter_bits").cast("long").alias("sum_inter_bits"),
+            F.sum("union_bits").cast("long").alias("sum_union_bits"),
+            F.round(
+                F.sum("jacc_micro").cast("double") / F.count("*")
+            )
+            .cast("long")
+            .alias("mean_jacc_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184 — calibration curve (reliability diagram) for a quality score
+# ---------------------------------------------------------------------------
+
+_Q184_SCORE_SQL = (
+    "(CAST(len(list_filter(string_split(text, ' '),"
+    " t -> t IN ('the', 'a'))) AS DOUBLE)"
+    " / len(string_split(text, ' ')))"
+)
+
+_Q184_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         least(CAST(floor({_Q184_SCORE_SQL} * 10) AS BIGINT), 9) AS bin,
+         CAST(round(1000000.0 * {_Q184_SCORE_SQL}) AS BIGINT)
+           AS score_micro,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(round(CAST(SUM(score_micro) AS DOUBLE) / count(*))
+            AS BIGINT) AS mean_score_micro,
+       CAST(round((1000000.0 * SUM(pos)) / count(*)) AS BIGINT)
+         AS pos_rate_micro,
+       abs(CAST(round(CAST(SUM(score_micro) AS DOUBLE) / count(*))
+                AS BIGINT)
+           - CAST(round((1000000.0 * SUM(pos)) / count(*)) AS BIGINT))
+         AS gap_micro,
+       count(*) * abs(CAST(round(CAST(SUM(score_micro) AS DOUBLE)
+                                 / count(*)) AS BIGINT)
+           - CAST(round((1000000.0 * SUM(pos)) / count(*)) AS BIGINT))
+         AS weighted_gap
+FROM s GROUP BY bin
+"""
+
+
+@register("q184_calibration_curve", _Q184_ORACLE)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve (reliability diagram) for a classifier-style
+    score: the stopword-ratio quality signal (q23's feature) treated
+    as a probability that a document is English, binned into deciles;
+    each bin emits predicted confidence (mean score) next to observed
+    outcome rate (fraction actually 'en') and the |conf − acc| gap —
+    the per-bin terms of Expected Calibration Error. The model-eval
+    verb next to q173's ranking agreement: it tells a pipeline
+    whether a quality/filter score can be thresholded at face value
+    before gating a 100 TB corpus with it.
+
+    Exactness: the score is ONE division of exact token counts;
+    per-row micro-rounding happens before any aggregation, so bin
+    sums are exact integers and each emitted statistic is one
+    correctly-rounded division (the q183/q178 discipline). Bin edges
+    use floor(score·10) — floor of a correctly-rounded product is
+    unambiguous (the q39 quantization rule).
+
+    Scale: one conditional aggregation to ≤10 bin rows; adding bins
+    or a second score column adds counters, not scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    score = n_stop.cast("double") / F.size(toks)
+    s = docs.select(
+        F.least(F.floor(score * 10).cast("long"), F.lit(9)).alias(
+            "bin"
+        ),
+        F.round(F.lit(1000000.0) * score).cast("long").alias(
+            "score_micro"
+        ),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    agg = s.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.round(F.sum("score_micro").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("mean_score_micro"),
+        F.round((F.lit(1000000.0) * F.sum("pos")) / F.count("*"))
+        .cast("long")
+        .alias("pos_rate_micro"),
+    )
+    gap = F.abs(F.col("mean_score_micro") - F.col("pos_rate_micro"))
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        "mean_score_micro",
+        "pos_rate_micro",
+        gap.alias("gap_micro"),
+        (F.col("n") * gap).alias("weighted_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q185 — exact two-sample Kolmogorov–Smirnov drift test
+# ---------------------------------------------------------------------------
+
+_Q185_A = "click"
+_Q185_B = "purchase"
+
+_Q185_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events WHERE event_type IN ('{_Q185_A}', '{_Q185_B}')
+), m AS (
+  SELECT vm,
+         CAST(SUM(CASE WHEN event_type = '{_Q185_A}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN event_type = '{_Q185_B}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM e GROUP BY vm
+), t AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM m
+), c AS (
+  SELECT vm,
+         CAST(SUM(c1) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cc1,
+         CAST(SUM(c2) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cc2
+  FROM m
+), d AS (
+  SELECT vm, abs(t.n2 * c.cc1 - t.n1 * c.cc2) AS diff
+  FROM c CROSS JOIN t
+), mx AS (
+  SELECT CAST(MAX(diff) AS BIGINT) AS d_scaled FROM d
+)
+SELECT t.n1, t.n2, mx.d_scaled,
+       CAST(round(1000000.0 * (CAST(mx.d_scaled AS DOUBLE)
+            / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))))
+            AS BIGINT) AS ks_micro,
+       (SELECT MIN(vm) FROM d WHERE d.diff = mx.d_scaled)
+         AS at_val_micro
+FROM t CROSS JOIN mx
+"""
+
+
+@register("q185_ks_drift", _Q185_ORACLE)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between two
+    event-type value distributions — the distribution-drift verb next
+    to q121's Bhattacharyya: where q121 integrates over the whole
+    distribution, KS reports the single worst ECDF gap and WHERE it
+    occurs (at_val_micro — the natural alert threshold). Everything
+    is integer: with D = max|n2·F1 − n1·F2| over the merged support,
+    the statistic is a max of exact products of counts; only the
+    final normalization D/(n1·n2) is floating (one division,
+    micro-rounded). n1·n2 stays under 2^53 up to ~9·10^7 rows per
+    side; beyond that, pre-bin values (q102) and run the same
+    algebra on the binned ECDF.
+
+    Scale: per-value counts come from one partial-combine groupBy;
+    the cumulative counts ride the repo's scalable prefix-sums (one
+    range exchange, no single-task global window); the argmax is an
+    aggregate plus a broadcast-filtered min — no sorted collect."""
+    from ..operators.windows import scalable_prefix_sums
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(
+        F.col("event_type").isin(_Q185_A, _Q185_B)
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("vm"),
+    )
+    m = e.groupBy("vm").agg(
+        F.sum(F.when(F.col("event_type") == _Q185_A, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == _Q185_B, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    cum = scalable_prefix_sums(m, ("vm",), val_cols=("c1", "c2"))
+    t = m.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    d = cum.crossJoin(F.broadcast(t)).select(
+        "vm",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("n2") * F.col("cum_c1")
+            - F.col("n1") * F.col("cum_c2")
+        ).alias("diff"),
+    )
+    mx = d.agg(F.max("diff").cast("long").alias("d_scaled"))
+    return (
+        d.join(F.broadcast(mx), F.col("diff") == F.col("d_scaled"))
+        .groupBy("n1", "n2", "d_scaled")
+        .agg(F.min("vm").alias("at_val_micro"))
+        .select(
+            "n1",
+            "n2",
+            "d_scaled",
+            F.round(
+                F.lit(1000000.0)
+                * (
+                    F.col("d_scaled").cast("double")
+                    / (
+                        F.col("n1").cast("double")
+                        * F.col("n2").cast("double")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("ks_micro"),
+            "at_val_micro",
+        )
+    )

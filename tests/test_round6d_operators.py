@@ -323,3 +323,129 @@ def test_cusum_devs_sum_to_zero(spark):
     for r in rows:
         by_type[r["event_type"]] = by_type.get(r["event_type"], 0) + r["dev"]
     assert all(v == 0 for v in by_type.values())
+
+
+# ---------------------------------------------------------------------------
+# q183 — activity bitmaps
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_equals_hour_sets(spark):
+    """Bitmap popcounts and pair overlaps equal a Python set replay
+    over the raw events."""
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q183
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    hours: dict[tuple, set] = {}
+    for r in ev:
+        hours.setdefault((r["user_id"], r["event_type"]), set()).add(
+            r["ts"].hour
+        )
+    types = sorted({t for _, t in hours})
+    expect = {}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            both = {
+                u
+                for (u, t) in hours
+                if t == ta and (u, tb) in hours
+            }
+            if not both:
+                continue
+            inter = sum(
+                1 for u in both if hours[(u, ta)] & hours[(u, tb)]
+            )
+            si = sum(
+                len(hours[(u, ta)] & hours[(u, tb)]) for u in both
+            )
+            su = sum(
+                len(hours[(u, ta)] | hours[(u, tb)]) for u in both
+            )
+            jsum = sum(
+                round(
+                    1e6
+                    * len(hours[(u, ta)] & hours[(u, tb)])
+                    / len(hours[(u, ta)] | hours[(u, tb)])
+                )
+                for u in both
+            )
+            expect[(ta, tb)] = (
+                len(both),
+                inter,
+                si,
+                su,
+                round(jsum / len(both)),
+            )
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["n_both"],
+            r["n_cohour"],
+            r["sum_inter_bits"],
+            r["sum_union_bits"],
+            r["mean_jacc_micro"],
+        )
+        for r in q183(spark, SF001).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# q184 — calibration curve
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_bins_partition_docs(spark):
+    """Bin counts sum to |documents|; rates and gaps are consistent;
+    the weighted gap is n·gap exactly."""
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q184
+
+    rows = q184(spark, SF001).collect()
+    n_docs = spark.read.parquet(f"{SF001}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["n_pos"] <= r["n"]
+        assert r["gap_micro"] == abs(
+            r["mean_score_micro"] - r["pos_rate_micro"]
+        )
+        assert r["weighted_gap"] == r["n"] * r["gap_micro"]
+
+
+# ---------------------------------------------------------------------------
+# q185 — exact KS drift
+# ---------------------------------------------------------------------------
+
+
+def test_ks_matches_scipy_free_replay(spark):
+    """The exact integer KS equals a Python ECDF replay (and the
+    normalized statistic is in [0, 1])."""
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import (
+        _Q185_A,
+        _Q185_B,
+        q185,
+    )
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    s1 = sorted(
+        round(r["value"] * 1e6) for r in ev if r["event_type"] == _Q185_A
+    )
+    s2 = sorted(
+        round(r["value"] * 1e6) for r in ev if r["event_type"] == _Q185_B
+    )
+    n1, n2 = len(s1), len(s2)
+    support = sorted(set(s1) | set(s2))
+    import bisect
+
+    best, at = -1, None
+    for v in support:
+        c1 = bisect.bisect_right(s1, v)
+        c2 = bisect.bisect_right(s2, v)
+        diff = abs(n2 * c1 - n1 * c2)
+        if diff > best:
+            best, at = diff, v
+    [row] = q185(spark, SF001).collect()
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["d_scaled"] == best
+    assert row["at_val_micro"] == at
+    assert 0 <= row["ks_micro"] <= 1_000_000
+    assert row["ks_micro"] == round(1e6 * (best / (n1 * n2)))
