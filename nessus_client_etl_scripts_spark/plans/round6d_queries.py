@@ -1130,3 +1130,309 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
             "at_val_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — join-key skew histogram (power-of-two frequency buckets)
+# ---------------------------------------------------------------------------
+
+_Q186_MAX_EXP = 20
+
+
+def _pow2_bucket_sql(col: str, max_exp: int = _Q186_MAX_EXP) -> str:
+    """CASE ladder bucket = floor(log2(cnt)) from exact integer
+    comparisons only — no log(), so bit-portable (generated from the
+    same loop as the Spark expression)."""
+    whens = "\n".join(
+        f"    WHEN {col} < {1 << (k + 1)} THEN {k}"
+        for k in range(max_exp)
+    )
+    return f"CASE\n{whens}\n    ELSE {max_exp} END"
+
+
+def _pow2_bucket_col(col, max_exp: int = _Q186_MAX_EXP):
+    expr = F.lit(max_exp)
+    for k in reversed(range(max_exp)):
+        expr = F.when(col < (1 << (k + 1)), F.lit(k)).otherwise(expr)
+    return expr
+
+
+_Q186_ORACLE = f"""
+WITH k AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM k
+), b AS (
+  SELECT CAST({_pow2_bucket_sql('cnt')} AS BIGINT) AS bucket_exp,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM k GROUP BY bucket_exp
+)
+SELECT b.bucket_exp, b.n_keys, b.n_rows, b.max_cnt,
+       CAST(round((1000000.0 * b.n_rows) / t.n_total) AS BIGINT)
+         AS pct_rows_micro
+FROM b CROSS JOIN tot t
+"""
+
+
+@register("q186_join_skew_histogram", _Q186_ORACLE)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew histogram — the diagnostic that decides BEFORE a
+    100 TB join whether the plain hash join is safe or the salted
+    path (q57/q85) / AQE skew handling is needed: key frequencies
+    bucketed by floor(log2) into power-of-two classes, each bucket
+    reporting how many keys, how many rows, the worst key, and the
+    row share. A heavy tail concentrated in high buckets = salt or
+    broadcast; a flat histogram = shuffle freely. The log2 comes from
+    an exact-integer CASE ladder (generated by the same loop in both
+    engines), not log() — the q121 no-libm rule.
+
+    Scale: ONE partial-combine count per key, then a ≤21-row
+    aggregation; nothing after the first groupBy is corpus-sized.
+    This is the profile-before-join verb sitting next to q149's join
+    cardinality estimate and q76's column profile."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = k.agg(F.sum("cnt").cast("long").alias("n_total"))
+    b = k.groupBy(
+        _pow2_bucket_col(F.col("cnt")).cast("long").alias("bucket_exp")
+    ).agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    return b.crossJoin(F.broadcast(tot)).select(
+        "bucket_exp",
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        F.round((F.lit(1000000.0) * F.col("n_rows")) / F.col("n_total"))
+        .cast("long")
+        .alias("pct_rows_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187 — sequence-anomaly scoring via the transition matrix
+# ---------------------------------------------------------------------------
+
+_Q187_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), tr AS (
+  SELECT user_id, prev_type AS a, event_type AS b FROM seq
+  WHERE prev_type IS NOT NULL
+), cab AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM tr GROUP BY a, b
+), ca AS (
+  SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a
+), probs AS (
+  SELECT cab.a, cab.b,
+         CAST(round((1000000.0 * cab.c_ab) / ca.c_a) AS BIGINT)
+           AS prob_micro
+  FROM cab JOIN ca USING (a)
+), scored AS (
+  SELECT tr.user_id, tr.a, tr.b, p.prob_micro,
+         row_number() OVER (PARTITION BY tr.user_id
+                            ORDER BY p.prob_micro, tr.a, tr.b) AS rn,
+         count(*) OVER (PARTITION BY tr.user_id) AS n_trans
+  FROM tr JOIN probs p ON p.a = tr.a AND p.b = tr.b
+)
+SELECT user_id, CAST(n_trans AS BIGINT) AS n_trans,
+       prob_micro AS min_prob_micro,
+       a AS worst_from, b AS worst_to
+FROM scored WHERE rn = 1
+"""
+
+
+@register("q187_sequence_anomaly", _Q187_ORACLE)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-anomaly scoring: the corpus-wide first-order
+    transition matrix (q144's artifact) turned into a per-user
+    anomaly surface — each user's rarest observed transition (lowest
+    transition probability, ties broken lexicographically) plus their
+    transition count. The argmin transition is the explainable alert:
+    'this session did X→Y, which the corpus almost never does'.
+    Likelihood products need log() (not portable — q121 rule), but
+    the MIN over micro-rounded per-transition probabilities is exact
+    order statistics, which is what an anomaly triage actually ranks
+    by.
+
+    Scale: transitions come from a lag window partitioned by the
+    high-cardinality user key; the transition matrix is |types|²
+    rows, broadcast back; the per-user argmin is one groupBy-rank on
+    (user, prob) — shuffle carries 3 small columns. The corpus is
+    scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.withColumn("a", F.lag("event_type").over(w))
+        .filter(F.col("a").isNotNull())
+        .select("user_id", "a", F.col("event_type").alias("b"))
+    )
+    cab = tr.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("c_ab")
+    )
+    ca = cab.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    probs = cab.join(ca, "a").select(
+        "a",
+        "b",
+        F.round((F.lit(1000000.0) * F.col("c_ab")) / F.col("c_a"))
+        .cast("long")
+        .alias("prob_micro"),
+    )
+    scored = tr.join(F.broadcast(probs), ["a", "b"])
+    wu = Window.partitionBy("user_id").orderBy(
+        "prob_micro", "a", "b"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wu))
+        .withColumn(
+            "n_trans",
+            F.count("*").over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_trans").cast("long").alias("n_trans"),
+            F.col("prob_micro").alias("min_prob_micro"),
+            F.col("a").alias("worst_from"),
+            F.col("b").alias("worst_to"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 — memorization audit: longest verbatim shingle run vs train
+# ---------------------------------------------------------------------------
+
+
+def _q188_oracle() -> str:
+    from .corpus_queries import _split_case_sql
+
+    return f"""
+WITH labeled AS (
+  SELECT doc_id, text, {_split_case_sql()} AS split FROM documents
+), toks AS (
+  SELECT doc_id, split, string_split({_NORM_SQL}, ' ') AS tk
+  FROM labeled
+), sh AS (
+  SELECT doc_id, split, i AS pos,
+         array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1)))
+       AS u(i)
+), train_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE split <> 'test'
+), test_sh AS (
+  SELECT doc_id, pos, shingle FROM sh WHERE split = 'test'
+), totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+  FROM test_sh GROUP BY doc_id
+), hits AS (
+  SELECT t.doc_id, t.pos FROM test_sh t
+  JOIN train_sh USING (shingle)
+), runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM hits
+), runlen AS (
+  SELECT doc_id, CAST(MAX(rl) AS BIGINT) AS max_run,
+         CAST(SUM(rl) AS BIGINT) AS n_hits
+  FROM (SELECT doc_id, grp, count(*) AS rl
+        FROM runs GROUP BY doc_id, grp) g
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       coalesce(r.n_hits, 0) AS n_hits,
+       coalesce(r.max_run, 0) AS max_run,
+       coalesce(r.max_run, 0) + 2 >= 8 AS flagged
+FROM totals t LEFT JOIN runlen r USING (doc_id)
+"""
+
+
+@register("q188_memorization_runs", _q188_oracle())
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization / attribution audit (the Lee et al. 2022 /
+    Carlini memorization-check shape): for every held-out (test)
+    document, the LONGEST CONTIGUOUS RUN of 3-token shingles that
+    appear anywhere in the train+val corpus — a max run of r shingles
+    means a verbatim overlap of r+2 tokens, and docs whose longest
+    run reaches 8 tokens are flagged as likely memorized/contaminated
+    spans. Extends q51 (shingle overlap RATE) with POSITIONAL
+    structure: rate says 'how much overlaps', runs say 'is it one
+    long verbatim passage' — the signal that distinguishes
+    memorization from shared vocabulary.
+
+    The run length is the classic gaps-and-islands identity (pos −
+    row_number over hit positions is constant within a consecutive
+    run — the q99/q170 family), all exact integers.
+
+    Scale: membership is an equi-join on the shingle key (the
+    posting-join shape, q51); the islands window partitions on the
+    high-cardinality doc key. Nothing is quadratic; the run algebra
+    touches only matched positions."""
+    from ..operators.sampling import hash_split
+
+    docs = hash_split(
+        load_table(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    tk = F.split(normalize_text("text"), " ")
+    sh = docs.select(
+        "doc_id",
+        "split",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(tk) - 2, F.lit(1)),
+                ),
+                lambda i: F.array_join(F.slice(tk, i, 3), " "),
+            )
+        ).alias("pos0", "shingle"),
+    ).select(
+        "doc_id",
+        "split",
+        (F.col("pos0") + 1).alias("pos"),
+        "shingle",
+    )
+    train_sh = (
+        sh.filter(F.col("split") != "test")
+        .select("shingle")
+        .distinct()
+    )
+    test_sh = sh.filter(F.col("split") == "test").select(
+        "doc_id", "pos", "shingle"
+    )
+    totals = test_sh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    hits = test_sh.join(train_sh, "shingle").select("doc_id", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wd)
+    )
+    runlen = (
+        runs.groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("rl"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("rl").cast("long").alias("max_run"),
+            F.sum("rl").cast("long").alias("n_hits"),
+        )
+    )
+    return totals.join(runlen, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce("max_run", F.lit(0)).cast("long").alias("max_run"),
+        (F.coalesce("max_run", F.lit(0)) + 2 >= 8).alias("flagged"),
+    )

@@ -449,3 +449,147 @@ def test_ks_matches_scipy_free_replay(spark):
     assert row["at_val_micro"] == at
     assert 0 <= row["ks_micro"] <= 1_000_000
     assert row["ks_micro"] == round(1e6 * (best / (n1 * n2)))
+
+
+# ---------------------------------------------------------------------------
+# q186 — join-key skew histogram
+# ---------------------------------------------------------------------------
+
+
+def test_skew_histogram_matches_python_replay(spark):
+    """Every bucket row equals a collections.Counter replay with
+    floor(log2) bucketing, and the buckets partition all keys/rows."""
+    from collections import Counter
+
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q186
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    cnt = Counter(r["user_id"] for r in ev)
+    n_total = sum(cnt.values())
+    buckets: dict[int, list[int]] = {}
+    for c in cnt.values():
+        buckets.setdefault(min(c.bit_length() - 1, 20), []).append(c)
+    expect = {
+        b: (
+            len(v),
+            sum(v),
+            max(v),
+            round(1e6 * sum(v) / n_total),
+        )
+        for b, v in buckets.items()
+    }
+    rows = q186(spark, SF001).collect()
+    got = {
+        r["bucket_exp"]: (
+            r["n_keys"],
+            r["n_rows"],
+            r["max_cnt"],
+            r["pct_rows_micro"],
+        )
+        for r in rows
+    }
+    assert got == expect
+    assert sum(r["n_keys"] for r in rows) == len(cnt)
+    assert sum(r["n_rows"] for r in rows) == n_total
+
+
+# ---------------------------------------------------------------------------
+# q187 — sequence-anomaly scoring
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_anomaly_matches_python_replay(spark):
+    """Per-user argmin transition equals a pure-Python replay of the
+    transition matrix and tie-broken minimum."""
+    from collections import Counter, defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q187
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    by_user: dict[int, list] = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    trans: dict[int, list[tuple[str, str]]] = {}
+    cab: Counter = Counter()
+    for u, evs in by_user.items():
+        evs.sort()
+        pairs = [
+            (evs[i - 1][2], evs[i][2]) for i in range(1, len(evs))
+        ]
+        if pairs:
+            trans[u] = pairs
+            cab.update(pairs)
+    ca: Counter = Counter()
+    for (a, _), c in cab.items():
+        ca[a] += c
+    prob = {
+        (a, b): round(1e6 * c / ca[a]) for (a, b), c in cab.items()
+    }
+    expect = {}
+    for u, pairs in trans.items():
+        best = min(pairs, key=lambda p: (prob[p], p[0], p[1]))
+        expect[u] = (len(pairs), prob[best], best[0], best[1])
+    got = {
+        r["user_id"]: (
+            r["n_trans"],
+            r["min_prob_micro"],
+            r["worst_from"],
+            r["worst_to"],
+        )
+        for r in q187(spark, SF001).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# q188 — memorization runs
+# ---------------------------------------------------------------------------
+
+
+def test_memorization_runs_match_python_replay(spark):
+    """Longest-verbatim-run per test doc equals a pure-Python replay
+    of the shingle membership + gaps-and-islands scan (split labels
+    taken from the engine's own hash_split, which has its own
+    tests)."""
+    import re
+
+    from nessus_client_etl_scripts_spark.operators.sampling import hash_split
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q188
+
+    docs = hash_split(
+        spark.read.parquet(f"{SF001}/documents.parquet"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "split", "text").collect()
+
+    def shingles(text: str) -> list[str]:
+        tk = re.sub(r"\s+", " ", text.lower().strip()).split(" ")
+        n = max(len(tk) - 2, 1)
+        return [" ".join(tk[i : i + 3]) for i in range(n)]
+
+    train_sh: set[str] = set()
+    test_docs = {}
+    for r in docs:
+        sh = shingles(r["text"])
+        if r["split"] == "test":
+            test_docs[r["doc_id"]] = sh
+        else:
+            train_sh.update(sh)
+    expect = {}
+    for d, sh in test_docs.items():
+        hits = [s in train_sh for s in sh]
+        n_hits = sum(hits)
+        max_run = run = 0
+        for h in hits:
+            run = run + 1 if h else 0
+            max_run = max(max_run, run)
+        expect[d] = (len(sh), n_hits, max_run, max_run + 2 >= 8)
+    got = {
+        r["doc_id"]: (
+            r["n_shingles"],
+            r["n_hits"],
+            r["max_run"],
+            r["flagged"],
+        )
+        for r in q188(spark, SF001).collect()
+    }
+    assert got == expect
