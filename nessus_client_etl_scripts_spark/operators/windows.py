@@ -441,6 +441,7 @@ def scalable_prefix_sums(
     derive: dict[str, Column] | None = None,
     out_prefix: str = "cum_",
     num_partitions: int | None = None,
+    pin: bool = False,
 ) -> DataFrame:
     """Inclusive running sums of SEVERAL columns over ONE total order
     with ONE range exchange — the n-monoid generalization of
@@ -515,9 +516,16 @@ def scalable_prefix_sums(
     # them (q153 keeps sample rows via the indicator), so emit them
     # explicitly rather than leaning on missing-reference resolution
     derived = tuple(derive) if derive else ()
-    return out.select(
+    out = out.select(
         *df.columns, *derived, *[f"{out_prefix}{c}" for c in val_cols]
     )
+    # ``pin=True`` materializes the summed frame for MULTI-CONSUMER
+    # callers (q153 reads it three times — per-group counts plus two
+    # position lookups): without it every downstream scan re-runs the
+    # per-partition window sort and any derived expressions (the md5
+    # indicator); with it they read cached rows. Single-consumer
+    # callers skip the extra materialization.
+    return out.localCheckpoint() if pin else out
 
 
 def grouped_row_number(

@@ -1436,7 +1436,8 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zval"),
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rk"),
-    )
+    ).localCheckpoint()  # both layout passes range-exchange this frame:
+    # unpinned, each would rescan parquet and re-interleave the Z bits
     layouts = []
     for tag, order in (("zorder", ("zval", "rk")), ("linear", ("l_partkey", "rk"))):
         rn = scalable_row_number(keyed, order, out_col="rn")

@@ -163,6 +163,7 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "long"
             ),
         },
+        pin=True,  # three consumers below — counts, fx, sx
     )
     w = Window.orderBy("flag").rowsBetween(
         Window.unboundedPreceding, -1

@@ -404,13 +404,14 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition count is a per-query knob, not a session default —
     under a plain 200-partition session this query would open 800
     store instances for a bounded backfill (measured 2-4× the wall
-    time at 32 vs 8 partitions at sf0.01). The streaming engine pins
-    the count at FIRST checkpoint creation, so it is set just for
-    this run and restored after the query drains; a production
-    deployment sizes it once to match state volume, exactly as this
-    does."""
+    time at 32 vs 8 partitions at sf0.01; at sf0.1, 8 partitions run
+    2.9 s vs 4.1 s at 16 — store-instance setup still dominates the
+    tiny per-key state). The streaming engine pins the count at FIRST
+    checkpoint creation, so it is set just for this run and restored
+    after the query drains; a production deployment sizes it once to
+    match state volume, exactly as this does."""
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         return _q115_plan(spark, sf_dir)
     finally:
