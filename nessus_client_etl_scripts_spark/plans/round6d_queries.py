@@ -82,6 +82,60 @@ WHERE r.ra = 1 AND r.rb = 1
 """
 
 
+def _q177_best(side, other, id_name: str, other_name: str, sum_name: str):
+    """One kNN direction: for every ``side`` row, its best ``other``
+    vector (ties → lower id) plus the sum of its top-k cos_pico values.
+
+    The other side rides into the executors as a closed-over (n × d)
+    numpy matrix — the same bytes the previous broadcast join shipped —
+    and each Arrow batch scores with ONE matmul. All inputs are
+    floor-quantized integers, so the dot products and norms are exact
+    in any summation order; the pico chain (round(1e12·dot/(√·√))) is
+    the same 4-op IEEE sequence the oracle runs. The stable argsort on
+    -pico breaks ties toward the lower matrix index = the lower other
+    id (rows are sorted by id), matching the oracle's ORDER BY
+    cos_pico DESC, id ASC."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(other.collect(), key=lambda r: r["vec_id"])
+    o_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    O = np.array([r["v"] for r in rows], dtype=np.float64)
+    o_nsq = np.sqrt(np.array([r["nv"] for r in rows], dtype=np.float64))
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            nsq = np.sqrt(pdf["nv"].to_numpy(dtype=np.float64))
+            pico = np.round(
+                1e12 * ((M @ O.T) / (nsq[:, None] * o_nsq[None, :]))
+            )
+            order = np.argsort(-pico, axis=1, kind="stable")
+            top = order[:, :_Q177_K]
+            s = np.take_along_axis(pico, top, axis=1).sum(axis=1)
+            best = top[:, 0]
+            yield pd.DataFrame(
+                {
+                    id_name: pdf["vec_id"].to_numpy(dtype=np.int64),
+                    other_name: o_ids[best],
+                    "cos_pico": pico[
+                        np.arange(len(best)), best
+                    ].astype(np.int64),
+                    sum_name: s.astype(np.int64),
+                }
+            )
+
+    return side.mapInPandas(
+        score,
+        schema=(
+            f"{id_name} long, {other_name} long, "
+            f"cos_pico long, {sum_name} long"
+        ),
+    )
+
+
 @register("q177_margin_bitext_mine", _Q177_ORACLE)
 def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based mutual-kNN pair mining (the CCMatrix/LASER
@@ -99,13 +153,17 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
     values, and the margin is ONE division of exact integers scaled
     and rounded — every step bit-equal in Spark and DuckDB.
 
-    Scale: the candidate pair frame is the pluggable stage — here the
-    exact cross of the two sides (the oracle-checkable baseline, like
-    q27 vs q32); at 100 TB you feed the SAME ranking/margin algebra
-    from LSH-bucketed candidates (q28/q95's path) so each side only
-    meets its bucket. The two row_number windows partition on the
-    high-cardinality pair endpoints — no low-cardinality funnel — and
-    the kNN sums shuffle 16-byte (id, pico) pairs, never vectors."""
+    Scale: the kNN stage is per-row top-k against the OTHER side's
+    broadcast matrix — one Arrow matmul per batch, never a
+    materialized pair frame (an earlier formulation built the |A|×|B|
+    cross join and ranked it with two windows: 3× slower at sf0.1 and
+    superlinear, since the windows shuffle the full pair set twice).
+    Each direction's pass emits only its best pair + its kNN sum —
+    |A|+|B| rows total — and the mutual-best check is an equi-join of
+    those two narrow frames. The other side closes over the UDF
+    exactly as the old broadcast join shipped it; at 100 TB you run
+    the SAME two passes per LSH bucket (q28/q95's path) so each side
+    only meets its bucket."""
     emb = load_table(spark, sf_dir, "embeddings")
     vq = F.transform(
         F.col("embedding"),
@@ -122,61 +180,13 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ),
     )
-    a = n.filter(F.col("vec_id") % 2 == 0).select(
-        F.col("vec_id").alias("a_id"),
-        F.col("v").alias("av"),
-        F.col("nv").alias("na"),
-    )
-    b = n.filter(F.col("vec_id") % 2 == 1).select(
-        F.col("vec_id").alias("b_id"),
-        F.col("v").alias("bv"),
-        F.col("nv").alias("nb"),
-    )
-    num = F.aggregate(
-        F.zip_with("av", "bv", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.join(F.broadcast(b))
-        .withColumn(
-            "cos_pico",
-            F.round(
-                F.lit(1e12)
-                * (num / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))))
-            ).cast("long"),
-        )
-        .select("a_id", "b_id", "cos_pico")
-    )
-    ranked = pairs.withColumn(
-        "ra",
-        F.row_number().over(
-            Window.partitionBy("a_id").orderBy(
-                F.desc("cos_pico"), F.asc("b_id")
-            )
-        ),
-    ).withColumn(
-        "rb",
-        F.row_number().over(
-            Window.partitionBy("b_id").orderBy(
-                F.desc("cos_pico"), F.asc("a_id")
-            )
-        ),
-    )
-    sa = (
-        ranked.filter(F.col("ra") <= _Q177_K)
-        .groupBy("a_id")
-        .agg(F.sum("cos_pico").alias("sa_pico"))
-    )
-    sb = (
-        ranked.filter(F.col("rb") <= _Q177_K)
-        .groupBy("b_id")
-        .agg(F.sum("cos_pico").alias("sb_pico"))
-    )
+    a = n.filter(F.col("vec_id") % 2 == 0)
+    b = n.filter(F.col("vec_id") % 2 == 1)
+    a_top = _q177_best(a, b, "a_id", "b_id", "sa_pico")
+    b_top = _q177_best(b, a, "b_id", "a_id", "sb_pico").drop("cos_pico")
     return (
-        ranked.filter((F.col("ra") == 1) & (F.col("rb") == 1))
-        .join(sa, "a_id")
-        .join(sb, "b_id")
+        a_top.join(b_top, ["a_id", "b_id"])  # mutual best ⇔ both passes
+        # nominated the same pair (cos_pico is identical math, either copy)
         .select(
             "a_id",
             "b_id",
@@ -1385,17 +1395,22 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         {"train": 0.8, "val": 0.1, "test": 0.1},
     )
-    tk = F.split(normalize_text("text"), " ")
-    sh = docs.select(
+    # `tk` must be a MATERIALIZED column before the transform lambda
+    # references it: a raw expression inside the lambda body is
+    # re-evaluated per sequence element (the split+regex ran O(L)
+    # times per doc → O(L²) per doc; 7× the whole explosion at sf0.1).
+    sh = docs.withColumn(
+        "tk", F.split(normalize_text("text"), " ")
+    ).select(
         "doc_id",
         "split",
         F.posexplode(
             F.transform(
                 F.sequence(
                     F.lit(1),
-                    F.greatest(F.size(tk) - 2, F.lit(1)),
+                    F.greatest(F.size("tk") - 2, F.lit(1)),
                 ),
-                lambda i: F.array_join(F.slice(tk, i, 3), " "),
+                lambda i: F.array_join(F.slice("tk", i, 3), " "),
             )
         ).alias("pos0", "shingle"),
     ).select(
