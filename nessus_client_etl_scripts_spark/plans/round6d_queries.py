@@ -1451,3 +1451,468 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("max_run", F.lit(0)).cast("long").alias("max_run"),
         (F.coalesce("max_run", F.lit(0)) + 2 >= 8).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — exact ROC-AUC per source (Mann–Whitney U from grouped counts)
+# ---------------------------------------------------------------------------
+
+_Q189_ORACLE = f"""
+WITH s AS (
+  SELECT source,
+         CAST(round(1000000.0 * {_Q184_SCORE_SQL}) AS BIGINT) AS vm,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+), g AS (
+  SELECT source, vm,
+         CAST(SUM(pos) AS BIGINT) AS c_pos,
+         CAST(SUM(1 - pos) AS BIGINT) AS c_neg
+  FROM s GROUP BY source, vm
+), c AS (
+  SELECT source, vm, c_pos, c_neg,
+         CAST(coalesce(SUM(c_neg) OVER (
+             PARTITION BY source ORDER BY vm
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS neg_below
+  FROM g
+), u AS (
+  SELECT source,
+         CAST(SUM(c_pos * (2 * neg_below + c_neg)) AS BIGINT) AS u2,
+         CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c_neg) AS BIGINT) AS n_neg
+  FROM c GROUP BY source
+)
+SELECT source, n_pos, n_neg, u2,
+       CAST(round((1000000.0 * u2) / (2.0 * n_pos * n_neg)) AS BIGINT)
+         AS auc_micro
+FROM u WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
+@register("q189_exact_auc", _Q189_ORACLE)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the q184 quality score as an is-English
+    classifier, per source — the threshold-free companion to q184's
+    calibration curve: AUC = P(score_pos > score_neg) + ties/2, i.e.
+    the Mann–Whitney U statistic normalized by n_pos·n_neg. The
+    integer identity avoids midrank fractions: over distinct score
+    values v (ascending), 2·U = Σ_v c_pos(v)·(2·negatives_below(v) +
+    c_neg(v)) — every term exact, so auc_micro is ONE correctly-
+    rounded division of exact integers (the q64/q185 construction).
+
+    Scale: the corpus collapses to (source, score) grouped counts in
+    one partial-combined aggregate; the negatives-below prefix rides
+    scalable_prefix_sums over the global (source, vm) order (the
+    low-cardinality source never becomes a window partition — q153's
+    offset trick subtracts per-source totals broadcast back); the U
+    reduction is a second small aggregate. Two shuffles of grouped
+    counts, nothing corpus-sized after the first groupBy."""
+    from ..operators.windows import scalable_prefix_sums
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    score = n_stop.cast("double") / F.size(toks)
+    s = docs.select(
+        "source",
+        F.round(F.lit(1000000.0) * score).cast("long").alias("vm"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("source", "vm").agg(
+        F.sum("pos").cast("long").alias("c_pos"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("c_neg"),
+    )
+    cum = scalable_prefix_sums(
+        g, ("source", "vm"), val_cols=("c_neg",), pin=True
+    )  # two consumers: the per-source totals and the U terms
+    w = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # |sources| rows — metadata-sized
+    offs = (
+        cum.groupBy("source")
+        .agg(
+            F.sum("c_pos").cast("long").alias("n_pos"),
+            F.sum("c_neg").cast("long").alias("n_neg"),
+        )
+        .select(
+            "source",
+            "n_pos",
+            "n_neg",
+            F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("soff"),
+        )
+    )
+    term = cum.join(
+        F.broadcast(offs.select("source", "soff")), "source"
+    ).select(
+        "source",
+        (
+            F.col("c_pos")
+            * (
+                F.lit(2)
+                * (F.col("cum_c_neg") - F.col("c_neg") - F.col("soff"))
+                + F.col("c_neg")
+            )
+        ).alias("t"),
+    )
+    u = term.groupBy("source").agg(
+        F.sum("t").cast("long").alias("u2")
+    )
+    return (
+        u.join(F.broadcast(offs.drop("soff")), "source")
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source",
+            "n_pos",
+            "n_neg",
+            "u2",
+            F.round(
+                (F.lit(1000000.0) * F.col("u2"))
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+            )
+            .cast("long")
+            .alias("auc_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190 — split-conformal threshold gate with held-out coverage audit
+# ---------------------------------------------------------------------------
+
+_Q190_ALPHAS = (80, 90, 95)
+
+
+def _q190_oracle() -> str:
+    from .corpus_queries import _split_case_sql
+
+    alphas = ", ".join(str(a) for a in _Q190_ALPHAS)
+    return f"""
+WITH labeled AS (
+  SELECT CAST(round(1000000.0 * {_Q184_SCORE_SQL}) AS BIGINT) AS vm,
+         {_split_case_sql()} AS split
+  FROM documents
+), cal AS (
+  SELECT vm, CAST(count(*) AS BIGINT) AS cnt FROM labeled
+  WHERE split <> 'test' GROUP BY vm
+), ncal AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_cal FROM cal
+), cum AS (
+  SELECT vm, CAST(SUM(cnt) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cc
+  FROM cal
+), alphas AS (
+  SELECT CAST(unnest([{alphas}]) AS BIGINT) AS alpha_pct
+), ks AS (
+  SELECT alpha_pct, n_cal,
+         (alpha_pct * (n_cal + 1) + 99) // 100 AS k
+  FROM alphas CROSS JOIN ncal
+), th AS (
+  SELECT alpha_pct, n_cal, k,
+         (SELECT MIN(vm) FROM cum WHERE cum.cc >= ks.k) AS t_micro
+  FROM ks
+), test AS (
+  SELECT vm, CAST(count(*) AS BIGINT) AS cnt FROM labeled
+  WHERE split = 'test' GROUP BY vm
+), cov AS (
+  SELECT th.alpha_pct,
+         CAST(coalesce(SUM(test.cnt), 0) AS BIGINT) AS n_covered
+  FROM th LEFT JOIN test ON test.vm <= th.t_micro
+  GROUP BY th.alpha_pct
+), ntest AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_test FROM test
+)
+SELECT th.alpha_pct, th.n_cal, CAST(th.k AS BIGINT) AS k, th.t_micro,
+       ntest.n_test, cov.n_covered,
+       CAST(round((1000000.0 * cov.n_covered) / ntest.n_test) AS BIGINT)
+         AS coverage_micro
+FROM th JOIN cov USING (alpha_pct) CROSS JOIN ntest
+"""
+
+
+@register("q190_conformal_gate", _q190_oracle())
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal threshold calibration with a held-out coverage
+    audit — the distribution-free way to turn the q184 quality score
+    into a gate with a guaranteed pass rate: on the calibration split
+    (train+val), the alpha-level threshold is the k-th smallest score
+    with k = ceil(alpha·(n_cal+1)/100) (the conformal finite-sample
+    correction); the test split then reports its ACHIEVED coverage
+    next to the nominal level. Exchangeability gives
+    E[coverage] >= alpha — the audit shows it holding on data.
+
+    Exactness: thresholds are order statistics read from exact
+    integer cumulative counts (min vm with cum >= k); k uses integer
+    ceiling division; coverage is one micro-rounded division.
+
+    Scale: both splits collapse to (score → count) grouped frames in
+    one pass each; the calibration prefix sum runs over the grouped
+    frame (value-domain-sized, not corpus-sized); the 3-row alpha
+    frame broadcast-nested-loop joins for the threshold and coverage
+    reads. No corpus-sized shuffle after the first groupBy."""
+    from ..operators.sampling import hash_split
+    from ..operators.windows import scalable_prefix_sums
+
+    docs = hash_split(
+        load_table(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    toks = F.split("text", " ")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    score = n_stop.cast("double") / F.size(toks)
+    labeled = docs.select(
+        F.round(F.lit(1000000.0) * score).cast("long").alias("vm"),
+        "split",
+    )
+    cal = (
+        labeled.filter(F.col("split") != "test")
+        .groupBy("vm")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    cum = scalable_prefix_sums(cal, ("vm",), val_cols=("cnt",), pin=True)
+    ncal = cum.agg(F.sum("cnt").cast("long").alias("n_cal"))
+    alphas = F.explode(
+        F.array(*[F.lit(a).cast("long") for a in _Q190_ALPHAS])
+    ).alias("alpha_pct")
+    ks = ncal.select(alphas, "n_cal").withColumn(
+        "k",
+        F.floor(
+            (F.col("alpha_pct") * (F.col("n_cal") + 1) + 99) / 100
+        ).cast("long"),
+    )
+    th = (
+        cum.crossJoin(F.broadcast(ks))
+        .filter(F.col("cum_cnt") >= F.col("k"))
+        .groupBy("alpha_pct", "n_cal", "k")
+        .agg(F.min("vm").alias("t_micro"))
+    )
+    test = (
+        labeled.filter(F.col("split") == "test")
+        .groupBy("vm")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()  # two consumers: total + the coverage read
+    )
+    ntest = test.agg(F.sum("cnt").cast("long").alias("n_test"))
+    cov = (
+        test.crossJoin(F.broadcast(th))
+        .filter(F.col("vm") <= F.col("t_micro"))
+        .groupBy("alpha_pct")
+        .agg(F.sum("cnt").cast("long").alias("n_covered"))
+    )
+    return (
+        th.join(cov, "alpha_pct", "left")
+        .crossJoin(F.broadcast(ntest))
+        .select(
+            "alpha_pct",
+            "n_cal",
+            "k",
+            "t_micro",
+            "n_test",
+            F.coalesce("n_covered", F.lit(0))
+            .cast("long")
+            .alias("n_covered"),
+            F.round(
+                (F.lit(1000000.0) * F.coalesce("n_covered", F.lit(0)))
+                / F.col("n_test")
+            )
+            .cast("long")
+            .alias("coverage_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q191 — DBSCAN-style density clustering over embeddings (cell-bounded)
+# ---------------------------------------------------------------------------
+
+_Q191_EPS_PICO = 300_000_000_000  # cosine >= 0.30
+_Q191_MINPTS = 2  # neighbors excluding self
+
+
+def _q191_oracle() -> str:
+    from ..operators.similarity import _hyperplanes
+
+    cents = _hyperplanes(16, 64, seed=0xC0DE)
+    values = ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH RECURSIVE cents(ci, c) AS (VALUES
+    {values}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * 4096.0)) AS q
+  FROM embeddings
+), dists AS (
+  SELECT vec_id, ci,
+         -2.0 * list_dot_product(v, c) + list_dot_product(c, c) AS d
+  FROM e CROSS JOIN cents
+), assigned AS (
+  SELECT vec_id, ci AS cell FROM (
+    SELECT vec_id, ci,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM dists) t
+  WHERE rn = 1
+), cellv AS (
+  SELECT e.vec_id, a.cell, e.q,
+         sqrt(list_dot_product(e.q, e.q)) AS nq
+  FROM e JOIN assigned a USING (vec_id)
+), adj AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM cellv a JOIN cellv b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  WHERE CAST(round(1000000000000.0
+            * (list_dot_product(a.q, b.q) / (a.nq * b.nq)))
+        AS BIGINT) >= {_Q191_EPS_PICO}
+), nb AS (
+  SELECT ia AS vec_id, CAST(count(*) AS BIGINT) AS n_nb
+  FROM adj GROUP BY ia
+), core AS (
+  SELECT vec_id FROM nb WHERE n_nb >= {_Q191_MINPTS}
+), cedges AS (
+  SELECT ia AS a, ib AS b FROM adj
+  JOIN core ca ON adj.ia = ca.vec_id
+  JOIN core cb ON adj.ib = cb.vec_id
+), reach AS (
+  SELECT a AS id, a AS r FROM cedges
+  UNION
+  SELECT e.a AS id, r.r AS r FROM cedges e JOIN reach r ON e.b = r.id
+), comp AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+), corelab AS (
+  SELECT c.vec_id, COALESCE(p.cluster_id, c.vec_id) AS cluster_id
+  FROM core c LEFT JOIN comp p ON c.vec_id = p.id
+), borderlab AS (
+  SELECT adj.ia AS vec_id, MIN(cl.cluster_id) AS cluster_id
+  FROM adj JOIN corelab cl ON adj.ib = cl.vec_id
+  WHERE adj.ia NOT IN (SELECT vec_id FROM core)
+  GROUP BY adj.ia
+)
+SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+       COALESCE(nb.n_nb, 0) AS n_neighbors,
+       CASE WHEN cl.vec_id IS NOT NULL THEN 'core'
+            WHEN bl.vec_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(cl.cluster_id, bl.cluster_id) AS cluster_id
+FROM assigned a
+LEFT JOIN nb USING (vec_id)
+LEFT JOIN corelab cl ON a.vec_id = cl.vec_id
+LEFT JOIN borderlab bl ON a.vec_id = bl.vec_id
+"""
+
+
+@register("q191_dbscan_embeddings", _q191_oracle())
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-style density clustering over the embedding corpus,
+    cell-bounded: neighbors are same-codebook-cell vectors at cosine
+    >= 0.30 (the SemDeDup bounding — the q114 cell assignment reused
+    verbatim), a vector is CORE with >= 2 neighbors, clusters are the
+    connected components of the core-core adjacency, BORDER vectors
+    attach to the minimum adjacent core cluster, and everything else
+    is NOISE. One row per vector with (cell, n_neighbors, role,
+    cluster_id) — the density-clustering verdict a curriculum/mixture
+    builder consumes, next to q114's near-dup verdict and q55's
+    dedup clusters.
+
+    Exactness: pair cosines run on floor(x·4096) integer vectors
+    (exact dot/norm in any order — the q177 rule); the eps compare is
+    on the micro-rounded pico integer; roles and cluster ids are set
+    algebra + the min-id components both engines compute identically.
+
+    Scale: adjacency never leaves a cell (~N/|cells| rows each; AQE
+    skew-join covers hot cells); the CC runs on core-core edges only
+    (star contraction, O(log d) rounds); border attachment is one
+    broadcast-joinable aggregate over the adjacency. The corpus-sized
+    frames are scanned, never self-joined globally."""
+    from ..operators.graph import connected_components
+    from ..operators.similarity import _as_double, _hyperplanes, _probe_udf, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _hyperplanes(16, 64, seed=0xC0DE)
+    vq = F.transform(
+        F.col("v"), lambda x: F.floor(x * F.lit(4096.0))
+    )
+    assigned = (
+        emb.select(
+            "vec_id", _as_double("embedding").alias("v")
+        )
+        .withColumn("cell", F.element_at(_probe_udf(cents, 1)("v"), 1))
+        .withColumn("q", vq)
+        .withColumn("nq", F.sqrt(dot(F.col("q"), F.col("q"))))
+        .select("vec_id", "cell", "q", "nq")
+        .localCheckpoint()  # consumers: both adjacency sides + verdict base
+    )
+    rhs = assigned.select(
+        F.col("vec_id").alias("ib"),
+        F.col("cell"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nqb"),
+    )
+    adj = (
+        assigned.withColumnRenamed("vec_id", "ia")
+        .join(rhs, "cell")
+        .filter(F.col("ia") != F.col("ib"))
+        .filter(
+            F.round(
+                F.lit(1e12)
+                * (dot(F.col("q"), F.col("qb")) / (F.col("nq") * F.col("nqb")))
+            ).cast("long")
+            >= F.lit(_Q191_EPS_PICO)
+        )
+        .select("ia", "ib")
+        .localCheckpoint()  # neighbor counts, core edges, border attach
+    )
+    nb = adj.groupBy(F.col("ia").alias("vec_id")).agg(
+        F.count("*").cast("long").alias("n_nb")
+    )
+    core = nb.filter(F.col("n_nb") >= _Q191_MINPTS).select("vec_id")
+    cedges = (
+        adj.join(core.withColumnRenamed("vec_id", "ia"), "ia", "leftsemi")
+        .join(core.withColumnRenamed("vec_id", "ib"), "ib", "leftsemi")
+    )
+    comp = connected_components(cedges, "ia", "ib")
+    corelab = core.join(
+        comp.withColumnRenamed("id", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+    )
+    borderlab = (
+        adj.join(core.withColumnRenamed("vec_id", "ia"), "ia", "leftanti")
+        .join(
+            corelab.select(
+                F.col("vec_id").alias("ib"),
+                F.col("cluster_id").alias("cl"),
+            ),
+            "ib",
+        )
+        .groupBy(F.col("ia").alias("vec_id"))
+        .agg(F.min("cl").alias("cluster_id"))
+    )
+    return (
+        assigned.select("vec_id", F.col("cell").cast("int").alias("cell"))
+        .join(nb, "vec_id", "left")
+        .join(
+            corelab.withColumnRenamed("cluster_id", "core_cl").withColumn(
+                "is_core", F.lit(True)
+            ),
+            "vec_id",
+            "left",
+        )
+        .join(
+            borderlab.withColumnRenamed("cluster_id", "border_cl"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("n_nb", F.lit(0)).cast("long").alias("n_neighbors"),
+            F.when(F.col("is_core"), "core")
+            .when(F.col("border_cl").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("core_cl", "border_cl").alias("cluster_id"),
+        )
+    )

@@ -593,3 +593,187 @@ def test_memorization_runs_match_python_replay(spark):
         for r in q188(spark, SF001).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# q189 — exact AUC
+# ---------------------------------------------------------------------------
+
+
+def test_auc_matches_pairwise_replay(spark):
+    """Per-source AUC equals the O(n²) pairwise definition
+    (wins + ties/2 over pos×neg pairs) at micro precision."""
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q189
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    by_src = defaultdict(list)
+    for r in docs:
+        t = r["text"].split(" ")
+        vm = round(1e6 * (sum(1 for w in t if w in ("the", "a")) / len(t)))
+        by_src[r["source"]].append((vm, 1 if r["lang"] == "en" else 0))
+    expect = {}
+    for src, rows in by_src.items():
+        pos = [v for v, p in rows if p]
+        neg = [v for v, p in rows if not p]
+        if not pos or not neg:
+            continue
+        u2 = sum(
+            2 if p > n_ else (1 if p == n_ else 0)
+            for p in pos
+            for n_ in neg
+        )
+        expect[src] = (
+            len(pos),
+            len(neg),
+            u2,
+            round(1e6 * u2 / (2.0 * len(pos) * len(neg))),
+        )
+    got = {
+        r["source"]: (r["n_pos"], r["n_neg"], r["u2"], r["auc_micro"])
+        for r in q189(spark, SF001).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# q190 — conformal gate
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_gate_matches_python_replay(spark):
+    """Thresholds are the conformal order statistics of the
+    calibration scores and coverage matches a direct count."""
+    import math
+
+    from nessus_client_etl_scripts_spark.operators.sampling import hash_split
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import (
+        _Q190_ALPHAS,
+        q190,
+    )
+
+    docs = hash_split(
+        spark.read.parquet(f"{SF001}/documents.parquet"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("text", "split").collect()
+
+    def vm(text):
+        t = text.split(" ")
+        return round(1e6 * (sum(1 for w in t if w in ("the", "a")) / len(t)))
+
+    cal = sorted(vm(r["text"]) for r in docs if r["split"] != "test")
+    test = [vm(r["text"]) for r in docs if r["split"] == "test"]
+    expect = {}
+    for a in _Q190_ALPHAS:
+        k = math.ceil(a * (len(cal) + 1) / 100)
+        t = cal[k - 1]
+        n_cov = sum(1 for v in test if v <= t)
+        expect[a] = (
+            len(cal),
+            k,
+            t,
+            len(test),
+            n_cov,
+            round(1e6 * n_cov / len(test)),
+        )
+    got = {
+        r["alpha_pct"]: (
+            r["n_cal"],
+            r["k"],
+            r["t_micro"],
+            r["n_test"],
+            r["n_covered"],
+            r["coverage_micro"],
+        )
+        for r in q190(spark, SF001).collect()
+    }
+    assert got == expect
+    for a in _Q190_ALPHAS:  # conformal guarantee sanity: nominal-ish
+        assert expect[a][5] >= (a - 8) * 10000
+
+
+# ---------------------------------------------------------------------------
+# q191 — DBSCAN over embeddings
+# ---------------------------------------------------------------------------
+
+
+def test_dbscan_matches_python_replay(spark):
+    """Roles, neighbor counts and min-id clusters equal a numpy+
+    union-find replay of the cell-bounded DBSCAN."""
+    import numpy as np
+
+    from nessus_client_etl_scripts_spark.operators.similarity import (
+        _hyperplanes,
+    )
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import (
+        _Q191_EPS_PICO,
+        _Q191_MINPTS,
+        q191,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    V = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    C = np.asarray(_hyperplanes(16, 64, seed=0xC0DE))
+    d = (
+        np.einsum("nd,nd->n", V, V)[:, None]
+        - 2.0 * (V @ C.T)
+        + np.einsum("kd,kd->k", C, C)[None, :]
+    )
+    cell = np.argsort(d, axis=1, kind="stable")[:, 0]
+    Q = np.floor(V * 4096.0)
+    nq = np.sqrt((Q * Q).sum(1))
+    n = len(ids)
+    adj = {i: set() for i in range(n)}
+    for c in set(cell.tolist()):
+        idx = np.where(cell == c)[0]
+        M = Q[idx]
+        nn = nq[idx]
+        pico = np.round(1e12 * ((M @ M.T) / (nn[:, None] * nn[None, :])))
+        for x in range(len(idx)):
+            for y in range(len(idx)):
+                if x != y and pico[x, y] >= _Q191_EPS_PICO:
+                    adj[idx[x]].add(idx[y])
+    core = {i for i in range(n) if len(adj[i]) >= _Q191_MINPTS}
+    parent = {i: i for i in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in core:
+        for j in adj[i]:
+            if j in core:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    comp = {}
+    for i in core:
+        root = find(i)
+        comp.setdefault(root, []).append(i)
+    clu = {}
+    for members in comp.values():
+        m = min(int(ids[i]) for i in members)
+        for i in members:
+            clu[i] = m
+    expect = {}
+    for i in range(n):
+        if i in core:
+            role, cl = "core", clu[i]
+        else:
+            adj_core = [clu[j] for j in adj[i] if j in core]
+            if adj_core:
+                role, cl = "border", min(adj_core)
+            else:
+                role, cl = "noise", None
+        expect[int(ids[i])] = (int(cell[i]), len(adj[i]), role, cl)
+    got = {
+        r["vec_id"]: (r["cell"], r["n_neighbors"], r["role"], r["cluster_id"])
+        for r in q191(spark, SF001).collect()
+    }
+    assert got == expect
+    roles = {v[2] for v in got.values()}
+    assert roles == {"core", "border", "noise"}
