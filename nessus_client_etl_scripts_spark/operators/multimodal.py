@@ -508,6 +508,53 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(featurize, AUDIO_FEATURE_SCHEMA)
 
 
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def audio_frame_energy(df: DataFrame, frame: int = 40) -> DataFrame:
+    """REAL frame-level audio energy: decode each WAV payload
+    (:func:`decode_wav`) and emit one row per ``frame``-sample frame
+    with its EXACT integer energy Σ s² (|s| < 2^15 → a frame sum
+    < frame·2^30, exact in int64) — the row-expanding audio shape
+    (the y4m twin is sample_frames_y4m) that downstream silence/VAD
+    segmentation consumes as plain DataFrame algebra (q194). A
+    trailing partial frame is emitted with its partial energy, so the
+    frame count is ceil(n/frame) and nothing is dropped."""
+    from ..catalog import spread_for_compute
+
+    df = spread_for_compute(df)
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _rate, _channels = decode_wav(bytes(content))
+                s = samples.astype(np.int64)
+                n = len(s)
+                pad = (-n) % frame
+                if pad:
+                    s = np.concatenate([s, np.zeros(pad, dtype=np.int64)])
+                e = (s * s).reshape(-1, frame).sum(axis=1)
+                ids.extend([mid] * len(e))
+                idxs.extend(range(len(e)))
+                energies.extend(int(x) for x in e)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(frames, AUDIO_FRAME_SCHEMA)
+
+
 Y4M_FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -1916,3 +1916,440 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("core_cl", "border_cl").alias("cluster_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — local clustering coefficient on the item co-interaction graph
+# ---------------------------------------------------------------------------
+
+_Q192_ORACLE = """
+WITH ui AS (
+  SELECT DISTINCT user_id, CAST(props->>'$.k' AS BIGINT) AS item FROM events
+), co AS (
+  SELECT a.item AS ia, b.item AS ib, count(*) AS nu
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+), e AS (
+  SELECT ia AS a, ib AS b FROM co WHERE nu >= 40
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+  ) GROUP BY node
+), w AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+), tri AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (
+    SELECT unnest([w.a, w.b, w.c]) AS node
+    FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b
+  )
+  GROUP BY node
+)
+SELECT deg.node, deg.degree,
+       COALESCE(tri.n_triangles, 0) AS n_triangles,
+       CASE WHEN deg.degree >= 2
+            THEN CAST(round((2000000.0 * COALESCE(tri.n_triangles, 0))
+                 / (deg.degree * (deg.degree - 1))) AS BIGINT)
+            ELSE 0 END AS lcc_micro
+FROM deg LEFT JOIN tri USING (node)
+"""
+
+
+@register("q192_clustering_coefficient", _Q192_ORACLE)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex of q135's item
+    co-interaction graph: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) —
+    the neighborhood-density metric that separates hub items (high
+    degree, low closure) from community items (high closure), the
+    standard companion to triangle counts in graph-quality audits.
+    Emits (node, degree, n_triangles, lcc_micro); degree-1 vertices
+    report 0 by convention.
+
+    Exactness: degrees and triangle counts are exact integers (the
+    q135 orientation — each triangle once via a<b<c); lcc_micro is
+    ONE correctly-rounded division of exact integers.
+
+    Scale: reuses q135's edge construction (per-user pair explode,
+    never an item×item product) and wedge join; the degree frame is
+    one unpivoted count. The wedge self-join is the bounded step —
+    edges survive only with >= 40 shared users, so the graph is
+    dimension-sized, and the join carries (long, long) keys."""
+    from ..operators.graph import triangle_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).distinct()
+    co = (
+        ui.alias("l")
+        .join(
+            ui.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.item") < F.col("r.item")),
+        )
+        .groupBy(F.col("l.item").alias("src"), F.col("r.item").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("nu"))
+        .filter(F.col("nu") >= 40)
+        .select("src", "dst")
+        .localCheckpoint()  # consumers: degrees + the wedge join (×3 scans)
+    )
+    deg = (
+        co.select(F.col("src").alias("node"))
+        .unionByName(co.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    tri = triangle_counts(co).withColumnRenamed("n_triangles", "t")
+    return (
+        deg.join(tri.withColumnRenamed("node", "n2"),
+                 deg.node == F.col("n2"), "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    (F.lit(2000000.0) * F.coalesce("t", F.lit(0)))
+                    / (F.col("degree") * (F.col("degree") - 1))
+                ).cast("long"),
+            )
+            .otherwise(0)
+            .alias("lcc_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q193 — random-projection (JL) sketch with exact distortion audit
+# ---------------------------------------------------------------------------
+
+_Q193_K = 16
+_Q193_HSCALE = 32.0  # coarse: keeps Σ(Δproj)² under 2^53 — see docstring
+
+
+def _q193_planes() -> list[list[int]]:
+    import math
+
+    from ..operators.similarity import _hyperplanes
+
+    return [
+        [int(math.floor(x * _Q193_HSCALE)) for x in h]
+        for h in _hyperplanes(_Q193_K, 64, seed=0x1F5EED)
+    ]
+
+
+def _q193_oracle() -> str:
+    values = ",\n    ".join(
+        f"({j}, [{', '.join(str(x) for x in h)}]::DOUBLE[])"
+        for j, h in enumerate(_q193_planes())
+    )
+    return f"""
+WITH h(j, hv) AS (VALUES
+    {values}
+), e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * 4096.0)) AS q
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.q AS qa, b.q AS qb
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 2 = 0
+), terms AS (
+  SELECT a_id, b_id,
+         CAST(list_dot_product(qa, qa) + list_dot_product(qb, qb)
+              - 2 * list_dot_product(qa, qb) AS BIGINT) AS d_orig,
+         list_dot_product(qa, hv) - list_dot_product(qb, hv) AS t
+  FROM p CROSS JOIN h
+), d AS (
+  SELECT a_id, b_id, d_orig,
+         CAST(SUM(t * t) AS BIGINT) AS d_proj
+  FROM terms GROUP BY a_id, b_id, d_orig
+)
+SELECT a_id, b_id, d_orig, d_proj,
+       CAST(round((4000000.0 * d_proj)
+            / (d_orig * {_Q193_HSCALE!r} * {_Q193_HSCALE!r}))
+            AS BIGINT) AS ratio_micro
+FROM d WHERE d_orig > 0
+"""
+
+
+@register("q193_jl_distortion", _q193_oracle())
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection (Johnson–Lindenstrauss) sketching with an
+    EXACT distortion audit: every embedding projects onto 16 seeded
+    integer hyperplanes, and for each (even, odd) vec_id pair the
+    query emits the original squared distance, the projected squared
+    distance, and their (d/k)-corrected ratio — the audit that decides
+    whether a 16-dim sketch can replace the 64-dim column for
+    coarse-distance work (dedup prefilters, IVF routing) before a
+    100 TB re-embedding is committed.
+
+    Exactness by scaling discipline: embeddings quantize at 4096 but
+    hyperplanes at 32, so each projection ≤ 64·4096·32 ≈ 8.4e6, each
+    Δ² ≤ 2.8e14 and the 16-term sum ≤ 4.5e15 < 2^53 — every distance
+    is an exact integer in BOTH engines in ANY summation order; the
+    ratio is one correctly-rounded division. (At hyperplane scale
+    4096 the squares would silently exceed 2^53 — the audit itself
+    would be unauditable.)
+
+    Scale: projections are computed ONCE per vector (16 sequential
+    folds, row-local), pairs join on an arithmetic key, and the
+    distortion algebra is a 16-wide fold per pair. No shuffle carries
+    a 64-dim vector past the pair join; the d_orig identity
+    (|a|²+|b|²−2a·b) reuses the dot-product primitives."""
+    from ..operators.similarity import dot
+
+    planes = _q193_planes()
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"), lambda x: F.floor(x * F.lit(4096.0))
+    )
+    proj = F.array(
+        *[
+            dot(
+                F.col("q"),
+                F.array(*[F.lit(float(x)) for x in h]),
+            )
+            for h in planes
+        ]
+    )
+    e = (
+        emb.select("vec_id", q.alias("q"))
+        .withColumn("nq", dot(F.col("q"), F.col("q")))
+        .withColumn("p", proj)
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+        F.col("p").alias("pa"),
+    ).filter(F.col("a_id") % 2 == 0)
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(b, F.col("b_id") == F.col("a_id") + 1)
+    d_orig = (
+        F.col("na") + F.col("nb") - F.lit(2) * dot(F.col("qa"), F.col("qb"))
+    ).cast("long")
+    d_proj = F.aggregate(
+        F.zip_with("pa", "pb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    ).cast("long")
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            d_orig.alias("d_orig"),
+            d_proj.alias("d_proj"),
+        )
+        .filter(F.col("d_orig") > 0)
+        .select(
+            "a_id",
+            "b_id",
+            "d_orig",
+            "d_proj",
+            F.round(
+                (F.lit(4000000.0) * F.col("d_proj"))
+                / (
+                    F.col("d_orig")
+                    * F.lit(_Q193_HSCALE)
+                    * F.lit(_Q193_HSCALE)
+                )
+            )
+            .cast("long")
+            .alias("ratio_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q194 — audio silence segmentation over the REAL WAV decode path
+# ---------------------------------------------------------------------------
+
+_Q194_FRAME = 40
+_Q194_SILENT = 14_000_000_000  # Σs² per 40-sample frame; ~26% silent
+
+
+_Q194_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, n_chars, 160 + (n_chars % 5) * 80 AS n FROM documents
+), s AS (
+  SELECT doc_id, n, n_chars, unnest(range(0, n)) AS i FROM d
+), v AS (
+  SELECT doc_id, i // {_Q194_FRAME} AS frame_idx,
+         ((n_chars * 31 + i * 7) % 65536) - 32768 AS s
+  FROM s
+), fr AS (
+  SELECT doc_id, frame_idx, CAST(SUM(s * s) AS BIGINT) AS energy
+  FROM v GROUP BY doc_id, frame_idx
+), sil AS (
+  SELECT doc_id, frame_idx,
+         frame_idx - row_number() OVER (
+           PARTITION BY doc_id ORDER BY frame_idx) AS grp
+  FROM fr WHERE energy < {_Q194_SILENT}
+), runs AS (
+  SELECT doc_id, CAST(MAX(rl) AS BIGINT) AS max_silent_run,
+         CAST(SUM(rl) AS BIGINT) AS n_silent
+  FROM (SELECT doc_id, grp, count(*) AS rl
+        FROM sil GROUP BY doc_id, grp) g
+  GROUP BY doc_id
+)
+SELECT fr.doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       COALESCE(ANY_VALUE(runs.n_silent), 0) AS n_silent,
+       COALESCE(ANY_VALUE(runs.max_silent_run), 0) AS max_silent_run,
+       CAST(SUM(fr.energy) AS BIGINT) AS total_energy
+FROM fr LEFT JOIN runs ON fr.doc_id = runs.doc_id
+GROUP BY fr.doc_id
+"""
+
+
+@register("q194_audio_silence_segments", _Q194_ORACLE)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio silence/VAD segmentation over the REAL codec path: each
+    document renders the q106 deterministic int16 sawtooth, encodes
+    to actual RIFF/PCM WAV bytes, and the frame-energy operator
+    (operators/multimodal.audio_frame_energy) DECODES them back and
+    emits per-40-sample-frame exact integer energies; the query then
+    segments silence (energy < {_Q194_SILENT:,}) with the
+    gaps-and-islands identity and reports per clip: frame count,
+    silent-frame count, the LONGEST silent run (the trim/split signal
+    an audio-corpus pipeline gates on), and total energy. Exact
+    integers end to end — any codec, framing, or windowing bug breaks
+    the value hash.
+
+    Scale: the codec pass is one Arrow mapInPandas scan emitting
+    ceil(n/frame) rows per clip; silence runs are a frame_idx window
+    partitioned on the high-cardinality media key; the verdict is one
+    aggregate. Nothing is quadratic, nothing collects."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_frame_energy,
+        encode_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = 160 + int(nc) % 5 * 80
+                s = (
+                    (int(nc) * 31 + np.arange(n) * 7) % 65536 - 32768
+                ).astype(np.int16)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "audio",
+                        "meta": {
+                            "width": None,
+                            "height": None,
+                            "channels": 1,
+                            "sample_rate": 16000,
+                            "duration_ms": n * 1000 // 16000,
+                            "codec": "pcm16",
+                        },
+                        "content": encode_wav(s, sample_rate=16000),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    media = docs.mapInPandas(render, MEDIA_SCHEMA)
+    fr = audio_frame_energy(media, frame=_Q194_FRAME).localCheckpoint()
+    # consumers: per-clip totals + the silence islands
+    sil = fr.filter(F.col("energy") < _Q194_SILENT)
+    wd = Window.partitionBy("media_id").orderBy("frame_idx")
+    runs = (
+        sil.withColumn(
+            "grp", F.col("frame_idx") - F.row_number().over(wd)
+        )
+        .groupBy("media_id", "grp")
+        .agg(F.count("*").alias("rl"))
+        .groupBy("media_id")
+        .agg(
+            F.max("rl").cast("long").alias("max_silent_run"),
+            F.sum("rl").cast("long").alias("n_silent"),
+        )
+    )
+    totals = fr.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum("energy").cast("long").alias("total_energy"),
+    )
+    return totals.join(runs, "media_id", "left").select(
+        "media_id",
+        "n_frames",
+        F.coalesce("n_silent", F.lit(0)).cast("long").alias("n_silent"),
+        F.coalesce("max_silent_run", F.lit(0))
+        .cast("long")
+        .alias("max_silent_run"),
+        "total_energy",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q195 — distinct l-diversity audit over quasi-identifier groups
+# ---------------------------------------------------------------------------
+
+_Q195_L = 5
+
+_Q195_ORACLE = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(round(value * 1000000) AS BIGINT) // 100000 AS vband,
+         user_id
+  FROM events
+)
+SELECT event_type, vband,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+       count(DISTINCT user_id) >= {_Q195_L} AS l_diverse
+FROM base GROUP BY event_type, vband
+"""
+
+
+@register("q195_l_diversity", _Q195_ORACLE)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit — the privacy check k-anonymity
+    (q157) misses: a QI group can be large yet still leak if every
+    row shares one sensitive value. Here the quasi-identifier is
+    (event_type, 0.1-wide value band), the sensitive attribute is
+    user_id, and each group reports its size, its distinct-sensitive
+    count, and whether it meets l = {_Q195_L} (Machanavajjhala et
+    al.'s distinct form — the entropy variant needs log, the q121
+    no-libm rule, and the distinct count is what release decisions
+    gate on in practice). Groups failing the flag need further
+    generalization or suppression before the slice is publishable.
+
+    Scale: ONE aggregate; the distinct-count is a (QI, user) partial
+    combine — shuffle carries group keys + user ids, nothing
+    row-sized. Adding sensitive attributes adds counters, not scans;
+    the band arithmetic is row-local exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (
+            F.floor(
+                F.round(F.col("value") * 1000000).cast("long") / 100000
+            )
+        )
+        .cast("long")
+        .alias("vband"),
+        "user_id",
+    )
+    return base.groupBy("event_type", "vband").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_sensitive"),
+        (F.countDistinct("user_id") >= _Q195_L).alias("l_diverse"),
+    )

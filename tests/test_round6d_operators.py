@@ -777,3 +777,185 @@ def test_dbscan_matches_python_replay(spark):
     assert got == expect
     roles = {v[2] for v in got.values()}
     assert roles == {"core", "border", "noise"}
+
+
+# ---------------------------------------------------------------------------
+# q192 — local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coefficient_matches_python_replay(spark):
+    """Degrees, per-node triangles and lcc equal a pure-Python
+    adjacency replay of the >= 40-shared-users item graph. Runs at
+    sf0.01 — the sf0.001 slice has no >= 40-shared-user item pair at
+    all (the q135 graph is empty there too)."""
+    import json
+    from collections import defaultdict
+    from itertools import combinations
+
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q192
+
+    sf01 = "/root/testdata/sf0.01"
+    ev = spark.read.parquet(f"{sf01}/events.parquet").collect()
+    users = defaultdict(set)
+    for r in ev:
+        item = json.loads(r["props"])["k"]
+        users[int(item)].add(r["user_id"])
+    items = sorted(users)
+    adj = defaultdict(set)
+    for a, b in combinations(items, 2):
+        if len(users[a] & users[b]) >= 40:
+            adj[a].add(b)
+            adj[b].add(a)
+    expect = {}
+    for v, nbrs in adj.items():
+        tri = sum(
+            1 for x, y in combinations(sorted(nbrs), 2) if y in adj[x]
+        )
+        deg = len(nbrs)
+        lcc = (
+            round(2e6 * tri / (deg * (deg - 1))) if deg >= 2 else 0
+        )
+        expect[v] = (deg, tri, lcc)
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["lcc_micro"])
+        for r in q192(spark, sf01).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values()), "graph must have triangles"
+
+
+# ---------------------------------------------------------------------------
+# q193 — JL distortion audit
+# ---------------------------------------------------------------------------
+
+
+def test_jl_distortion_matches_numpy_replay(spark):
+    """Distances and ratios equal an exact numpy replay; all
+    distances are exact integers under the scaling discipline."""
+    import numpy as np
+
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import (
+        _Q193_HSCALE,
+        _q193_planes,
+        q193,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    order = np.argsort(ids)
+    ids = ids[order]
+    Q = np.floor(
+        np.array([r["embedding"] for r in emb], dtype=np.float64)[order]
+        * 4096.0
+    ).astype(np.int64)
+    H = np.array(_q193_planes(), dtype=np.int64)
+    P = Q @ H.T
+    expect = {}
+    by_id = {int(i): k for k, i in enumerate(ids)}
+    for a in by_id:
+        if a % 2 or a + 1 not in by_id:
+            continue
+        x, y = by_id[a], by_id[a + 1]
+        d_orig = int(((Q[x] - Q[y]) ** 2).sum())
+        d_proj = int(((P[x] - P[y]) ** 2).sum())
+        if d_orig > 0:
+            expect[(a, a + 1)] = (
+                d_orig,
+                d_proj,
+                round(4e6 * d_proj / (d_orig * _Q193_HSCALE * _Q193_HSCALE)),
+            )
+    got = {
+        (r["a_id"], r["b_id"]): (r["d_orig"], r["d_proj"], r["ratio_micro"])
+        for r in q193(spark, SF001).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# q194 — audio silence segmentation
+# ---------------------------------------------------------------------------
+
+
+def test_audio_silence_matches_python_replay(spark):
+    """Frame energies, silent runs and totals equal a numpy replay of
+    the sawtooth → frame → threshold pipeline (the codec roundtrip is
+    exercised on the Spark side, the replay skips it)."""
+    import numpy as np
+
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import (
+        _Q194_FRAME,
+        _Q194_SILENT,
+        q194,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+    expect = {}
+    for r in docs:
+        nc = r["n_chars"]
+        n = 160 + nc % 5 * 80
+        s = ((nc * 31 + np.arange(n) * 7) % 65536 - 32768).astype(np.int64)
+        e = (s * s).reshape(-1, _Q194_FRAME).sum(axis=1)
+        sil = e < _Q194_SILENT
+        max_run = run = 0
+        for f in sil:
+            run = run + 1 if f else 0
+            max_run = max(max_run, run)
+        expect[r["doc_id"]] = (
+            len(e),
+            int(sil.sum()),
+            max_run,
+            int(e.sum()),
+        )
+    got = {
+        r["media_id"]: (
+            r["n_frames"],
+            r["n_silent"],
+            r["max_silent_run"],
+            r["total_energy"],
+        )
+        for r in q194(spark, SF001).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# q195 — l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_matches_python_replay(spark):
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import (
+        _Q195_L,
+        q195,
+    )
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    groups = defaultdict(list)
+    for r in ev:
+        vband = round(r["value"] * 1e6) // 100000
+        groups[(r["event_type"], vband)].append(r["user_id"])
+    expect = {
+        k: (len(v), len(set(v)), len(set(v)) >= _Q195_L)
+        for k, v in groups.items()
+    }
+    got = {
+        (r["event_type"], r["vband"]): (
+            r["n_rows"],
+            r["n_sensitive"],
+            r["l_diverse"],
+        )
+        for r in q195(spark, SF001).collect()
+    }
+    assert got == expect
+    # sf0.001 groups are all tiny (15 users total) — both verdicts
+    # only appear at sf0.01, where the audit is non-vacuous
+    flags01 = {
+        r["l_diverse"]
+        for r in q195(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert flags01 == {True, False}
