@@ -2353,3 +2353,260 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_sensitive"),
         (F.countDistinct("user_id") >= _Q195_L).alias("l_diverse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 — hubness audit: k-occurrence distribution of the ANN index side
+# ---------------------------------------------------------------------------
+
+_Q196_K = 4
+
+_Q196_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * 4096.0)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v, list_dot_product(v, v) AS nv FROM e
+), a AS (
+  SELECT vec_id AS a_id, v AS av, nv AS na FROM n WHERE vec_id % 2 = 0
+), b AS (
+  SELECT vec_id AS b_id, v AS bv, nv AS nb FROM n WHERE vec_id % 2 = 1
+), p AS (
+  SELECT a_id, b_id,
+         CAST(round(1000000000000.0
+              * (list_dot_product(av, bv) / (sqrt(na) * sqrt(nb))))
+              AS BIGINT) AS cos_pico
+  FROM a CROSS JOIN b
+), topk AS (
+  SELECT a_id, b_id FROM (
+    SELECT a_id, b_id,
+           row_number() OVER (PARTITION BY a_id
+                              ORDER BY cos_pico DESC, b_id) AS ra
+    FROM p) t
+  WHERE ra <= {_Q196_K}
+), occ AS (
+  SELECT b_id, CAST(count(*) AS BIGINT) AS k_occurrence
+  FROM topk GROUP BY b_id
+)
+SELECT b.b_id, COALESCE(occ.k_occurrence, 0) AS k_occurrence,
+       COALESCE(occ.k_occurrence, 0) >= {2 * _Q196_K} AS is_hub,
+       occ.b_id IS NULL AS is_antihub
+FROM b LEFT JOIN occ USING (b_id)
+"""
+
+
+def _q196_topk(side, other):
+    """Top-k (a_id, b_id) pairs of the A→B kNN — the q177 matmul pass
+    emitting the full top-k id list instead of the best pair."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(other.collect(), key=lambda r: r["vec_id"])
+    o_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    O = np.array([r["v"] for r in rows], dtype=np.float64)
+    o_nsq = np.sqrt(np.array([r["nv"] for r in rows], dtype=np.float64))
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            nsq = np.sqrt(pdf["nv"].to_numpy(dtype=np.float64))
+            pico = np.round(
+                1e12 * ((M @ O.T) / (nsq[:, None] * o_nsq[None, :]))
+            )
+            order = np.argsort(-pico, axis=1, kind="stable")
+            top = order[:, :_Q196_K]
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "a_id": np.repeat(a_ids, top.shape[1]),
+                    "b_id": o_ids[top].ravel(),
+                }
+            )
+
+    return side.mapInPandas(score, schema="a_id long, b_id long")
+
+
+@register("q196_hubness_audit", _Q196_ORACLE)
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the retrieval index side: for every indexed
+    (odd-id) vector, its k-OCCURRENCE — how many (even-id) queries
+    list it in their cosine top-{_Q196_K} — plus hub (>= 2k) and
+    antihub (never retrieved) flags. High-dimensional spaces
+    concentrate retrievals onto hub points (Radovanović et al.), which
+    silently poisons kNN dedup/mining (q177's margin exists to damp
+    exactly this); the k-occurrence histogram is the audit that says
+    whether cosine kNN is trustworthy on THIS embedding space before
+    a 100 TB mining run.
+
+    Exactness: the same floor-quantized pico chain as q177; the
+    verdict columns are counts and integer compares.
+
+    Scale: one directional Arrow-matmul top-k pass (A×k id pairs
+    emitted, never the pair matrix), one count aggregate, one left
+    join against the index side. At 100 TB the same pass runs per
+    LSH/IVF bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x * F.lit(_Q177_SCALE)).cast("double"),
+    )
+    n = emb.select("vec_id", vq.alias("v")).withColumn(
+        "nv",
+        F.aggregate(
+            F.zip_with("v", "v", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    a = n.filter(F.col("vec_id") % 2 == 0)
+    b = n.filter(F.col("vec_id") % 2 == 1)
+    occ = (
+        _q196_topk(a, b)
+        .groupBy("b_id")
+        .agg(F.count("*").cast("long").alias("k_occurrence"))
+    )
+    return (
+        b.select("vec_id")
+        .withColumnRenamed("vec_id", "b_id")
+        .join(occ, "b_id", "left")
+        .select(
+            "b_id",
+            F.coalesce("k_occurrence", F.lit(0))
+            .cast("long")
+            .alias("k_occurrence"),
+            (
+                F.coalesce("k_occurrence", F.lit(0)) >= F.lit(2 * _Q196_K)
+            ).alias("is_hub"),
+            F.col("k_occurrence").isNull().alias("is_antihub"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197 — known-item retrieval evaluation (rank of the true partner)
+# ---------------------------------------------------------------------------
+
+_Q197_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * 4096.0)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v, list_dot_product(v, v) AS nv FROM e
+), a AS (
+  SELECT vec_id AS a_id, v AS av, nv AS na FROM n WHERE vec_id % 2 = 0
+), b AS (
+  SELECT vec_id AS b_id, v AS bv, nv AS nb FROM n WHERE vec_id % 2 = 1
+), p AS (
+  SELECT a_id, b_id,
+         CAST(round(1000000000000.0
+              * (list_dot_product(av, bv) / (sqrt(na) * sqrt(nb))))
+              AS BIGINT) AS cos_pico
+  FROM a CROSS JOIN b
+), ranked AS (
+  SELECT a_id, b_id,
+         CAST(row_number() OVER (PARTITION BY a_id
+                            ORDER BY cos_pico DESC, b_id) AS BIGINT) AS r
+  FROM p
+)
+SELECT a_id, a_id + 1 AS partner_id, r AS partner_rank,
+       CAST((2000000 + r) // (2 * r) AS BIGINT) AS rr_micro,
+       r = 1 AS hit_at_1, r <= 5 AS hit_at_5
+FROM ranked WHERE b_id = a_id + 1
+"""
+
+
+@register("q197_known_item_retrieval", _Q197_ORACLE)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-item retrieval evaluation: each even-id vector queries
+    the odd-id index, and its TRUE partner (vec_id + 1) has a known
+    exact rank under (cosine DESC, id) — the per-query table behind
+    MRR / hit@1 / hit@5, the eval a retrieval pipeline runs before
+    trusting an index (and the ground-truth-labeled twin of q173's
+    label-free ranking agreement). Reciprocal rank is round-half-up
+    INTEGER division (2e6+r)//(2r) — float round() splits across
+    engines exactly at the .5 ties (numpy half-to-even vs DuckDB
+    half-away; rank 128 hits one), so the tie rule is pinned in
+    integer arithmetic.
+
+    Scale: NO ranking window and NO pair frame — the rank of the
+    partner is a count: 1 + |{j: pico_j > pico_p}| + |{ties with
+    smaller id}|, computed vectorized inside the same directional
+    Arrow-matmul pass as q177/q196, one output row per query. The
+    oracle runs the full window formulation; the engine computes the
+    identical rank arithmetic without materializing the ranking."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x * F.lit(_Q177_SCALE)).cast("double"),
+    )
+    n = emb.select("vec_id", vq.alias("v")).withColumn(
+        "nv",
+        F.aggregate(
+            F.zip_with("v", "v", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    a = n.filter(F.col("vec_id") % 2 == 0)
+    b = n.filter(F.col("vec_id") % 2 == 1)
+
+    rows = sorted(b.collect(), key=lambda r: r["vec_id"])
+    o_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    O = np.array([r["v"] for r in rows], dtype=np.float64)
+    o_nsq = np.sqrt(np.array([r["nv"] for r in rows], dtype=np.float64))
+    pos = {int(i): k for k, i in enumerate(o_ids)}
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            keep = np.array([int(x) + 1 in pos for x in a_ids])
+            if not keep.any():
+                continue
+            M = np.stack(pdf["v"].to_numpy()).astype(
+                np.float64, copy=False
+            )[keep]
+            nsq = np.sqrt(pdf["nv"].to_numpy(dtype=np.float64))[keep]
+            a_ids = a_ids[keep]
+            pico = np.round(
+                1e12 * ((M @ O.T) / (nsq[:, None] * o_nsq[None, :]))
+            )
+            ip = np.array([pos[int(x) + 1] for x in a_ids])
+            pp = pico[np.arange(len(a_ids)), ip]
+            partner_ids = o_ids[ip]
+            rank = (
+                1
+                + (pico > pp[:, None]).sum(axis=1)
+                + (
+                    (pico == pp[:, None])
+                    & (o_ids[None, :] < partner_ids[:, None])
+                ).sum(axis=1)
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "a_id": a_ids,
+                    "partner_id": partner_ids,
+                    "partner_rank": rank,
+                    "rr_micro": (2_000_000 + rank) // (2 * rank),
+                    "hit_at_1": rank == 1,
+                    "hit_at_5": rank <= 5,
+                }
+            )
+
+    return a.mapInPandas(
+        score,
+        schema=(
+            "a_id long, partner_id long, partner_rank long, "
+            "rr_micro long, hit_at_1 boolean, hit_at_5 boolean"
+        ),
+    )

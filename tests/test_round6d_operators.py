@@ -959,3 +959,96 @@ def test_l_diversity_matches_python_replay(spark):
         for r in q195(spark, "/root/testdata/sf0.01").collect()
     }
     assert flags01 == {True, False}
+
+
+# ---------------------------------------------------------------------------
+# q196/q197 — hubness audit + known-item retrieval
+# ---------------------------------------------------------------------------
+
+
+def _q_pico(ids, V):
+    import numpy as np
+
+    Q = np.floor(V * 4096.0)
+    n = np.sqrt((Q * Q).sum(1))
+    am, bm = ids % 2 == 0, ids % 2 == 1
+    pico = np.round(
+        1e12 * ((Q[am] @ Q[bm].T) / (n[am][:, None] * n[bm][None, :]))
+    )
+    return ids[am], ids[bm], pico
+
+
+def test_hubness_matches_numpy_replay(spark):
+    """k-occurrence per index vector equals a dense replay; the
+    occurrence total is exactly |queries|·k."""
+    import numpy as np
+
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import (
+        _Q196_K,
+        q196,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    V = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    aid, bid, pico = _q_pico(ids, V)
+    order = np.argsort(-pico, axis=1, kind="stable")[:, :_Q196_K]
+    from collections import Counter
+
+    occ = Counter(int(bid[j]) for row in order for j in row)
+    expect = {
+        int(b): (
+            occ.get(int(b), 0),
+            occ.get(int(b), 0) >= 2 * _Q196_K,
+            int(b) not in occ,
+        )
+        for b in bid
+    }
+    got = {
+        r["b_id"]: (r["k_occurrence"], r["is_hub"], r["is_antihub"])
+        for r in q196(spark, SF001).collect()
+    }
+    assert got == expect
+    assert sum(v[0] for v in got.values()) == len(aid) * _Q196_K
+
+
+def test_known_item_rank_matches_numpy_replay(spark):
+    import numpy as np
+
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q197
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    V = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    aid, bid, pico = _q_pico(ids, V)
+    bpos = {int(b): j for j, b in enumerate(bid)}
+    expect = {}
+    for i, a in enumerate(aid):
+        p = int(a) + 1
+        if p not in bpos:
+            continue
+        jp = bpos[p]
+        pp = pico[i, jp]
+        rank = int(
+            1
+            + (pico[i] > pp).sum()
+            + ((pico[i] == pp) & (bid < p)).sum()
+        )
+        expect[int(a)] = (
+            p,
+            rank,
+            (2_000_000 + rank) // (2 * rank),
+            rank == 1,
+            rank <= 5,
+        )
+    got = {
+        r["a_id"]: (
+            r["partner_id"],
+            r["partner_rank"],
+            r["rr_micro"],
+            r["hit_at_1"],
+            r["hit_at_5"],
+        )
+        for r in q197(spark, SF001).collect()
+    }
+    assert got == expect
