@@ -96,6 +96,30 @@ def _cc_star(
         .distinct()
         .localCheckpoint()
     )
+    # Size the per-round shuffles to the ACTUAL edge count: the
+    # contraction loop is 4-6 shuffle+checkpoint stages per round, and
+    # on the sparse similarity graphs that feed this operator (10²-10⁴
+    # edges after LSH verify / density filtering) a session-default 32
+    # partitions is pure task-scheduling overhead — measured 6.6 s →
+    # ~2 s for the whole CC on a 44-edge core graph. Every
+    # materialization happens inside the scope; the restored setting
+    # governs only the final (tiny) label aggregate. At real scale
+    # n_edges/100k keeps one partition per ~100k edges up to the
+    # session default.
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_edges = base.count()
+    scoped = max(4, min(int(prev_parts), n_edges // 100_000 + 4))
+    spark.conf.set("spark.sql.shuffle.partitions", str(scoped))
+    try:
+        return _cc_star_rounds(base, max_iter, n_edges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cc_star_rounds(
+    base: DataFrame, max_iter: int, n_edges: int
+) -> tuple[DataFrame, int]:
     cur = base.filter(F.col("lo") != F.col("hi")).localCheckpoint()
     nodes = (
         base.select(F.col("lo").alias("id"))

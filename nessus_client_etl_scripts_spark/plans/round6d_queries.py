@@ -1849,10 +1849,12 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("qb"),
         F.col("nq").alias("nqb"),
     )
-    adj = (
+    half = (
         assigned.withColumnRenamed("vec_id", "ia")
         .join(rhs, "cell")
-        .filter(F.col("ia") != F.col("ib"))
+        .filter(F.col("ia") < F.col("ib"))  # fold each unordered pair
+        # ONCE (ia != ib would run the 64-wide cosine twice per pair —
+        # measured 2× the whole adjacency stage); mirror afterwards
         .filter(
             F.round(
                 F.lit(1e12)
@@ -1861,7 +1863,11 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(_Q191_EPS_PICO)
         )
         .select("ia", "ib")
-        .localCheckpoint()  # neighbor counts, core edges, border attach
+        .localCheckpoint()  # pin BEFORE mirroring — the union's two
+        # branches would otherwise each re-run the join+fold
+    )
+    adj = half.unionByName(
+        half.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
     )
     nb = adj.groupBy(F.col("ia").alias("vec_id")).agg(
         F.count("*").cast("long").alias("n_nb")
