@@ -38,6 +38,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Edge sets at or below this size finish with a driver-side union-find
+# instead of distributed contraction rounds. Each star round costs 4-6
+# shuffle+checkpoint stages of pure scheduling; on the sparse verified
+# similarity graphs that reach this operator (10²-10⁴ edges after LSH
+# verify / density filtering) the driver finish replaces ~6 rounds ×
+# ~0.9 s with one bounded collect (≤ 100k × 16 B = 1.6 MB — the same
+# "bounded small state" class as partition stats). Above the bound the
+# O(log d) contraction runs untouched — at 100 TB a billion-edge graph
+# never collects.
+DRIVER_FINISH_EDGES = 100_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -45,10 +56,13 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 20,
     algorithm: str = "star",
+    driver_finish: int = DRIVER_FINISH_EDGES,
 ) -> DataFrame:
     """(id, cluster_id) for every vertex of the undirected edge set;
     ``cluster_id`` is the minimum vertex id in the component."""
-    labels, _rounds = _cc_with_rounds(edges, src_col, dst_col, max_iter, algorithm)
+    labels, _rounds = _cc_with_rounds(
+        edges, src_col, dst_col, max_iter, algorithm, driver_finish
+    )
     return labels
 
 
@@ -58,14 +72,57 @@ def _cc_with_rounds(
     dst_col: str,
     max_iter: int,
     algorithm: str,
+    driver_finish: int = DRIVER_FINISH_EDGES,
 ) -> tuple[DataFrame, int]:
     """Internal: also returns the number of rounds run (the convergence
-    anchor the planted-fixture tests assert on)."""
+    anchor the planted-fixture tests assert on; the driver finish
+    reports 0 rounds — pass ``driver_finish=0`` to force the
+    distributed path)."""
     if algorithm == "star":
-        return _cc_star(edges, src_col, dst_col, max_iter)
+        return _cc_star(edges, src_col, dst_col, max_iter, driver_finish)
     if algorithm == "propagation":
         return _cc_propagation(edges, src_col, dst_col, max_iter)
     raise ValueError(f"algorithm must be 'star' or 'propagation': {algorithm}")
+
+
+def _cc_driver_union_find(base: DataFrame) -> DataFrame:
+    """Min-root union-find over a COLLECTED canonical edge frame —
+    the small-graph finish. Labels match the distributed contract
+    exactly: every vertex of the edge set, cluster_id = component
+    min."""
+    from pyspark.sql import types as T
+
+    rows = base.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        lo, hi = r["lo"], r["hi"]
+        for v in (lo, hi):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(lo), find(hi)
+        if ra != rb:
+            # min root wins so the final label IS the component min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels = [(v, find(v)) for v in parent]
+    id_type = base.schema["lo"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("cluster_id", id_type),
+        ]
+    )
+    return base.sparkSession.createDataFrame(labels, schema)
 
 
 def _neighborhood_min(sym: DataFrame) -> DataFrame:
@@ -77,7 +134,11 @@ def _neighborhood_min(sym: DataFrame) -> DataFrame:
 
 
 def _cc_star(
-    edges: DataFrame, src_col: str, dst_col: str, max_iter: int
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_iter: int,
+    driver_finish: int = DRIVER_FINISH_EDGES,
 ) -> tuple[DataFrame, int]:
     # ONE materialization of the upstream edge pipeline: canonicalize
     # WITH self-loops kept, checkpoint, then derive both the working
@@ -109,6 +170,8 @@ def _cc_star(
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     n_edges = base.count()
+    if n_edges <= driver_finish:
+        return _cc_driver_union_find(base), 0
     scoped = max(4, min(int(prev_parts), n_edges // 100_000 + 4))
     spark.conf.set("spark.sql.shuffle.partitions", str(scoped))
     try:

@@ -156,7 +156,9 @@ def test_connected_components_star_fast_on_planted_star(spark):
     center = 500
     edges = [(center, leaf) for leaf in range(2, 60)] + [(1, 2)]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    star_labels, star_rounds = _cc_with_rounds(df, "src", "dst", 20, "star")
+    star_labels, star_rounds = _cc_with_rounds(
+        df, "src", "dst", 20, "star", driver_finish=0
+    )  # force the distributed rounds — this test pins the contraction
     prop_labels, prop_rounds = _cc_with_rounds(df, "src", "dst", 20, "propagation")
     want = {r["id"]: r["cluster_id"] for r in prop_labels.collect()}
     got = {r["id"]: r["cluster_id"] for r in star_labels.collect()}
@@ -173,7 +175,9 @@ def test_connected_components_star_log_rounds_on_path(spark):
 
     edges = [(i, i + 1) for i in range(1, 33)]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    labels, rounds = _cc_with_rounds(df, "src", "dst", 40, "star")
+    labels, rounds = _cc_with_rounds(
+        df, "src", "dst", 40, "star", driver_finish=0
+    )
     got = {r["id"]: r["cluster_id"] for r in labels.collect()}
     assert got == {i: 1 for i in range(1, 34)}
     assert rounds <= 8  # log-ish, far under the 32-round diameter
@@ -391,3 +395,25 @@ def test_count_min_never_underestimates(spark):
     assert set(est) == set(exact)
     assert all(est[k] >= exact[k] for k in exact), (est, exact)
     assert any(est[k] > exact[k] for k in exact)  # collisions happened
+
+
+def test_connected_components_driver_finish_equals_distributed(spark):
+    """Small edge sets take the driver union-find (0 rounds); labels
+    must be identical to the distributed star contraction, including
+    self-loop-only vertices."""
+    from nessus_client_etl_scripts_spark.operators.graph import _cc_with_rounds
+
+    edges = [(i, i + 1) for i in range(1, 20)] + [
+        (100, 101),
+        (30, 30),
+        (500, 31),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast, fast_rounds = _cc_with_rounds(df, "src", "dst", 40, "star")
+    slow, slow_rounds = _cc_with_rounds(
+        df, "src", "dst", 40, "star", driver_finish=0
+    )
+    assert fast_rounds == 0 and slow_rounds > 0
+    assert {(r.id, r.cluster_id) for r in fast.collect()} == {
+        (r.id, r.cluster_id) for r in slow.collect()
+    }
