@@ -1052,3 +1052,37 @@ def test_known_item_rank_matches_numpy_replay(spark):
         for r in q197(spark, SF001).collect()
     }
     assert got == expect
+
+
+def test_semantic_dedup_threshold_margin(spark):
+    """The q114 matmul rewrite is sound only while no in-cell pair
+    sits within summation-reorder distance of the threshold: assert
+    the minimum |cos − τ| margin is ≥ 1e-9 (reordering moves a 64-dim
+    dot by ~1e-14 relative) on both driver-checked scales."""
+    import numpy as np
+
+    from nessus_client_etl_scripts_spark.operators.similarity import (
+        _hyperplanes,
+    )
+    from nessus_client_etl_scripts_spark.plans.corpus_queries import _Q114_TAU
+
+    C = np.asarray(_hyperplanes(16, 64, seed=0xC0DE))
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+        V = np.array([r["embedding"] for r in emb], dtype=np.float64)
+        d = (
+            (V * V).sum(1)[:, None]
+            - 2.0 * (V @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+        cell = np.argsort(d, axis=1, kind="stable")[:, 0]
+        n = np.sqrt((V * V).sum(1))
+        margin = 1.0
+        for c in set(cell.tolist()):
+            idx = np.where(cell == c)[0]
+            M, nn = V[idx], n[idx]
+            cos = (M @ M.T) / (nn[:, None] * nn[None, :])
+            iu = np.triu_indices(len(idx), 1)
+            if len(iu[0]):
+                margin = min(margin, np.abs(cos[iu] - _Q114_TAU).min())
+        assert margin > 1e-9, f"{sf}: margin {margin} too tight"
