@@ -2641,3 +2641,253 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rr_micro long, hit_at_1 boolean, hit_at_5 boolean"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — Benford first-digit forensics on a monetary column
+# ---------------------------------------------------------------------------
+
+def _q198_expected() -> dict[int, int]:
+    """round(1e6·log10(1+1/d)) — driver-side constants (the q159
+    rule: precomputed literals, no libm call in either engine)."""
+    import math
+
+    return {d: round(1e6 * math.log10(1 + 1 / d)) for d in range(1, 10)}
+
+
+def _q198_oracle() -> str:
+    exp_case = " ".join(
+        f"WHEN {d} THEN {m}" for d, m in _q198_expected().items()
+    )
+    return f"""
+WITH src AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM src
+), counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY digit
+)
+SELECT c.digit, c.n,
+       CAST(round((1000000.0 * c.n) / t.n_total) AS BIGINT)
+         AS share_micro,
+       CAST(CASE c.digit {exp_case} END AS BIGINT) AS benford_micro,
+       abs(CAST(round((1000000.0 * c.n) / t.n_total) AS BIGINT)
+           - CAST(CASE c.digit {exp_case} END AS BIGINT)) AS dev_micro
+FROM counts c CROSS JOIN tot t
+"""
+
+
+@register("q198_benford_audit", _q198_oracle())
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit forensics on order totals — the
+    data-quality/fraud screen for monetary columns: organically grown
+    magnitudes follow log10(1+1/d); synthetic, capped, or fabricated
+    values do not, and the per-digit |share − Benford| deviation is
+    the flag. (On THIS synthetic TPC-H-ish data the audit correctly
+    reports large deviations — uniform price generation is exactly
+    the kind of distribution the screen exists to catch.)
+
+    Exactness: the first digit is string truncation of an exact
+    integer (no log/pow at runtime); Benford probabilities are
+    driver-side micro literals (the q159 inverse-CDF discipline);
+    shares are one correctly-rounded division each.
+
+    Scale: one partial-combined 9-group count; everything after is
+    algebra on 9 rows."""
+    exp = _q198_expected()
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    tot = src.agg(F.count("*").cast("long").alias("n_total"))
+    counts = src.groupBy("digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    exp_col = F.lit(None).cast("long")
+    for d, m in reversed(sorted(exp.items())):
+        exp_col = F.when(F.col("digit") == d, F.lit(m)).otherwise(exp_col)
+    share = F.round((F.lit(1000000.0) * F.col("n")) / F.col("n_total")).cast(
+        "long"
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        share.alias("share_micro"),
+        exp_col.cast("long").alias("benford_micro"),
+        F.abs(share - exp_col).alias("dev_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199 — deterministic Poisson-bootstrap distribution of the exact AUC
+# ---------------------------------------------------------------------------
+
+_Q199_B = 16
+
+
+def _q199_oracle() -> str:
+    from .round6c_queries import _Q159_CASE_SQL
+
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         CAST(round(1000000.0 * {_Q184_SCORE_SQL}) AS BIGINT) AS vm,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+), drawn AS (
+  SELECT b, vm, pos,
+         ('0x' || substring(md5('aucboot-v1:' || CAST(b AS VARCHAR)
+            || ':' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS u
+  FROM src, range({_Q199_B}) r(b)
+), weighted AS (
+  SELECT b, vm, {_Q159_CASE_SQL} AS w, pos FROM drawn
+), g AS (
+  SELECT b, vm,
+         CAST(SUM(w * pos) AS BIGINT) AS wp,
+         CAST(SUM(w * (1 - pos)) AS BIGINT) AS wn
+  FROM weighted GROUP BY b, vm
+), c AS (
+  SELECT b, vm, wp, wn,
+         CAST(coalesce(SUM(wn) OVER (
+             PARTITION BY b ORDER BY vm
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS neg_below
+  FROM g
+), u AS (
+  SELECT b,
+         CAST(SUM(wp * (2 * neg_below + wn)) AS BIGINT) AS u2,
+         CAST(SUM(wp) AS BIGINT) AS n_pos_w,
+         CAST(SUM(wn) AS BIGINT) AS n_neg_w
+  FROM c GROUP BY b
+), scored AS (
+  SELECT b, n_pos_w, n_neg_w, u2,
+         CAST(round((1000000.0 * u2) / (2.0 * n_pos_w * n_neg_w))
+              AS BIGINT) AS auc_micro
+  FROM u WHERE n_pos_w > 0 AND n_neg_w > 0
+)
+SELECT b, n_pos_w, n_neg_w, u2, auc_micro,
+       CAST(row_number() OVER (ORDER BY auc_micro, b) AS BIGINT) AS rk
+FROM scored
+"""
+
+
+@register("q199_auc_bootstrap", _q199_oracle())
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap DISTRIBUTION of the exact AUC — the composition that
+    turns q189's point estimate into an interval: {B} deterministic
+    Poisson(1) replicates (q159's inverse-CDF-literal draw, row-local,
+    all replicates in one scan) each re-weight the (score, label)
+    counts, the weighted Mann–Whitney identity gives each replicate's
+    exact 2U, and the ranked replicate AUCs are the bootstrap
+    distribution (rk 2/15 of 16 bracket a ~80 % CI). The eval-metric
+    error bar a model-gating decision needs, with every replicate
+    value-oracle-checked.
+
+    Scale: the ×{B} expansion collapses map-side into (b, score)
+    grouped counts; the negatives-below prefix rides ONE
+    scalable_prefix_sums over the global (b, vm) order with per-b
+    offsets broadcast back (the q189/q153 rule — b never becomes a
+    window partition); the final ranking window sees {B} rows."""
+    from .round6c_queries import _Q159_T
+    from ..operators.sampling import _u48
+    from ..operators.windows import scalable_prefix_sums
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    score = n_stop.cast("double") / F.size(toks)
+    src = docs.select(
+        "doc_id",
+        F.round(F.lit(1000000.0) * score).cast("long").alias("vm"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    drawn = src.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_Q199_B - 1))).alias("b"),
+        "vm",
+        "pos",
+        "doc_id",
+    ).withColumn(
+        "u",
+        _u48(
+            F.concat(
+                F.lit("aucboot-v1:"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            ),
+            "",
+        ),
+    )
+    w = (
+        F.when(F.col("u") < _Q159_T[0], 0)
+        .when(F.col("u") < _Q159_T[1], 1)
+        .when(F.col("u") < _Q159_T[2], 2)
+        .when(F.col("u") < _Q159_T[3], 3)
+        .when(F.col("u") < _Q159_T[4], 4)
+        .otherwise(5)
+    )
+    g = (
+        drawn.select("b", "vm", w.alias("w"), "pos")
+        .groupBy("b", "vm")
+        .agg(
+            F.sum(F.col("w") * F.col("pos")).cast("long").alias("wp"),
+            F.sum(F.col("w") * (F.lit(1) - F.col("pos")))
+            .cast("long")
+            .alias("wn"),
+        )
+    )
+    cum = scalable_prefix_sums(g, ("b", "vm"), val_cols=("wn",), pin=True)
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        cum.groupBy("b")
+        .agg(
+            F.sum("wp").cast("long").alias("n_pos_w"),
+            F.sum("wn").cast("long").alias("n_neg_w"),
+        )
+        .select(
+            "b",
+            "n_pos_w",
+            "n_neg_w",
+            F.coalesce(F.sum("n_neg_w").over(wb), F.lit(0)).alias("soff"),
+        )
+    )
+    term = cum.join(F.broadcast(offs.select("b", "soff")), "b").select(
+        "b",
+        (
+            F.col("wp")
+            * (
+                F.lit(2)
+                * (F.col("cum_wn") - F.col("wn") - F.col("soff"))
+                + F.col("wn")
+            )
+        ).alias("t"),
+    )
+    u = term.groupBy("b").agg(F.sum("t").cast("long").alias("u2"))
+    scored = (
+        u.join(F.broadcast(offs.drop("soff")), "b")
+        .filter((F.col("n_pos_w") > 0) & (F.col("n_neg_w") > 0))
+        .select(
+            "b",
+            "n_pos_w",
+            "n_neg_w",
+            "u2",
+            F.round(
+                (F.lit(1000000.0) * F.col("u2"))
+                / (F.lit(2.0) * F.col("n_pos_w") * F.col("n_neg_w"))
+            )
+            .cast("long")
+            .alias("auc_micro"),
+        )
+    )
+    rkw = Window.orderBy("auc_micro", "b")  # {B} rows — metadata-sized
+    return scored.withColumn("rk", F.row_number().over(rkw).cast("long"))

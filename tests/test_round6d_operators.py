@@ -1086,3 +1086,88 @@ def test_semantic_dedup_threshold_margin(spark):
             if len(iu[0]):
                 margin = min(margin, np.abs(cos[iu] - _Q114_TAU).min())
         assert margin > 1e-9, f"{sf}: margin {margin} too tight"
+
+
+# ---------------------------------------------------------------------------
+# q198/q199 — Benford audit + bootstrap AUC
+# ---------------------------------------------------------------------------
+
+
+def test_benford_matches_python_replay(spark):
+    import math
+    from collections import Counter
+
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q198
+
+    orders = spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    digits = Counter(
+        int(str(round(r["o_totalprice"] * 100))[0]) for r in orders
+    )
+    n_total = sum(digits.values())
+    expect = {}
+    for d, n in digits.items():
+        share = round(1e6 * n / n_total)
+        ben = round(1e6 * math.log10(1 + 1 / d))
+        expect[d] = (n, share, ben, abs(share - ben))
+    got = {
+        r["digit"]: (r["n"], r["share_micro"], r["benford_micro"], r["dev_micro"])
+        for r in q198(spark, SF001).collect()
+    }
+    assert got == expect
+    assert sum(v[0] for v in got.values()) == n_total
+
+
+def test_auc_bootstrap_matches_python_replay(spark):
+    """Every replicate's weighted exact AUC equals a pure-Python
+    replay of the salted Poisson draw + weighted rank-sum identity."""
+    import hashlib
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round6c_queries import _Q159_T
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import (
+        _Q199_B,
+        q199,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+
+    def weight(b, doc_id):
+        u = int(
+            hashlib.md5(f"aucboot-v1:{b}:{doc_id}".encode()).hexdigest()[:12],
+            16,
+        )
+        for w, t in enumerate(_Q159_T):
+            if u < t:
+                return w
+        return 5
+
+    expect = {}
+    aucs = []
+    for b in range(_Q199_B):
+        by_vm = defaultdict(lambda: [0, 0])
+        for r in docs:
+            t = r["text"].split(" ")
+            vm = round(1e6 * (sum(1 for w in t if w in ("the", "a")) / len(t)))
+            w = weight(b, r["doc_id"])
+            if r["lang"] == "en":
+                by_vm[vm][0] += w
+            else:
+                by_vm[vm][1] += w
+        np_, nn_, u2, below = 0, 0, 0, 0
+        for vm in sorted(by_vm):
+            wp, wn = by_vm[vm]
+            u2 += wp * (2 * below + wn)
+            below += wn
+            np_ += wp
+            nn_ += wn
+        auc = round(1e6 * u2 / (2.0 * np_ * nn_))
+        expect[b] = (np_, nn_, u2, auc)
+        aucs.append((auc, b))
+    rks = {
+        b: i + 1 for i, (_, b) in enumerate(sorted(aucs))
+    }
+    got = {
+        r["b"]: (r["n_pos_w"], r["n_neg_w"], r["u2"], r["auc_micro"], r["rk"])
+        for r in q199(spark, SF001).collect()
+    }
+    assert got == {b: (*v, rks[b]) for b, v in expect.items()}
