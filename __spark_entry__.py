@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries proven green in r5.
 _R6_HEAD = (
     ("q120",)
-    + tuple(f"q{n}" for n in range(125, 200))
+    + tuple(f"q{n}" for n in range(125, 201))
     + ("q51", "q52", "q54", "q56", "q58")
     + tuple(f"q{n}" for n in range(29, 39))
     + ("q40",)

@@ -2891,3 +2891,102 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rkw = Window.orderBy("auc_micro", "b")  # {B} rows — metadata-sized
     return scored.withColumn("rk", F.row_number().over(rkw).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q200 — corpus datasheet: the one-scan release statistics card
+# ---------------------------------------------------------------------------
+
+
+def _q200_oracle() -> str:
+    from .corpus_queries import _split_case_sql
+
+    return f"""
+WITH labeled AS (
+  SELECT source, lang, n_chars, doc_id,
+         {_split_case_sql()} AS split,
+         md5({_NORM_SQL}) AS fp,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+       CAST(round((1000000.0 * count(DISTINCT fp)) / count(*))
+            AS BIGINT) AS unique_ratio_micro,
+       CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_val,
+       CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_test,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(round(CAST(SUM(n_chars) AS DOUBLE) / count(*)) AS BIGINT)
+         AS mean_chars
+FROM labeled GROUP BY source
+"""
+
+
+@register("q200_corpus_datasheet", _q200_oracle())
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATASHEET — the release statistics card (Gebru et
+    al.'s datasheets verb) a training-data pipeline publishes next to
+    every corpus snapshot: per source, the document/token/char
+    volumes, language breadth, exact-dup rate (md5 fingerprint of the
+    normalized text — q20/q25's key), deterministic split counts, and
+    the length profile. One row per source, every figure exact or
+    one correctly-rounded division — the summary every other audit in
+    this engine (q76 column profile, q84 forget audit, q121
+    divergence) hangs off.
+
+    Scale: ONE scan, one partial-combined aggregate; the distinct
+    fingerprint/lang counts are (source, key) combines. Adding a
+    datasheet row (a new metric) adds a counter, not a scan."""
+    from ..operators.sampling import hash_split
+
+    docs = hash_split(
+        load_table(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    labeled = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        "split",
+        F.md5(normalize_text("text")).alias("fp"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return labeled.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("fp").cast("long").alias("n_unique"),
+        (F.count("*") - F.countDistinct("fp"))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.round(
+            (F.lit(1000000.0) * F.countDistinct("fp")) / F.count("*")
+        )
+        .cast("long")
+        .alias("unique_ratio_micro"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("mean_chars"),
+    )

@@ -1171,3 +1171,55 @@ def test_auc_bootstrap_matches_python_replay(spark):
         for r in q199(spark, SF001).collect()
     }
     assert got == {b: (*v, rks[b]) for b, v in expect.items()}
+
+
+def test_corpus_datasheet_matches_python_replay(spark):
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.operators.sampling import hash_split
+    from nessus_client_etl_scripts_spark.plans.round6d_queries import q200
+
+    docs = hash_split(
+        spark.read.parquet(f"{SF001}/documents.parquet"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).collect()
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r["source"]].append(r)
+    expect = {}
+    for src, rows in by_src.items():
+        fps = {
+            hashlib.md5(
+                re.sub(r"\s+", " ", r["text"].lower().strip()).encode()
+            ).hexdigest()
+            for r in rows
+        }
+        n = len(rows)
+        chars = [r["n_chars"] for r in rows]
+        expect[src] = (
+            n,
+            sum(len(r["text"].split(" ")) for r in rows),
+            sum(chars),
+            len({r["lang"] for r in rows}),
+            len(fps),
+            n - len(fps),
+            round(1e6 * len(fps) / n),
+            sum(1 for r in rows if r["split"] == "train"),
+            sum(1 for r in rows if r["split"] == "val"),
+            sum(1 for r in rows if r["split"] == "test"),
+            min(chars),
+            max(chars),
+            round(sum(chars) / n),
+        )
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_tokens"], r["n_chars"], r["n_langs"],
+            r["n_unique"], r["n_exact_dups"], r["unique_ratio_micro"],
+            r["n_train"], r["n_val"], r["n_test"],
+            r["min_chars"], r["max_chars"], r["mean_chars"],
+        )
+        for r in q200(spark, SF001).collect()
+    }
+    assert got == expect
