@@ -23,18 +23,28 @@ from .text import normalize_text, tokens
 
 
 def bigrams_from_tokens(toks: Column) -> Column:
-    """Adjacent token pairs of a STAGED token array as space-joined
-    strings; empty array below 2 tokens (the sequence(1,0) descending
-    trap — see text.ngrams)."""
-    return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Adjacent token pairs of a token array as space-joined strings;
+    empty array below 2 tokens (the sequence(1,0) descending trap —
+    see text.ngrams).
+
+    Built as zip_with over the array and its own 1-shifted slice, NOT
+    a transform over an index sequence: an index lambda must reference
+    the array per element (element_at(toks, i)), and when Catalyst's
+    CollapseProject inlines the tokenizer expression into the
+    consuming projection that reference re-tokenizes the document per
+    position — O(L²) per doc; q168's posting build measured 15.4 s →
+    1.1 s at sf0.1 from this rewrite alone. The slide references the
+    array only in whole-array ops (size/slice), so a collapsed
+    tokenizer runs a bounded ~5 times per ROW, never per element."""
+    n = F.size(toks)
+    slide = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.when(n >= 2, slide).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def doc_bigrams(
@@ -294,8 +304,10 @@ def bigram_lm_score(
     equi-join of the posting against the model — AQE broadcasts the
     model when it fits (real-text bigram tables are ~10⁷ rows /
     ~100 MB, broadcastable), else a shuffle join on short string
-    keys. The posting feeds both subtrees un-persisted (the
-    bigram_novelty recompute-beats-cache finding)."""
+    keys. The posting is pinned: it feeds THREE subtrees here (model,
+    vocab, scoring join), and each unpinned scan re-runs the
+    tokenize+explode pipeline (the two-consumer recompute==cache
+    finding from bigram_novelty does not extend to three)."""
     staged = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(normalize_text(text_col)).alias("toks"),
@@ -305,6 +317,7 @@ def bigram_lm_score(
             "doc_id", bigrams_from_tokens(F.col("toks")).alias("bg")
         )
         .select("doc_id", F.explode("bg").alias("bigram"))
+        .localCheckpoint(eager=False)
     )
     model = posting.groupBy("bigram").agg(
         F.count(F.lit(1)).cast("long").alias("c12")
