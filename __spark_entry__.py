@@ -35,30 +35,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return _tq.spark_queries()["q01_folder_results_latest"](spark, SF0001)
 
 
-# Round-6 driver-budget ordering (the driver checks ~50 queries in
-# iteration order per round).  HEAD, in priority order: q120 (its r5
-# row is the only non-green — a HUGEINT-vs-BIGINT oracle cast, fixed
-# post-r5, needs its first green row); q125-q176 (new this round —
-# never driver-checked; 52 queries — the head alone overfills the
-# ~50 budget, so the r7 head starts where this round's check
-# stops); then the oldest-evidence blocks — the
-# r2-era queries (q51/q52/q54/q56/q58, last proven r2) and the
-# r3-era block (q29-q50, last proven r3) take the remaining slots.
-# MIDDLE: the r4-green block (second-oldest evidence).  TAIL: the
-# queries proven green in r5.
-_R6_HEAD = (
-    ("q120",)
-    + tuple(f"q{n}" for n in range(125, 201))
+# Round-7 driver-budget ordering (the driver checks ~50 queries in
+# iteration order per round).  HEAD, in priority order per the r6
+# verdict: (a) q174-q200 — declared in r6 AFTER the driver budget ran
+# out at q173, so they have never been driver-checked; (b) queries
+# ADDED THIS ROUND (q201+) — never checked by construction; (c) the
+# eight queries rewritten in r6 after their last green row (q114/q115
+# blocked-matmul + state-pin rewrites, q92/q112/q50 grouped_row_number
+# refactor, q55/q93/q96 driver union-find CC finish) whose evidence is
+# stale; (d) the r2-era five (last proven r2).  That is 27+N+8+5
+# queries; the r3-era block (q29-q38, q40 — oldest remaining evidence)
+# fills whatever budget is left.  MIDDLE: everything not head and not
+# r5/r6-green.  TAIL: queries with fresh r5/r6 green rows.
+_R7_HEAD = (
+    tuple(f"q{n}" for n in range(174, 201))
+    + tuple(f"q{n}" for n in range(201, 230))
+    + ("q114", "q115", "q92", "q112", "q50", "q55", "q93", "q96")
     + ("q51", "q52", "q54", "q56", "q58")
     + tuple(f"q{n}" for n in range(29, 39))
     + ("q40",)
-    + tuple(f"q{n}" for n in range(42, 51))
 )
-_R5_GREEN = (
-    tuple(f"q{n}" for n in range(96, 120))
+# Fresh-evidence tail: q120+q125-q173 proven green in r6; the r5-green
+# block (minus the rewritten-in-r6 members promoted to the head).
+_FRESH_GREEN = (
+    ("q120",)
+    + tuple(f"q{n}" for n in range(125, 174))
+    + tuple(f"q{n}" for n in range(97, 112) if n not in (103,))
+    + ("q103", "q113", "q116", "q117", "q118", "q119")
     + tuple(f"q{n}" for n in range(121, 125))
     + tuple(f"q{n:02d}" for n in range(12, 29))
-    + ("q39", "q53", "q55", "q92")
+    + ("q39", "q53")
 )
 
 
@@ -66,7 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Insertion order == driver iteration order; see the ordering note
-    above (_R6_HEAD / r4-green middle / r5-green tail)."""
+    above (_R7_HEAD / stale middle / fresh-green tail)."""
     all_queries = dict(sorted(_tq.spark_queries().items()))
 
     def prefix(name: str) -> str:
@@ -74,14 +80,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     head = {
         n: all_queries[n]
-        for p in _R6_HEAD
+        for p in _R7_HEAD
         for n in all_queries
         if prefix(n) == p
     }
     mid = {
         n: f
         for n, f in all_queries.items()
-        if n not in head and prefix(n) not in _R5_GREEN
+        if n not in head and prefix(n) not in _FRESH_GREEN
     }
     rest = {n: f for n, f in all_queries.items() if n not in head and n not in mid}
     return {**head, **mid, **rest}

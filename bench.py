@@ -94,7 +94,25 @@ def main() -> None:
             f.write(line + "\n")
     except OSError:
         pass  # a read-only checkout must not fail the bench
+    # The driver's log capture clips long output (BENCH_r04/r05/r06 all
+    # recorded parsed:null because the single ~8 KB line was cut
+    # mid-record).  Emit a compact totals record — small enough to
+    # survive any clipping — BOTH before and after the full line, so a
+    # head-limited or tail-limited capture each sees one intact record.
+    compact = json.dumps(
+        {
+            "metric": record["metric"],
+            "value": total,
+            "unit": "sec",
+            "sf": record["sf"],
+            "n_queries": len(timings),
+            "n_errors": len(errors),
+            "queries_detail": os.path.basename(out_path),
+        }
+    )
+    print(compact)
     print(line)
+    print(compact)
 
 
 if __name__ == "__main__":

@@ -88,10 +88,14 @@ def subset_expectation(
     name: str,
 ) -> DataFrame:
     """Audit row for referential integrity: violations = child rows
-    whose key has no parent (LEFT ANTI on the parent key set)."""
+    whose NON-NULL key has no parent (LEFT ANTI on the parent key
+    set).  SQL FK semantics: a NULL foreign key is not an RI
+    violation — pair this with a null-rate ``row_expectations`` check
+    when nullable FKs should also be flagged."""
     n = child.agg(F.count(F.lit(1)).alias("n_checked"))
     orphans = (
         child.select(F.col(child_key).alias("k"))
+        .filter(F.col("k").isNotNull())
         .join(
             parent.select(F.col(parent_key).alias("k")).distinct(),
             "k",

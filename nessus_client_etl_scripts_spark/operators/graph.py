@@ -167,12 +167,21 @@ def _cc_star(
     # governs only the final (tiny) label aggregate. At real scale
     # n_edges/100k keeps one partition per ~100k edges up to the
     # session default.
+    # NOTE: the scoped set/restore mutates SESSION state — safe under
+    # this engine's one-driver-thread-per-session execution model, but
+    # a concurrently-submitted query on the same SparkSession could
+    # observe the scoped value for the duration of the loop.  Scope it
+    # per-plan (repartition hints on every round) if that model changes.
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     n_edges = base.count()
     if n_edges <= driver_finish:
         return _cc_driver_union_find(base), 0
-    scoped = max(4, min(int(prev_parts), n_edges // 100_000 + 4))
+    try:
+        session_parts = int(prev_parts)
+    except (TypeError, ValueError):  # e.g. "auto" under AQE-managed confs
+        session_parts = 32
+    scoped = max(4, min(session_parts, n_edges // 100_000 + 4))
     spark.conf.set("spark.sql.shuffle.partitions", str(scoped))
     try:
         return _cc_star_rounds(base, max_iter, n_edges)

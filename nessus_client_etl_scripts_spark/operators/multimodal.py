@@ -668,6 +668,15 @@ def image_dhash(df: DataFrame, codec: str = "ppm", bands: int = 8) -> DataFrame:
                 raw = bytes(content)
                 px = decode_ppm(raw).astype(np.int64)
                 h, w, _ = px.shape
+                if (bands - 1) * w > 63:
+                    # Bit positions r·w+c reach (bands-1)·w−1; past 62
+                    # the shift hits the int64 sign bit / silently
+                    # overflows in numpy — fail loudly, never hash wrong.
+                    raise ValueError(
+                        f"dHash needs (bands-1)*width <= 63 to pack into "
+                        f"int64; got bands={bands}, width={w} — reduce "
+                        "bands or pre-pool columns"
+                    )
                 gray = px.sum(axis=2)
                 g = np.zeros((bands, w), dtype=np.int64)
                 for b in range(bands):

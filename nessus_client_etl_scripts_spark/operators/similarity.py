@@ -21,6 +21,35 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Hard ceiling on rows a kernel may pull to the driver to build a
+# closed-over scoring matrix (q177/q196/q197-style directional matmul
+# passes).  2^18 rows × 64-dim float64 ≈ 128 MB — comfortably inside
+# driver memory, far outside "accidentally collected the corpus".
+# At 100 TB the side MUST arrive pre-bucketed (LSH bands — q95's
+# multiprobe path — or IVF cells) so each collected slice is bounded;
+# this guard turns a forgotten bucketing step into a loud error
+# instead of a driver OOM three hours into a cluster run.
+MAX_DRIVER_SIDE_ROWS = 262_144
+
+
+def collect_bounded_side(df: DataFrame, max_rows: int = MAX_DRIVER_SIDE_ROWS):
+    """Collect a *bounded* side table for a driver-built scoring matrix.
+
+    ``limit(max_rows + 1)`` bounds what the driver can ever receive
+    (the JVM stops producing past the limit — this is not a
+    count-then-collect race), and seeing the sentinel extra row means
+    the side exceeded the bound → raise with the fix spelled out.
+    """
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"side table exceeds the {max_rows}-row driver-collect bound; "
+            "feed per-bucket slices (LSH bands / IVF cells, see "
+            "multiprobe_buckets / ivf_topk) instead of the full corpus"
+        )
+    return rows
+
+
 def _as_double(vec: Column | str) -> Column:
     v = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(v, lambda x: x.cast("double"))

@@ -386,7 +386,14 @@ def hll_rolling_distinct(
 
     Day boundaries are UTC epoch-day integers (``floor(epoch /
     86400)``), emitted as ``day_epoch`` (the day's start in epoch
-    seconds)."""
+    seconds).
+
+    Gap semantics (deliberate, matches the oracle): a day inside the
+    observed span whose ENTIRE trailing window holds no registers —
+    a quiet stretch longer than ``window_days`` — emits NO row rather
+    than an explicit zero-estimate row. Callers that need a dense
+    day grid should left-join this output onto their day spine and
+    coalesce to 0."""
     day = F.floor(F.col(ts_col).cast("long") / F.lit(86400)).cast("long")
     bucket, rho = _bucket_spark(F.col(value_col))
     daily = (

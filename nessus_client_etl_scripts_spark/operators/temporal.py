@@ -253,12 +253,18 @@ def decayed_sum_pow2(
     shuffle carries one long per (group, partition).
     """
     group_cols = list(group_cols)
-    k = F.least(
-        F.floor(
-            (F.lit(ref_ts).cast("long") - F.col(ts_col).cast("long"))
-            / F.lit(86400 * half_life_days)
+    # Clamp k to [0, K]: rows dated AFTER ref_ts (late-arriving or
+    # clock-skewed events) weight at most 1 — unclamped, a negative k
+    # would shiftleft past K and overflow int64 for far-future stamps.
+    k = F.greatest(
+        F.least(
+            F.floor(
+                (F.lit(ref_ts).cast("long") - F.col(ts_col).cast("long"))
+                / F.lit(86400 * half_life_days)
+            ),
+            F.lit(max_age_halvings),
         ),
-        F.lit(max_age_halvings),
+        F.lit(0),
     )
     # shiftleft via call_function: the pyspark wrapper only takes a
     # Python-int bit count, but the SQL function accepts a column

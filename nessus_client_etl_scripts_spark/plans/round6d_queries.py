@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.similarity import collect_bounded_side
 from ..operators.text import normalize_text
 from .corpus_queries import _NORM_SQL
 from .testdata_queries import register
@@ -94,11 +95,16 @@ def _q177_best(side, other, id_name: str, other_name: str, sum_name: str):
     the same 4-op IEEE sequence the oracle runs. The stable argsort on
     -pico breaks ties toward the lower matrix index = the lower other
     id (rows are sorted by id), matching the oracle's ORDER BY
-    cos_pico DESC, id ASC."""
+    cos_pico DESC, id ASC.
+
+    The collect is HARD-BOUNDED (collect_bounded_side): at 100 TB the
+    ``other`` side must arrive pre-bucketed (q95's LSH multiprobe path)
+    so each slice fits the bound; an unbucketed corpus raises instead
+    of OOMing the driver."""
     import numpy as np
     import pandas as pd
 
-    rows = sorted(other.collect(), key=lambda r: r["vec_id"])
+    rows = sorted(collect_bounded_side(other), key=lambda r: r["vec_id"])
     o_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     O = np.array([r["v"] for r in rows], dtype=np.float64)
     o_nsq = np.sqrt(np.array([r["nv"] for r in rows], dtype=np.float64))
@@ -2430,11 +2436,13 @@ FROM b LEFT JOIN occ USING (b_id)
 
 def _q196_topk(side, other):
     """Top-k (a_id, b_id) pairs of the A→B kNN — the q177 matmul pass
-    emitting the full top-k id list instead of the best pair."""
+    emitting the full top-k id list instead of the best pair.  Same
+    collect_bounded_side guard: the index side must be bucket-bounded
+    at scale."""
     import numpy as np
     import pandas as pd
 
-    rows = sorted(other.collect(), key=lambda r: r["vec_id"])
+    rows = sorted(collect_bounded_side(other), key=lambda r: r["vec_id"])
     o_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     O = np.array([r["v"] for r in rows], dtype=np.float64)
     o_nsq = np.sqrt(np.array([r["nv"] for r in rows], dtype=np.float64))
@@ -2590,7 +2598,7 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = n.filter(F.col("vec_id") % 2 == 0)
     b = n.filter(F.col("vec_id") % 2 == 1)
 
-    rows = sorted(b.collect(), key=lambda r: r["vec_id"])
+    rows = sorted(collect_bounded_side(b), key=lambda r: r["vec_id"])
     o_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     O = np.array([r["v"] for r in rows], dtype=np.float64)
     o_nsq = np.sqrt(np.array([r["nv"] for r in rows], dtype=np.float64))

@@ -1223,3 +1223,46 @@ def test_corpus_datasheet_matches_python_replay(spark):
         for r in q200(spark, SF001).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# collect_bounded_side — the driver-collect guard on the q177/q196/q197
+# directional matmul kernels
+# ---------------------------------------------------------------------------
+
+
+def test_collect_bounded_side_guard(spark):
+    """Within the bound: returns every row (the limit sentinel never
+    truncates a compliant side). Over the bound: raises with the
+    bucketing fix named, instead of silently collecting a corpus."""
+    import pytest
+
+    from nessus_client_etl_scripts_spark.operators.similarity import (
+        collect_bounded_side,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "vec_id")
+    rows = collect_bounded_side(df, max_rows=10)
+    assert sorted(r["vec_id"] for r in rows) == list(range(10))
+
+    with pytest.raises(ValueError, match="LSH bands"):
+        collect_bounded_side(df, max_rows=9)
+
+
+def test_image_dhash_rejects_overflow_width(spark):
+    """A PPM wider than the int64 bit budget must raise, not hash
+    wrong: (bands-1)*width > 63 positions would shift past the sign
+    bit (ADVICE r6)."""
+    import pytest
+
+    from nessus_client_etl_scripts_spark.operators.multimodal import (
+        encode_ppm,
+        image_dhash,
+    )
+
+    px = np.zeros((8, 16, 3), dtype=np.uint8)  # 7 bands × 16 px = 112 bits
+    wide = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(px)))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="bands"):
+        image_dhash(wide).collect()
