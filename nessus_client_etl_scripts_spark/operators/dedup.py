@@ -1202,3 +1202,110 @@ def prefix_filter_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def aligned_duplicate_runs(
+    df: DataFrame,
+    w: int = 8,
+    max_freq: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Variable-length longest-duplicate-substring detection — the
+    suffix-window form of the ExactSubstr pass (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"):
+    where q97/q111 dedup FIXED non-overlapping segments, this finds,
+    for every document pair, the longest EXACTLY-repeated token span
+    of ANY length ≥ ``w`` and how many distinct repeated spans they
+    share.
+
+    Algorithm (anchor-and-chain, the distributed stand-in for a
+    suffix array):
+    1. posting = (doc, pos, md5(w-token shingle)) at EVERY position —
+       overlapping, unlike q111's stride-w segments;
+    2. duplicated shingles = hash groupBy with 2 ≤ freq ≤ ``max_freq``
+       (hotter shingles are corpus boilerplate — q109's miner owns
+       those; the cap bounds the self-join to ≤ C(max_freq, 2) pairs
+       per hash, so no hot key can go quadratic);
+    3. anchors = the hash self-join, canonicalized (doc_a, pos_a) <
+       (doc_b, pos_b);
+    4. chaining: a duplicated span of L ≥ w tokens appears as exactly
+       L−w+1 CONSECUTIVE anchors at one (doc_a, doc_b, pos_b−pos_a)
+       alignment, so gaps-and-islands over pos_a per alignment group
+       recovers every maximal span: span_tokens = run + w − 1.
+
+    Shuffle accounting: postings shuffle 16-B hashes + two ints (the
+    q111 rule — text never crosses the wire); the islands window
+    partitions by (doc_a, doc_b, delta) — pair-alignment groups, whose
+    size is bounded by min document length, never corpus-sized.
+
+    Output: one row per (doc_a, doc_b) sharing ≥1 span —
+    max_dup_tokens, n_runs (maximal spans), n_anchors (duplicated
+    window positions)."""
+    staged = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(text_col, " ").alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= w)
+    )
+    posting = (
+        staged.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - F.lit(w - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i, w))
+                    ),
+                )
+            ).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+        # feeds the freq count AND both self-join sides: pin so the
+        # tokenize+hash explode runs once, not three times
+        .localCheckpoint()
+    )
+    ok = (
+        posting.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter((F.col("c") >= 2) & (F.col("c") <= max_freq))
+        .select("h")
+    )
+    dup = posting.join(ok, "h")
+    a = dup.select(
+        "h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    b = dup.select(
+        "h", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    anchors = (
+        a.join(b, "h")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            | (
+                (F.col("doc_a") == F.col("doc_b"))
+                & (F.col("pos_a") < F.col("pos_b"))
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("pos_b") - F.col("pos_a")).alias("delta"),
+            "pos_a",
+        )
+    )
+    isl = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pos_a")
+    runs = (
+        anchors.withColumn(
+            "grp", F.col("pos_a") - F.row_number().over(isl)
+        )
+        .groupBy("doc_a", "doc_b", "delta", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        (F.max("run") + F.lit(w - 1)).cast("long").alias("max_dup_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum("run").cast("long").alias("n_anchors"),
+    )

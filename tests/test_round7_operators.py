@@ -1,0 +1,341 @@
+"""Unit/property tests for the round-7 wave (q201-q205): BPE trainer
+vs a pure-Python replay, longest-duplicate-substring vs a brute DP
+oracle, bucketed bitext mining invariants + numpy replay, Zipf slope
+replay, and n-gram contamination replay."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import numpy as np
+import pyspark.sql.functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s.strip().lower())
+
+
+# ---------------------------------------------------------------------------
+# q201 — BPE trainer
+# ---------------------------------------------------------------------------
+
+
+def _bpe_replay(texts: list[str], k: int):
+    """Reference BPE trainer: greedy non-overlapping merges, tie-break
+    (count desc, pair asc), marker '~'."""
+    docs = [_norm(t).split(" ") for t in texts]
+    table = []
+    for r in range(1, k + 1):
+        counts: Counter = Counter()
+        for toks in docs:
+            for x, y in zip(toks, toks[1:]):
+                counts[f"{x} {y}"] += 1
+        if not counts:
+            break
+        pair, c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = pair.split(" ")
+        before = sum(len(t) for t in docs)
+        new_docs = []
+        for toks in docs:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(f"{a}~{b}")
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_docs.append(out)
+        docs = new_docs
+        after = sum(len(t) for t in docs)
+        table.append((r, pair, c, before - after, after))
+    return table
+
+
+def test_bpe_train_matches_python_replay(spark):
+    from nessus_client_etl_scripts_spark.operators.lm import bpe_train
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    got = [
+        (
+            r["merge_rank"],
+            r["merged_pair"],
+            r["pair_count"],
+            r["n_merges"],
+            r["n_tokens_after"],
+        )
+        for r in bpe_train(docs, n_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert got == _bpe_replay(texts, 4)
+
+
+def test_bpe_train_monotone_and_consistent(spark):
+    """Merge table invariants: token counts strictly decrease, applied
+    merges never exceed the pair's frequency, and later rounds never
+    pick a strictly more frequent pair than an earlier round."""
+    from nessus_client_etl_scripts_spark.operators.lm import bpe_train
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    rows = bpe_train(docs, n_merges=5).orderBy("merge_rank").collect()
+    assert len(rows) == 5
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_tokens_after"] < prev["n_tokens_after"]
+        assert cur["pair_count"] <= prev["pair_count"]
+    for r in rows:
+        assert 1 <= r["n_merges"] <= r["pair_count"]
+
+
+# ---------------------------------------------------------------------------
+# q202 — longest duplicate substring (brute DP differential)
+# ---------------------------------------------------------------------------
+
+
+def _brute_longest_dup(tok_by_doc: dict[int, list[str]], w: int):
+    """Brute oracle: token-level longest common substring per doc pair
+    (overlap allowed; same-doc pairs need two distinct start
+    positions), restricted to pairs sharing ≥1 w-shingle (the only
+    pairs that can reach length ≥ w)."""
+    index: dict[tuple, set[int]] = {}
+    for d, toks in tok_by_doc.items():
+        for i in range(len(toks) - w + 1):
+            index.setdefault(tuple(toks[i : i + w]), set()).add(d)
+    cands = set()
+    for ds in index.values():
+        docs = sorted(ds)
+        for i, da in enumerate(docs):
+            for db in docs[i:]:
+                cands.add((da, db))
+    # same-doc candidacy needs the shingle TWICE in one doc
+    within = {
+        d
+        for sh, ds in index.items()
+        for d in ds
+        if sum(
+            1
+            for i in range(len(tok_by_doc[d]) - w + 1)
+            if tuple(tok_by_doc[d][i : i + w]) == sh
+        )
+        >= 2
+    }
+    out = {}
+    for da, db in sorted(cands):
+        if da == db and da not in within:
+            continue
+        s, t = tok_by_doc[da], tok_by_doc[db]
+        best = 0
+        # dp over suffix pairs; same-doc requires distinct starts
+        prev = [0] * (len(t) + 1)
+        for i in range(1, len(s) + 1):
+            cur = [0] * (len(t) + 1)
+            for j in range(1, len(t) + 1):
+                if s[i - 1] == t[j - 1] and not (da == db and i == j):
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        if best >= w:
+            out[(da, db)] = best
+    return out
+
+
+def test_aligned_runs_match_brute_dp(spark):
+    """max_dup_tokens equals a brute token-DP longest-common-substring
+    on a 60-doc slice of sf0.001 (cap disabled so the comparison is
+    pure), including same-doc repeats."""
+    from nessus_client_etl_scripts_spark.operators.dedup import (
+        aligned_duplicate_runs,
+    )
+
+    w = 4
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").filter(
+        F.col("doc_id") < 60
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["max_dup_tokens"]
+        for r in aligned_duplicate_runs(
+            docs, w=w, max_freq=10**9
+        ).collect()
+    }
+    toks = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in docs.select("doc_id", "text").collect()
+    }
+    want = _brute_longest_dup(toks, w)
+    assert got == want
+    assert got, "slice must contain at least one duplicated span"
+
+
+def test_aligned_runs_freq_cap_drops_boilerplate(spark):
+    """A shingle shared by more docs than max_freq generates no
+    anchors; rarer spans still chain."""
+    from nessus_client_etl_scripts_spark.operators.dedup import (
+        aligned_duplicate_runs,
+    )
+
+    boiler = "all rights reserved do not copy"
+    rows = [(i, f"doc {i} body {boiler}") for i in range(10)]
+    rows += [(100, "alpha beta gamma delta unique pair"),
+             (101, "alpha beta gamma delta unique pair")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["max_dup_tokens"]
+        for r in aligned_duplicate_runs(df, w=4, max_freq=5).collect()
+    }
+    # the 10-doc boilerplate exceeds the cap → absent; the pair stays
+    assert (100, 101) in out and out[(100, 101)] == 6
+    assert all(a == 100 for a, _ in out)
+
+
+# ---------------------------------------------------------------------------
+# q203 — bucketed bitext mining
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_bitext_mutual_and_bucket_consistent(spark):
+    """Pairs are a matching (each endpoint at most once), endpoints
+    share the LSH bucket, and every pair agrees with a numpy replay of
+    the bucket-local kNN."""
+    from nessus_client_etl_scripts_spark.plans.round7_queries import (
+        _Q177_K,
+        _Q177_SCALE,
+        _Q203_BITS,
+        q203,
+    )
+    from nessus_client_etl_scripts_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    rows = q203(spark, SF001).collect()
+    assert rows, "sf0.001 must yield at least one mutual pair"
+    a_ids = [r["a_id"] for r in rows]
+    b_ids = [r["b_id"] for r in rows]
+    assert len(a_ids) == len(set(a_ids))
+    assert len(b_ids) == len(set(b_ids))
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF001}/embeddings.parquet").collect()
+    }
+    planes = _hyperplanes(_Q203_BITS, 64)
+
+    def bucket(v):
+        # sequential left-fold dot, bit-matching Spark's F.aggregate
+        # (numpy's pairwise-summed @ can flip a sign at the boundary)
+        out = 0
+        for j in range(_Q203_BITS):
+            d = 0.0
+            for k in range(64):
+                d += planes[j][k] * float(v[k])
+            if d >= 0:
+                out |= 1 << j
+        return out
+
+    q = {i: np.floor(v * _Q177_SCALE) for i, v in emb.items()}
+    by_bucket: dict[int, tuple[list, list]] = {}
+    for i, v in emb.items():
+        side = by_bucket.setdefault(bucket(v), ([], []))
+        side[i % 2].append(i)
+    got = {(r["a_id"], r["b_id"]): r for r in rows}
+    expect = {}
+    for bk, (evens, odds) in sorted(by_bucket.items()):
+        if not evens or not odds:
+            continue
+        evens, odds = sorted(evens), sorted(odds)
+        A = np.stack([q[i] for i in evens])
+        B = np.stack([q[i] for i in odds])
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        pico = np.round(1e12 * ((A @ B.T) / (na[:, None] * nb[None, :])))
+        ro = np.argsort(-pico, axis=1, kind="stable")
+        co = np.argsort(-pico.T, axis=1, kind="stable")
+        best_b, best_a = ro[:, 0], co[:, 0]
+        for i in range(len(evens)):
+            j = best_b[i]
+            if best_a[j] != i:
+                continue
+            sa = np.take_along_axis(
+                pico, ro[:, : min(_Q177_K, pico.shape[1])], axis=1
+            ).sum(axis=1)[i]
+            sb = np.take_along_axis(
+                pico.T, co[:, : min(_Q177_K, pico.shape[0])], axis=1
+            ).sum(axis=1)[j]
+            expect[(evens[i], odds[j])] = (
+                int(pico[i, j]), int(sa), int(sb)
+            )
+    assert {
+        k: (v["cos_pico"], v["sa_pico"], v["sb_pico"]) for k, v in got.items()
+    } == expect
+
+
+# ---------------------------------------------------------------------------
+# q204 — Zipf slope
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_slope_matches_python_replay(spark):
+    from nessus_client_etl_scripts_spark.plans.round7_queries import q204
+
+    row = q204(spark, SF001).collect()[0]
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    ]
+    counts = Counter(
+        tok for t in texts for tok in _norm(t).split(" ")
+    )
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [(i + 1).bit_length() - 1 for i in range(len(ranked))]
+    ys = [c.bit_length() - 1 for _, c in ranked]
+    n = len(ranked)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    assert (row["n_terms"], row["sum_x"], row["sum_y"],
+            row["sum_xy"], row["sum_xx"]) == (n, sx, sy, sxy, sxx)
+    assert row["slope"] == (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["slope"] < 0  # natural-ish text: frequency falls with rank
+
+
+# ---------------------------------------------------------------------------
+# q205 — n-gram contamination
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_contamination_matches_python_replay(spark):
+    from nessus_client_etl_scripts_spark.plans.round7_queries import (
+        _Q205_W,
+        q205,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    train: set = set()
+    test_docs = {}
+    for r in docs:
+        toks = _norm(r["text"]).split(" ")
+        wins = {
+            tuple(toks[i : i + _Q205_W])
+            for i in range(len(toks) - _Q205_W + 1)
+        }
+        if not wins:
+            continue
+        if r["doc_id"] % 10 == 7:
+            test_docs[r["doc_id"]] = wins
+        else:
+            train |= wins
+    expect = {}
+    for d, wins in test_docs.items():
+        leaked = len(wins & train)
+        nw = len(wins)
+        expect[d] = (nw, leaked, (2_000_000 * leaked + nw) // (2 * nw))
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_leaked"], r["leaked_micro"])
+        for r in q205(spark, SF001).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values()), "corpus has exact dups"
