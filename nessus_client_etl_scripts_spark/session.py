@@ -57,7 +57,16 @@ def get_spark(
     if master:
         builder = builder.master(master)
     elif not SparkSession.getActiveSession():
-        builder = builder.master(f"local[{cpus}]")
+        # Deployment contract: an explicit caller master wins; under
+        # spark-submit (spark.master already in the JVM conf) we must
+        # NOT stomp the cluster master with a local default; otherwise
+        # SPARK_GRAFT_MASTER / local[(cpus)] for bare `python -m` runs.
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            builder = builder.master(
+                os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+            )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
