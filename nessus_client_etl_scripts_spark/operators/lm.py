@@ -560,3 +560,60 @@ def dsir_importance(
             ),
         )
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    marker: str = "~",
+) -> DataFrame:
+    """Apply a TRAINED merge table (rank-ordered pairs from
+    :func:`bpe_train`) to every document — the tokenizer's encode
+    step. Unlike training, encoding needs NO aggregation at all: the
+    K merges unroll into one nested row-local string expression (each
+    layer is the q142 doubled-separator greedy replace), so the whole
+    encode is a single projection pass — the shape you want when
+    tokenizing 100 TB with a vocabulary trained on a sample.
+
+    Output per document: raw and encoded whitespace-token counts, the
+    tokens saved, and saved_micro = round-half-up(1e6·saved/raw)
+    (integer tie rule — the q197 pattern)."""
+    norm = normalize_text(text_col)
+    enc = norm
+    for pair in merges:
+        a, b = pair.split(" ")
+        s2 = F.concat(
+            F.lit(" "),
+            F.replace(enc, F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        enc = F.trim(
+            F.replace(
+                F.replace(
+                    s2, F.lit(f" {a}  {b} "), F.lit(f" {a}{marker}{b} ")
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            )
+        )
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(norm)).cast("long").alias("n_tokens_raw"),
+        F.size(tokens(enc)).cast("long").alias("n_tokens_bpe"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens_raw",
+        "n_tokens_bpe",
+        (F.col("n_tokens_raw") - F.col("n_tokens_bpe"))
+        .cast("long")
+        .alias("n_saved"),
+        F.expr(
+            "(2000000 * (n_tokens_raw - n_tokens_bpe) + n_tokens_raw)"
+            " div (2 * n_tokens_raw)"
+        )
+        .cast("long")
+        .alias("saved_micro"),
+    )

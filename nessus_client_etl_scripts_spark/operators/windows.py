@@ -616,3 +616,38 @@ def grouped_row_number(
         )
         .select(*df.columns, out_col)
     )
+
+
+def group_median(
+    df: DataFrame,
+    part_col: str,
+    val_col: str,
+    out_col: str = "median",
+) -> DataFrame:
+    """Exact per-group median of a numeric column WITHOUT a
+    low-cardinality window partition: positions come from
+    :func:`grouped_row_number` (range-exchange two-phase), group sizes
+    from one hash aggregate, and the median is the mean of the rows at
+    positions ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋ — one value for odd n, the
+    midpoint (a+b)/2 for even n. The midpoint is ONE IEEE add + ONE
+    divide on source doubles, so it verifies value-exactly against an
+    oracle computing the same formulation (do NOT compare against an
+    engine-native median()/quantile_cont, whose interpolation op order
+    is implementation-defined).
+
+    Returns one row per group: (part_col, n, out_col). Ties in
+    ``val_col`` may order arbitrarily between equal values, but the
+    VALUE at any global position is deterministic (sorted multiset),
+    which is all the median reads."""
+    ranked = grouped_row_number(
+        df.select(part_col, val_col), part_col, (val_col,), out_col="_rn"
+    )
+    sizes = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("_n"))
+    picked = ranked.join(F.broadcast(sizes), part_col).filter(
+        (F.col("_rn") == F.expr("(_n + 1) div 2"))
+        | (F.col("_rn") == F.expr("(_n + 2) div 2"))
+    )
+    return picked.groupBy(part_col).agg(
+        F.max("_n").cast("long").alias("n"),
+        (F.sum(val_col) / F.count(F.lit(1))).alias(out_col),
+    )

@@ -1,6 +1,6 @@
-"""Round-7 wave — q201…q205: the two verdict-requested text-dedup /
-tokenizer operators plus the bucketed (scale-true) bitext miner and two
-corpus-audit verbs.
+"""Round-7 wave — q201…q210: the two verdict-requested text-dedup /
+tokenizer operators, the bucketed (scale-true) bitext miner, and a
+tier of corpus/feature-store audits.
 
 - q201 full BPE vocabulary trainer — K select→merge iterations of
   q142's single-step kernel (the q39 Lloyd-unroll pattern), emitting
@@ -21,12 +21,24 @@ corpus-audit verbs.
 - q205 n-gram-level train/test contamination — q51's doc-level check
   sharpened to 8-gram granularity: the fraction of each held-out
   document's windows that leak from the training split.
+- q206 BPE encode — the q201 merge table applied as ONE nested
+  row-local projection (the tokenize-100-TB shape).
+- q207 robust outlier gate — exact per-group median + MAD via
+  range-exchange positions (operators/windows.group_median).
+- q208 source-pair contamination matrix — exact 8-gram window-set
+  overlap between every pair of corpus sources (q138's HLL overlap,
+  exact form).
+- q209 winnowing fingerprints (Schleimer et al. 2003 / MOSS) — the
+  guaranteed-detection document sketch q33's fixed stride lacks.
+- q210 int8 embedding-quantization audit — per-dimension scale and
+  reconstruction error, the storage decision for an embedding lake.
 
-Float portability per PLANS.md: q201/q202/q205 are integer/string
-algebra end to end (the only division is q205's contamination ratio,
-pinned with the integer round-half-up rule); q203 follows q177's
-quantize→exact-integer-dot→fixed-IEEE-chain proof; q204's slope is a
-single IEEE division of two exact BIGINTs.
+Float portability per PLANS.md: q201/q202/q205/q206/q208/q209 are
+integer/string algebra end to end (ratios pinned with the integer
+round-half-up rule); q203 follows q177's quantize→exact-integer-dot→
+fixed-IEEE-chain proof; q204's slope is a single IEEE division of two
+exact BIGINTs; q207/q210 emit doubles only from op chains written
+identically in both engines (midpoint (a+b)/2, floor-pinned ties).
 """
 
 from __future__ import annotations
@@ -50,17 +62,16 @@ from .testdata_queries import register
 _Q201_MERGES = 5
 
 
-def _q201_oracle(k: int = _Q201_MERGES) -> str:
-    """The trainer loop unrolled as a CTE chain: s0 is the normalized
-    corpus; each round r derives its bigram top-1 (t{r}) and merged
-    state (s{r}) from s{r-1} with EXACTLY the doubled-separator
-    replace used by the engine (q142's oracle, iterated)."""
+def _q201_state_chain(k: int) -> list[str]:
+    """Shared CTE chain for q201/q206: s0 is the normalized corpus and
+    each round r derives its bigram top-1 (t{r}) and merged state
+    (s{r}) from s{r-1} with EXACTLY the doubled-separator replace used
+    by the engine (q142's oracle, iterated)."""
     parts = [
         f"s0 AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents)",
         "n0 AS (SELECT CAST(sum(len(string_split(s, ' '))) AS BIGINT)"
         " AS t FROM s0)",
     ]
-    sel = []
     for r in range(1, k + 1):
         p = r - 1
         parts.append(
@@ -90,13 +101,19 @@ def _q201_oracle(k: int = _Q201_MERGES) -> str:
             f"n{r} AS (SELECT CAST(sum(len(string_split(s, ' ')))"
             f" AS BIGINT) AS t FROM s{r})"
         )
-        sel.append(
-            f"""SELECT CAST({r} AS BIGINT) AS merge_rank,
+    return parts
+
+
+def _q201_oracle(k: int = _Q201_MERGES) -> str:
+    parts = _q201_state_chain(k)
+    sel = [
+        f"""SELECT CAST({r} AS BIGINT) AS merge_rank,
        (SELECT bigram FROM t{r}) AS merged_pair,
        (SELECT c FROM t{r}) AS pair_count,
-       (SELECT t FROM n{p}) - (SELECT t FROM n{r}) AS n_merges,
+       (SELECT t FROM n{r - 1}) - (SELECT t FROM n{r}) AS n_merges,
        (SELECT t FROM n{r}) AS n_tokens_after"""
-        )
+        for r in range(1, k + 1)
+    ]
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
 
 
@@ -546,5 +563,430 @@ def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("leaked_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206 — BPE encode: apply the trained merge table
+# ---------------------------------------------------------------------------
+
+
+def _q206_oracle(k: int = _Q201_MERGES) -> str:
+    parts = _q201_state_chain(k)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT r.doc_id,
+       r.n AS n_tokens_raw,
+       e.n AS n_tokens_bpe,
+       r.n - e.n AS n_saved,
+       CAST((2000000 * (r.n - e.n) + r.n) // (2 * r.n) AS BIGINT)
+         AS saved_micro
+FROM (SELECT doc_id, CAST(len(string_split(s, ' ')) AS BIGINT) AS n
+      FROM s0) r
+JOIN (SELECT doc_id, CAST(len(string_split(s, ' ')) AS BIGINT) AS n
+      FROM s{k}) e USING (doc_id)
+"""
+    )
+
+
+@register("q206_bpe_encode", _q206_oracle())
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer ENCODE step: train the q201 merge table, then
+    apply it to every document as ONE nested row-local string
+    expression (operators/lm.bpe_encode) — zero aggregations in the
+    encode pass, the shape that tokenizes 100 TB with a vocabulary
+    trained once (typically on a sample; here on the same corpus so
+    the oracle can replay the exact chain). Emits per-doc raw/encoded
+    token counts and the compression bought by the vocabulary —
+    integer-exact end to end."""
+    from ..operators.lm import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        r["merged_pair"]
+        for r in bpe_train(docs, n_merges=_Q201_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return bpe_encode(docs, merges)
+
+
+# ---------------------------------------------------------------------------
+# q207 — robust outlier gate: exact per-group median + MAD
+# ---------------------------------------------------------------------------
+
+_Q207_ORACLE = """
+WITH e AS (
+  SELECT event_type, value FROM events
+), n AS (
+  SELECT event_type, count(*) AS n FROM e GROUP BY 1
+), r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+  FROM e
+), med AS (
+  SELECT r.event_type, sum(r.value) / count(*) AS med
+  FROM r JOIN n USING (event_type)
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY r.event_type
+), d AS (
+  SELECT e.event_type, abs(e.value - med.med) AS dev
+  FROM e JOIN med USING (event_type)
+), rd AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn
+  FROM d
+), mad AS (
+  SELECT rd.event_type, sum(rd.dev) / count(*) AS mad
+  FROM rd JOIN n USING (event_type)
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY rd.event_type
+)
+SELECT e.event_type,
+       CAST(max(n.n) AS BIGINT) AS n,
+       max(med.med) AS median,
+       max(mad.mad) AS mad,
+       CAST(sum(CASE WHEN abs(e.value - med.med) > 3 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM e
+JOIN med USING (event_type) JOIN mad USING (event_type)
+JOIN n USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@register("q207_mad_outliers", _Q207_ORACLE)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier gate: exact median and MAD (median
+    absolute deviation) per event_type, then count of |x − med| >
+    3·MAD — the estimator that survives the exact heavy tails that
+    wreck mean/stddev gates (a single corrupt feed day shifts a mean
+    arbitrarily; the median moves one rank). Medians come from
+    operators/windows.group_median — positions via the range-exchange
+    grouped_row_number, NEVER a per-type single-task window; the
+    oracle replays the identical (a+b)/2 midpoint formulation (an
+    engine-native median() would interpolate with different op order).
+    Two position passes + one conditional aggregate; every emitted
+    double is the same IEEE op chain in both engines."""
+    from ..operators.windows import group_median
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = group_median(ev, "event_type", "value", out_col="median")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("median"))
+    )
+    mad = group_median(
+        dev.select("event_type", "dev"), "event_type", "dev", out_col="mad"
+    ).select("event_type", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("median").alias("median"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208 — source-pair contamination matrix (8-gram window overlap)
+# ---------------------------------------------------------------------------
+
+_Q208_W = 8
+
+_Q208_ORACLE = f"""
+WITH t AS (
+  SELECT source, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), p AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_slice(l, u.i, u.i + {_Q208_W - 1}), ' '))
+           AS h
+  FROM t CROSS JOIN LATERAL
+       unnest(generate_series(1, len(l) - {_Q208_W - 1})) AS u(i)
+  WHERE len(l) >= {_Q208_W}
+), c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1
+), pr AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM p a JOIN p b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT pr.source_a, pr.source_b, pr.n_shared,
+       ca.n AS n_a, cb.n AS n_b,
+       CAST((2000000 * pr.n_shared + (ca.n + cb.n - pr.n_shared))
+            // (2 * (ca.n + cb.n - pr.n_shared)) AS BIGINT)
+         AS jaccard_micro
+FROM pr
+JOIN c ca ON ca.source = pr.source_a
+JOIN c cb ON cb.source = pr.source_b
+"""
+
+
+@register("q208_source_overlap_matrix", _Q208_ORACLE)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair contamination matrix: for every pair of corpus
+    sources, the number of DISTINCT {_Q208_W}-token windows they share
+    and the window-set Jaccard — the "which feeds are mirroring each
+    other" diagnostic that decides mixture weights and dedup scope
+    before a 100 TB ingest (q138's HLL overlap is this matrix's sketch
+    form; this is the exact form, and q205's doc-level leak report is
+    its per-document drill-down).
+
+    Scale shape: the corpus collapses to DISTINCT (source, 16-B hash)
+    rows BEFORE any pairing (map-side combine); the self-join's
+    per-hash fan-out is bounded by |sources| (each hash appears at
+    most once per source), so the worst row is C(|sources|, 2) pairs —
+    never document-volume quadratic. Per-source totals broadcast."""
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "source", tokens(normalize_text("text")).alias("toks")
+    ).withColumn("n", F.size("toks")).filter(F.col("n") >= _Q208_W)
+    p = (
+        staged.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - F.lit(_Q208_W - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("toks"), i, _Q208_W)
+                        )
+                    ),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+        # feeds per-source counts AND both self-join sides
+        .localCheckpoint()
+    )
+    c = p.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = p.select(F.col("h"), F.col("source").alias("source_a"))
+    # fresh exprIds on the right side (the q203 self-cogroup rule's
+    # self-join sibling)
+    b = p.select(
+        F.col("h").alias("h"), F.col("source").alias("source_b")
+    )
+    pr = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    ca = c.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    cb = c.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pr.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "(2000000 * n_shared + (n_a + n_b - n_shared))"
+                " div (2 * (n_a + n_b - n_shared))"
+            )
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q209 — winnowing fingerprints (Schleimer et al. 2003, MOSS)
+# ---------------------------------------------------------------------------
+
+_Q209_K = 5  # k-gram size
+_Q209_WIN = 4  # winnowing window (guarantee t = K + WIN - 1 = 8)
+
+_Q209_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(l) - {_Q209_K - 1}),
+            i -> md5(array_to_string(
+                   list_slice(l, i, i + {_Q209_K - 1}), ' '))) AS hl
+  FROM t WHERE len(l) >= {_Q209_K + _Q209_WIN - 1}
+), fp AS (
+  SELECT doc_id,
+         CAST(len(hl) AS BIGINT) AS n_kgrams,
+         CAST(len(list_distinct(
+           list_transform(generate_series(1, len(hl) - {_Q209_WIN - 1}),
+              j -> list_aggregate(
+                     list_slice(hl, j, j + {_Q209_WIN - 1}), 'min'))))
+           AS BIGINT) AS n_fingerprints
+  FROM h
+)
+SELECT doc_id, n_kgrams, n_fingerprints,
+       CAST((2000000 * n_fingerprints + n_kgrams) // (2 * n_kgrams)
+            AS BIGINT) AS density_micro
+FROM fp
+"""
+
+
+@register("q209_winnowing_fingerprints", _Q209_ORACLE)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every {_Q209_K}-gram, slide a
+    {_Q209_WIN}-hash window, keep each window's MINIMUM hash; the
+    selected set is a position-robust fingerprint with a guarantee the
+    q33 fixed-stride fingerprint lacks — any shared substring of ≥
+    {_Q209_K + _Q209_WIN - 1} tokens is CERTAIN to contribute at least
+    one common fingerprint, at an expected density of 2/(w+1). The
+    per-doc fingerprint count + density is the sizing audit for a
+    fingerprint-based dedup index at 100 TB (store n_fingerprints ×
+    16 B per doc, not the text).
+
+    Entirely row-local: the k-gram hash array is staged ONCE as a
+    column attribute, and window minima are whole-array slice ops over
+    it (the shingles_from_tokens staging rule) — the only shuffle in
+    the query is the parquet scan's exchange-free projection."""
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id", tokens(normalize_text("text")).alias("toks")
+    ).withColumn("n", F.size("toks")).filter(
+        F.col("n") >= _Q209_K + _Q209_WIN - 1
+    )
+    hashed = staged.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - F.lit(_Q209_K - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), i, _Q209_K))
+            ),
+        ).alias("hl"),
+    )
+    nh = F.size("hl")
+    fps = hashed.select(
+        "doc_id",
+        nh.cast("long").alias("n_kgrams"),
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), nh - F.lit(_Q209_WIN - 1)),
+                    lambda j: F.array_min(
+                        F.slice(F.col("hl"), j, _Q209_WIN)
+                    ),
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_fingerprints"),
+    )
+    return fps.select(
+        "doc_id",
+        "n_kgrams",
+        "n_fingerprints",
+        F.expr(
+            "(2000000 * n_fingerprints + n_kgrams) div (2 * n_kgrams)"
+        )
+        .cast("long")
+        .alias("density_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q210 — int8 embedding-quantization audit
+# ---------------------------------------------------------------------------
+
+_Q210_ORACLE = """
+WITH ex AS (
+  SELECT CAST(u.i - 1 AS BIGINT) AS dim, v[u.i] AS x
+  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings)
+  CROSS JOIN LATERAL unnest(generate_series(1, len(v))) AS u(i)
+), st AS (
+  SELECT dim, min(x) AS vmin, max(x) AS vmax,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ex GROUP BY dim
+), q AS (
+  SELECT ex.dim, st.n, st.vmin, st.vmax,
+         CASE WHEN st.vmax = st.vmin THEN 0.0
+              ELSE abs((st.vmin
+                        + least(greatest(floor((ex.x - st.vmin)
+                              / ((st.vmax - st.vmin) / 255.0) + 0.5),
+                              0.0), 255.0)
+                          * ((st.vmax - st.vmin) / 255.0))
+                       - ex.x)
+         END AS err
+  FROM ex JOIN st USING (dim)
+)
+SELECT dim, max(n) AS n, max(vmin) AS vmin, max(vmax) AS vmax,
+       max(err) AS max_err,
+       CAST(sum(CAST(floor(err * 1000000000.0) AS BIGINT)) AS BIGINT)
+         AS sum_err_nano
+FROM q GROUP BY dim
+"""
+
+
+@register("q210_int8_quant_audit", _Q210_ORACLE)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 (asymmetric min/max, 256-level) embedding-quantization
+    audit: per dimension, the quantization scale implied by the
+    observed range and the reconstruction error it would cost —
+    max_err bounds the worst case (≈ scale/2), sum_err_nano the
+    total. This is the storage decision for an embedding lake (int8
+    cuts 100 TB of float32 vectors to 25 TB; this audit says which
+    dimensions tolerate it, feeding the PQ tier q140/q147).
+
+    Exactness: min/max are exact; every derived double is the SAME
+    fixed op chain in both engines (sub, div-by-literal, div, add 0.5,
+    floor, clamp, mul, add, sub, abs) — floor makes the tie rule
+    explicit, so no round() divergence; the error total sums exact
+    longs after a floor quantization. Two scans (stats, then error) —
+    at 100 TB both are single map-side-combined aggregations over
+    (dim, x) pairs with the 64-row stats frame broadcast back."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "x")
+    ).select(F.col("dim").cast("long").alias("dim"), "x")
+    st = ex.groupBy("dim").agg(
+        F.min("x").alias("vmin"),
+        F.max("x").alias("vmax"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    j = ex.join(F.broadcast(st), "dim")
+    scale = (F.col("vmax") - F.col("vmin")) / F.lit(255.0)
+    qlvl = F.least(
+        F.greatest(
+            F.floor((F.col("x") - F.col("vmin")) / scale + F.lit(0.5))
+            .cast("double"),
+            F.lit(0.0),
+        ),
+        F.lit(255.0),
+    )
+    err = F.when(F.col("vmax") == F.col("vmin"), F.lit(0.0)).otherwise(
+        F.abs((F.col("vmin") + qlvl * scale) - F.col("x"))
+    )
+    return (
+        j.withColumn("err", err)
+        .groupBy("dim")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.max("err").alias("max_err"),
+            F.sum(
+                F.floor(F.col("err") * F.lit(1e9)).cast("long")
+            )
+            .cast("long")
+            .alias("sum_err_nano"),
         )
     )

@@ -339,3 +339,185 @@ def test_ngram_contamination_matches_python_replay(spark):
     }
     assert got == expect
     assert any(v[1] > 0 for v in got.values()), "corpus has exact dups"
+
+
+# ---------------------------------------------------------------------------
+# q206 — BPE encode
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_matches_python_replay(spark):
+    """Encoding with the trained table reproduces the trainer's final
+    state: per-doc encoded counts match the replay, and the corpus
+    total equals the trainer's last n_tokens_after."""
+    from nessus_client_etl_scripts_spark.operators.lm import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    table = bpe_train(docs, n_merges=3).orderBy("merge_rank").collect()
+    merges = [r["merged_pair"] for r in table]
+    got = {
+        r["doc_id"]: (r["n_tokens_raw"], r["n_tokens_bpe"], r["n_saved"],
+                      r["saved_micro"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    total_bpe = 0
+    for r in docs.select("doc_id", "text").collect():
+        toks = _norm(r["text"]).split(" ")
+        raw = len(toks)
+        for pair in merges:
+            a, b = pair.split(" ")
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(f"{a}~{b}")
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        enc = len(toks)
+        total_bpe += enc
+        assert got[r["doc_id"]] == (
+            raw, enc, raw - enc,
+            (2_000_000 * (raw - enc) + raw) // (2 * raw),
+        )
+    assert total_bpe == table[-1]["n_tokens_after"]
+
+
+# ---------------------------------------------------------------------------
+# q207 — median / MAD outlier gate
+# ---------------------------------------------------------------------------
+
+
+def test_group_median_and_mad_match_python_replay(spark):
+    from nessus_client_etl_scripts_spark.plans.round7_queries import q207
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+
+    def med(vals):
+        s = sorted(vals)
+        n = len(s)
+        lo, hi = (n + 1) // 2, (n + 2) // 2
+        return (s[lo - 1] + s[hi - 1]) / 2 if lo != hi else s[lo - 1]
+
+    expect = {}
+    for t, vals in by_type.items():
+        m = med(vals)
+        devs = [abs(v - m) for v in vals]
+        d = med(devs)
+        expect[t] = (
+            len(vals), m, d, sum(1 for x in devs if x > 3 * d)
+        )
+    got = {
+        r["event_type"]: (r["n"], r["median"], r["mad"], r["n_outliers"])
+        for r in q207(spark, SF001).collect()
+    }
+    assert got == expect
+    assert any(v[3] > 0 for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# q209 — winnowing guarantee
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_density_and_guarantee(spark):
+    """Fingerprint counts match a python replay, density is within the
+    theoretical band, and the winnowing GUARANTEE holds: two docs
+    sharing a (K+WIN-1)-token span share at least one fingerprint."""
+    from nessus_client_etl_scripts_spark.plans.round7_queries import (
+        _Q209_K,
+        _Q209_WIN,
+        q209,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    def fingerprints(text):
+        toks = _norm(text).split(" ")
+        if len(toks) < _Q209_K + _Q209_WIN - 1:
+            return None
+        hl = [
+            hashlib.md5(
+                " ".join(toks[i : i + _Q209_K]).encode()
+            ).hexdigest()
+            for i in range(len(toks) - _Q209_K + 1)
+        ]
+        fps = {
+            min(hl[j : j + _Q209_WIN])
+            for j in range(len(hl) - _Q209_WIN + 1)
+        }
+        return len(hl), fps
+
+    expect = {}
+    fpsets = {}
+    for r in docs:
+        f = fingerprints(r["text"])
+        if f is None:
+            continue
+        nk, fps = f
+        expect[r["doc_id"]] = (nk, len(fps))
+        fpsets[r["doc_id"]] = fps
+    got = {
+        r["doc_id"]: (r["n_kgrams"], r["n_fingerprints"])
+        for r in q209(spark, SF001).collect()
+    }
+    assert got == expect
+    # expected density ~2/(w+1); allow a generous band
+    for d, (nk, nf) in got.items():
+        assert 1 <= nf <= nk
+    # guarantee: two synthetic docs sharing a (K+WIN-1)-token span must
+    # share ≥1 fingerprint, whatever surrounds the span
+    span = "q r s t u v w x"  # 8 tokens = K + WIN - 1
+    da = f"one two three {span} four five six"
+    db = f"nine eight {span} seven"
+    _, fa = fingerprints(da)
+    _, fb = fingerprints(db)
+    assert fa & fb
+
+
+# ---------------------------------------------------------------------------
+# q210 — int8 quantization audit
+# ---------------------------------------------------------------------------
+
+
+def test_int8_quant_audit_matches_python_replay(spark):
+    import math
+
+    from nessus_client_etl_scripts_spark.plans.round7_queries import q210
+
+    rows = spark.read.parquet(f"{SF001}/embeddings.parquet").collect()
+    dims: dict = {}
+    for r in rows:
+        for d, x in enumerate(r["embedding"]):
+            dims.setdefault(d, []).append(float(x))
+    expect = {}
+    for d, xs in dims.items():
+        vmin, vmax = min(xs), max(xs)
+        if vmax == vmin:
+            errs = [0.0] * len(xs)
+        else:
+            s = (vmax - vmin) / 255.0
+            errs = []
+            for x in xs:
+                q = min(max(math.floor((x - vmin) / s + 0.5), 0.0), 255.0)
+                errs.append(abs((vmin + q * s) - x))
+        expect[d] = (
+            len(xs), vmin, vmax, max(errs),
+            sum(int(math.floor(e * 1e9)) for e in errs),
+        )
+    got = {
+        r["dim"]: (r["n"], r["vmin"], r["vmax"], r["max_err"],
+                   r["sum_err_nano"])
+        for r in q210(spark, SF001).collect()
+    }
+    assert got == expect
+    # max per-dim error is bounded by scale/2 + one ulp of slack
+    for d, (_, vmin, vmax, me, _) in got.items():
+        if vmax > vmin:
+            assert me <= (vmax - vmin) / 255.0 / 2 * (1 + 1e-9)
