@@ -1,4 +1,4 @@
-"""Round-7 wave — q201…q210: the two verdict-requested text-dedup /
+"""Round-7 wave — q201…q212: the two verdict-requested text-dedup /
 tokenizer operators, the bucketed (scale-true) bitext miner, and a
 tier of corpus/feature-store audits.
 
@@ -32,6 +32,11 @@ tier of corpus/feature-store audits.
   guaranteed-detection document sketch q33's fixed stride lacks.
 - q210 int8 embedding-quantization audit — per-dimension scale and
   reconstruction error, the storage decision for an embedding lake.
+- q211 hashed linear quality classifier (fastText shape) — salted-md5
+  feature hashing + literal weight vector, integer-exact gate.
+- q212 synchronous label propagation (Raghavan et al. 2007) —
+  community detection on the q135 co-interaction graph, rounds
+  unrolled in both engines.
 
 Float portability per PLANS.md: q201/q202/q205/q206/q208/q209 are
 integer/string algebra end to end (ratios pinned with the integer
@@ -989,4 +994,213 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("sum_err_nano"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q211 — hashed linear quality classifier (fastText shape)
+# ---------------------------------------------------------------------------
+
+_Q211_D = 64  # hashed feature space
+_Q211_SALT = "fq-v1"
+# Deterministic stand-in for trained weights: Knuth-hash each bucket
+# index into [-999, 999]. A real deployment swaps this literal for the
+# trained vector — the plan is identical.
+_Q211_W = [((j + 1) * 2654435761) % 1999 - 999 for j in range(_Q211_D)]
+
+_Q211_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), uf AS (
+  SELECT doc_id, unnest(l) AS f FROM t
+), bf AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i + 1])) AS f
+  FROM t WHERE len(l) >= 2
+), feats AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('{_Q211_SALT}' || f), 1, 12))::BIGINT
+           % {_Q211_D} AS idx
+  FROM (SELECT * FROM uf UNION ALL SELECT * FROM bf)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_features,
+       CAST(sum(([{", ".join(str(w) for w in _Q211_W)}])[idx + 1])
+            AS BIGINT) AS score_sum,
+       sum(([{", ".join(str(w) for w in _Q211_W)}])[idx + 1]) > 0
+         AS accept
+FROM feats GROUP BY doc_id
+"""
+
+
+@register("q211_linear_quality_score", _Q211_ORACLE)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering in the fastText shape (the
+    CCNet/RefinedWeb/FineWeb quality-classifier verb): hash each
+    document's unigram+bigram features into a {_Q211_D}-bucket space
+    (the q49 salted-md5 idiom — identical buckets in any engine),
+    score with a LITERAL weight vector via a row-local array lookup,
+    and gate on the sign of the integer score sum. The weights here
+    are a deterministic stand-in; swapping in a trained vector changes
+    literals, not the plan.
+
+    Scale shape: one token/bigram explode (staged arrays, the
+    shingles_from_tokens rule) into a map-side-combined per-doc
+    aggregate — no joins, no shuffle wider than (doc_id, idx). All
+    integer arithmetic: NO division appears anywhere (an average
+    would need the negative-operand integer-division rule — Spark
+    `div` truncates while DuckDB `//` floors — so the gate reads the
+    exact sum instead)."""
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id", tokens(normalize_text("text")).alias("toks")
+    )
+    from ..operators.lm import bigrams_from_tokens
+
+    uf = staged.select("doc_id", F.explode("toks").alias("f"))
+    bf = staged.select(
+        "doc_id", F.explode(bigrams_from_tokens(F.col("toks"))).alias("f")
+    )
+    idx = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_Q211_SALT), F.col("f"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long") % _Q211_D
+    wlit = F.array(*[F.lit(w) for w in _Q211_W])
+    feats = uf.unionByName(bf).select(
+        "doc_id", F.element_at(wlit, (idx + 1).cast("int")).alias("w")
+    )
+    return feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_features"),
+        F.sum("w").cast("long").alias("score_sum"),
+        (F.sum("w") > 0).alias("accept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q212 — synchronous label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+_Q212_ITERS = 3
+_Q212_MIN_SHARED = 40
+
+
+def _q212_oracle(t: int = _Q212_ITERS) -> str:
+    parts = [
+        """ui AS (
+  SELECT DISTINCT user_id, CAST(props->>'$.k' AS BIGINT) AS item
+  FROM events
+)""",
+        f"""e AS (
+  SELECT a.item AS src, b.item AS dst
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= {_Q212_MIN_SHARED}
+)""",
+        """sym AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION ALL SELECT dst AS a, src AS b FROM e
+)""",
+        "l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)",
+    ]
+    for r in range(1, t + 1):
+        p = r - 1
+        parts.append(
+            f"""c{r} AS (
+  SELECT s.a AS node, l.label, count(*) AS c
+  FROM sym s JOIN l{p} l ON l.node = s.b
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""l{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM c{r}) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT l.node, l.label, cs.n AS community_size
+FROM l{t} l
+JOIN (SELECT label, CAST(count(*) AS BIGINT) AS n
+      FROM l{t} GROUP BY 1) cs USING (label)
+"""
+    )
+
+
+@register("q212_label_propagation", _q212_oracle())
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) on the
+    q135 item co-interaction graph — community detection, the
+    between-scale graph verb (components q55 answer "connected",
+    PageRank q124 answers "important"; LPA answers "which cluster").
+    {T} synchronous rounds: every node adopts its neighbors' most
+    frequent label, ties to the smallest — deterministic, so the
+    oracle unrolls the identical rounds as CTEs.
+
+    Scale shape per round: one (node, label) equi-join against the
+    symmetric edge list + one map-side-combined count + one
+    min(struct(-c, label)) argmax per node — never a window over the
+    edge set. Labels pin per round (lineage cut, the q201 rule);
+    edges pin once. At 100 TB the per-round cost is two fine-grained
+    shuffles on long keys, the same budget PageRank (q124) pays."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).distinct()
+    e = (
+        ui.alias("l")
+        .join(
+            ui.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.item") < F.col("r.item")),
+        )
+        .groupBy(F.col("l.item").alias("src"), F.col("r.item").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("nu"))
+        .filter(F.col("nu") >= _Q212_MIN_SHARED)
+        .select("src", "dst")
+    )
+    sym = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(_Q212_ITERS):
+        nbr = sym.join(
+            labels.select(
+                F.col("node").alias("b"), F.col("label")
+            ),
+            "b",
+        ).select(F.col("a").alias("node"), "label")
+        cnt = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("w")
+            )
+            .select("node", F.col("w.label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(F.broadcast(sizes), "label").select(
+        "node", "label", "community_size"
     )

@@ -521,3 +521,103 @@ def test_int8_quant_audit_matches_python_replay(spark):
     for d, (_, vmin, vmax, me, _) in got.items():
         if vmax > vmin:
             assert me <= (vmax - vmin) / 255.0 / 2 * (1 + 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# q211 — hashed linear quality score
+# ---------------------------------------------------------------------------
+
+
+def test_linear_quality_matches_python_replay(spark):
+    from nessus_client_etl_scripts_spark.plans.round7_queries import (
+        _Q211_D,
+        _Q211_SALT,
+        _Q211_W,
+        q211,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    expect = {}
+    for r in docs:
+        toks = _norm(r["text"]).split(" ")
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        ws = [
+            _Q211_W[
+                int(
+                    hashlib.md5(f"{_Q211_SALT}{f}".encode()).hexdigest()[:12],
+                    16,
+                )
+                % _Q211_D
+            ]
+            for f in feats
+        ]
+        expect[r["doc_id"]] = (len(ws), sum(ws), sum(ws) > 0)
+    got = {
+        r["doc_id"]: (r["n_features"], r["score_sum"], r["accept"])
+        for r in q211(spark, SF001).collect()
+    }
+    assert got == expect
+    accepts = [v[2] for v in got.values()]
+    assert any(accepts) and not all(accepts), "gate must discriminate"
+
+
+# ---------------------------------------------------------------------------
+# q212 — label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_matches_python_replay(spark):
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round7_queries import (
+        _Q212_ITERS,
+        _Q212_MIN_SHARED,
+        q212,
+    )
+
+    # sf0.001's graph is empty at the >=40-shared-users threshold;
+    # replay at sf0.01 where q212's oracle found 95 member nodes
+    sf01 = "/root/testdata/sf0.01"
+    ev = spark.read.parquet(f"{sf01}/events.parquet").collect()
+    import json as _json
+
+    by_user = defaultdict(set)
+    for r in ev:
+        item = _json.loads(r["props"]).get("k")
+        if item is not None:
+            by_user[r["user_id"]].add(int(item))
+    pair_users = defaultdict(int)
+    for items in by_user.values():
+        s = sorted(items)
+        for i, a in enumerate(s):
+            for b in s[i + 1 :]:
+                pair_users[(a, b)] += 1
+    edges = [p for p, n in pair_users.items() if n >= _Q212_MIN_SHARED]
+    nbrs = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    label = {v: v for v in nbrs}
+    for _ in range(_Q212_ITERS):
+        new = {}
+        for v, ns in nbrs.items():
+            cnt = defaultdict(int)
+            for u in ns:
+                cnt[label[u]] += 1
+            new[v] = min(cnt, key=lambda lb: (-cnt[lb], lb))
+        label = new
+    sizes = defaultdict(int)
+    for lb in label.values():
+        sizes[lb] += 1
+    expect = {v: (lb, sizes[lb]) for v, lb in label.items()}
+    got = {
+        r["node"]: (r["label"], r["community_size"])
+        for r in q212(spark, sf01).collect()
+    }
+    assert got == expect
+    assert got, "graph must be non-empty at sf0.01"
+    # community sizes are consistent: per-label node counts match
+    sizes_got = defaultdict(int)
+    for lb, _ in got.values():
+        sizes_got[lb] += 1
+    assert all(sz == sizes_got[lb] for lb, sz in got.values())
