@@ -700,3 +700,50 @@ def image_dhash(df: DataFrame, codec: str = "ppm", bands: int = 8) -> DataFrame:
             )
 
     return df.mapInPandas(hash_batch, _DHASH_SCHEMA)
+
+
+_LUMA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("luma_sum", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+    ]
+)
+
+
+def frame_luma_sums(df: DataFrame) -> DataFrame:
+    """Decode y4m payloads and emit EVERY frame's exact integer
+    Y-plane sum + pixel count — the minimal per-frame statistic that
+    downstream temporal analysis (shot boundaries, fades, freeze
+    detection) needs. Emitting the integer sum instead of the mean
+    keeps everything after the codec exact: thresholds compare sums,
+    and any mean is one final division.
+
+    Scale: the decode is the per-row-heavy stage (spread first);
+    output is 28 bytes per frame — pixels never leave the task."""
+    from ..catalog import spread_for_compute
+
+    df = spread_for_compute(df)
+
+    def luma(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames, _fps = decode_y4m(bytes(content))
+                for idx in range(frames.shape[0]):
+                    y = frames[idx, 0].astype(np.int64)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": idx,
+                            "luma_sum": int(y.sum()),
+                            "n_pixels": int(y.size),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "luma_sum", "n_pixels"],
+            )
+
+    return df.mapInPandas(luma, _LUMA_SCHEMA)

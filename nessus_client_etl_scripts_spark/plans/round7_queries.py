@@ -1,4 +1,4 @@
-"""Round-7 wave — q201…q212: the two verdict-requested text-dedup /
+"""Round-7 wave — q201…q213: the two verdict-requested text-dedup /
 tokenizer operators, the bucketed (scale-true) bitext miner, and a
 tier of corpus/feature-store audits.
 
@@ -37,6 +37,9 @@ tier of corpus/feature-store audits.
 - q212 synchronous label propagation (Raghavan et al. 2007) —
   community detection on the q135 co-interaction graph, rounds
   unrolled in both engines.
+- q213 video shot-boundary detection over the real y4m decode path —
+  per-frame integer luma sums (multimodal.frame_luma_sums), lag-diff
+  threshold, gaps-and-islands shots.
 
 Float portability per PLANS.md: q201/q202/q205/q206/q208/q209 are
 integer/string algebra end to end (ratios pinned with the integer
@@ -1203,4 +1206,148 @@ def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return labels.join(F.broadcast(sizes), "label").select(
         "node", "label", "community_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q213 — video shot-boundary detection (real y4m decode path)
+# ---------------------------------------------------------------------------
+
+_Q213_DIFF = 40  # per-pixel mean-luma jump that calls a cut
+
+
+def _q213_oracle() -> str:
+    # closed-form clip: f = 6 + n_chars%5 frames of 4×4 luma; frames
+    # k >= s (s = 2 + n_chars%3) add `jump` (large for odd n_chars) —
+    # the oracle replays pixel (base + j) % 256 exactly as rendered.
+    return f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         6 + n_chars % 5 AS f,
+         2 + n_chars % 3 AS s,
+         10 + (n_chars % 2) * 120 AS jump
+  FROM documents
+), fr AS (
+  SELECT doc_id, f, s, jump,
+         n_chars % 97 + CASE WHEN k >= s THEN jump ELSE 0 END AS base,
+         CAST(k AS INTEGER) AS k
+  FROM d CROSS JOIN LATERAL unnest(range(0, f)) AS u(k)
+), lum AS (
+  SELECT doc_id, k,
+         CAST(SUM((base + j) % 256) AS BIGINT) AS luma_sum
+  FROM fr CROSS JOIN LATERAL unnest(range(0, 16)) AS v(j)
+  GROUP BY doc_id, k
+), flag AS (
+  SELECT doc_id, k, luma_sum,
+         CASE WHEN abs(luma_sum
+                       - lag(luma_sum) OVER (PARTITION BY doc_id
+                                             ORDER BY k))
+                   > {_Q213_DIFF * 16}
+              THEN 1 ELSE 0 END AS cut
+  FROM lum
+), shot AS (
+  SELECT doc_id, k, luma_sum,
+         SUM(cut) OVER (PARTITION BY doc_id ORDER BY k) AS shot_idx
+  FROM flag
+)
+SELECT doc_id AS media_id,
+       CAST(shot_idx AS INTEGER) AS shot_idx,
+       CAST(min(k) AS INTEGER) AS start_frame,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(SUM(luma_sum) AS DOUBLE) / (16 * count(*)) AS mean_luma
+FROM shot GROUP BY doc_id, shot_idx
+"""
+
+
+@register("q213_shot_boundaries", _q213_oracle())
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot-boundary detection over the REAL y4m decode path
+    (the q107 codec): per clip, cut wherever consecutive frames' mean
+    luma jumps by more than {DIFF}/pixel, then gaps-and-islands turns
+    cut flags into shots — (shot_idx, start_frame, length, mean luma)
+    per shot, the frame-sampling upgrade every video-curation pipeline
+    needs (sample per SHOT, not per fixed stride, or dedup near-static
+    clips). Half the rendered clips jump by 120+10 (detected), half by
+    10 (below threshold) — the gate discriminates by construction and
+    the oracle replays the closed-form pixels through the identical
+    threshold.
+
+    Scale shape: the decode (operators/multimodal.frame_luma_sums)
+    emits 28 B per frame — pixels never leave the decode task; the
+    cut/shot logic is a lag window + running sum PARTITIONED BY CLIP
+    (bounded by frame count, never corpus-wide), and all thresholding
+    is exact integer sums (|Δsum| > diff·n_pixels — no division until
+    the final per-shot mean)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_y4m,
+        frame_luma_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                nc = int(nc)
+                f = 6 + nc % 5
+                s = 2 + nc % 3
+                jump = 10 + (nc % 2) * 120
+                frames = np.empty((f, 3, 4, 4), dtype=np.uint8)
+                for k in range(f):
+                    base = nc % 97 + (jump if k >= s else 0)
+                    frames[k, 0] = (
+                        ((base + np.arange(16)) % 256)
+                        .astype(np.uint8)
+                        .reshape(4, 4)
+                    )
+                    frames[k, 1:] = 128
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "video",
+                        "meta": {
+                            "width": 4,
+                            "height": 4,
+                            "channels": 3,
+                            "sample_rate": None,
+                            "duration_ms": f * 200,
+                            "codec": "y4m",
+                        },
+                        "content": encode_y4m(frames, fps=5),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    media = docs.mapInPandas(render, MEDIA_SCHEMA)
+    lum = frame_luma_sums(media)
+    w_clip = Window.partitionBy("media_id").orderBy("frame_idx")
+    flagged = lum.withColumn(
+        "cut",
+        F.when(
+            F.abs(
+                F.col("luma_sum") - F.lag("luma_sum").over(w_clip)
+            )
+            > _Q213_DIFF * F.col("n_pixels"),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "shot_idx",
+        F.sum("cut")
+        .over(w_clip.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    return flagged.groupBy("media_id", "shot_idx").agg(
+        F.min("frame_idx").cast("int").alias("start_frame"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        (
+            F.sum("luma_sum").cast("double")
+            / (F.lit(16) * F.count(F.lit(1)))
+        ).alias("mean_luma"),
     )

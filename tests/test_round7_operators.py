@@ -621,3 +621,53 @@ def test_label_propagation_matches_python_replay(spark):
     for lb, _ in got.values():
         sizes_got[lb] += 1
     assert all(sz == sizes_got[lb] for lb, sz in got.values())
+
+
+# ---------------------------------------------------------------------------
+# q213 — shot boundaries
+# ---------------------------------------------------------------------------
+
+
+def test_shot_boundaries_match_python_replay(spark):
+    """Shots match a pure-python replay of render→decode→threshold,
+    and the gate discriminates: odd-n_chars clips (jump 130) split,
+    even ones (jump 10) stay single-shot."""
+    from nessus_client_etl_scripts_spark.plans.round7_queries import (
+        _Q213_DIFF,
+        q213,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    expect = {}
+    n_multi = n_single = 0
+    for r in docs:
+        nc = r["n_chars"]
+        f, s, jump = 6 + nc % 5, 2 + nc % 3, 10 + (nc % 2) * 120
+        sums = [
+            sum((nc % 97 + (jump if k >= s else 0) + j) % 256
+                for j in range(16))
+            for k in range(f)
+        ]
+        shot, start = 0, 0
+        for k in range(1, f):
+            if abs(sums[k] - sums[k - 1]) > _Q213_DIFF * 16:
+                expect[(r["doc_id"], shot)] = (
+                    start, k - start,
+                    sum(sums[start:k]) / (16 * (k - start)),
+                )
+                shot, start = shot + 1, k
+        expect[(r["doc_id"], shot)] = (
+            start, f - start, sum(sums[start:]) / (16 * (f - start)),
+        )
+        if shot > 0:
+            n_multi += 1
+        else:
+            n_single += 1
+    got = {
+        (r["media_id"], r["shot_idx"]): (
+            r["start_frame"], r["n_frames"], r["mean_luma"]
+        )
+        for r in q213(spark, SF001).collect()
+    }
+    assert got == expect
+    assert n_multi > 0 and n_single > 0, "gate must discriminate"
