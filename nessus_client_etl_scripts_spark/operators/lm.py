@@ -306,10 +306,19 @@ def bpe_train(
     the caller's contract is that it never occurs in the normalized
     corpus (same contract as :func:`bpe_merge_step`)."""
     spark = df.sparkSession
-    state = df.select(
-        F.col(id_col).alias("doc_id"),
-        normalize_text(text_col).alias("s"),
-    ).localCheckpoint(eager=False)
+    # NULL-text contract (r7 ADVICE): a null document adds +1 per round
+    # to the T = Σc + n_docs token ledger (n_docs counts every row)
+    # while contributing nothing to the bigram counts or to the final
+    # token scan (size(split(null)) is null under F.sum) — so nulls
+    # are dropped up front and n below counts non-null documents only.
+    state = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            normalize_text(text_col).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     # ONE job per round: the (count desc, pair asc) winner is
     # min(struct(-c, bigram)) and the corpus token count falls out of
     # the same frame via per-doc tokens = bigrams + 1 (split never

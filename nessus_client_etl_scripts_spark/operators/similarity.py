@@ -50,6 +50,19 @@ def collect_bounded_side(df: DataFrame, max_rows: int = MAX_DRIVER_SIDE_ROWS):
     return rows
 
 
+def round_half_away(x):
+    """Round half AWAY from zero, elementwise, like SQL ``round()``.
+
+    numpy's ``np.round`` is banker's rounding (half-to-EVEN), but the
+    DuckDB/Spark SQL ``round()`` both kernels are twinned against round
+    half-away-from-zero.  A cos_pico value landing exactly on ``.5``
+    (reproduced at sf0.1 in the q177 matmul chain: ±1 in ``sa_pico``)
+    diverges under np.round — every quantize-to-integer kernel must use
+    this helper instead.
+    """
+    return np.copysign(np.floor(np.abs(x) + 0.5), x)
+
+
 def _as_double(vec: Column | str) -> Column:
     v = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(v, lambda x: x.cast("double"))

@@ -638,7 +638,17 @@ def group_median(
     Returns one row per group: (part_col, n, out_col). Ties in
     ``val_col`` may order arbitrarily between equal values, but the
     VALUE at any global position is deterministic (sorted multiset),
-    which is all the median reads."""
+    which is all the median reads.
+
+    NULLs in ``val_col`` are EXCLUDED (and ``n`` counts non-null rows
+    only) — r7 ADVICE: Spark sorts nulls FIRST while the DuckDB oracle
+    family sorts NULLS LAST, so counting null rows would shift the
+    picked positions engine-vs-oracle, and a picked NULL would be
+    silently dropped by F.sum while F.count still divides by it
+    (halving the reported median). Filtering up front gives both
+    engines the same non-null multiset — the SQL-aggregate convention
+    (median() ignores NULLs) — and groups that are all-NULL vanish."""
+    df = df.filter(F.col(val_col).isNotNull())
     ranked = grouped_row_number(
         df.select(part_col, val_col), part_col, (val_col,), out_col="_rn"
     )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.similarity import collect_bounded_side
+from ..operators.similarity import collect_bounded_side, round_half_away
 from ..operators.text import normalize_text
 from .corpus_queries import _NORM_SQL
 from .testdata_queries import register
@@ -74,7 +74,8 @@ WITH e AS (
   WHERE rb <= {_Q177_K} GROUP BY b_id
 )
 SELECT r.a_id, r.b_id, r.cos_pico,
-       sa.sa_pico, sb.sb_pico,
+       CAST(sa.sa_pico AS BIGINT) AS sa_pico,
+       CAST(sb.sb_pico AS BIGINT) AS sb_pico,
        CAST(round(1000000.0 * (({2 * _Q177_K} * r.cos_pico)
             / (sa.sa_pico + sb.sb_pico))) AS BIGINT) AS margin_micro
 FROM ranked r
@@ -115,7 +116,7 @@ def _q177_best(side, other, id_name: str, other_name: str, sum_name: str):
                 continue
             M = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
             nsq = np.sqrt(pdf["nv"].to_numpy(dtype=np.float64))
-            pico = np.round(
+            pico = round_half_away(
                 1e12 * ((M @ O.T) / (nsq[:, None] * o_nsq[None, :]))
             )
             order = np.argsort(-pico, axis=1, kind="stable")
@@ -343,7 +344,7 @@ WITH d AS (
   WHERE lo.band < 7
   GROUP BY lo.doc_id
 )
-SELECT hash.doc_id AS media_id, hash.dhash,
+SELECT hash.doc_id AS media_id, CAST(hash.dhash AS BIGINT) AS dhash,
        CAST(10 + length(CAST(d.h AS VARCHAR)) + 24 * d.h AS BIGINT)
          AS n_bytes,
        CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT)
@@ -770,7 +771,9 @@ WITH h AS (
            AS cusum_neg
   FROM p
 )
-SELECT event_type, hour, c, dev, cusum_pos, cusum_neg,
+SELECT event_type, hour, c, dev,
+       CAST(cusum_pos AS BIGINT) AS cusum_pos,
+       CAST(cusum_neg AS BIGINT) AS cusum_neg,
        cusum_pos > 0 AND cusum_pos = MAX(cusum_pos)
          OVER (PARTITION BY event_type ORDER BY hour
                ROWS UNBOUNDED PRECEDING) AS is_peak
@@ -1875,7 +1878,7 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_a, out_b = [], []
         for lo in range(0, n_rows, 1024):
             hi = min(lo + 1024, n_rows)
-            pico = np.round(
+            pico = round_half_away(
                 1e12
                 * ((M[lo:hi] @ M.T) / (nq[lo:hi, None] * nq[None, :]))
             )
@@ -2453,7 +2456,7 @@ def _q196_topk(side, other):
                 continue
             M = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
             nsq = np.sqrt(pdf["nv"].to_numpy(dtype=np.float64))
-            pico = np.round(
+            pico = round_half_away(
                 1e12 * ((M @ O.T) / (nsq[:, None] * o_nsq[None, :]))
             )
             order = np.argsort(-pico, axis=1, kind="stable")
@@ -2617,7 +2620,7 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
             )[keep]
             nsq = np.sqrt(pdf["nv"].to_numpy(dtype=np.float64))[keep]
             a_ids = a_ids[keep]
-            pico = np.round(
+            pico = round_half_away(
                 1e12 * ((M @ O.T) / (nsq[:, None] * o_nsq[None, :]))
             )
             ip = np.array([pos[int(x) + 1] for x in a_ids])

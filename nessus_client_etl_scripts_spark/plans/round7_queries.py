@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, spread_for_compute
 from ..operators.dedup import aligned_duplicate_runs
 from ..operators.lm import bpe_train
-from ..operators.similarity import hyperplane_sketch, _hyperplanes
+from ..operators.similarity import hyperplane_sketch, _hyperplanes, round_half_away
 from ..operators.text import normalize_text, tokens
 from .corpus_queries import _NORM_SQL
 from .round6d_queries import _Q177_K, _Q177_SCALE
@@ -335,7 +335,7 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb = np.sqrt(right["nv"].to_numpy(dtype=np.float64))
         a_ids = left["vec_id"].to_numpy(dtype=np.int64)
         b_ids = right["vec_id"].to_numpy(dtype=np.int64)
-        pico = np.round(1e12 * ((A @ B.T) / (na[:, None] * nb[None, :])))
+        pico = round_half_away(1e12 * ((A @ B.T) / (na[:, None] * nb[None, :])))
         # A→B: per-row stable argsort == ORDER BY pico DESC, b_id ASC
         row_order = np.argsort(-pico, axis=1, kind="stable")
         ka = min(_Q177_K, pico.shape[1])

@@ -19,6 +19,35 @@ from pyspark.sql import SparkSession
 _DEFAULT_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _needs_local_master_default(environ) -> bool:
+    """True iff no cluster master is already in play, so the factory
+    should fall back to ``SPARK_GRAFT_MASTER`` / ``local[N]``.
+
+    Deployment contract: an explicit caller master wins (handled by the
+    caller); under spark-submit the launcher's master must NOT be
+    stomped by a local default.  The spark-submit signal must be
+    PRE-JVM: before any SparkContext exists, ``SparkConf()`` falls back
+    to an empty Python-side dict, so ``contains('spark.master')`` is
+    False at exactly the moment a spark-submit driver script first
+    calls this factory.  PythonRunner (the spark-submit python driver
+    launcher) always exports ``PYSPARK_GATEWAY_PORT`` /
+    ``PYSPARK_GATEWAY_SECRET`` before the user script runs, so that env
+    var is the reliable pre-JVM signal; ``SPARK_SUBMIT`` covers older
+    launch paths, and the SparkConf check still catches an
+    already-initialized JVM carrying a master.
+    """
+    if "PYSPARK_GATEWAY_PORT" in environ or "SPARK_SUBMIT" in environ:
+        return False
+    from pyspark import SparkConf
+
+    try:
+        if SparkConf().contains("spark.master"):
+            return False
+    except Exception:  # pragma: no cover - pre-JVM conf quirks
+        pass
+    return True
+
+
 def get_spark(
     app_name: str = "nessus-etl-spark",
     master: str | None = None,
@@ -56,17 +85,12 @@ def get_spark(
     )
     if master:
         builder = builder.master(master)
-    elif not SparkSession.getActiveSession():
-        # Deployment contract: an explicit caller master wins; under
-        # spark-submit (spark.master already in the JVM conf) we must
-        # NOT stomp the cluster master with a local default; otherwise
-        # SPARK_GRAFT_MASTER / local[(cpus)] for bare `python -m` runs.
-        from pyspark import SparkConf
-
-        if not SparkConf().contains("spark.master"):
-            builder = builder.master(
-                os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
-            )
+    elif not SparkSession.getActiveSession() and _needs_local_master_default(
+        os.environ
+    ):
+        builder = builder.master(
+            os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
