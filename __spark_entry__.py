@@ -22,6 +22,7 @@ from nessus_client_etl_scripts_spark.plans import round6b_queries as _r6b  # noq
 from nessus_client_etl_scripts_spark.plans import round6c_queries as _r6c  # noqa: F401 — registers q153
 from nessus_client_etl_scripts_spark.plans import round6d_queries as _r6d  # noqa: F401 — registers q177+
 from nessus_client_etl_scripts_spark.plans import round7_queries as _r7  # noqa: F401 — registers q201+
+from nessus_client_etl_scripts_spark.plans import round8_queries as _r8  # noqa: F401 — registers q214+
 from nessus_client_etl_scripts_spark.plans import streaming_queries as _sq  # noqa: F401 — registers q53
 from nessus_client_etl_scripts_spark.plans import testdata_queries as _tq
 
@@ -36,30 +37,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return _tq.spark_queries()["q01_folder_results_latest"](spark, SF0001)
 
 
-# Round-7 driver-budget ordering (the driver checks ~50 queries in
-# iteration order per round).  HEAD, in priority order per the r6
-# verdict: (a) q174-q200 — declared in r6 AFTER the driver budget ran
-# out at q173, so they have never been driver-checked; (b) queries
-# ADDED THIS ROUND (q201+) — never checked by construction; (c) the
-# eight queries rewritten in r6 after their last green row (q114/q115
-# blocked-matmul + state-pin rewrites, q92/q112/q50 grouped_row_number
-# refactor, q55/q93/q96 driver union-find CC finish) whose evidence is
-# stale; (d) the r2-era five (last proven r2).  That is 27+N+8+5
-# queries; the r3-era block (q29-q38, q40 — oldest remaining evidence)
-# fills whatever budget is left.  MIDDLE: everything not head and not
-# r5/r6-green.  TAIL: queries with fresh r5/r6 green rows.
-_R7_HEAD = (
-    tuple(f"q{n}" for n in range(174, 201))
-    + tuple(f"q{n}" for n in range(201, 230))
-    + ("q114", "q115", "q92", "q112", "q50", "q55", "q93", "q96")
-    + ("q51", "q52", "q54", "q56", "q58")
+# Round-8 driver-budget ordering (the driver checks ~50 queries in
+# iteration order per round).  HEAD, in priority order per the r7
+# verdict: (a) q177/q179/q182 — the three r7 RED rows (oracle HUGEINT
+# casts + half-away kernel rounding fixed this round) need their
+# re-proof rows first; (b) queries ADDED THIS ROUND (q214+) — never
+# checked by construction; (c) the r2-era trio q54/q56/q58 that
+# spilled off the r7 head exactly as predicted; (d) the r3-era twenty
+# (q29-q38, q40-q49 minus fresh) — the oldest remaining evidence.
+# That is 3+N+3+20 ≈ 30+; the budget remainder flows into MIDDLE =
+# everything not head and not fresh-green (r4-era rows, oldest next).
+# TAIL: queries with r5-r7 green evidence, newest last.
+_R8_HEAD = (
+    ("q177", "q179", "q182")
+    + tuple(f"q{n}" for n in range(214, 240))
+    + ("q54", "q56", "q58")
     + tuple(f"q{n}" for n in range(29, 39))
-    + ("q40",)
+    + tuple(f"q{n}" for n in range(40, 50))
 )
-# Fresh-evidence tail: q120+q125-q173 proven green in r6; the r5-green
-# block (minus the rewritten-in-r6 members promoted to the head).
+# Fresh-evidence tail: r7-green rows (q174-q213 minus the three reds,
+# plus the re-proven stale-8 and q51/q52), the r6-green block
+# q120+q125-q173, and the r5-green block.
 _FRESH_GREEN = (
-    ("q120",)
+    tuple(f"q{n}" for n in range(174, 214) if n not in (177, 179, 182))
+    + ("q114", "q115", "q92", "q112", "q50", "q55", "q93", "q96")
+    + ("q51", "q52")
+    + ("q120",)
     + tuple(f"q{n}" for n in range(125, 174))
     + tuple(f"q{n}" for n in range(97, 112) if n not in (103,))
     + ("q103", "q113", "q116", "q117", "q118", "q119")
@@ -73,7 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Insertion order == driver iteration order; see the ordering note
-    above (_R7_HEAD / stale middle / fresh-green tail)."""
+    above (_R8_HEAD / stale middle / fresh-green tail)."""
     all_queries = dict(sorted(_tq.spark_queries().items()))
 
     def prefix(name: str) -> str:
@@ -81,7 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     head = {
         n: all_queries[n]
-        for p in _R7_HEAD
+        for p in _R8_HEAD
         for n in all_queries
         if prefix(n) == p
     }

@@ -571,6 +571,49 @@ def dsir_importance(
     )
 
 
+def merge_chain(norm: Column, merges: list[str], marker: str = "~") -> Column:
+    """The trained merge table applied as ONE nested row-local string
+    expression: each rank unrolls to q142's doubled-separator greedy
+    replace.  Zero aggregations, zero shuffles — this is the column
+    every encode-time consumer (:func:`bpe_encode`, byte-fallback
+    accounting, vocab extraction) composes over."""
+    enc = norm
+    for pair in merges:
+        a, b = pair.split(" ")
+        s2 = F.concat(
+            F.lit(" "),
+            F.replace(enc, F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        enc = F.trim(
+            F.replace(
+                F.replace(
+                    s2, F.lit(f" {a}  {b} "), F.lit(f" {a}{marker}{b} ")
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            )
+        )
+    return enc
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    marker: str = "~",
+) -> DataFrame:
+    """(doc_id, s): every document's post-merge token state — the
+    normalized text with all K trained merges applied.  One row-local
+    projection; downstream consumers explode ``split(s, ' ')`` for
+    token-level work (vocab extraction, byte-fallback accounting)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        merge_chain(normalize_text(text_col), merges, marker=marker).alias("s"),
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[str],
@@ -590,23 +633,7 @@ def bpe_encode(
     tokens saved, and saved_micro = round-half-up(1e6·saved/raw)
     (integer tie rule — the q197 pattern)."""
     norm = normalize_text(text_col)
-    enc = norm
-    for pair in merges:
-        a, b = pair.split(" ")
-        s2 = F.concat(
-            F.lit(" "),
-            F.replace(enc, F.lit(" "), F.lit("  ")),
-            F.lit(" "),
-        )
-        enc = F.trim(
-            F.replace(
-                F.replace(
-                    s2, F.lit(f" {a}  {b} "), F.lit(f" {a}{marker}{b} ")
-                ),
-                F.lit("  "),
-                F.lit(" "),
-            )
-        )
+    enc = merge_chain(norm, merges, marker=marker)
     staged = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens(norm)).cast("long").alias("n_tokens_raw"),

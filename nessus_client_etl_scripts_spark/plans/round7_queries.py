@@ -70,13 +70,17 @@ from .testdata_queries import register
 _Q201_MERGES = 5
 
 
-def _q201_state_chain(k: int) -> list[str]:
-    """Shared CTE chain for q201/q206: s0 is the normalized corpus and
-    each round r derives its bigram top-1 (t{r}) and merged state
-    (s{r}) from s{r-1} with EXACTLY the doubled-separator replace used
-    by the engine (q142's oracle, iterated)."""
+def _q201_state_chain(
+    k: int, where: str = "", source: str = "documents"
+) -> list[str]:
+    """Shared CTE chain for q201/q206/q215: s0 is the normalized corpus
+    (optionally filtered to a training split via ``where``, optionally
+    a derived-table ``source`` exposing (doc_id, text)) and each round
+    r derives its bigram top-1 (t{r}) and merged state (s{r}) from
+    s{r-1} with EXACTLY the doubled-separator replace used by the
+    engine (q142's oracle, iterated)."""
     parts = [
-        f"s0 AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents)",
+        f"s0 AS (SELECT doc_id, {_NORM_SQL} AS s FROM {source}{where})",
         "n0 AS (SELECT CAST(sum(len(string_split(s, ' '))) AS BIGINT)"
         " AS t FROM s0)",
     ]

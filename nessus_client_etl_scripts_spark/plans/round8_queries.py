@@ -1,0 +1,477 @@
+"""Round-8 wave — q214…q216: URL/domain-level corpus controls (the
+one standard LLM-pipeline verb the r7 verdict flagged as missing) and
+two encode-side tokenizer/quality operators.
+
+- q214 domain budget — per-document URLs (synthesized deterministically
+  from doc_id/n_chars, the q179 pattern) canonicalized (fragment off,
+  scheme off, lowercase, www off, tracking params dropped, query params
+  order-normalized), registered-domain extraction (public-suffix rule
+  for two-label suffixes), and a per-domain document cap with a
+  deterministic keep-ranking — the CommonCrawl-style domain-budget
+  prepass that stops one host from dominating a training mix.
+- q215 byte-fallback BPE encode — the real tokenizer contract q206's
+  passthrough lacks: train the merge table on HALF the corpus (even
+  doc_ids), encode the other half, and count every token absent from
+  the training vocabulary as its BYTES (markers stripped) instead of
+  one opaque unit.  Emits per-doc OOV and expansion accounting.
+- q216 bigram-LM surprisal — a KenLM-shaped statistical quality gate:
+  a bigram model counted over the corpus scores every document by
+  total floor-log2 surprisal bits; templated/duplicated text scores
+  near zero bits per bigram, natural text higher.  Integer-exact end
+  to end (the q204 no-libm floor_log2), so it cross-checks value-hash
+  clean against the oracle.
+
+Float portability per PLANS.md: all three queries are integer/string
+algebra end to end; ratios are pinned with the integer round-half-up
+rule ``(2·10^6·n + d) div (2d)`` on non-negative operands.
+
+Scale notes (100 TB posture): q214 shuffles once on the registered
+domain (cardinality ~millions on the web — a healthy hash-partition
+key; a pathological single-domain crawl is exactly what the cap then
+bounds); q215's vocabulary join broadcasts (a trained vocab is
+10⁴-10⁵ tokens by construction) and the encode itself is one row-local
+projection; q216's model join is a hash join on the first token —
+map-side combined counts, no driver state beyond nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.lm import bpe_apply, bpe_train
+from ..operators.text import normalize_text, tokens
+from .corpus_queries import _NORM_SQL
+from .round7_queries import _Q201_MERGES, _q201_state_chain
+from .testdata_queries import register
+
+# ---------------------------------------------------------------------------
+# q214 — URL canonicalization, registered domains, per-domain budget
+# ---------------------------------------------------------------------------
+
+_Q214_CAP = 3
+
+# Deterministic URL synthesis (the q179 pattern: derive bytes from
+# doc_id/n_chars so both engines build identical inputs): scheme and
+# host-case vary, ~92 registered domains (23 hosts × 4 TLDs, one of
+# them the two-label suffix co.uk), optional www prefix, tracking
+# params, query params in varying order, optional fragment.
+_Q214_URL_SQL = """
+  SELECT doc_id, n_chars,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN upper(h) ELSE h END)
+         || '/p/' || CAST(n_chars % 100 AS VARCHAR)
+         || '?' || q
+         || (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url
+  FROM (
+    SELECT doc_id, n_chars,
+           (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+           || 'site' || CAST(doc_id % 23 AS VARCHAR) || '.'
+           || (CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+               WHEN 2 THEN 'net' ELSE 'co.uk' END) AS h,
+           (CASE WHEN doc_id % 5 < 2
+                 THEN 'b=' || CAST(doc_id % 5 AS VARCHAR)
+                      || '&a=' || CAST(n_chars % 7 AS VARCHAR)
+                 ELSE 'a=' || CAST(n_chars % 7 AS VARCHAR)
+                      || '&b=' || CAST(doc_id % 5 AS VARCHAR) END)
+           || (CASE WHEN doc_id % 4 = 0
+               THEN '&utm_source=feed' ELSE '' END) AS q
+    FROM documents
+  )
+"""
+
+_Q214_ORACLE = f"""
+WITH u AS ({_Q214_URL_SQL}
+), c AS (
+  SELECT doc_id, n_chars, url,
+         regexp_replace(
+           lower(regexp_replace(string_split(url, '#')[1],
+                                '^https?://', '')),
+           '^www\\.', '') AS noww
+  FROM u
+), p AS (
+  SELECT doc_id, n_chars, url,
+         string_split(noww, '?')[1] AS hp,
+         array_to_string(
+           list_sort(list_filter(
+             string_split(string_split(noww, '?')[2], '&'),
+             x -> x NOT LIKE 'utm%')), '&') AS params
+  FROM c
+), canon AS (
+  SELECT doc_id, n_chars, url,
+         hp || (CASE WHEN params IS NOT NULL AND params <> ''
+                THEN '?' || params ELSE '' END) AS canon_url,
+         string_split(hp, '/')[1] AS host
+  FROM p
+), dom AS (
+  SELECT doc_id, n_chars, url, canon_url,
+         CASE WHEN host LIKE '%.co.uk'
+              THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+              ELSE l[-2] || '.' || l[-1] END AS domain
+  FROM (SELECT *, string_split(host, '.') AS l FROM canon)
+), ranked AS (
+  SELECT doc_id, url, canon_url, domain,
+         CAST(count(*) OVER (PARTITION BY domain) AS BIGINT)
+           AS n_domain_docs,
+         CAST(row_number() OVER (PARTITION BY domain
+              ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS drank
+  FROM dom
+)
+SELECT doc_id, url, canon_url, domain, n_domain_docs, drank,
+       drank <= {_Q214_CAP} AS kept
+FROM ranked
+"""
+
+
+@register("q214_domain_budget", _Q214_ORACLE)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain-level corpus controls: canonicalize every document's
+    URL (drop fragment + scheme + leading www, lowercase, strip utm
+    tracking params, order-normalize the query string), extract the
+    registered domain (last two host labels, three under a two-label
+    public suffix such as co.uk), then enforce a per-domain document
+    budget of {cap} with a deterministic keep-ranking (longest document
+    first, doc_id tie-break) — the domain-budget prepass a web-crawl
+    training mix runs before anything else.
+
+    Scale: one shuffle on the registered domain.  Real-web domain
+    cardinality is millions (healthy hash key); a single pathological
+    mega-domain is precisely what the budget bounds, and its window is
+    a top-K-per-key rank — AQE skew splitting plus the cap mean no
+    executor materializes more than it keeps. All string algebra is
+    JVM built-ins inside one whole-stage-codegen span; no UDFs."""
+    d, nc = F.col("doc_id"), F.col("n_chars")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    tld = (
+        F.when(d % 4 == 0, "com")
+        .when(d % 4 == 1, "org")
+        .when(d % 4 == 2, "net")
+        .otherwise("co.uk")
+    )
+    host = F.concat(
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"),
+        (d % 23).cast("string"),
+        F.lit("."),
+        tld,
+    )
+    qa = F.concat(F.lit("a="), (nc % 7).cast("string"))
+    qb = F.concat(F.lit("b="), (d % 5).cast("string"))
+    qs = F.concat(
+        F.when(d % 5 < 2, F.concat(qb, F.lit("&"), qa)).otherwise(
+            F.concat(qa, F.lit("&"), qb)
+        ),
+        F.when(d % 4 == 0, F.lit("&utm_source=feed")).otherwise(F.lit("")),
+    )
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 11 == 0, F.upper(host)).otherwise(host),
+        F.lit("/p/"),
+        (nc % 100).cast("string"),
+        F.lit("?"),
+        qs,
+        F.when(d % 7 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    u = docs.select("doc_id", "n_chars", url.alias("url"))
+
+    noww = F.regexp_replace(
+        F.lower(
+            F.regexp_replace(
+                F.split(F.col("url"), "#").getItem(0), "^https?://", ""
+            )
+        ),
+        r"^www\.",
+        "",
+    )
+    c = u.select("doc_id", "n_chars", "url", noww.alias("noww"))
+    qsplit = F.split(F.col("noww"), r"\?")
+    p = c.select(
+        "doc_id",
+        "n_chars",
+        "url",
+        qsplit.getItem(0).alias("hp"),
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split(qsplit.getItem(1), "&"),
+                    lambda x: ~x.startswith("utm"),
+                )
+            ),
+            "&",
+        ).alias("params"),
+    )
+    canon = p.select(
+        "doc_id",
+        "n_chars",
+        "url",
+        F.concat(
+            F.col("hp"),
+            F.when(
+                F.col("params").isNotNull() & (F.col("params") != ""),
+                F.concat(F.lit("?"), F.col("params")),
+            ).otherwise(F.lit("")),
+        ).alias("canon_url"),
+        F.split(F.col("hp"), "/").getItem(0).alias("host"),
+    )
+    labels = F.split(F.col("host"), r"\.")
+    domain = F.when(
+        F.col("host").endswith(".co.uk"),
+        F.concat_ws(
+            ".",
+            F.element_at(labels, -3),
+            F.element_at(labels, -2),
+            F.element_at(labels, -1),
+        ),
+    ).otherwise(
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    )
+    dom = canon.select(
+        "doc_id", "n_chars", "url", "canon_url", domain.alias("domain")
+    )
+    w_rank = Window.partitionBy("domain").orderBy(nc.desc(), d.asc())
+    w_all = Window.partitionBy("domain")
+    return dom.select(
+        "doc_id",
+        "url",
+        "canon_url",
+        "domain",
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_domain_docs"),
+        F.row_number().over(w_rank).cast("long").alias("drank"),
+    ).withColumn("kept", F.col("drank") <= _Q214_CAP)
+
+
+q214.__doc__ = q214.__doc__.format(cap=_Q214_CAP)
+
+
+# ---------------------------------------------------------------------------
+# q215 — byte-fallback BPE encode (train split ≠ encode split)
+# ---------------------------------------------------------------------------
+
+
+# Per-doc unique marker word: the shared synthetic vocabulary is tiny
+# enough that half the corpus already covers ALL of it, which would
+# leave the byte-fallback branch dead; 'w<doc_id>' words are unique by
+# construction, so every odd (encode-split) document carries exactly
+# one genuinely-OOV token while even (train-split) ids enter the vocab.
+_Q215_AUG = (
+    "(SELECT doc_id, text || ' w' || CAST(doc_id AS VARCHAR) AS text"
+    " FROM documents)"
+)
+
+
+def _q215_oracle(k: int = _Q201_MERGES) -> str:
+    parts = _q201_state_chain(k, where=" WHERE doc_id % 2 = 0", source=_Q215_AUG)
+    parts.append(
+        f"""vocab AS (
+  SELECT DISTINCT unnest(string_split(s, ' ')) AS tok FROM s{k}
+)"""
+    )
+    parts.append(
+        f"o0 AS (SELECT doc_id, {_NORM_SQL} AS s FROM {_Q215_AUG}"
+        " WHERE doc_id % 2 = 1)"
+    )
+    for r in range(1, k + 1):
+        parts.append(
+            f"""o{r} AS (
+  SELECT doc_id,
+         trim(replace(replace(' ' || replace(s, ' ', '  ') || ' ',
+              ' ' || replace((SELECT bigram FROM t{r}), ' ', '  ') || ' ',
+              ' ' || replace((SELECT bigram FROM t{r}), ' ', '~') || ' '),
+              '  ', ' ')) AS s
+  FROM o{r - 1}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+tk AS (
+  SELECT doc_id, unnest(string_split(s, ' ')) AS tok FROM o{k}
+), j AS (
+  SELECT tk.doc_id, tk.tok, (v.tok IS NOT NULL) AS known
+  FROM tk LEFT JOIN vocab v ON v.tok = tk.tok
+), per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens_bpe,
+         CAST(sum(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+         CAST(sum(CASE WHEN known THEN 1
+                  ELSE len(replace(tok, '~', '')) END) AS BIGINT)
+           AS n_units
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_tokens_bpe, n_oov, n_units,
+       CAST((2000000 * n_units + n_tokens_bpe)
+            // (2 * n_tokens_bpe) AS BIGINT) AS expand_micro
+FROM per
+"""
+    )
+
+
+@register("q215_bpe_byte_fallback", _q215_oracle())
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-fallback BPE encoding — the real tokenizer contract: the
+    merge table is trained on the EVEN-doc_id half of the corpus, the
+    ODD half is encoded with it, and any encoded token that never
+    occurred in the trained vocabulary (the OOV case q206's same-corpus
+    setup cannot exhibit; a per-doc unique marker word 'w<doc_id>' is
+    appended on BOTH sides so the encode split genuinely contains OOV
+    tokens — see _Q215_AUG) falls back to BYTES — it costs
+    len(underlying string) byte units instead of one vocabulary unit,
+    exactly as byte-fallback tokenizers (SentencePiece byte_fallback,
+    GPT-2 bytes) account it.  Emits per-document vocabulary-token,
+    OOV, and final-unit counts plus the integer-pinned expansion ratio.
+
+    Scale: training runs on a sample (here: half the corpus — one
+    aggregation job per merge round, operators/lm.bpe_train); the
+    encode is ONE row-local nested projection (operators/lm.bpe_apply,
+    zero shuffles), and the vocabulary membership join BROADCASTS —
+    a trained vocab is bounded by design (|alphabet| + K merges worth
+    of token shapes), never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" w"), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    merges = [
+        r["merged_pair"]
+        for r in bpe_train(train, n_merges=_Q201_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    vocab = (
+        bpe_apply(train, merges)
+        .select(F.explode(F.split("s", " ")).alias("tok"))
+        .distinct()
+        .withColumn("known", F.lit(True))
+    )
+    tok = bpe_apply(docs.filter(F.col("doc_id") % 2 == 1), merges).select(
+        "doc_id", F.explode(F.split("s", " ")).alias("tok")
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens_bpe"),
+            F.sum(F.when(F.col("known"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum(
+                F.when(F.col("known"), 1).otherwise(
+                    F.length(F.replace(F.col("tok"), F.lit("~"), F.lit("")))
+                )
+            )
+            .cast("long")
+            .alias("n_units"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens_bpe",
+        "n_oov",
+        "n_units",
+        F.expr("(2000000 * n_units + n_tokens_bpe) div (2 * n_tokens_bpe)")
+        .cast("long")
+        .alias("expand_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216 — bigram-LM surprisal: statistical text-quality gate
+# ---------------------------------------------------------------------------
+
+_Q216_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i])) AS a,
+         unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i + 1])) AS b
+  FROM s WHERE len(l) >= 2
+), uni AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS ca FROM bg GROUP BY 1
+), bi AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bg GROUP BY 1, 2
+), scored AS (
+  SELECT bg.doc_id,
+         CAST(length(bin(uni.ca)) - 1 AS BIGINT)
+           - CAST(length(bin(bi.cab)) - 1 AS BIGINT) AS bits
+  FROM bg JOIN uni ON uni.a = bg.a
+          JOIN bi ON bi.a = bg.a AND bi.b = bg.b
+), per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(bits) AS BIGINT) AS total_bits
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, total_bits,
+       CAST((2000000 * total_bits + n_bigrams)
+            // (2 * n_bigrams) AS BIGINT) AS bits_per_bigram_micro
+FROM per
+"""
+
+
+@register("q216_bigram_surprisal", _Q216_ORACLE)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-shaped statistical quality gate: count a bigram language
+    model over the corpus (c(a), c(a,b) — two map-side-combined
+    aggregations), then score every document's total surprisal
+    Σ floor_log2(c(a)) − floor_log2(c(a,b)) ≈ Σ −log2 P(b|a) in whole
+    bits.  Repetitive/templated documents (every bigram frequent)
+    score near zero bits per bigram; rare constructions score high —
+    the standard perplexity-filter signal, here integer-exact in both
+    engines via the q204 no-libm floor_log2 = len(bin(k)) − 1, so the
+    gate value-hash-verifies instead of chasing libm ULPs.
+
+    Scale: the model is vocabulary²-bounded, not corpus-bounded, but
+    NOT driver-bounded — both model sides stay distributed and join
+    back to the exploded bigram stream on (a) / (a,b) hash keys; AQE
+    broadcasts them when small.  No driver state, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(normalize_text("text"))
+    bg = (
+        docs.select(F.col("doc_id"), toks.alias("l"))
+        .filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("l"), 1, F.size("l") - 1),
+                    F.slice(F.col("l"), 2, F.size("l") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    bi = bg.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cab")
+    )
+    # c(a) = Σ_b c(a,b) — rolled up from the bigram model rather than a
+    # third pass over the exploded corpus: model-sized input, and the
+    # whole query reads the corpus exactly twice (model build + score),
+    # the train-then-score minimum for this shape.
+    uni = bi.groupBy("a").agg(F.sum("cab").cast("long").alias("ca"))
+    flog2 = lambda c: (F.length(F.bin(c)) - 1).cast("long")  # noqa: E731
+    scored = (
+        bg.join(uni, "a")
+        .join(bi, ["a", "b"])
+        .select("doc_id", (flog2(F.col("ca")) - flog2(F.col("cab"))).alias("bits"))
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("total_bits"),
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        "total_bits",
+        F.expr("(2000000 * total_bits + n_bigrams) div (2 * n_bigrams)")
+        .cast("long")
+        .alias("bits_per_bigram_micro"),
+    )

@@ -1,0 +1,185 @@
+"""Unit/property tests for the round-8 wave: URL canonicalization /
+registered-domain / per-domain budget (q214), byte-fallback BPE
+accounting (q215) including the bpe_apply-vs-train-ledger property the
+r7 verdict asked for, and the bigram-surprisal gate (q216)."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s.strip().lower())
+
+
+# ---------------------------------------------------------------------------
+# q214 — URL canonicalization + domain budget
+# ---------------------------------------------------------------------------
+
+
+def test_q214_canonicalization_and_budget(spark):
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q214_CAP,
+        q214,
+    )
+
+    rows = q214(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        # canonical: no scheme, no fragment, no www, no tracking params
+        assert "://" not in r["canon_url"]
+        assert "#" not in r["canon_url"]
+        assert not r["canon_url"].startswith("www.")
+        assert "utm" not in r["canon_url"]
+        assert r["canon_url"] == r["canon_url"].lower()
+        # registered domain: two labels, or three under the co.uk suffix
+        n_labels = r["domain"].count(".") + 1
+        assert n_labels == (3 if r["domain"].endswith(".co.uk") else 2)
+        assert r["canon_url"].split("/")[0].endswith(r["domain"])
+        # query params sorted
+        if "?" in r["canon_url"]:
+            params = r["canon_url"].split("?", 1)[1].split("&")
+            assert params == sorted(params)
+        assert r["kept"] == (r["drank"] <= _Q214_CAP)
+    # the budget binds: every domain keeps min(cap, its docs)
+    by_dom: dict[str, list] = {}
+    for r in rows:
+        by_dom.setdefault(r["domain"], []).append(r)
+    for dom, rs in by_dom.items():
+        kept = [r for r in rs if r["kept"]]
+        assert len(kept) == min(_Q214_CAP, len(rs))
+        assert {r["n_domain_docs"] for r in rs} == {len(rs)}
+        assert sorted(r["drank"] for r in rs) == list(range(1, len(rs) + 1))
+
+
+# ---------------------------------------------------------------------------
+# q215 — byte-fallback BPE + the train-ledger property
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_apply_agrees_with_train_ledger(spark):
+    """r7 verdict #7: bpe_apply's final state must reproduce
+    bpe_train's token ledger — the last round's n_tokens_after equals
+    the total token count of the corpus with all merges applied."""
+    from nessus_client_etl_scripts_spark.catalog import load_table
+    from nessus_client_etl_scripts_spark.operators.lm import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = load_table(spark, SF001, "documents")
+    table = bpe_train(docs, n_merges=4).orderBy("merge_rank").collect()
+    assert table
+    merges = [r["merged_pair"] for r in table]
+    applied = bpe_apply(docs, merges).select(
+        F.sum(F.size(F.split("s", " "))).alias("t")
+    ).collect()[0]["t"]
+    assert applied == table[-1]["n_tokens_after"]
+    # and per-round monotonicity of the ledger itself
+    toks = [r["n_tokens_after"] for r in table]
+    assert all(a >= b for a, b in zip(toks, toks[1:]))
+
+
+def test_q215_byte_fallback_accounting(spark):
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q215
+
+    rows = q215(spark, SF001).collect()
+    assert rows
+    # every odd doc carries its unique w<doc_id> marker → OOV fires
+    assert all(r["doc_id"] % 2 == 1 for r in rows)
+    assert all(r["n_oov"] >= 1 for r in rows)
+    for r in rows:
+        # byte fallback only ever expands: units >= tokens, with
+        # equality iff every OOV token is a single byte
+        assert r["n_units"] >= r["n_tokens_bpe"]
+        assert r["n_oov"] <= r["n_tokens_bpe"]
+        assert r["expand_micro"] >= 1_000_000
+
+
+def test_bpe_train_ignores_null_text(spark):
+    """r7 ADVICE: a NULL document must not skew the token ledger."""
+    from nessus_client_etl_scripts_spark.operators.lm import bpe_train
+
+    base = [(0, "a b a b"), (1, "a b c"), (2, "c a b")]
+    with_null = spark.createDataFrame(
+        base + [(3, None)], "doc_id long, text string"
+    )
+    without = spark.createDataFrame(base, "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in bpe_train(with_null, n_merges=2).orderBy("merge_rank").collect()
+    ]
+    want = [
+        tuple(r)
+        for r in bpe_train(without, n_merges=2).orderBy("merge_rank").collect()
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q216 — bigram surprisal
+# ---------------------------------------------------------------------------
+
+
+def test_q216_matches_python_replay(spark):
+    from collections import Counter
+
+    from nessus_client_etl_scripts_spark.catalog import load_table
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q216
+
+    docs = load_table(spark, SF001, "documents").collect()
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    per_doc: dict[int, list] = {}
+    for d in docs:
+        toks = _norm(d["text"]).split(" ")
+        pairs = list(zip(toks, toks[1:]))
+        per_doc[d["doc_id"]] = pairs
+        for a, b in pairs:
+            uni[a] += 1
+            bi[(a, b)] += 1
+    want = {}
+    for doc_id, pairs in per_doc.items():
+        if not pairs:
+            continue
+        bits = sum(
+            (uni[a].bit_length() - 1) - (bi[(a, b)].bit_length() - 1)
+            for a, b in pairs
+        )
+        n = len(pairs)
+        want[doc_id] = (n, bits, (2_000_000 * bits + n) // (2 * n))
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["total_bits"],
+            r["bits_per_bigram_micro"],
+        )
+        for r in q216(spark, SF001).collect()
+    }
+    assert got == want
+
+
+def test_group_median_excludes_nulls(spark):
+    """r7 ADVICE: NULL values must not shift positions or halve the
+    reported median."""
+    from nessus_client_etl_scripts_spark.operators.windows import group_median
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", None), ("g", 3.0), ("g", None), ("h", 5.0)],
+        "k string, v double",
+    )
+    got = {
+        r["k"]: (r["n"], r["median"])
+        for r in group_median(df, "k", "v").collect()
+    }
+    assert got == {"g": (2, 2.0), "h": (1, 5.0)}
+    # all-null group vanishes rather than emitting a null median
+    allnull = spark.createDataFrame(
+        [("z", None)], "k string, v double"
+    )
+    assert group_median(allnull, "k", "v").collect() == []
