@@ -39,8 +39,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
-from ..operators.lm import bpe_apply, bpe_train
+from ..catalog import load_table, spread_for_compute
+from ..operators.lm import bpe_apply, bpe_train, merge_chain
+from ..operators.similarity import dot
 from ..operators.text import normalize_text, tokens
 from .corpus_queries import _NORM_SQL
 from .round7_queries import _Q201_MERGES, _q201_state_chain
@@ -475,3 +476,216 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bits_per_bigram_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q217 — tokenizer fertility by language
+# ---------------------------------------------------------------------------
+
+
+def _q217_oracle(k: int = _Q201_MERGES) -> str:
+    parts = _q201_state_chain(k)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+raw AS (
+  SELECT doc_id, CAST(len(string_split(s, ' ')) AS BIGINT) AS n FROM s0
+), enc AS (
+  SELECT doc_id, CAST(len(string_split(s, ' ')) AS BIGINT) AS n FROM s{k}
+), per AS (
+  SELECT d.lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(raw.n) AS BIGINT) AS n_words,
+         CAST(sum(enc.n) AS BIGINT) AS n_tokens
+  FROM documents d
+  JOIN raw ON raw.doc_id = d.doc_id
+  JOIN enc ON enc.doc_id = d.doc_id
+  GROUP BY d.lang
+)
+SELECT lang, n_docs, n_words, n_tokens,
+       CAST((2000000 * n_tokens + n_words) // (2 * n_words) AS BIGINT)
+         AS tokens_per_word_micro
+FROM per
+"""
+    )
+
+
+@register("q217_tokenizer_fertility", _q217_oracle())
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit by language — the standard multilingual
+    tokenizer-equity metric: per language, whitespace words vs trained-
+    BPE tokens and their integer-pinned ratio.  A vocabulary trained on
+    a skewed mix under-merges minority languages (fertility stays near
+    1e6 = one token per word) while the dominant language compresses —
+    this per-language table is the evidence that drives vocab-size or
+    mix decisions before a 100 TB tokenization run.
+
+    Scale: training is the q201 sampled-trainer; the measurement pass
+    is ONE row-local projection (raw + encoded token counts from the
+    same merge_chain expression, no second corpus scan) folded into a
+    |languages|-group aggregate — map-side combined, nothing driver-
+    side but the K-row merge table."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        r["merged_pair"]
+        for r in bpe_train(docs, n_merges=_Q201_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    norm = normalize_text("text")
+    per = (
+        docs.select(
+            "lang",
+            F.size(tokens(norm)).cast("long").alias("w"),
+            F.size(tokens(merge_chain(norm, merges))).cast("long").alias("t"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("n_words"),
+            F.sum("t").cast("long").alias("n_tokens"),
+        )
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        F.expr("(2000000 * n_tokens + n_words) div (2 * n_words)")
+        .cast("long")
+        .alias("tokens_per_word_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q218 — matryoshka truncation recall (ANN quality-vs-cost audit)
+# ---------------------------------------------------------------------------
+
+_Q218_K = 10
+_Q218_DIMS = 16
+_Q218_STRIDE = 50
+
+_Q218_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % {_Q218_STRIDE} = 0
+), c AS (
+  SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, nid,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cos_full,
+         list_dot_product(qv[1:{_Q218_DIMS}], cv[1:{_Q218_DIMS}])
+           / (sqrt(list_dot_product(qv[1:{_Q218_DIMS}], qv[1:{_Q218_DIMS}]))
+              * sqrt(list_dot_product(cv[1:{_Q218_DIMS}],
+                                      cv[1:{_Q218_DIMS}]))) AS cos_trunc
+  FROM q, c WHERE nid <> query_id
+), ranked AS (
+  SELECT query_id, nid,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_full DESC, nid ASC) AS rf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_trunc DESC, nid ASC) AS rt
+  FROM scored
+), hits AS (
+  SELECT f.query_id, CAST(count(t.nid) AS BIGINT) AS n_overlap
+  FROM (SELECT query_id, nid FROM ranked WHERE rf <= {_Q218_K}) f
+  LEFT JOIN (SELECT query_id, nid FROM ranked WHERE rt <= {_Q218_K}) t
+    ON t.query_id = f.query_id AND t.nid = f.nid
+  GROUP BY f.query_id
+)
+SELECT query_id, CAST({_Q218_K} AS BIGINT) AS k, n_overlap,
+       CAST((2000000 * n_overlap + {_Q218_K})
+            // (2 * {_Q218_K}) AS BIGINT) AS recall_micro
+FROM hits
+"""
+
+
+@register("q218_matryoshka_recall", _Q218_ORACLE)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncation recall audit: for a strided sample of
+    query vectors, exact cosine top-{k} over the FULL 64 dimensions vs
+    top-{k} over the first {dims} — recall@{k} per query.  This is the
+    measurement that decides whether an embedding lake can serve
+    truncated vectors (4× cheaper storage/compute) without losing its
+    neighbors — run before committing an index layout at 100 TB.
+
+    Scale posture (q27's): the query side is a bounded sample
+    (1/{stride} of the corpus here; fixed query budget in production)
+    that BROADCASTS; the corpus streams through the scoring projection
+    with no corpus-side shuffle — the only exchange is the per-query
+    rank, keyed on query_id (cardinality = |sample|).  Both cosines
+    come from the same portable IEEE chain (sequential-fold dot, the
+    q30 rule), and every emitted column is integer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    q = emb.filter(F.col("vec_id") % _Q218_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), as_double.alias("qv")
+    )
+    c = spread_for_compute(emb).select(
+        F.col("vec_id").alias("nid"), as_double.alias("cv")
+    )
+    qt = F.slice(F.col("qv"), 1, _Q218_DIMS)
+    ct = F.slice(F.col("cv"), 1, _Q218_DIMS)
+    scored = (
+        c.join(F.broadcast(q), F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nid",
+            (
+                dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cos_full"),
+            (
+                dot(qt, ct)
+                / (F.sqrt(dot(qt, qt)) * F.sqrt(dot(ct, ct)))
+            ).alias("cos_trunc"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("nid")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_trunc"), F.asc("nid")
+    )
+    ranked = scored.select(
+        "query_id",
+        "nid",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    full = ranked.filter(F.col("rf") <= _Q218_K).select("query_id", "nid")
+    # self-join alias rule (PLANS.md r7 #1): both sides descend from
+    # `ranked`, so the right side re-aliases EVERY column to mint
+    # fresh exprIds before the equi-join.
+    trunc = ranked.filter(F.col("rt") <= _Q218_K).select(
+        F.col("query_id").alias("tquery_id"), F.col("nid").alias("tnid")
+    )
+    hits = (
+        full.join(
+            trunc,
+            (F.col("query_id") == F.col("tquery_id"))
+            & (F.col("nid") == F.col("tnid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("tnid").cast("long").alias("n_overlap"))
+    )
+    return hits.select(
+        "query_id",
+        F.lit(_Q218_K).cast("long").alias("k"),
+        "n_overlap",
+        F.expr(f"(2000000 * n_overlap + {_Q218_K}) div (2 * {_Q218_K})")
+        .cast("long")
+        .alias("recall_micro"),
+    )
+
+
+q218.__doc__ = q218.__doc__.format(
+    k=_Q218_K, dims=_Q218_DIMS, stride=_Q218_STRIDE
+)

@@ -183,3 +183,63 @@ def test_group_median_excludes_nulls(spark):
         [("z", None)], "k string, v double"
     )
     assert group_median(allnull, "k", "v").collect() == []
+
+
+# ---------------------------------------------------------------------------
+# q217 / q218
+# ---------------------------------------------------------------------------
+
+
+def test_q217_fertility_invariants(spark):
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q217
+
+    rows = q217(spark, SF001).collect()
+    assert rows
+    langs = {r["lang"] for r in rows}
+    assert langs == {"en", "de", "es", "fr", "zh"}
+    for r in rows:
+        # merges only ever compress: tokens <= words, ratio in (0, 1e6]
+        assert 0 < r["n_tokens"] <= r["n_words"]
+        assert 0 < r["tokens_per_word_micro"] <= 1_000_000
+
+
+def test_q218_recall_matches_numpy_replay(spark):
+    import numpy as np
+
+    from nessus_client_etl_scripts_spark.catalog import load_table
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q218_DIMS,
+        _Q218_K,
+        _Q218_STRIDE,
+        q218,
+    )
+
+    emb = sorted(
+        load_table(spark, SF001, "embeddings").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in emb])
+    M = np.array([r["embedding"] for r in emb], dtype=np.float64)
+
+    def topk(mat, qi):
+        q = mat[qi]
+        cos = (mat @ q) / (
+            np.sqrt((mat * mat).sum(axis=1)) * np.sqrt((q * q).sum())
+        )
+        cos[qi] = -np.inf
+        order = np.lexsort((ids, -cos))
+        return set(ids[order[:_Q218_K]])
+
+    want = {}
+    for qi, vid in enumerate(ids):
+        if vid % _Q218_STRIDE:
+            continue
+        full = topk(M, qi)
+        trunc = topk(M[:, :_Q218_DIMS], qi)
+        n = len(full & trunc)
+        want[vid] = (n, (2_000_000 * n + _Q218_K) // (2 * _Q218_K))
+    got = {
+        r["query_id"]: (r["n_overlap"], r["recall_micro"])
+        for r in q218(spark, SF001).collect()
+    }
+    assert got == want
