@@ -429,6 +429,13 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines via the q204 no-libm floor_log2 = len(bin(k)) − 1, so the
     gate value-hash-verifies instead of chasing libm ULPs.
 
+    Complements q168 (Laplace-smoothed MEAN probability, linear
+    domain): q216 is the LOG-domain additive form — surprisal sums
+    compose across documents/segments (a packed sequence's bits are
+    the sum of its parts, q52), which mean-probability cannot do, and
+    whole-bit quantization keeps it exact where q168 pins a rounded
+    1e6 ratio.
+
     Scale: the model is vocabulary²-bounded, not corpus-bounded, but
     NOT driver-bounded — both model sides stay distributed and join
     back to the exploded bigram stream on (a) / (a,b) hash keys; AQE
@@ -590,11 +597,11 @@ WITH q AS (
                             ORDER BY cos_trunc DESC, nid ASC) AS rt
   FROM scored
 ), hits AS (
-  SELECT f.query_id, CAST(count(t.nid) AS BIGINT) AS n_overlap
-  FROM (SELECT query_id, nid FROM ranked WHERE rf <= {_Q218_K}) f
-  LEFT JOIN (SELECT query_id, nid FROM ranked WHERE rt <= {_Q218_K}) t
-    ON t.query_id = f.query_id AND t.nid = f.nid
-  GROUP BY f.query_id
+  SELECT query_id,
+         CAST(sum(CASE WHEN rt <= {_Q218_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overlap
+  FROM ranked WHERE rf <= {_Q218_K}
+  GROUP BY query_id
 )
 SELECT query_id, CAST({_Q218_K} AS BIGINT) AS k, n_overlap,
        CAST((2000000 * n_overlap + {_Q218_K})
@@ -659,22 +666,19 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wf).alias("rf"),
         F.row_number().over(wt).alias("rt"),
     )
-    full = ranked.filter(F.col("rf") <= _Q218_K).select("query_id", "nid")
-    # self-join alias rule (PLANS.md r7 #1): both sides descend from
-    # `ranked`, so the right side re-aliases EVERY column to mint
-    # fresh exprIds before the equi-join.
-    trunc = ranked.filter(F.col("rt") <= _Q218_K).select(
-        F.col("query_id").alias("tquery_id"), F.col("nid").alias("tnid")
-    )
+    # Intersection WITHOUT a self-join: both rankings live on the SAME
+    # (query_id, nid) row, so a neighbor is in both top-K sets iff
+    # rf <= K AND rt <= K — one filtered aggregate instead of joining
+    # two filtered copies of `ranked` (which would duplicate the whole
+    # scoring branch: two BroadcastNestedLoopJoins in the plan).
     hits = (
-        full.join(
-            trunc,
-            (F.col("query_id") == F.col("tquery_id"))
-            & (F.col("nid") == F.col("tnid")),
-            "left",
-        )
+        ranked.filter(F.col("rf") <= _Q218_K)
         .groupBy("query_id")
-        .agg(F.count("tnid").cast("long").alias("n_overlap"))
+        .agg(
+            F.sum(F.when(F.col("rt") <= _Q218_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlap")
+        )
     )
     return hits.select(
         "query_id",
