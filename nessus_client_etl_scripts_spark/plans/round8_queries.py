@@ -43,6 +43,12 @@ from ..catalog import load_table, spread_for_compute
 from ..operators.lm import bpe_apply, bpe_train, merge_chain
 from ..operators.similarity import dot
 from ..operators.text import normalize_text, tokens
+from ..operators.web import (
+    canonicalize_url,
+    domain_budget,
+    host_of,
+    registered_domain,
+)
 from .corpus_queries import _NORM_SQL
 from .round7_queries import _Q201_MERGES, _q201_state_chain
 from .testdata_queries import register
@@ -107,7 +113,8 @@ WITH u AS ({_Q214_URL_SQL}
   FROM p
 ), dom AS (
   SELECT doc_id, n_chars, url, canon_url,
-         CASE WHEN host LIKE '%.co.uk'
+         CASE WHEN host LIKE '%.co.uk' OR host LIKE '%.com.au'
+                OR host LIKE '%.co.jp'
               THEN l[-3] || '.' || l[-2] || '.' || l[-1]
               ELSE l[-2] || '.' || l[-1] END AS domain
   FROM (SELECT *, string_split(host, '.') AS l FROM canon)
@@ -177,70 +184,25 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = docs.select("doc_id", "n_chars", url.alias("url"))
 
-    noww = F.regexp_replace(
-        F.lower(
-            F.regexp_replace(
-                F.split(F.col("url"), "#").getItem(0), "^https?://", ""
-            )
-        ),
-        r"^www\.",
-        "",
-    )
-    c = u.select("doc_id", "n_chars", "url", noww.alias("noww"))
-    qsplit = F.split(F.col("noww"), r"\?")
-    p = c.select(
+    dom = u.select(
         "doc_id",
         "n_chars",
         "url",
-        qsplit.getItem(0).alias("hp"),
-        F.array_join(
-            F.array_sort(
-                F.filter(
-                    F.split(qsplit.getItem(1), "&"),
-                    lambda x: ~x.startswith("utm"),
-                )
-            ),
-            "&",
-        ).alias("params"),
+        canonicalize_url("url").alias("canon_url"),
+    ).withColumn(
+        "domain", registered_domain(host_of(F.col("canon_url")))
     )
-    canon = p.select(
-        "doc_id",
-        "n_chars",
-        "url",
-        F.concat(
-            F.col("hp"),
-            F.when(
-                F.col("params").isNotNull() & (F.col("params") != ""),
-                F.concat(F.lit("?"), F.col("params")),
-            ).otherwise(F.lit("")),
-        ).alias("canon_url"),
-        F.split(F.col("hp"), "/").getItem(0).alias("host"),
-    )
-    labels = F.split(F.col("host"), r"\.")
-    domain = F.when(
-        F.col("host").endswith(".co.uk"),
-        F.concat_ws(
-            ".",
-            F.element_at(labels, -3),
-            F.element_at(labels, -2),
-            F.element_at(labels, -1),
-        ),
-    ).otherwise(
-        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    )
-    dom = canon.select(
-        "doc_id", "n_chars", "url", "canon_url", domain.alias("domain")
-    )
-    w_rank = Window.partitionBy("domain").orderBy(nc.desc(), d.asc())
-    w_all = Window.partitionBy("domain")
-    return dom.select(
+    return domain_budget(
+        dom, "domain", _Q214_CAP, (nc.desc(), d.asc())
+    ).select(
         "doc_id",
         "url",
         "canon_url",
         "domain",
-        F.count(F.lit(1)).over(w_all).cast("long").alias("n_domain_docs"),
-        F.row_number().over(w_rank).cast("long").alias("drank"),
-    ).withColumn("kept", F.col("drank") <= _Q214_CAP)
+        "n_domain_docs",
+        "drank",
+        "kept",
+    )
 
 
 q214.__doc__ = q214.__doc__.format(cap=_Q214_CAP)
@@ -693,3 +655,84 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
 q218.__doc__ = q218.__doc__.format(
     k=_Q218_K, dims=_Q218_DIMS, stride=_Q218_STRIDE
 )
+
+
+# ---------------------------------------------------------------------------
+# q219 — deterministic mixture schedule (training-order materialization)
+# ---------------------------------------------------------------------------
+
+_Q219_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         1 + (CAST(substr(source, 4) AS BIGINT) % 4) AS w
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_chars, w,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS src_rank
+  FROM d
+), k AS (
+  SELECT doc_id, source, w, src_rank,
+         ((2 * src_rank - 1) * 12) // w AS ikey
+  FROM r
+)
+SELECT doc_id, source, CAST(w AS BIGINT) AS w,
+       CAST(src_rank AS BIGINT) AS src_rank,
+       CAST(ikey AS BIGINT) AS ikey,
+       CAST(row_number() OVER (ORDER BY ikey, source, doc_id)
+            AS BIGINT) AS pos
+FROM k
+"""
+
+
+@register("q219_mixture_schedule", _Q219_ORACLE)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing schedule: materialize the GLOBAL
+    training order that interleaves sources proportionally to integer
+    mixture weights — the step a multi-source pretraining run does
+    after per-source filtering (q66/q117 choose HOW MUCH of each
+    source; this chooses WHEN each document is seen, so one source
+    never monopolizes a training window).  The classic smooth/stride
+    interleave: source s's m-th document (by keep-priority) lands at
+    virtual time (2m−1)/w_s — here the exact integer key
+    (2m−1)·(lcm/w_s), so engines never compare floats.  A source with
+    weight 4 appears 4× as often as weight 1 in every schedule prefix
+    (±1 boundary effects).
+
+    Scale: per-source ranks and the global order both come from
+    grouped_row_number's two-phase range exchange — NO single-
+    partition global window, the q204/q40 rule; the schedule of a
+    trillion-document mix sorts across all executors."""
+    from ..operators.windows import grouped_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (1 + (F.substring("source", 4, 10).cast("long") % 4)).alias("w"),
+        (-F.col("n_chars")).alias("_nnc"),
+    )
+    r = grouped_row_number(
+        d, "source", ("_nnc", "doc_id"), out_col="src_rank"
+    )
+    k = r.select(
+        "doc_id",
+        "source",
+        "w",
+        F.col("src_rank").cast("long").alias("src_rank"),
+        F.expr("((2 * src_rank - 1) * 12) div w")
+        .cast("long")
+        .alias("ikey"),
+    ).withColumn("_g", F.lit(1))
+    sched = grouped_row_number(
+        k, "_g", ("ikey", "source", "doc_id"), out_col="pos"
+    )
+    return sched.select(
+        "doc_id",
+        "source",
+        F.col("w").cast("long").alias("w"),
+        "src_rank",
+        "ikey",
+        F.col("pos").cast("long").alias("pos"),
+    )
