@@ -736,3 +736,220 @@ def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ikey",
         F.col("pos").cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — preference-pair Bradley-Terry strength audit
+# ---------------------------------------------------------------------------
+
+_Q220_OFFSETS = (1, 3, 7)
+_Q220_ITERS = 2
+_Q220_SCALE = 10**12
+
+
+def _q220_oracle() -> str:
+    offs = "), (".join(str(k) for k in _Q220_OFFSETS)
+    parts = [
+        f"""cmp AS (
+  SELECT CASE WHEN d1.n_chars >= d2.n_chars THEN d1.source
+         ELSE d2.source END AS wsrc,
+         CASE WHEN d1.n_chars >= d2.n_chars THEN d2.source
+         ELSE d1.source END AS lsrc
+  FROM (VALUES ({offs})) o(k)
+  JOIN documents d1 ON true
+  JOIN documents d2 ON d2.doc_id = d1.doc_id + o.k
+  WHERE d1.source <> d2.source
+)""",
+        """w AS (
+  SELECT wsrc AS item, CAST(count(*) AS BIGINT) AS wins
+  FROM cmp GROUP BY 1
+)""",
+        """n AS (
+  SELECT least(wsrc, lsrc) AS a, greatest(wsrc, lsrc) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cmp GROUP BY 1, 2
+)""",
+        """items AS (
+  SELECT DISTINCT source AS item FROM documents
+)""",
+        """p0 AS (
+  SELECT item, CAST(1000000 AS BIGINT) AS p FROM items
+)""",
+    ]
+    for it in range(1, _Q220_ITERS + 1):
+        prev = f"p{it - 1}"
+        parts.append(
+            f"""t{it} AS (
+  SELECT n.a, n.b,
+         (2 * n.n * {_Q220_SCALE} + (pa.p + pb.p))
+           // (2 * (pa.p + pb.p)) AS t
+  FROM n JOIN {prev} pa ON pa.item = n.a
+         JOIN {prev} pb ON pb.item = n.b
+)"""
+        )
+        parts.append(
+            f"""s{it} AS (
+  SELECT item, CAST(sum(t) AS BIGINT) AS s FROM (
+    SELECT a AS item, t FROM t{it}
+    UNION ALL
+    SELECT b AS item, t FROM t{it}
+  ) GROUP BY item
+)"""
+        )
+        parts.append(
+            f"""p{it} AS (
+  SELECT s.item,
+         CAST((2 * coalesce(w.wins, 0) * {_Q220_SCALE} + s.s)
+              // (2 * s.s) AS BIGINT) AS p
+  FROM s{it} s LEFT JOIN w ON w.item = s.item
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT i.item AS source,
+       coalesce(w.wins, 0) AS wins,
+       coalesce(nc.n_comparisons, 0) AS n_comparisons,
+       p1.p AS p1_micro, p{_Q220_ITERS}.p AS p{_Q220_ITERS}_micro
+FROM items i
+LEFT JOIN w ON w.item = i.item
+LEFT JOIN (
+  SELECT item, CAST(sum(n) AS BIGINT) AS n_comparisons FROM (
+    SELECT a AS item, n FROM n
+    UNION ALL
+    SELECT b AS item, n FROM n
+  ) GROUP BY item
+) nc ON nc.item = i.item
+JOIN p1 ON p1.item = i.item
+JOIN p{_Q220_ITERS} ON p{_Q220_ITERS}.item = i.item
+"""
+    )
+
+
+@register("q220_bradley_terry", _q220_oracle())
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-data QA: fit Bradley-Terry strengths to pairwise
+    comparisons with the MM update (Hunter 2004) — the audit an RLHF /
+    preference-dataset pipeline runs to rank annotators' implied item
+    quality and spot inconsistent win matrices.  Comparisons are
+    synthesized deterministically (offset doc pairs, longer document
+    wins — the q179 pattern; production reads a real preference-pairs
+    table and the algebra below is unchanged).
+
+    The MM update p_i ← W_i / Σ_j n_ij/(p_i+p_j) is computed in PURE
+    INTEGER arithmetic: every per-pair term n_ij/(p_i+p_j) is pinned to
+    pico units with the integer round-half-up rule (2·n·10¹² + d) div
+    (2d), then integer-summed (order-free — no float accumulation
+    anywhere), and the division W_i/S_i is pinned the same way.  Two
+    unrolled iterations, both emitted.
+
+    Scale: the win matrix build is the only corpus-sized work — one
+    map-side-combined aggregate per side; the iteration operates on
+    |items| rows (sources/models/annotators — dimension-sized) with
+    broadcast joins, K iterations = K tiny jobs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    right = docs.select(
+        F.col("doc_id").alias("r_id"),
+        F.col("source").alias("r_source"),
+        F.col("n_chars").alias("r_n_chars"),
+    )
+    cmp_parts = []
+    for k in _Q220_OFFSETS:
+        cmp_parts.append(
+            docs.join(right, F.col("r_id") == F.col("doc_id") + k)
+            .filter(F.col("source") != F.col("r_source"))
+            .select(
+                F.when(
+                    F.col("n_chars") >= F.col("r_n_chars"), F.col("source")
+                )
+                .otherwise(F.col("r_source"))
+                .alias("wsrc"),
+                F.when(
+                    F.col("n_chars") >= F.col("r_n_chars"),
+                    F.col("r_source"),
+                )
+                .otherwise(F.col("source"))
+                .alias("lsrc"),
+            )
+        )
+    cmp = cmp_parts[0]
+    for part in cmp_parts[1:]:
+        cmp = cmp.unionAll(part)
+    wins = cmp.groupBy(F.col("wsrc").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("wins")
+    )
+    n = cmp.groupBy(
+        F.least("wsrc", "lsrc").alias("a"),
+        F.greatest("wsrc", "lsrc").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    items = docs.select(F.col("source").alias("item")).distinct()
+    p = items.select("item", F.lit(1_000_000).cast("long").alias("p"))
+
+    p_hist = []
+    for _ in range(_Q220_ITERS):
+        pa = p.select(F.col("item").alias("a"), F.col("p").alias("pa"))
+        pb = p.select(F.col("item").alias("b"), F.col("p").alias("pb"))
+        terms = (
+            n.join(F.broadcast(pa), "a")
+            .join(F.broadcast(pb), "b")
+            .select(
+                "a",
+                "b",
+                F.expr(
+                    f"(2 * n * {_Q220_SCALE} + (pa + pb))"
+                    " div (2 * (pa + pb))"
+                ).alias("t"),
+            )
+        )
+        s = (
+            terms.select(F.col("a").alias("item"), "t")
+            .unionAll(terms.select(F.col("b").alias("item"), "t"))
+            .groupBy("item")
+            .agg(F.sum("t").cast("long").alias("s"))
+        )
+        p = (
+            s.join(F.broadcast(wins), "item", "left")
+            .select(
+                "item",
+                F.expr(
+                    f"(2 * coalesce(wins, 0) * {_Q220_SCALE} + s)"
+                    " div (2 * s)"
+                )
+                .cast("long")
+                .alias("p"),
+            )
+        )
+        p_hist.append(p)
+
+    n_comp = (
+        n.select(F.col("a").alias("item"), "n")
+        .unionAll(n.select(F.col("b").alias("item"), "n"))
+        .groupBy("item")
+        .agg(F.sum("n").cast("long").alias("n_comparisons"))
+    )
+    out = (
+        items.join(F.broadcast(wins), "item", "left")
+        .join(F.broadcast(n_comp), "item", "left")
+        .join(
+            F.broadcast(p_hist[0].select("item", F.col("p").alias("p1"))),
+            "item",
+        )
+        .join(
+            F.broadcast(
+                p_hist[-1].select("item", F.col("p").alias("pK"))
+            ),
+            "item",
+        )
+    )
+    return out.select(
+        F.col("item").alias("source"),
+        F.coalesce("wins", F.lit(0)).cast("long").alias("wins"),
+        F.coalesce("n_comparisons", F.lit(0))
+        .cast("long")
+        .alias("n_comparisons"),
+        F.col("p1").alias("p1_micro"),
+        F.col("pK").alias(f"p{_Q220_ITERS}_micro"),
+    )

@@ -243,3 +243,72 @@ def test_q218_recall_matches_numpy_replay(spark):
         for r in q218(spark, SF001).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q220 — Bradley-Terry
+# ---------------------------------------------------------------------------
+
+
+def test_q220_matches_python_replay(spark):
+    from collections import Counter, defaultdict
+
+    from nessus_client_etl_scripts_spark.catalog import load_table
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q220_ITERS,
+        _Q220_OFFSETS,
+        _Q220_SCALE,
+        q220,
+    )
+
+    docs = {
+        r["doc_id"]: (r["source"], r["n_chars"])
+        for r in load_table(spark, SF001, "documents").collect()
+    }
+    wins: Counter = Counter()
+    npair: Counter = Counter()
+    for k in _Q220_OFFSETS:
+        for i, (s1, c1) in docs.items():
+            if i + k not in docs:
+                continue
+            s2, c2 = docs[i + k]
+            if s1 == s2:
+                continue
+            w, l = (s1, s2) if c1 >= c2 else (s2, s1)
+            wins[w] += 1
+            npair[(min(w, l), max(w, l))] += 1
+    items = sorted({s for s, _ in docs.values()})
+    p = {s: 1_000_000 for s in items}
+    hist = []
+    for _ in range(_Q220_ITERS):
+        s_acc: defaultdict = defaultdict(int)
+        for (a, b), nv in npair.items():
+            d = p[a] + p[b]
+            t = (2 * nv * _Q220_SCALE + d) // (2 * d)
+            s_acc[a] += t
+            s_acc[b] += t
+        p = {
+            it: (2 * wins.get(it, 0) * _Q220_SCALE + s) // (2 * s)
+            for it, s in s_acc.items()
+        }
+        hist.append(dict(p))
+    got = {
+        r["source"]: (
+            r["wins"],
+            r["n_comparisons"],
+            r["p1_micro"],
+            r[f"p{_Q220_ITERS}_micro"],
+        )
+        for r in q220(spark, SF001).collect()
+    }
+    ncomp: Counter = Counter()
+    for (a, b), nv in npair.items():
+        ncomp[a] += nv
+        ncomp[b] += nv
+    want = {
+        s: (wins.get(s, 0), ncomp.get(s, 0), hist[0][s], hist[-1][s])
+        for s in items
+    }
+    assert got == want
+    # the MM fit separates items: strengths are not all equal
+    assert len({v[3] for v in got.values()}) > 1
