@@ -31,21 +31,25 @@ def canonicalize_url(url: Column | str) -> Column:
     remaining query params.  Idempotent: applying it twice is the
     identity on its own output."""
     u = _col(url)
-    # Strip ONE leading www. label, and only when at least one more
-    # dotted label follows ("www.site.com" → "site.com", but "www.com"
-    # is a registered host and stays).  The lookahead also makes the
-    # whole canonicalization idempotent ("www.www.com" → "www.com" →
-    # stable) — property-tested.  The q214 oracle uses plain ^www\.
-    # (RE2 has no lookahead); the two agree on every host whose first
-    # post-www label is not itself a bare public suffix, which the
-    # synthesized universe guarantees.
-    noww = F.regexp_replace(
-        F.lower(
-            F.regexp_replace(F.split(u, "#").getItem(0), "^https?://", "")
-        ),
-        r"^www\.(?=[^./?]+\.)",
-        "",
+    low = F.lower(
+        F.regexp_replace(F.split(u, "#").getItem(0), "^https?://", "")
     )
+    # Strip ALL leading www. labels, but only when what remains is
+    # still a registrable host — at least two labels and not a bare
+    # public suffix ("www.site.com" → "site.com"; "www.com" and
+    # "www.co.uk" are registered hosts and stay; "www.www.co.uk"
+    # stays whole rather than being reduced to the suffix).  The
+    # all-or-nothing rule is what makes canonicalization IDEMPOTENT
+    # (property-tested): the stripped form never starts with www.,
+    # and a kept form is kept again on every later pass.  The q214
+    # oracle uses plain ^www\. — identical on the synthesized
+    # universe, which has no nested-www or bare-suffix hosts.
+    stripped = F.regexp_replace(low, r"^(www\.)+", "")
+    shost = F.split(stripped, r"[/?]").getItem(0)
+    bare_suffixes = [s.lstrip(".") for s in TWO_LABEL_SUFFIXES]
+    noww = F.when(
+        shost.contains(".") & ~shost.isin(*bare_suffixes), stripped
+    ).otherwise(low)
     qsplit = F.split(noww, r"\?")
     hp = qsplit.getItem(0)
     # F.get, not getItem: a URL with no query string has a 1-element

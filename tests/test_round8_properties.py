@@ -50,10 +50,17 @@ def test_canonicalize_url_idempotent_and_clean(spark, urls):
         assert "://" not in r["c1"]
         assert "#" not in r["c1"]
         if r["c1"].startswith("www."):
-            # only when www IS the registered label (www.com): the
-            # canonicalizer never strips a host down to a bare TLD
-            rest = r["c1"][4:].split("/")[0].split("?")[0]
-            assert "." not in rest
+            # a kept www. prefix means stripping would have left a
+            # non-registrable host: dotless, or a bare public suffix
+            import re as _re
+
+            rest = _re.sub(r"^(www\.)+", "", r["c1"])
+            rhost = _re.split(r"[/?]", rest)[0]
+            assert "." not in rhost or rhost in {
+                "co.uk",
+                "com.au",
+                "co.jp",
+            }
         assert "utm" not in r["c1"]
         if "?" in r["c1"]:
             ps = r["c1"].split("?", 1)[1].split("&")
