@@ -283,7 +283,8 @@ def bpe_train(
     text_col: str = "text",
     id_col: str = "doc_id",
     marker: str = "~",
-) -> DataFrame:
+    return_state: bool = False,
+):
     """Full BPE vocabulary training (Sennrich et al. 2016): iterate
     :func:`top_bigram`-select → greedy-merge ``n_merges`` times and
     emit the MERGE TABLE — rank, winning pair, its corpus frequency at
@@ -374,11 +375,18 @@ def bpe_train(
         (r, pair, c, tok[r - 1] - tok[r], tok[r])
         for r, (pair, c) in enumerate(meta, 1)
     ]
-    return spark.createDataFrame(
+    table = spark.createDataFrame(
         out,
         "merge_rank long, merged_pair string, pair_count long,"
         " n_merges long, n_tokens_after long",
     )
+    if return_state:
+        # The final localCheckpoint'ed state IS the training corpus
+        # with every merge applied — consumers that need it (vocab
+        # extraction for byte-fallback encoding) take it here instead
+        # of re-running a K-deep merge_chain rewrite over the corpus.
+        return table, state
+    return table
 
 
 def bigram_lm_score(

@@ -75,8 +75,9 @@ def canonicalize_url(url: Column | str) -> Column:
 
 def host_of(canon: Column | str) -> Column:
     """The host part of a canonicalized URL (everything before the
-    first ``/``)."""
-    return F.split(_col(canon), "/").getItem(0)
+    first ``/`` OR ``?`` — a canonical URL may carry a query string
+    with no path, e.g. ``example.com?x=1``)."""
+    return F.split(_col(canon), r"[/?]").getItem(0)
 
 
 def registered_domain(

@@ -632,7 +632,7 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q207_ORACLE = """
 WITH e AS (
-  SELECT event_type, value FROM events
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
 ), n AS (
   SELECT event_type, count(*) AS n FROM e GROUP BY 1
 ), r AS (

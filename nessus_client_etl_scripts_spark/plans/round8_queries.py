@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread_for_compute
 from ..operators.lm import bpe_apply, bpe_train, merge_chain
-from ..operators.similarity import dot
+from ..operators.similarity import cosine
 from ..operators.text import normalize_text, tokens
 from ..operators.web import (
     canonicalize_url,
@@ -299,15 +299,16 @@ def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     train = docs.filter(F.col("doc_id") % 2 == 0)
+    table, train_state = bpe_train(
+        train, n_merges=_Q201_MERGES, return_state=True
+    )
     merges = [
-        r["merged_pair"]
-        for r in bpe_train(train, n_merges=_Q201_MERGES)
-        .orderBy("merge_rank")
-        .collect()
+        r["merged_pair"] for r in table.orderBy("merge_rank").collect()
     ]
+    # the trainer's final state IS the merged train corpus — extract
+    # the vocabulary from it instead of re-running the K-deep rewrite
     vocab = (
-        bpe_apply(train, merges)
-        .select(F.explode(F.split("s", " ")).alias("tok"))
+        train_state.select(F.explode(F.split("s", " ")).alias("tok"))
         .distinct()
         .withColumn("known", F.lit(True))
     )
@@ -603,17 +604,8 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "nid",
-            (
-                dot(F.col("qv"), F.col("cv"))
-                / (
-                    F.sqrt(dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(dot(F.col("cv"), F.col("cv")))
-                )
-            ).alias("cos_full"),
-            (
-                dot(qt, ct)
-                / (F.sqrt(dot(qt, qt)) * F.sqrt(dot(ct, ct)))
-            ).alias("cos_trunc"),
+            cosine(F.col("qv"), F.col("cv")).alias("cos_full"),
+            cosine(qt, ct).alias("cos_trunc"),
         )
     )
     wf = Window.partitionBy("query_id").orderBy(
@@ -799,8 +791,8 @@ def _q220_oracle() -> str:
         parts.append(
             f"""p{it} AS (
   SELECT s.item,
-         CAST((2 * coalesce(w.wins, 0) * {_Q220_SCALE} + s.s)
-              // (2 * s.s) AS BIGINT) AS p
+         CAST(greatest(1, (2 * coalesce(w.wins, 0) * {_Q220_SCALE} + s.s)
+              // (2 * s.s)) AS BIGINT) AS p
   FROM s{it} s LEFT JOIN w ON w.item = s.item
 )"""
         )
@@ -842,7 +834,11 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
     pico units with the integer round-half-up rule (2·n·10¹² + d) div
     (2d), then integer-summed (order-free — no float accumulation
     anywhere), and the division W_i/S_i is pinned the same way.  Two
-    unrolled iterations, both emitted.
+    unrolled iterations, both emitted.  Strengths floor at 1 micro-unit
+    (greatest(1, ·)): a winless item would otherwise hit integer p = 0
+    and a pair of winless items would divide by zero in the next MM
+    round — unreachable on the synthesized comparisons, routine in
+    real preference tables.
 
     Scale: the win matrix build is the only corpus-sized work — one
     map-side-combined aggregate per side; the iteration operates on
@@ -915,8 +911,8 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "item",
                 F.expr(
-                    f"(2 * coalesce(wins, 0) * {_Q220_SCALE} + s)"
-                    " div (2 * s)"
+                    f"greatest(1, (2 * coalesce(wins, 0) * {_Q220_SCALE}"
+                    " + s) div (2 * s))"
                 )
                 .cast("long")
                 .alias("p"),

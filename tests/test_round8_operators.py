@@ -288,7 +288,7 @@ def test_q220_matches_python_replay(spark):
             s_acc[a] += t
             s_acc[b] += t
         p = {
-            it: (2 * wins.get(it, 0) * _Q220_SCALE + s) // (2 * s)
+            it: max(1, (2 * wins.get(it, 0) * _Q220_SCALE + s) // (2 * s))
             for it, s in s_acc.items()
         }
         hist.append(dict(p))

@@ -41,7 +41,7 @@ def main() -> None:
         )
         + ". Regenerate with `python tools/gen_query_index.py`."
         " Order below is numeric; the driver iterates `queries()` in"
-        " evidence-priority order (see `__spark_entry__._R7_HEAD`).",
+        " evidence-priority order (see the head tuple in `__spark_entry__.py`).",
         "",
         "| query | module | oracle | summary |",
         "|---|---|---|---|",
