@@ -312,3 +312,32 @@ def test_q220_matches_python_replay(spark):
     assert got == want
     # the MM fit separates items: strengths are not all equal
     assert len({v[3] for v in got.values()}) > 1
+
+
+def test_host_of_pathless_url_with_query(spark):
+    """Review fix: a canonical URL with a query string but no path must
+    not leak the query into the host / registered domain."""
+    from nessus_client_etl_scripts_spark.operators.web import (
+        canonicalize_url,
+        host_of,
+        registered_domain,
+    )
+
+    df = spark.createDataFrame(
+        [("https://example.com?x=1",), ("http://www.a.co.uk?b=2&a=1",)],
+        "url string",
+    )
+    rows = (
+        df.select(canonicalize_url("url").alias("c"))
+        .select(
+            "c",
+            host_of("c").alias("h"),
+            registered_domain(host_of("c")).alias("d"),
+        )
+        .collect()
+    )
+    got = {r["c"]: (r["h"], r["d"]) for r in rows}
+    assert got == {
+        "example.com?x=1": ("example.com", "example.com"),
+        "a.co.uk?a=1&b=2": ("a.co.uk", "a.co.uk"),
+    }
