@@ -949,3 +949,99 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p1").alias("p1_micro"),
         F.col("pK").alias(f"p{_Q220_ITERS}_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q221 — temperature-scaled mixture quotas (alpha-sampling)
+# ---------------------------------------------------------------------------
+
+_Q221_TARGET = 200  # total documents the mix may keep
+
+_Q221_ORACLE = f"""
+WITH n AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY lang
+), w AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(n_docs)) AS BIGINT) AS wt
+  FROM n
+), tot AS (
+  SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w
+), quota AS (
+  SELECT lang, n_docs, wt,
+         least(n_docs,
+               (2 * {_Q221_TARGET} * wt + tw) // (2 * tw)) AS quota
+  FROM w CROSS JOIN tot
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT q.lang, q.n_docs, q.wt, CAST(q.quota AS BIGINT) AS quota,
+       CAST(sum(CASE WHEN r.rk <= q.quota THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM quota q JOIN r ON r.lang = q.lang
+GROUP BY q.lang, q.n_docs, q.wt, q.quota
+"""
+
+
+@register("q221_temperature_mixture", _Q221_ORACLE)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture quotas — the multilingual/multi-source
+    α-sampling rule (XLM-R / mT5, α = 1/2): per-LANGUAGE keep quotas
+    proportional to n_docs^α, flattening the head so low-resource
+    languages are not drowned by the biggest one, then a deterministic
+    keep-ranking inside each language (the corpus langs are genuinely skewed —
+    en dominates — so the flattening is visible in the output).  Complements q219 (WHEN documents
+    are seen) and q214 (per-DOMAIN caps): this sets HOW MANY each
+    language contributes.
+
+    Portability: n^(1/2) is the ONE fractional power that is safe
+    cross-engine — IEEE sqrt is correctly rounded (unlike ln/exp/pow),
+    so floor(sqrt(n)) is the same integer in both engines; quota
+    division uses the integer round-half-up rule; everything else is
+    counts.  Scale: two aggregations over the corpus (language counts,
+    kept counts) and a per-language rank — the language-count frame is
+    dimension-sized and broadcasts."""
+    from ..operators.windows import grouped_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = n.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs"))).cast("long").alias("wt"),
+    )
+    tot = w.agg(F.sum("wt").cast("long").alias("tw"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "wt",
+        F.least(
+            F.col("n_docs"),
+            F.expr(f"(2 * {_Q221_TARGET} * wt + tw) div (2 * tw)"),
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    ranked = grouped_row_number(
+        docs.select(
+            "doc_id", "lang", (-F.col("n_chars")).alias("_nnc")
+        ),
+        "lang",
+        ("_nnc", "doc_id"),
+        out_col="rk",
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .groupBy("lang", "n_docs", "wt", "quota")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("quota"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept")
+        )
+        .select("lang", "n_docs", "wt", "quota", "n_kept")
+    )

@@ -341,3 +341,26 @@ def test_host_of_pathless_url_with_query(spark):
         "example.com?x=1": ("example.com", "example.com"),
         "a.co.uk?a=1&b=2": ("a.co.uk", "a.co.uk"),
     }
+
+
+def test_q221_temperature_flattens_the_head(spark):
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q221_TARGET,
+        q221,
+    )
+
+    rows = q221(spark, SF001).collect()
+    assert rows
+    total_docs = sum(r["n_docs"] for r in rows)
+    total_kept = sum(r["n_kept"] for r in rows)
+    assert total_kept <= _Q221_TARGET + len(rows)  # ±1 per-lang rounding
+    for r in rows:
+        assert r["n_kept"] == min(r["quota"], r["n_docs"])
+        assert r["wt"] == int(r["n_docs"] ** 0.5)
+    # alpha=1/2 flattening: the dominant language's kept share is
+    # strictly below its document share, and the smallest language's
+    # kept share is strictly above its document share
+    big = max(rows, key=lambda r: r["n_docs"])
+    small = min(rows, key=lambda r: r["n_docs"])
+    assert big["n_kept"] / total_kept < big["n_docs"] / total_docs
+    assert small["n_kept"] / total_kept > small["n_docs"] / total_docs
