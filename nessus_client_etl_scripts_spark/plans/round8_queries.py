@@ -1045,3 +1045,153 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "n_docs", "wt", "quota", "n_kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# q222 — BM25 scan-time retrieval, integer-exact
+# ---------------------------------------------------------------------------
+
+# Query phrase terms (bigrams — the synthetic unigram vocabulary is ~30
+# words so every unigram has df ≈ N and zero idf; bigram df sits near
+# N/16, giving 3-4 whole idf bits of real discrimination).
+_Q222_TERMS = ("hash join", "table scan", "sort merge", "stream customer")
+_Q222_TOPK = 10
+
+_Q222_TERMS_SQL = ", ".join(f"'{t}'" for t in _Q222_TERMS)
+
+# BM25 with k1 = 6/5 (1.2) and b = 3/4 (0.75) — both exact rationals, so
+# the tf-saturation term is a ratio of integers once scaled by 10·L·N:
+#   tf·(k1+1) / (tf + k1·(1-b) + k1·b·dl/avgdl)      avgdl = L/N
+# = 22·tf·L / (10·tf·L + 3·L + 9·dl·N)
+# idf is the Lucene-style always-positive form log2(1 + (N-df+.5)/(df+.5))
+# = log2((2N+2)/(2df+1)), taken in WHOLE BITS via the q204 no-libm
+# floor_log2 = length(bin(k))-1, exact because floor(log2(x)) =
+# floor(log2(floor(x))) for x ≥ 1.
+_Q222_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), d AS (
+  SELECT doc_id, CAST(len(l) - 1 AS BIGINT) AS dl,
+         list_transform(generate_series(1, len(l) - 1),
+                        i -> l[i] || ' ' || l[i + 1]) AS bl
+  FROM s WHERE len(l) >= 2
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tl
+  FROM d
+), tf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(bl) AS t FROM d)
+  WHERE t IN ({_Q222_TERMS_SQL})
+  GROUP BY doc_id, t
+), idf AS (
+  SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(length(bin((2 * (SELECT n FROM stats) + 2)
+                         // (2 * count(DISTINCT doc_id) + 1))) - 1
+              AS BIGINT) AS idf_bits
+  FROM tf GROUP BY t
+), term_scores AS (
+  SELECT tf.doc_id, d.dl,
+         (2000000 * idf.idf_bits * 22 * tf.tf * stats.tl
+          + (10 * tf.tf * stats.tl + 3 * stats.tl + 9 * d.dl * stats.n))
+         // (2 * (10 * tf.tf * stats.tl + 3 * stats.tl
+                  + 9 * d.dl * stats.n)) AS sc
+  FROM tf JOIN d USING (doc_id) CROSS JOIN stats
+       JOIN idf ON idf.t = tf.t
+)
+SELECT doc_id, CAST(max(dl) AS BIGINT) AS dl,
+       CAST(count(*) AS BIGINT) AS n_terms_matched,
+       CAST(sum(sc) AS BIGINT) AS score_micro
+FROM term_scores
+GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC
+LIMIT {_Q222_TOPK}
+"""
+
+
+@register("q222_bm25_topk", _Q222_ORACLE)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{k} retrieval (Robertson/Spärck Jones; the Lucene
+    default ranking function) over bigram phrase terms, integer-exact
+    cross-engine: k1 = 6/5 and b = 3/4 are exact rationals, so the
+    saturation term scales to the integer ratio 22·tf·L /
+    (10·tf·L + 3·L + 9·dl·N) with avgdl = L/N left UNROUNDED (L, N are
+    corpus totals), and idf uses the always-positive Lucene form
+    log2((2N+2)/(2df+1)) in whole bits via the no-libm floor_log2.
+    Per-term micro scores are pinned with the round-half-up rule, so
+    the value hash verifies exactly instead of chasing libm ULPs.
+
+    Scale: the early term filter on the exploded bigram stream means
+    only postings for the {nt} query terms survive the scan — the tf
+    frame is (matched docs × terms)-sized, the idf/df frame is
+    terms-sized and broadcasts, and the final ranking is a
+    TakeOrderedAndProject, never a global sort.  At index-build time a
+    real system would materialize the postings (doc_id, term, tf) once
+    and skip the corpus scan per query; this declared form IS that
+    posting-list construction plus one query's scoring pass.  At
+    extreme corpus sizes Σ-term numerators approach BIGINT range with
+    L ~ 1e12; the production form then pins avgdl once (micro units)
+    instead of carrying L·N through every product."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = (
+        docs.select("doc_id", tokens(normalize_text("text")).alias("l"))
+        .filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            (F.size("l") - 1).cast("long").alias("dl"),
+            F.zip_with(
+                F.slice(F.col("l"), 1, F.size("l") - 1),
+                F.slice(F.col("l"), 2, F.size("l") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ).alias("bl"),
+        )
+    )
+    stats = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("tl"),
+    )
+    terms = F.array(*[F.lit(t) for t in _Q222_TERMS])
+    tf = (
+        staged.select(
+            "doc_id", "dl", F.explode("bl").alias("t")
+        )
+        .filter(F.array_contains(terms, F.col("t")))
+        .groupBy("doc_id", "dl", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("t")
+        .agg(F.count_distinct("doc_id").cast("long").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n")))
+        .select(
+            "t",
+            (F.length(F.bin(F.expr("(2 * n + 2) div (2 * df + 1)"))) - 1)
+            .cast("long")
+            .alias("idf_bits"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            F.expr(
+                "(2000000 * idf_bits * 22 * tf * tl"
+                " + (10 * tf * tl + 3 * tl + 9 * dl * n))"
+                " div (2 * (10 * tf * tl + 3 * tl + 9 * dl * n))"
+            ).alias("sc"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.max("dl").cast("long").alias("dl"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum("sc").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(_Q222_TOPK)
+    )
+
+
+q222.__doc__ = q222.__doc__.format(k=_Q222_TOPK, nt=len(_Q222_TERMS))

@@ -364,3 +364,58 @@ def test_q221_temperature_flattens_the_head(spark):
     small = min(rows, key=lambda r: r["n_docs"])
     assert big["n_kept"] / total_kept < big["n_docs"] / total_docs
     assert small["n_kept"] / total_kept > small["n_docs"] / total_docs
+
+
+def test_q222_bm25_brute_force_twin(spark):
+    """Recompute BM25 in plain Python over sf0.001 and require the
+    distributed plan to agree exactly (scores, set, and order)."""
+    import math
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q222_TERMS,
+        _Q222_TOPK,
+        q222,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    bl = {}
+    for r in docs:
+        toks = _norm(r["text"]).split(" ")
+        if len(toks) >= 2:
+            bl[r["doc_id"]] = [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+    n = len(bl)
+    tl = sum(len(v) for v in bl.values())
+    df = {
+        t: sum(1 for v in bl.values() if t in v) for t in _Q222_TERMS
+    }
+    scores = {}
+    for doc_id, v in bl.items():
+        dl, s, hits = len(v), 0, 0
+        for t in _Q222_TERMS:
+            tf = v.count(t)
+            if not tf:
+                continue
+            hits += 1
+            idf_bits = int(
+                math.log2((2 * n + 2) // (2 * df[t] + 1))
+            )
+            den = 10 * tf * tl + 3 * tl + 9 * dl * n
+            s += (2_000_000 * idf_bits * 22 * tf * tl + den) // (
+                2 * den
+            )
+        if hits:
+            scores[doc_id] = (s, hits, dl)
+    want = sorted(
+        scores.items(), key=lambda kv: (-kv[1][0], kv[0])
+    )[:_Q222_TOPK]
+    got = q222(spark, SF001).collect()
+    assert [
+        (r["doc_id"], r["score_micro"], r["n_terms_matched"], r["dl"])
+        for r in got
+    ] == [(d, s, h, dl) for d, (s, h, dl) in want]
+    # saturation sanity: every matched score is positive and bounded by
+    # (k1+1)=2.2 × idf_bits ≤ 2.2 × 63 per term
+    assert all(0 < r["score_micro"] < len(_Q222_TERMS) * 2_200_000 * 63
+               for r in got)
