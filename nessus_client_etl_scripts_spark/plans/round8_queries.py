@@ -1195,3 +1195,163 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q222.__doc__ = q222.__doc__.format(k=_Q222_TOPK, nt=len(_Q222_TERMS))
+
+
+# ---------------------------------------------------------------------------
+# q223 — Fleiss' kappa inter-annotator agreement
+# ---------------------------------------------------------------------------
+
+# Three deterministic synthetic annotators (the q179/q214 pattern —
+# derive everything from doc_id/n_chars so both engines build identical
+# inputs): the true label is a length bucket, and annotator j flips the
+# label up by one (mod 3) on a sparse doc_id-keyed residue, so raters
+# mostly agree (kappa lands solidly positive) but not perfectly.
+_Q223_PRIMES = (13, 29, 47)
+_Q223_R = len(_Q223_PRIMES)
+
+_Q223_LABELS_SQL = " UNION ALL ".join(
+    f"""SELECT doc_id,
+        ((n_chars // 150) % 3 + CASE WHEN (doc_id * {p}) % 7 = 0
+                                     THEN 1 ELSE 0 END) % 3 AS label
+        FROM documents"""
+    for p in _Q223_PRIMES
+)
+
+# Fleiss 1971 with N docs, R raters, n_ij raters assigning doc i to
+# category j, C_j = Σ_i n_ij:
+#   P̄  = (Σ_ij n_ij² − N·R) / (N·R·(R−1))        X = Σ_ij n_ij²
+#   P̄e = Σ_j (C_j/(N·R))²  = Y / (N·R)²          Y = Σ_j C_j²
+#   κ  = (P̄ − P̄e)/(1 − P̄e)
+#      = [(X − N·R)·N·R − Y·(R−1)] / [(R−1)·((N·R)² − Y)]
+# — one exact integer ratio, pinned to micro units sign-safely.
+_Q223_ORACLE = f"""
+WITH labels AS ({_Q223_LABELS_SQL}
+), nij AS (
+  SELECT doc_id, label, CAST(count(*) AS BIGINT) AS c
+  FROM labels GROUP BY doc_id, label
+), x AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+         CAST(sum(c * c) AS BIGINT) AS x
+  FROM nij
+), cj AS (
+  SELECT label, CAST(sum(c) AS BIGINT) AS cj FROM nij GROUP BY label
+), y AS (
+  SELECT CAST(sum(cj * cj) AS BIGINT) AS y,
+         CAST(sum(CASE WHEN label = 0 THEN cj ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN label = 1 THEN cj ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN label = 2 THEN cj ELSE 0 END) AS BIGINT) AS c2
+  FROM cj
+), k AS (
+  SELECT n, x, y, c0, c1, c2,
+         (x - n * {_Q223_R}) * n * {_Q223_R}
+           - y * {_Q223_R - 1} AS knum,
+         {_Q223_R - 1} * (n * n * {_Q223_R * _Q223_R} - y) AS kden
+  FROM x CROSS JOIN y
+)
+SELECT n AS n_docs, CAST({_Q223_R} AS BIGINT) AS n_raters,
+       c0, c1, c2,
+       CAST((2000000 * (x - n * {_Q223_R})
+             + n * {_Q223_R * (_Q223_R - 1)})
+            // (2 * n * {_Q223_R * (_Q223_R - 1)}) AS BIGINT)
+         AS pbar_micro,
+       CAST((2000000 * y + n * n * {_Q223_R * _Q223_R})
+            // (2 * n * n * {_Q223_R * _Q223_R}) AS BIGINT)
+         AS pe_micro,
+       CAST(CASE WHEN knum >= 0
+                 THEN (2000000 * knum + kden) // (2 * kden)
+                 ELSE -((2000000 * (-knum) + kden) // (2 * kden))
+            END AS BIGINT) AS kappa_micro
+FROM k
+"""
+
+
+@register("q223_fleiss_kappa", _Q223_ORACLE)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (1971) — THE inter-annotator-agreement statistic a
+    labeling/RLHF pipeline reports before trusting human (or LLM-judge)
+    labels: chance-corrected agreement for R raters × N subjects ×
+    categorical labels.  Three deterministic synthetic annotators label
+    every document (true label = length bucket; each rater flips on its
+    own sparse doc_id residue), and κ = (P̄−P̄e)/(1−P̄e) reduces to ONE
+    exact integer ratio [(X−NR)·NR − Y·(R−1)] / [(R−1)((NR)²−Y)] with
+    X = Σn_ij², Y = ΣC_j² — integer-exact end to end, pinned to micro
+    units with a sign-safe half-away rule (κ can be negative for
+    worse-than-chance raters, so the nonneg round-half-up rule alone
+    would be wrong).
+
+    Scale: the label stream is (N·R) rows; n_ij is one map-side-combined
+    aggregation keyed (doc, label); everything after is
+    category-cardinality-sized (here 3 rows) — no window, no driver
+    state.  Complements q24 (lang-id confusion matrix: rater-vs-truth)
+    — kappa needs no ground truth, only rater-vs-rater consistency."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    d, nc = F.col("doc_id"), F.col("n_chars")
+    labels = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.expr("n_chars div 150") % 3
+                        + F.when((d * p) % 7 == 0, 1).otherwise(0)
+                    )
+                    % 3
+                    for p in _Q223_PRIMES
+                ]
+            )
+        ).alias("label"),
+    )
+    nij = labels.groupBy("doc_id", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    x = nij.agg(
+        F.count_distinct("doc_id").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("x"),
+    )
+    cj = nij.groupBy("label").agg(F.sum("c").cast("long").alias("cj"))
+    y = cj.agg(
+        F.sum(F.col("cj") * F.col("cj")).cast("long").alias("y"),
+        F.sum(F.when(F.col("label") == 0, F.col("cj")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("label") == 1, F.col("cj")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("label") == 2, F.col("cj")).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    r, r1 = _Q223_R, _Q223_R - 1
+    k = x.crossJoin(F.broadcast(y)).select(
+        "*",
+        F.expr(f"(x - n * {r}) * n * {r} - y * {r1}").alias("knum"),
+        F.expr(f"{r1} * (n * n * {r * r} - y)").alias("kden"),
+    )
+    return k.select(
+        F.col("n").alias("n_docs"),
+        F.lit(r).cast("long").alias("n_raters"),
+        "c0",
+        "c1",
+        "c2",
+        F.expr(
+            f"(2000000 * (x - n * {r}) + n * {r * r1})"
+            f" div (2 * n * {r * r1})"
+        )
+        .cast("long")
+        .alias("pbar_micro"),
+        F.expr(
+            f"(2000000 * y + n * n * {r * r})"
+            f" div (2 * n * n * {r * r})"
+        )
+        .cast("long")
+        .alias("pe_micro"),
+        F.expr(
+            "CASE WHEN knum >= 0"
+            " THEN (2000000 * knum + kden) div (2 * kden)"
+            " ELSE -((2000000 * (-knum) + kden) div (2 * kden)) END"
+        )
+        .cast("long")
+        .alias("kappa_micro"),
+    )

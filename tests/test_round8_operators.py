@@ -419,3 +419,40 @@ def test_q222_bm25_brute_force_twin(spark):
     # (k1+1)=2.2 × idf_bits ≤ 2.2 × 63 per term
     assert all(0 < r["score_micro"] < len(_Q222_TERMS) * 2_200_000 * 63
                for r in got)
+
+
+def test_q223_fleiss_kappa_brute_force_twin(spark):
+    """Recompute Fleiss' kappa in plain Python (textbook form, floats)
+    over sf0.001 and require the integer-ratio plan to agree to within
+    the micro quantum; also pin the agreement structure (kappa solidly
+    positive — the raters share a true label)."""
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q223_PRIMES,
+        q223,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    n_cat = 3
+    nij = {}
+    for r in docs:
+        counts = [0] * n_cat
+        for p in _Q223_PRIMES:
+            lab = ((r["n_chars"] // 150) % 3
+                   + (1 if (r["doc_id"] * p) % 7 == 0 else 0)) % 3
+            counts[lab] += 1
+        nij[r["doc_id"]] = counts
+    n, rr = len(nij), len(_Q223_PRIMES)
+    x = sum(c * c for cs in nij.values() for c in cs)
+    cj = [sum(cs[j] for cs in nij.values()) for j in range(n_cat)]
+    pbar = (x - n * rr) / (n * rr * (rr - 1))
+    pe = sum(c * c for c in cj) / (n * rr) ** 2
+    kappa = (pbar - pe) / (1 - pe)
+    row = q223(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert got["n_docs"] == n and got["n_raters"] == rr
+    assert [got["c0"], got["c1"], got["c2"]] == cj
+    assert abs(got["kappa_micro"] - kappa * 1_000_000) <= 1
+    assert abs(got["pbar_micro"] - pbar * 1_000_000) <= 1
+    assert abs(got["pe_micro"] - pe * 1_000_000) <= 1
+    assert got["kappa_micro"] > 400_000  # raters genuinely agree
