@@ -1355,3 +1355,156 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kappa_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q224 — triangle counting / global clustering via degree orientation
+# ---------------------------------------------------------------------------
+
+_Q224_CAP = 8  # per-part supplier fan-out cap (hub bound)
+
+_Q224_ORACLE = f"""
+WITH ps AS (
+  SELECT l_partkey AS p, l_suppkey AS s,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT p, s, row_number() OVER (PARTITION BY p
+                                  ORDER BY n_items DESC, s ASC) AS rk
+  FROM ps
+), capped AS (
+  SELECT p, s FROM ranked WHERE rk <= {_Q224_CAP}
+), edges AS (
+  SELECT DISTINCT a.s AS s1, b.s AS s2
+  FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s
+), deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT s1 AS v FROM edges UNION ALL SELECT s2 FROM edges)
+  GROUP BY v
+), oriented AS (
+  SELECT CASE WHEN d1.d <= d2.d THEN e.s1 ELSE e.s2 END AS u,
+         CASE WHEN d1.d <= d2.d THEN e.s2 ELSE e.s1 END AS v,
+         CASE WHEN d1.d <= d2.d THEN d2.d ELSE d1.d END AS dv
+  FROM edges e JOIN deg d1 ON d1.v = e.s1 JOIN deg d2 ON d2.v = e.s2
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM oriented o1
+  JOIN oriented o2 ON o1.u = o2.u
+       AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+  JOIN oriented o3 ON o3.u = o1.v AND o3.v = o2.v
+), stats AS (
+  SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+         CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+         CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)
+           AS n_wedges,
+         (SELECT t FROM tri) AS n_triangles
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CAST((2000000 * 3 * n_triangles + n_wedges) // (2 * n_wedges)
+            AS BIGINT) AS gcc_micro
+FROM stats
+"""
+
+
+@register("q224_triangle_count", _Q224_ORACLE)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient via DEGREE
+    ORIENTATION (the node-iterator++ / Latapy bound: orient every edge
+    from the (degree, id)-smaller endpoint to the larger, and every
+    triangle is counted exactly once with per-node out-degree bounded
+    by O(√m) — the join fan-out that makes distributed triangle
+    counting feasible at 100 TB, vs the unbounded hub wedges of the
+    naive undirected join).  Graph: suppliers co-supplying a part
+    (distinct lineitem part→supplier pairs), with a per-part top-{cap}
+    fan-out cap (by item count, supplier tie-break) — the standard
+    hub-cap that keeps co-occurrence pair generation linear in the
+    bipartite input rather than quadratic in a mega-part's supplier
+    list.  gcc = 3·triangles / wedges, pinned to micro units.
+
+    Scale: pair generation is per-part bounded (≤ C({cap},2) pairs per
+    part); the wedge join keys on the oriented source u and compares
+    (deg, id) tuples carried ON the edge rows, so no global node
+    renumbering (and no single-partition window) is ever built; the
+    closing check is one more hash join on (v_b, v_c).  All integer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from ..operators.windows import grouped_row_number
+
+    ps = li.groupBy(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    capped = grouped_row_number(
+        ps.select("p", "s", (-F.col("n_items")).alias("_ni")),
+        "p",
+        ("_ni", "s"),
+        out_col="rk",
+    ).filter(F.col("rk") <= _Q224_CAP)
+    a, b = capped.alias("a"), capped.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("s1").alias("v"))
+        .unionAll(edges.select(F.col("s2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ed = (
+        edges.join(deg.select(F.col("v").alias("s1"), F.col("d").alias("d1")), "s1")
+        .join(deg.select(F.col("v").alias("s2"), F.col("d").alias("d2")), "s2")
+    )
+    keep = F.col("d1") <= F.col("d2")
+    oriented = ed.select(
+        F.when(keep, F.col("s1")).otherwise(F.col("s2")).alias("u"),
+        F.when(keep, F.col("s2")).otherwise(F.col("s1")).alias("v"),
+        F.when(keep, F.col("d2")).otherwise(F.col("d1")).alias("dv"),
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    tri = (
+        o1.join(
+            o2,
+            (F.col("o1.u") == F.col("o2.u"))
+            & (
+                (F.col("o1.dv") < F.col("o2.dv"))
+                | (
+                    (F.col("o1.dv") == F.col("o2.dv"))
+                    & (F.col("o1.v") < F.col("o2.v"))
+                )
+            ),
+        )
+        .join(
+            o3,
+            (F.col("o3.u") == F.col("o1.v"))
+            & (F.col("o3.v") == F.col("o2.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    stats = (
+        deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+        )
+        .crossJoin(
+            F.broadcast(
+                edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            )
+        )
+        .crossJoin(F.broadcast(tri))
+    )
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        F.col("t").alias("n_triangles"),
+        F.expr("(2000000 * 3 * t + n_wedges) div (2 * n_wedges)")
+        .cast("long")
+        .alias("gcc_micro"),
+    )
+
+
+q224.__doc__ = q224.__doc__.format(cap=_Q224_CAP)

@@ -456,3 +456,46 @@ def test_q223_fleiss_kappa_brute_force_twin(spark):
     assert abs(got["pbar_micro"] - pbar * 1_000_000) <= 1
     assert abs(got["pe_micro"] - pe * 1_000_000) <= 1
     assert got["kappa_micro"] > 400_000  # raters genuinely agree
+
+
+def test_q224_triangle_brute_force_twin(spark):
+    """Recompute the capped co-supply graph and its triangles by brute
+    force (itertools over the adjacency set) at sf0.001 and require the
+    degree-oriented distributed plan to agree exactly."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q224_CAP,
+        q224,
+    )
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    per_ps = defaultdict(int)
+    for r in li:
+        per_ps[(r["l_partkey"], r["l_suppkey"])] += 1
+    by_part = defaultdict(list)
+    for (p, s), n in per_ps.items():
+        by_part[p].append((-n, s))
+    edges = set()
+    for p, lst in by_part.items():
+        keep = [s for _, s in sorted(lst)[:_Q224_CAP]]
+        edges |= {tuple(sorted(pair)) for pair in combinations(keep, 2)}
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    tri = sum(
+        1
+        for a, b, c in combinations(sorted(deg), 3)
+        if (a, b) in edges and (a, c) in edges and (b, c) in edges
+    )
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    row = q224(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert got["n_nodes"] == len(deg)
+    assert got["n_edges"] == len(edges)
+    assert got["n_wedges"] == wedges
+    assert got["n_triangles"] == tri
+    assert got["gcc_micro"] == (2_000_000 * 3 * tri + wedges) // (2 * wedges)
