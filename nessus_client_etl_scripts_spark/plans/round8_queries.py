@@ -1508,3 +1508,150 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q224.__doc__ = q224.__doc__.format(cap=_Q224_CAP)
+
+
+# ---------------------------------------------------------------------------
+# q225 — content-defined chunking (CDC) + chunk-store dedup audit
+# ---------------------------------------------------------------------------
+
+# Boundary rule: a chunk ends at token e when the rolling 2-token
+# window hash md5(l[e-1] || ' ' || l[e]) has a final hex digit in 0-3 —
+# divisor 4, expected chunk length 4 tokens.  md5 and 1-based substr
+# are bit-identical cross-engine (the q209 rule).
+_Q225_BOUNDARY = ("0", "1", "2", "3")
+_Q225_B_SQL = ", ".join(f"'{c}'" for c in _Q225_BOUNDARY)
+
+_Q225_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), d AS (
+  SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n,
+         list_sort(list_distinct(
+           list_filter(generate_series(2, len(l)),
+             e -> substr(md5(l[e - 1] || ' ' || l[e]), 32, 1)
+                  IN ({_Q225_B_SQL})) || [len(l)])) AS ends
+  FROM s WHERE len(l) >= 2
+), ch AS (
+  SELECT doc_id, n,
+         unnest(list_transform(generate_series(1, len(ends)),
+           k -> array_to_string(
+                  list_slice(l, coalesce(ends[k - 1], 0) + 1, ends[k]),
+                  ' '))) AS chunk
+  FROM d
+), store AS (
+  SELECT chunk, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY chunk
+), per AS (
+  SELECT ch.doc_id, max(ch.n) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN store.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared
+  FROM ch JOIN store USING (chunk)
+  GROUP BY ch.doc_id
+)
+SELECT doc_id, n_tokens, n_chunks, n_shared,
+       CAST((2000000 * n_tokens + n_chunks) // (2 * n_chunks) AS BIGINT)
+         AS avg_chunk_micro,
+       CAST((2000000 * n_shared + n_chunks) // (2 * n_chunks) AS BIGINT)
+         AS shared_micro
+FROM per
+"""
+
+
+@register("q225_cdc_chunking", _Q225_ORACLE)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the LBFS / FastCDC storage-dedup
+    primitive, here at token granularity): a chunk boundary falls
+    wherever the rolling 2-token window hash lands in a fixed residue
+    class (divisor 4 → expected 4-token chunks), so boundaries move
+    WITH the content — an insertion shifts at most the chunk it lands
+    in, unlike fixed-stride splitting (q59) where one insertion
+    reflows every later chunk.  Every chunk is then looked up in the
+    corpus-wide chunk store; per document the audit reports how many of
+    its chunk instances are shared (content seen ≥ 2 times anywhere) —
+    the dedup-ratio estimate a chunk-level storage/training-corpus
+    pipeline computes before committing to chunked storage.
+
+    Entirely row-local until the chunk-store aggregation: the ends
+    array and the chunk strings are whole-array ops over the staged
+    token attribute (the q209 staging rule); the store is one
+    map-side-combined groupBy on the chunk string and joins back on the
+    same key — at 100 TB both sides hash-partition on chunk content
+    (the dedup key), and md5 is the 128-bit collision-safe identity."""
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    staged = (
+        docs.select("doc_id", tokens(normalize_text("text")).alias("l"))
+        .filter(F.size("l") >= 2)
+        .select("doc_id", "l", F.size("l").cast("long").alias("n"))
+    )
+    bset = F.array(*[F.lit(c) for c in _Q225_BOUNDARY])
+    ends = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.filter(
+                    F.sequence(F.lit(2), F.col("n").cast("int")),
+                    lambda e: F.array_contains(
+                        bset,
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    " ",
+                                    F.element_at(F.col("l"), e - 1),
+                                    F.element_at(F.col("l"), e),
+                                )
+                            ),
+                            32,
+                            1,
+                        ),
+                    ),
+                ),
+                F.array(F.col("n").cast("int")),
+            )
+        )
+    )
+    chunks = staged.withColumn("ends", ends).select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ends")),
+                lambda k: F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("l"),
+                        F.coalesce(F.get(F.col("ends"), k - 2), F.lit(0))
+                        + 1,
+                        F.element_at(F.col("ends"), k)
+                        - F.coalesce(
+                            F.get(F.col("ends"), k - 2), F.lit(0)
+                        ),
+                    ),
+                ),
+            )
+        ).alias("chunk"),
+    )
+    store = chunks.groupBy("chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    per = (
+        chunks.join(store, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_chunks",
+        "n_shared",
+        F.expr("(2000000 * n_tokens + n_chunks) div (2 * n_chunks)")
+        .cast("long")
+        .alias("avg_chunk_micro"),
+        F.expr("(2000000 * n_shared + n_chunks) div (2 * n_chunks)")
+        .cast("long")
+        .alias("shared_micro"),
+    )

@@ -499,3 +499,52 @@ def test_q224_triangle_brute_force_twin(spark):
     assert got["n_wedges"] == wedges
     assert got["n_triangles"] == tri
     assert got["gcc_micro"] == (2_000_000 * 3 * tri + wedges) // (2 * wedges)
+
+
+def test_q225_cdc_properties(spark):
+    """CDC invariants at sf0.001: chunks tile each document exactly
+    (Σ chunk lengths = n_tokens), the shared branch is live, and the
+    boundary rule is shift-robust — inserting a token at the FRONT of a
+    document leaves every chunk after the first boundary unchanged."""
+    import hashlib
+    import re as _re
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q225_BOUNDARY,
+        q225,
+    )
+
+    rows = q225(spark, SF001).collect()
+    assert rows
+    assert any(r["n_shared"] > 0 for r in rows)  # dedup branch live
+    for r in rows:
+        assert 1 <= r["n_chunks"] <= r["n_tokens"]
+        assert 0 <= r["n_shared"] <= r["n_chunks"]
+
+    def chunk(toks):
+        ends = sorted(
+            {
+                e
+                for e in range(2, len(toks) + 1)
+                if hashlib.md5(
+                    f"{toks[e - 2]} {toks[e - 1]}".encode()
+                ).hexdigest()[-1] in _Q225_BOUNDARY
+            }
+            | {len(toks)}
+        )
+        prev, out = 0, []
+        for e in ends:
+            out.append(" ".join(toks[prev:e]))
+            prev = e
+        return out
+
+    doc = spark.read.parquet(f"{SF001}/documents.parquet").first()
+    toks = _re.sub(r"\s+", " ", doc["text"].strip().lower()).split(" ")
+    base, shifted = chunk(toks), chunk(["zzz"] + toks)
+    # python twin agrees with the plan on this doc
+    got = next(r for r in rows if r["doc_id"] == doc["doc_id"])
+    assert got["n_chunks"] == len(base)
+    assert got["n_tokens"] == len(toks)
+    # shift robustness: the tails coincide once past the first boundary
+    assert base[1:] == shifted[1 + (len(shifted) - len(base)):] or \
+        base[-max(1, len(base) - 2):] == shifted[-max(1, len(base) - 2):]
