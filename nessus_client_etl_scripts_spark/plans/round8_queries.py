@@ -1655,3 +1655,121 @@ def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shared_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — reciprocal-rank fusion (hybrid lexical + vector retrieval)
+# ---------------------------------------------------------------------------
+
+_Q226_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_Q226_QVEC = 0  # query vector id (excluded from the vector candidates)
+_Q226_TOPK = 10
+
+_Q226_ORACLE = f"""
+WITH lex AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+           AS lrank
+  FROM ({_Q222_ORACLE})
+), qv AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id = {_Q226_QVEC}
+), vecr AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS vrank
+  FROM (
+    SELECT c.vec_id AS id,
+           list_dot_product(qv.v, c.cv)
+             / (sqrt(list_dot_product(qv.v, qv.v))
+                * sqrt(list_dot_product(c.cv, c.cv))) AS score
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+          WHERE vec_id != {_Q226_QVEC}) c CROSS JOIN qv
+  )
+  ORDER BY vrank LIMIT {_Q226_TOPK}
+)
+SELECT COALESCE(lex.id, vecr.id) AS id,
+       CAST(lex.lrank AS BIGINT) AS lex_rank,
+       CAST(vecr.vrank AS BIGINT) AS vec_rank,
+       CAST(COALESCE(1000000000 // ({_Q226_K} + lex.lrank), 0)
+            + COALESCE(1000000000 // ({_Q226_K} + vecr.vrank), 0)
+            AS BIGINT) AS rrf_nano
+FROM lex FULL OUTER JOIN vecr ON lex.id = vecr.id
+ORDER BY rrf_nano DESC, id ASC
+LIMIT {_Q226_TOPK}
+"""
+
+
+@register("q226_rrf_hybrid", _Q226_ORACLE)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
+    standard hybrid-search combiner: fuse a LEXICAL ranking (q222's
+    BM25 top-{k}) with a VECTOR ranking (cosine to a query embedding,
+    top-{k}) by RRF(d) = Σ_lists 1/(60 + rank_d), a rank-only rule that
+    needs no score calibration between incomparable scoring scales —
+    exactly why production hybrid retrieval uses it.  Contributions are
+    pinned as 10⁹ div (60 + rank): integer division, bit-identical
+    cross-engine; documents missing from a list contribute 0.
+
+    Scale: both input rankings are top-{k} TakeOrderedAndProject
+    results (never a global sort), so the fusion join and final ordering
+    operate on 2·{k} rows — driver-free, broadcast-everything territory
+    regardless of corpus size.  The doc/vec id spaces coincide by
+    construction in this corpus (the multimodal-row contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import dot
+
+    lex = q222(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("score_micro").desc(), F.col("doc_id").asc()
+            )
+        )
+        .cast("long")
+        .alias("lrank"),
+    )
+    qv = emb.filter(F.col("vec_id") == _Q226_QVEC).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cand = emb.filter(F.col("vec_id") != _Q226_QVEC).select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    score = dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(dot(F.col("v"), F.col("v")))
+        * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    vecr = (
+        cand.crossJoin(F.broadcast(qv))
+        .select("id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(_Q226_TOPK)
+        .select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("id").asc()))
+            .cast("long")
+            .alias("vrank"),
+        )
+    )
+    fused = lex.join(vecr, "id", "full_outer").select(
+        "id",
+        F.col("lrank").alias("lex_rank"),
+        F.col("vrank").alias("vec_rank"),
+        (
+            F.coalesce(
+                F.expr(f"1000000000 div ({_Q226_K} + lrank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000000 div ({_Q226_K} + vrank)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_nano"),
+    )
+    return fused.orderBy(
+        F.col("rrf_nano").desc(), F.col("id").asc()
+    ).limit(_Q226_TOPK)
+
+
+q226.__doc__ = q226.__doc__.format(k=_Q226_TOPK)

@@ -548,3 +548,30 @@ def test_q225_cdc_properties(spark):
     # shift robustness: the tails coincide once past the first boundary
     assert base[1:] == shifted[1 + (len(shifted) - len(base)):] or \
         base[-max(1, len(base) - 2):] == shifted[-max(1, len(base) - 2):]
+
+
+def test_q226_rrf_fusion_properties(spark):
+    """RRF invariants at sf0.001: contributions follow 10^9//(60+rank)
+    exactly, a doc present in BOTH lists outranks the same ranks seen
+    singly, and the result is the top of the fused ordering."""
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q226_K,
+        _Q226_TOPK,
+        q226,
+    )
+
+    rows = q226(spark, SF001).collect()
+    assert 0 < len(rows) <= _Q226_TOPK
+    for r in rows:
+        want = 0
+        if r["lex_rank"] is not None:
+            want += 1_000_000_000 // (_Q226_K + r["lex_rank"])
+        if r["vec_rank"] is not None:
+            want += 1_000_000_000 // (_Q226_K + r["vec_rank"])
+        assert r["rrf_nano"] == want and want > 0
+    # ordering: descending rrf, id tiebreak
+    key = [(-r["rrf_nano"], r["id"]) for r in rows]
+    assert key == sorted(key)
+    # both retrieval modes contribute to the fused result
+    assert any(r["lex_rank"] is not None for r in rows)
+    assert any(r["vec_rank"] is not None for r in rows)
