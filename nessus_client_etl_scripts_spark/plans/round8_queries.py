@@ -1773,3 +1773,168 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q226.__doc__ = q226.__doc__.format(k=_Q226_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q227 — Gini coefficient of the token distribution (corpus concentration)
+# ---------------------------------------------------------------------------
+
+_Q227_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+), c AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c ASC, w ASC) AS i FROM c
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS t,
+         CAST(sum(i * c) AS BIGINT) AS s
+  FROM r
+)
+SELECT n AS n_terms, t AS total_tokens,
+       CAST((2000000 * (2 * s - (n + 1) * t) + n * t) // (2 * n * t)
+            AS BIGINT) AS gini_micro
+FROM s
+"""
+
+
+@register("q227_token_gini", _Q227_ORACLE)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the corpus token-frequency distribution —
+    the concentration audit that complements q204's Zipf slope: Gini =
+    (2·Σᵢ i·cᵢ − (n+1)·Σc) / (n·Σc) over counts sorted ascending, 0 =
+    perfectly uniform vocabulary use, →1 = a handful of tokens dominate
+    (a skew warning for tokenizer training and mixture design).
+    Integer-exact: counts, ranks, and one pinned micro ratio; the rank
+    is tie-invariant (equal counts commute in Σ i·cᵢ), so the word
+    tie-break affects nothing.
+
+    Scale: the ranked frame is VOCABULARY-sized (≈10⁵-10⁶ terms at
+    100 TB), not corpus-sized — the only global sort in the plan runs
+    on the aggregated counts, the standard two-phase shape (map-side
+    combined groupBy, then a dimension-sized analytic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            F.explode(tokens(normalize_text("text"))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    r = c.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").asc(), F.col("w").asc()))
+        .cast("long")
+        .alias("i"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("t"),
+        F.sum(F.col("i") * F.col("c")).cast("long").alias("s"),
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.col("t").alias("total_tokens"),
+        F.expr(
+            "(2000000 * (2 * s - (n + 1) * t) + n * t) div (2 * n * t)"
+        )
+        .cast("long")
+        .alias("gini_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228 — Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# Expected Benford shares log10(1 + 1/d) in micro units, d = 1..9 —
+# constants, so no libm call happens in either engine.
+_Q228_EXP = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+_Q228_EXP_SQL = ", ".join(
+    f"({d + 1}, {m})" for d, m in enumerate(_Q228_EXP)
+)
+
+_Q228_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice > 0
+), digit AS (
+  SELECT c // power(10, length(CAST(c AS VARCHAR)) - 1)::BIGINT AS d
+  FROM cents
+), obs AS (
+  SELECT CAST(d AS BIGINT) AS digit, CAST(count(*) AS BIGINT) AS n_obs
+  FROM digit GROUP BY d
+), tot AS (
+  SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs
+), exp AS (
+  SELECT * FROM (VALUES {_Q228_EXP_SQL}) AS t(digit, exp_micro)
+)
+SELECT exp.digit, COALESCE(obs.n_obs, 0) AS n_obs,
+       CAST((2000000 * COALESCE(obs.n_obs, 0) + tot.n) // (2 * tot.n)
+            AS BIGINT) AS obs_micro,
+       CAST(exp.exp_micro AS BIGINT) AS exp_micro,
+       CAST(abs((2000000 * COALESCE(obs.n_obs, 0) + tot.n) // (2 * tot.n)
+                - exp.exp_micro) AS BIGINT) AS dev_micro
+FROM exp LEFT JOIN obs ON obs.digit = exp.digit CROSS JOIN tot
+"""
+
+
+@register("q228_benford_audit", _Q228_ORACLE)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of a monetary column —
+    the standard forensic data-quality screen (fabricated or
+    range-clipped numbers deviate from log10(1+1/d)).  The digit is
+    extracted WITHOUT libm: prices become exact integer cents
+    (round(x·100) — cent-valued doubles sit ≪ 0.5 cents from the true
+    value, so both engines recover the same integer), and the first
+    digit is c div 10^(len(str(c))−1), BIGINT-to-string being
+    bit-identical cross-engine.  Expected shares are hardcoded micro
+    constants; observed shares pin with the round-half-up rule.  The
+    deliberately non-Benford TPC-H uniform price range shows up as
+    large dev_micro on digits 2-9 — which is the point of the audit.
+
+    Scale: one map-side-combined 9-group aggregation over the fact
+    scan; the expected table is 9 literal rows, broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 0
+    )
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("c")
+    )
+    digit = cents.select(
+        F.expr(
+            "c div CAST(power(10, length(CAST(c AS STRING)) - 1) AS BIGINT)"
+        ).alias("d")
+    )
+    obs = digit.groupBy(F.col("d").cast("long").alias("digit")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp = spark.createDataFrame(
+        [(d + 1, m) for d, m in enumerate(_Q228_EXP)],
+        "digit LONG, exp_micro LONG",
+    )
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.expr(
+                "(2000000 * coalesce(n_obs, 0) + n) div (2 * n)"
+            )
+            .cast("long")
+            .alias("obs_micro"),
+            F.col("exp_micro").cast("long"),
+            F.abs(
+                F.expr("(2000000 * coalesce(n_obs, 0) + n) div (2 * n)")
+                - F.col("exp_micro")
+            )
+            .cast("long")
+            .alias("dev_micro"),
+        )
+    )

@@ -575,3 +575,44 @@ def test_q226_rrf_fusion_properties(spark):
     # both retrieval modes contribute to the fused result
     assert any(r["lex_rank"] is not None for r in rows)
     assert any(r["vec_rank"] is not None for r in rows)
+
+
+def test_q227_gini_brute_force_twin(spark):
+    """Textbook Gini over the sf0.001 vocabulary counts must match the
+    plan's integer ratio to the micro quantum."""
+    from collections import Counter
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q227
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    counts = Counter(
+        w for r in docs for w in _norm(r["text"]).split(" ")
+    )
+    xs = sorted(counts.values())
+    n, t = len(xs), sum(xs)
+    gini = (2 * sum(i * x for i, x in enumerate(xs, 1))
+            - (n + 1) * t) / (n * t)
+    row = q227(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert got["n_terms"] == n and got["total_tokens"] == t
+    assert abs(got["gini_micro"] - gini * 1_000_000) <= 1
+    assert 0 <= got["gini_micro"] < 1_000_000
+
+
+def test_q228_benford_shares(spark):
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q228_EXP,
+        q228,
+    )
+
+    rows = {r["digit"]: r for r in q228(spark, SF001).collect()}
+    assert sorted(rows) == list(range(1, 10))
+    n = sum(r["n_obs"] for r in rows.values())
+    assert n > 0
+    for d, r in rows.items():
+        assert r["exp_micro"] == _Q228_EXP[d - 1]
+        assert abs(r["obs_micro"] - round(2_000_000 * r["n_obs"] / (2 * n))) <= 1
+        assert r["dev_micro"] == abs(r["obs_micro"] - r["exp_micro"])
+    # the expected-share constants themselves sum to ~1e6
+    assert abs(sum(_Q228_EXP) - 1_000_000) <= 5
