@@ -467,6 +467,7 @@ def test_q224_triangle_brute_force_twin(spark):
 
     from nessus_client_etl_scripts_spark.plans.round8_queries import (
         _Q224_CAP,
+        _Q224_SUPPORT,
         q224,
     )
 
@@ -477,10 +478,12 @@ def test_q224_triangle_brute_force_twin(spark):
     by_part = defaultdict(list)
     for (p, s), n in per_ps.items():
         by_part[p].append((-n, s))
-    edges = set()
+    support = defaultdict(int)
     for p, lst in by_part.items():
         keep = [s for _, s in sorted(lst)[:_Q224_CAP]]
-        edges |= {tuple(sorted(pair)) for pair in combinations(keep, 2)}
+        for pair in combinations(keep, 2):
+            support[tuple(sorted(pair))] += 1
+    edges = {e for e, c in support.items() if c >= _Q224_SUPPORT}
     deg = defaultdict(int)
     for u, v in edges:
         deg[u] += 1
