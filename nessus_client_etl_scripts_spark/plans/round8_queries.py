@@ -1964,3 +1964,114 @@ def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dev_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 — Chao1 vocabulary-richness estimate (unseen n-grams remaining)
+# ---------------------------------------------------------------------------
+
+_Q229_ORACLE = f"""
+WITH s AS (
+  SELECT lang, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), tg AS (
+  SELECT lang,
+         unnest(list_transform(generate_series(1, len(l) - 2),
+                i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS t
+  FROM s WHERE len(l) >= 3
+), c AS (
+  SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1, 2
+), r AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS s_obs,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         CAST(sum(c) AS BIGINT) AS n_ngrams
+  FROM c GROUP BY lang
+), est AS (
+  SELECT lang, s_obs, f1, f2, n_ngrams,
+         1000000 * s_obs
+           + (2000000 * f1 * (f1 - 1) + 2 * (f2 + 1))
+             // (4 * (f2 + 1)) AS chao1_micro
+  FROM r
+)
+SELECT lang, s_obs, f1, f2, n_ngrams,
+       CAST(chao1_micro AS BIGINT) AS chao1_micro,
+       CAST((2000000 * (1000000 * s_obs) + chao1_micro)
+            // (2 * chao1_micro) AS BIGINT) AS coverage_micro
+FROM est
+"""
+
+
+@register("q229_chao1_richness", _Q229_ORACLE)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimator (Chao 1984; the standard
+    unseen-vocabulary planner) per language over token TRIGRAMS: from
+    the singleton/doubleton counts of the frequency spectrum, estimate
+    the TRUE vocabulary size chao1 = S_obs + f1(f1−1)/(2(f2+1)) (the
+    bias-corrected form, defined at f2 = 0) and the coverage S_obs /
+    chao1 — the number a corpus-collection effort checks to decide
+    whether more crawling will still surface new constructions.
+    Integer-exact: counts, one pinned division for the correction term
+    and one for coverage (both non-negative).  BIGINT headroom: the
+    coverage pin computes 2·10⁶·(10⁶·S_obs), safe through vocabularies
+    of ~10⁶ types; a larger type space pins coverage at 10³ scale
+    instead.
+
+    Scale: the frequency spectrum is one map-side-combined groupBy on
+    (lang, trigram) followed by a vocabulary-sized re-aggregation to
+    (f1, f2, S) per language — the corpus is read once, nothing after
+    the first aggregation exceeds vocabulary cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    tg = (
+        docs.select("lang", tokens(normalize_text("text")).alias("l"))
+        .filter(F.size("l") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("l"), i),
+                        F.element_at(F.col("l"), i + 1),
+                        F.element_at(F.col("l"), i + 2),
+                    ),
+                )
+            ).alias("t"),
+        )
+    )
+    c = tg.groupBy("lang", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    r = c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+        F.sum("c").cast("long").alias("n_ngrams"),
+    )
+    est = r.withColumn(
+        "chao1_micro",
+        F.expr(
+            "1000000 * s_obs"
+            " + (2000000 * f1 * (f1 - 1) + 2 * (f2 + 1))"
+            "   div (4 * (f2 + 1))"
+        ).cast("long"),
+    )
+    return est.select(
+        "lang",
+        "s_obs",
+        "f1",
+        "f2",
+        "n_ngrams",
+        "chao1_micro",
+        F.expr(
+            "(2000000 * (1000000 * s_obs) + chao1_micro)"
+            " div (2 * chao1_micro)"
+        )
+        .cast("long")
+        .alias("coverage_micro"),
+    )

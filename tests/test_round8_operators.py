@@ -619,3 +619,33 @@ def test_q228_benford_shares(spark):
         assert r["dev_micro"] == abs(r["obs_micro"] - r["exp_micro"])
     # the expected-share constants themselves sum to ~1e6
     assert abs(sum(_Q228_EXP) - 1_000_000) <= 5
+
+
+def test_q229_chao1_brute_force_twin(spark):
+    """Textbook bias-corrected Chao1 over sf0.001 trigram spectra must
+    match the plan to the micro quantum; the correction branch must be
+    live (some language has singletons)."""
+    from collections import Counter, defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q229
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    spectra = defaultdict(Counter)
+    for r in docs:
+        toks = _norm(r["text"]).split(" ")
+        for i in range(len(toks) - 2):
+            spectra[r["lang"]][" ".join(toks[i:i + 3])] += 1
+    rows = {r["lang"]: r for r in q229(spark, SF001).collect()}
+    assert set(rows) == set(spectra)
+    assert any(r["f1"] > 0 for r in rows.values())
+    for lang, cnt in spectra.items():
+        got = rows[lang]
+        s = len(cnt)
+        f1 = sum(1 for c in cnt.values() if c == 1)
+        f2 = sum(1 for c in cnt.values() if c == 2)
+        assert (got["s_obs"], got["f1"], got["f2"]) == (s, f1, f2)
+        assert got["n_ngrams"] == sum(cnt.values())
+        chao1 = s + f1 * (f1 - 1) / (2 * (f2 + 1))
+        assert abs(got["chao1_micro"] - chao1 * 1_000_000) <= 1
+        assert abs(got["coverage_micro"] - s / chao1 * 1_000_000) <= 1
+        assert got["coverage_micro"] <= 1_000_000
