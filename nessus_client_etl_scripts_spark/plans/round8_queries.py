@@ -2075,3 +2075,111 @@ def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("coverage_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q230 — Good–Turing frequency smoothing audit
+# ---------------------------------------------------------------------------
+
+_Q230_RMAX = 5
+
+_Q230_ORACLE = f"""
+WITH s AS (
+  SELECT string_split({_NORM_SQL}, ' ') AS l FROM documents
+), tg AS (
+  SELECT unnest(list_transform(generate_series(1, len(l) - 2),
+                i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS t
+  FROM s WHERE len(l) >= 3
+), c AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY t
+), spec AS (
+  SELECT c AS r, CAST(count(*) AS BIGINT) AS f
+  FROM c GROUP BY c
+), tot AS (
+  SELECT CAST(sum(r * f) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN r = 1 THEN f ELSE 0 END) AS BIGINT) AS f1
+  FROM spec
+)
+SELECT a.r, a.f AS f_r, COALESCE(b.f, 0) AS f_next,
+       CAST((2000000 * (a.r + 1) * COALESCE(b.f, 0) + a.f)
+            // (2 * a.f) AS BIGINT) AS r_star_micro,
+       tot.n AS n_ngrams,
+       CAST((2000000 * tot.f1 + tot.n) // (2 * tot.n) AS BIGINT)
+         AS p0_micro
+FROM spec a LEFT JOIN spec b ON b.r = a.r + 1 CROSS JOIN tot
+WHERE a.r <= {_Q230_RMAX}
+"""
+
+
+@register("q230_good_turing", _Q230_ORACLE)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing frequency smoothing audit (Good 1953; the classic
+    language-model discount): for each low frequency class r ≤
+    {rmax}, the smoothed count r* = (r+1)·f_(r+1)/f_r, plus the
+    unseen-probability mass p₀ = f₁/N — the numbers an n-gram LM
+    (Katz backoff, simple GT) derives before assigning probability to
+    events never seen in training.  Complements q229 (same frequency
+    spectrum, the richness question) and q216 (the per-document
+    surprisal question): this is the SMOOTHING question — how much
+    probability must be reserved for the unseen.  Integer-exact:
+    the spectrum is counts-of-counts, r* and p₀ pin with the
+    round-half-up rule on non-negative operands.
+
+    Scale: two nested map-side-combined aggregations (corpus →
+    trigram counts → counts-of-counts); the spectrum frame is at most
+    max-frequency rows — effectively constant — and the class join is
+    a self-join on r+1 over that constant frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    tg = (
+        docs.select(tokens(normalize_text("text")).alias("l"))
+        .filter(F.size("l") >= 3)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("l"), i),
+                        F.element_at(F.col("l"), i + 1),
+                        F.element_at(F.col("l"), i + 2),
+                    ),
+                )
+            ).alias("t")
+        )
+    )
+    c = tg.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    spec = c.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    tot = spec.agg(
+        F.sum(F.col("r") * F.col("f")).cast("long").alias("n"),
+        F.sum(F.when(F.col("r") == 1, F.col("f")).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+    )
+    nxt = spec.select(
+        (F.col("r") - 1).alias("r"), F.col("f").alias("f_next")
+    )
+    return (
+        spec.filter(F.col("r") <= _Q230_RMAX)
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            F.col("f").alias("f_r"),
+            F.coalesce("f_next", F.lit(0)).cast("long").alias("f_next"),
+            F.expr(
+                "(2000000 * (r + 1) * coalesce(f_next, 0) + f)"
+                " div (2 * f)"
+            )
+            .cast("long")
+            .alias("r_star_micro"),
+            F.col("n").alias("n_ngrams"),
+            F.expr("(2000000 * f1 + n) div (2 * n)")
+            .cast("long")
+            .alias("p0_micro"),
+        )
+    )
+
+
+q230.__doc__ = q230.__doc__.format(rmax=_Q230_RMAX)

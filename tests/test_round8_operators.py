@@ -649,3 +649,37 @@ def test_q229_chao1_brute_force_twin(spark):
         assert abs(got["chao1_micro"] - chao1 * 1_000_000) <= 1
         assert abs(got["coverage_micro"] - s / chao1 * 1_000_000) <= 1
         assert got["coverage_micro"] <= 1_000_000
+
+
+def test_q230_good_turing_twin(spark):
+    """Textbook Good-Turing over the sf0.001 trigram spectrum must
+    match the plan; GT invariants: Σ r·f_r = N and the smoothed mass
+    of classes 1..rmax plus p0 stays within the total."""
+    from collections import Counter
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q230_RMAX,
+        q230,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    cnt: Counter = Counter()
+    for d in docs:
+        toks = _norm(d["text"]).split(" ")
+        for i in range(len(toks) - 2):
+            cnt[" ".join(toks[i:i + 3])] += 1
+    spec = Counter(cnt.values())
+    n = sum(r * f for r, f in spec.items())
+    rows = {r["r"]: r for r in q230(spark, SF001).collect()}
+    assert set(rows) == {
+        r for r in spec if r <= _Q230_RMAX
+    }
+    for r, got in rows.items():
+        assert got["f_r"] == spec[r]
+        assert got["f_next"] == spec.get(r + 1, 0)
+        rstar = (r + 1) * spec.get(r + 1, 0) / spec[r]
+        assert abs(got["r_star_micro"] - rstar * 1_000_000) <= 1
+        assert got["n_ngrams"] == n
+        assert abs(got["p0_micro"] - spec[1] / n * 1_000_000) <= 1
+    # GT discounts singletons: r*=1 class smoothed strictly below 1
+    assert rows[1]["r_star_micro"] < 1_000_000
