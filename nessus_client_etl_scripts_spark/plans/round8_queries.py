@@ -2183,3 +2183,97 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q230.__doc__ = q230.__doc__.format(rmax=_Q230_RMAX)
+
+
+# ---------------------------------------------------------------------------
+# q231 — distinct-n diversity ratios per source
+# ---------------------------------------------------------------------------
+
+_Q231_ORACLE = f"""
+WITH s AS (
+  SELECT source, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), grams AS (
+  SELECT source, n, g FROM (
+    SELECT source, 1 AS n, unnest(l) AS g FROM s
+    UNION ALL
+    SELECT source, 2 AS n,
+           unnest(list_transform(generate_series(1, len(l) - 1),
+                  i -> l[i] || ' ' || l[i + 1])) AS g
+    FROM s WHERE len(l) >= 2
+    UNION ALL
+    SELECT source, 3 AS n,
+           unnest(list_transform(generate_series(1, len(l) - 2),
+                  i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS g
+    FROM s WHERE len(l) >= 3
+  )
+), agg AS (
+  SELECT source, n,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+  FROM grams GROUP BY source, n
+)
+SELECT source, CAST(n AS BIGINT) AS n, n_grams, n_distinct,
+       CAST((2000000 * n_distinct + n_grams) // (2 * n_grams)
+            AS BIGINT) AS distinct_micro
+FROM agg
+"""
+
+
+@register("q231_distinct_n", _Q231_ORACLE)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity (Li et al. 2016 — the standard
+    text-generation diversity metric, equally used as a corpus
+    repetitiveness gate): per source and n ∈ {{1,2,3}}, the ratio of
+    DISTINCT n-grams to total n-grams.  Templated or model-generated
+    text collapses distinct-2/distinct-3 toward 0 while natural text
+    stays high — the per-SOURCE grain makes it the triage view for
+    which ingest feed went degenerate.  Complements q58 (repetition
+    signals WITHIN a document) and q216 (corpus-model surprisal): this
+    is the source-level distinct-type budget.  Integer-exact: counts
+    and one pinned ratio.
+
+    Scale: one corpus scan explodes all three gram orders in a single
+    union (the n-gram arrays are row-local transforms of the staged
+    token attribute); count(DISTINCT) per (source, n) is the only
+    shuffle — partial-aggregated on (source, n, gram) before the
+    distinct count, never a window."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "source", tokens(normalize_text("text")).alias("l")
+    )
+
+    def grams(order: int) -> DataFrame:
+        gram = (
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - (order - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(F.col("l"), i + off)
+                            for off in range(order)
+                        ],
+                    ),
+                )
+            )
+            if order > 1
+            else F.explode("l")
+        )
+        return staged.filter(F.size("l") >= order).select(
+            "source", F.lit(order).cast("long").alias("n"), gram.alias("g")
+        )
+
+    allg = grams(1).unionAll(grams(2)).unionAll(grams(3))
+    agg = allg.groupBy("source", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.count_distinct("g").cast("long").alias("n_distinct"),
+    )
+    return agg.select(
+        "source",
+        "n",
+        "n_grams",
+        "n_distinct",
+        F.expr("(2000000 * n_distinct + n_grams) div (2 * n_grams)")
+        .cast("long")
+        .alias("distinct_micro"),
+    )

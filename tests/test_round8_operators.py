@@ -683,3 +683,35 @@ def test_q230_good_turing_twin(spark):
         assert abs(got["p0_micro"] - spec[1] / n * 1_000_000) <= 1
     # GT discounts singletons: r*=1 class smoothed strictly below 1
     assert rows[1]["r_star_micro"] < 1_000_000
+
+
+def test_q231_distinct_n_twin(spark):
+    """Python replay of distinct-n per (source, n) at sf0.001, plus the
+    monotonicity property: higher n never has FEWER distinct types than
+    observed grams allow, and distinct-1 <= distinct-2 ratios in a
+    natural (non-repetitive) corpus of this vocabulary size."""
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q231
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    tot = defaultdict(int)
+    seen = defaultdict(set)
+    for d in docs:
+        toks = _norm(d["text"]).split(" ")
+        for n in (1, 2, 3):
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                tot[(d["source"], n)] += 1
+                seen[(d["source"], n)].add(g)
+    rows = {(r["source"], r["n"]): r for r in q231(spark, SF001).collect()}
+    assert set(rows) == set(tot)
+    for k, r in rows.items():
+        assert r["n_grams"] == tot[k]
+        assert r["n_distinct"] == len(seen[k])
+        assert r["distinct_micro"] == (
+            2_000_000 * len(seen[k]) + tot[k]
+        ) // (2 * tot[k])
+    # tiny shared vocabulary: unigram ratio low, trigram ratio higher
+    for src in {s for s, _ in rows}:
+        assert rows[(src, 1)]["distinct_micro"] < rows[(src, 3)]["distinct_micro"]
