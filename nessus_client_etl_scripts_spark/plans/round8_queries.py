@@ -2277,3 +2277,128 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("distinct_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q232 — self-BLEU-2 (per-document modified bigram precision vs corpus)
+# ---------------------------------------------------------------------------
+
+# Clipping needs, per bigram g: the max per-doc count m1, HOW MANY docs
+# attain it, and the runner-up m2 — then the reference cap for doc d is
+# m1 unless d is the UNIQUE argmax, in which case m2.  All integer.
+_Q232_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i + 1])) AS g
+  FROM s WHERE len(l) >= 2
+), dc AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+  FROM bg GROUP BY doc_id, g
+), ref AS (
+  SELECT g,
+         CAST(max(c) AS BIGINT) AS m1,
+         CAST(sum(CASE WHEN c = (SELECT max(c) FROM dc i
+                                 WHERE i.g = dc.g) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_at_m1,
+         CAST(coalesce(max(CASE WHEN c < (SELECT max(c) FROM dc i
+                                          WHERE i.g = dc.g)
+                            THEN c END), 0) AS BIGINT) AS m2
+  FROM dc GROUP BY g
+), clipped AS (
+  SELECT dc.doc_id,
+         CAST(sum(dc.c) AS BIGINT) AS n_bigrams,
+         CAST(sum(least(dc.c,
+                        CASE WHEN dc.c = ref.m1 AND ref.n_at_m1 = 1
+                             THEN ref.m2 ELSE ref.m1 END))
+              AS BIGINT) AS n_clipped
+  FROM dc JOIN ref USING (g)
+  GROUP BY dc.doc_id
+)
+SELECT doc_id, n_bigrams, n_clipped,
+       CAST((2000000 * n_clipped + n_bigrams) // (2 * n_bigrams)
+            AS BIGINT) AS selfbleu2_micro
+FROM clipped
+"""
+
+
+@register("q232_self_bleu2", _Q232_ORACLE)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU-2 (Zhu et al. 2018, Texygen — the standard
+    corpus-diversity metric for generated text): each document's
+    MODIFIED bigram precision against every OTHER document as
+    reference — Σ_g min(c_d(g), max_(d'≠d) c_d'(g)) / Σ_g c_d(g).
+    High self-BLEU = the corpus repeats itself (mode collapse in
+    generated data, boilerplate in crawls); no brevity penalty (the
+    reference set is the whole corpus, length mismatch is meaningless).
+    The leave-one-out max is computed WITHOUT a per-doc loop: per
+    bigram keep (m1, #docs at m1, m2) — the cap for doc d is m1 unless
+    d is the UNIQUE argmax, else m2.  Integer-exact end to end.
+
+    Scale: two map-side-combined aggregations (per-doc-per-gram counts,
+    then the gram-level (m1, n@m1, m2) frame — vocabulary²-bounded,
+    not corpus-bounded) and one hash join back on g; no windows, no
+    driver state, no quadratic doc×doc comparison anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", tokens(normalize_text("text")).alias("l"))
+        .filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("l"), 1, F.size("l") - 1),
+                    F.slice(F.col("l"), 2, F.size("l") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("g"),
+        )
+    )
+    dc = bg.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # (m1, n@m1, m2) per gram without a window: a first max pass over
+    # the per-doc counts, broadcast back onto the same grouped frame —
+    # both aggregations map-side combine, and no partition-by-gram
+    # window ever materializes.
+    m1 = dc.groupBy("g").agg(F.max("c").cast("long").alias("m1"))
+    ref = (
+        dc.join(F.broadcast(m1), "g")
+        .groupBy("g")
+        .agg(
+            F.max("m1").cast("long").alias("m1"),
+            F.sum(F.when(F.col("c") == F.col("m1"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_at_m1"),
+            F.coalesce(
+                F.max(F.when(F.col("c") < F.col("m1"), F.col("c"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("m2"),
+        )
+    )
+    cap = F.when(
+        (F.col("c") == F.col("m1")) & (F.col("n_at_m1") == 1),
+        F.col("m2"),
+    ).otherwise(F.col("m1"))
+    clipped = (
+        dc.join(ref, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.least(F.col("c"), cap))
+            .cast("long")
+            .alias("n_clipped"),
+        )
+    )
+    return clipped.select(
+        "doc_id",
+        "n_bigrams",
+        "n_clipped",
+        F.expr("(2000000 * n_clipped + n_bigrams) div (2 * n_bigrams)")
+        .cast("long")
+        .alias("selfbleu2_micro"),
+    )

@@ -715,3 +715,43 @@ def test_q231_distinct_n_twin(spark):
     # tiny shared vocabulary: unigram ratio low, trigram ratio higher
     for src in {s for s, _ in rows}:
         assert rows[(src, 1)]["distinct_micro"] < rows[(src, 3)]["distinct_micro"]
+
+
+def test_q232_self_bleu_brute_force_twin(spark):
+    """Literal leave-one-out replay at sf0.001: for every doc, clip its
+    bigram counts against the true max over the OTHER docs and require
+    the (m1, n@m1, m2) plan to agree exactly."""
+    from collections import Counter, defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q232
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    per_doc = {}
+    for d in docs:
+        toks = _norm(d["text"]).split(" ")
+        if len(toks) >= 2:
+            per_doc[d["doc_id"]] = Counter(
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            )
+    by_gram = defaultdict(list)
+    for doc_id, cnt in per_doc.items():
+        for g, c in cnt.items():
+            by_gram[g].append((doc_id, c))
+    rows = {r["doc_id"]: r for r in q232(spark, SF001).collect()}
+    assert set(rows) == set(per_doc)
+    for doc_id, cnt in per_doc.items():
+        n = sum(cnt.values())
+        clip = 0
+        for g, c in cnt.items():
+            other = max(
+                (cc for dd, cc in by_gram[g] if dd != doc_id),
+                default=0,
+            )
+            clip += min(c, other)
+        got = rows[doc_id]
+        assert got["n_bigrams"] == n
+        assert got["n_clipped"] == clip
+        assert got["selfbleu2_micro"] == (2_000_000 * clip + n) // (2 * n)
+    # tiny shared vocabulary: self-BLEU should be high but not all 1.0
+    vals = [r["selfbleu2_micro"] for r in rows.values()]
+    assert max(vals) <= 1_000_000 and min(vals) < 1_000_000
