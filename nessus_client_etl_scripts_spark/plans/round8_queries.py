@@ -2402,3 +2402,179 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("selfbleu2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q233 — graded nDCG@10 retrieval evaluation
+# ---------------------------------------------------------------------------
+
+_Q233_K = 10
+_Q233_NQ = 5  # query vectors: vec_id 0..4
+# Position discounts 10^6 / log2(i+1), i = 1..10 — hardcoded micro
+# constants (the q228 rule: a known law's table beats a libm call).
+_Q233_DISC = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+_Q233_DISC_SQL = ", ".join(
+    f"({i + 1}, {d})" for i, d in enumerate(_Q233_DISC)
+)
+
+_Q233_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {_Q233_NQ}
+), c AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS cv, label FROM embeddings
+), scored AS (
+  SELECT q.query_id, q.qlabel, c.id,
+         CASE WHEN c.label = q.qlabel THEN 3
+              WHEN c.label % 5 = q.qlabel % 5 THEN 1 ELSE 0 END AS rel,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS score
+  FROM q JOIN c ON c.id != q.query_id
+), ranked AS (
+  SELECT query_id, qlabel, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, id ASC) AS rk
+  FROM scored
+), disc AS (
+  SELECT * FROM (VALUES {_Q233_DISC_SQL}) AS t(i, d)
+), dcg AS (
+  SELECT query_id, qlabel,
+         CAST(sum((CASE rel WHEN 3 THEN 7 WHEN 1 THEN 1 ELSE 0 END)
+                  * disc.d) AS BIGINT) AS dcg_micro
+  FROM ranked JOIN disc ON disc.i = ranked.rk
+  WHERE ranked.rk <= {_Q233_K}
+  GROUP BY query_id, qlabel
+), grades AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM scored GROUP BY query_id
+), idcg AS (
+  SELECT g.query_id,
+         CAST(sum(disc.d * (CASE WHEN disc.i <= g.n3 THEN 7
+                                 WHEN disc.i <= g.n3 + g.n1 THEN 1
+                                 ELSE 0 END)) AS BIGINT) AS idcg_micro
+  FROM grades g CROSS JOIN disc
+  GROUP BY g.query_id
+)
+SELECT dcg.query_id, CAST(dcg.qlabel AS BIGINT) AS qlabel,
+       dcg.dcg_micro, idcg.idcg_micro,
+       CAST((2000000 * dcg.dcg_micro + idcg.idcg_micro)
+            // (2 * idcg.idcg_micro) AS BIGINT) AS ndcg_micro
+FROM dcg JOIN idcg USING (query_id)
+"""
+
+
+@register("q233_ndcg_at_10", _Q233_ORACLE)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded nDCG@{k} (Järvelin & Kekäläinen 2002 — the standard
+    ranking-quality metric with graded relevance): {nq} query vectors
+    rank the corpus by cosine; relevance grades come from the label
+    column (3 = same label, 1 = related label class, 0 otherwise);
+    DCG uses the exponential gain 2^rel − 1 and hardcoded micro
+    discounts 10⁶/log2(i+1) (the q228 rule — a known law's table beats
+    a libm call), and IDCG is derived from the per-query GRADE COUNTS
+    (ideal ordering never needs an actual sort: n₃ sevens then n₁
+    ones, truncated at {k}).  Complements q197 (binary known-item
+    MRR): this is the graded, position-discounted judgment.
+
+    Scale: the query side is {nq} rows broadcast; per-query ranking is
+    the q27 brute-force pattern (at 100 TB an ANN index supplies the
+    top-k instead, the eval math is unchanged); everything after the
+    rank filter is ({nq}·{k})-rows tiny.  Integer-exact given equal
+    ranks — and ranks match cross-engine because the cosine doubles do
+    (the q27/q30 portability argument)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import dot
+
+    q = emb.filter(F.col("vec_id") < _Q233_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+        "label",
+    )
+    score = dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    rel = (
+        F.when(F.col("label") == F.col("qlabel"), 3)
+        .when(F.col("label") % 5 == F.col("qlabel") % 5, 1)
+        .otherwise(0)
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "id",
+            rel.alias("rel"),
+            score.alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    disc = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(_Q233_DISC)], "i LONG, d LONG"
+    )
+    gain = (
+        F.when(F.col("rel") == 3, 7)
+        .when(F.col("rel") == 1, 1)
+        .otherwise(0)
+    )
+    dcg = (
+        ranked.filter(F.col("rk") <= _Q233_K)
+        .join(F.broadcast(disc), F.col("rk") == F.col("i"))
+        .groupBy("query_id", "qlabel")
+        .agg(F.sum(gain * F.col("d")).cast("long").alias("dcg_micro"))
+    )
+    grades = scored.groupBy("query_id").agg(
+        F.sum(F.when(F.col("rel") == 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n3"),
+        F.sum(F.when(F.col("rel") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    idcg = (
+        grades.crossJoin(F.broadcast(disc))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.col("d")
+                * F.when(F.col("i") <= F.col("n3"), 7)
+                .when(F.col("i") <= F.col("n3") + F.col("n1"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("idcg_micro")
+        )
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .select(
+            "query_id",
+            F.col("qlabel").cast("long"),
+            "dcg_micro",
+            "idcg_micro",
+            F.expr(
+                "(2000000 * dcg_micro + idcg_micro)"
+                " div (2 * idcg_micro)"
+            )
+            .cast("long")
+            .alias("ndcg_micro"),
+        )
+    )
+
+
+q233.__doc__ = q233.__doc__.format(k=_Q233_K, nq=_Q233_NQ)

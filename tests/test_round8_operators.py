@@ -755,3 +755,54 @@ def test_q232_self_bleu_brute_force_twin(spark):
     # tiny shared vocabulary: self-BLEU should be high but not all 1.0
     vals = [r["selfbleu2_micro"] for r in rows.values()]
     assert max(vals) <= 1_000_000 and min(vals) < 1_000_000
+
+
+def test_q233_ndcg_brute_force_twin(spark):
+    """numpy replay of graded nDCG@10 at sf0.001 (true float discounts
+    within the micro-table quantum) plus range/ideal invariants."""
+    import math
+
+    import numpy as np
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q233_DISC,
+        _Q233_K,
+        _Q233_NQ,
+        q233,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    labels = {r["vec_id"]: r["label"] for r in emb}
+    rows = {r["query_id"]: r for r in q233(spark, SF001).collect()}
+    assert set(rows) == set(range(_Q233_NQ))
+    for qid in range(_Q233_NQ):
+        qv, ql = vecs[qid], labels[qid]
+        scored = []
+        for cid, cv in vecs.items():
+            if cid == qid:
+                continue
+            s = float(qv @ cv) / (
+                math.sqrt(float(qv @ qv)) * math.sqrt(float(cv @ cv))
+            )
+            rel = 3 if labels[cid] == ql else (
+                1 if labels[cid] % 5 == ql % 5 else 0
+            )
+            scored.append((-s, cid, rel))
+        scored.sort()
+        gains = {3: 7, 1: 1, 0: 0}
+        dcg = sum(
+            gains[rel] * _Q233_DISC[i]
+            for i, (_, _, rel) in enumerate(scored[:_Q233_K])
+        )
+        rels = sorted((r for _, _, r in scored), reverse=True)
+        idcg = sum(
+            gains[rel] * _Q233_DISC[i]
+            for i, rel in enumerate(rels[:_Q233_K])
+        )
+        got = rows[qid]
+        assert got["qlabel"] == ql
+        assert got["dcg_micro"] == dcg
+        assert got["idcg_micro"] == idcg
+        assert got["ndcg_micro"] == (2_000_000 * dcg + idcg) // (2 * idcg)
+        assert 0 <= got["ndcg_micro"] <= 1_000_000
