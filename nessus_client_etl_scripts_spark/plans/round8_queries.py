@@ -2578,3 +2578,99 @@ def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q233.__doc__ = q233.__doc__.format(k=_Q233_K, nq=_Q233_NQ)
+
+
+# ---------------------------------------------------------------------------
+# q234 — word2vec preprocessing audit (subsampling + negative-sampling table)
+# ---------------------------------------------------------------------------
+
+_Q234_T_MICRO = 10000  # subsample threshold t = 0.01 (micro units) —
+# the corpus vocabulary is ~30 types, so every frequency is ~3e-2 and
+# the canonical t = 1e-5 would discard everything; same formula, a
+# threshold scaled to the corpus.
+
+_Q234_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+), c AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM c
+), base AS (
+  SELECT w, c, tot.n,
+         CAST(floor(sqrt(c * sqrt(c))) AS BIGINT) AS ns_w
+  FROM c CROSS JOIN tot
+), wsum AS (
+  SELECT CAST(sum(ns_w) AS BIGINT) AS sw FROM base
+)
+SELECT w, c,
+       CAST((2000000 * c + n) // (2 * n) AS BIGINT) AS freq_micro,
+       CAST(greatest(0, CAST(round(
+         1000000 * (1 - sqrt({_Q234_T_MICRO} * n / (1000000.0 * c))))
+         AS BIGINT)) AS BIGINT) AS p_keep_micro,
+       ns_w,
+       CAST((2000000 * ns_w + sw) // (2 * sw) AS BIGINT) AS ns_share_micro
+FROM base CROSS JOIN wsum
+"""
+
+
+@register("q234_word2vec_prep", _Q234_ORACLE)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two canonical word2vec preprocessing tables (Mikolov et al.
+    2013) in one vocabulary-sized frame: per token, the FREQUENT-WORD
+    SUBSAMPLING keep probability p = 1 − √(t/f) (clamped at 0) and the
+    NEGATIVE-SAMPLING weight c^(3/4) with its normalized share — what
+    an embedding trainer materializes before the first epoch.
+    Portability: ³⁄₄ and ½ powers compose from IEEE-correctly-rounded
+    sqrt (c^0.75 = √(c·√c); ln/exp/pow are NOT safe, sqrt chains are
+    — the q221 rule), the division t/f is one double op on identical
+    operands, and both engines round the identical double identically
+    (positive half-away).  t is scaled to this corpus's ~30-type
+    vocabulary ({t} micro) — the formula, not the constant, is the
+    operator.
+
+    Scale: one map-side-combined count over the corpus; everything
+    after is vocabulary-sized with two broadcast scalar totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(tokens(normalize_text("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = c.agg(F.sum("c").cast("long").alias("n"))
+    base = c.crossJoin(F.broadcast(tot)).withColumn(
+        "ns_w",
+        F.floor(F.sqrt(F.col("c") * F.sqrt(F.col("c")))).cast("long"),
+    )
+    wsum = base.agg(F.sum("ns_w").cast("long").alias("sw"))
+    return base.crossJoin(F.broadcast(wsum)).select(
+        "w",
+        "c",
+        F.expr("(2000000 * c + n) div (2 * n)")
+        .cast("long")
+        .alias("freq_micro"),
+        F.greatest(
+            F.lit(0),
+            F.round(
+                1000000
+                * (
+                    1
+                    - F.sqrt(
+                        _Q234_T_MICRO
+                        * F.col("n")
+                        / (F.lit(1000000.0) * F.col("c"))
+                    )
+                ),
+                0,
+            ).cast("long"),
+        )
+        .cast("long")
+        .alias("p_keep_micro"),
+        "ns_w",
+        F.expr("(2000000 * ns_w + sw) div (2 * sw)")
+        .cast("long")
+        .alias("ns_share_micro"),
+    )
+
+
+q234.__doc__ = q234.__doc__.format(t=_Q234_T_MICRO)

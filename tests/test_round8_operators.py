@@ -806,3 +806,43 @@ def test_q233_ndcg_brute_force_twin(spark):
         assert got["idcg_micro"] == idcg
         assert got["ndcg_micro"] == (2_000_000 * dcg + idcg) // (2 * idcg)
         assert 0 <= got["ndcg_micro"] <= 1_000_000
+
+
+def test_q234_word2vec_prep_twin(spark):
+    """Python float replay of both word2vec tables at sf0.001 within
+    the micro quantum, plus the formula invariants: keep-probability
+    decreases with frequency, ns shares flatten raw shares and sum
+    to ~1e6."""
+    import math
+    from collections import Counter
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q234_T_MICRO,
+        q234,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    cnt = Counter(w for r in docs for w in _norm(r["text"]).split(" "))
+    n = sum(cnt.values())
+    sw = sum(math.floor(math.sqrt(c * math.sqrt(c))) for c in cnt.values())
+    rows = {r["w"]: r for r in q234(spark, SF001).collect()}
+    assert set(rows) == set(cnt)
+    t = _Q234_T_MICRO / 1_000_000
+    for w, c in cnt.items():
+        got = rows[w]
+        assert got["c"] == c
+        f = c / n
+        p = max(0.0, 1 - math.sqrt(t / f))
+        assert abs(got["p_keep_micro"] - p * 1_000_000) <= 1
+        nsw = math.floor(math.sqrt(c * math.sqrt(c)))
+        assert got["ns_w"] == nsw
+        assert abs(got["ns_share_micro"] - nsw / sw * 1_000_000) <= 1
+    assert abs(sum(r["ns_share_micro"] for r in rows.values()) - 1_000_000) \
+        <= len(rows)
+    # flattening: the most frequent token's ns share < its raw share
+    top = max(cnt, key=lambda w: (cnt[w], w))
+    assert rows[top]["ns_share_micro"] < rows[top]["freq_micro"]
+    # subsampling bites the head hardest
+    rare = min(cnt, key=lambda w: (cnt[w], w))
+    assert rows[top]["p_keep_micro"] <= rows[rare]["p_keep_micro"] or \
+        rows[rare]["p_keep_micro"] == 0
