@@ -2674,3 +2674,104 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q234.__doc__ = q234.__doc__.format(t=_Q234_T_MICRO)
+
+
+# ---------------------------------------------------------------------------
+# q235 — GloVe distance-weighted co-occurrence table
+# ---------------------------------------------------------------------------
+
+_Q235_W = 4  # context window
+_Q235_LCM = 12  # lcm(1..4): 1/d weights become exact integers 12/d
+_Q235_TOPK = 50
+
+_Q235_PAIRS_SQL = " UNION ALL ".join(
+    f"""SELECT l[i] AS a, l[i + {d}] AS b, {_Q235_LCM // d} AS w12
+        FROM s CROSS JOIN
+             unnest(generate_series(1, len(l) - {d})) AS u(i)
+        WHERE len(l) > {d}"""
+    for d in range(1, _Q235_W + 1)
+)
+
+_Q235_ORACLE = f"""
+WITH s AS (
+  SELECT string_split({_NORM_SQL}, ' ') AS l FROM documents
+), pairs AS ({_Q235_PAIRS_SQL}
+), x AS (
+  SELECT a, b, CAST(sum(w12) AS BIGINT) AS x12
+  FROM pairs GROUP BY a, b
+), mx AS (
+  SELECT CAST(max(x12) AS BIGINT) AS xmax FROM x
+)
+SELECT a, b, x12,
+       CAST(round(1000000 * least(1.0,
+              sqrt((x12 / CAST(xmax AS DOUBLE))
+                   * sqrt(x12 / CAST(xmax AS DOUBLE))))) AS BIGINT)
+         AS fweight_micro
+FROM x CROSS JOIN mx
+ORDER BY x12 DESC, a ASC, b ASC
+LIMIT {_Q235_TOPK}
+"""
+
+
+@register("q235_glove_cooc", _Q235_ORACLE)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GloVe co-occurrence construction (Pennington et al. 2014): count
+    ordered (center, context) pairs within a {w}-token window with the
+    1/d distance weighting — made EXACT by scaling to lcm(1..{w}) =
+    {lcm} (x12 = Σ {lcm}/d is an integer) — then the training weight
+    f(x) = min(1, (x/xmax)^(3/4)), the ¾ power composed from
+    correctly-rounded sqrt on the identical double ratio (the
+    q221/q234 rule).  Top-{k} pairs by weighted count.  Complements
+    q234: word2vec's tables are UNIGRAM-frequency-shaped; GloVe's
+    statistic is the pairwise co-occurrence matrix itself.
+
+    Scale: the pair stream is corpus×{w} rows but collapses through
+    ONE map-side-combined groupBy on (a, b) — vocabulary²-bounded
+    output regardless of corpus size; xmax broadcasts; the final
+    ranking is a TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(tokens(normalize_text("text")).alias("l"))
+    parts = []
+    for d in range(1, _Q235_W + 1):
+        parts.append(
+            staged.filter(F.size("l") > d).select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("l"), 1, F.size("l") - d),
+                        F.slice(F.col("l"), 1 + d, F.size("l") - d),
+                        lambda a, b: F.struct(
+                            a.alias("a"), b.alias("b")
+                        ),
+                    )
+                ).alias("p"),
+                F.lit(_Q235_LCM // d).alias("w12"),
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionAll(p)
+    x = (
+        pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "w12")
+        .groupBy("a", "b")
+        .agg(F.sum("w12").cast("long").alias("x12"))
+    )
+    mx = x.agg(F.max("x12").cast("long").alias("xmax"))
+    r = F.col("x12") / F.col("xmax").cast("double")
+    return (
+        x.crossJoin(F.broadcast(mx))
+        .select(
+            "a",
+            "b",
+            "x12",
+            F.round(
+                1000000 * F.least(F.lit(1.0), F.sqrt(r * F.sqrt(r))), 0
+            )
+            .cast("long")
+            .alias("fweight_micro"),
+        )
+        .orderBy(F.col("x12").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(_Q235_TOPK)
+    )
+
+
+q235.__doc__ = q235.__doc__.format(w=_Q235_W, lcm=_Q235_LCM, k=_Q235_TOPK)

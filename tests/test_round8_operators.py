@@ -846,3 +846,35 @@ def test_q234_word2vec_prep_twin(spark):
     rare = min(cnt, key=lambda w: (cnt[w], w))
     assert rows[top]["p_keep_micro"] <= rows[rare]["p_keep_micro"] or \
         rows[rare]["p_keep_micro"] == 0
+
+
+def test_q235_glove_cooc_twin(spark):
+    """Python replay of the lcm-scaled distance-weighted co-occurrence
+    counts at sf0.001, plus f(xmax) == 1e6 and the top-k ordering."""
+    import math
+    from collections import Counter
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q235_LCM,
+        _Q235_TOPK,
+        _Q235_W,
+        q235,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    x: Counter = Counter()
+    for r in docs:
+        toks = _norm(r["text"]).split(" ")
+        for i, a in enumerate(toks):
+            for d in range(1, _Q235_W + 1):
+                if i + d < len(toks):
+                    x[(a, toks[i + d])] += _Q235_LCM // d
+    xmax = max(x.values())
+    want = sorted(x.items(), key=lambda kv: (-kv[1], kv[0]))[:_Q235_TOPK]
+    got = q235(spark, SF001).collect()
+    assert [((r["a"], r["b"]), r["x12"]) for r in got] == want
+    for r in got:
+        ratio = r["x12"] / xmax
+        f = min(1.0, math.sqrt(ratio * math.sqrt(ratio)))
+        assert abs(r["fweight_micro"] - f * 1_000_000) <= 1
+    assert got[0]["fweight_micro"] == 1_000_000  # f(xmax) saturates
