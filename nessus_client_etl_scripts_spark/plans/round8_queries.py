@@ -2775,3 +2775,98 @@ def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q235.__doc__ = q235.__doc__.format(w=_Q235_W, lcm=_Q235_LCM, k=_Q235_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q236 — collocation mining by exact lift (PMI's rational core)
+# ---------------------------------------------------------------------------
+
+_Q236_MINSUP = 5
+_Q236_TOPK = 30
+
+_Q236_ORACLE = f"""
+WITH s AS (
+  SELECT string_split({_NORM_SQL}, ' ') AS l FROM documents
+), bg AS (
+  SELECT l[i] AS a, l[i + 1] AS b
+  FROM s CROSS JOIN unnest(generate_series(1, len(l) - 1)) AS u(i)
+  WHERE len(l) >= 2
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM bg
+), ca AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS ca FROM bg GROUP BY a
+), cb AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY b
+), cab AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+  FROM bg GROUP BY a, b HAVING count(*) >= {_Q236_MINSUP}
+)
+SELECT cab.a, cab.b, cab.cab, ca.ca, cb.cb,
+       CAST((2000000 * n.n * cab.cab + ca.ca * cb.cb)
+            // (2 * ca.ca * cb.cb) AS BIGINT) AS lift_micro
+FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN n
+ORDER BY lift_micro DESC, a ASC, b ASC
+LIMIT {_Q236_TOPK}
+"""
+
+
+@register("q236_collocation_lift", _Q236_ORACLE)
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by LIFT — the exact-rational core of PMI
+    (PMI = log lift) and the standard association-rule measure:
+    lift(a,b) = N·c(a,b) / (c(a,·)·c(·,b)) over bigram margins, with a
+    minimum support of {minsup} (the classic frequency floor that keeps
+    one-off pairs from dominating the ranking — c=1 pairs have huge
+    lift and zero evidence).  Staying in the linear domain keeps the
+    statistic integer-exact (no libm log), and the RANKING is identical
+    to PMI's because log is monotone.  Top-{k} collocations.
+
+    Scale: three map-side-combined aggregations over one exploded
+    bigram stream (pair counts + both margins); margins are
+    vocabulary-sized and broadcast onto the supported pairs; the final
+    ranking is a TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(tokens(normalize_text("text")).alias("l"))
+        .filter(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("l"), 1, F.size("l") - 1),
+                    F.slice(F.col("l"), 2, F.size("l") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    n = bg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ca = bg.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    cab = (
+        bg.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .filter(F.col("cab") >= _Q236_MINSUP)
+    )
+    return (
+        cab.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "cab",
+            "ca",
+            "cb",
+            F.expr("(2000000 * n * cab + ca * cb) div (2 * ca * cb)")
+            .cast("long")
+            .alias("lift_micro"),
+        )
+        .orderBy(
+            F.col("lift_micro").desc(), F.col("a").asc(), F.col("b").asc()
+        )
+        .limit(_Q236_TOPK)
+    )
+
+
+q236.__doc__ = q236.__doc__.format(minsup=_Q236_MINSUP, k=_Q236_TOPK)

@@ -878,3 +878,39 @@ def test_q235_glove_cooc_twin(spark):
         f = min(1.0, math.sqrt(ratio * math.sqrt(ratio)))
         assert abs(r["fweight_micro"] - f * 1_000_000) <= 1
     assert got[0]["fweight_micro"] == 1_000_000  # f(xmax) saturates
+
+
+def test_q236_collocation_lift_twin(spark):
+    """Python replay at sf0.001: margins, support floor, pinned lift,
+    and PMI-rank equivalence (log is monotone in lift)."""
+    from collections import Counter
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q236_MINSUP,
+        _Q236_TOPK,
+        q236,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    cab: Counter = Counter()
+    for r in docs:
+        toks = _norm(r["text"]).split(" ")
+        for x, y in zip(toks, toks[1:]):
+            ca[x] += 1
+            cb[y] += 1
+            cab[(x, y)] += 1
+    n = sum(cab.values())
+    lifts = {
+        (a, b): (2_000_000 * n * c + ca[a] * cb[b])
+        // (2 * ca[a] * cb[b])
+        for (a, b), c in cab.items()
+        if c >= _Q236_MINSUP
+    }
+    want = sorted(lifts.items(), key=lambda kv: (-kv[1], kv[0]))[:_Q236_TOPK]
+    got = q236(spark, SF001).collect()
+    assert [((r["a"], r["b"]), r["lift_micro"]) for r in got] == want
+    for r in got:
+        assert r["cab"] >= _Q236_MINSUP
+        assert r["ca"] >= r["cab"] and r["cb"] >= r["cab"]
