@@ -2870,3 +2870,110 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q236.__doc__ = q236.__doc__.format(minsup=_Q236_MINSUP, k=_Q236_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q237 — Z-order (Morton) layout audit: data-skipping under a 2-D curve
+# ---------------------------------------------------------------------------
+
+_Q237_BITS = 15  # per-dimension bits (partkey < 2^15 at sf0.1)
+_Q237_CELL = 1 << 18  # key-space per simulated file/cell
+_Q237_PLO, _Q237_PHI = 100, 199  # audit predicate: partkey range
+
+# Morton interleave as plain integer arithmetic — the SAME expression
+# text runs in Spark SQL and DuckDB (div/%/*/+ only, no UDF).
+_Q237_MORTON = " + ".join(
+    f"((p // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+    f" + ((s // {1 << i}) % 2) * {1 << (2 * i)}"
+    for i in range(_Q237_BITS)
+)
+
+_Q237_ORACLE = f"""
+WITH r AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), keyed AS (
+  SELECT p, s,
+         ({_Q237_MORTON}) // {_Q237_CELL} AS cell_z,
+         (s * {1 << _Q237_BITS} + p) // {_Q237_CELL} AS cell_linear
+  FROM r
+), z AS (
+  SELECT 'zorder' AS layout,
+         CAST(count(DISTINCT cell_z) AS BIGINT) AS n_cells,
+         CAST(count(DISTINCT CASE WHEN p BETWEEN {_Q237_PLO} AND {_Q237_PHI}
+                             THEN cell_z END) AS BIGINT) AS cells_hit
+  FROM keyed
+), lin AS (
+  SELECT 'linear' AS layout,
+         CAST(count(DISTINCT cell_linear) AS BIGINT) AS n_cells,
+         CAST(count(DISTINCT CASE WHEN p BETWEEN {_Q237_PLO} AND {_Q237_PHI}
+                             THEN cell_linear END) AS BIGINT) AS cells_hit
+  FROM keyed
+)
+SELECT layout, n_cells, cells_hit,
+       CAST((2000000 * cells_hit + n_cells) // (2 * n_cells) AS BIGINT)
+         AS hit_micro
+FROM (SELECT * FROM z UNION ALL SELECT * FROM lin)
+"""
+
+
+@register("q237_zorder_skipping", _Q237_ORACLE)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit — the lakehouse OPTIMIZE ZORDER question:
+    if files are laid out along a Morton space-filling curve over
+    (partkey, suppkey), how many files does a single-dimension range
+    predicate touch versus a suppkey-major linear sort?  The Morton
+    key interleaves {bits} bits per dimension with plain integer
+    arithmetic (div/mod/multiply — the identical expression text runs
+    in both engines), simulated files are equal key-space cells of
+    2^18, and the audit reports the hit fraction per layout for
+    partkey ∈ [{plo}, {phi}] — z-order localizes BOTH dimensions, so
+    the partkey range touches a small cell subset, while the
+    suppkey-major layout scatters it across nearly every cell.  This
+    is the ANALYSIS an engine runs before choosing a table layout;
+    min/max file-skipping statistics then deliver the predicted skip
+    rate at scan time.
+
+    Scale: one distinct-projection of the fact table, a row-local key
+    computation, and two count-distinct aggregations — no windows, no
+    sort of the full table (cells are key-space partitions, not
+    equal-count ntiles, precisely so the audit needs NO global rank)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    morton_spark = _Q237_MORTON.replace("//", "div")
+    keyed = keyed.select(
+        "p",
+        "s",
+        F.expr(f"({morton_spark}) div {_Q237_CELL}").alias("cell_z"),
+        F.expr(
+            f"(s * {1 << _Q237_BITS} + p) div {_Q237_CELL}"
+        ).alias("cell_linear"),
+    )
+    hit = F.col("p").between(_Q237_PLO, _Q237_PHI)
+
+    def layout(name: str, cell: str) -> DataFrame:
+        return keyed.agg(
+            F.lit(name).alias("layout"),
+            F.count_distinct(F.col(cell)).cast("long").alias("n_cells"),
+            F.count_distinct(F.when(hit, F.col(cell)))
+            .cast("long")
+            .alias("cells_hit"),
+        )
+
+    both = layout("zorder", "cell_z").unionAll(
+        layout("linear", "cell_linear")
+    )
+    return both.select(
+        "layout",
+        "n_cells",
+        "cells_hit",
+        F.expr("(2000000 * cells_hit + n_cells) div (2 * n_cells)")
+        .cast("long")
+        .alias("hit_micro"),
+    )
+
+
+q237.__doc__ = q237.__doc__.format(
+    bits=_Q237_BITS, plo=_Q237_PLO, phi=_Q237_PHI
+)

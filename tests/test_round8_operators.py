@@ -914,3 +914,42 @@ def test_q236_collocation_lift_twin(spark):
     for r in got:
         assert r["cab"] >= _Q236_MINSUP
         assert r["ca"] >= r["cab"] and r["cb"] >= r["cab"]
+
+
+def test_q237_zorder_twin_and_skipping_wins(spark):
+    """Python replay of the Morton cells at sf0.001 and the audit's
+    point: the z-order layout touches a strictly smaller cell fraction
+    than the suppkey-major linear layout for the partkey predicate."""
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q237_BITS,
+        _Q237_CELL,
+        _Q237_PHI,
+        _Q237_PLO,
+        q237,
+    )
+
+    def morton(p, s):
+        out = 0
+        for i in range(_Q237_BITS):
+            out |= ((p >> i) & 1) << (2 * i + 1)
+            out |= ((s >> i) & 1) << (2 * i)
+        return out
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    ps = {(r["l_partkey"], r["l_suppkey"]) for r in li}
+    cz, cz_hit, cl, cl_hit = set(), set(), set(), set()
+    for p, s in ps:
+        z = morton(p, s) // _Q237_CELL
+        ln = (s * (1 << _Q237_BITS) + p) // _Q237_CELL
+        cz.add(z)
+        cl.add(ln)
+        if _Q237_PLO <= p <= _Q237_PHI:
+            cz_hit.add(z)
+            cl_hit.add(ln)
+    rows = {r["layout"]: r for r in q237(spark, SF001).collect()}
+    assert rows["zorder"]["n_cells"] == len(cz)
+    assert rows["zorder"]["cells_hit"] == len(cz_hit)
+    assert rows["linear"]["n_cells"] == len(cl)
+    assert rows["linear"]["cells_hit"] == len(cl_hit)
+    # the point of z-ordering:
+    assert rows["zorder"]["hit_micro"] < rows["linear"]["hit_micro"]
