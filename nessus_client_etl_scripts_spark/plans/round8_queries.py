@@ -2977,3 +2977,143 @@ def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
 q237.__doc__ = q237.__doc__.format(
     bits=_Q237_BITS, plo=_Q237_PLO, phi=_Q237_PHI
 )
+
+
+# ---------------------------------------------------------------------------
+# q238 — exponentially decayed counters by integer halving
+# ---------------------------------------------------------------------------
+
+_Q238_REF = "2024-01-31"  # decay reference date (end of the event span)
+
+_Q238_ORACLE = f"""
+WITH d AS (
+  SELECT event_type,
+         date_diff('day', CAST(ts AS DATE), DATE '{_Q238_REF}') AS age,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(sum(c // (1 << least(age, 62))) AS BIGINT) AS decayed,
+       CAST(max(c // (1 << least(age, 62))) AS BIGINT) AS peak_day_decayed
+FROM d GROUP BY event_type
+"""
+
+
+@register("q238_decayed_counters", _Q238_ORACLE)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially decayed counters with a one-day half-life — the
+    trending/popularity primitive (recent activity dominates, history
+    fades) in its INTEGER-EXACT form: per (event_type, day) bucket the
+    contribution is count div 2^age_days, so the decay is pure bit
+    arithmetic with no exp() and the result value-hash-verifies.  At
+    serving time the same identity lets yesterday's total fold into
+    today's as total div 2 + today — the classic decayed-counter
+    update rule; this query is its batch (re)computation.
+
+    Scale: one map-side-combined groupBy on (type, day) — the bucket
+    frame is types × days, constant-sized relative to the corpus —
+    then a types-sized rollup.  The age shift saturates at 62 to stay
+    in BIGINT range for arbitrarily old buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_diff(
+            F.lit(_Q238_REF).cast("date"), F.col("ts").cast("date")
+        ).alias("age"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dec = F.expr("c div shiftleft(1, least(age, 62))")
+    return d.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(dec).cast("long").alias("decayed"),
+        F.max(dec).cast("long").alias("peak_day_decayed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q239 — inter-event burstiness (Goh–Barabási)
+# ---------------------------------------------------------------------------
+
+_Q239_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events
+), g AS (
+  SELECT user_id, (us - prev) // 1000000 AS dt
+  FROM e WHERE prev IS NOT NULL
+), agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(dt) AS BIGINT) AS s,
+         CAST(sum(dt * dt) AS BIGINT) AS s2
+  FROM g GROUP BY user_id
+), v AS (
+  SELECT user_id, n_gaps, s,
+         n_gaps * s2 - s * s AS vnum
+  FROM agg WHERE n_gaps >= 2 AND s > 0
+)
+SELECT user_id, n_gaps, s AS sum_dt_s, CAST(vnum AS BIGINT) AS var_num,
+       CAST(round(1000000 * (sqrt(CAST(vnum AS DOUBLE)) - s)
+                  / (sqrt(CAST(vnum AS DOUBLE)) + s)) AS BIGINT)
+         AS burstiness_micro
+FROM v
+"""
+
+
+@register("q239_burstiness", _Q239_ORACLE)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event burstiness B = (σ−μ)/(σ+μ) per user (Goh & Barabási
+    2008) — the standard temporal-pattern signature: B → −1 for
+    clockwork activity, ≈ 0 for Poisson, → +1 for extreme bursts.
+    Bots and schedulers sit near −1, humans are bursty — an
+    events-quality verb.  The sample size CANCELS: with integer gap
+    seconds, S = Σdt and the exact integer v_num = n·Σdt² − (Σdt)²,
+    B = (√v_num − S)/(√v_num + S) — ONE sqrt of an exact BIGINT plus
+    correctly-rounded double ops on identical operands, so the pinned
+    micro value matches cross-engine (no variance-of-doubles drift).
+    Gap seconds floor from epoch microseconds ((µs_b − µs_a) div 10⁶),
+    identical integer flooring in both engines.
+
+    Scale: the lag window partitions on user_id (unbounded
+    cardinality key); everything after is one map-side-combined
+    aggregation to a users-sized frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    g = (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.lag(F.unix_micros("ts")).over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id", F.expr("(us - prev) div 1000000").alias("dt")
+        )
+    )
+    agg = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("dt").cast("long").alias("s"),
+        F.sum(F.col("dt") * F.col("dt")).cast("long").alias("s2"),
+    )
+    v = agg.filter((F.col("n_gaps") >= 2) & (F.col("s") > 0)).select(
+        "user_id",
+        "n_gaps",
+        "s",
+        (F.col("n_gaps") * F.col("s2") - F.col("s") * F.col("s")).alias(
+            "vnum"
+        ),
+    )
+    sq = F.sqrt(F.col("vnum").cast("double"))
+    return v.select(
+        "user_id",
+        "n_gaps",
+        F.col("s").alias("sum_dt_s"),
+        F.col("vnum").cast("long").alias("var_num"),
+        F.round(1000000 * (sq - F.col("s")) / (sq + F.col("s")), 0)
+        .cast("long")
+        .alias("burstiness_micro"),
+    )

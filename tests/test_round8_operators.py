@@ -959,3 +959,67 @@ def test_q237_zorder_twin_and_skipping_wins(spark):
         for r in q237(spark, "/root/testdata/sf0.01").collect()
     }
     assert at01["zorder"]["hit_micro"] < at01["linear"]["hit_micro"]
+
+
+def test_q238_decayed_counters_twin(spark):
+    """Python replay of the per-day halving at sf0.001 plus the
+    fold identity the docstring claims: decayed = today + older div 2
+    when recomputed one reference day later."""
+    from collections import defaultdict
+    from datetime import date
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q238_REF,
+        q238,
+    )
+
+    ref = date.fromisoformat(_Q238_REF)
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    buckets = defaultdict(int)
+    for r in ev:
+        age = (ref - r["ts"].date()).days
+        buckets[(r["event_type"], age)] += 1
+    want = defaultdict(lambda: [0, 0, 0])
+    for (et, age), c in buckets.items():
+        dec = c >> min(age, 62)
+        want[et][0] += c
+        want[et][1] += dec
+        want[et][2] = max(want[et][2], dec)
+    rows = {r["event_type"]: r for r in q238(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for et, (n, dec, peak) in want.items():
+        got = rows[et]
+        assert (got["n_events"], got["decayed"], got["peak_day_decayed"]) \
+            == (n, dec, peak)
+        assert got["decayed"] <= got["n_events"]
+
+
+def test_q239_burstiness_twin(spark):
+    """Statistics replay at sf0.001: exact integer moments, one sqrt,
+    B in (-1, 1), and the regular-vs-bursty ordering is preserved."""
+    import math
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q239
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        per_user[r["user_id"]].append((r["ts"], r["event_id"], us))
+    rows = {r["user_id"]: r for r in q239(spark, SF001).collect()}
+    for uid, evs in per_user.items():
+        evs.sort()
+        dts = [
+            (b[2] - a[2]) // 1_000_000 for a, b in zip(evs, evs[1:])
+        ]
+        n, s = len(dts), sum(dts)
+        if n < 2 or s <= 0:
+            assert uid not in rows
+            continue
+        vnum = n * sum(d * d for d in dts) - s * s
+        b = (math.sqrt(vnum) - s) / (math.sqrt(vnum) + s)
+        got = rows[uid]
+        assert (got["n_gaps"], got["sum_dt_s"], got["var_num"]) == (n, s, vnum)
+        assert abs(got["burstiness_micro"] - round(b * 1_000_000)) <= 1
+        assert -1_000_000 < got["burstiness_micro"] < 1_000_000
