@@ -3117,3 +3117,104 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("burstiness_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q240 — robots.txt-style longest-match crawl rules
+# ---------------------------------------------------------------------------
+
+# Rule table (domain suffix '' = every domain).  Precedence: the most
+# SPECIFIC domain group wins first (robots files are per-host — a
+# host's own rules shadow any global default), then the longest PATH
+# prefix, then Allow over Disallow on a tie (RFC 9309 / Google), then
+# rule_id deterministically.
+_Q240_RULES = (
+    # (rule_id, domain_suffix, path_prefix, allow)
+    (1, "", "/p/1", 1),
+    (2, "", "/p/", 0),
+    (3, ".net", "/p/", 1),
+    (4, "site13.com", "", 0),
+    (5, ".co.uk", "/p/9", 0),
+    (6, "", "", 1),
+)
+
+_Q240_RULES_SQL = ", ".join(
+    f"({i}, '{d}', '{p}', {a})" for i, d, p, a in _Q240_RULES
+)
+
+_Q240_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, canon_url, domain,
+         substr(canon_url, strpos(canon_url, '/')) AS path
+  FROM ({_Q214_ORACLE.replace(chr(10), ' ')})
+), rules AS (
+  SELECT * FROM (VALUES {_Q240_RULES_SQL})
+    AS t(rule_id, dsuf, prefix, allow)
+), m AS (
+  SELECT d.doc_id, d.domain, d.path, r.rule_id, r.prefix, r.allow,
+         row_number() OVER (
+           PARTITION BY d.doc_id
+           ORDER BY length(r.dsuf) DESC, length(r.prefix) DESC,
+                    r.allow DESC, r.rule_id ASC
+         ) AS rk
+  FROM docs d JOIN rules r
+    ON (r.dsuf = '' OR d.domain LIKE '%' || r.dsuf)
+   AND starts_with(d.path, r.prefix)
+)
+SELECT doc_id, domain, path,
+       CAST(rule_id AS BIGINT) AS rule_id,
+       CAST(allow AS BIGINT) AS allowed
+FROM m WHERE rk = 1
+"""
+
+
+@register("q240_robots_rules", _Q240_ORACLE)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt-style crawl governance (RFC 9309 semantics): each
+    URL is matched against a rule table of (domain-suffix, path-prefix,
+    allow/deny) entries; the LONGEST matching path prefix wins, an
+    Allow beats a Disallow of equal length, and a catch-all allow rule
+    provides the implicit default — the precedence every crawler
+    implements before a fetch, applied here as a batch filter over the
+    q214 canonical-URL corpus (rule 4 blacklists one whole domain,
+    rule 3 re-allows on .net what rule 2 disallows globally, so all
+    three precedence axes fire on this corpus).
+
+    Scale: the rule table is broadcast-literal (robots rules per
+    domain are KBs); matching is one join with prefix predicates and a
+    per-URL rank over the handful of applicable rules — window
+    partition key is the URL itself (unbounded cardinality, never a
+    funnel)."""
+    rules = spark.createDataFrame(
+        list(_Q240_RULES), "rule_id LONG, dsuf STRING, prefix STRING, allow LONG"
+    )
+    docs = q214(spark, sf_dir).select(
+        "doc_id",
+        "domain",
+        F.expr("substr(canon_url, instr(canon_url, '/'))").alias("path"),
+    )
+    m = docs.join(
+        F.broadcast(rules),
+        (
+            (F.col("dsuf") == "")
+            | F.col("domain").endswith(F.col("dsuf"))
+        )
+        & F.col("path").startswith(F.col("prefix")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("dsuf").desc(),
+        F.length("prefix").desc(),
+        F.col("allow").desc(),
+        F.col("rule_id").asc(),
+    )
+    return (
+        m.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "domain",
+            "path",
+            F.col("rule_id").cast("long"),
+            F.col("allow").cast("long").alias("allowed"),
+        )
+    )

@@ -1023,3 +1023,38 @@ def test_q239_burstiness_twin(spark):
         assert (got["n_gaps"], got["sum_dt_s"], got["var_num"]) == (n, s, vnum)
         assert abs(got["burstiness_micro"] - round(b * 1_000_000)) <= 1
         assert -1_000_000 < got["burstiness_micro"] < 1_000_000
+
+
+def test_q240_robots_rules_twin(spark):
+    """Python replay of the RFC-9309-style precedence at sf0.001 and
+    the liveness of each precedence axis (domain shadowing, longest
+    prefix, allow-beats-deny)."""
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q240_RULES,
+        q214,
+        q240,
+    )
+
+    docs = q214(spark, SF001).collect()
+    rows = {r["doc_id"]: r for r in q240(spark, SF001).collect()}
+    assert set(rows) == {d["doc_id"] for d in docs}
+    fired = set()
+    for d in docs:
+        path = d["canon_url"][d["canon_url"].index("/"):]
+        applicable = [
+            (i, ds, p, a)
+            for i, ds, p, a in _Q240_RULES
+            if (ds == "" or d["domain"].endswith(ds))
+            and path.startswith(p)
+        ]
+        winner = min(
+            applicable, key=lambda r: (-len(r[1]), -len(r[2]), -r[3], r[0])
+        )
+        got = rows[d["doc_id"]]
+        assert got["path"] == path
+        assert (got["rule_id"], got["allowed"]) == (winner[0], winner[3])
+        fired.add(winner[0])
+    # every substantive rule wins somewhere: domain blacklist (4),
+    # domain re-allow (3), global disallow (2), specific allow (1),
+    # domain-specific disallow (5)
+    assert {1, 2, 3, 4, 5} <= fired
