@@ -3218,3 +3218,140 @@ def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("allow").cast("long").alias("allowed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q241 — group-aware K-fold assignment + cross-fold n-gram leakage audit
+# ---------------------------------------------------------------------------
+
+_Q241_K = 5
+_Q241_SALT = "gkf-v1"
+
+_Q241_FOLD_SQL = (
+    f"(('0x' || substring(md5('{_Q241_SALT}' || source), 1, 12))::BIGINT"
+    f" % {_Q241_K})"
+)
+
+_Q241_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, {_Q241_FOLD_SQL} AS fold,
+         string_split({_NORM_SQL}, ' ') AS l
+  FROM documents
+), folds AS (
+  SELECT fold, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM d GROUP BY fold
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM folds
+), tg AS (
+  SELECT DISTINCT fold,
+         unnest(list_transform(generate_series(1, len(l) - 2),
+                i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS t
+  FROM d WHERE len(l) >= 3
+), spread AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_folds FROM tg GROUP BY t
+), leak AS (
+  SELECT tg.fold,
+         CAST(count(*) AS BIGINT) AS n_trigrams_distinct,
+         CAST(sum(CASE WHEN spread.n_folds >= 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_leaked
+  FROM tg JOIN spread USING (t)
+  GROUP BY tg.fold
+)
+SELECT folds.fold, folds.n_sources, folds.n_docs,
+       CAST((2000000 * folds.n_docs + tot.n) // (2 * tot.n) AS BIGINT)
+         AS share_micro,
+       leak.n_trigrams_distinct, leak.n_leaked,
+       CAST((2000000 * leak.n_leaked + leak.n_trigrams_distinct)
+            // (2 * leak.n_trigrams_distinct) AS BIGINT) AS leak_micro
+FROM folds JOIN leak USING (fold) CROSS JOIN tot
+"""
+
+
+@register("q241_groupkfold_leakage", _Q241_ORACLE)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware K-fold assignment (sklearn GroupKFold semantics:
+    every document of a SOURCE lands in one fold, so no group straddles
+    train and validation) with the two audits that decide whether the
+    split is usable: fold BALANCE (doc share per fold vs the ideal
+    1/{k}) and residual CONTENT LEAKAGE — the fraction of each fold's
+    distinct trigrams that also occur in another fold.  Group
+    separation stops group-level leakage but NOT text reuse across
+    groups; measuring the n-gram spread is exactly the decontamination
+    check (q51/q205) applied fold-wise, and on a shared-vocabulary
+    corpus it reads high — which is the audit's warning, not a bug.
+    Fold assignment is the salted 48-bit md5 coordinate mod {k}
+    (operators/sampling._u48), identical in both engines.
+
+    Scale: fold stats are one groupBy; the leakage side is a DISTINCT
+    (fold, trigram) projection, a trigram-keyed spread count
+    (vocabulary³-bounded, not corpus-bounded), and one join back —
+    map-side combined throughout, no windows."""
+    from ..operators.sampling import _u48
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        (_u48(F.col("source"), _Q241_SALT) % _Q241_K).alias("fold"),
+        tokens(normalize_text("text")).alias("l"),
+    )
+    folds = d.groupBy("fold").agg(
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tot = folds.agg(F.sum("n_docs").cast("long").alias("n"))
+    tg = (
+        d.filter(F.size("l") >= 3)
+        .select(
+            "fold",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("l"), i),
+                        F.element_at(F.col("l"), i + 1),
+                        F.element_at(F.col("l"), i + 2),
+                    ),
+                )
+            ).alias("t"),
+        )
+        .distinct()
+    )
+    spread = tg.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_folds")
+    )
+    leak = (
+        tg.join(spread, "t")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams_distinct"),
+            F.sum(F.when(F.col("n_folds") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaked"),
+        )
+    )
+    return (
+        folds.join(leak, "fold")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_sources",
+            "n_docs",
+            F.expr("(2000000 * n_docs + n) div (2 * n)")
+            .cast("long")
+            .alias("share_micro"),
+            "n_trigrams_distinct",
+            "n_leaked",
+            F.expr(
+                "(2000000 * n_leaked + n_trigrams_distinct)"
+                " div (2 * n_trigrams_distinct)"
+            )
+            .cast("long")
+            .alias("leak_micro"),
+        )
+    )
+
+
+q241.__doc__ = q241.__doc__.format(k=_Q241_K)

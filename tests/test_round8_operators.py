@@ -1058,3 +1058,52 @@ def test_q240_robots_rules_twin(spark):
     # domain re-allow (3), global disallow (2), specific allow (1),
     # domain-specific disallow (5)
     assert {1, 2, 3, 4, 5} <= fired
+
+
+def test_q241_groupkfold_twin(spark):
+    """Python replay at sf0.001: the group invariant (every source in
+    exactly one fold), fold accounting, and the leakage spread."""
+    import hashlib
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q241_K,
+        _Q241_SALT,
+        q241,
+    )
+
+    def fold_of(source: str) -> int:
+        h = hashlib.md5(f"{_Q241_SALT}{source}".encode()).hexdigest()
+        return int(h[:12], 16) % _Q241_K
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    per_fold_docs = defaultdict(int)
+    per_fold_sources = defaultdict(set)
+    fold_tris = defaultdict(set)
+    for d in docs:
+        f = fold_of(d["source"])
+        per_fold_docs[f] += 1
+        per_fold_sources[f].add(d["source"])
+        toks = _norm(d["text"]).split(" ")
+        for i in range(len(toks) - 2):
+            fold_tris[f].add(" ".join(toks[i:i + 3]))
+    n = sum(per_fold_docs.values())
+    rows = {r["fold"]: r for r in q241(spark, SF001).collect()}
+    assert set(rows) == set(per_fold_docs)
+    # group invariant: the fold map is a function of source alone
+    assert sum(len(s) for s in per_fold_sources.values()) == len(
+        {d["source"] for d in docs}
+    )
+    for f, r in rows.items():
+        assert r["n_docs"] == per_fold_docs[f]
+        assert r["n_sources"] == len(per_fold_sources[f])
+        assert r["share_micro"] == (
+            2_000_000 * per_fold_docs[f] + n
+        ) // (2 * n)
+        others = set().union(
+            *(t for g, t in fold_tris.items() if g != f)
+        )
+        leaked = len(fold_tris[f] & others)
+        assert r["n_trigrams_distinct"] == len(fold_tris[f])
+        assert r["n_leaked"] == leaked
+        assert r["n_leaked"] > 0  # the audit's warning branch is live
