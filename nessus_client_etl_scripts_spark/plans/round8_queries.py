@@ -3355,3 +3355,92 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q241.__doc__ = q241.__doc__.format(k=_Q241_K)
+
+
+# ---------------------------------------------------------------------------
+# q242 — bronze-layer validation & quarantine (expectations / bad records)
+# ---------------------------------------------------------------------------
+
+# Deterministic corruption (the q179/q214 synthesis pattern): every
+# 17th event loses its closing brace, every 23rd gets a non-numeric k —
+# both invalid under the contract '{"k": <int>}'.
+_Q242_PAT = '^\\{"k": ([0-9]+)\\}$'
+
+_Q242_ORACLE = f"""
+WITH raw AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 17 = 0
+              THEN substr(props, 1, length(props) - 1)
+              WHEN event_id % 23 = 0
+              THEN replace(props, '"k": ', '"k": x')
+              ELSE props END AS props
+  FROM events
+), v AS (
+  SELECT event_type,
+         regexp_extract(props, '{_Q242_PAT}', 1) AS kstr
+  FROM raw
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN kstr <> '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valid,
+       CAST(sum(CASE WHEN kstr <> '' THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_quarantined,
+       CAST((2000000 * sum(CASE WHEN kstr <> '' THEN 0 ELSE 1 END)
+             + count(*)) // (2 * count(*)) AS BIGINT)
+         AS quarantine_micro,
+       CAST(sum(CASE WHEN kstr <> '' THEN CAST(kstr AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS sum_k
+FROM v GROUP BY event_type
+"""
+
+
+@register("q242_validate_quarantine", _Q242_ORACLE)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze-layer contract validation with quarantine accounting —
+    the Delta Live Tables \"expectations\" / badRecordsPath verb: every
+    raw payload is checked against its contract (here '{{"k": <int>}}'
+    via one anchored regexp whose capture doubles as the extraction),
+    rows failing the contract are COUNTED INTO QUARANTINE per event
+    type rather than silently dropped or crashing the job, and the
+    valid side feeds the typed aggregate.  Corruption is synthesized
+    deterministically on two residue classes (truncated JSON and a
+    non-numeric field) so both failure modes are live and both engines
+    see identical inputs.  The anchored digit-class pattern sits in
+    the regex subset both engines implement identically.
+
+    Scale: one scan, row-local validation inside whole-stage codegen
+    (regexp + CASE — no UDF, no exception-driven control flow, which
+    is precisely why quarantine beats try/except at 100 TB), one
+    map-side-combined groupBy on event type."""
+    ev = load_table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    raw = ev.select(
+        "event_type",
+        F.when(
+            e % 17 == 0,
+            F.expr("substr(props, 1, length(props) - 1)"),
+        )
+        .when(e % 23 == 0, F.replace(F.col("props"), F.lit('"k": '), F.lit('"k": x')))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    v = raw.select(
+        "event_type",
+        F.regexp_extract("props", _Q242_PAT, 1).alias("kstr"),
+    )
+    ok = F.col("kstr") != ""
+    return v.groupBy("event_type").agg(
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(ok, 0).otherwise(1))
+        .cast("long")
+        .alias("n_quarantined"),
+        F.expr(
+            "(2000000 * sum(CASE WHEN kstr <> '' THEN 0 ELSE 1 END)"
+            " + count(*)) div (2 * count(*))"
+        )
+        .cast("long")
+        .alias("quarantine_micro"),
+        F.sum(F.when(ok, F.col("kstr").cast("long")).otherwise(0))
+        .cast("long")
+        .alias("sum_k"),
+    )

@@ -1107,3 +1107,41 @@ def test_q241_groupkfold_twin(spark):
         assert r["n_trigrams_distinct"] == len(fold_tris[f])
         assert r["n_leaked"] == leaked
         assert r["n_leaked"] > 0  # the audit's warning branch is live
+
+
+def test_q242_quarantine_twin(spark):
+    """Python replay at sf0.001 plus liveness of BOTH corruption
+    classes and conservation (valid + quarantined = all events)."""
+    import re as _re
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q242
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    pat = _re.compile(r'^\{"k": ([0-9]+)\}$')
+    want = defaultdict(lambda: [0, 0, 0])
+    n17 = n23 = 0
+    for r in ev:
+        props = r["props"]
+        if r["event_id"] % 17 == 0:
+            props = props[:-1]
+            n17 += 1
+        elif r["event_id"] % 23 == 0:
+            props = props.replace('"k": ', '"k": x')
+            n23 += 1
+        m = pat.match(props)
+        w = want[r["event_type"]]
+        if m:
+            w[0] += 1
+            w[2] += int(m.group(1))
+        else:
+            w[1] += 1
+    assert n17 > 0 and n23 > 0  # both corruption classes live
+    rows = {r["event_type"]: r for r in q242(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for et, (nv, nq, sk) in want.items():
+        got = rows[et]
+        assert (got["n_valid"], got["n_quarantined"], got["sum_k"]) \
+            == (nv, nq, sk)
+        tot = nv + nq
+        assert got["quarantine_micro"] == (2_000_000 * nq + tot) // (2 * tot)
