@@ -3444,3 +3444,65 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q243 — next-event Markov transition matrix
+# ---------------------------------------------------------------------------
+
+_Q243_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type AS a,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS b
+  FROM events
+), t AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE b IS NOT NULL GROUP BY a, b
+), m AS (
+  SELECT a, CAST(sum(c) AS BIGINT) AS row_total FROM t GROUP BY a
+)
+SELECT t.a AS from_type, t.b AS to_type, t.c AS n_transitions,
+       m.row_total,
+       CAST((2000000 * t.c + m.row_total) // (2 * m.row_total)
+            AS BIGINT) AS p_micro
+FROM t JOIN m USING (a)
+"""
+
+
+@register("q243_markov_transitions", _Q243_ORACLE)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavior-model construction behind next-action
+    prediction, anomaly scoring (q187 consumes exactly such a model),
+    and funnel design: P(b | a) = c(a→b) / Σ_b c(a→b), counted on
+    consecutive events WITHIN a user (lead over (ts, event_id) — the
+    deterministic total order), pinned to micro units.  The row
+    marginals join back so every cell carries its evidence count — a
+    transition estimated from 3 observations is not a transition
+    estimated from 30,000.
+
+    Scale: the lead window partitions on user_id (unbounded key); the
+    transition frame is |event types|²-bounded regardless of corpus
+    size, and the marginal join is over that constant-sized frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    e = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    t = e.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    m = t.groupBy("a").agg(F.sum("c").cast("long").alias("row_total"))
+    return t.join(F.broadcast(m), "a").select(
+        F.col("a").alias("from_type"),
+        F.col("b").alias("to_type"),
+        F.col("c").alias("n_transitions"),
+        "row_total",
+        F.expr("(2000000 * c + row_total) div (2 * row_total)")
+        .cast("long")
+        .alias("p_micro"),
+    )

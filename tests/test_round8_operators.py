@@ -1145,3 +1145,35 @@ def test_q242_quarantine_twin(spark):
             == (nv, nq, sk)
         tot = nv + nq
         assert got["quarantine_micro"] == (2_000_000 * nq + tot) // (2 * tot)
+
+
+def test_q243_markov_twin(spark):
+    """Python replay at sf0.001: transition counts over per-user
+    (ts, event_id)-ordered sequences, row-stochastic within rounding."""
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q243
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    trans = defaultdict(int)
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    totals = defaultdict(int)
+    for (a, _), c in trans.items():
+        totals[a] += c
+    rows = {(r["from_type"], r["to_type"]): r for r in q243(spark, SF001).collect()}
+    assert set(rows) == set(trans)
+    by_row = defaultdict(int)
+    for (a, b), r in rows.items():
+        assert r["n_transitions"] == trans[(a, b)]
+        assert r["row_total"] == totals[a]
+        assert r["p_micro"] == (2_000_000 * trans[(a, b)] + totals[a]) \
+            // (2 * totals[a])
+        by_row[a] += r["p_micro"]
+    for a, s in by_row.items():
+        assert abs(s - 1_000_000) <= 25  # row-stochastic within rounding
