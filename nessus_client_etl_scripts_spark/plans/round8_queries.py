@@ -3506,3 +3506,183 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q244 — CBO histogram selectivity audit (equi-width vs equi-depth)
+# ---------------------------------------------------------------------------
+
+_Q244_B = 10
+_Q244_PLO, _Q244_PHI = 5000000, 10000000  # predicate range, in cents
+
+# Shared interpolation rule (uniformity within a bucket):
+#   contribution = count_b · overlap / span, in milli units,
+#   overlap = |[lo_b, hi_b] ∩ [plo, phi]| and span = hi_b − lo_b + 1.
+_Q244_EST = (
+    "(2000 * cb * greatest(0, least(hi, {phi}) - greatest(lo, {plo}) + 1)"
+    " + (hi - lo + 1)) // (2 * (hi - lo + 1))"
+).format(plo=_Q244_PLO, phi=_Q244_PHI)
+
+_Q244_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         o_orderkey AS k
+  FROM orders
+), st AS (
+  SELECT CAST(min(c) AS BIGINT) AS cmin, CAST(max(c) AS BIGINT) AS cmax,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c BETWEEN {_Q244_PLO} AND {_Q244_PHI}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS true_count
+  FROM c
+), wbuck AS (
+  SELECT least({_Q244_B - 1},
+               ((c.c - st.cmin) * {_Q244_B}) // (st.cmax - st.cmin + 1))
+           AS b,
+         CAST(count(*) AS BIGINT) AS cb
+  FROM c CROSS JOIN st GROUP BY 1
+), wframe AS (
+  SELECT wbuck.b, wbuck.cb,
+         st.cmin + (wbuck.b * (st.cmax - st.cmin + 1)) // {_Q244_B} AS lo,
+         st.cmin + ((wbuck.b + 1) * (st.cmax - st.cmin + 1)) // {_Q244_B}
+           - 1 AS hi
+  FROM wbuck CROSS JOIN st
+), west AS (
+  SELECT 'width' AS histogram, CAST(sum({_Q244_EST}) AS BIGINT) AS est_milli
+  FROM wframe
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c ASC, k ASC) AS rn FROM c
+), dpos AS (
+  SELECT b,
+         (b * st.n) // {_Q244_B} + 1 AS lo_pos,
+         ((b + 1) * st.n) // {_Q244_B} AS hi_pos
+  FROM (SELECT unnest(generate_series(0, {_Q244_B - 1})) AS b)
+       CROSS JOIN st
+), dframe AS (
+  SELECT dpos.b,
+         CAST(dpos.hi_pos - dpos.lo_pos + 1 AS BIGINT) AS cb,
+         rlo.c AS lo, rhi.c AS hi
+  FROM dpos JOIN r rlo ON rlo.rn = dpos.lo_pos
+            JOIN r rhi ON rhi.rn = dpos.hi_pos
+), dest AS (
+  SELECT 'depth' AS histogram, CAST(sum({_Q244_EST}) AS BIGINT) AS est_milli
+  FROM dframe
+)
+SELECT e.histogram, CAST({_Q244_B} AS BIGINT) AS n_buckets,
+       e.est_milli, st.true_count,
+       CAST((2000000 * abs(e.est_milli - 1000 * st.true_count)
+             + 1000 * st.true_count) // (2000 * st.true_count)
+            AS BIGINT) AS err_micro
+FROM (SELECT * FROM west UNION ALL SELECT * FROM dest) e CROSS JOIN st
+"""
+
+
+@register("q244_histogram_selectivity", _Q244_ORACLE)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics quality audit — the question behind ANALYZE
+    TABLE: how well does a {b}-bucket histogram predict the selectivity
+    of a range predicate?  Builds BOTH classic shapes over order totals
+    in exact integer cents — equi-WIDTH (fixed value spans) and
+    equi-DEPTH (boundaries at rank positions b·n div {b}, the shape
+    real CBOs keep precisely because estimation error concentrates
+    where data does) — applies the same within-bucket uniformity
+    interpolation to each, and reports estimate vs true count with the
+    relative error pinned in micro units.  Everything is integer: cents
+    recover exactly from the double, bucket spans/overlaps are integer
+    arithmetic, the interpolation pins per bucket in milli units.
+
+    Scale: equi-width is one map-side-combined groupBy; equi-depth
+    boundary positions are read from a scalable_row_number global rank
+    (range exchange — NOT a single-partition window) joined against
+    {b} broadcast positions; both audits then run on {b}-row frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    from ..operators.windows import scalable_row_number
+
+    c = orders.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+        F.col("o_orderkey").alias("k"),
+    )
+    st = c.agg(
+        F.min("c").cast("long").alias("cmin"),
+        F.max("c").cast("long").alias("cmax"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("c").between(_Q244_PLO, _Q244_PHI), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("true_count"),
+    )
+    wbuck = (
+        c.crossJoin(F.broadcast(st))
+        .groupBy(
+            F.least(
+                F.lit(_Q244_B - 1),
+                F.expr(f"((c - cmin) * {_Q244_B}) div (cmax - cmin + 1)"),
+            ).alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    wframe = wbuck.crossJoin(F.broadcast(st)).select(
+        "b",
+        "cb",
+        F.expr(f"cmin + (b * (cmax - cmin + 1)) div {_Q244_B}").alias("lo"),
+        F.expr(
+            f"cmin + ((b + 1) * (cmax - cmin + 1)) div {_Q244_B} - 1"
+        ).alias("hi"),
+    )
+    est = F.expr(_Q244_EST.replace("//", "div"))
+    west = wframe.agg(
+        F.lit("width").alias("histogram"),
+        F.sum(est).cast("long").alias("est_milli"),
+    )
+    ranked = scalable_row_number(c, ("c", "k"), out_col="rn")
+    dpos = (
+        spark.range(_Q244_B)
+        .select(F.col("id").alias("b"))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "b",
+            F.expr(f"(b * n) div {_Q244_B} + 1").alias("lo_pos"),
+            F.expr(f"((b + 1) * n) div {_Q244_B}").alias("hi_pos"),
+        )
+    )
+    lo_vals = ranked.join(
+        F.broadcast(dpos.select("b", F.col("lo_pos").alias("rn"))), "rn"
+    ).select("b", F.col("c").alias("lo"))
+    hi_vals = ranked.join(
+        F.broadcast(dpos.select("b", F.col("hi_pos").alias("rn"))), "rn"
+    ).select("b", F.col("c").alias("hi"))
+    dframe = (
+        lo_vals.join(hi_vals, "b")
+        .join(F.broadcast(dpos), "b")
+        .select(
+            "b",
+            (F.col("hi_pos") - F.col("lo_pos") + 1)
+            .cast("long")
+            .alias("cb"),
+            "lo",
+            "hi",
+        )
+    )
+    dest = dframe.agg(
+        F.lit("depth").alias("histogram"),
+        F.sum(est).cast("long").alias("est_milli"),
+    )
+    return (
+        west.unionAll(dest)
+        .crossJoin(F.broadcast(st.select("true_count")))
+        .select(
+            "histogram",
+            F.lit(_Q244_B).cast("long").alias("n_buckets"),
+            "est_milli",
+            "true_count",
+            F.expr(
+                "(2000000 * abs(est_milli - 1000 * true_count)"
+                " + 1000 * true_count) div (2000 * true_count)"
+            )
+            .cast("long")
+            .alias("err_micro"),
+        )
+    )
+
+
+q244.__doc__ = q244.__doc__.format(b=_Q244_B)

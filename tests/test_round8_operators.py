@@ -1177,3 +1177,52 @@ def test_q243_markov_twin(spark):
         by_row[a] += r["p_micro"]
     for a, s in by_row.items():
         assert abs(s - 1_000_000) <= 25  # row-stochastic within rounding
+
+
+def test_q244_histogram_selectivity_twin(spark):
+    """Python replay of both histogram estimates at sf0.001 — exact
+    integer boundaries, interpolation, and the error pinning."""
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q244_B,
+        _Q244_PHI,
+        _Q244_PLO,
+        q244,
+    )
+
+    orders = spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    cs = sorted(
+        (round(r["o_totalprice"] * 100), r["o_orderkey"]) for r in orders
+    )
+    vals = [c for c, _ in cs]
+    cmin, cmax, n = min(vals), max(vals), len(vals)
+    true = sum(1 for c in vals if _Q244_PLO <= c <= _Q244_PHI)
+
+    def contrib(cb, lo, hi):
+        ov = max(0, min(hi, _Q244_PHI) - max(lo, _Q244_PLO) + 1)
+        span = hi - lo + 1
+        return (2000 * cb * ov + span) // (2 * span)
+
+    w = cmax - cmin + 1
+    from collections import Counter
+    wc = Counter(
+        min(_Q244_B - 1, ((c - cmin) * _Q244_B) // w) for c in vals
+    )
+    west = sum(
+        contrib(cb, cmin + (b * w) // _Q244_B,
+                cmin + ((b + 1) * w) // _Q244_B - 1)
+        for b, cb in wc.items()
+    )
+    dest = 0
+    for b in range(_Q244_B):
+        lo_pos, hi_pos = (b * n) // _Q244_B + 1, ((b + 1) * n) // _Q244_B
+        dest += contrib(
+            hi_pos - lo_pos + 1, vals[lo_pos - 1], vals[hi_pos - 1]
+        )
+    rows = {r["histogram"]: r for r in q244(spark, SF001).collect()}
+    assert rows["width"]["est_milli"] == west
+    assert rows["depth"]["est_milli"] == dest
+    for r in rows.values():
+        assert r["true_count"] == true
+        assert r["err_micro"] == (
+            2_000_000 * abs(r["est_milli"] - 1000 * true) + 1000 * true
+        ) // (2000 * true)
