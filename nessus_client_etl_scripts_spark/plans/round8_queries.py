@@ -3686,3 +3686,135 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q244.__doc__ = q244.__doc__.format(b=_Q244_B)
+
+
+# ---------------------------------------------------------------------------
+# q245 — split-conformal calibration threshold (distribution-free PI)
+# ---------------------------------------------------------------------------
+
+_Q245_ALPHA_NUM, _Q245_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10 coverage
+
+_Q245_ORACLE = f"""
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS sv
+  FROM c GROUP BY event_type
+), s AS (
+  SELECT c.event_type, c.event_id, g.n,
+         abs(g.n * c.v - g.sv) AS score
+  FROM c JOIN g USING (event_type)
+), r AS (
+  SELECT event_type, n, score,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY score ASC, event_id ASC) AS rk
+  FROM s
+), qx AS (
+  SELECT event_type, n,
+         ({_Q245_ALPHA_NUM} * (n + 1) + {_Q245_ALPHA_DEN} - 1)
+           // {_Q245_ALPHA_DEN} AS q_idx
+  FROM g
+), thr AS (
+  SELECT r.event_type, r.n, qx.q_idx, r.score AS threshold_scaled
+  FROM r JOIN qx ON qx.event_type = r.event_type AND r.rk = qx.q_idx
+), cov AS (
+  SELECT s.event_type,
+         CAST(sum(CASE WHEN s.score <= thr.threshold_scaled
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM s JOIN thr USING (event_type)
+  GROUP BY s.event_type
+)
+SELECT thr.event_type, thr.n, CAST(thr.q_idx AS BIGINT) AS q_idx,
+       CAST(thr.threshold_scaled AS BIGINT) AS threshold_scaled,
+       CAST((2000000 * cov.n_covered + thr.n) // (2 * thr.n) AS BIGINT)
+         AS coverage_micro
+FROM thr JOIN cov USING (event_type)
+"""
+
+
+@register("q245_conformal_calibration", _Q245_ORACLE)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration (Vovk; Angelopoulos & Bates 2023 —
+    the distribution-free prediction-interval recipe): per event type,
+    nonconformity scores |v − mean| are ranked and the
+    ⌈(n+1)·(1−α)⌉-th smallest becomes the interval half-width that
+    guarantees ≥ 1−α coverage with NO distributional assumption — the
+    calibration step every uncertainty-quantified model serves behind.
+    α = 1/10.  Integer-exact: cents recover exactly from the double,
+    the score is scaled by n (|n·v − Σv| = n·|v − mean|, avoiding the
+    mean's division), and the quantile index uses integer ceiling.
+    The empirical coverage column audits the guarantee on the
+    calibration set itself.
+
+    Scale: event_type is a LOW-cardinality partition key, so the rank
+    runs through grouped_row_number's range-exchange form rather than
+    a window funnel; the threshold frame is types-sized and joins back
+    broadcast for the coverage count."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.windows import grouped_row_number
+
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    s = c.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        "event_id",
+        "n",
+        F.abs(F.col("n") * F.col("v") - F.col("sv")).alias("score"),
+    )
+    r = grouped_row_number(
+        s.select("event_type", "n", "score", "event_id"),
+        "event_type",
+        ("score", "event_id"),
+        out_col="rk",
+    )
+    qx = g.select(
+        "event_type",
+        F.expr(
+            f"({_Q245_ALPHA_NUM} * (n + 1) + {_Q245_ALPHA_DEN} - 1)"
+            f" div {_Q245_ALPHA_DEN}"
+        ).alias("q_idx"),
+    )
+    thr = r.join(
+        F.broadcast(qx),
+        (r["event_type"] == qx["event_type"]) & (r["rk"] == qx["q_idx"]),
+    ).select(
+        r["event_type"],
+        "n",
+        F.col("q_idx").cast("long"),
+        F.col("score").alias("threshold_scaled"),
+    )
+    cov = (
+        s.join(
+            F.broadcast(thr.select("event_type", "threshold_scaled")),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("score") <= F.col("threshold_scaled"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered")
+        )
+    )
+    return thr.join(cov, "event_type").select(
+        "event_type",
+        "n",
+        "q_idx",
+        F.col("threshold_scaled").cast("long"),
+        F.expr("(2000000 * n_covered + n) div (2 * n)")
+        .cast("long")
+        .alias("coverage_micro"),
+    )

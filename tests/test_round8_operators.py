@@ -1226,3 +1226,35 @@ def test_q244_histogram_selectivity_twin(spark):
         assert r["err_micro"] == (
             2_000_000 * abs(r["est_milli"] - 1000 * true) + 1000 * true
         ) // (2000 * true)
+
+
+def test_q245_conformal_twin(spark):
+    """Python replay at sf0.001 plus the conformal guarantee: the
+    empirical coverage is at least 1 - alpha = 90% on the calibration
+    set and the threshold is the ceil((n+1)*0.9)-th smallest score."""
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q245
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    per = defaultdict(list)
+    for r in ev:
+        per[r["event_type"]].append(
+            (round(r["value"] * 100), r["event_id"])
+        )
+    rows = {r["event_type"]: r for r in q245(spark, SF001).collect()}
+    assert set(rows) == set(per)
+    for et, vs in per.items():
+        n = len(vs)
+        sv = sum(v for v, _ in vs)
+        scores = sorted(
+            (abs(n * v - sv), eid) for v, eid in vs
+        )
+        q_idx = (9 * (n + 1) + 9) // 10
+        thr = scores[q_idx - 1][0]
+        covered = sum(1 for s, _ in scores if s <= thr)
+        got = rows[et]
+        assert (got["n"], got["q_idx"], got["threshold_scaled"]) \
+            == (n, q_idx, thr)
+        assert got["coverage_micro"] == (2_000_000 * covered + n) // (2 * n)
+        assert got["coverage_micro"] >= 900_000  # the guarantee
