@@ -3818,3 +3818,97 @@ def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("coverage_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q246 — k-anonymity / l-diversity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_Q246_K = 5  # k-anonymity threshold
+_Q246_BAND = 200000  # acctbal generalization band, cents (2000.00)
+
+_Q246_ORACLE = f"""
+WITH g AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(round(c_acctbal * 100) AS BIGINT) // {_Q246_BAND}
+           AS bal_band,
+         c_custkey % 7 AS sensitive
+  FROM customer
+), eq AS (
+  SELECT nation, segment, bal_band,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT sensitive) AS BIGINT) AS l_diversity
+  FROM g GROUP BY nation, segment, bal_band
+), tot AS (
+  SELECT CAST(sum(class_size) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(min(class_size) AS BIGINT) AS k_anonymity,
+         CAST(min(l_diversity) AS BIGINT) AS min_l,
+         CAST(sum(CASE WHEN class_size < {_Q246_K}
+                  THEN class_size ELSE 0 END) AS BIGINT) AS n_exposed
+  FROM eq
+)
+SELECT n, n_classes, k_anonymity, min_l, n_exposed,
+       CAST((2000000 * n_exposed + n) // (2 * n) AS BIGINT)
+         AS exposed_micro
+FROM tot
+"""
+
+
+@register("q246_k_anonymity", _Q246_ORACLE)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) — the privacy gate run before releasing a quasi-identified
+    table: group by the quasi-identifiers (nation × market segment ×
+    generalized balance band), report the dataset's k (the SMALLEST
+    equivalence class — one undersized class breaks the guarantee for
+    its members), the minimum l-diversity of a sensitive attribute
+    (a k-anonymous class whose sensitive value is constant still leaks
+    it), and the count/share of rows sitting in classes below
+    k = {k} — the rows a release would re-identify.  Complements q63
+    (which APPLIES the generalization; this MEASURES whether it was
+    enough).  Integer-exact: exact-cents banding, counts, one pinned
+    share.
+
+    Scale: one map-side-combined groupBy on the quasi-identifier tuple
+    (unbounded key), then a one-row rollup — min/sum over the class
+    frame."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            f"CAST(round(c_acctbal * 100) AS BIGINT) div {_Q246_BAND}"
+        ).alias("bal_band"),
+        (F.col("c_custkey") % 7).alias("sensitive"),
+    )
+    eq = g.groupBy("nation", "segment", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.count_distinct("sensitive").cast("long").alias("l_diversity"),
+    )
+    tot = eq.agg(
+        F.sum("class_size").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("class_size").cast("long").alias("k_anonymity"),
+        F.min("l_diversity").cast("long").alias("min_l"),
+        F.sum(
+            F.when(
+                F.col("class_size") < _Q246_K, F.col("class_size")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_exposed"),
+    )
+    return tot.select(
+        "n",
+        "n_classes",
+        "k_anonymity",
+        "min_l",
+        "n_exposed",
+        F.expr("(2000000 * n_exposed + n) div (2 * n)")
+        .cast("long")
+        .alias("exposed_micro"),
+    )
+
+
+q246.__doc__ = q246.__doc__.format(k=_Q246_K)

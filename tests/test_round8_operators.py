@@ -1258,3 +1258,42 @@ def test_q245_conformal_twin(spark):
             == (n, q_idx, thr)
         assert got["coverage_micro"] == (2_000_000 * covered + n) // (2 * n)
         assert got["coverage_micro"] >= 900_000  # the guarantee
+
+
+def test_q246_k_anonymity_twin(spark):
+    """Python replay at sf0.001 and the audit's liveness: some class
+    sits below k (the exposed branch fires on this corpus)."""
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q246_BAND,
+        _Q246_K,
+        q246,
+    )
+
+    cust = spark.read.parquet(f"{SF001}/customer.parquet").collect()
+    classes = defaultdict(lambda: [0, set()])
+    for r in cust:
+        cents = round(r["c_acctbal"] * 100)
+        # SQL div truncates toward zero; Python // floors — acctbal is
+        # negative for some customers, so mirror the truncation
+        band = (
+            cents // _Q246_BAND
+            if cents >= 0
+            else -((-cents) // _Q246_BAND)
+        )
+        key = (r["c_nationkey"], r["c_mktsegment"], band)
+        classes[key][0] += 1
+        classes[key][1].add(r["c_custkey"] % 7)
+    n = sum(c for c, _ in classes.values())
+    exposed = sum(c for c, _ in classes.values() if c < _Q246_K)
+    row = q246(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert got["n"] == n
+    assert got["n_classes"] == len(classes)
+    assert got["k_anonymity"] == min(c for c, _ in classes.values())
+    assert got["min_l"] == min(len(s) for _, s in classes.values())
+    assert got["n_exposed"] == exposed
+    assert got["n_exposed"] > 0  # audit branch live
+    assert got["exposed_micro"] == (2_000_000 * exposed + n) // (2 * n)
