@@ -3912,3 +3912,86 @@ def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q246.__doc__ = q246.__doc__.format(k=_Q246_K)
+
+
+# ---------------------------------------------------------------------------
+# q247 — day-of-week seasonal index
+# ---------------------------------------------------------------------------
+
+# Portable day-of-week: (days since 1970-01-01 + 4) % 7, 0 = Sunday —
+# Spark's dayofweek() is 1-based-Sunday while DuckDB's dow is 0-based,
+# so both sides derive it from epoch-day arithmetic instead.
+_Q247_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM events GROUP BY 1
+), keyed AS (
+  SELECT (date_diff('day', DATE '1970-01-01', d) + 4) % 7 AS dow,
+         rev_cents
+  FROM daily
+), per AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(rev_cents) AS BIGINT) AS rev
+  FROM keyed GROUP BY dow
+), tot AS (
+  SELECT CAST(sum(n_days) AS BIGINT) AS nd,
+         CAST(sum(rev) AS BIGINT) AS r
+  FROM per
+)
+SELECT CAST(per.dow AS BIGINT) AS dow, per.n_days, per.rev AS rev_cents,
+       CAST((2000000 * per.rev * tot.nd + per.n_days * tot.r)
+            // (2 * per.n_days * tot.r) AS BIGINT) AS seasonal_micro
+FROM per CROSS JOIN tot
+"""
+
+
+@register("q247_seasonal_index", _Q247_ORACLE)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index — the first step of any seasonal
+    decomposition (the ratio-to-moving-average method's seasonal
+    factor, computed against the global mean): index(dow) = mean daily
+    revenue on that weekday / overall mean daily revenue, in micro
+    units; 1e6 = no weekday effect.  Forecasting, anomaly baselines
+    (q182's CUSUM drifts without deseasonalization), and capacity
+    planning all start here.  Integer-exact: exact-cents revenue, and
+    the index is the single pinned rational (rev·N_days) /
+    (n_days·R_total).  Day-of-week derives from epoch-day arithmetic
+    ((epoch_days + 4) % 7) because the engines' dayofweek() numbering
+    CONVENTIONS differ — a one-line portability trap worth the
+    comment.
+
+    Scale: two map-side-combined aggregations (per-day, then per-dow —
+    the second over a days-sized frame) and one broadcast total."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    keyed = daily.select(
+        (
+            (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) + 4)
+            % 7
+        ).alias("dow"),
+        "rev_cents",
+    )
+    per = keyed.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("rev_cents").cast("long").alias("rev"),
+    )
+    tot = per.agg(
+        F.sum("n_days").cast("long").alias("nd"),
+        F.sum("rev").cast("long").alias("r"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("long"),
+        "n_days",
+        F.col("rev").alias("rev_cents"),
+        F.expr(
+            "(2000000 * rev * nd + n_days * r) div (2 * n_days * r)"
+        )
+        .cast("long")
+        .alias("seasonal_micro"),
+    )

@@ -1297,3 +1297,35 @@ def test_q246_k_anonymity_twin(spark):
     assert got["n_exposed"] == exposed
     assert got["n_exposed"] > 0  # audit branch live
     assert got["exposed_micro"] == (2_000_000 * exposed + n) // (2 * n)
+
+
+def test_q247_seasonal_index_twin(spark):
+    """Python replay at sf0.001 plus the weighted-mean identity: the
+    n_days-weighted average of the seasonal indices is ~1e6."""
+    from collections import defaultdict
+    from datetime import date
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q247
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r["ts"].date()] += round(r["value"] * 100)
+    per = defaultdict(lambda: [0, 0])
+    epoch = date(1970, 1, 1)
+    for d, rev in daily.items():
+        dow = ((d - epoch).days + 4) % 7
+        per[dow][0] += 1
+        per[dow][1] += rev
+    nd = sum(v[0] for v in per.values())
+    rt = sum(v[1] for v in per.values())
+    rows = {r["dow"]: r for r in q247(spark, SF001).collect()}
+    assert set(rows) == set(per)
+    acc = 0
+    for dow, (n_days, rev) in per.items():
+        got = rows[dow]
+        assert (got["n_days"], got["rev_cents"]) == (n_days, rev)
+        den = 2 * n_days * rt
+        assert got["seasonal_micro"] == (2_000_000 * rev * nd + n_days * rt) // den
+        acc += got["seasonal_micro"] * n_days
+    assert abs(acc / nd - 1_000_000) <= 1  # weighted mean of indices = 1
