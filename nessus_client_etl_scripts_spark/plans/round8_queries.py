@@ -3995,3 +3995,153 @@ def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("seasonal_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q248 — graph homophily audit + majority-label aggregation (GNN round)
+# ---------------------------------------------------------------------------
+
+# Same co-supply edge spec as q224 (cap {cap}, support {sup}).
+_Q248_EDGES_SQL = f"""
+  ps AS (
+    SELECT l_partkey AS p, l_suppkey AS s,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY 1, 2
+  ), ranked AS (
+    SELECT p, s, row_number() OVER (PARTITION BY p
+                                    ORDER BY n_items DESC, s ASC) AS rk
+    FROM ps
+  ), capped AS (
+    SELECT p, s FROM ranked WHERE rk <= {_Q224_CAP}
+  ), edges AS (
+    SELECT a.s AS s1, b.s AS s2
+    FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s
+    GROUP BY 1, 2 HAVING count(*) >= {_Q224_SUPPORT}
+  )
+"""
+
+_Q248_ORACLE = f"""
+WITH {_Q248_EDGES_SQL},
+und AS (
+  SELECT s1 AS v, s2 AS w FROM edges
+  UNION ALL SELECT s2, s1 FROM edges
+), lab AS (
+  SELECT s_suppkey AS v, CAST(s_nationkey AS BIGINT) AS nation
+  FROM supplier
+), msg AS (
+  SELECT und.v, lw.nation AS nb_nation, CAST(count(*) AS BIGINT) AS c
+  FROM und JOIN lab lw ON lw.v = und.w
+  GROUP BY und.v, lw.nation
+), ranked_msg AS (
+  SELECT v, nb_nation, c,
+         row_number() OVER (PARTITION BY v
+                            ORDER BY c DESC, nb_nation ASC) AS rk,
+         CAST(sum(c) OVER (PARTITION BY v) AS BIGINT) AS degree
+  FROM msg
+), own AS (
+  SELECT m.v, m.degree, m.nb_nation AS majority_nation, lab.nation,
+         COALESCE(sm.c, 0) AS n_same
+  FROM ranked_msg m
+  JOIN lab ON lab.v = m.v
+  LEFT JOIN msg sm ON sm.v = m.v AND sm.nb_nation = lab.nation
+  WHERE m.rk = 1
+)
+SELECT v AS supplier, nation, degree,
+       CAST(n_same AS BIGINT) AS n_same_nation,
+       CAST((2000000 * n_same + degree) // (2 * degree) AS BIGINT)
+         AS homophily_micro,
+       majority_nation
+FROM own
+"""
+
+
+@register("q248_graph_homophily", _Q248_ORACLE)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph homophily audit + one majority-label message-passing
+    round over the q224 co-supply graph with nation labels — the two
+    numbers a graph-ML practitioner checks before choosing an
+    architecture: per node, the share of neighbors sharing its label
+    (edge homophily; GNNs that assume homophily fail on heterophilous
+    graphs) and the MAJORITY neighbor label (exactly one round of
+    label-propagation-style aggregation, deterministic via the
+    (count desc, label asc) tie-break).  Integer-exact counts and one
+    pinned share.
+
+    Scale: the undirected message stream is 2|E| rows; the per-node
+    label histogram is one map-side-combined groupBy; the majority
+    pick partitions the window on the NODE (unbounded cardinality).
+    Same bounded edge construction as q224 (per-part cap + support)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    wrk = Window.partitionBy("p").orderBy(
+        F.col("n_items").desc(), F.col("s").asc()
+    )
+    capped = (
+        ps.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= _Q224_CAP)
+        .select("p", "s")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .filter(F.col("_sup") >= _Q224_SUPPORT)
+        .select("s1", "s2")
+    )
+    und = edges.select(
+        F.col("s1").alias("v"), F.col("s2").alias("w")
+    ).unionAll(edges.select(F.col("s2").alias("v"), F.col("s1").alias("w")))
+    lab = sup.select(
+        F.col("s_suppkey").alias("v"),
+        F.col("s_nationkey").cast("long").alias("nation"),
+    )
+    msg = (
+        und.join(
+            lab.select(F.col("v").alias("w"), F.col("nation").alias("nb_nation")),
+            "w",
+        )
+        .groupBy("v", "nb_nation")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wv = Window.partitionBy("v")
+    ranked_msg = msg.select(
+        "v",
+        "nb_nation",
+        "c",
+        F.row_number()
+        .over(wv.orderBy(F.col("c").desc(), F.col("nb_nation").asc()))
+        .alias("rk"),
+        F.sum("c").over(wv).cast("long").alias("degree"),
+    )
+    own = (
+        ranked_msg.filter(F.col("rk") == 1)
+        .join(lab, "v")
+        .join(
+            msg.select(
+                "v", F.col("nb_nation").alias("nation"), F.col("c").alias("n_same")
+            ),
+            ["v", "nation"],
+            "left",
+        )
+        .select(
+            "v",
+            "nation",
+            "degree",
+            F.coalesce("n_same", F.lit(0)).cast("long").alias("n_same"),
+            F.col("nb_nation").alias("majority_nation"),
+        )
+    )
+    return own.select(
+        F.col("v").alias("supplier"),
+        "nation",
+        "degree",
+        F.col("n_same").alias("n_same_nation"),
+        F.expr("(2000000 * n_same + degree) div (2 * degree)")
+        .cast("long")
+        .alias("homophily_micro"),
+        "majority_nation",
+    )

@@ -1329,3 +1329,53 @@ def test_q247_seasonal_index_twin(spark):
         assert got["seasonal_micro"] == (2_000_000 * rev * nd + n_days * rt) // den
         acc += got["seasonal_micro"] * n_days
     assert abs(acc / nd - 1_000_000) <= 1  # weighted mean of indices = 1
+
+
+def test_q248_homophily_twin(spark):
+    """Python replay at sf0.001: rebuild the capped+supported edge
+    set, aggregate neighbor nation histograms, and check the majority
+    tie-break and homophily share."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q224_CAP,
+        _Q224_SUPPORT,
+        q248,
+    )
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    sup = spark.read.parquet(f"{SF001}/supplier.parquet").collect()
+    nation = {r["s_suppkey"]: r["s_nationkey"] for r in sup}
+    per_ps = defaultdict(int)
+    for r in li:
+        per_ps[(r["l_partkey"], r["l_suppkey"])] += 1
+    by_part = defaultdict(list)
+    for (p, s), n in per_ps.items():
+        by_part[p].append((-n, s))
+    support = defaultdict(int)
+    for p, lst in by_part.items():
+        keep = [s for _, s in sorted(lst)[:_Q224_CAP]]
+        for pair in combinations(keep, 2):
+            support[tuple(sorted(pair))] += 1
+    adj = defaultdict(list)
+    for (u, v), c in support.items():
+        if c >= _Q224_SUPPORT:
+            adj[u].append(v)
+            adj[v].append(u)
+    rows = {r["supplier"]: r for r in q248(spark, SF001).collect()}
+    assert set(rows) == set(adj)
+    for v, nbs in adj.items():
+        hist = defaultdict(int)
+        for w in nbs:
+            hist[nation[w]] += 1
+        majority = min(hist, key=lambda k: (-hist[k], k))
+        same = hist.get(nation[v], 0)
+        got = rows[v]
+        assert got["nation"] == nation[v]
+        assert got["degree"] == len(nbs)
+        assert got["n_same_nation"] == same
+        assert got["majority_nation"] == majority
+        assert got["homophily_micro"] == (
+            2_000_000 * same + len(nbs)
+        ) // (2 * len(nbs))
