@@ -4145,3 +4145,101 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("homophily_micro"),
         "majority_nation",
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 — two-proportion z-test (A/B experiment readout)
+# ---------------------------------------------------------------------------
+
+_Q249_ORACLE = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END)
+                   > sum(CASE WHEN event_type = 'view'
+                         THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS BIGINT) AS converted
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(converted) AS BIGINT) AS x
+  FROM u GROUP BY arm
+), w AS (
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+         max(CASE WHEN arm = 0 THEN x END) AS x0,
+         max(CASE WHEN arm = 1 THEN n END) AS n1,
+         max(CASE WHEN arm = 1 THEN x END) AS x1
+  FROM arms
+)
+SELECT CAST(n0 AS BIGINT) AS n_control, CAST(x0 AS BIGINT) AS x_control,
+       CAST(n1 AS BIGINT) AS n_treat, CAST(x1 AS BIGINT) AS x_treat,
+       CAST((2000000 * x0 + n0) // (2 * n0) AS BIGINT) AS p_control_micro,
+       CAST((2000000 * x1 + n1) // (2 * n1) AS BIGINT) AS p_treat_micro,
+       CAST(round(1000 * (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+            / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                   * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                   * (1.0 / n0 + 1.0 / n1))) AS BIGINT) AS z_milli
+FROM w
+"""
+
+
+@register("q249_ab_ztest", _Q249_ORACLE)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the standard A/B experiment readout:
+    per-user conversion (any purchase event), arms assigned by the
+    deterministic user_id parity, pooled-variance z statistic
+    (p̂₁−p̂₀)/√(p̂(1−p̂)(1/n₀+1/n₁)).  Counts and the per-arm rates are
+    integer-exact; the z statistic itself runs entirely in
+    correctly-rounded double ops (divisions of exact integers, one
+    sqrt) on identical operands, so the milli-pinned value matches
+    cross-engine — the q239 argument.  |z| < 1.96 on this corpus
+    (parity arms of uniform behavior), which is the correct null
+    readout, asserted in the test.
+
+    Scale: one groupBy to per-user conversion flags, one to the
+    two-arm frame; everything after is a 1-row projection."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("converted")
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("x"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x1"),
+    )
+    pooled = (F.col("x0") + F.col("x1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (
+        F.col("x1").cast("double") / F.col("n1")
+        - F.col("x0").cast("double") / F.col("n0")
+    ) / F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("x0").cast("long").alias("x_control"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("x1").cast("long").alias("x_treat"),
+        F.expr("(2000000 * x0 + n0) div (2 * n0)")
+        .cast("long")
+        .alias("p_control_micro"),
+        F.expr("(2000000 * x1 + n1) div (2 * n1)")
+        .cast("long")
+        .alias("p_treat_micro"),
+        F.round(1000 * z, 0).cast("long").alias("z_milli"),
+    )

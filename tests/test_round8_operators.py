@@ -1379,3 +1379,37 @@ def test_q248_homophily_twin(spark):
         assert got["homophily_micro"] == (
             2_000_000 * same + len(nbs)
         ) // (2 * len(nbs))
+
+
+def test_q249_ab_ztest_twin(spark):
+    """Python replay of the pooled two-proportion z at sf0.001; rates
+    stay mid-range (the metric never saturates the pooled variance)."""
+    import math
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q249
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in ev:
+        if r["event_type"] == "purchase":
+            per[r["user_id"]][0] += 1
+        elif r["event_type"] == "view":
+            per[r["user_id"]][1] += 1
+    arms = defaultdict(lambda: [0, 0])
+    for uid, (p, v) in per.items():
+        arms[uid % 2][0] += 1
+        arms[uid % 2][1] += 1 if p > v else 0
+    (n0, x0), (n1, x1) = arms[0], arms[1]
+    pooled = (x0 + x1) / (n0 + n1)
+    z = (x1 / n1 - x0 / n0) / math.sqrt(
+        pooled * (1 - pooled) * (1 / n0 + 1 / n1)
+    )
+    row = q249(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert (got["n_control"], got["x_control"]) == (n0, x0)
+    assert (got["n_treat"], got["x_treat"]) == (n1, x1)
+    assert abs(got["z_milli"] - round(z * 1000)) <= 1
+    # the metric stays away from the degenerate 0%/100% rates
+    assert 0 < x0 < n0 and 0 < x1 < n1
