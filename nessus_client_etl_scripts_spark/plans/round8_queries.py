@@ -4243,3 +4243,111 @@ def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p_treat_micro"),
         F.round(1000 * z, 0).cast("long").alias("z_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 — CUPED variance-reduction audit
+# ---------------------------------------------------------------------------
+
+_Q250_SPLIT = "2024-01-16"  # pre-period covariate / post-period metric
+
+_Q250_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '{_Q250_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '{_Q250_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM u
+), d AS (
+  SELECT n,
+         n * sxx - sx * sx AS vx,
+         n * syy - sy * sy AS vy,
+         n * sxy - sx * sy AS cxy
+  FROM m
+)
+SELECT n AS n_users,
+       CAST(vx AS BIGINT) AS var_x_num, CAST(vy AS BIGINT) AS var_y_num,
+       CAST(cxy AS BIGINT) AS cov_num,
+       CAST(round(1000000 * CAST(cxy AS DOUBLE) / CAST(vx AS DOUBLE))
+            AS BIGINT) AS theta_micro,
+       CAST(round(1000000 * (CAST(cxy AS DOUBLE) * cxy)
+                  / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)))
+            AS BIGINT) AS rho2_micro
+FROM d
+"""
+
+
+@register("q250_cuped_audit", _Q250_ORACLE)
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduction audit (Deng et al. 2013 — the standard
+    experiment-sensitivity booster): regress each user's POST-period
+    metric on their PRE-period covariate; θ = cov(X,Y)/var(X) is the
+    adjustment coefficient and ρ² the fraction of metric variance
+    CUPED removes (the experiment runs 1/(1−ρ²)× faster).  Moments are
+    EXACT integers (cents; n·Σxy − Σx·Σy form); θ pins sign-safely
+    (the covariance CAN be negative); ρ² crosses to double only for
+    the final ratio — both engines cast the identical BIGINTs and
+    round the identical product, the q239/q249 determinism argument.
+    On this corpus user behavior has no persistent heterogeneity, so
+    the audit correctly reports ρ² ≈ 0 — \"CUPED will not help here\"
+    IS the decision this query exists to make.
+
+    Scale: one groupBy to per-user (X, Y), one map-side-combined
+    moment aggregation, one-row algebra after."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_Q250_SPLIT).cast("date")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts").cast("date") < split, cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("ts").cast("date") >= split, cents).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    d = m.select(
+        "n",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("vx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("vy"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cxy"),
+    )
+    return d.select(
+        F.col("n").alias("n_users"),
+        F.col("vx").cast("long").alias("var_x_num"),
+        F.col("vy").cast("long").alias("var_y_num"),
+        F.col("cxy").cast("long").alias("cov_num"),
+        F.round(
+            1000000 * F.col("cxy").cast("double") / F.col("vx").cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("theta_micro"),
+        F.round(
+            1000000
+            * (F.col("cxy").cast("double") * F.col("cxy"))
+            / (F.col("vx").cast("double") * F.col("vy").cast("double")),
+            0,
+        )
+        .cast("long")
+        .alias("rho2_micro"),
+    )

@@ -1413,3 +1413,38 @@ def test_q249_ab_ztest_twin(spark):
     assert abs(got["z_milli"] - round(z * 1000)) <= 1
     # the metric stays away from the degenerate 0%/100% rates
     assert 0 < x0 < n0 and 0 < x1 < n1
+
+
+def test_q250_cuped_twin(spark):
+    """Python replay at sf0.001: exact moments, sign-safe theta, and
+    rho2 equals the squared Pearson correlation within the quantum."""
+    from collections import defaultdict
+    from datetime import date
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q250_SPLIT,
+        q250,
+    )
+
+    split = date.fromisoformat(_Q250_SPLIT)
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in ev:
+        c = round(r["value"] * 100)
+        per[r["user_id"]][0 if r["ts"].date() < split else 1] += c
+    n = len(per)
+    xs = [x for x, _ in per.values()]
+    ys = [y for _, y in per.values()]
+    vx = n * sum(x * x for x in xs) - sum(xs) ** 2
+    vy = n * sum(y * y for y in ys) - sum(ys) ** 2
+    cxy = n * sum(x * y for (x, y) in per.values()) - sum(xs) * sum(ys)
+    row = q250(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert (got["n_users"], got["var_x_num"], got["var_y_num"],
+            got["cov_num"]) == (n, vx, vy, cxy)
+    theta = cxy / vx
+    assert abs(got["theta_micro"] - theta * 1_000_000) <= 1
+    rho2 = cxy * cxy / (vx * vy)
+    assert abs(got["rho2_micro"] - rho2 * 1_000_000) <= 1
+    assert 0 <= got["rho2_micro"] <= 1_000_000
