@@ -4351,3 +4351,119 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rho2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q251 — Mann–Whitney U test (rank-based A/B, tie-corrected)
+# ---------------------------------------------------------------------------
+
+# Per-user metric: total revenue cents; arms by user_id parity (q249's
+# assignment).  Average ranks are half-integers, so everything carries
+# DOUBLED ranks: for a tied value group spanning positions
+# [c+1, c+t], rank2 = 2c + t + 1 (an exact integer).
+_Q251_ORACLE = """
+WITH u AS (
+  SELECT user_id % 2 AS arm,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY user_id
+), vals AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS t,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+  FROM u GROUP BY v
+), ranked AS (
+  SELECT v, t, t1,
+         CAST(coalesce(sum(t) OVER (ORDER BY v ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS c
+  FROM vals
+), agg AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n,
+         CAST(sum(t1) AS BIGINT) AS n1,
+         CAST(sum(t1 * (2 * c + t + 1)) AS BIGINT) AS r2_1,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+  FROM ranked
+)
+SELECT n, n1, CAST(n - n1 AS BIGINT) AS n0,
+       CAST(r2_1 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       tie3,
+       CAST(round(1000 * (CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE) / 2
+                          - CAST(n1 * (n - n1) AS DOUBLE) / 2)
+            / sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12
+                   * ((n + 1) - CAST(tie3 AS DOUBLE) / (n * (n - 1)))))
+            AS BIGINT) AS z_milli
+FROM agg
+"""
+
+
+@register("q251_mann_whitney_u", _Q251_ORACLE)
+def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test (Wilcoxon rank-sum) with tie correction —
+    the nonparametric twin of q249 for metrics too skewed for a
+    z-on-means (revenue always is): rank all users' revenue, U₁ =
+    R₁ − n₁(n₁+1)/2, normal approximation with the tie term
+    Σ(t³−t)/(n(n−1)).  Average ranks of ties are half-integers, so the
+    plan carries DOUBLED ranks (a tie group over positions [c+1, c+t]
+    contributes rank2 = 2c+t+1) and the DOUBLED U stays an exact
+    integer (U itself is a half-integer when an even-sized tie group
+    splits oddly between arms — truncation vs rounding of that .5
+    diverges cross-engine, found at sf0.1); only the
+    final z crosses to double (identical casts, one sqrt — the q239
+    argument).  The rank accumulation runs on the DISTINCT-VALUE frame
+    (value-cardinality sized), not per user, so the only ordered
+    window touches a frame that aggregation already collapsed.
+
+    Scale: per-user groupBy, distinct-value groupBy, a cumulative
+    window over the value frame, one-row algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("v")
+    ).select((F.col("user_id") % 2).alias("arm"), "v")
+    vals = u.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("t1"),
+    )
+    wcum = (
+        Window.orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = vals.select(
+        "v",
+        "t",
+        "t1",
+        F.coalesce(F.sum("t").over(wcum), F.lit(0))
+        .cast("long")
+        .alias("c"),
+    )
+    agg = ranked.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum(F.col("t1") * (2 * F.col("c") + F.col("t") + 1))
+        .cast("long")
+        .alias("r2_1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    n, n1 = F.col("n"), F.col("n1")
+    mean_u = (n1 * (n - n1)).cast("double") / 2
+    u1 = (F.col("r2_1") - n1 * (n1 + 1)).cast("double") / 2
+    var_u = (
+        n1.cast("double")
+        * (n - n1)
+        / 12
+        * ((n + 1) - F.col("tie3").cast("double") / (n * (n - 1)))
+    )
+    return agg.select(
+        "n",
+        "n1",
+        (n - n1).cast("long").alias("n0"),
+        F.expr("r2_1 - n1 * (n1 + 1)").cast("long").alias("u1_x2"),
+        "tie3",
+        F.round(1000 * (u1 - mean_u) / F.sqrt(var_u), 0)
+        .cast("long")
+        .alias("z_milli"),
+    )

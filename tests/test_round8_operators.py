@@ -1448,3 +1448,44 @@ def test_q250_cuped_twin(spark):
     rho2 = cxy * cxy / (vx * vy)
     assert abs(got["rho2_micro"] - rho2 * 1_000_000) <= 1
     assert 0 <= got["rho2_micro"] <= 1_000_000
+
+
+def test_q251_mann_whitney_twin(spark):
+    """Textbook replay at sf0.001 (average ranks with ties, U1, and
+    the tie-corrected normal approximation)."""
+    import math
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q251
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    per = defaultdict(int)
+    for r in ev:
+        per[r["user_id"]] += round(r["value"] * 100)
+    pairs = [(uid % 2, v) for uid, v in per.items()]
+    vals = sorted(v for _, v in pairs)
+    # average rank per value (ties)
+    rank = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        rank[vals[i]] = (i + 1 + j) / 2
+        i = j
+    n = len(pairs)
+    n1 = sum(1 for a, _ in pairs if a == 1)
+    r1 = sum(rank[v] for a, v in pairs if a == 1)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    from collections import Counter
+    tc = Counter(vals)
+    tie3 = sum(t ** 3 - t for t in tc.values())
+    var_u = n1 * (n - n1) / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (u1 - n1 * (n - n1) / 2) / math.sqrt(var_u)
+    row = q251(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert (got["n"], got["n1"], got["n0"]) == (n, n1, n - n1)
+    assert got["u1_x2"] == round(2 * u1)
+    assert got["tie3"] == tie3
+    assert abs(got["z_milli"] - round(z * 1000)) <= 1
