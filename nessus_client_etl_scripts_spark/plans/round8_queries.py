@@ -4467,3 +4467,118 @@ def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("z_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q252 — experiment health panel: SRM check + delta-method ratio metric
+# ---------------------------------------------------------------------------
+
+_Q252_ORACLE = """
+WITH u AS (
+  SELECT user_id % 2 AS arm,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM u GROUP BY arm
+), d AS (
+  SELECT arm, n, sx, sy,
+         CAST(sx AS DOUBLE) / sy AS r,
+         (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) ^ 2
+          - 2 * (CAST(sx AS DOUBLE) / sy)
+            * (CAST(sxy AS DOUBLE) / n
+               - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+          + (CAST(sx AS DOUBLE) / sy) ^ 2
+            * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) ^ 2))
+         / (n * (CAST(sy AS DOUBLE) / n) ^ 2) AS var_r
+  FROM m
+), w AS (
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+         max(CASE WHEN arm = 1 THEN n END) AS n1,
+         max(CASE WHEN arm = 0 THEN r END) AS r0,
+         max(CASE WHEN arm = 1 THEN r END) AS r1,
+         max(CASE WHEN arm = 0 THEN var_r END) AS v0,
+         max(CASE WHEN arm = 1 THEN var_r END) AS v1
+  FROM d
+)
+SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+       CAST((2000 * (n0 - n1) * (n0 - n1) + (n0 + n1))
+            // (2 * (n0 + n1)) AS BIGINT) AS srm_chi2_milli,
+       CAST(round(10 * r0) AS BIGINT) AS r_control_milli,
+       CAST(round(10 * r1) AS BIGINT) AS r_treat_milli,
+       CAST(round(1000 * (r1 - r0) / sqrt(v0 + v1)) AS BIGINT) AS z_milli
+FROM w
+"""
+
+
+@register("q252_experiment_panel", _Q252_ORACLE)
+def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment health panel — the two readouts every A/B platform
+    computes before anyone looks at the metric: (1) the SAMPLE-RATIO
+    MISMATCH chi-square (n₀−n₁)²/(n₀+n₁), integer-exact and
+    milli-pinned — a skewed split means broken randomization and
+    invalidates everything downstream; (2) the RATIO metric (revenue
+    per event, ΣX/ΣY — the unit of analysis is the USER but the metric
+    denominator is events, the classic delta-method case) with its
+    linearized variance (varX − 2R·cov + R²·varY)/(n·Ȳ²) per arm and
+    the z score of the difference.  Moments are exact integer cents;
+    ratios/variances cross to double on identical operands (the
+    q239/q250 determinism argument); r_*_milli reports cents·10³/event
+    = milli-cents per event.
+
+    Scale: per-user groupBy, two-arm moment aggregation, one-row
+    algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    ).select((F.col("user_id") % 2).alias("arm"), "x", "y")
+    m = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = sx / F.col("sy")
+    mx, my = sx / n, sy / n
+    vx = F.col("sxx").cast("double") / n - mx * mx
+    vy = F.col("syy").cast("double") / n - my * my
+    cxy = F.col("sxy").cast("double") / n - mx * my
+    var_r = (vx - 2 * r * cxy + r * r * vy) / (n * my * my)
+    d = m.select("arm", "n", r.alias("r"), var_r.alias("var_r"))
+    w = d.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("r"))).alias("r0"),
+        F.max(F.when(F.col("arm") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("arm") == 0, F.col("var_r"))).alias("v0"),
+        F.max(F.when(F.col("arm") == 1, F.col("var_r"))).alias("v1"),
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.expr(
+            "(2000 * (n0 - n1) * (n0 - n1) + (n0 + n1))"
+            " div (2 * (n0 + n1))"
+        )
+        .cast("long")
+        .alias("srm_chi2_milli"),
+        F.round(10 * F.col("r0"), 0).cast("long").alias("r_control_milli"),
+        F.round(10 * F.col("r1"), 0).cast("long").alias("r_treat_milli"),
+        F.round(
+            1000 * (F.col("r1") - F.col("r0")) / F.sqrt(F.col("v0") + F.col("v1")),
+            0,
+        )
+        .cast("long")
+        .alias("z_milli"),
+    )

@@ -1489,3 +1489,47 @@ def test_q251_mann_whitney_twin(spark):
     assert got["u1_x2"] == round(2 * u1)
     assert got["tie3"] == tie3
     assert abs(got["z_milli"] - round(z * 1000)) <= 1
+
+
+def test_q252_experiment_panel_twin(spark):
+    """Delta-method replay at sf0.001 and the SRM identity."""
+    import math
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q252
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in ev:
+        per[r["user_id"]][0] += round(r["value"] * 100)
+        per[r["user_id"]][1] += 1
+    arms = defaultdict(list)
+    for uid, (x, y) in per.items():
+        arms[uid % 2].append((x, y))
+
+    def readout(rows):
+        n = len(rows)
+        sx = sum(x for x, _ in rows)
+        sy = sum(y for _, y in rows)
+        r = sx / sy
+        mx, my = sx / n, sy / n
+        vx = sum(x * x for x, _ in rows) / n - mx * mx
+        vy = sum(y * y for _, y in rows) / n - my * my
+        cxy = sum(x * y for x, y in rows) / n - mx * my
+        return n, r, (vx - 2 * r * cxy + r * r * vy) / (n * my * my)
+
+    n0, r0, v0 = readout(arms[0])
+    n1, r1, v1 = readout(arms[1])
+    row = q252(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert (got["n_control"], got["n_treat"]) == (n0, n1)
+    chi2 = (n0 - n1) ** 2 / (n0 + n1)
+    assert got["srm_chi2_milli"] == (
+        2000 * (n0 - n1) ** 2 + (n0 + n1)
+    ) // (2 * (n0 + n1))
+    assert abs(got["srm_chi2_milli"] - chi2 * 1000) <= 1
+    assert abs(got["r_control_milli"] - round(10 * r0)) <= 1
+    assert abs(got["r_treat_milli"] - round(10 * r1)) <= 1
+    z = (r1 - r0) / math.sqrt(v0 + v1)
+    assert abs(got["z_milli"] - round(z * 1000)) <= 1
