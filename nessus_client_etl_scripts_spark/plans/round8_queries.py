@@ -4582,3 +4582,100 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("z_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 — clamped running balance (ordered recurrence as a row-local fold)
+# ---------------------------------------------------------------------------
+
+_Q253_ORACLE = """
+WITH tx AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT)
+              ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+  FROM events WHERE event_type IN ('purchase', 'click')
+), seq AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(list((ts, event_id, delta))),
+           s -> s[3]) AS deltas
+  FROM tx GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(deltas) AS BIGINT) AS n_txn,
+       CAST(list_sum(list_filter(deltas, d -> d > 0)) AS BIGINT)
+         AS deposits,
+       CAST(-list_sum(list_filter(deltas, d -> d < 0)) AS BIGINT)
+         AS withdrawals,
+       CAST(list_sum(deltas) AS BIGINT) AS net_unclamped,
+       CAST(list_reduce([CAST(0 AS BIGINT)] || deltas,
+                        (acc, d) -> greatest(0, acc + d)) AS BIGINT)
+         AS final_balance
+FROM seq
+"""
+
+
+@register("q253_clamped_balance", _Q253_ORACLE)
+def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance — the ordered RECURRENCE no window
+    function expresses (inventory that cannot go negative, prepaid
+    credit, rate-limit token buckets): balance ← max(0, balance + Δ)
+    folded over each user's (ts, event_id)-ordered transactions
+    (purchases deposit, clicks withdraw).  The clamp makes every step
+    depend on the previous — prefix sums cannot compute it — so the
+    plan collects each user's deltas into an ORDERED ARRAY and runs
+    the fold ROW-LOCALLY (Spark `aggregate`, DuckDB `list_reduce`
+    seeded by a prepended 0), staying JVM-side with zero UDFs.  The
+    unclamped net ships alongside: where they differ, the clamp
+    actually fired.
+
+    Scale: one groupBy to per-user arrays — valid while per-entity
+    transaction counts are bounded (events-per-user here; at unbounded
+    history the same fold runs per segment via
+    applyInPandasWithState, the q83 machinery).  Sorting happens
+    inside each array (array_sort on (ts, id, Δ) structs), never as a
+    global or windowed sort."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    tx = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "user_id",
+        F.struct(
+            F.col("ts").alias("ts"),
+            F.col("event_id").alias("event_id"),
+            F.when(F.col("event_type") == "purchase", cents)
+            .otherwise(-cents)
+            .alias("delta"),
+        ).alias("s"),
+    )
+    seq = tx.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list("s")), lambda s: s["delta"]
+        ).alias("deltas")
+    )
+    pos = F.filter(F.col("deltas"), lambda d: d > 0)
+    neg = F.filter(F.col("deltas"), lambda d: d < 0)
+    return seq.select(
+        "user_id",
+        F.size("deltas").cast("long").alias("n_txn"),
+        F.aggregate(pos, F.lit(0).cast("long"), lambda a, d: a + d)
+        .cast("long")
+        .alias("deposits"),
+        (-F.aggregate(neg, F.lit(0).cast("long"), lambda a, d: a + d))
+        .cast("long")
+        .alias("withdrawals"),
+        F.aggregate(
+            F.col("deltas"), F.lit(0).cast("long"), lambda a, d: a + d
+        )
+        .cast("long")
+        .alias("net_unclamped"),
+        F.aggregate(
+            F.col("deltas"),
+            F.lit(0).cast("long"),
+            lambda a, d: F.greatest(F.lit(0).cast("long"), a + d),
+        )
+        .cast("long")
+        .alias("final_balance"),
+    )

@@ -1533,3 +1533,38 @@ def test_q252_experiment_panel_twin(spark):
     assert abs(got["r_treat_milli"] - round(10 * r1)) <= 1
     z = (r1 - r0) / math.sqrt(v0 + v1)
     assert abs(got["z_milli"] - round(z * 1000)) <= 1
+
+
+def test_q253_clamped_balance_twin(spark):
+    """Sequential replay at sf0.001; the clamp branch must be live
+    (some user's clamped balance differs from their unclamped net)."""
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q253
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    per = defaultdict(list)
+    for r in ev:
+        if r["event_type"] not in ("purchase", "click"):
+            continue
+        c = round(r["value"] * 100)
+        delta = c if r["event_type"] == "purchase" else -c
+        per[r["user_id"]].append((r["ts"], r["event_id"], delta))
+    rows = {r["user_id"]: r for r in q253(spark, SF001).collect()}
+    assert set(rows) == set(per)
+    any_clamped = False
+    for uid, txs in per.items():
+        txs.sort()
+        bal = 0
+        for _, _, d in txs:
+            bal = max(0, bal + d)
+        net = sum(d for _, _, d in txs)
+        got = rows[uid]
+        assert got["n_txn"] == len(txs)
+        assert got["deposits"] == sum(d for _, _, d in txs if d > 0)
+        assert got["withdrawals"] == -sum(d for _, _, d in txs if d < 0)
+        assert got["net_unclamped"] == net
+        assert got["final_balance"] == bal
+        assert got["final_balance"] >= 0
+        any_clamped = any_clamped or bal != net
+    assert any_clamped
