@@ -4679,3 +4679,107 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("final_balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q254 — categorical drift panel (TVD + two-sample chi-square)
+# ---------------------------------------------------------------------------
+
+_Q254_SPLIT = "2024-01-16"  # reference window vs current window
+
+_Q254_ORACLE = f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '{_Q254_SPLIT}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '{_Q254_SPLIT}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2
+  FROM c
+), terms AS (
+  SELECT c.event_type, c.n1, c.n2, tot.t1, tot.t2,
+         abs(c.n1 * tot.t2 - c.n2 * tot.t1) AS dnum,
+         (c.n1 * tot.t2 - c.n2 * tot.t1)
+           * (c.n1 * tot.t2 - c.n2 * tot.t1) AS csq_num,
+         tot.t1 * tot.t2 * (c.n1 + c.n2) AS csq_den
+  FROM c CROSS JOIN tot
+)
+SELECT event_type, n1 AS n_ref, n2 AS n_cur,
+       CAST((2000000 * n1 + t1) // (2 * t1) AS BIGINT) AS p_ref_micro,
+       CAST((2000000 * n2 + t2) // (2 * t2) AS BIGINT) AS p_cur_micro,
+       CAST((2000000 * dnum + 2 * t1 * t2) // (4 * t1 * t2) AS BIGINT)
+         AS tvd_contrib_micro,
+       CAST((2000 * csq_num + csq_den) // (2 * csq_den) AS BIGINT)
+         AS chi2_contrib_milli
+FROM terms
+"""
+
+
+@register("q254_categorical_drift", _Q254_ORACLE)
+def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift panel — the model-monitoring readout for a
+    discrete feature (complements q185's numeric KS): reference window
+    vs current window of the event-type distribution, per category the
+    TOTAL VARIATION contribution |p_ref − p_cur|/2 and the two-sample
+    chi-square contribution (n₁T₂ − n₂T₁)²/(T₁T₂(n₁+n₂)) — both EXACT
+    rationals pinned in micro/milli units, no libm (PSI's ln(p/q) is
+    why PSI is NOT here; TVD + χ² carry the same drift decision
+    integer-exactly).  Summing the contribution columns yields the
+    dataset-level TVD and χ² statistics; per-category rows show WHICH
+    category drifted, which is what the alert needs to say.
+
+    Scale: one map-side-combined groupBy over the scan, a broadcast
+    totals row, pure row-local algebra after.  Overflow audit:
+    (n₁T₂)² stays under 2⁶³ through T ≈ 3·10⁶ per window at the
+    |categories| = 5 cardinality here; wider regimes drop to the
+    q250-style deterministic-double route."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_Q254_SPLIT).cast("date")
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts").cast("date") < split, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("ts").cast("date") >= split, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    tot = c.agg(
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n2").cast("long").alias("t2"),
+    )
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n1",
+        "n2",
+        "t1",
+        "t2",
+        F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1")).alias(
+            "dnum"
+        ),
+        (
+            (F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1"))
+            * (F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1"))
+        ).alias("csq_num"),
+        (F.col("t1") * F.col("t2") * (F.col("n1") + F.col("n2"))).alias(
+            "csq_den"
+        ),
+    )
+    return terms.select(
+        "event_type",
+        F.col("n1").alias("n_ref"),
+        F.col("n2").alias("n_cur"),
+        F.expr("(2000000 * n1 + t1) div (2 * t1)")
+        .cast("long")
+        .alias("p_ref_micro"),
+        F.expr("(2000000 * n2 + t2) div (2 * t2)")
+        .cast("long")
+        .alias("p_cur_micro"),
+        F.expr("(2000000 * dnum + 2 * t1 * t2) div (4 * t1 * t2)")
+        .cast("long")
+        .alias("tvd_contrib_micro"),
+        F.expr("(2000 * csq_num + csq_den) div (2 * csq_den)")
+        .cast("long")
+        .alias("chi2_contrib_milli"),
+    )

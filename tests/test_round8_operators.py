@@ -1568,3 +1568,38 @@ def test_q253_clamped_balance_twin(spark):
         assert got["final_balance"] >= 0
         any_clamped = any_clamped or bal != net
     assert any_clamped
+
+
+def test_q254_categorical_drift_twin(spark):
+    """Float replay at sf0.001 within the pin quantum, plus the
+    dataset-level identities (sum of TVD contribs = TVD)."""
+    from collections import defaultdict
+    from datetime import date
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q254_SPLIT,
+        q254,
+    )
+
+    split = date.fromisoformat(_Q254_SPLIT)
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    c = defaultdict(lambda: [0, 0])
+    for r in ev:
+        c[r["event_type"]][0 if r["ts"].date() < split else 1] += 1
+    t1 = sum(v[0] for v in c.values())
+    t2 = sum(v[1] for v in c.values())
+    rows = {r["event_type"]: r for r in q254(spark, SF001).collect()}
+    assert set(rows) == set(c)
+    tvd = 0.0
+    for et, (n1, n2) in c.items():
+        got = rows[et]
+        assert (got["n_ref"], got["n_cur"]) == (n1, n2)
+        p, q = n1 / t1, n2 / t2
+        assert abs(got["p_ref_micro"] - p * 1e6) <= 1
+        assert abs(got["p_cur_micro"] - q * 1e6) <= 1
+        assert abs(got["tvd_contrib_micro"] - abs(p - q) / 2 * 1e6) <= 1
+        chi = (n1 * t2 - n2 * t1) ** 2 / (t1 * t2 * (n1 + n2))
+        assert abs(got["chi2_contrib_milli"] - chi * 1000) <= 1
+        tvd += abs(p - q) / 2
+    got_tvd = sum(r["tvd_contrib_micro"] for r in rows.values())
+    assert abs(got_tvd - tvd * 1e6) <= len(c)
