@@ -4783,3 +4783,123 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chi2_contrib_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q255 — embedding centroid drift (vector-store monitoring)
+# ---------------------------------------------------------------------------
+
+_Q255_ORACLE = """
+WITH ex AS (
+  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half,
+         CAST(u.i - 1 AS BIGINT) AS dim,
+         CAST(floor(v[u.i] * 10000.0) AS BIGINT) AS vq
+  FROM (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+  CROSS JOIN LATERAL unnest(generate_series(1, len(v))) AS u(i)
+), s AS (
+  SELECT label, dim,
+         CAST(sum(CASE WHEN half = 0 THEN vq ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN half = 1 THEN vq ELSE 0 END) AS BIGINT) AS s2
+  FROM ex GROUP BY label, dim
+), n AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cur
+  FROM embeddings GROUP BY label
+), dots AS (
+  SELECT label,
+         CAST(sum(s1 * s2) AS BIGINT) AS d12,
+         CAST(sum(s1 * s1) AS BIGINT) AS d11,
+         CAST(sum(s2 * s2) AS BIGINT) AS d22
+  FROM s GROUP BY label
+)
+SELECT n.label, n.n_ref, n.n_cur,
+       CAST(round(1000000 * CAST(dots.d12 AS DOUBLE)
+                  / (sqrt(CAST(dots.d11 AS DOUBLE))
+                     * sqrt(CAST(dots.d22 AS DOUBLE)))) AS BIGINT)
+         AS cos_micro,
+       CAST(round(1000 * (sqrt(CAST(dots.d22 AS DOUBLE)) * n.n_ref)
+                  / (sqrt(CAST(dots.d11 AS DOUBLE)) * n.n_cur)) AS BIGINT)
+         AS norm_ratio_milli
+FROM n JOIN dots USING (label)
+"""
+
+
+@register("q255_centroid_drift", _Q255_ORACLE)
+def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding centroid drift — the vector-store monitoring readout
+    (a re-embedded or upstream-shifted model moves class centroids;
+    ANN indexes and cached neighbors silently rot): per label, the
+    COSINE between the reference-half and current-half centroids
+    (1e6 = unmoved) and the centroid NORM ratio (scale drift the
+    cosine is blind to).  Determinism: per-dimension sums use q69's
+    floor-quantized-integer rule (order-independent), cosine is
+    scale-invariant so it runs directly on the integer SUM vectors —
+    means never materialize — and the dots stay EXACT BIGINTs
+    (quantization at 1e4 keeps 64-dim sums of products inside 2⁶³
+    through sf1-scale groups; a double dot here would sum rounded
+    >2⁵³ products in engine-dependent order — the one float hazard
+    quantized sums exist to remove).  Only the final cos/ratio touch
+    doubles: sqrt of exact integers, one division (the q239 rule).
+
+    Scale: posexplode to (label, half, dim), ONE map-side-combined
+    groupBy to |labels|×|dims| cells — corpus-size independent — then
+    label-level algebra."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.col("label").cast("long").alias("label"),
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    ).select(
+        "label",
+        "half",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("val").cast("double") * F.lit(10000.0))
+        .cast("long")
+        .alias("vq"),
+    )
+    s = ex.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("vq")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("half") == 1, F.col("vq")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+    )
+    n = emb.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    dots = s.groupBy("label").agg(
+        F.sum(F.col("s1") * F.col("s2")).cast("long").alias("d12"),
+        F.sum(F.col("s1") * F.col("s1")).cast("long").alias("d11"),
+        F.sum(F.col("s2") * F.col("s2")).cast("long").alias("d22"),
+    )
+    return n.join(dots, "label").select(
+        "label",
+        "n_ref",
+        "n_cur",
+        F.round(
+            1000000
+            * F.col("d12").cast("double")
+            / (F.sqrt(F.col("d11").cast("double"))
+               * F.sqrt(F.col("d22").cast("double"))),
+            0,
+        )
+        .cast("long")
+        .alias("cos_micro"),
+        F.round(
+            1000
+            * (F.sqrt(F.col("d22").cast("double")) * F.col("n_ref"))
+            / (F.sqrt(F.col("d11").cast("double")) * F.col("n_cur")),
+            0,
+        )
+        .cast("long")
+        .alias("norm_ratio_milli"),
+    )

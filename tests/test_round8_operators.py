@@ -1603,3 +1603,40 @@ def test_q254_categorical_drift_twin(spark):
         tvd += abs(p - q) / 2
     got_tvd = sum(r["tvd_contrib_micro"] for r in rows.values())
     assert abs(got_tvd - tvd * 1e6) <= len(c)
+
+
+def test_q255_centroid_drift_twin(spark):
+    """numpy replay at sf0.001 of the quantized-integer centroid
+    cosine and norm ratio; same-distribution halves stay near 1e6."""
+    import math
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q255
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").collect()
+    sums = defaultdict(lambda: [None, None, 0, 0])
+    for r in emb:
+        lab, half = r["label"], r["vec_id"] % 2
+        vq = [math.floor(float(v) * 10000.0) for v in r["embedding"]]
+        st = sums[lab]
+        if st[half] is None:
+            st[half] = [0] * len(vq)
+        st[half] = [a + b for a, b in zip(st[half], vq)]
+        st[2 + half] += 1
+    rows = {r["label"]: r for r in q255(spark, SF001).collect()}
+    assert set(rows) == set(sums)
+    for lab, (s1, s2, n1, n2) in sums.items():
+        d12 = sum(a * b for a, b in zip(s1, s2))
+        d11 = sum(a * a for a in s1)
+        d22 = sum(b * b for b in s2)
+        got = rows[lab]
+        assert (got["n_ref"], got["n_cur"]) == (n1, n2)
+        cos = d12 / (math.sqrt(d11) * math.sqrt(d22))
+        assert abs(got["cos_micro"] - round(cos * 1e6)) <= 1
+        ratio = math.sqrt(d22) * n1 / (math.sqrt(d11) * n2)
+        assert abs(got["norm_ratio_milli"] - round(ratio * 1000)) <= 1
+        # the synthetic labels carry no geometric structure, so the
+        # per-label mean is near-zero noise and the two half-centroids
+        # are nearly independent — low |cos| is the CORRECT reading
+        # (an unstable centroid is exactly what this monitor flags)
+        assert -1_000_000 <= got["cos_micro"] <= 1_000_000
