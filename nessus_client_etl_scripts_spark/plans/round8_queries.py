@@ -4903,3 +4903,86 @@ def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("norm_ratio_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q256 — capture-recapture population estimate (Chapman estimator)
+# ---------------------------------------------------------------------------
+
+_Q256_SPLIT = "2024-01-16"
+
+_Q256_ORACLE = f"""
+WITH w AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN CAST(ts AS DATE) < DATE '{_Q256_SPLIT}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+         CAST(max(CASE WHEN CAST(ts AS DATE) >= DATE '{_Q256_SPLIT}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS in_b
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n1,
+         CAST(sum(in_b) AS BIGINT) AS n2,
+         CAST(sum(in_a * in_b) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS n_true
+  FROM w
+)
+SELECT n1, n2, m, n_true,
+       CAST((2000 * ((n1 + 1) * (n2 + 1) - (m + 1)) + (m + 1))
+            // (2 * (m + 1)) AS BIGINT) AS chapman_milli,
+       CAST((2000000 * m * m + n1 * n2) // (2 * n1 * n2) AS BIGINT)
+         AS overlap_sq_micro
+FROM c
+"""
+
+
+@register("q256_capture_recapture", _Q256_ORACLE)
+def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimate (Lincoln–Petersen with
+    the Chapman correction, N̂ = (n₁+1)(n₂+1)/(m+1) − 1) — the
+    coverage estimator a crawl/dedup pipeline uses to ask \"how many
+    entities EXIST, given how much two samples overlap?\": two event
+    windows mark-and-recapture the user population, and the estimate
+    is checked against the TRUE distinct count carried alongside (the
+    audit this synthetic corpus makes possible).  The Chapman form is
+    exact-rational (milli-pinned; defined even at zero overlap) —
+    the estimator IS a ratio of integers, no libm anywhere.  Also
+    emits m²/(n₁n₂), the overlap-independence diagnostic (≈ capture
+    probability product when sampling is independent).
+
+    Scale: one groupBy to per-user window flags, one map-side-combined
+    reduction to four counters, one-row algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_Q256_SPLIT).cast("date")
+    w = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("ts").cast("date") < split, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("in_a"),
+        F.max(
+            F.when(F.col("ts").cast("date") >= split, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("in_b"),
+    )
+    c = w.agg(
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum("in_b").cast("long").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+    )
+    return c.select(
+        "n1",
+        "n2",
+        "m",
+        "n_true",
+        F.expr(
+            "(2000 * ((n1 + 1) * (n2 + 1) - (m + 1)) + (m + 1))"
+            " div (2 * (m + 1))"
+        )
+        .cast("long")
+        .alias("chapman_milli"),
+        F.expr("(2000000 * m * m + n1 * n2) div (2 * n1 * n2)")
+        .cast("long")
+        .alias("overlap_sq_micro"),
+    )

@@ -1640,3 +1640,35 @@ def test_q255_centroid_drift_twin(spark):
         # are nearly independent — low |cos| is the CORRECT reading
         # (an unstable centroid is exactly what this monitor flags)
         assert -1_000_000 <= got["cos_micro"] <= 1_000_000
+
+
+def test_q256_capture_recapture_twin(spark):
+    """Python replay at sf0.001; the Chapman estimate should land near
+    the true population when both windows capture most users."""
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q256_SPLIT,
+        q256,
+    )
+    from datetime import date
+
+    split = date.fromisoformat(_Q256_SPLIT)
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    flags = defaultdict(lambda: [0, 0])
+    for r in ev:
+        flags[r["user_id"]][0 if r["ts"].date() < split else 1] = 1
+    n1 = sum(a for a, _ in flags.values())
+    n2 = sum(b for _, b in flags.values())
+    m = sum(1 for a, b in flags.values() if a and b)
+    n_true = len(flags)
+    row = q256(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert (got["n1"], got["n2"], got["m"], got["n_true"]) == (
+        n1, n2, m, n_true,
+    )
+    chapman = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert abs(got["chapman_milli"] - round(chapman * 1000)) <= 1
+    # with near-complete capture the estimate is within 5% of truth
+    assert abs(got["chapman_milli"] / 1000 - n_true) <= 0.05 * n_true
