@@ -4986,3 +4986,121 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_sq_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q257 — join-cardinality estimation audit (CBO formula vs truth)
+# ---------------------------------------------------------------------------
+
+# The three joins every TPC-H plan contains, audited with the textbook
+# uniform-key estimate |R ⋈ S| ≈ |R|·|S| / max(ndv_R, ndv_S).
+_Q257_JOINS = (
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+)
+
+
+def _q257_one_sql(name: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+  SELECT '{name}' AS join_name,
+         (SELECT CAST(count(*) AS BIGINT) FROM {lt}) AS n_left,
+         (SELECT CAST(count(*) AS BIGINT) FROM {rt}) AS n_right,
+         (SELECT CAST(count(DISTINCT {lk}) AS BIGINT) FROM {lt}) AS ndv_left,
+         (SELECT CAST(count(DISTINCT {rk}) AS BIGINT) FROM {rt}) AS ndv_right,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM {lt} JOIN {rt} ON {lt}.{lk} = {rt}.{rk}) AS true_rows"""
+
+
+_Q257_ORACLE = f"""
+WITH j AS ({" UNION ALL ".join(_q257_one_sql(*t) for t in _Q257_JOINS)}
+)
+SELECT join_name, n_left, n_right, ndv_left, ndv_right, true_rows,
+       CAST((2 * n_left * n_right
+             + greatest(ndv_left, ndv_right))
+            // (2 * greatest(ndv_left, ndv_right)) AS BIGINT) AS est_rows,
+       CAST((2000000 * abs((2 * n_left * n_right
+                            + greatest(ndv_left, ndv_right))
+                           // (2 * greatest(ndv_left, ndv_right))
+                           - true_rows)
+             + true_rows) // (2 * true_rows) AS BIGINT) AS err_micro
+FROM j
+"""
+
+
+@register("q257_join_cardinality", _Q257_ORACLE)
+def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit — the other half of the CBO
+    statistics question (q244 covers single-table selectivity): for the
+    three joins every TPC-H plan contains, the textbook uniform-key
+    estimate |R⋈S| ≈ |R|·|S|/max(ndv_R, ndv_S) against the TRUE join
+    size, with the relative error pinned in micro units.  On clean FK
+    joins the formula is near-exact (the audit confirms the statistics
+    are sufficient); where keys are filtered or skewed it degrades —
+    which is the number a CBO needs to know before trusting its plan.
+    Integer-exact end to end (counts, ndv counts, one pinned division
+    each).
+
+    Scale: per join, two count aggregates, two distinct-counts, and
+    the true join count — each map-side combined; the audit frame is
+    three rows.  At 100 TB the same audit runs with HLL ndv sketches
+    (q31) in place of exact distinct counts, same formula."""
+    frames = []
+    for name, lt, lk, rt, rk in _Q257_JOINS:
+        left = load_table(spark, sf_dir, lt)
+        right = load_table(spark, sf_dir, rt)
+        stats = (
+            left.agg(
+                F.count(F.lit(1)).cast("long").alias("n_left"),
+                F.count_distinct(F.col(lk)).cast("long").alias("ndv_left"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    right.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_right"),
+                        F.count_distinct(F.col(rk))
+                        .cast("long")
+                        .alias("ndv_right"),
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    left.join(right, left[lk] == right[rk])
+                    .agg(F.count(F.lit(1)).cast("long").alias("true_rows"))
+                )
+            )
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "n_right",
+                "ndv_left",
+                "ndv_right",
+                "true_rows",
+            )
+        )
+        frames.append(stats)
+    j = frames[0]
+    for fdf in frames[1:]:
+        j = j.unionAll(fdf)
+    est = F.expr(
+        "(2 * n_left * n_right + greatest(ndv_left, ndv_right))"
+        " div (2 * greatest(ndv_left, ndv_right))"
+    )
+    return j.select(
+        "join_name",
+        "n_left",
+        "n_right",
+        "ndv_left",
+        "ndv_right",
+        "true_rows",
+        est.cast("long").alias("est_rows"),
+        F.expr(
+            "(2000000 * abs((2 * n_left * n_right"
+            " + greatest(ndv_left, ndv_right))"
+            " div (2 * greatest(ndv_left, ndv_right)) - true_rows)"
+            " + true_rows) div (2 * true_rows)"
+        )
+        .cast("long")
+        .alias("err_micro"),
+    )

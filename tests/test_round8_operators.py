@@ -1672,3 +1672,39 @@ def test_q256_capture_recapture_twin(spark):
     assert abs(got["chapman_milli"] - round(chapman * 1000)) <= 1
     # with near-complete capture the estimate is within 5% of truth
     assert abs(got["chapman_milli"] / 1000 - n_true) <= 0.05 * n_true
+
+
+def test_q257_join_cardinality_twin(spark):
+    """Python replay at sf0.001; on clean FK joins the estimate lands
+    within 1% of truth (statistics sufficiency), on the filtered
+    lineitem-part join it may not — the audit must REPORT, not hide."""
+    from collections import Counter
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q257_JOINS,
+        q257,
+    )
+
+    tables = {
+        t: spark.read.parquet(f"{SF001}/{t}.parquet").collect()
+        for t in {"lineitem", "orders", "customer", "part"}
+    }
+    rows = {r["join_name"]: r for r in q257(spark, SF001).collect()}
+    assert set(rows) == {n for n, *_ in _Q257_JOINS}
+    for name, lt, lk, rt, rk in _Q257_JOINS:
+        lc = Counter(r[lk] for r in tables[lt])
+        rc = Counter(r[rk] for r in tables[rt])
+        true = sum(c * rc.get(k, 0) for k, c in lc.items())
+        n_l, n_r = sum(lc.values()), sum(rc.values())
+        ndv = max(len(lc), len(rc))
+        est = (2 * n_l * n_r + ndv) // (2 * ndv)
+        got = rows[name]
+        assert (got["n_left"], got["n_right"]) == (n_l, n_r)
+        assert (got["ndv_left"], got["ndv_right"]) == (len(lc), len(rc))
+        assert got["true_rows"] == true
+        assert got["est_rows"] == est
+        assert got["err_micro"] == (
+            2_000_000 * abs(est - true) + true
+        ) // (2 * true)
+    # FK joins where the key covers the dimension: estimate ~exact
+    assert rows["lineitem_orders"]["err_micro"] <= 10_000
