@@ -5104,3 +5104,110 @@ def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q258 — skyline / Pareto frontier with grid pruning
+# ---------------------------------------------------------------------------
+
+_Q258_BUCKET = 1000000  # price-cents per prune cell (~50 cells here)
+
+# Dominance: order y is dominated iff some order has (price <, date >=)
+# or (price <=, date >).  Frontier = cheapest-and-freshest staircase.
+_Q258_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS p,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS d
+  FROM orders
+), cellmax AS (
+  SELECT p // {_Q258_BUCKET} AS cell, CAST(max(d) AS BIGINT) AS dmax
+  FROM o GROUP BY 1
+), cellpfx AS (
+  SELECT cell,
+         max(dmax) OVER (ORDER BY cell ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pfx
+  FROM cellmax
+), surv AS (
+  SELECT o.* FROM o
+  JOIN cellpfx ON cellpfx.cell = o.p // {_Q258_BUCKET}
+  WHERE cellpfx.pfx IS NULL OR o.d > cellpfx.pfx
+), swept AS (
+  SELECT k, p, d,
+         max(d) OVER (ORDER BY p ASC
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dprev,
+         max(d) OVER (PARTITION BY p) AS dsame
+  FROM surv
+)
+SELECT k AS o_orderkey, p AS price_cents, CAST(d AS BIGINT) AS date_days
+FROM swept
+WHERE (dprev IS NULL OR d > dprev) AND d = dsame
+"""
+
+
+@register("q258_skyline", _Q258_ORACLE)
+def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (Börzsönyi et al. 2001 — the SKYLINE
+    OF operator): orders no other order beats on BOTH dimensions
+    (cheaper AND more recent) — the multi-criteria shortlist verb.
+    The plan is the scale shape, not the naive quadratic NOT EXISTS:
+    (1) GRID PRUNE — bucket prices into cells, prefix-max the cell
+    date maxima, and keep only rows later than every strictly-cheaper
+    cell's maximum (a NECESSARY condition: every true frontier row
+    survives; dominance is transitive, so every dominator of anything
+    is itself dominated only by frontier rows, which survive); the
+    survivor set is staircase-sized, not table-sized.  (2) EXACT SWEEP
+    on the survivors: a strict-price range-frame running max plus a
+    same-price group max — a row is frontier iff it beats both.
+    Integer-exact (cents, epoch days).
+
+    Scale: the prune is one groupBy + a cells-sized prefix window +
+    one broadcast-able join; only the survivor remnant (≈ frontier
+    size) enters the global-ordered sweep window."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("p"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    cellmax = o.groupBy(
+        F.expr(f"p div {_Q258_BUCKET}").alias("cell")
+    ).agg(F.max("d").cast("long").alias("dmax"))
+    wpfx = (
+        Window.orderBy(F.col("cell").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cellpfx = cellmax.select(
+        "cell", F.max("dmax").over(wpfx).alias("pfx")
+    )
+    surv = (
+        o.withColumn("cell", F.expr(f"p div {_Q258_BUCKET}"))
+        .join(F.broadcast(cellpfx), "cell")
+        .filter(F.col("pfx").isNull() | (F.col("d") > F.col("pfx")))
+        .select("k", "p", "d")
+    )
+    wprev = (
+        Window.orderBy(F.col("p").asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    swept = surv.select(
+        "k",
+        "p",
+        "d",
+        F.max("d").over(wprev).alias("dprev"),
+        F.max("d").over(Window.partitionBy("p")).alias("dsame"),
+    )
+    return swept.filter(
+        (F.col("dprev").isNull() | (F.col("d") > F.col("dprev")))
+        & (F.col("d") == F.col("dsame"))
+    ).select(
+        F.col("k").alias("o_orderkey"),
+        F.col("p").alias("price_cents"),
+        F.col("d").alias("date_days"),
+    )

@@ -1708,3 +1708,45 @@ def test_q257_join_cardinality_twin(spark):
         ) // (2 * true)
     # FK joins where the key covers the dimension: estimate ~exact
     assert rows["lineitem_orders"]["err_micro"] <= 10_000
+
+
+def test_q258_skyline_brute_force_twin(spark):
+    """Quadratic dominance replay at sf0.001 — the pruned+swept plan
+    must return exactly the non-dominated set."""
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q258
+    from datetime import date
+
+    orders = spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    epoch = date(1970, 1, 1)
+    pts = [
+        (
+            r["o_orderkey"],
+            round(r["o_totalprice"] * 100),
+            (r["o_orderdate"].date() if hasattr(r["o_orderdate"], "date")
+             else r["o_orderdate"]),
+        )
+        for r in orders
+    ]
+    pts = [(k, p, (d - epoch).days) for k, p, d in pts]
+    want = set()
+    for k, p, d in pts:
+        dominated = any(
+            (p2 < p and d2 >= d) or (p2 <= p and d2 > d)
+            for _, p2, d2 in pts
+        )
+        if not dominated:
+            want.add((k, p, d))
+    got = {
+        (r["o_orderkey"], r["price_cents"], r["date_days"])
+        for r in q258(spark, SF001).collect()
+    }
+    assert got == want
+    assert got  # frontier is never empty
+    # staircase property: sorted by price, dates strictly decrease —
+    # except exact (price, date) duplicates, which co-exist on the
+    # frontier (neither strictly dominates the other)
+    stair = sorted(got, key=lambda t: (t[1], -t[2]))
+    for a, b in zip(stair, stair[1:]):
+        if (a[1], a[2]) == (b[1], b[2]):
+            continue
+        assert a[2] > b[2]
