@@ -1742,11 +1742,12 @@ def test_q258_skyline_brute_force_twin(spark):
     }
     assert got == want
     assert got  # frontier is never empty
-    # staircase property: sorted by price, dates strictly decrease —
-    # except exact (price, date) duplicates, which co-exist on the
-    # frontier (neither strictly dominates the other)
-    stair = sorted(got, key=lambda t: (t[1], -t[2]))
+    # staircase property: with (min price, MAX date) dominance, a more
+    # expensive frontier point must be strictly FRESHER — dates
+    # increase along the price-sorted staircase (exact duplicates
+    # co-exist: neither strictly dominates the other)
+    stair = sorted(got, key=lambda t: (t[1], t[2]))
     for a, b in zip(stair, stair[1:]):
         if (a[1], a[2]) == (b[1], b[2]):
             continue
-        assert a[2] > b[2]
+        assert a[2] < b[2]
