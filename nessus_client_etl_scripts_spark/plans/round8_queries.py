@@ -5211,3 +5211,94 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("price_cents"),
         F.col("d").alias("date_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q259 — ABC (Pareto) classification by revenue contribution
+# ---------------------------------------------------------------------------
+
+_Q259_A, _Q259_B = 800000, 950000  # cumulative-share cuts (micro)
+
+_Q259_ORACLE = f"""
+WITH rev AS (
+  SELECT l_partkey AS part,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(rev_cents) AS BIGINT) AS t FROM rev
+), ranked AS (
+  SELECT part, rev_cents,
+         CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, part ASC)
+              AS BIGINT) AS cum
+  FROM rev
+), classed AS (
+  SELECT part, rev_cents, cum, tot.t,
+         CASE WHEN 1000000 * (cum - rev_cents) < {_Q259_A} * tot.t
+              THEN 'A'
+              WHEN 1000000 * (cum - rev_cents) < {_Q259_B} * tot.t
+              THEN 'B' ELSE 'C' END AS abc
+  FROM ranked CROSS JOIN tot
+)
+SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev_cents) AS BIGINT) AS class_rev_cents,
+       CAST((2000000 * sum(rev_cents) + max(t)) // (2 * max(t))
+            AS BIGINT) AS rev_share_micro
+FROM classed GROUP BY abc
+"""
+
+
+@register("q259_abc_classification", _Q259_ORACLE)
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification — the 80/15/5 revenue
+    segmentation every supply-chain and catalog team runs: rank parts
+    by revenue, take the running share, and class a part by the share
+    accumulated BEFORE it (so the part that crosses a boundary still
+    belongs to the class it completes — the standard convention, and
+    one that makes the cut deterministic under ties via the part-id
+    tie-break).  The boundary test stays integer-exact by
+    cross-multiplying (10⁶·cum_before < cut·total, never a division).
+
+    Scale: revenue aggregates to a PARTS-sized frame before any
+    ordering (the fact table never sorts); the running sum is one
+    ordered window over that dimension-sized frame — at extreme part
+    cardinality the same plan swaps in the q153 two-phase prefix-sum
+    machinery, same semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    tot = rev.agg(F.sum("rev_cents").cast("long").alias("t"))
+    wcum = Window.orderBy(
+        F.col("rev_cents").desc(), F.col("part").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = rev.select(
+        "part",
+        "rev_cents",
+        F.sum("rev_cents").over(wcum).cast("long").alias("cum"),
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "rev_cents",
+        "t",
+        F.when(
+            1000000 * (F.col("cum") - F.col("rev_cents"))
+            < _Q259_A * F.col("t"),
+            "A",
+        )
+        .when(
+            1000000 * (F.col("cum") - F.col("rev_cents"))
+            < _Q259_B * F.col("t"),
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev_cents").cast("long").alias("class_rev_cents"),
+        F.expr("(2000000 * sum(rev_cents) + max(t)) div (2 * max(t))")
+        .cast("long")
+        .alias("rev_share_micro"),
+    )

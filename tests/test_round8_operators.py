@@ -1751,3 +1751,46 @@ def test_q258_skyline_brute_force_twin(spark):
         if (a[1], a[2]) == (b[1], b[2]):
             continue
         assert a[2] < b[2]
+
+
+def test_q259_abc_twin(spark):
+    """Python replay at sf0.001 plus the Pareto sanity: class A holds
+    >= 80% of revenue with a minority of parts."""
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q259_A,
+        _Q259_B,
+        q259,
+    )
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    rev = defaultdict(int)
+    for r in li:
+        rev[r["l_partkey"]] += round(r["l_extendedprice"] * 100)
+    t = sum(rev.values())
+    ordered = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = defaultdict(lambda: [0, 0])
+    cum = 0
+    for part, rc in ordered:
+        if 1_000_000 * cum < _Q259_A * t:
+            cls = "A"
+        elif 1_000_000 * cum < _Q259_B * t:
+            cls = "B"
+        else:
+            cls = "C"
+        cum += rc
+        want[cls][0] += 1
+        want[cls][1] += rc
+    rows = {r["abc"]: r for r in q259(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    total_parts = sum(n for n, _ in want.values())
+    for cls, (n, rc) in want.items():
+        got = rows[cls]
+        assert (got["n_parts"], got["class_rev_cents"]) == (n, rc)
+        assert got["rev_share_micro"] == (2_000_000 * rc + t) // (2 * t)
+    assert rows["A"]["rev_share_micro"] >= 800_000
+    # TPC-H part revenue is near-uniform, so the A class holds ~80% of
+    # parts too (no real Pareto skew in this generator) — assert only
+    # the defining boundary property, not a skew the data lacks
+    assert rows["A"]["n_parts"] < total_parts
