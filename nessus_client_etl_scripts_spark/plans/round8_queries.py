@@ -5302,3 +5302,91 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_share_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q260 — Theil–Sen robust trend slope
+# ---------------------------------------------------------------------------
+
+_Q260_ORACLE = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT b.rev - a.rev AS num, b.d - a.d AS den,
+         CAST(b.rev - a.rev AS DOUBLE) / (b.d - a.d) AS slope
+  FROM daily a JOIN daily b ON a.d < b.d
+), ranked AS (
+  SELECT num, den, slope,
+         row_number() OVER (ORDER BY slope ASC, num ASC, den ASC) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n_pairs
+  FROM pairs
+)
+SELECT n_pairs,
+       CAST(max(CASE WHEN rk = (n_pairs + 1) // 2 THEN num END)
+            AS BIGINT) AS med_num,
+       CAST(max(CASE WHEN rk = (n_pairs + 1) // 2 THEN den END)
+            AS BIGINT) AS med_den,
+       CAST(round(1000000 * max(CASE WHEN rk = (n_pairs + 1) // 2
+                                THEN slope END)) AS BIGINT)
+         AS slope_micro
+FROM ranked GROUP BY n_pairs
+"""
+
+
+@register("q260_theil_sen", _Q260_ORACLE)
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator — the median of all pairwise
+    slopes of the daily-revenue series, the slope OLS users switch to
+    when outlier days (q207's targets) wreck least squares (Theil-Sen
+    tolerates ~29 % contamination).  The slope of each pair is an
+    EXACT rational (cent difference over day difference — the median
+    row ships num/den alongside the pinned micro value); ordering uses
+    the double quotient (identical division of identical integers
+    cross-engine) with a deterministic (num, den) tie-break, and the
+    lower median is read at rank ⌈N/2⌉.
+
+    Scale: the pair join runs on the DAILY aggregate — a days-sized
+    frame, so the O(days²) pair set is bounded by the calendar, never
+    by the corpus; the fact table itself is touched by exactly one
+    map-side-combined groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        (F.col("b.rev") - F.col("a.rev")).alias("num"),
+        (F.col("b.d") - F.col("a.d")).alias("den"),
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.d") - F.col("a.d"))
+        ).alias("slope"),
+    )
+    w = Window.orderBy(
+        F.col("slope").asc(), F.col("num").asc(), F.col("den").asc()
+    )
+    ranked = pairs.select(
+        "num",
+        "den",
+        "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias(
+            "n_pairs"
+        ),
+    )
+    med = F.when(F.col("rk") == F.expr("(n_pairs + 1) div 2"), True)
+    return ranked.groupBy("n_pairs").agg(
+        F.max(F.when(med, F.col("num"))).cast("long").alias("med_num"),
+        F.max(F.when(med, F.col("den"))).cast("long").alias("med_den"),
+        F.round(1000000 * F.max(F.when(med, F.col("slope"))), 0)
+        .cast("long")
+        .alias("slope_micro"),
+    )

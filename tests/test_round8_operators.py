@@ -1794,3 +1794,36 @@ def test_q259_abc_twin(spark):
     # parts too (no real Pareto skew in this generator) — assert only
     # the defining boundary property, not a skew the data lacks
     assert rows["A"]["n_parts"] < total_parts
+
+
+def test_q260_theil_sen_twin(spark):
+    """Python replay at sf0.001: all pairwise slopes, lower median by
+    the same (slope, num, den) order, exact rational carried."""
+    from collections import defaultdict
+    from datetime import date
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q260
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    daily = defaultdict(int)
+    epoch = date(1970, 1, 1)
+    for r in ev:
+        daily[(r["ts"].date() - epoch).days] += round(r["value"] * 100)
+    pts = sorted(daily.items())
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            num = pts[j][1] - pts[i][1]
+            den = pts[j][0] - pts[i][0]
+            slopes.append((num / den, num, den))
+    slopes.sort()
+    n = len(slopes)
+    med = slopes[(n + 1) // 2 - 1]
+    row = q260(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert got["n_pairs"] == n
+    assert (got["med_num"], got["med_den"]) == (med[1], med[2])
+    assert abs(got["slope_micro"] - round(med[0] * 1e6)) <= 1
+    # the exact rational and the pinned double agree
+    assert abs(got["med_num"] / got["med_den"] * 1e6 - got["slope_micro"]) <= 1
