@@ -5390,3 +5390,100 @@ def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slope_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q261 — autocorrelation function of the daily series (lags 1..7)
+# ---------------------------------------------------------------------------
+
+_Q261_MAXLAG = 7
+
+_Q261_ORACLE = f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM events GROUP BY 1
+), series AS (
+  SELECT list_transform(list_sort(list((d, rev))), s -> s[2]) AS xs
+  FROM daily
+), centered AS (
+  SELECT len(xs) AS n,
+         list_transform(xs,
+           x -> CAST(len(xs) * x - list_sum(xs) AS DOUBLE)) AS a
+  FROM series
+)
+SELECT CAST(k AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+       CAST(round(1000000
+              * list_dot_product(a[1:n - k], a[1 + k:n])
+              / list_dot_product(a, a)) AS BIGINT) AS acf_micro
+FROM centered
+CROSS JOIN unnest(generate_series(1, {_Q261_MAXLAG})) AS t(k)
+"""
+
+
+@register("q261_autocorrelation", _Q261_ORACLE)
+def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series, lags
+    1..{maxlag} — the first diagnostic of any time-series model
+    (weekly seasonality shows as a lag-7 spike; q247 then quantifies
+    it) and the input to Ljung–Box whiteness checks.  Determinism:
+    centered values are EXACT integers (n·x_t − Σx, the q250 scaling
+    trick that avoids the mean's division), and each lag's numerator
+    is a dot product over the ORDERED day array — array-index
+    summation order, identical in both engines (the q27
+    list_dot_product argument) — never a shuffled double sum (the
+    q255 hazard).
+
+    Scale: one map-side-combined groupBy to the days-sized series,
+    collected into ONE ordered array row (calendar-bounded); the lag
+    fan-out is a row-local explode over that single row."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    series = daily.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("rev")))
+            ),
+            lambda s: s["rev"],
+        ).alias("xs")
+    )
+    centered = series.select(
+        F.size("xs").alias("n"),
+        F.transform(
+            F.col("xs"),
+            lambda x: (
+                F.size(F.col("xs")) * x
+                - F.aggregate(
+                    F.col("xs"), F.lit(0).cast("long"), lambda a, b: a + b
+                )
+            ).cast("double"),
+        ).alias("a"),
+    )
+    from ..operators.similarity import dot
+
+    lags = centered.select(
+        "n",
+        "a",
+        F.explode(F.sequence(F.lit(1), F.lit(_Q261_MAXLAG))).alias("k"),
+    )
+    num = dot(
+        F.slice(F.col("a"), 1, F.col("n") - F.col("k")),
+        F.slice(F.col("a"), 1 + F.col("k"), F.col("n") - F.col("k")),
+    )
+    den = dot(F.col("a"), F.col("a"))
+    return lags.select(
+        F.col("k").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(1000000 * num / den, 0).cast("long").alias("acf_micro"),
+    )
+
+
+q261.__doc__ = q261.__doc__.format(maxlag=_Q261_MAXLAG)

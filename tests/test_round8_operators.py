@@ -1827,3 +1827,34 @@ def test_q260_theil_sen_twin(spark):
     assert abs(got["slope_micro"] - round(med[0] * 1e6)) <= 1
     # the exact rational and the pinned double agree
     assert abs(got["med_num"] / got["med_den"] * 1e6 - got["slope_micro"]) <= 1
+
+
+def test_q261_acf_twin(spark):
+    """Textbook ACF replay at sf0.001 within the pin quantum; |acf|
+    bounded by 1e6."""
+    from collections import defaultdict
+    from datetime import date
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q261_MAXLAG,
+        q261,
+    )
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    daily = defaultdict(int)
+    epoch = date(1970, 1, 1)
+    for r in ev:
+        daily[(r["ts"].date() - epoch).days] += round(r["value"] * 100)
+    xs = [rev for _, rev in sorted(daily.items())]
+    n = len(xs)
+    s = sum(xs)
+    a = [n * x - s for x in xs]
+    den = sum(v * v for v in a)
+    rows = {r["lag"]: r for r in q261(spark, SF001).collect()}
+    assert set(rows) == set(range(1, _Q261_MAXLAG + 1))
+    for k in range(1, _Q261_MAXLAG + 1):
+        num = sum(a[t] * a[t + k] for t in range(n - k))
+        got = rows[k]
+        assert got["n_days"] == n
+        assert abs(got["acf_micro"] - round(1e6 * num / den)) <= 1
+        assert abs(got["acf_micro"]) <= 1_000_000
