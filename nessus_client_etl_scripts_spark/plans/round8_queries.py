@@ -5487,3 +5487,88 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q261.__doc__ = q261.__doc__.format(maxlag=_Q261_MAXLAG)
+
+
+# ---------------------------------------------------------------------------
+# q262 — header/detail financial reconciliation with tolerance bands
+# ---------------------------------------------------------------------------
+
+# Ratio bands (header/detail), boundaries in per-mille cross-multiplied
+# so banding never divides: <0.5, [0.5,0.9), [0.9,1.1), [1.1,2), >=2.
+_Q262_BANDS_SQL = """
+  CASE WHEN 2 * h < d THEN 'lt_0_5'
+       WHEN 10 * h < 9 * d THEN '0_5_to_0_9'
+       WHEN 10 * h < 11 * d THEN '0_9_to_1_1'
+       WHEN h < 2 * d THEN '1_1_to_2'
+       ELSE 'ge_2' END
+"""
+
+_Q262_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey AS k,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) * 1000000) AS BIGINT))
+              AS BIGINT) AS d
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT CAST(floor(o.o_totalprice * 1000000) AS BIGINT) AS h, li.d
+  FROM orders o JOIN li ON o.o_orderkey = li.k
+), banded AS (
+  SELECT {_Q262_BANDS_SQL} AS band, h, d FROM j
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM j
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST((2000000 * count(*) + tot.n) // (2 * tot.n) AS BIGINT)
+         AS share_micro
+FROM banded CROSS JOIN tot
+GROUP BY band, tot.n
+"""
+
+
+@register("q262_amount_reconciliation", _Q262_ORACLE)
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail financial reconciliation — the accounting audit
+    run before trusting ANY revenue number: does each order header's
+    total match the sum of its priced line items
+    (extended·(1−disc)·(1+tax)), banded by ratio tolerance?  On this
+    synthetic corpus the header is UNRELATED to the detail (every
+    order mismatches, spread 0.002×–416×) — exactly the finding the
+    audit exists to surface before anyone joins revenue to headers.
+    Determinism: the per-row priced amount floor-quantizes to integer
+    micro-units BEFORE the per-order sum (the q69 rule — a raw double
+    sum's value depends on reduction order), and the ratio bands
+    cross-multiply integers, never divide.
+
+    Scale: one map-side-combined groupBy per side, one FK join, a
+    5-band rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    amt = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 1000000
+    ).cast("long")
+    d = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(amt).cast("long").alias("d")
+    )
+    j = orders.join(d, orders["o_orderkey"] == d["k"]).select(
+        F.floor(F.col("o_totalprice") * 1000000).cast("long").alias("h"),
+        "d",
+    )
+    band = F.expr(_Q262_BANDS_SQL)
+    tot = j.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        j.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_orders",
+            F.expr("(2000000 * n_orders + n) div (2 * n)")
+            .cast("long")
+            .alias("share_micro"),
+        )
+    )

@@ -1858,3 +1858,49 @@ def test_q261_acf_twin(spark):
         assert got["n_days"] == n
         assert abs(got["acf_micro"] - round(1e6 * num / den)) <= 1
         assert abs(got["acf_micro"]) <= 1_000_000
+
+
+def test_q262_reconciliation_twin(spark):
+    """Python replay at sf0.001: quantized sums, cross-multiplied
+    bands, conservation (bands partition all joined orders)."""
+    import math
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q262
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    orders = spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    detail = defaultdict(int)
+    for r in li:
+        detail[r["l_orderkey"]] += math.floor(
+            r["l_extendedprice"]
+            * (1 - r["l_discount"])
+            * (1 + r["l_tax"])
+            * 1000000
+        )
+    want = defaultdict(int)
+    n = 0
+    for o in orders:
+        if o["o_orderkey"] not in detail:
+            continue
+        h = math.floor(o["o_totalprice"] * 1000000)
+        d = detail[o["o_orderkey"]]
+        if 2 * h < d:
+            band = "lt_0_5"
+        elif 10 * h < 9 * d:
+            band = "0_5_to_0_9"
+        elif 10 * h < 11 * d:
+            band = "0_9_to_1_1"
+        elif h < 2 * d:
+            band = "1_1_to_2"
+        else:
+            band = "ge_2"
+        want[band] += 1
+        n += 1
+    rows = {r["band"]: r for r in q262(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for band, cnt in want.items():
+        got = rows[band]
+        assert got["n_orders"] == cnt
+        assert got["share_micro"] == (2_000_000 * cnt + n) // (2 * n)
+    assert sum(r["n_orders"] for r in rows.values()) == n
