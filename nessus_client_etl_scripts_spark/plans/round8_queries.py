@@ -5572,3 +5572,148 @@ def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q263 — Luhn checksum validation (payment-data quality gate)
+# ---------------------------------------------------------------------------
+
+# Deterministic account synthesis (q179/q242 pattern): an 11-digit base
+# from custkey arithmetic plus a VALID Luhn check digit — then a 1-in-13
+# residue class gets its second digit corrupted (+1 mod 10), so the
+# invalid branch is live and its rate is known by construction.
+_Q263_BASE_SQL = (
+    "lpad(CAST((c_custkey * 73856093 + 19349663) % 100000000000"
+    " AS VARCHAR), 11, '0')"
+)
+
+# Luhn sum over an 11-digit base, doubling from the RIGHTMOST base
+# digit (positions 11, 9, ... from the left): digit d at 1-based
+# position i contributes d if (11 - i) is odd else 2d - 9·(d > 4).
+_Q263_LUHN_BASE = """
+  list_sum(list_transform(generate_series(1, 11),
+    i -> CASE WHEN (11 - i) % 2 = 1
+              THEN CAST(b[i] AS BIGINT)
+              ELSE 2 * CAST(b[i] AS BIGINT)
+                   - CASE WHEN CAST(b[i] AS BIGINT) > 4 THEN 9 ELSE 0 END
+         END))
+"""
+
+_Q263_ORACLE = f"""
+WITH acct AS (
+  SELECT c_custkey, c_nationkey,
+         string_split_regex({_Q263_BASE_SQL}, '') AS b
+  FROM customer
+), checked AS (
+  SELECT c_custkey, c_nationkey,
+         (10 - ({_Q263_LUHN_BASE}) % 10) % 10 AS check_digit,
+         b
+  FROM acct
+), final AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+         CASE WHEN c_custkey % 13 = 0
+              THEN list_apply(b, (d, i) -> CASE WHEN i = 2
+                   THEN CAST((CAST(d AS BIGINT) + 1) % 10 AS VARCHAR)
+                   ELSE d END)
+              ELSE b END AS b,
+         check_digit
+  FROM checked
+), validated AS (
+  SELECT nation,
+         CASE WHEN ((({_Q263_LUHN_BASE}) + check_digit) % 10) = 0
+              THEN 1 ELSE 0 END AS ok
+  FROM final
+)
+SELECT nation, CAST(count(*) AS BIGINT) AS n_accounts,
+       CAST(sum(1 - ok) AS BIGINT) AS n_invalid,
+       CAST((2000000 * sum(1 - ok) + count(*)) // (2 * count(*))
+            AS BIGINT) AS invalid_micro
+FROM validated GROUP BY nation
+"""
+
+
+@register("q263_luhn_validation", _Q263_ORACLE)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 checksum validation (ISO/IEC 7812 — the check digit
+    on every card/IMEI/account number): synthesize an 11-digit account
+    per customer WITH a valid check digit, corrupt one digit on a
+    1-in-13 residue class (single-digit errors are exactly what Luhn
+    detects), and report per-nation invalid rates — the payment-file
+    quality gate.  All digit algebra runs on the BIGINT-string
+    decomposition (bit-identical cross-engine), the doubling rule is a
+    position-parity CASE, and the corruption is deterministic so the
+    expected invalid rate is known by construction.
+
+    Scale: entirely row-local inside whole-stage codegen (string ops +
+    a fixed-11 transform/sum), one map-side-combined groupBy."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = F.lpad(
+        (
+            (F.col("c_custkey") * 73856093 + 19349663) % 100000000000
+        ).cast("string"),
+        11,
+        "0",
+    )
+
+    def luhn_sum(arr):
+        return F.aggregate(
+            F.zip_with(
+                arr,
+                F.sequence(F.lit(1), F.lit(11)),
+                lambda d, i: F.when(
+                    (11 - i) % 2 == 1, d.cast("long")
+                ).otherwise(
+                    2 * d.cast("long")
+                    - F.when(d.cast("long") > 4, 9).otherwise(0)
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    # per-digit decomposition via substr (Spark's split keeps a
+    # trailing empty match for position regexes; substr does not)
+    checked = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nation"),
+        base.alias("b_str"),
+    ).select(
+        "c_custkey",
+        "nation",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(11)),
+            lambda i: F.col("b_str").substr(i, F.lit(1)),
+        ).alias("b"),
+    ).withColumn(
+        "check_digit", (10 - luhn_sum(F.col("b")) % 10) % 10
+    )
+    corrupted = checked.withColumn(
+        "b",
+        F.when(
+            F.col("c_custkey") % 13 == 0,
+            F.zip_with(
+                F.col("b"),
+                F.sequence(F.lit(1), F.lit(11)),
+                lambda d, i: F.when(
+                    i == 2, ((d.cast("long") + 1) % 10).cast("string")
+                ).otherwise(d),
+            ),
+        ).otherwise(F.col("b")),
+    )
+    validated = corrupted.select(
+        "nation",
+        F.when(
+            (luhn_sum(F.col("b")) + F.col("check_digit")) % 10 == 0, 1
+        )
+        .otherwise(0)
+        .alias("ok"),
+    )
+    return validated.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_accounts"),
+        F.sum(1 - F.col("ok")).cast("long").alias("n_invalid"),
+        F.expr(
+            "(2000000 * sum(1 - ok) + count(*)) div (2 * count(*))"
+        )
+        .cast("long")
+        .alias("invalid_micro"),
+    )

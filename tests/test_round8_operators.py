@@ -1904,3 +1904,43 @@ def test_q262_reconciliation_twin(spark):
         assert got["n_orders"] == cnt
         assert got["share_micro"] == (2_000_000 * cnt + n) // (2 * n)
     assert sum(r["n_orders"] for r in rows.values()) == n
+
+
+def test_q263_luhn_twin(spark):
+    """Python Luhn replay at sf0.001: un-corrupted accounts validate,
+    every corrupted one fails (single-digit error detection), per-
+    nation accounting matches."""
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q263
+
+    def luhn_sum(digs):
+        tot = 0
+        for i, ch in enumerate(digs, 1):
+            d = int(ch)
+            if (11 - i) % 2 == 1:
+                tot += d
+            else:
+                tot += 2 * d - (9 if d > 4 else 0)
+        return tot
+
+    cust = spark.read.parquet(f"{SF001}/customer.parquet").collect()
+    want = defaultdict(lambda: [0, 0])
+    for r in cust:
+        base = str((r["c_custkey"] * 73856093 + 19349663) % 10**11).zfill(11)
+        check = (10 - luhn_sum(base) % 10) % 10
+        digs = list(base)
+        if r["c_custkey"] % 13 == 0:
+            digs[1] = str((int(digs[1]) + 1) % 10)
+        ok = (luhn_sum("".join(digs)) + check) % 10 == 0
+        # single-digit corruption is always caught; clean is valid
+        assert ok == (r["c_custkey"] % 13 != 0)
+        want[r["c_nationkey"]][0] += 1
+        want[r["c_nationkey"]][1] += 0 if ok else 1
+    rows = {r["nation"]: r for r in q263(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for nation, (n, bad) in want.items():
+        got = rows[nation]
+        assert (got["n_accounts"], got["n_invalid"]) == (n, bad)
+        assert got["invalid_micro"] == (2_000_000 * bad + n) // (2 * n)
+    assert sum(b for _, b in want.values()) > 0  # invalid branch live
