@@ -5717,3 +5717,101 @@ def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("invalid_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q264 — deadline conversion funnel (signup → purchase within 72 h)
+# ---------------------------------------------------------------------------
+
+_Q264_DEADLINE_S = 72 * 3600
+
+_Q264_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.signup_us
+  GROUP BY e.user_id
+), u AS (
+  SELECT s.user_id,
+         CAST(to_timestamp(s.signup_us // 1000000) AS DATE) AS cohort,
+         CASE WHEN p.first_purchase_us IS NOT NULL
+               AND (p.first_purchase_us - s.signup_us) // 1000000
+                   <= {_Q264_DEADLINE_S}
+              THEN 1 ELSE 0 END AS converted,
+         CASE WHEN p.first_purchase_us IS NOT NULL
+               AND (p.first_purchase_us - s.signup_us) // 1000000
+                   <= {_Q264_DEADLINE_S}
+              THEN (p.first_purchase_us - s.signup_us) // 1000000
+              ELSE 0 END AS tts
+  FROM s LEFT JOIN p ON p.user_id = s.user_id
+)
+SELECT CAST(cohort AS DATE) AS cohort,
+       CAST(count(*) AS BIGINT) AS n_signups,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       CAST((2000000 * sum(converted) + count(*)) // (2 * count(*))
+            AS BIGINT) AS conv_micro,
+       CAST(sum(tts) AS BIGINT) AS sum_seconds_to_convert
+FROM u GROUP BY cohort
+"""
+
+
+@register("q264_deadline_conversion", _Q264_ORACLE)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline conversion funnel — the product-analytics readout with
+    the clause q72's stage funnel lacks: a signup only counts as
+    converted if the FIRST purchase AT-OR-AFTER it lands within 72
+    hours, reported per signup-day cohort (activation-rate tracking,
+    the number behind \"day-3 conversion\").  Time arithmetic floors
+    epoch microseconds to whole seconds identically in both engines
+    (the q239 rule); the summed time-to-convert column lets a consumer
+    derive the converters' mean exactly.
+
+    Scale: two map-side-combined per-user aggregations (first signup;
+    first qualifying purchase via one semi-structured join back), a
+    left join, a cohort-day rollup — no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("signup_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("pus"))
+        .join(s, "user_id")
+        .filter(F.col("pus") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("pus").alias("first_purchase_us"))
+    )
+    conv = (
+        F.col("first_purchase_us").isNotNull()
+        & (
+            F.expr("(first_purchase_us - signup_us) div 1000000")
+            <= _Q264_DEADLINE_S
+        )
+    )
+    u = s.join(p, "user_id", "left").select(
+        F.timestamp_seconds(F.expr("signup_us div 1000000"))
+        .cast("date")
+        .alias("cohort"),
+        F.when(conv, 1).otherwise(0).alias("converted"),
+        F.when(
+            conv, F.expr("(first_purchase_us - signup_us) div 1000000")
+        )
+        .otherwise(0)
+        .alias("tts"),
+    )
+    return u.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_signups"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr(
+            "(2000000 * sum(converted) + count(*)) div (2 * count(*))"
+        )
+        .cast("long")
+        .alias("conv_micro"),
+        F.sum("tts").cast("long").alias("sum_seconds_to_convert"),
+    )

@@ -1944,3 +1944,53 @@ def test_q263_luhn_twin(spark):
         assert (got["n_accounts"], got["n_invalid"]) == (n, bad)
         assert got["invalid_micro"] == (2_000_000 * bad + n) // (2 * n)
     assert sum(b for _, b in want.values()) > 0  # invalid branch live
+
+
+def test_q264_deadline_conversion_twin(spark):
+    """Python replay at sf0.001: first signup, first qualifying
+    purchase, the 72 h deadline, per-cohort accounting; both branches
+    (converted and not) are live."""
+    from collections import defaultdict
+    from datetime import datetime, timezone
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q264_DEADLINE_S,
+        q264,
+    )
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    signup = {}
+    purchases = defaultdict(list)
+    for r in ev:
+        usec = int(r["ts"].timestamp() * 1_000_000)
+        if r["event_type"] == "signup":
+            signup[r["user_id"]] = min(
+                signup.get(r["user_id"], usec), usec
+            )
+        elif r["event_type"] == "purchase":
+            purchases[r["user_id"]].append(usec)
+    want = defaultdict(lambda: [0, 0, 0])
+    for uid, sus in signup.items():
+        cohort = datetime.fromtimestamp(
+            sus // 1_000_000, tz=timezone.utc
+        ).date()
+        later = [p for p in purchases.get(uid, []) if p >= sus]
+        conv, tts = 0, 0
+        if later:
+            dt = (min(later) - sus) // 1_000_000
+            if dt <= _Q264_DEADLINE_S:
+                conv, tts = 1, dt
+        w = want[cohort]
+        w[0] += 1
+        w[1] += conv
+        w[2] += tts
+    rows = {r["cohort"]: r for r in q264(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    tot_conv = sum(c for _, c, _ in want.values())
+    tot_n = sum(n for n, _, _ in want.values())
+    assert 0 < tot_conv < tot_n  # both branches live
+    for cohort, (n, c, tts) in want.items():
+        got = rows[cohort]
+        assert (got["n_signups"], got["n_converted"]) == (n, c)
+        assert got["conv_micro"] == (2_000_000 * c + n) // (2 * n)
+        assert got["sum_seconds_to_convert"] == tts
