@@ -5815,3 +5815,125 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("conv_micro"),
         F.sum("tts").cast("long").alias("sum_seconds_to_convert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q265 — rank-biased overlap between two rankers (RBO@10, exact)
+# ---------------------------------------------------------------------------
+
+# RBO@k with p = 4/5: (1-p)·Σ_{d=1..k} p^(d-1)·|A_d ∩ B_d|/d.  Every
+# term is an exact rational over the common denominator 5^k·2520
+# (2520 = lcm(1..10)), so the truncated RBO is ONE exact integer
+# ratio.  Per-depth numerator: 2520/d · 4^(d-1) · 5^(k-d) · ov_d,
+# summed, over 5^k·2520 — then pinned to micro.  (p = 9/10 needs
+# 10^k·2520 and the 2·10^6 pin overflows BIGINT; 0.8 is the other
+# standard persistence.)
+_Q265_K = 10
+# exact integer per-depth coefficients (2520//d)*4^(d-1)*5^(k-d) and
+# the common denominator 2520*5^k — Python-computed literals, because
+# DuckDB's ** operator returns DOUBLE and floor-divides as a float
+# (caught as a +-1 in the pinned value)
+_Q265_COEF = tuple(
+    (d, (2520 // d) * 4 ** (d - 1) * 5 ** (_Q265_K - d))
+    for d in range(1, _Q265_K + 1)
+)
+_Q265_COEF_SQL = ", ".join(f"({d}, {c})" for d, c in _Q265_COEF)
+_Q265_DEN = 2520 * 5 ** _Q265_K
+
+_Q265_ORACLE = f"""
+WITH lex AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS r
+  FROM ({_Q222_ORACLE})
+), rrf AS (
+  SELECT id, row_number() OVER (ORDER BY rrf_nano DESC, id ASC) AS r
+  FROM ({_Q226_ORACLE})
+), depths AS (
+  SELECT d FROM unnest(generate_series(1, {_Q265_K})) AS t(d)
+), ov AS (
+  SELECT depths.d,
+         CAST((SELECT count(*) FROM lex a JOIN rrf b ON a.id = b.id
+               WHERE a.r <= depths.d AND b.r <= depths.d) AS BIGINT)
+           AS ov
+  FROM depths
+), coef AS (
+  SELECT * FROM (VALUES {_Q265_COEF_SQL}) AS t(d, c)
+), acc AS (
+  SELECT CAST(sum(coef.c * ov.ov) AS BIGINT) AS num
+  FROM ov JOIN coef USING (d)
+)
+SELECT CAST({_Q265_K} AS BIGINT) AS k,
+       (SELECT max(ov) FROM ov) AS overlap_at_k,
+       num,
+       CAST((2000000 * num + {_Q265_DEN}) // (2 * {_Q265_DEN})
+            AS BIGINT) AS rbo_micro
+FROM acc
+"""
+
+
+@register("q265_rank_biased_overlap", _Q265_ORACLE)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between the
+    BM25 ranking (q222) and the RRF hybrid ranking (q226) — the
+    top-weighted similarity used to answer \"how much did the ranker
+    change?\" when deploying a new retrieval stack (Kendall's tau
+    treats depth 1 and depth 100 alike; RBO geometrically discounts).
+    With persistence p = 9/10 every term of the truncated RBO@{k} is
+    an exact rational over 10^{k}·2520, so the statistic is ONE exact
+    integer ratio — no pow(), no float accumulation; 2520 = lcm(1..10)
+    clears the 1/d, and 9^(d-1)·10^(k-d) clears p^(d-1).
+
+    Scale: both inputs are top-{k} frames (the q226 argument), so
+    depth overlaps and the weighted sum run on ≤ 2·{k} rows —
+    broadcast territory at any corpus size."""
+    lex = q222(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("score_micro").desc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("ra"),
+    )
+    rrf = q226(spark, sf_dir).select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf_nano").desc(), F.col("id").asc()))
+        .alias("rb"),
+    )
+    both = lex.join(rrf, "id").select("ra", "rb")
+    depths = spark.range(1, _Q265_K + 1).select(
+        F.col("id").alias("d")
+    )
+    ov = (
+        depths.join(
+            F.broadcast(both),
+            (F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("ra").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("ov")
+        )
+    )
+    coef = spark.createDataFrame(list(_Q265_COEF), "d LONG, c LONG")
+    acc = ov.join(F.broadcast(coef), "d").agg(
+        F.sum(F.col("c") * F.col("ov")).cast("long").alias("num"),
+        F.max("ov").cast("long").alias("overlap_at_k"),
+    )
+    return acc.select(
+        F.lit(_Q265_K).cast("long").alias("k"),
+        "overlap_at_k",
+        "num",
+        F.expr(
+            f"(2000000 * num + {_Q265_DEN}) div (2 * {_Q265_DEN})"
+        )
+        .cast("long")
+        .alias("rbo_micro"),
+    )
+
+
+q265.__doc__ = q265.__doc__.format(k=_Q265_K)

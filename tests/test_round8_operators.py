@@ -1994,3 +1994,45 @@ def test_q264_deadline_conversion_twin(spark):
         assert (got["n_signups"], got["n_converted"]) == (n, c)
         assert got["conv_micro"] == (2_000_000 * c + n) // (2 * n)
         assert got["sum_seconds_to_convert"] == tts
+
+
+def test_q265_rbo_twin(spark):
+    """Float-RBO replay at sf0.001 within the quantum, plus the exact
+    integer identity num/den == RBO."""
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q265_DEN,
+        _Q265_K,
+        q222,
+        q226,
+        q265,
+    )
+
+    lex = [
+        r["doc_id"]
+        for r in sorted(
+            q222(spark, SF001).collect(),
+            key=lambda r: (-r["score_micro"], r["doc_id"]),
+        )
+    ]
+    rrf = [
+        r["id"]
+        for r in sorted(
+            q226(spark, SF001).collect(),
+            key=lambda r: (-r["rrf_nano"], r["id"]),
+        )
+    ]
+    p = 0.8
+    rbo = 0.0
+    for d in range(1, _Q265_K + 1):
+        ov = len(set(lex[:d]) & set(rrf[:d]))
+        rbo += (1 - p) * p ** (d - 1) * ov / d
+    row = q265(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert got["k"] == _Q265_K
+    assert got["overlap_at_k"] == len(
+        set(lex[:_Q265_K]) & set(rrf[:_Q265_K])
+    )
+    assert abs(got["num"] / _Q265_DEN - rbo) < 1e-12
+    assert abs(got["rbo_micro"] - round(rbo * 1e6)) <= 1
+    assert 0 < got["rbo_micro"] <= 1_000_000
