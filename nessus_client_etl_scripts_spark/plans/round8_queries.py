@@ -5937,3 +5937,94 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q265.__doc__ = q265.__doc__.format(k=_Q265_K)
+
+
+# ---------------------------------------------------------------------------
+# q266 — RFM segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+_Q266_REF = "2024-01-31"
+
+_Q266_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         date_diff('day', max(CAST(ts AS DATE)), DATE '{_Q266_REF}')
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS monetary_cents
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT user_id,
+         ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS r,
+         ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f,
+         ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS m
+  FROM u
+)
+SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+       CAST(m AS BIGINT) AS m,
+       CAST(100 * r + 10 * f + m AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM scored GROUP BY r, f, m
+"""
+
+
+@register("q266_rfm_segmentation", _Q266_ORACLE)
+def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM scoring: per user, RECENCY
+    (days since last event), FREQUENCY (event count), MONETARY
+    (purchase revenue), each quintile-scored 1–5 (1 = best: most
+    recent / most frequent / highest spend) and concatenated into the
+    familiar 111–555 segment code, reported as segment sizes.
+    Determinism: ntile over a TOTAL order (metric + user_id tie-break)
+    is the same earlier-buckets-larger definition in both engines, and
+    all three metrics are exact integers (epoch-day recency, counts,
+    cents).
+
+    Scale: the fact table collapses to a users-sized frame first; the
+    three ntile windows order that dimension frame (at extreme user
+    cardinality each becomes a q153-style two-phase percentile cut,
+    same semantics); the output is ≤ 125 segment rows."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(_Q266_REF).cast("date"),
+            F.max(F.col("ts").cast("date")),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    scored = u.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc()))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc()))
+        .alias("f"),
+        F.ntile(5)
+        .over(
+            Window.orderBy(
+                F.col("monetary_cents").desc(), F.col("user_id").asc()
+            )
+        )
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    ).select(
+        F.col("r").cast("long"),
+        F.col("f").cast("long"),
+        F.col("m").cast("long"),
+        (100 * F.col("r") + 10 * F.col("f") + F.col("m"))
+        .cast("long")
+        .alias("segment"),
+        "n_users",
+    )

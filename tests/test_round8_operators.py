@@ -2036,3 +2036,53 @@ def test_q265_rbo_twin(spark):
     assert abs(got["num"] / _Q265_DEN - rbo) < 1e-12
     assert abs(got["rbo_micro"] - round(rbo * 1e6)) <= 1
     assert 0 < got["rbo_micro"] <= 1_000_000
+
+
+def test_q266_rfm_twin(spark):
+    """Python ntile replay at sf0.001 (earlier buckets larger) and
+    conservation across segments."""
+    from collections import defaultdict
+    from datetime import date
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q266_REF,
+        q266,
+    )
+
+    ref = date.fromisoformat(_Q266_REF)
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    per = defaultdict(lambda: [None, 0, 0])
+    for r in ev:
+        st = per[r["user_id"]]
+        d = r["ts"].date()
+        st[0] = d if st[0] is None or d > st[0] else st[0]
+        st[1] += 1
+        if r["event_type"] == "purchase":
+            st[2] += round(r["value"] * 100)
+
+    def ntile5(keys):
+        n = len(keys)
+        out = {}
+        base, rem = divmod(n, 5)
+        start = 0
+        for b in range(5):
+            size = base + (1 if b < rem else 0)
+            for k in sorted(keys)[start:start + size]:
+                out[k[-1]] = b + 1
+            start += size
+        return out
+
+    users = list(per)
+    r_s = ntile5([((ref - st[0]).days, uid) for uid, st in per.items()])
+    f_s = ntile5([(-st[1], uid) for uid, st in per.items()])
+    m_s = ntile5([(-st[2], uid) for uid, st in per.items()])
+    want = defaultdict(int)
+    for uid in users:
+        want[(r_s[uid], f_s[uid], m_s[uid])] += 1
+    rows = {(r["r"], r["f"], r["m"]): r for r in q266(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for key, n in want.items():
+        got = rows[key]
+        assert got["n_users"] == n
+        assert got["segment"] == 100 * key[0] + 10 * key[1] + key[2]
+    assert sum(r["n_users"] for r in rows.values()) == len(users)
