@@ -6028,3 +6028,137 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("segment"),
         "n_users",
     )
+
+
+# ---------------------------------------------------------------------------
+# q267 — vocabulary growth curve (Heaps audit)
+# ---------------------------------------------------------------------------
+
+_Q267_FRACS = ((1, 16), (1, 8), (1, 4), (1, 2), (1, 1))  # of the corpus
+
+_Q267_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id ASC) AS rk,
+         string_split({_NORM_SQL}, ' ') AS l
+  FROM documents
+), n AS (
+  SELECT CAST(max(rk) AS BIGINT) AS n FROM ranked
+), cuts AS (
+  SELECT i, num, den, CAST((num * n.n + den - 1) // den AS BIGINT) AS k
+  FROM (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_Q267_FRACS, 1))})
+       AS t(i, num, den) CROSS JOIN n
+), first_seen AS (
+  SELECT t, CAST(min(rk) AS BIGINT) AS first_rk
+  FROM (
+    SELECT rk,
+           unnest(list_transform(generate_series(1, len(l) - 2),
+                  j -> l[j] || ' ' || l[j + 1] || ' ' || l[j + 2])) AS t
+    FROM ranked WHERE len(l) >= 3
+  ) GROUP BY t
+), v AS (
+  SELECT cuts.i, cuts.k,
+         CAST(count(CASE WHEN first_seen.first_rk <= cuts.k
+                    THEN 1 END) AS BIGINT) AS cum_types
+  FROM cuts CROSS JOIN first_seen
+  GROUP BY cuts.i, cuts.k
+), w AS (
+  SELECT i, k, cum_types,
+         coalesce(lag(cum_types) OVER (ORDER BY i), 0) AS prev_types,
+         coalesce(lag(k) OVER (ORDER BY i), 0) AS prev_k
+  FROM v
+)
+SELECT CAST(i AS BIGINT) AS checkpoint, k AS n_docs, cum_types,
+       CAST(cum_types - prev_types AS BIGINT) AS new_types,
+       CAST((2000000 * (cum_types - prev_types) + (k - prev_k))
+            // (2 * (k - prev_k)) AS BIGINT) AS new_per_doc_micro
+FROM w
+"""
+
+
+@register("q267_vocab_growth", _Q267_ORACLE)
+def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the observed Heaps'-law trajectory):
+    cumulative distinct trigram types after 1/16, 1/8, 1/4, 1/2 and
+    all of the corpus (doc_id order), with the NEW-types-per-document
+    rate in each increment — the declining marginal-novelty readout a
+    collection effort uses to decide when more of the same source
+    stops paying (q229's Chao1 asks the asymptote; this shows the
+    path).  Integer-exact: ranks, first-seen minima, counts, pinned
+    rates.
+
+    Scale: the doc rank is one ordered pass over the docs frame; each
+    type reduces to its FIRST-SEEN rank (one map-side-combined min per
+    trigram — vocabulary-sized, like q229); checkpoint membership is a
+    broadcast cross of 5 cut rows against that frame.  No per-
+    checkpoint rescans of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.windows import scalable_row_number
+
+    ranked = scalable_row_number(
+        docs.select("doc_id", tokens(normalize_text("text")).alias("l")),
+        ("doc_id",),
+        out_col="rk",
+    )
+    n = ranked.agg(F.max("rk").cast("long").alias("n"))
+    cuts = (
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(_Q267_FRACS, 1)],
+            "i LONG, num LONG, den LONG",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i", F.expr("(num * n + den - 1) div den").alias("k")
+        )
+    )
+    first_seen = (
+        ranked.filter(F.size("l") >= 3)
+        .select(
+            "rk",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 2),
+                    lambda j: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("l"), j),
+                        F.element_at(F.col("l"), j + 1),
+                        F.element_at(F.col("l"), j + 2),
+                    ),
+                )
+            ).alias("t"),
+        )
+        .groupBy("t")
+        .agg(F.min("rk").cast("long").alias("first_rk"))
+    )
+    v = (
+        first_seen.crossJoin(F.broadcast(cuts))
+        .groupBy("i", "k")
+        .agg(
+            F.sum(F.when(F.col("first_rk") <= F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("cum_types")
+        )
+    )
+    wlag = Window.orderBy(F.col("i").asc())
+    w = v.select(
+        "i",
+        "k",
+        "cum_types",
+        F.coalesce(F.lag("cum_types").over(wlag), F.lit(0)).alias(
+            "prev_types"
+        ),
+        F.coalesce(F.lag("k").over(wlag), F.lit(0)).alias("prev_k"),
+    )
+    return w.select(
+        F.col("i").cast("long").alias("checkpoint"),
+        F.col("k").alias("n_docs"),
+        "cum_types",
+        (F.col("cum_types") - F.col("prev_types"))
+        .cast("long")
+        .alias("new_types"),
+        F.expr(
+            "(2000000 * (cum_types - prev_types) + (k - prev_k))"
+            " div (2 * (k - prev_k))"
+        )
+        .cast("long")
+        .alias("new_per_doc_micro"),
+    )

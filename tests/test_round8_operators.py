@@ -2086,3 +2086,45 @@ def test_q266_rfm_twin(spark):
         assert got["n_users"] == n
         assert got["segment"] == 100 * key[0] + 10 * key[1] + key[2]
     assert sum(r["n_users"] for r in rows.values()) == len(users)
+
+
+def test_q267_vocab_growth_twin(spark):
+    """Python replay at sf0.001 plus the Heaps property: cumulative
+    types are non-decreasing and the marginal novelty rate declines."""
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q267_FRACS,
+        q267,
+    )
+
+    docs = sorted(
+        spark.read.parquet(f"{SF001}/documents.parquet").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    n = len(docs)
+    cuts = [(i, (a * n + b - 1) // b) for i, (a, b) in
+            enumerate(_Q267_FRACS, 1)]
+    seen = set()
+    cum = {}
+    next_cut = 0
+    for rk, r in enumerate(docs, 1):
+        toks = _norm(r["text"]).split(" ")
+        for j in range(len(toks) - 2):
+            seen.add(" ".join(toks[j:j + 3]))
+        while next_cut < len(cuts) and cuts[next_cut][1] == rk:
+            cum[cuts[next_cut][0]] = len(seen)
+            next_cut += 1
+    rows = {r["checkpoint"]: r for r in q267(spark, SF001).collect()}
+    assert set(rows) == {i for i, _ in cuts}
+    prev_types, prev_k = 0, 0
+    rates = []
+    for i, k in cuts:
+        got = rows[i]
+        assert got["n_docs"] == k
+        assert got["cum_types"] == cum[i]
+        assert got["new_types"] == cum[i] - prev_types
+        assert got["new_per_doc_micro"] == (
+            2_000_000 * (cum[i] - prev_types) + (k - prev_k)
+        ) // (2 * (k - prev_k))
+        rates.append(got["new_per_doc_micro"])
+        prev_types, prev_k = cum[i], k
+    assert rates[0] > rates[-1]  # marginal novelty declines
