@@ -6162,3 +6162,127 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("new_per_doc_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q268 — market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_Q268_MINSUP = 20
+
+_Q268_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT li.l_orderkey AS k, p.p_brand AS v
+  FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey
+), n AS (
+  SELECT CAST(count(DISTINCT k) AS BIGINT) AS n FROM b
+), item AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY v
+), pair AS (
+  SELECT a.v AS v1, b2.v AS v2, CAST(count(*) AS BIGINT) AS s12
+  FROM b a JOIN b b2 ON a.k = b2.k AND a.v < b2.v
+  GROUP BY 1, 2 HAVING count(*) >= {_Q268_MINSUP}
+), rules AS (
+  SELECT v1 AS antecedent, v2 AS consequent, s12,
+         i1.s AS s_ante, i2.s AS s_cons
+  FROM pair JOIN item i1 ON i1.v = pair.v1
+            JOIN item i2 ON i2.v = pair.v2
+  UNION ALL
+  SELECT v2, v1, s12, i2.s, i1.s
+  FROM pair JOIN item i1 ON i1.v = pair.v1
+            JOIN item i2 ON i2.v = pair.v2
+)
+SELECT antecedent, consequent, s12 AS support_count,
+       CAST((2000000 * s12 + n.n) // (2 * n.n) AS BIGINT)
+         AS support_micro,
+       CAST((2000000 * s12 + s_ante) // (2 * s_ante) AS BIGINT)
+         AS confidence_micro,
+       CAST((2000000 * n.n * s12 + s_ante * s_cons)
+            // (2 * s_ante * s_cons) AS BIGINT) AS lift_micro
+FROM rules CROSS JOIN n
+"""
+
+
+@register("q268_basket_rules", _Q268_ORACLE)
+def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal/Srikant — the apriori
+    output): per directed rule brand_A → brand_B over ORDER baskets,
+    the three canonical measures — support s(AB)/N, confidence
+    s(AB)/s(A), lift N·s(AB)/(s(A)s(B)) — with a minimum pair support
+    of {minsup}.  Complements q236 (the same lift measure over TEXT
+    bigrams): this is the retail-basket grain, built on distinct
+    (order, brand) rows so a repeated brand within one order counts
+    once (set semantics, the market-basket convention).  All exact
+    rationals, micro-pinned.
+
+    Scale: basket items per order are bounded (≤ ~13 lines), so pair
+    generation per order is constant-bounded; item supports broadcast;
+    everything map-side combines.  The part dimension joins in
+    broadcast (dimension-sized)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("v"))
+        .distinct()
+    )
+    n = b.agg(F.count_distinct("k").cast("long").alias("n"))
+    item = b.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    a, b2 = b.alias("a"), b.alias("b2")
+    pair = (
+        a.join(
+            b2,
+            (F.col("a.k") == F.col("b2.k")) & (F.col("a.v") < F.col("b2.v")),
+        )
+        .groupBy(F.col("a.v").alias("v1"), F.col("b2.v").alias("v2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("s12"))
+        .filter(F.col("s12") >= _Q268_MINSUP)
+    )
+    joined = pair.join(
+        F.broadcast(item.select(F.col("v").alias("v1"), F.col("s").alias("s1"))),
+        "v1",
+    ).join(
+        F.broadcast(item.select(F.col("v").alias("v2"), F.col("s").alias("s2"))),
+        "v2",
+    )
+    fwd = joined.select(
+        F.col("v1").alias("antecedent"),
+        F.col("v2").alias("consequent"),
+        "s12",
+        F.col("s1").alias("s_ante"),
+        F.col("s2").alias("s_cons"),
+    )
+    rev = joined.select(
+        F.col("v2").alias("antecedent"),
+        F.col("v1").alias("consequent"),
+        "s12",
+        F.col("s2").alias("s_ante"),
+        F.col("s1").alias("s_cons"),
+    )
+    return (
+        fwd.unionAll(rev)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s12").alias("support_count"),
+            F.expr("(2000000 * s12 + n) div (2 * n)")
+            .cast("long")
+            .alias("support_micro"),
+            F.expr("(2000000 * s12 + s_ante) div (2 * s_ante)")
+            .cast("long")
+            .alias("confidence_micro"),
+            F.expr(
+                "(2000000 * n * s12 + s_ante * s_cons)"
+                " div (2 * s_ante * s_cons)"
+            )
+            .cast("long")
+            .alias("lift_micro"),
+        )
+    )
+
+
+q268.__doc__ = q268.__doc__.format(minsup=_Q268_MINSUP)

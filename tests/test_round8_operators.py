@@ -2128,3 +2128,55 @@ def test_q267_vocab_growth_twin(spark):
         rates.append(got["new_per_doc_micro"])
         prev_types, prev_k = cum[i], k
     assert rates[0] > rates[-1]  # marginal novelty declines
+
+
+def test_q268_basket_rules_twin(spark):
+    """Python replay at sf0.001: set-semantics baskets, both rule
+    directions, the three measures; lift symmetric across directions."""
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q268_MINSUP,
+        q268,
+    )
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    part = {
+        r["p_partkey"]: r["p_brand"]
+        for r in spark.read.parquet(f"{SF001}/part.parquet").collect()
+    }
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(part[r["l_partkey"]])
+    n = len(baskets)
+    item = defaultdict(int)
+    pair = defaultdict(int)
+    for items in baskets.values():
+        for v in items:
+            item[v] += 1
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair[(s[i], s[j])] += 1
+    rows = {
+        (r["antecedent"], r["consequent"]): r
+        for r in q268(spark, SF001).collect()
+    }
+    want = {
+        (a, b): c for (a, b), c in pair.items() if c >= _Q268_MINSUP
+    }
+    assert set(rows) == (
+        set(want) | {(b, a) for a, b in want}
+    )
+    for (a, b), c in want.items():
+        for ante, cons in ((a, b), (b, a)):
+            got = rows[(ante, cons)]
+            assert got["support_count"] == c
+            assert got["support_micro"] == (2_000_000 * c + n) // (2 * n)
+            assert got["confidence_micro"] == (
+                2_000_000 * c + item[ante]
+            ) // (2 * item[ante])
+            assert got["lift_micro"] == (
+                2_000_000 * n * c + item[a] * item[b]
+            ) // (2 * item[a] * item[b])
+        assert rows[(a, b)]["lift_micro"] == rows[(b, a)]["lift_micro"]
