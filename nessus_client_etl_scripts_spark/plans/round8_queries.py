@@ -6286,3 +6286,92 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q268.__doc__ = q268.__doc__.format(minsup=_Q268_MINSUP)
+
+
+# ---------------------------------------------------------------------------
+# q269 — lead-time percentiles by month (order → ship SLA)
+# ---------------------------------------------------------------------------
+
+_Q269_ORACLE = """
+WITH ct AS (
+  SELECT year(CAST(o.o_orderdate AS DATE)) * 100
+           + month(CAST(o.o_orderdate AS DATE)) AS ym,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(li.l_shipdate AS DATE)) AS days,
+         li.l_orderkey AS k, li.l_linenumber AS ln
+  FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+), ranked AS (
+  SELECT ym, days,
+         row_number() OVER (PARTITION BY ym
+                            ORDER BY days ASC, k ASC, ln ASC) AS rk,
+         CAST(count(*) OVER (PARTITION BY ym) AS BIGINT) AS n
+  FROM ct
+)
+SELECT CAST(ym AS BIGINT) AS ym, n AS n_lines,
+       CAST(max(CASE WHEN rk = (n + 1) // 2 THEN days END) AS BIGINT)
+         AS p50_days,
+       CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN days END)
+            AS BIGINT) AS p90_days,
+       CAST(max(days) AS BIGINT) AS max_days
+FROM ranked GROUP BY ym, n
+"""
+
+
+@register("q269_leadtime_percentiles", _Q269_ORACLE)
+def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time p50/p90/max per order month — the
+    supply-chain SLA readout (p90 is what the contract says; the mean
+    hides the tail).  Percentiles are EXACT positional picks (lower
+    median at ⌈n/2⌉, p90 at ⌈9n/10⌉ — integer ceilings, deterministic
+    (days, orderkey, linenumber) tie-break), and the month key is
+    integer year·100+month, sidestepping cross-engine date-format
+    strings.
+
+    Scale: the month is a LOW-cardinality partition key, so the rank
+    runs through grouped_row_number's range-exchange form — the q207
+    rule — never a per-month window funnel."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    from ..operators.windows import grouped_row_number
+
+    ct = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).select(
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 100
+            + F.month(F.col("o_orderdate").cast("date"))
+        ).alias("ym"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("days"),
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    ranked = grouped_row_number(
+        ct, "ym", ("days", "k", "ln"), out_col="rk"
+    )
+    n = ct.groupBy("ym").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = ranked.join(F.broadcast(n), "ym")
+    return j.groupBy("ym", "n").agg(
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("days"))
+        )
+        .cast("long")
+        .alias("p50_days"),
+        F.max(
+            F.when(
+                F.col("rk") == F.expr("(9 * n + 9) div 10"), F.col("days")
+            )
+        )
+        .cast("long")
+        .alias("p90_days"),
+        F.max("days").cast("long").alias("max_days"),
+    ).select(
+        F.col("ym").cast("long"),
+        F.col("n").alias("n_lines"),
+        "p50_days",
+        "p90_days",
+        "max_days",
+    )

@@ -2180,3 +2180,37 @@ def test_q268_basket_rules_twin(spark):
                 2_000_000 * n * c + item[a] * item[b]
             ) // (2 * item[a] * item[b])
         assert rows[(a, b)]["lift_micro"] == rows[(b, a)]["lift_micro"]
+
+
+def test_q269_leadtime_twin(spark):
+    """Python positional-percentile replay at sf0.001."""
+    from collections import defaultdict
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q269
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    orders = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    }
+    per = defaultdict(list)
+    for r in li:
+        od = orders[r["l_orderkey"]]
+        od_d = od.date() if hasattr(od, "date") else od
+        sd = r["l_shipdate"]
+        sd_d = sd.date() if hasattr(sd, "date") else sd
+        ym = od_d.year * 100 + od_d.month
+        per[ym].append(
+            ((sd_d - od_d).days, r["l_orderkey"], r["l_linenumber"])
+        )
+    rows = {r["ym"]: r for r in q269(spark, SF001).collect()}
+    assert set(rows) == set(per)
+    for ym, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        got = rows[ym]
+        assert got["n_lines"] == n
+        assert got["p50_days"] == vals[(n + 1) // 2 - 1][0]
+        assert got["p90_days"] == vals[(9 * n + 9) // 10 - 1][0]
+        assert got["max_days"] == vals[-1][0]
+        assert got["p50_days"] <= got["p90_days"] <= got["max_days"]
