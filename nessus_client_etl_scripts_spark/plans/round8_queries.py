@@ -6375,3 +6375,104 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p90_days",
         "max_days",
     )
+
+
+# ---------------------------------------------------------------------------
+# q270 — engagement stickiness panel (DAU / WAU / MAU)
+# ---------------------------------------------------------------------------
+
+_Q270_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+), dau AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY d
+), wau AS (
+  SELECT d // 7 AS w, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM act GROUP BY 1
+), agg AS (
+  SELECT (SELECT CAST(sum(dau) AS BIGINT) FROM dau) AS dau_sum,
+         (SELECT CAST(count(*) AS BIGINT) FROM dau) AS n_days,
+         (SELECT CAST(sum(wau) AS BIGINT) FROM wau) AS wau_sum,
+         (SELECT CAST(count(*) AS BIGINT) FROM wau) AS n_weeks,
+         (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM act)
+           AS mau
+)
+SELECT dau_sum, n_days, wau_sum, n_weeks, mau,
+       CAST((2000 * dau_sum + n_days) // (2 * n_days) AS BIGINT)
+         AS dau_avg_milli,
+       CAST((2000000 * dau_sum + n_days * mau) // (2 * n_days * mau)
+            AS BIGINT) AS stickiness_micro,
+       CAST((2000000 * wau_sum + n_weeks * mau) // (2 * n_weeks * mau)
+            AS BIGINT) AS weekly_stickiness_micro
+FROM agg
+"""
+
+
+@register("q270_stickiness_panel", _Q270_ORACLE)
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness panel — mean DAU, DAU/MAU (the classic
+    stickiness ratio: what fraction of the monthly audience shows up
+    on an average day) and WAU/MAU, the first dashboard of any
+    product-health review.  Time buckets are epoch-integer arithmetic
+    (day number, day div 7) — no engine week-numbering conventions —
+    and every ratio is an exact pinned rational over distinct-user
+    counts.
+
+    Scale: one DISTINCT (user, day) projection feeds everything; daily
+    and weekly rollups map-side combine; the panel is one row."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    ).distinct()
+    dau = act.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    wau = act.groupBy(F.expr("d div 7").alias("w")).agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    agg = (
+        dau.agg(
+            F.sum("dau").cast("long").alias("dau_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .crossJoin(
+            F.broadcast(
+                wau.agg(
+                    F.sum("wau").cast("long").alias("wau_sum"),
+                    F.count(F.lit(1)).cast("long").alias("n_weeks"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                act.agg(
+                    F.count_distinct("user_id").cast("long").alias("mau")
+                )
+            )
+        )
+    )
+    return agg.select(
+        "dau_sum",
+        "n_days",
+        "wau_sum",
+        "n_weeks",
+        "mau",
+        F.expr("(2000 * dau_sum + n_days) div (2 * n_days)")
+        .cast("long")
+        .alias("dau_avg_milli"),
+        F.expr(
+            "(2000000 * dau_sum + n_days * mau) div (2 * n_days * mau)"
+        )
+        .cast("long")
+        .alias("stickiness_micro"),
+        F.expr(
+            "(2000000 * wau_sum + n_weeks * mau) div (2 * n_weeks * mau)"
+        )
+        .cast("long")
+        .alias("weekly_stickiness_micro"),
+    )

@@ -2214,3 +2214,36 @@ def test_q269_leadtime_twin(spark):
         assert got["p90_days"] == vals[(9 * n + 9) // 10 - 1][0]
         assert got["max_days"] == vals[-1][0]
         assert got["p50_days"] <= got["p90_days"] <= got["max_days"]
+
+
+def test_q270_stickiness_twin(spark):
+    """Python replay at sf0.001 plus the ratio ordering DAU/MAU <=
+    WAU/MAU <= 1."""
+    from collections import defaultdict
+    from datetime import date
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q270
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    epoch = date(1970, 1, 1)
+    act = {(r["user_id"], (r["ts"].date() - epoch).days) for r in ev}
+    days = defaultdict(set)
+    weeks = defaultdict(set)
+    users = set()
+    for uid, d in act:
+        days[d].add(uid)
+        weeks[d // 7].add(uid)
+        users.add(uid)
+    dau_sum = sum(len(s) for s in days.values())
+    wau_sum = sum(len(s) for s in weeks.values())
+    row = q270(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert (got["dau_sum"], got["n_days"]) == (dau_sum, len(days))
+    assert (got["wau_sum"], got["n_weeks"]) == (wau_sum, len(weeks))
+    assert got["mau"] == len(users)
+    assert got["stickiness_micro"] == (
+        2_000_000 * dau_sum + len(days) * len(users)
+    ) // (2 * len(days) * len(users))
+    assert got["stickiness_micro"] <= got["weekly_stickiness_micro"] \
+        <= 1_000_000
