@@ -6476,3 +6476,73 @@ def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weekly_stickiness_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q271 — weekly revenue-retention cohort triangle (NRR)
+# ---------------------------------------------------------------------------
+
+_Q271_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+           AS w,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), cohort AS (
+  SELECT user_id, CAST(min(w) AS BIGINT) AS c FROM e GROUP BY user_id
+), grid AS (
+  SELECT cohort.c, CAST(e.w - cohort.c AS BIGINT) AS offset_w,
+         CAST(sum(e.cents) AS BIGINT) AS rev
+  FROM e JOIN cohort USING (user_id)
+  GROUP BY cohort.c, e.w - cohort.c
+), base AS (
+  SELECT c, rev AS rev0 FROM grid WHERE offset_w = 0
+)
+SELECT grid.c AS cohort_week, grid.offset_w, grid.rev AS rev_cents,
+       CAST((2000000 * grid.rev + base.rev0) // (2 * base.rev0)
+            AS BIGINT) AS nrr_micro
+FROM grid JOIN base USING (c)
+"""
+
+
+@register("q271_revenue_retention", _Q271_ORACLE)
+def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly revenue-retention cohort triangle (net revenue retention
+    — the SaaS metric boards read): users cohorted by FIRST purchase
+    week, each later week's purchase revenue expressed against the
+    cohort's week-0 revenue (> 1e6 = the surviving cohort EXPANDS
+    revenue, the \"net\" in NRR).  q73 is the COUNT retention triangle;
+    money retains differently than bodies, which is why both exist.
+    Epoch-integer week buckets, exact cents, one pinned ratio per
+    cell.
+
+    Scale: one per-user min (cohort), one (cohort, offset) rollup, a
+    cohorts-sized base join — all map-side combined, no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr(
+            "datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7"
+        ).alias("w"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cohort = e.groupBy("user_id").agg(
+        F.min("w").cast("long").alias("c")
+    )
+    grid = (
+        e.join(cohort, "user_id")
+        .groupBy("c", (F.col("w") - F.col("c")).cast("long").alias("offset_w"))
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    base = grid.filter(F.col("offset_w") == 0).select(
+        "c", F.col("rev").alias("rev0")
+    )
+    return grid.join(F.broadcast(base), "c").select(
+        F.col("c").alias("cohort_week"),
+        "offset_w",
+        F.col("rev").alias("rev_cents"),
+        F.expr("(2000000 * rev + rev0) div (2 * rev0)")
+        .cast("long")
+        .alias("nrr_micro"),
+    )

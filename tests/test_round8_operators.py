@@ -2247,3 +2247,36 @@ def test_q270_stickiness_twin(spark):
     ) // (2 * len(days) * len(users))
     assert got["stickiness_micro"] <= got["weekly_stickiness_micro"] \
         <= 1_000_000
+
+
+def test_q271_revenue_retention_twin(spark):
+    """Python replay at sf0.001: cohort by first purchase week,
+    offset-grid revenue, week-0 cells pin at exactly 1e6."""
+    from collections import defaultdict
+    from datetime import date
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import q271
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    epoch = date(1970, 1, 1)
+    per = []
+    first = {}
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        w = (r["ts"].date() - epoch).days // 7
+        per.append((r["user_id"], w, round(r["value"] * 100)))
+        first[r["user_id"]] = min(first.get(r["user_id"], w), w)
+    grid = defaultdict(int)
+    for uid, w, cents in per:
+        grid[(first[uid], w - first[uid])] += cents
+    rows = {(r["cohort_week"], r["offset_w"]): r
+            for r in q271(spark, SF001).collect()}
+    assert set(rows) == set(grid)
+    for (c, off), rev in grid.items():
+        got = rows[(c, off)]
+        assert got["rev_cents"] == rev
+        rev0 = grid[(c, 0)]
+        assert got["nrr_micro"] == (2_000_000 * rev + rev0) // (2 * rev0)
+        if off == 0:
+            assert got["nrr_micro"] == 1_000_000
