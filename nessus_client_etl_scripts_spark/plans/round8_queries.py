@@ -6546,3 +6546,119 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nrr_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q272 — price-volume-mix revenue bridge
+# ---------------------------------------------------------------------------
+
+_Q272_PIVOT = "1998-06-01"  # period 1 = ships before, period 2 = after
+
+_Q272_ORACLE = f"""
+WITH base AS (
+  SELECT l_partkey AS part,
+         CASE WHEN CAST(l_shipdate AS DATE) < DATE '{_Q272_PIVOT}'
+              THEN 1 ELSE 2 END AS period,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS r
+  FROM lineitem GROUP BY 1, 2
+), w AS (
+  SELECT part,
+         max(CASE WHEN period = 1 THEN q END) AS q1,
+         max(CASE WHEN period = 1 THEN r END) AS r1,
+         max(CASE WHEN period = 2 THEN q END) AS q2,
+         max(CASE WHEN period = 2 THEN r END) AS r2
+  FROM base GROUP BY part
+), effects AS (
+  SELECT
+    CAST(sum(CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL THEN r1 END)
+         AS BIGINT) AS rev1_common,
+    CAST(sum(CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL THEN r2 END)
+         AS BIGINT) AS rev2_common,
+    CAST(coalesce(sum(CASE WHEN q1 IS NULL THEN r2 END), 0) AS BIGINT)
+      AS rev_new,
+    CAST(coalesce(sum(CASE WHEN q2 IS NULL THEN r1 END), 0) AS BIGINT)
+      AS rev_lost,
+    CAST(sum(CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL THEN
+         CAST(round(1000.0 * q1 * (CAST(r2 AS DOUBLE) / q2
+                                   - CAST(r1 AS DOUBLE) / q1))
+              AS BIGINT) END) AS BIGINT) AS price_effect_milli,
+    CAST(sum(CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL THEN
+         CAST(round(1000.0 * (q2 - q1) * CAST(r1 AS DOUBLE) / q1)
+              AS BIGINT) END) AS BIGINT) AS volume_effect_milli,
+    CAST(sum(CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL THEN
+         CAST(round(1000.0 * (q2 - q1)
+                    * (CAST(r2 AS DOUBLE) / q2
+                       - CAST(r1 AS DOUBLE) / q1)) AS BIGINT) END)
+         AS BIGINT) AS cross_effect_milli
+  FROM w
+)
+SELECT rev1_common, rev2_common, rev_new, rev_lost,
+       price_effect_milli, volume_effect_milli, cross_effect_milli
+FROM effects
+"""
+
+
+@register("q272_pvm_bridge", _Q272_ORACLE)
+def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue bridge — the FP&A decomposition of
+    Δrevenue between two ship periods into PRICE (q₁·Δp), VOLUME
+    (p₁·Δq) and CROSS (Δp·Δq) effects over parts sold in BOTH periods,
+    with NEW and DISCONTINUED parts' revenue reported separately (the
+    five bars of every revenue-bridge chart).  Per-part average prices
+    are exact-integer ratios evaluated in double (identical operands,
+    the q250 rule), each part's effect rounds to milli-cents BEFORE
+    summation, so the totals are integer sums — deterministic even
+    though per-part rounding makes the bridge close only approximately
+    (documented; exact closure would need per-part rational output).
+
+    Scale: one (part, period) map-side-combined rollup, a parts-sized
+    pivot, a one-row reduction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.when(
+            F.col("l_shipdate").cast("date")
+            < F.lit(_Q272_PIVOT).cast("date"),
+            1,
+        )
+        .otherwise(2)
+        .alias("period"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("r"),
+    )
+    w = base.groupBy("part").agg(
+        F.max(F.when(F.col("period") == 1, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("period") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("period") == 2, F.col("q"))).alias("q2"),
+        F.max(F.when(F.col("period") == 2, F.col("r"))).alias("r2"),
+    )
+    common = F.col("q1").isNotNull() & F.col("q2").isNotNull()
+    p1 = F.col("r1").cast("double") / F.col("q1")
+    p2 = F.col("r2").cast("double") / F.col("q2")
+    pe = F.round(1000.0 * F.col("q1") * (p2 - p1), 0).cast("long")
+    ve = F.round(1000.0 * (F.col("q2") - F.col("q1")) * p1, 0).cast("long")
+    ce = F.round(
+        1000.0 * (F.col("q2") - F.col("q1")) * (p2 - p1), 0
+    ).cast("long")
+    return w.agg(
+        F.sum(F.when(common, F.col("r1"))).cast("long").alias("rev1_common"),
+        F.sum(F.when(common, F.col("r2"))).cast("long").alias("rev2_common"),
+        F.coalesce(
+            F.sum(F.when(F.col("q1").isNull(), F.col("r2"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("rev_new"),
+        F.coalesce(
+            F.sum(F.when(F.col("q2").isNull(), F.col("r1"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("rev_lost"),
+        F.sum(F.when(common, pe)).cast("long").alias("price_effect_milli"),
+        F.sum(F.when(common, ve)).cast("long").alias("volume_effect_milli"),
+        F.sum(F.when(common, ce)).cast("long").alias("cross_effect_milli"),
+    )

@@ -2280,3 +2280,63 @@ def test_q271_revenue_retention_twin(spark):
         assert got["nrr_micro"] == (2_000_000 * rev + rev0) // (2 * rev0)
         if off == 0:
             assert got["nrr_micro"] == 1_000_000
+
+
+def test_q272_pvm_bridge_twin(spark):
+    """Python replay at sf0.001 plus approximate closure: the three
+    effects bridge rev1→rev2 within per-part rounding slack."""
+    from collections import defaultdict
+    from datetime import date
+
+    from nessus_client_etl_scripts_spark.plans.round8_queries import (
+        _Q272_PIVOT,
+        q272,
+    )
+
+    pivot = date.fromisoformat(_Q272_PIVOT)
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    per = defaultdict(lambda: [0, 0, 0, 0])
+    for r in li:
+        sd = r["l_shipdate"]
+        sd_d = sd.date() if hasattr(sd, "date") else sd
+        st = per[r["l_partkey"]]
+        if sd_d < pivot:
+            st[0] += int(r["l_quantity"])
+            st[1] += round(r["l_extendedprice"] * 100)
+        else:
+            st[2] += int(r["l_quantity"])
+            st[3] += round(r["l_extendedprice"] * 100)
+    want = dict.fromkeys(
+        ("rev1", "rev2", "new", "lost", "pe", "ve", "ce"), 0
+    )
+    n_common = 0
+    for q1, r1, q2, r2 in per.values():
+        if q1 and q2:
+            n_common += 1
+            want["rev1"] += r1
+            want["rev2"] += r2
+            p1, p2 = r1 / q1, r2 / q2
+            want["pe"] += round(1000 * q1 * (p2 - p1))
+            want["ve"] += round(1000 * (q2 - q1) * p1)
+            want["ce"] += round(1000 * (q2 - q1) * (p2 - p1))
+        elif q2:
+            want["new"] += r2
+        elif q1:
+            want["lost"] += r1
+    row = q272(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert got["rev1_common"] == want["rev1"]
+    assert got["rev2_common"] == want["rev2"]
+    assert got["rev_new"] == want["new"]
+    assert got["rev_lost"] == want["lost"]
+    assert got["price_effect_milli"] == want["pe"]
+    assert got["volume_effect_milli"] == want["ve"]
+    assert got["cross_effect_milli"] == want["ce"]
+    bridge = (
+        got["price_effect_milli"]
+        + got["volume_effect_milli"]
+        + got["cross_effect_milli"]
+    )
+    true_delta = 1000 * (want["rev2"] - want["rev1"])
+    assert abs(bridge - true_delta) <= n_common  # per-part rounding slack
