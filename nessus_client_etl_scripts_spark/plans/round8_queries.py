@@ -50,6 +50,7 @@ from ..operators.web import (
     registered_domain,
 )
 from .corpus_queries import _NORM_SQL
+from .round6b_queries import _Q132_ORACLE, _Q133_ORACLE
 from .round7_queries import _Q201_MERGES, _q201_state_chain
 from .testdata_queries import register
 
@@ -1048,156 +1049,6 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q222 — BM25 scan-time retrieval, integer-exact
-# ---------------------------------------------------------------------------
-
-# Query phrase terms (bigrams — the synthetic unigram vocabulary is ~30
-# words so every unigram has df ≈ N and zero idf; bigram df sits near
-# N/16, giving 3-4 whole idf bits of real discrimination).
-_Q222_TERMS = ("hash join", "table scan", "sort merge", "stream customer")
-_Q222_TOPK = 10
-
-_Q222_TERMS_SQL = ", ".join(f"'{t}'" for t in _Q222_TERMS)
-
-# BM25 with k1 = 6/5 (1.2) and b = 3/4 (0.75) — both exact rationals, so
-# the tf-saturation term is a ratio of integers once scaled by 10·L·N:
-#   tf·(k1+1) / (tf + k1·(1-b) + k1·b·dl/avgdl)      avgdl = L/N
-# = 22·tf·L / (10·tf·L + 3·L + 9·dl·N)
-# idf is the Lucene-style always-positive form log2(1 + (N-df+.5)/(df+.5))
-# = log2((2N+2)/(2df+1)), taken in WHOLE BITS via the q204 no-libm
-# floor_log2 = length(bin(k))-1, exact because floor(log2(x)) =
-# floor(log2(floor(x))) for x ≥ 1.
-_Q222_ORACLE = f"""
-WITH s AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l FROM documents
-), d AS (
-  SELECT doc_id, CAST(len(l) - 1 AS BIGINT) AS dl,
-         list_transform(generate_series(1, len(l) - 1),
-                        i -> l[i] || ' ' || l[i + 1]) AS bl
-  FROM s WHERE len(l) >= 2
-), stats AS (
-  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tl
-  FROM d
-), tf AS (
-  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
-  FROM (SELECT doc_id, unnest(bl) AS t FROM d)
-  WHERE t IN ({_Q222_TERMS_SQL})
-  GROUP BY doc_id, t
-), idf AS (
-  SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
-         CAST(length(bin((2 * (SELECT n FROM stats) + 2)
-                         // (2 * count(DISTINCT doc_id) + 1))) - 1
-              AS BIGINT) AS idf_bits
-  FROM tf GROUP BY t
-), term_scores AS (
-  SELECT tf.doc_id, d.dl,
-         (2000000 * idf.idf_bits * 22 * tf.tf * stats.tl
-          + (10 * tf.tf * stats.tl + 3 * stats.tl + 9 * d.dl * stats.n))
-         // (2 * (10 * tf.tf * stats.tl + 3 * stats.tl
-                  + 9 * d.dl * stats.n)) AS sc
-  FROM tf JOIN d USING (doc_id) CROSS JOIN stats
-       JOIN idf ON idf.t = tf.t
-)
-SELECT doc_id, CAST(max(dl) AS BIGINT) AS dl,
-       CAST(count(*) AS BIGINT) AS n_terms_matched,
-       CAST(sum(sc) AS BIGINT) AS score_micro
-FROM term_scores
-GROUP BY doc_id
-ORDER BY score_micro DESC, doc_id ASC
-LIMIT {_Q222_TOPK}
-"""
-
-
-@register("q222_bm25_topk", _Q222_ORACLE)
-def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-{k} retrieval (Robertson/Spärck Jones; the Lucene
-    default ranking function) over bigram phrase terms, integer-exact
-    cross-engine: k1 = 6/5 and b = 3/4 are exact rationals, so the
-    saturation term scales to the integer ratio 22·tf·L /
-    (10·tf·L + 3·L + 9·dl·N) with avgdl = L/N left UNROUNDED (L, N are
-    corpus totals), and idf uses the always-positive Lucene form
-    log2((2N+2)/(2df+1)) in whole bits via the no-libm floor_log2.
-    Per-term micro scores are pinned with the round-half-up rule, so
-    the value hash verifies exactly instead of chasing libm ULPs.
-
-    Scale: the early term filter on the exploded bigram stream means
-    only postings for the {nt} query terms survive the scan — the tf
-    frame is (matched docs × terms)-sized, the idf/df frame is
-    terms-sized and broadcasts, and the final ranking is a
-    TakeOrderedAndProject, never a global sort.  At index-build time a
-    real system would materialize the postings (doc_id, term, tf) once
-    and skip the corpus scan per query; this declared form IS that
-    posting-list construction plus one query's scoring pass.  At
-    extreme corpus sizes Σ-term numerators approach BIGINT range with
-    L ~ 1e12; the production form then pins avgdl once (micro units)
-    instead of carrying L·N through every product."""
-    docs = load_table(spark, sf_dir, "documents")
-    staged = (
-        docs.select("doc_id", tokens(normalize_text("text")).alias("l"))
-        .filter(F.size("l") >= 2)
-        .select(
-            "doc_id",
-            (F.size("l") - 1).cast("long").alias("dl"),
-            F.zip_with(
-                F.slice(F.col("l"), 1, F.size("l") - 1),
-                F.slice(F.col("l"), 2, F.size("l") - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
-            ).alias("bl"),
-        )
-    )
-    stats = staged.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("tl"),
-    )
-    terms = F.array(*[F.lit(t) for t in _Q222_TERMS])
-    tf = (
-        staged.select(
-            "doc_id", "dl", F.explode("bl").alias("t")
-        )
-        .filter(F.array_contains(terms, F.col("t")))
-        .groupBy("doc_id", "dl", "t")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    idf = (
-        tf.groupBy("t")
-        .agg(F.count_distinct("doc_id").cast("long").alias("df"))
-        .crossJoin(F.broadcast(stats.select("n")))
-        .select(
-            "t",
-            (F.length(F.bin(F.expr("(2 * n + 2) div (2 * df + 1)"))) - 1)
-            .cast("long")
-            .alias("idf_bits"),
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(idf), "t")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "dl",
-            F.expr(
-                "(2000000 * idf_bits * 22 * tf * tl"
-                " + (10 * tf * tl + 3 * tl + 9 * dl * n))"
-                " div (2 * (10 * tf * tl + 3 * tl + 9 * dl * n))"
-            ).alias("sc"),
-        )
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.max("dl").cast("long").alias("dl"),
-            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
-            F.sum("sc").cast("long").alias("score_micro"),
-        )
-        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
-        .limit(_Q222_TOPK)
-    )
-
-
-q222.__doc__ = q222.__doc__.format(k=_Q222_TOPK, nt=len(_Q222_TERMS))
-
-
-# ---------------------------------------------------------------------------
 # q223 — Fleiss' kappa inter-annotator agreement
 # ---------------------------------------------------------------------------
 
@@ -1684,124 +1535,6 @@ def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q226 — reciprocal-rank fusion (hybrid lexical + vector retrieval)
-# ---------------------------------------------------------------------------
-
-_Q226_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
-_Q226_QVEC = 0  # query vector id (excluded from the vector candidates)
-_Q226_TOPK = 10
-
-_Q226_ORACLE = f"""
-WITH lex AS (
-  SELECT doc_id AS id,
-         row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
-           AS lrank
-  FROM ({_Q222_ORACLE})
-), qv AS (
-  SELECT embedding::DOUBLE[] AS v FROM embeddings
-  WHERE vec_id = {_Q226_QVEC}
-), vecr AS (
-  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS vrank
-  FROM (
-    SELECT c.vec_id AS id,
-           list_dot_product(qv.v, c.cv)
-             / (sqrt(list_dot_product(qv.v, qv.v))
-                * sqrt(list_dot_product(c.cv, c.cv))) AS score
-    FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
-          WHERE vec_id != {_Q226_QVEC}) c CROSS JOIN qv
-  )
-  ORDER BY vrank LIMIT {_Q226_TOPK}
-)
-SELECT COALESCE(lex.id, vecr.id) AS id,
-       CAST(lex.lrank AS BIGINT) AS lex_rank,
-       CAST(vecr.vrank AS BIGINT) AS vec_rank,
-       CAST(COALESCE(1000000000 // ({_Q226_K} + lex.lrank), 0)
-            + COALESCE(1000000000 // ({_Q226_K} + vecr.vrank), 0)
-            AS BIGINT) AS rrf_nano
-FROM lex FULL OUTER JOIN vecr ON lex.id = vecr.id
-ORDER BY rrf_nano DESC, id ASC
-LIMIT {_Q226_TOPK}
-"""
-
-
-@register("q226_rrf_hybrid", _Q226_ORACLE)
-def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
-    standard hybrid-search combiner: fuse a LEXICAL ranking (q222's
-    BM25 top-{k}) with a VECTOR ranking (cosine to a query embedding,
-    top-{k}) by RRF(d) = Σ_lists 1/(60 + rank_d), a rank-only rule that
-    needs no score calibration between incomparable scoring scales —
-    exactly why production hybrid retrieval uses it.  Contributions are
-    pinned as 10⁹ div (60 + rank): integer division, bit-identical
-    cross-engine; documents missing from a list contribute 0.
-
-    Scale: both input rankings are top-{k} TakeOrderedAndProject
-    results (never a global sort), so the fusion join and final ordering
-    operate on 2·{k} rows — driver-free, broadcast-everything territory
-    regardless of corpus size.  The doc/vec id spaces coincide by
-    construction in this corpus (the multimodal-row contract)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    from ..operators.similarity import dot
-
-    lex = q222(spark, sf_dir).select(
-        F.col("doc_id").alias("id"),
-        F.row_number()
-        .over(
-            Window.orderBy(
-                F.col("score_micro").desc(), F.col("doc_id").asc()
-            )
-        )
-        .cast("long")
-        .alias("lrank"),
-    )
-    qv = emb.filter(F.col("vec_id") == _Q226_QVEC).select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    cand = emb.filter(F.col("vec_id") != _Q226_QVEC).select(
-        F.col("vec_id").alias("id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
-    )
-    score = dot(F.col("v"), F.col("cv")) / (
-        F.sqrt(dot(F.col("v"), F.col("v")))
-        * F.sqrt(dot(F.col("cv"), F.col("cv")))
-    )
-    vecr = (
-        cand.crossJoin(F.broadcast(qv))
-        .select("id", score.alias("score"))
-        .orderBy(F.col("score").desc(), F.col("id").asc())
-        .limit(_Q226_TOPK)
-        .select(
-            "id",
-            F.row_number()
-            .over(Window.orderBy(F.col("score").desc(), F.col("id").asc()))
-            .cast("long")
-            .alias("vrank"),
-        )
-    )
-    fused = lex.join(vecr, "id", "full_outer").select(
-        "id",
-        F.col("lrank").alias("lex_rank"),
-        F.col("vrank").alias("vec_rank"),
-        (
-            F.coalesce(
-                F.expr(f"1000000000 div ({_Q226_K} + lrank)"), F.lit(0)
-            )
-            + F.coalesce(
-                F.expr(f"1000000000 div ({_Q226_K} + vrank)"), F.lit(0)
-            )
-        )
-        .cast("long")
-        .alias("rrf_nano"),
-    )
-    return fused.orderBy(
-        F.col("rrf_nano").desc(), F.col("id").asc()
-    ).limit(_Q226_TOPK)
-
-
-q226.__doc__ = q226.__doc__.format(k=_Q226_TOPK)
-
-
-# ---------------------------------------------------------------------------
 # q227 — Gini coefficient of the token distribution (corpus concentration)
 # ---------------------------------------------------------------------------
 
@@ -1867,102 +1600,6 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("gini_micro"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# q228 — Benford first-digit audit
-# ---------------------------------------------------------------------------
-
-# Expected Benford shares log10(1 + 1/d) in micro units, d = 1..9 —
-# constants, so no libm call happens in either engine.
-_Q228_EXP = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
-
-_Q228_EXP_SQL = ", ".join(
-    f"({d + 1}, {m})" for d, m in enumerate(_Q228_EXP)
-)
-
-_Q228_ORACLE = f"""
-WITH cents AS (
-  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
-  FROM lineitem WHERE l_extendedprice > 0
-), digit AS (
-  SELECT c // power(10, length(CAST(c AS VARCHAR)) - 1)::BIGINT AS d
-  FROM cents
-), obs AS (
-  SELECT CAST(d AS BIGINT) AS digit, CAST(count(*) AS BIGINT) AS n_obs
-  FROM digit GROUP BY d
-), tot AS (
-  SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs
-), exp AS (
-  SELECT * FROM (VALUES {_Q228_EXP_SQL}) AS t(digit, exp_micro)
-)
-SELECT exp.digit, COALESCE(obs.n_obs, 0) AS n_obs,
-       CAST((2000000 * COALESCE(obs.n_obs, 0) + tot.n) // (2 * tot.n)
-            AS BIGINT) AS obs_micro,
-       CAST(exp.exp_micro AS BIGINT) AS exp_micro,
-       CAST(abs((2000000 * COALESCE(obs.n_obs, 0) + tot.n) // (2 * tot.n)
-                - exp.exp_micro) AS BIGINT) AS dev_micro
-FROM exp LEFT JOIN obs ON obs.digit = exp.digit CROSS JOIN tot
-"""
-
-
-@register("q228_benford_audit", _Q228_ORACLE)
-def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-significant-digit audit of a monetary column —
-    the standard forensic data-quality screen (fabricated or
-    range-clipped numbers deviate from log10(1+1/d)).  The digit is
-    extracted WITHOUT libm: prices become exact integer cents
-    (round(x·100) — cent-valued doubles sit ≪ 0.5 cents from the true
-    value, so both engines recover the same integer), and the first
-    digit is c div 10^(len(str(c))−1), BIGINT-to-string being
-    bit-identical cross-engine.  Expected shares are hardcoded micro
-    constants; observed shares pin with the round-half-up rule.  The
-    deliberately non-Benford TPC-H uniform price range shows up as
-    large dev_micro on digits 2-9 — which is the point of the audit.
-
-    Scale: one map-side-combined 9-group aggregation over the fact
-    scan; the expected table is 9 literal rows, broadcast."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_extendedprice") > 0
-    )
-    cents = li.select(
-        F.round(F.col("l_extendedprice") * 100, 0)
-        .cast("long")
-        .alias("c")
-    )
-    digit = cents.select(
-        F.expr(
-            "c div CAST(power(10, length(CAST(c AS STRING)) - 1) AS BIGINT)"
-        ).alias("d")
-    )
-    obs = digit.groupBy(F.col("d").cast("long").alias("digit")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_obs")
-    )
-    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
-    exp = spark.createDataFrame(
-        [(d + 1, m) for d, m in enumerate(_Q228_EXP)],
-        "digit LONG, exp_micro LONG",
-    )
-    return (
-        exp.join(obs, "digit", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "digit",
-            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
-            F.expr(
-                "(2000000 * coalesce(n_obs, 0) + n) div (2 * n)"
-            )
-            .cast("long")
-            .alias("obs_micro"),
-            F.col("exp_micro").cast("long"),
-            F.abs(
-                F.expr("(2000000 * coalesce(n_obs, 0) + n) div (2 * n)")
-                - F.col("exp_micro")
-            )
-            .cast("long")
-            .alias("dev_micro"),
-        )
     )
 
 
@@ -3447,68 +3084,6 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q243 — next-event Markov transition matrix
-# ---------------------------------------------------------------------------
-
-_Q243_ORACLE = """
-WITH e AS (
-  SELECT user_id, event_type AS a,
-         lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts ASC, event_id ASC) AS b
-  FROM events
-), t AS (
-  SELECT a, b, CAST(count(*) AS BIGINT) AS c
-  FROM e WHERE b IS NOT NULL GROUP BY a, b
-), m AS (
-  SELECT a, CAST(sum(c) AS BIGINT) AS row_total FROM t GROUP BY a
-)
-SELECT t.a AS from_type, t.b AS to_type, t.c AS n_transitions,
-       m.row_total,
-       CAST((2000000 * t.c + m.row_total) // (2 * m.row_total)
-            AS BIGINT) AS p_micro
-FROM t JOIN m USING (a)
-"""
-
-
-@register("q243_markov_transitions", _Q243_ORACLE)
-def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event
-    sequences — the behavior-model construction behind next-action
-    prediction, anomaly scoring (q187 consumes exactly such a model),
-    and funnel design: P(b | a) = c(a→b) / Σ_b c(a→b), counted on
-    consecutive events WITHIN a user (lead over (ts, event_id) — the
-    deterministic total order), pinned to micro units.  The row
-    marginals join back so every cell carries its evidence count — a
-    transition estimated from 3 observations is not a transition
-    estimated from 30,000.
-
-    Scale: the lead window partitions on user_id (unbounded key); the
-    transition frame is |event types|²-bounded regardless of corpus
-    size, and the marginal join is over that constant-sized frame."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    e = ev.select(
-        F.col("event_type").alias("a"),
-        F.lead("event_type").over(w).alias("b"),
-    ).filter(F.col("b").isNotNull())
-    t = e.groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    m = t.groupBy("a").agg(F.sum("c").cast("long").alias("row_total"))
-    return t.join(F.broadcast(m), "a").select(
-        F.col("a").alias("from_type"),
-        F.col("b").alias("to_type"),
-        F.col("c").alias("n_transitions"),
-        "row_total",
-        F.expr("(2000000 * c + row_total) div (2 * row_total)")
-        .cast("long")
-        .alias("p_micro"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # q244 — CBO histogram selectivity audit (equi-width vs equi-depth)
 # ---------------------------------------------------------------------------
 
@@ -3686,138 +3261,6 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q244.__doc__ = q244.__doc__.format(b=_Q244_B)
-
-
-# ---------------------------------------------------------------------------
-# q245 — split-conformal calibration threshold (distribution-free PI)
-# ---------------------------------------------------------------------------
-
-_Q245_ALPHA_NUM, _Q245_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10 coverage
-
-_Q245_ORACLE = f"""
-WITH c AS (
-  SELECT event_id, event_type,
-         CAST(round(value * 100) AS BIGINT) AS v
-  FROM events
-), g AS (
-  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(v) AS BIGINT) AS sv
-  FROM c GROUP BY event_type
-), s AS (
-  SELECT c.event_type, c.event_id, g.n,
-         abs(g.n * c.v - g.sv) AS score
-  FROM c JOIN g USING (event_type)
-), r AS (
-  SELECT event_type, n, score,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY score ASC, event_id ASC) AS rk
-  FROM s
-), qx AS (
-  SELECT event_type, n,
-         ({_Q245_ALPHA_NUM} * (n + 1) + {_Q245_ALPHA_DEN} - 1)
-           // {_Q245_ALPHA_DEN} AS q_idx
-  FROM g
-), thr AS (
-  SELECT r.event_type, r.n, qx.q_idx, r.score AS threshold_scaled
-  FROM r JOIN qx ON qx.event_type = r.event_type AND r.rk = qx.q_idx
-), cov AS (
-  SELECT s.event_type,
-         CAST(sum(CASE WHEN s.score <= thr.threshold_scaled
-                  THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
-  FROM s JOIN thr USING (event_type)
-  GROUP BY s.event_type
-)
-SELECT thr.event_type, thr.n, CAST(thr.q_idx AS BIGINT) AS q_idx,
-       CAST(thr.threshold_scaled AS BIGINT) AS threshold_scaled,
-       CAST((2000000 * cov.n_covered + thr.n) // (2 * thr.n) AS BIGINT)
-         AS coverage_micro
-FROM thr JOIN cov USING (event_type)
-"""
-
-
-@register("q245_conformal_calibration", _Q245_ORACLE)
-def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split-conformal calibration (Vovk; Angelopoulos & Bates 2023 —
-    the distribution-free prediction-interval recipe): per event type,
-    nonconformity scores |v − mean| are ranked and the
-    ⌈(n+1)·(1−α)⌉-th smallest becomes the interval half-width that
-    guarantees ≥ 1−α coverage with NO distributional assumption — the
-    calibration step every uncertainty-quantified model serves behind.
-    α = 1/10.  Integer-exact: cents recover exactly from the double,
-    the score is scaled by n (|n·v − Σv| = n·|v − mean|, avoiding the
-    mean's division), and the quantile index uses integer ceiling.
-    The empirical coverage column audits the guarantee on the
-    calibration set itself.
-
-    Scale: event_type is a LOW-cardinality partition key, so the rank
-    runs through grouped_row_number's range-exchange form rather than
-    a window funnel; the threshold frame is types-sized and joins back
-    broadcast for the coverage count."""
-    ev = load_table(spark, sf_dir, "events")
-    from ..operators.windows import grouped_row_number
-
-    c = ev.select(
-        "event_id",
-        "event_type",
-        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
-    )
-    g = c.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("v").cast("long").alias("sv"),
-    )
-    s = c.join(F.broadcast(g), "event_type").select(
-        "event_type",
-        "event_id",
-        "n",
-        F.abs(F.col("n") * F.col("v") - F.col("sv")).alias("score"),
-    )
-    r = grouped_row_number(
-        s.select("event_type", "n", "score", "event_id"),
-        "event_type",
-        ("score", "event_id"),
-        out_col="rk",
-    )
-    qx = g.select(
-        "event_type",
-        F.expr(
-            f"({_Q245_ALPHA_NUM} * (n + 1) + {_Q245_ALPHA_DEN} - 1)"
-            f" div {_Q245_ALPHA_DEN}"
-        ).alias("q_idx"),
-    )
-    thr = r.join(
-        F.broadcast(qx),
-        (r["event_type"] == qx["event_type"]) & (r["rk"] == qx["q_idx"]),
-    ).select(
-        r["event_type"],
-        "n",
-        F.col("q_idx").cast("long"),
-        F.col("score").alias("threshold_scaled"),
-    )
-    cov = (
-        s.join(
-            F.broadcast(thr.select("event_type", "threshold_scaled")),
-            "event_type",
-        )
-        .groupBy("event_type")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("score") <= F.col("threshold_scaled"), 1
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_covered")
-        )
-    )
-    return thr.join(cov, "event_type").select(
-        "event_type",
-        "n",
-        "q_idx",
-        F.col("threshold_scaled").cast("long"),
-        F.expr("(2000000 * n_covered + n) div (2 * n)")
-        .cast("long")
-        .alias("coverage_micro"),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -5842,12 +5285,11 @@ _Q265_DEN = 2520 * 5 ** _Q265_K
 
 _Q265_ORACLE = f"""
 WITH lex AS (
-  SELECT doc_id AS id,
-         row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS r
-  FROM ({_Q222_ORACLE})
+  SELECT doc_id AS id, CAST(rank AS BIGINT) AS r
+  FROM ({_Q132_ORACLE}) WHERE rank <= {_Q265_K}
 ), rrf AS (
-  SELECT id, row_number() OVER (ORDER BY rrf_nano DESC, id ASC) AS r
-  FROM ({_Q226_ORACLE})
+  SELECT doc_id AS id, CAST(fused_rank AS BIGINT) AS r
+  FROM ({_Q133_ORACLE}) WHERE fused_rank <= {_Q265_K}
 ), depths AS (
   SELECT d FROM unnest(generate_series(1, {_Q265_K})) AS t(d)
 ), ov AS (
@@ -5874,7 +5316,7 @@ FROM acc
 @register("q265_rank_biased_overlap", _Q265_ORACLE)
 def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-biased overlap (Webber, Moffat & Zobel 2010) between the
-    BM25 ranking (q222) and the RRF hybrid ranking (q226) — the
+    BM25 lexical ranking (q132) and the RRF hybrid ranking (q133) — the
     top-weighted similarity used to answer \"how much did the ranker
     change?\" when deploying a new retrieval stack (Kendall's tau
     treats depth 1 and depth 100 alike; RBO geometrically discounts).
@@ -5886,21 +5328,20 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both inputs are top-{k} frames (the q226 argument), so
     depth overlaps and the weighted sum run on ≤ 2·{k} rows —
     broadcast territory at any corpus size."""
-    lex = q222(spark, sf_dir).select(
-        F.col("doc_id").alias("id"),
-        F.row_number()
-        .over(
-            Window.orderBy(
-                F.col("score_micro").desc(), F.col("doc_id").asc()
-            )
-        )
-        .alias("ra"),
+    from .round6b_queries import q132, q133
+
+    lex = (
+        q132(spark, sf_dir)
+        .filter(F.col("rank") <= _Q265_K)
+        .select(F.col("doc_id").alias("id"), F.col("rank").alias("ra"))
     )
-    rrf = q226(spark, sf_dir).select(
-        "id",
-        F.row_number()
-        .over(Window.orderBy(F.col("rrf_nano").desc(), F.col("id").asc()))
-        .alias("rb"),
+    rrf = (
+        q133(spark, sf_dir)
+        .filter(F.col("fused_rank") <= _Q265_K)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.col("fused_rank").alias("rb"),
+        )
     )
     both = lex.join(rrf, "id").select("ra", "rb")
     depths = spark.range(1, _Q265_K + 1).select(
