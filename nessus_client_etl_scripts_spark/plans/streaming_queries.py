@@ -70,7 +70,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_available_now(
-    result: DataFrame, name: str, output_mode: str = "complete"
+    result: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int = 8,
 ) -> DataFrame:
     """Execute a streaming aggregation to completion (availableNow) into
     a memory sink and return the sink table. Complete mode (default):
@@ -78,18 +81,33 @@ def run_available_now(
     mode for a bounded backfill (append would hold back sessions inside
     the watermark horizon). applyInPandasWithState forbids complete;
     its callers pass "append" and reduce the per-batch emissions
-    downstream."""
+    downstream.
+
+    State-store sizing (the q115 lesson, generalized): a stateful
+    operator instantiates one state store PER shuffle partition per
+    operator (stream-stream joins: four), and the store-instance setup
+    cost dominates a bounded backfill whose per-key state is tiny —
+    measured 6.95 s → 2.28 s on q83 at sf0.1 going 32 → 8 partitions.
+    The engine pins the count at FIRST checkpoint creation (``start()``
+    below), so it is set here for exactly this run and restored after
+    the query drains; a production deployment sizes it once to match
+    state volume, which is precisely what this knob models."""
     spark = result.sparkSession
     tbl = f"{name}_{next(_run_ids)}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(tbl)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgq53_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(tbl)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sgq53_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(tbl)
 
 
