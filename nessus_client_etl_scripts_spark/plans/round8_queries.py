@@ -5320,12 +5320,12 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-weighted similarity used to answer \"how much did the ranker
     change?\" when deploying a new retrieval stack (Kendall's tau
     treats depth 1 and depth 100 alike; RBO geometrically discounts).
-    With persistence p = 9/10 every term of the truncated RBO@{k} is
-    an exact rational over 10^{k}·2520, so the statistic is ONE exact
+    With persistence p = 4/5 every term of the truncated RBO@{k} is
+    an exact rational over 5^{k}·2520, so the statistic is ONE exact
     integer ratio — no pow(), no float accumulation; 2520 = lcm(1..10)
-    clears the 1/d, and 9^(d-1)·10^(k-d) clears p^(d-1).
+    clears the 1/d, and 4^(d-1)·5^(k-d) clears p^(d-1).
 
-    Scale: both inputs are top-{k} frames (the q226 argument), so
+    Scale: both inputs are top-{k} frames, so
     depth overlaps and the weighted sum run on ≤ 2·{k} rows —
     broadcast territory at any corpus size."""
     from .round6b_queries import q132, q133

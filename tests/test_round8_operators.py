@@ -366,61 +366,6 @@ def test_q221_temperature_flattens_the_head(spark):
     assert small["n_kept"] / total_kept > small["n_docs"] / total_docs
 
 
-def test_q222_bm25_brute_force_twin(spark):
-    """Recompute BM25 in plain Python over sf0.001 and require the
-    distributed plan to agree exactly (scores, set, and order)."""
-    import math
-
-    from nessus_client_etl_scripts_spark.plans.round8_queries import (
-        _Q222_TERMS,
-        _Q222_TOPK,
-        q222,
-    )
-
-    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
-    bl = {}
-    for r in docs:
-        toks = _norm(r["text"]).split(" ")
-        if len(toks) >= 2:
-            bl[r["doc_id"]] = [
-                f"{a} {b}" for a, b in zip(toks, toks[1:])
-            ]
-    n = len(bl)
-    tl = sum(len(v) for v in bl.values())
-    df = {
-        t: sum(1 for v in bl.values() if t in v) for t in _Q222_TERMS
-    }
-    scores = {}
-    for doc_id, v in bl.items():
-        dl, s, hits = len(v), 0, 0
-        for t in _Q222_TERMS:
-            tf = v.count(t)
-            if not tf:
-                continue
-            hits += 1
-            idf_bits = int(
-                math.log2((2 * n + 2) // (2 * df[t] + 1))
-            )
-            den = 10 * tf * tl + 3 * tl + 9 * dl * n
-            s += (2_000_000 * idf_bits * 22 * tf * tl + den) // (
-                2 * den
-            )
-        if hits:
-            scores[doc_id] = (s, hits, dl)
-    want = sorted(
-        scores.items(), key=lambda kv: (-kv[1][0], kv[0])
-    )[:_Q222_TOPK]
-    got = q222(spark, SF001).collect()
-    assert [
-        (r["doc_id"], r["score_micro"], r["n_terms_matched"], r["dl"])
-        for r in got
-    ] == [(d, s, h, dl) for d, (s, h, dl) in want]
-    # saturation sanity: every matched score is positive and bounded by
-    # (k1+1)=2.2 × idf_bits ≤ 2.2 × 63 per term
-    assert all(0 < r["score_micro"] < len(_Q222_TERMS) * 2_200_000 * 63
-               for r in got)
-
-
 def test_q223_fleiss_kappa_brute_force_twin(spark):
     """Recompute Fleiss' kappa in plain Python (textbook form, floats)
     over sf0.001 and require the integer-ratio plan to agree to within
@@ -553,33 +498,6 @@ def test_q225_cdc_properties(spark):
         base[-max(1, len(base) - 2):] == shifted[-max(1, len(base) - 2):]
 
 
-def test_q226_rrf_fusion_properties(spark):
-    """RRF invariants at sf0.001: contributions follow 10^9//(60+rank)
-    exactly, a doc present in BOTH lists outranks the same ranks seen
-    singly, and the result is the top of the fused ordering."""
-    from nessus_client_etl_scripts_spark.plans.round8_queries import (
-        _Q226_K,
-        _Q226_TOPK,
-        q226,
-    )
-
-    rows = q226(spark, SF001).collect()
-    assert 0 < len(rows) <= _Q226_TOPK
-    for r in rows:
-        want = 0
-        if r["lex_rank"] is not None:
-            want += 1_000_000_000 // (_Q226_K + r["lex_rank"])
-        if r["vec_rank"] is not None:
-            want += 1_000_000_000 // (_Q226_K + r["vec_rank"])
-        assert r["rrf_nano"] == want and want > 0
-    # ordering: descending rrf, id tiebreak
-    key = [(-r["rrf_nano"], r["id"]) for r in rows]
-    assert key == sorted(key)
-    # both retrieval modes contribute to the fused result
-    assert any(r["lex_rank"] is not None for r in rows)
-    assert any(r["vec_rank"] is not None for r in rows)
-
-
 def test_q227_gini_brute_force_twin(spark):
     """Textbook Gini over the sf0.001 vocabulary counts must match the
     plan's integer ratio to the micro quantum."""
@@ -601,24 +519,6 @@ def test_q227_gini_brute_force_twin(spark):
     assert got["n_terms"] == n and got["total_tokens"] == t
     assert abs(got["gini_micro"] - gini * 1_000_000) <= 1
     assert 0 <= got["gini_micro"] < 1_000_000
-
-
-def test_q228_benford_shares(spark):
-    from nessus_client_etl_scripts_spark.plans.round8_queries import (
-        _Q228_EXP,
-        q228,
-    )
-
-    rows = {r["digit"]: r for r in q228(spark, SF001).collect()}
-    assert sorted(rows) == list(range(1, 10))
-    n = sum(r["n_obs"] for r in rows.values())
-    assert n > 0
-    for d, r in rows.items():
-        assert r["exp_micro"] == _Q228_EXP[d - 1]
-        assert abs(r["obs_micro"] - round(2_000_000 * r["n_obs"] / (2 * n))) <= 1
-        assert r["dev_micro"] == abs(r["obs_micro"] - r["exp_micro"])
-    # the expected-share constants themselves sum to ~1e6
-    assert abs(sum(_Q228_EXP) - 1_000_000) <= 5
 
 
 def test_q229_chao1_brute_force_twin(spark):
@@ -1147,38 +1047,6 @@ def test_q242_quarantine_twin(spark):
         assert got["quarantine_micro"] == (2_000_000 * nq + tot) // (2 * tot)
 
 
-def test_q243_markov_twin(spark):
-    """Python replay at sf0.001: transition counts over per-user
-    (ts, event_id)-ordered sequences, row-stochastic within rounding."""
-    from collections import defaultdict
-
-    from nessus_client_etl_scripts_spark.plans.round8_queries import q243
-
-    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
-    per_user = defaultdict(list)
-    for r in ev:
-        per_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
-    trans = defaultdict(int)
-    for seq in per_user.values():
-        seq.sort()
-        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
-            trans[(a, b)] += 1
-    totals = defaultdict(int)
-    for (a, _), c in trans.items():
-        totals[a] += c
-    rows = {(r["from_type"], r["to_type"]): r for r in q243(spark, SF001).collect()}
-    assert set(rows) == set(trans)
-    by_row = defaultdict(int)
-    for (a, b), r in rows.items():
-        assert r["n_transitions"] == trans[(a, b)]
-        assert r["row_total"] == totals[a]
-        assert r["p_micro"] == (2_000_000 * trans[(a, b)] + totals[a]) \
-            // (2 * totals[a])
-        by_row[a] += r["p_micro"]
-    for a, s in by_row.items():
-        assert abs(s - 1_000_000) <= 25  # row-stochastic within rounding
-
-
 def test_q244_histogram_selectivity_twin(spark):
     """Python replay of both histogram estimates at sf0.001 — exact
     integer boundaries, interpolation, and the error pinning."""
@@ -1226,38 +1094,6 @@ def test_q244_histogram_selectivity_twin(spark):
         assert r["err_micro"] == (
             2_000_000 * abs(r["est_milli"] - 1000 * true) + 1000 * true
         ) // (2000 * true)
-
-
-def test_q245_conformal_twin(spark):
-    """Python replay at sf0.001 plus the conformal guarantee: the
-    empirical coverage is at least 1 - alpha = 90% on the calibration
-    set and the threshold is the ceil((n+1)*0.9)-th smallest score."""
-    from collections import defaultdict
-
-    from nessus_client_etl_scripts_spark.plans.round8_queries import q245
-
-    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
-    per = defaultdict(list)
-    for r in ev:
-        per[r["event_type"]].append(
-            (round(r["value"] * 100), r["event_id"])
-        )
-    rows = {r["event_type"]: r for r in q245(spark, SF001).collect()}
-    assert set(rows) == set(per)
-    for et, vs in per.items():
-        n = len(vs)
-        sv = sum(v for v, _ in vs)
-        scores = sorted(
-            (abs(n * v - sv), eid) for v, eid in vs
-        )
-        q_idx = (9 * (n + 1) + 9) // 10
-        thr = scores[q_idx - 1][0]
-        covered = sum(1 for s, _ in scores if s <= thr)
-        got = rows[et]
-        assert (got["n"], got["q_idx"], got["threshold_scaled"]) \
-            == (n, q_idx, thr)
-        assert got["coverage_micro"] == (2_000_000 * covered + n) // (2 * n)
-        assert got["coverage_micro"] >= 900_000  # the guarantee
 
 
 def test_q246_k_anonymity_twin(spark):
@@ -1999,26 +1835,26 @@ def test_q264_deadline_conversion_twin(spark):
 def test_q265_rbo_twin(spark):
     """Float-RBO replay at sf0.001 within the quantum, plus the exact
     integer identity num/den == RBO."""
+    from nessus_client_etl_scripts_spark.plans.round6b_queries import (
+        q132,
+        q133,
+    )
     from nessus_client_etl_scripts_spark.plans.round8_queries import (
         _Q265_DEN,
         _Q265_K,
-        q222,
-        q226,
         q265,
     )
 
     lex = [
         r["doc_id"]
         for r in sorted(
-            q222(spark, SF001).collect(),
-            key=lambda r: (-r["score_micro"], r["doc_id"]),
+            q132(spark, SF001).collect(), key=lambda r: r["rank"]
         )
     ]
     rrf = [
-        r["id"]
+        r["doc_id"]
         for r in sorted(
-            q226(spark, SF001).collect(),
-            key=lambda r: (-r["rrf_nano"], r["id"]),
+            q133(spark, SF001).collect(), key=lambda r: r["fused_rank"]
         )
     ]
     p = 0.8
