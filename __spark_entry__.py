@@ -23,6 +23,7 @@ from nessus_client_etl_scripts_spark.plans import round6c_queries as _r6c  # noq
 from nessus_client_etl_scripts_spark.plans import round6d_queries as _r6d  # noqa: F401 — registers q177+
 from nessus_client_etl_scripts_spark.plans import round7_queries as _r7  # noqa: F401 — registers q201+
 from nessus_client_etl_scripts_spark.plans import round8_queries as _r8  # noqa: F401 — registers q214+
+from nessus_client_etl_scripts_spark.plans import round8b_queries as _r8b  # noqa: F401 — registers q273+
 from nessus_client_etl_scripts_spark.plans import streaming_queries as _sq  # noqa: F401 — registers q53
 from nessus_client_etl_scripts_spark.plans import testdata_queries as _tq
 
@@ -50,7 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # TAIL: queries with r5-r7 green evidence, newest last.
 _R8_HEAD = (
     ("q177", "q179", "q182")
-    + tuple(f"q{n}" for n in range(214, 280))
+    + tuple(f"q{n}" for n in range(214, 300))
     + ("q54", "q56", "q58")
     + tuple(f"q{n}" for n in range(29, 39))
     + tuple(f"q{n}" for n in range(40, 50))

@@ -1,0 +1,299 @@
+"""Round-8 continuation wave — q273+: survival analysis, inventory
+allocation, cooperative-game attribution, and forecast backtesting.
+
+Every query follows the repo's cross-engine determinism contract
+(PLANS.md): integer/string algebra end to end, ratios pinned with the
+integer round-half-up rule ``(2·10⁶·n + d) div (2d)`` on non-negative
+operands, and iterative recurrences expressed as row-local ordered
+folds (Spark ``aggregate`` / DuckDB ``list_reduce`` — the q253
+machinery) so no window function is asked to compute a
+previous-step-dependent value.
+
+Scale notes (100 TB posture) are per-query; the shared shape: the
+data-sized passes are map-side-combined groupBys keyed on
+high-cardinality columns (user_id, l_partkey), and everything after
+them operates on bounded frames (distinct death times ≤ observation
+hours, coalition lattices 2^|channels|, day×type grids) that are
+broadcast territory at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .testdata_queries import register
+
+# ---------------------------------------------------------------------------
+# q273 — Kaplan-Meier survival estimate (right-censored)
+# ---------------------------------------------------------------------------
+
+# First purchase AFTER the user's first error with value above this
+# threshold: chosen so BOTH branches are live at every test SF
+# (sf0.001: 12 deaths / 3 censored; sf0.01: 123/27; sf0.1: 1307/193 —
+# PLANS.md rule: a query whose point is a conditional path must prove
+# the path fires).
+_Q273_VALUE_MIN = 90
+
+_Q273_ORACLE = f"""
+WITH org AS (
+  SELECT user_id, min(ts) AS origin FROM events
+  WHERE event_type = 'error' GROUP BY user_id
+), death AS (
+  SELECT o.user_id, min(e.ts) AS death_ts
+  FROM org o JOIN events e ON e.user_id = o.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > o.origin
+        AND e.value > {_Q273_VALUE_MIN}
+  GROUP BY o.user_id
+), h AS (SELECT max(ts) AS horizon FROM events),
+subj AS (
+  SELECT org.user_id,
+         (epoch_us(coalesce(death_ts, horizon)) - epoch_us(origin))
+           // 3600000000 AS dur,
+         CASE WHEN death_ts IS NULL THEN 1 ELSE 0 END AS censored
+  FROM org LEFT JOIN death USING (user_id) CROSS JOIN h
+), dist AS (
+  SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(1 - censored) AS BIGINT) AS d,
+         CAST(sum(censored) AS BIGINT) AS c
+  FROM subj GROUP BY dur
+), risk AS (
+  SELECT dur, d, c,
+         CAST(sum(n_all) OVER (ORDER BY dur DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_risk
+  FROM dist
+), deaths AS (SELECT dur, n_risk, d, c FROM risk WHERE d > 0),
+arr AS (
+  SELECT list(dur ORDER BY dur) AS tsl,
+         list(n_risk * 1000000 + d ORDER BY dur) AS enc,
+         list(n_risk ORDER BY dur) AS nr,
+         list(d ORDER BY dur) AS dsl,
+         list(c ORDER BY dur) AS csl
+  FROM deaths
+), pos AS (
+  SELECT unnest(generate_series(1, len(tsl))) AS i,
+         tsl, enc, nr, dsl, csl
+  FROM arr
+)
+SELECT CAST(tsl[i] AS BIGINT) AS t_hours,
+       nr[i] AS n_risk, dsl[i] AS d_events, csl[i] AS n_censored,
+       list_reduce([CAST(1000000 AS BIGINT)] || enc[1:i],
+         (acc, x) -> (2 * acc * (x // 1000000 - x % 1000000)
+                      + x // 1000000) // (2 * (x // 1000000)))
+         AS survival_micro
+FROM pos
+"""
+
+
+@register("q273_kaplan_meier", _Q273_ORACLE)
+def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimate with RIGHT
+    CENSORING — the time-to-event table every churn/conversion/SLA
+    analysis starts from, and the one standard estimator a plain
+    conversion rate gets wrong whenever observation ends before the
+    event does.  Subject = user; origin = first ``error`` event; event
+    = first high-value purchase strictly after the origin; subjects
+    without one are censored at the global horizon (last event in the
+    table).  Durations are floor-elapsed HOURS from exact epoch-micros
+    arithmetic (``div``, never float division), so the risk table is
+    pure integers: n_risk(t) = Σ subjects with duration ≥ t via one
+    descending cumulative sum, d(t)/c(t) = deaths/censorings at t.
+
+    The survival curve itself is the per-step-ROUNDED micro recurrence
+    S ← (2·S·(n−d) + n) div (2n) folded over death times in order —
+    exact rational products overflow (∏n_k), floats diverge across
+    engines, but an integer recurrence is bit-portable; each output
+    row carries the fold over its PREFIX (aggregate over slice — the
+    O(T²) cost is bounded by T = distinct death hours ≤ observation
+    span, never by subjects).
+
+    Scale: two map-side-combined groupBys over events (origin, death)
+    keyed on user_id, one broadcast 1-row horizon, then everything
+    operates on the ≤|hours| risk table collected into a single
+    ordered array — no driver loop, no UDF, no unbounded collect."""
+    ev = load_table(spark, sf_dir, "events")
+    org = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("origin"))
+    )
+    death = (
+        org.join(
+            ev.filter(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > _Q273_VALUE_MIN)
+            ).select("user_id", F.col("ts").alias("pts")),
+            "user_id",
+        )
+        .filter(F.col("pts") > F.col("origin"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("death_ts"))
+    )
+    horizon = ev.agg(F.max("ts").alias("horizon"))
+    subj = (
+        org.join(death, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (
+                F.unix_micros(F.coalesce("death_ts", "horizon"))
+                - F.unix_micros(F.col("origin"))
+            ).alias("us_diff"),
+            F.col("death_ts").isNull().cast("int").alias("censored"),
+        )
+        .select(
+            F.expr("us_diff div 3600000000").alias("dur"),
+            "censored",
+        )
+    )
+    dist = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.lit(1) - F.col("censored")).cast("long").alias("d"),
+        F.sum("censored").cast("long").alias("c"),
+    )
+    # global window over the ≤|distinct hours| risk table — a bounded
+    # frame by construction (documented single-partition exchange)
+    w = (
+        Window.orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = dist.select(
+        "dur", "d", "c", F.sum("n_all").over(w).cast("long").alias("n_risk")
+    ).filter(F.col("d") > 0)
+    arr = risk.agg(
+        F.sort_array(
+            F.collect_list(F.struct("dur", "n_risk", "d", "c"))
+        ).alias("a")
+    )
+    return arr.select(
+        F.explode(
+            F.expr(
+                """
+                transform(a, (x, j) -> struct(
+                  x.dur AS t_hours,
+                  x.n_risk AS n_risk,
+                  x.d AS d_events,
+                  x.c AS n_censored,
+                  aggregate(slice(a, 1, j + 1), CAST(1000000 AS BIGINT),
+                    (acc, y) -> (2 * acc * (y.n_risk - y.d) + y.n_risk)
+                                div (2 * y.n_risk)) AS survival_micro))
+                """
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# q274 — FIFO inventory allocation (lot consumption without iteration)
+# ---------------------------------------------------------------------------
+
+_Q274_ORACLE = """
+WITH sup AS (
+  SELECT l_partkey AS part, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(l_shipdate AS DATE) AS sd, l_orderkey AS ok,
+         l_linenumber AS ln
+  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1997
+), dem AS (
+  SELECT l_partkey AS part,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS demand
+  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) >= 1998
+  GROUP BY l_partkey
+), lots AS (
+  SELECT sup.part, sup.qty, coalesce(dem.demand, 0) AS demand,
+         coalesce(CAST(sum(sup.qty) OVER (
+             PARTITION BY sup.part ORDER BY sup.sd, sup.ok, sup.ln
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS before_qty
+  FROM sup LEFT JOIN dem USING (part)
+), alloc AS (
+  SELECT part, qty, demand,
+         least(qty, greatest(CAST(0 AS BIGINT), demand - before_qty))
+           AS consumed
+  FROM lots
+)
+SELECT part,
+       CAST(count(*) AS BIGINT) AS n_lots,
+       CAST(sum(qty) AS BIGINT) AS supply_qty,
+       CAST(max(demand) AS BIGINT) AS demand_qty,
+       CAST(sum(consumed) AS BIGINT) AS consumed_qty,
+       CAST(sum(CASE WHEN consumed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS lots_touched,
+       CAST(sum(qty) - sum(consumed) AS BIGINT) AS leftover_qty,
+       CAST(greatest(CAST(0 AS BIGINT), max(demand) - sum(qty))
+            AS BIGINT) AS unfilled_qty
+FROM alloc GROUP BY part
+"""
+
+
+@register("q274_fifo_allocation", _Q274_ORACLE)
+def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO inventory allocation WITHOUT iteration — the cost-layer
+    consumption every inventory/cost-accounting system computes
+    (which receipt lots does this period's demand draw down, in
+    first-in-first-out order?), usually written as a per-part loop.
+    The loop disappears into window algebra: a lot's consumption is
+    ``min(lot_qty, max(0, demand − cum_before))`` where ``cum_before``
+    is the running supply STRICTLY BEFORE it in (shipdate, orderkey,
+    linenumber) order — the interval-overlap identity between the
+    lot's [before, before+qty) span and the demand prefix [0, D).
+
+    Supply lots = 1997 shipments per part; demand = total 1998+
+    shipped quantity of the same part (parts with no 1997 lot are out
+    of scope — there is nothing to allocate from).  Quantities are
+    whole-valued source integers, so every column is integer-exact.
+
+    Scale: ONE window per part (l_partkey is a high-cardinality key —
+    the PLANS.md rank-plan rule: plain partitionBy, no range-exchange
+    two-phase rank needed) over lots already co-partitioned by the
+    same key as the demand join; the final rollup reuses that
+    partitioning.  No fold, no UDF, no driver state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate").cast("date")
+    sup = li.filter(F.year(sd) == 1997).select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        sd.alias("sd"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    dem = (
+        li.filter(F.year(sd) >= 1998)
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("demand"))
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("sd", "ok", "ln")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lots = sup.join(dem, "part", "left").select(
+        "part",
+        "qty",
+        F.coalesce("demand", F.lit(0)).alias("demand"),
+        F.coalesce(F.sum("qty").over(w), F.lit(0))
+        .cast("long")
+        .alias("before_qty"),
+    )
+    alloc = lots.withColumn(
+        "consumed",
+        F.least(
+            F.col("qty"),
+            F.greatest(F.lit(0).cast("long"), F.col("demand") - F.col("before_qty")),
+        ),
+    )
+    return alloc.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lots"),
+        F.sum("qty").cast("long").alias("supply_qty"),
+        F.max("demand").cast("long").alias("demand_qty"),
+        F.sum("consumed").cast("long").alias("consumed_qty"),
+        F.sum((F.col("consumed") > 0).cast("long"))
+        .cast("long")
+        .alias("lots_touched"),
+        (F.sum("qty") - F.sum("consumed")).cast("long").alias("leftover_qty"),
+        F.greatest(
+            F.lit(0).cast("long"), F.max("demand") - F.sum("qty")
+        )
+        .cast("long")
+        .alias("unfilled_qty"),
+    )
