@@ -297,3 +297,235 @@ def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("unfilled_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q275 — exact Shapley-value channel attribution
+# ---------------------------------------------------------------------------
+
+# channel -> bit (the coalition lattice is 2^4 = 16 masks)
+_Q275_CHANNELS = (("view", 1), ("click", 2), ("signup", 4), ("error", 8))
+_Q275_CASE = " ".join(
+    f"WHEN '{n}' THEN {b}" for n, b in _Q275_CHANNELS
+)
+_Q275_VALUES = ", ".join(f"('{n}', {b})" for n, b in _Q275_CHANNELS)
+# |S|! * (n-1-|S|)! for n = 4 channels: 0->6, 1->2, 2->2, 3->6
+_Q275_W = (
+    "CASE bit_count({s}) WHEN 0 THEN 6 WHEN 1 THEN 2"
+    " WHEN 2 THEN 2 ELSE 6 END"
+)
+
+_Q275_ORACLE = f"""
+WITH fp AS (
+  SELECT user_id, min(ts) AS fp_ts FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), touched AS (
+  SELECT e.user_id,
+         CAST(coalesce(bit_or(CASE e.event_type {_Q275_CASE} END), 0)
+              AS BIGINT) AS mask
+  FROM events e JOIN fp ON e.user_id = fp.user_id
+  WHERE e.ts < fp.fp_ts
+        AND e.event_type IN ('view', 'click', 'signup', 'error')
+  GROUP BY e.user_id
+), conv AS (
+  SELECT coalesce(t.mask, 0) AS mask,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM fp LEFT JOIN touched t USING (user_id) GROUP BY 1
+), coal AS (
+  SELECT CAST(s AS BIGINT) AS S,
+         CAST((SELECT coalesce(sum(n_users), 0) FROM conv
+               WHERE (mask & s) = mask) AS BIGINT) AS v
+  FROM generate_series(0, 15) g(s)
+), ch AS (SELECT * FROM (VALUES {_Q275_VALUES}) AS t(channel, bit)),
+terms AS (
+  SELECT ch.channel, ch.bit,
+         CAST({_Q275_W.format(s="c.S")} AS BIGINT) * (vi.v - c.v) AS term
+  FROM ch JOIN coal c ON (c.S & ch.bit) = 0
+  JOIN coal vi ON vi.S = (c.S | ch.bit)
+)
+SELECT channel,
+       CAST((SELECT coalesce(sum(n_users), 0) FROM conv
+             WHERE (mask & bit) > 0) AS BIGINT) AS n_touched_pre,
+       CAST(sum(term) AS BIGINT) AS shapley_x24
+FROM terms GROUP BY channel, bit
+"""
+
+
+@register("q275_shapley_attribution", _Q275_ORACLE)
+def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value marketing attribution (Shapley 1953; the
+    data-driven attribution model behind ad-platform reporting) over
+    the 4 pre-purchase channels — not the sampling approximation:
+    with a channel set this small the coalition lattice has 2⁴ = 16
+    nodes, so the characteristic function and every marginal
+    contribution are computed exactly.  v(S) = number of converting
+    users whose pre-first-purchase touched-channel set ⊆ S (the
+    coalition \"explains\" the conversion); φᵢ = Σ_S |S|!(n−1−|S|)!/n!
+    ·[v(S∪i)−v(S)] emitted ×24 (= 4!) so every value is an integer —
+    efficiency axiom Σφᵢ = v(C)−v(∅) becomes an exact integer
+    identity (pinned by the twin test).
+
+    Scale: the only data-sized work is one groupBy (first purchase)
+    and one join+bit_or (touched masks) — both keyed on user_id and
+    map-side combinable; everything downstream lives on the 16-row
+    lattice (a broadcast zeta transform, then 4×8 marginal terms).
+    Adding channels grows the lattice 2^k — the exact method is right
+    up to ~20 channels, beyond which the sampling estimator replaces
+    the lattice join, same data-plane."""
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    bit = F.create_map(
+        *[
+            x
+            for n, b in _Q275_CHANNELS
+            for x in (F.lit(n), F.lit(b))
+        ]
+    )[F.col("event_type")]
+    # masks via a projected bit column (create_map keeps it JVM-side)
+    touched = (
+        ev.filter(
+            F.col("event_type").isin([n for n, _ in _Q275_CHANNELS])
+        )
+        .select("user_id", "ts", bit.alias("bit"))
+        .join(fp, "user_id")
+        .filter(F.col("ts") < F.col("fp_ts"))
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(bit)").cast("long").alias("mask"))
+    )
+    conv = (
+        fp.join(touched, "user_id", "left")
+        .select(F.coalesce("mask", F.lit(0)).cast("long").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    lattice = spark.range(16).select(F.col("id").cast("long").alias("S"))
+    v = (
+        lattice.join(
+            F.broadcast(conv),
+            (F.col("mask").bitwiseAND(F.col("S")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("S")
+        .agg(F.coalesce(F.sum("n_users"), F.lit(0)).cast("long").alias("v"))
+    )
+    ch = spark.createDataFrame(
+        list(_Q275_CHANNELS), "channel STRING, bit LONG"
+    )
+    terms = (
+        ch.crossJoin(F.broadcast(v.select(F.col("S"), F.col("v").alias("vs"))))
+        .filter(F.col("S").bitwiseAND(F.col("bit")) == 0)
+        .join(
+            F.broadcast(
+                v.select(F.col("S").alias("Si"), F.col("v").alias("vi"))
+            ),
+            F.col("Si") == F.col("S").bitwiseOR(F.col("bit")),
+        )
+        .select(
+            "channel",
+            "bit",
+            (
+                F.expr(_Q275_W.format(s="S")).cast("long")
+                * (F.col("vi") - F.col("vs"))
+            ).alias("term"),
+        )
+    )
+    touched_per_channel = (
+        ch.join(
+            F.broadcast(conv),
+            F.col("mask").bitwiseAND(F.col("bit")) > 0,
+            "left",
+        )
+        .groupBy("channel")
+        .agg(
+            F.coalesce(F.sum("n_users"), F.lit(0))
+            .cast("long")
+            .alias("n_touched_pre")
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(F.sum("term").cast("long").alias("shapley_x24"))
+        .join(touched_per_channel, "channel")
+        .select("channel", "n_touched_pre", "shapley_x24")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q276 — seasonal-naive forecast backtest (WAPE scorecard)
+# ---------------------------------------------------------------------------
+
+_Q276_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT a.event_type, a.cents AS actual, f.cents AS forecast
+  FROM daily a JOIN daily f
+    ON f.event_type = a.event_type AND f.d = a.d - 7
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(actual - forecast)) AS BIGINT) AS sae_cents,
+       CAST(sum(actual) AS BIGINT) AS actual_cents,
+       CAST(sum(actual - forecast) AS BIGINT) AS bias_cents,
+       CAST((2000000 * sum(abs(actual - forecast)) + sum(actual))
+            // (2 * sum(actual)) AS BIGINT) AS wape_micro
+FROM scored GROUP BY event_type
+"""
+
+
+@register("q276_forecast_backtest", _Q276_ORACLE)
+def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST scorecard — the evaluation loop every demand
+    forecasting pipeline runs before trusting a model: the
+    seasonal-naive baseline (forecast(d) = actual(d−7), the standard
+    M-competition yardstick any real model must beat) scored per
+    series with WAPE (Σ|err| / Σactual — the operations metric; MAPE
+    divides by per-day actuals and explodes on small days) plus the
+    signed bias.  Daily actuals are exact integer cents, so every
+    error is an integer; WAPE is one round-half-up micro ratio.
+
+    Scale: one map-side-combined (type, day) rollup over the event
+    stream, then a self-equi-join on (type, day−7) at series×day
+    granularity — tiny relative to the input, co-partitioned by the
+    rollup's own key (no extra shuffle beyond the one the rollup
+    already pays)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    f = daily.select(
+        F.col("event_type").alias("f_type"),
+        F.date_add(F.col("d"), 7).alias("f_d"),
+        F.col("cents").alias("forecast"),
+    )
+    scored = daily.join(
+        f,
+        (F.col("event_type") == F.col("f_type"))
+        & (F.col("d") == F.col("f_d")),
+    ).select("event_type", F.col("cents").alias("actual"), "forecast")
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(err).cast("long").alias("sae_cents"),
+        F.sum("actual").cast("long").alias("actual_cents"),
+        F.sum(F.col("actual") - F.col("forecast"))
+        .cast("long")
+        .alias("bias_cents"),
+        F.expr(
+            "(2000000 * sum(abs(actual - forecast)) + sum(actual))"
+            " div (2 * sum(actual))"
+        )
+        .cast("long")
+        .alias("wape_micro"),
+    )

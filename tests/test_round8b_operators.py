@@ -146,3 +146,88 @@ def test_q274_fifo_loop_twin(spark):
             got["leftover_qty"],
             got["unfilled_qty"],
         ) == exp
+
+
+def test_q275_shapley_permutation_twin(spark):
+    """Brute-force Shapley by enumerating all 4! channel orderings
+    (independent of the coalition-lattice formula the plan uses) and
+    the efficiency axiom sum(phi) = v(C) - v(empty) as an exact
+    integer identity."""
+    from itertools import permutations
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q275_CHANNELS,
+        q275,
+    )
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    bit = dict(_Q275_CHANNELS)
+    fp = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            u = r["user_id"]
+            if u not in fp or r["ts"] < fp[u]:
+                fp[u] = r["ts"]
+    mask = {u: 0 for u in fp}
+    for r in ev:
+        u = r["user_id"]
+        if u in fp and r["ts"] < fp[u] and r["event_type"] in bit:
+            mask[u] |= bit[r["event_type"]]
+
+    def v(S):
+        return sum(1 for m in mask.values() if (m & S) == m)
+
+    phi24 = {name: 0 for name, _ in _Q275_CHANNELS}
+    for perm in permutations([b for _, b in _Q275_CHANNELS]):
+        S = 0
+        for b in perm:
+            gain = v(S | b) - v(S)
+            name = next(n for n, bb in _Q275_CHANNELS if bb == b)
+            phi24[name] += gain
+            S |= b
+
+    rows = {r["channel"]: r for r in q275(spark, SF001).collect()}
+    assert set(rows) == set(phi24)
+    for name, b in _Q275_CHANNELS:
+        assert rows[name]["shapley_x24"] == phi24[name]
+        assert rows[name]["n_touched_pre"] == sum(
+            1 for m in mask.values() if m & b
+        )
+    # efficiency axiom, exactly
+    assert sum(phi24.values()) == 24 * (v(15) - v(0))
+
+
+def test_q276_backtest_twin(spark):
+    """Replay the seasonal-naive backtest in Python: daily cent
+    totals, d-7 self-join, SAE/bias/WAPE with the round-half-up micro
+    rule."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q276
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r["event_type"], r["ts"].date())] += round(r["value"] * 100)
+    import datetime
+
+    per = defaultdict(lambda: [0, 0, 0, 0])  # n, sae, actual, bias
+    for (et, d), cents in daily.items():
+        prev = daily.get((et, d - datetime.timedelta(days=7)))
+        if prev is None:
+            continue
+        acc = per[et]
+        acc[0] += 1
+        acc[1] += abs(cents - prev)
+        acc[2] += cents
+        acc[3] += cents - prev
+
+    rows = {r["event_type"]: r for r in q276(spark, SF001).collect()}
+    assert set(rows) == set(per)
+    for et, (n, sae, actual, bias) in per.items():
+        got = rows[et]
+        assert (
+            got["n_days"],
+            got["sae_cents"],
+            got["actual_cents"],
+            got["bias_cents"],
+        ) == (n, sae, actual, bias)
+        assert got["wape_micro"] == (2_000_000 * sae + actual) // (2 * actual)
