@@ -529,3 +529,386 @@ def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wape_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q277 — decision-stump feature scoring by Gini impurity gain
+# ---------------------------------------------------------------------------
+
+# feature name -> grouping expression (shared SQL spelling; integer or
+# small-string valued on both engines).  Discounts/quantities are
+# whole-valued source data, so the bucket predicates are exact.
+_Q277_FEATURES = (
+    ("linestatus", "l_linestatus"),
+    ("qty_gt25", "CASE WHEN CAST(l_quantity AS BIGINT) > 25 THEN 'y' ELSE 'n' END"),
+    ("disc_ge5", "CASE WHEN CAST(round(l_discount * 100) AS BIGINT) >= 5 THEN 'y' ELSE 'n' END"),
+    ("ship_year", "CAST(year(CAST(l_shipdate AS DATE)) AS STRING)"),
+    ("ship_month", "CAST(month(CAST(l_shipdate AS DATE)) AS STRING)"),
+)
+
+_Q277_UNPIVOT_SQL = " UNION ALL ".join(
+    f"SELECT '{name}' AS feature, {expr} AS val, l_returnflag AS cls"
+    " FROM lineitem"
+    for name, expr in _Q277_FEATURES
+)
+
+_Q277_ORACLE = f"""
+WITH obs AS ({_Q277_UNPIVOT_SQL}
+), cc AS (
+  SELECT feature, val, cls, CAST(count(*) AS BIGINT) AS c
+  FROM obs GROUP BY feature, val, cls
+), grp AS (
+  SELECT feature, val,
+         CAST(sum(c) AS BIGINT) AS ng,
+         CAST(sum(c * c) AS BIGINT) AS sq
+  FROM cc GROUP BY feature, val
+), gg AS (
+  SELECT feature, val, ng,
+         (2000000 * (ng * ng - sq) + ng * ng) // (2 * ng * ng)
+           AS gini_micro
+  FROM grp
+), parent AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(c * c) AS BIGINT) AS sq
+  FROM (
+    SELECT cls, CAST(count(*) AS BIGINT) AS c
+    FROM lineitem GROUP BY l_returnflag, cls
+  ) t
+), parent2 AS (
+  SELECT n, (2000000 * (n * n - sq) + n * n) // (2 * n * n)
+           AS parent_micro
+  FROM (
+    SELECT CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(c * c) AS BIGINT) AS sq
+    FROM (SELECT CAST(count(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY l_returnflag) t
+  )
+)
+SELECT feature,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(max(parent_micro) AS BIGINT) AS parent_gini_micro,
+       CAST((2 * sum(ng * gini_micro) + max(n)) // (2 * max(n))
+            AS BIGINT) AS child_gini_micro,
+       CAST(max(parent_micro)
+            - (2 * sum(ng * gini_micro) + max(n)) // (2 * max(n))
+            AS BIGINT) AS gain_micro
+FROM gg CROSS JOIN parent2 GROUP BY feature
+"""
+
+
+@register("q277_gini_gain_stump", _Q277_ORACLE)
+def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump FEATURE SCORING by Gini impurity gain — the
+    split-selection inner loop of every tree learner (CART/XGBoost),
+    run once per candidate feature as the screening pass a modeling
+    pipeline uses before training: gain(f) = gini(parent) −
+    Σ_g (n_g/n)·gini(group g).  Gini is chosen over entropy
+    DELIBERATELY (the q89 rule): entropy needs ln() whose libm results
+    are not bit-portable across engines, while Gini is pure rational
+    arithmetic — every impurity here is an exact integer ratio rounded
+    once to micro (per-group, then the n_g-weighted child average,
+    each with the round-half-up div rule), so the scorecard is
+    value-hash exact.
+
+    Scale: one (feature × row) unpivot — a 5× flatMap, no shuffle —
+    into a (feature, value, class) count rollup that map-side combines
+    to |features|·|values|·|classes| rows (~200 here); everything
+    after is per-feature algebra on that tiny frame.  n²·10⁶ fits
+    int64 through sf0.1 ×10 (documented; DECIMAL(38) sums are the
+    sf1000 path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = None
+    for name, expr in _Q277_FEATURES:
+        part = li.select(
+            F.lit(name).alias("feature"),
+            F.expr(expr).alias("val"),
+            F.col("l_returnflag").alias("cls"),
+        )
+        obs = part if obs is None else obs.unionByName(part)
+    cc = obs.groupBy("feature", "val", "cls").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grp = cc.groupBy("feature", "val").agg(
+        F.sum("c").cast("long").alias("ng"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    gg = grp.select(
+        "feature",
+        "ng",
+        F.expr(
+            "(2000000 * (ng * ng - sq) + ng * ng) div (2 * ng * ng)"
+        ).alias("gini_micro"),
+    )
+    parent = (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+        )
+        .select(
+            "n",
+            F.expr(
+                "(2000000 * (n * n - sq) + n * n) div (2 * n * n)"
+            ).alias("parent_micro"),
+        )
+    )
+    return (
+        gg.crossJoin(F.broadcast(parent))
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.max("parent_micro").cast("long").alias("parent_gini_micro"),
+            F.expr(
+                "(2 * sum(ng * gini_micro) + max(n)) div (2 * max(n))"
+            )
+            .cast("long")
+            .alias("child_gini_micro"),
+            (
+                F.max("parent_micro")
+                - F.expr(
+                    "(2 * sum(ng * gini_micro) + max(n)) div (2 * max(n))"
+                )
+            )
+            .cast("long")
+            .alias("gain_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q278 — grid-blocked spatial nearest-neighbor join
+# ---------------------------------------------------------------------------
+
+_Q278_RADIUS = 16  # Chebyshev radius; equals the cell size, so a 3x3
+#                    neighborhood provably covers every candidate
+_Q278_MOD = 1000
+
+# deterministic planar coordinates synthesized from the key (the q179
+# pattern: both engines derive identical inputs from the same integers)
+_Q278_XY = (
+    "(c_custkey * 7919) % {m} AS x, (c_custkey * 104729) % {m} AS y"
+).format(m=_Q278_MOD)
+
+_Q278_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey, c_mktsegment, {_Q278_XY}
+  FROM customer
+), lhs AS (SELECT c_custkey AS k, x, y FROM pts
+           WHERE c_mktsegment = 'BUILDING'),
+rhs AS (SELECT c_custkey AS nb, x AS nx, y AS ny FROM pts
+        WHERE c_mktsegment = 'MACHINERY'),
+cand AS (
+  SELECT lhs.k, rhs.nb,
+         greatest(abs(lhs.x - rhs.nx), abs(lhs.y - rhs.ny)) AS d_inf,
+         abs(lhs.x - rhs.nx) + abs(lhs.y - rhs.ny) AS d_l1
+  FROM lhs JOIN rhs
+    ON abs(lhs.x - rhs.nx) <= {_Q278_RADIUS}
+   AND abs(lhs.y - rhs.ny) <= {_Q278_RADIUS}
+), ranked AS (
+  SELECT k, nb, d_inf, d_l1,
+         row_number() OVER (PARTITION BY k
+                            ORDER BY d_inf, d_l1, nb) AS rn
+  FROM cand
+)
+SELECT CAST(k AS BIGINT) AS custkey, CAST(nb AS BIGINT) AS nn_custkey,
+       CAST(d_inf AS BIGINT) AS d_inf, CAST(d_l1 AS BIGINT) AS d_l1
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("q278_grid_nn_join", _Q278_ORACLE)
+def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial NEAREST-NEIGHBOR join — the geospatial
+    primitive (nearest warehouse / driver / store within radius r)
+    expressed without a cross join: with cell size = r, a point's
+    neighbors within Chebyshev radius r can only live in its 3×3 cell
+    neighborhood, so each left point EXPLODES to 9 (cell, point) probes
+    that equi-join the right side's cell index — the same
+    bucket-the-metric-space move as the LSH/band joins (q28/q203), in
+    planar geometry.  Coordinates are key-derived integers (the q179
+    deterministic-synthesis pattern); distances are exact; winner per
+    left point by (d_inf, d_l1, key) — a fully pinned tiebreak.
+
+    The oracle cross-joins the two segments outright (correct at any
+    test SF, quadratic); the engine plan carries |L|·9 + |R| rows into
+    an equi-join — linear in the data, the shape that survives 100 TB
+    (the cell index is the shuffle key; density skew is bounded by the
+    synthesis modulus, and in production by quad-tree cell splitting).
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        ((F.col("c_custkey") * 7919) % _Q278_MOD).alias("x"),
+        ((F.col("c_custkey") * 104729) % _Q278_MOD).alias("y"),
+    )
+    r = _Q278_RADIUS
+    lhs = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k"), "x", "y"
+    )
+    rhs = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("nb"),
+        F.col("x").alias("nx"),
+        F.col("y").alias("ny"),
+        F.expr(f"nx div {r}").alias("cx"),
+        F.expr(f"ny div {r}").alias("cy"),
+    )
+    probes = lhs.select(
+        "k",
+        "x",
+        "y",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx -> "
+                f"transform(sequence(-1, 1), dy -> "
+                f"struct(x div {r} + dx AS cx, y div {r} + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("k", "x", "y", "cell.cx", "cell.cy")
+    cand = (
+        probes.join(rhs, ["cx", "cy"])
+        .filter(
+            (F.abs(F.col("x") - F.col("nx")) <= r)
+            & (F.abs(F.col("y") - F.col("ny")) <= r)
+        )
+        .select(
+            "k",
+            "nb",
+            F.greatest(
+                F.abs(F.col("x") - F.col("nx")),
+                F.abs(F.col("y") - F.col("ny")),
+            ).alias("d_inf"),
+            (
+                F.abs(F.col("x") - F.col("nx"))
+                + F.abs(F.col("y") - F.col("ny"))
+            ).alias("d_l1"),
+        )
+    )
+    w = Window.partitionBy("k").orderBy("d_inf", "d_l1", "nb")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("k").cast("long").alias("custkey"),
+            F.col("nb").cast("long").alias("nn_custkey"),
+            F.col("d_inf").cast("long").alias("d_inf"),
+            F.col("d_l1").cast("long").alias("d_l1"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q279 — isotonic (PAV) calibration via the minimax identity
+# ---------------------------------------------------------------------------
+
+_Q279_ORACLE = """
+WITH b AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM lineitem GROUP BY 1
+), pre AS (
+  SELECT bin,
+         sum(n) OVER (ORDER BY bin) AS cn,
+         sum(pos) OVER (ORDER BY bin) AS cp
+  FROM b
+), pairs AS (
+  SELECT lo.bin AS h, hi.bin AS j,
+         (2000000 * (hi.cp - coalesce(lp.cp, 0))
+          + (hi.cn - coalesce(lp.cn, 0)))
+           // (2 * (hi.cn - coalesce(lp.cn, 0))) AS avg_micro
+  FROM pre lo
+  JOIN pre hi ON lo.bin <= hi.bin
+  LEFT JOIN pre lp
+    ON lp.bin = (SELECT max(bin) FROM pre WHERE bin < lo.bin)
+), inner_min AS (
+  SELECT b.bin, p.h, CAST(min(p.avg_micro) AS BIGINT) AS m
+  FROM b JOIN pairs p ON p.h <= b.bin AND p.j >= b.bin
+  GROUP BY b.bin, p.h
+)
+SELECT i.bin, b.n, b.pos,
+       CAST((2000000 * b.pos + b.n) // (2 * b.n) AS BIGINT)
+         AS rate_micro,
+       CAST(max(i.m) AS BIGINT) AS iso_micro
+FROM inner_min i JOIN b ON b.bin = i.bin
+GROUP BY i.bin, b.n, b.pos
+"""
+
+
+@register("q279_isotonic_calibration", _Q279_ORACLE)
+def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) CALIBRATION — the pool-adjacent-violators
+    fit every score-calibration pipeline runs (Zadrozny & Elkan 2002),
+    here fitting return rate as a non-decreasing function of the
+    discount bin.  PAV's sequential pooling loop is replaced by the
+    MINIMAX IDENTITY iso_i = max_{h≤i} min_{j≥i} avg(h..j): after the
+    single data-scale rollup to B = 11 bins, all O(B²) interval
+    averages come from one prefix-sum self-join and the minimax is two
+    grouped aggregations over O(B³) tiny rows — no iteration, no UDF.
+    Interval averages are micro-rounded ONCE (round-half-up div), so
+    the minimax runs on identical integers in both engines; the output
+    is monotone by construction regardless of rounding (the twin test
+    additionally pins it to exact-rational PAV within the quantum).
+
+    Scale: the only data-sized pass is the groupBy(bin); B is the
+    calibration-bin count you CHOOSE (10-100 in practice), so the
+    lattice algebra is constant work at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long"))
+        .cast("long")
+        .alias("pos"),
+    )
+    wpre = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = b.select(
+        "bin",
+        F.sum("n").over(wpre).cast("long").alias("cn"),
+        F.sum("pos").over(wpre).cast("long").alias("cp"),
+    )
+    hi = pre.select(
+        F.col("bin").alias("j"),
+        F.col("cn").alias("cn_j"),
+        F.col("cp").alias("cp_j"),
+    )
+    # prefix BEFORE h = prefix at h minus h's own bucket
+    lo = pre.join(b, "bin").select(
+        F.col("bin").alias("h"),
+        (F.col("cn") - F.col("n")).alias("cn_before"),
+        (F.col("cp") - F.col("pos")).alias("cp_before"),
+    )
+    pairs = (
+        lo.crossJoin(hi)
+        .filter(F.col("h") <= F.col("j"))
+        .select(
+            "h",
+            "j",
+            F.expr(
+                "(2000000 * (cp_j - cp_before) + (cn_j - cn_before))"
+                " div (2 * (cn_j - cn_before))"
+            ).alias("avg_micro"),
+        )
+    )
+    bins = b.select(F.col("bin"))
+    inner_min = (
+        bins.join(
+            F.broadcast(pairs),
+            (F.col("h") <= F.col("bin")) & (F.col("j") >= F.col("bin")),
+        )
+        .groupBy("bin", "h")
+        .agg(F.min("avg_micro").cast("long").alias("m"))
+    )
+    iso = inner_min.groupBy("bin").agg(
+        F.max("m").cast("long").alias("iso_micro")
+    )
+    return b.join(iso, "bin").select(
+        "bin",
+        "n",
+        "pos",
+        F.expr("(2000000 * pos + n) div (2 * n)").alias("rate_micro"),
+        "iso_micro",
+    )

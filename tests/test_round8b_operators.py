@@ -231,3 +231,152 @@ def test_q276_backtest_twin(spark):
             got["bias_cents"],
         ) == (n, sae, actual, bias)
         assert got["wape_micro"] == (2_000_000 * sae + actual) // (2 * actual)
+
+
+def test_q277_gini_twin(spark):
+    """Float-Gini replay at sf0.001 within the micro quantum, exact
+    integer replay of the pinned rounding, and gain >= -1 (rounding
+    can only perturb the nonneg exact gain by quanta)."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q277_FEATURES,
+        q277,
+    )
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+
+    def feat(r, name):
+        if name == "linestatus":
+            return r["l_linestatus"]
+        if name == "qty_gt25":
+            return "y" if int(r["l_quantity"]) > 25 else "n"
+        if name == "disc_ge5":
+            return "y" if round(r["l_discount"] * 100) >= 5 else "n"
+        if name == "ship_year":
+            return str(int(str(r["l_shipdate"])[:4]))
+        return str(int(str(r["l_shipdate"])[5:7]))
+
+    n = len(li)
+    cls = defaultdict(int)
+    for r in li:
+        cls[r["l_returnflag"]] += 1
+    parent_sq = sum(c * c for c in cls.values())
+    parent_micro = (2_000_000 * (n * n - parent_sq) + n * n) // (2 * n * n)
+
+    rows = {r["feature"]: r for r in q277(spark, SF001).collect()}
+    assert set(rows) == {name for name, _ in _Q277_FEATURES}
+    for name, _ in _Q277_FEATURES:
+        groups = defaultdict(lambda: defaultdict(int))
+        for r in li:
+            groups[feat(r, name)][r["l_returnflag"]] += 1
+        child_terms = 0
+        for g in groups.values():
+            ng = sum(g.values())
+            sq = sum(c * c for c in g.values())
+            gm = (2_000_000 * (ng * ng - sq) + ng * ng) // (2 * ng * ng)
+            child_terms += ng * gm
+        child_micro = (2 * child_terms + n) // (2 * n)
+        got = rows[name]
+        assert got["n_groups"] == len(groups)
+        assert got["parent_gini_micro"] == parent_micro
+        assert got["child_gini_micro"] == child_micro
+        assert got["gain_micro"] == parent_micro - child_micro
+        # float cross-check within quanta
+        exact_child = sum(
+            (sum(g.values()) / n)
+            * (1 - sum(c * c for c in g.values()) / sum(g.values()) ** 2)
+            for g in groups.values()
+        )
+        assert abs(child_micro - exact_child * 1_000_000) <= len(groups) + 2
+
+
+def test_q278_grid_nn_brute_twin(spark):
+    """Brute-force all-pairs nearest neighbor must equal the
+    grid-blocked plan exactly — proving the 3x3 cell neighborhood
+    loses no candidate at radius == cell size."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q278_MOD,
+        _Q278_RADIUS,
+        q278,
+    )
+
+    cust = spark.read.parquet(f"{SF001}/customer.parquet").collect()
+    pts = {
+        r["c_custkey"]: (
+            r["c_custkey"] * 7919 % _Q278_MOD,
+            r["c_custkey"] * 104729 % _Q278_MOD,
+            r["c_mktsegment"],
+        )
+        for r in cust
+    }
+    lhs = {k: v for k, v in pts.items() if v[2] == "BUILDING"}
+    rhs = {k: v for k, v in pts.items() if v[2] == "MACHINERY"}
+    want = {}
+    for k, (x, y, _) in lhs.items():
+        best = None
+        for nb, (nx, ny, _) in rhs.items():
+            di = max(abs(x - nx), abs(y - ny))
+            if di > _Q278_RADIUS:
+                continue
+            d1 = abs(x - nx) + abs(y - ny)
+            cand = (di, d1, nb)
+            if best is None or cand < best:
+                best = cand
+        if best:
+            want[k] = best
+    rows = {r["custkey"]: r for r in q278(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for k, (di, d1, nb) in want.items():
+        got = rows[k]
+        assert (got["d_inf"], got["d_l1"], got["nn_custkey"]) == (di, d1, nb)
+    # the filter branch is live: some BUILDING customers have no
+    # neighbor within the radius
+    assert len(want) < len(lhs)
+
+
+def test_q279_pav_twin(spark):
+    """Sequential pool-adjacent-violators on exact rationals must
+    agree with the plan's minimax-of-rounded-averages within the micro
+    quantum, and the plan's fit must be monotone non-decreasing."""
+    from fractions import Fraction
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q279
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in li:
+        b = round(r["l_discount"] * 100)
+        agg[b][0] += 1
+        agg[b][1] += 1 if r["l_returnflag"] == "R" else 0
+    bins = sorted(agg)
+    # classic PAV: pool blocks while a violator exists
+    blocks = [[b, agg[b][0], agg[b][1]] for b in bins]  # start, n, pos
+    i = 0
+    while i + 1 < len(blocks):
+        a, b = blocks[i], blocks[i + 1]
+        if Fraction(a[2], a[1]) > Fraction(b[2], b[1]):
+            a[1] += b[1]
+            a[2] += b[2]
+            del blocks[i + 1]
+            i = max(0, i - 1)
+        else:
+            i += 1
+    pav = {}
+    bi = 0
+    for start, bn, bp in blocks:
+        cnt = 0
+        while bi < len(bins) and cnt < bn:
+            pav[bins[bi]] = Fraction(bp, bn)
+            cnt += agg[bins[bi]][0]
+            bi += 1
+
+    rows = {r["bin"]: r for r in q279(spark, SF001).collect()}
+    assert set(rows) == set(bins)
+    iso = [rows[b]["iso_micro"] for b in bins]
+    assert all(a <= b for a, b in zip(iso, iso[1:]))
+    for b in bins:
+        got = rows[b]
+        assert got["n"] == agg[b][0] and got["pos"] == agg[b][1]
+        assert got["rate_micro"] == (
+            2_000_000 * agg[b][1] + agg[b][0]
+        ) // (2 * agg[b][0])
+        assert abs(got["iso_micro"] - float(pav[b]) * 1_000_000) <= 1.0
