@@ -912,3 +912,254 @@ def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(2000000 * pos + n) div (2 * n)").alias("rate_micro"),
         "iso_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# q280 — Holt double-exponential smoothing (row-local ordered fold)
+# ---------------------------------------------------------------------------
+
+# alpha = 1/4 (level), beta = 1/8 (trend): exact rationals, so each
+# step is one integer rounding.  Signed values require the CASE
+# half-away form (PLANS.md integer-exactness recipes): both engines
+# TRUNCATE integer division toward zero ((-7) div 2 = -3 in Spark,
+# (-7)//2 = -3 in DuckDB 1.0 — verified), so (2n ± d) div (2d) is the
+# shared half-away-from-zero rounding for either sign.
+
+# The oracle folds via WITH RECURSIVE, NOT list_reduce: DuckDB 1.0's
+# list_reduce evaluates a struct-typed accumulator's fields against
+# INCONSISTENT state (minimal repro: (acc, e) -> {'a': acc.a + e.a,
+# 'b': acc.a} over [{1},{2},{3}] returns b = 6, i.e. the freshly
+# updated 'a', where b = 3 is correct; Spark's `aggregate` returns 3).
+# Scalar accumulators (the q253/q273 folds) are unaffected.
+_Q280_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, cents * 1000 AS xm,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+), fit AS (
+  SELECT event_type, i, n, xm AS l, CAST(0 AS BIGINT) AS t,
+         CAST(0 AS BIGINT) AS sae
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT event_type, i, n, l2,
+         CAST((2 * ((l2 - lp) + 7 * tp)
+               + (CASE WHEN (l2 - lp) + 7 * tp < 0
+                  THEN -8 ELSE 8 END)) // 16 AS BIGINT) AS t,
+         CAST(sae + abs(xm - (lp + tp)) AS BIGINT) AS sae
+  FROM (
+    SELECT x.event_type, x.i, x.n, x.xm, f.l AS lp, f.t AS tp,
+           f.sae AS sae,
+           CAST((2 * (x.xm + 3 * (f.l + f.t))
+                 + (CASE WHEN x.xm + 3 * (f.l + f.t) < 0
+                    THEN -4 ELSE 4 END)) // 8 AS BIGINT) AS l2
+    FROM fit f JOIN idx x
+      ON x.event_type = f.event_type AND x.i = f.i + 1
+  ) s
+)
+SELECT event_type, n AS n_days,
+       l AS level_milli, t AS trend_milli, sae AS sae_milli,
+       CAST(l + 7 * t AS BIGINT) AS forecast7_milli
+FROM fit WHERE i = n
+"""
+
+_Q280_STEP_SPARK = """
+(acc, e) -> struct(
+  CAST((2 * (e.l + 3 * (acc.l + acc.t))
+        + (CASE WHEN e.l + 3 * (acc.l + acc.t) < 0 THEN -4 ELSE 4 END))
+        div 8 AS BIGINT) AS l,
+  CAST((2 * (((2 * (e.l + 3 * (acc.l + acc.t))
+        + (CASE WHEN e.l + 3 * (acc.l + acc.t) < 0 THEN -4 ELSE 4 END))
+        div 8 - acc.l) + 7 * acc.t)
+        + (CASE WHEN ((2 * (e.l + 3 * (acc.l + acc.t))
+        + (CASE WHEN e.l + 3 * (acc.l + acc.t) < 0 THEN -4 ELSE 4 END))
+        div 8 - acc.l) + 7 * acc.t < 0 THEN -8 ELSE 8 END))
+        div 16 AS BIGINT) AS t,
+  CAST(acc.sae + abs(e.l - (acc.l + acc.t)) AS BIGINT) AS sae)
+"""
+
+
+@register("q280_holt_smoothing", _Q280_ORACLE)
+def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt DOUBLE-exponential smoothing (level + trend) fit per event
+    series, with the one-week-ahead forecast and the in-sample sum of
+    absolute one-step errors — the classic recursive forecaster whose
+    every step depends on the previous one, so no window function can
+    express it: the recurrence l ← α·x + (1−α)(l+t), t ← β(l−l_prev)
+    + (1−β)t folds ROW-LOCALLY over each series' date-ordered array
+    (Spark ``aggregate`` / DuckDB ``list_reduce`` over a shared
+    struct accumulator — the q253 machinery extended to
+    MULTI-VARIABLE state).  α = 1/4, β = 1/8 keep each step one
+    integer rounding in milli-cents; trend and errors go NEGATIVE, so
+    rounding is the signed half-away form (2n ± d) div (2d) — both
+    engines truncate integer division identically (verified), making
+    the recurrence bit-portable.
+
+    Scale: one map-side-combined (type, day) rollup, then one ordered
+    array per series — the fold is O(days) per series and the array
+    size is the OBSERVATION WINDOW, not the corpus; unbounded history
+    would run the same fold incrementally via applyInPandasWithState
+    (the q83 path) carrying (l, t) as state."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("d").alias("d"),
+                    (F.col("cents") * 1000).alias("l"),
+                    F.lit(0).cast("long").alias("t"),
+                    F.lit(0).cast("long").alias("sae"),
+                )
+            )
+        ).alias("raw"),
+    )
+    fitted = series.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            # strip the sort key so acc/element struct shapes agree,
+            # then seed with the first observation (l=x1, t=0, sae=0)
+            f"""
+            aggregate(
+              slice(transform(raw, r -> struct(r.l AS l, r.t AS t,
+                                               r.sae AS sae)),
+                    2, size(raw) - 1),
+              struct(raw[0].l AS l, CAST(0 AS BIGINT) AS t,
+                     CAST(0 AS BIGINT) AS sae),
+              {_Q280_STEP_SPARK})
+            """
+        ).alias("st"),
+    )
+    return fitted.select(
+        "event_type",
+        "n_days",
+        F.col("st.l").alias("level_milli"),
+        F.col("st.t").alias("trend_milli"),
+        F.col("st.sae").alias("sae_milli"),
+        (F.col("st.l") + 7 * F.col("st.t"))
+        .cast("long")
+        .alias("forecast7_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q281 — single-pass covariance/correlation sufficient statistics
+# ---------------------------------------------------------------------------
+
+# small-range integer measures (bounded products keep every sum and
+# cross-moment in int64 far past sf0.1: max |sum_xy| here is
+# n * 50 * 500)
+_Q281_MEASURES = (
+    ("qty", "CAST(l_quantity AS BIGINT)"),
+    ("disc", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("tax", "CAST(round(l_tax * 100) AS BIGINT)"),
+    ("month", "CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT)"),
+)
+_Q281_PAIRS = tuple(
+    (_Q281_MEASURES[i][0], _Q281_MEASURES[j][0])
+    for i in range(len(_Q281_MEASURES))
+    for j in range(i, len(_Q281_MEASURES))
+)
+
+_Q281_SUM_SQL = ", ".join(
+    [
+        f"CAST(sum({expr}) AS BIGINT) AS s_{name}"
+        for name, expr in _Q281_MEASURES
+    ]
+    + [
+        f"CAST(sum(({ex}) * ({ey})) AS BIGINT) AS sp_{nx}_{ny}"
+        for i, (nx, ex) in enumerate(_Q281_MEASURES)
+        for ny, ey in _Q281_MEASURES[i:]
+    ]
+)
+
+_Q281_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT '{nx}' AS feat_x, '{ny}' AS feat_y, n, "
+    f"s_{nx} AS sum_x, s_{ny} AS sum_y, sp_{nx}_{ny} AS sum_xy, "
+    f"n * sp_{nx}_{ny} - s_{nx} * s_{ny} AS cov_num FROM sums"
+    for nx, ny in _Q281_PAIRS
+)
+
+_Q281_ORACLE = f"""
+WITH sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, {_Q281_SUM_SQL}
+  FROM lineitem
+)
+{_Q281_ROWS_SQL}
+"""
+
+
+@register("q281_covariance_matrix", _Q281_ORACLE)
+def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise COVARIANCE MATRIX in one pass — the
+    sufficient-statistics pattern every feature-engineering /
+    drift-monitoring pipeline uses at scale: a SINGLE aggregation job
+    computes n, Σx per measure and Σxy per pair (upper triangle incl.
+    diagonal = variances), then the 10-cell matrix unpivots from the
+    one-row result.  Emitted values are the EXACT INTEGER sufficient
+    statistics plus the scaled covariance numerator n·Σxy − Σx·Σy
+    (cov = num / (n(n−1)); correlation = num_xy/√(num_xx·num_yy)) —
+    exact integers hash identically across engines where any float
+    ratio would carry libm/rounding risk.
+
+    Scale: ONE map-side-combined reduce over the fact table computes
+    all 14 sums together (Spark evaluates the aggregate list in a
+    single WholeStageCodegen pass — k measures cost one scan, not k);
+    the unpivot runs on a 1-row frame.  Integer overflow is a
+    bounded-range argument documented per measure; wide-range measures
+    move the same sums to DECIMAL(38)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for name, expr in _Q281_MEASURES:
+        aggs.append(F.expr(expr).alias(f"v_{name}"))
+    proj = li.select(
+        *[F.expr(expr).alias(f"v_{name}") for name, expr in _Q281_MEASURES]
+    )
+    sum_aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for name, _ in _Q281_MEASURES:
+        sum_aggs.append(
+            F.sum(F.col(f"v_{name}")).cast("long").alias(f"s_{name}")
+        )
+    for i, (nx, _) in enumerate(_Q281_MEASURES):
+        for ny, _ in _Q281_MEASURES[i:]:
+            sum_aggs.append(
+                F.sum(F.col(f"v_{nx}") * F.col(f"v_{ny}"))
+                .cast("long")
+                .alias(f"sp_{nx}_{ny}")
+            )
+    sums = proj.agg(*sum_aggs)
+    stack_expr = ", ".join(
+        f"'{nx}', '{ny}', s_{nx}, s_{ny}, sp_{nx}_{ny}"
+        for nx, ny in _Q281_PAIRS
+    )
+    return sums.select(
+        F.col("n"),
+        F.expr(
+            f"stack({len(_Q281_PAIRS)}, {stack_expr})"
+            " AS (feat_x, feat_y, sum_x, sum_y, sum_xy)"
+        ),
+    ).select(
+        "feat_x",
+        "feat_y",
+        "n",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        (F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y"))
+        .cast("long")
+        .alias("cov_num"),
+    )

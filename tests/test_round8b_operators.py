@@ -380,3 +380,89 @@ def test_q279_pav_twin(spark):
             2_000_000 * agg[b][1] + agg[b][0]
         ) // (2 * agg[b][0])
         assert abs(got["iso_micro"] - float(pav[b]) * 1_000_000) <= 1.0
+
+
+def test_q280_holt_twin(spark):
+    """Python replay of the Holt recurrence with truncating integer
+    division and signed half-away rounding must match every series
+    exactly."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q280
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r["event_type"], r["ts"].date())] += round(r["value"] * 100)
+    series = defaultdict(list)
+    for (et, d), c in sorted(daily.items(), key=lambda kv: kv[0]):
+        series[et].append(c * 1000)
+
+    def tdiv(a, b):  # both engines truncate toward zero
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def half_away(n, scale):
+        return tdiv(2 * n + (-scale if n < 0 else scale), 2 * scale)
+
+    want = {}
+    for et, xs in series.items():
+        level, trend, sae = xs[0], 0, 0
+        for x in xs[1:]:
+            l2 = half_away(x + 3 * (level + trend), 4)
+            t2 = half_away((l2 - level) + 7 * trend, 8)
+            sae += abs(x - (level + trend))
+            level, trend = l2, t2
+        want[et] = (len(xs), level, trend, sae, level + 7 * trend)
+
+    rows = {r["event_type"]: r for r in q280(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for et, (n, level, trend, sae, fc) in want.items():
+        got = rows[et]
+        assert (
+            got["n_days"],
+            got["level_milli"],
+            got["trend_milli"],
+            got["sae_milli"],
+            got["forecast7_milli"],
+        ) == (n, level, trend, sae, fc)
+    # the signed branch is live: some series carries a negative trend
+    assert any(r["trend_milli"] < 0 for r in rows.values())
+
+
+def test_q281_covariance_twin(spark):
+    """Exact integer sufficient statistics replayed in Python, plus
+    the float cross-check cov ~= cov_num / (n(n-1)) and the
+    Cauchy-Schwarz bound cov_num^2 <= var_num_x * var_num_y."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q281_PAIRS,
+        q281,
+    )
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+
+    def val(r, name):
+        if name == "qty":
+            return int(r["l_quantity"])
+        if name == "disc":
+            return round(r["l_discount"] * 100)
+        if name == "tax":
+            return round(r["l_tax"] * 100)
+        return int(str(r["l_shipdate"])[5:7])
+
+    names = sorted({n for p in _Q281_PAIRS for n in p})
+    n = len(li)
+    s = {m: sum(val(r, m) for r in li) for m in names}
+    sp = {
+        (a, b): sum(val(r, a) * val(r, b) for r in li)
+        for a, b in _Q281_PAIRS
+    }
+    rows = {(r["feat_x"], r["feat_y"]): r for r in q281(spark, SF001).collect()}
+    assert set(rows) == set(_Q281_PAIRS)
+    num = {}
+    for (a, b), r in rows.items():
+        assert r["n"] == n
+        assert (r["sum_x"], r["sum_y"], r["sum_xy"]) == (s[a], s[b], sp[(a, b)])
+        num[(a, b)] = r["cov_num"]
+        assert r["cov_num"] == n * sp[(a, b)] - s[a] * s[b]
+    for a, b in _Q281_PAIRS:
+        if a != b:
+            assert num[(a, b)] ** 2 <= num[(a, a)] * num[(b, b)]
