@@ -1163,3 +1163,120 @@ def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cov_num"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q282 — 2-hop neighborhood size via HLL register merging (HyperANF step)
+# ---------------------------------------------------------------------------
+
+
+def _q282_oracle() -> str:
+    from ..operators.sketches import (
+        HASH_BITS,
+        R,
+        RMAX,
+        _SUFFIX_MASK,
+    )
+
+    rho_branches = "\n         ".join(
+        f"WHEN w >= {1 << (R - j)} THEN {j}" for j in range(1, R + 1)
+    )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem
+), h AS (
+  SELECT ok, part,
+         ('0x' || substring(md5(CAST(part AS VARCHAR)), 1,
+                            {HASH_BITS // 4}))::BIGINT AS h
+  FROM e
+), k AS (
+  SELECT ok, h >> {R} AS b,
+         CASE
+         {rho_branches}
+         ELSE {RMAX} END AS rho
+  FROM (SELECT ok, h, h & {_SUFFIX_MASK} AS w FROM h) t
+), regs AS (
+  SELECT ok, b, max(rho) AS m FROM k GROUP BY ok, b
+), merged AS (
+  SELECT e.part, r.b, max(r.m) AS m
+  FROM e JOIN regs r ON r.ok = e.ok
+  GROUP BY e.part, r.b
+), agg AS (
+  SELECT part,
+         sum(1::BIGINT << ({RMAX} - m)) AS s,
+         count(b) AS nb
+  FROM merged GROUP BY part
+), deg AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS n_orders FROM e GROUP BY part
+)
+SELECT CAST(deg.part AS BIGINT) AS part, deg.n_orders,
+       CAST(nb AS BIGINT) AS regs_occupied,
+       CAST(coalesce(s, 0) AS BIGINT) AS reg_sum
+FROM deg JOIN agg ON agg.part = deg.part
+"""
+
+
+@register("q282_two_hop_reach", _q282_oracle())
+def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood SIZE per node via HLL register merging — one
+    iteration of HyperANF (Boldi, Rosa & Vigna 2011), the algorithm
+    that made neighborhood functions computable on billion-edge
+    graphs: instead of materializing the quadratic 2-hop expansion
+    (Σ d² pairs — the blow-up q224's triangle rewrite dodged), each
+    ORDER carries a 512-register HLL sketch of its parts, and a part's
+    co-purchase reach (distinct parts sharing ≥1 order with it) is the
+    REGISTER-WISE MAX over its orders' sketches: union of sets =
+    max of registers, associative and exact on the register level.
+    The join therefore carries |E| × (occupied registers per order —
+    bounded by the basket size, ~4) rows, linear in the edge list.
+
+    The declared output is the sketch's EXACT INTEGER sufficient
+    statistics (occupied registers, register sum — the portable md5 /
+    rho construction of operators/sketches), hash-exact across
+    engines; the reach estimate finalizes from them downstream
+    (linear counting here — typical reach ≪ m = 512 registers, the
+    regime where the raw-HLL division is structurally biased and
+    ln() would break bit-exactness; the twin test applies it and
+    checks against the brute-force exact reach).  n_orders rides
+    along exactly.
+
+    Scale: at 100 TB the per-node sketches land as a table
+    (hll_register_frame's mergeable form) and the k-hop iteration is
+    k register-merge joins — state per node is a CONSTANT 512
+    registers regardless of neighborhood size, the whole point of the
+    HyperANF representation."""
+    from ..operators.sketches import RMAX, hll_register_frame
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    ).distinct()
+    regs = hll_register_frame(
+        edges.withColumn("pstr", F.col("part").cast("string")),
+        ["ok"],
+        "pstr",
+    )
+    merged = (
+        edges.join(regs, "ok")
+        .groupBy("part", "_b")
+        .agg(F.max("_m").alias("_m"))
+    )
+    stats = merged.groupBy("part").agg(
+        F.count("_b").cast("long").alias("regs_occupied"),
+        F.sum(
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast({RMAX} - _m as int))"
+            )
+        )
+        .cast("long")
+        .alias("reg_sum"),
+    )
+    deg = edges.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return deg.join(stats, "part").select(
+        F.col("part").cast("long").alias("part"),
+        "n_orders",
+        "regs_occupied",
+        "reg_sum",
+    )

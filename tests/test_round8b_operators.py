@@ -466,3 +466,63 @@ def test_q281_covariance_twin(spark):
     for a, b in _Q281_PAIRS:
         if a != b:
             assert num[(a, b)] ** 2 <= num[(a, a)] * num[(b, b)]
+
+
+def test_q282_two_hop_twin(spark):
+    """Python replay of the register-merge estimate (md5 prefix, rho,
+    per-order registers, part-level max-merge) must match exactly,
+    and the linear-counting finalization of the emitted statistics
+    must track the EXACT brute-force 2-hop distinct count."""
+    import hashlib
+
+    from nessus_client_etl_scripts_spark.operators.sketches import (
+        HASH_BITS,
+        M,
+        R,
+        RMAX,
+        _SUFFIX_MASK,
+    )
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q282
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    edges = {(r["l_orderkey"], r["l_partkey"]) for r in li}
+    by_order = defaultdict(set)
+    by_part = defaultdict(set)
+    for ok, part in edges:
+        by_order[ok].add(part)
+        by_part[part].add(ok)
+
+    def rho_bucket(part):
+        h = int(hashlib.md5(str(part).encode()).hexdigest()[: HASH_BITS // 4], 16)
+        w = h & _SUFFIX_MASK
+        for j in range(1, R + 1):
+            if w >= 1 << (R - j):
+                return h >> R, j
+        return h >> R, RMAX
+
+    order_regs = {}
+    for ok, parts in by_order.items():
+        regs = {}
+        for p in parts:
+            b, rho = rho_bucket(p)
+            regs[b] = max(regs.get(b, 0), rho)
+        order_regs[ok] = regs
+
+    import math
+
+    rows = {r["part"]: r for r in q282(spark, SF001).collect()}
+    assert set(rows) == set(by_part)
+    for part, oks in by_part.items():
+        merged = {}
+        for ok in oks:
+            for b, m in order_regs[ok].items():
+                merged[b] = max(merged.get(b, 0), m)
+        s = sum(1 << (RMAX - m) for m in merged.values())
+        got = rows[part]
+        assert got["n_orders"] == len(oks)
+        assert got["regs_occupied"] == len(merged)
+        assert got["reg_sum"] == s
+        # downstream finalization: linear counting (reach << m)
+        exact = len({p for ok in oks for p in by_order[ok]})
+        est = M * math.log(M / (M - got["regs_occupied"]))
+        assert abs(est - exact) <= 0.2 * exact + 3
