@@ -1280,3 +1280,355 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
         "regs_occupied",
         "reg_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# q283 — bitemporal point-in-time reconstruction
+# ---------------------------------------------------------------------------
+
+_Q283_V = "1996-06-30"  # valid-time slice (what was true ON this date)
+_Q283_T1 = "1996-06-30"  # as first known (transaction time)
+_Q283_T2 = "1998-12-31"  # as known after all corrections landed
+
+# deterministic bitemporal change log synthesized from orders (the
+# q179 pattern): a base version at order time, a RETROACTIVE
+# restatement (valid_from unchanged, late tx_time) for every 7th
+# order, and a FORWARD-dated amendment (both times shifted) for every
+# 5th — the three version shapes a bitemporal warehouse must separate.
+_Q283_LOG_SQL = """
+  SELECT o_orderkey AS k, o_orderpriority AS pri,
+         CAST(o_orderdate AS DATE) AS valid_from,
+         CAST(o_orderdate AS DATE) AS tx_time,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_orderdate AS DATE),
+         CAST(o_orderdate AS DATE) + INTERVAL 45 DAY,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           + (o_orderkey % 1000) - 500
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_orderdate AS DATE) + INTERVAL 10 DAY,
+         CAST(o_orderdate AS DATE) + INTERVAL 10 DAY,
+         CAST(round(o_totalprice * 100) AS BIGINT) + 25000
+  FROM orders WHERE o_orderkey % 5 = 0
+"""
+
+
+def _q283_pit_sql(t: str) -> str:
+    return f"""
+  SELECT k, pri, price_cents FROM (
+    SELECT k, pri, price_cents,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY valid_from DESC, tx_time DESC)
+             AS rn
+    FROM log
+    WHERE CAST(tx_time AS DATE) <= DATE '{t}'
+      AND valid_from <= DATE '{_Q283_V}'
+  ) s WHERE rn = 1
+"""
+
+
+_Q283_ORACLE = f"""
+WITH log AS ({_Q283_LOG_SQL}
+), pit1 AS ({_q283_pit_sql(_Q283_T1)}
+), pit2 AS ({_q283_pit_sql(_Q283_T2)}
+)
+SELECT pit1.pri,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(pit1.price_cents) AS BIGINT) AS sum_known_t1,
+       CAST(sum(pit2.price_cents) AS BIGINT) AS sum_known_t2,
+       CAST(sum(CASE WHEN pit1.price_cents <> pit2.price_cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_restated
+FROM pit1 JOIN pit2 ON pit1.k = pit2.k
+GROUP BY pit1.pri
+"""
+
+
+@register("q283_bitemporal_pit", _Q283_ORACLE)
+def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL point-in-time reconstruction — the two-clock query
+    every regulated warehouse must answer: \"what did we BELIEVE on
+    date T about the state that was TRUE on date V?\" (Snodgrass;
+    SQL:2011 system/application time).  The change log carries both
+    clocks: retroactive RESTATEMENTS share the original valid_from but
+    land with a late tx_time (invisible at T1, rewriting history at
+    T2), while forward-dated AMENDMENTS move both.  The PIT rule —
+    visible iff tx_time ≤ T, effective = max valid_from ≤ V with
+    tx_time tiebreak — is one window per snapshot; comparing the T1
+    and T2 reconstructions of the SAME valid slice yields the
+    restatement audit (n_restated) that reconciles yesterday's report
+    against today's.
+
+    Scale: the log is |orders|·(1 + correction rates); each PIT pass
+    is one row_number window keyed on the entity (high-cardinality —
+    plain partitionBy per the PLANS.md rank rule); the two passes join
+    on the entity key they are already partitioned by."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        od.alias("valid_from"),
+        od.alias("tx_time"),
+        cents.alias("price_cents"),
+    )
+    restate = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        od.alias("valid_from"),
+        F.date_add(od, 45).alias("tx_time"),
+        (cents + F.col("o_orderkey") % 1000 - 500).alias("price_cents"),
+    )
+    amend = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.date_add(od, 10).alias("valid_from"),
+        F.date_add(od, 10).alias("tx_time"),
+        (cents + 25000).alias("price_cents"),
+    )
+    log = base.unionByName(restate).unionByName(amend)
+
+    def pit(t: str, price_alias: str) -> DataFrame:
+        w = Window.partitionBy("k").orderBy(
+            F.desc("valid_from"), F.desc("tx_time")
+        )
+        return (
+            log.filter(
+                (F.col("tx_time") <= F.lit(t).cast("date"))
+                & (F.col("valid_from") <= F.lit(_Q283_V).cast("date"))
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("k", "pri", F.col("price_cents").alias(price_alias))
+        )
+
+    p1 = pit(_Q283_T1, "price_t1")
+    p2 = pit(_Q283_T2, "price_t2").drop("pri")
+    return (
+        p1.join(p2, "k")
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_t1").cast("long").alias("sum_known_t1"),
+            F.sum("price_t2").cast("long").alias("sum_known_t2"),
+            F.sum(
+                (F.col("price_t1") != F.col("price_t2")).cast("long")
+            )
+            .cast("long")
+            .alias("n_restated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q284 — Kendall tau-b concordance components between two rankings
+# ---------------------------------------------------------------------------
+
+_Q284_TOPK = 200
+
+_Q284_ORACLE = f"""
+WITH rev AS (
+  SELECT l_partkey AS part,
+         CAST(sum(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1997
+             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS r97,
+         CAST(sum(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1998
+             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS r98
+  FROM lineitem GROUP BY l_partkey
+), top AS (
+  SELECT part, r97, r98 FROM rev
+  ORDER BY r97 + r98 DESC, part LIMIT {_Q284_TOPK}
+), pairs AS (
+  SELECT a.r97 - b.r97 AS dx, a.r98 - b.r98 AS dy
+  FROM top a JOIN top b ON a.part < b.part
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN sign(dx) * sign(dy) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS concordant,
+       CAST(sum(CASE WHEN sign(dx) * sign(dy) < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS discordant,
+       CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS ties_x,
+       CAST(sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS ties_y,
+       CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS ties_both
+FROM pairs
+"""
+
+
+@register("q284_kendall_tau", _Q284_ORACLE)
+def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b CONCORDANCE ANALYSIS between two rankings (1997
+    vs 1998 revenue over the top-{k} parts) — the rank-correlation
+    the forecasting/IR literature reaches for when Pearson's
+    value-scale sensitivity is wrong; completes the repo's ranking
+    family (q173 overlap, q265 RBO) with the pair-concordance view.
+    The declared output is the EXACT INTEGER pair census — n_pairs,
+    concordant, discordant, x-only/y-only/both ties — from which
+    tau-b = (C−D)/√((n₀−t_x)(n₀−t_y)) finalizes in one line
+    downstream; emitting components keeps the value-hash purely
+    integer (the √ would be the only float).
+
+    Scale: revenue rollup is map-side-combined on l_partkey; the pair
+    census runs on a top-{k} frame, so the self-join is {k}²/2
+    broadcast-sized rows by CONSTRUCTION — the standard move for
+    quadratic rank diagnostics at any corpus size (ranking
+    concordance over a full catalog uses the O(n log n)
+    inversion-count rewrite instead; top-k is what dashboards
+    compare)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = F.year(F.col("l_shipdate").cast("date"))
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.when(yr == 1997, cents).otherwise(0))
+        .cast("long")
+        .alias("r97"),
+        F.sum(F.when(yr == 1998, cents).otherwise(0))
+        .cast("long")
+        .alias("r98"),
+    )
+    top = rev.orderBy(
+        (F.col("r97") + F.col("r98")).desc(), F.col("part")
+    ).limit(_Q284_TOPK)
+    a = top.select(
+        F.col("part").alias("pa"),
+        F.col("r97").alias("xa"),
+        F.col("r98").alias("ya"),
+    )
+    b = top.select(
+        F.col("part").alias("pb"),
+        F.col("r97").alias("xb"),
+        F.col("r98").alias("yb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("pa") < F.col("pb")).select(
+        (F.col("xa") - F.col("xb")).alias("dx"),
+        (F.col("ya") - F.col("yb")).alias("dy"),
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.signum("dx") * F.signum("dy") > 0).cast("long"))
+        .cast("long")
+        .alias("concordant"),
+        F.sum((F.signum("dx") * F.signum("dy") < 0).cast("long"))
+        .cast("long")
+        .alias("discordant"),
+        F.sum(((F.col("dx") == 0) & (F.col("dy") != 0)).cast("long"))
+        .cast("long")
+        .alias("ties_x"),
+        F.sum(((F.col("dy") == 0) & (F.col("dx") != 0)).cast("long"))
+        .cast("long")
+        .alias("ties_y"),
+        F.sum(((F.col("dx") == 0) & (F.col("dy") == 0)).cast("long"))
+        .cast("long")
+        .alias("ties_both"),
+    )
+
+
+q284.__doc__ = q284.__doc__.format(k=_Q284_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q285 — differentially-private count release (discrete geometric)
+# ---------------------------------------------------------------------------
+
+
+def _q285_thresholds() -> tuple[tuple[int, int], ...]:
+    """floor(F(k) * 2^48) for the two-sided geometric with alpha = 3/4
+    (epsilon = ln 4/3), truncated to |k| <= 16 — exact rationals, so
+    both engines share literal integer thresholds.
+
+    F(k) = (4/7)*(3/4)^(-k) for k < 0;  1 - (4/7)*(3/4)^(k+1) for k >= 0.
+    """
+    from fractions import Fraction
+
+    out = []
+    for k in range(-16, 16):
+        if k < 0:
+            fk = Fraction(4, 7) * Fraction(3, 4) ** (-k)
+        else:
+            fk = 1 - Fraction(4, 7) * Fraction(3, 4) ** (k + 1)
+        out.append((k, (fk * (1 << 48)).__floor__()))
+    return tuple(out)
+
+
+_Q285_T = _q285_thresholds()
+_Q285_CASE = (
+    "CASE "
+    + " ".join(f"WHEN u < {t} THEN CAST({k} AS BIGINT)" for k, t in _Q285_T)
+    + " ELSE CAST(16 AS BIGINT) END"
+)
+
+_Q285_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS true_count
+  FROM events GROUP BY 1, 2
+), u AS (
+  SELECT event_type, d, true_count,
+         ('0x' || substring(md5('dp:' || event_type || ':'
+                                || strftime(d, '%Y-%m-%d')), 1, 12))::BIGINT
+           AS u
+  FROM cells
+)
+SELECT event_type, d, true_count,
+       {_Q285_CASE} AS noise,
+       CAST(true_count + ({_Q285_CASE}) AS BIGINT) AS noisy_count
+FROM u
+"""
+
+
+@register("q285_dp_noisy_release", _Q285_ORACLE)
+def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private COUNT RELEASE via the discrete geometric
+    (two-sided geometric / \"discrete Laplace\") mechanism — the
+    integer-native DP noise (Ghosh, Roughgarden & Sundararajan 2009)
+    a privacy-preserving release pipeline adds to each histogram cell
+    before publication, at ε = ln(4/3) (α = 3/4).  The mechanism is
+    made REPRODUCIBLE the way production DP systems seed per-cell
+    randomness: the uniform draw is the md5 48-bit prefix of the cell
+    key, and the inverse-CDF lookup is a CASE chain over EXACT
+    integer thresholds floor(F(k)·2⁴⁸) precomputed as rationals
+    (α = 3/4 makes every CDF value a fraction over 7·4^k — no libm,
+    both engines share the literals; the tail truncates at |k| = 16,
+    mass ~0.4%, documented).  True counts ride along because this is
+    the release AUDIT view (utility/error accounting), not the
+    published artifact.
+
+    Scale: one map-side-combined rollup to cells, then row-local hash
+    + branch — no extra shuffle, no UDF; the threshold table is a
+    33-arm CASE the optimizer folds to constants."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("dp:"),
+                    F.col("event_type"),
+                    F.lit(":"),
+                    F.date_format("d", "yyyy-MM-dd"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    withu = cells.withColumn("u", u)
+    noise = F.expr(_Q285_CASE)
+    return withu.select(
+        "event_type",
+        "d",
+        "true_count",
+        noise.alias("noise"),
+        (F.col("true_count") + noise).cast("long").alias("noisy_count"),
+    )

@@ -526,3 +526,159 @@ def test_q282_two_hop_twin(spark):
         exact = len({p for ok in oks for p in by_order[ok]})
         est = M * math.log(M / (M - got["regs_occupied"]))
         assert abs(est - exact) <= 0.2 * exact + 3
+
+
+def test_q283_bitemporal_twin(spark):
+    """Python replay of the two-clock reconstruction: restatements are
+    invisible at T1 and rewrite history at T2; forward amendments
+    inside the valid slice apply at both."""
+    import datetime
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q283_T1,
+        _Q283_T2,
+        _Q283_V,
+        q283,
+    )
+
+    orders = spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    V = datetime.date.fromisoformat(_Q283_V)
+
+    def log_rows(r):
+        od = datetime.date.fromisoformat(str(r["o_orderdate"])[:10])
+        cents = round(r["o_totalprice"] * 100)
+        k = r["o_orderkey"]
+        yield od, od, cents
+        if k % 7 == 0:
+            yield od, od + datetime.timedelta(days=45), cents + k % 1000 - 500
+        if k % 5 == 0:
+            d = od + datetime.timedelta(days=10)
+            yield d, d, cents + 25000
+
+    def pit(r, t):
+        best = None
+        for vf, tx, cents in log_rows(r):
+            if tx <= t and vf <= V:
+                key = (vf, tx)
+                if best is None or key > best[0]:
+                    best = (key, cents)
+        return None if best is None else best[1]
+
+    t1 = datetime.date.fromisoformat(_Q283_T1)
+    t2 = datetime.date.fromisoformat(_Q283_T2)
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in orders:
+        p1, p2 = pit(r, t1), pit(r, t2)
+        if p1 is None or p2 is None:
+            continue
+        a = agg[r["o_orderpriority"]]
+        a[0] += 1
+        a[1] += p1
+        a[2] += p2
+        a[3] += 1 if p1 != p2 else 0
+
+    rows = {r["pri"]: r for r in q283(spark, SF001).collect()}
+    assert set(rows) == set(agg)
+    restated_total = 0
+    for pri, (n, s1, s2, nr) in agg.items():
+        got = rows[pri]
+        assert (
+            got["n_orders"],
+            got["sum_known_t1"],
+            got["sum_known_t2"],
+            got["n_restated"],
+        ) == (n, s1, s2, nr)
+        restated_total += nr
+    assert restated_total > 0  # the retroactive branch is live
+
+
+def test_q284_kendall_twin(spark):
+    """Brute-force pair census over the top-K frame, and the tau-b
+    identity C + D + ties = n_pairs."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q284_TOPK,
+        q284,
+    )
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    rev = defaultdict(lambda: [0, 0])
+    for r in li:
+        y = int(str(r["l_shipdate"])[:4])
+        if y in (1997, 1998):
+            rev[r["l_partkey"]][y - 1997] += round(r["l_extendedprice"] * 100)
+    for r in li:
+        rev.setdefault(r["l_partkey"], [0, 0])
+    top = sorted(rev, key=lambda p: (-(rev[p][0] + rev[p][1]), p))[:_Q284_TOPK]
+    C = D = tx = ty = tb = 0
+    for i, a in enumerate(top):
+        for b in top[i + 1 :]:
+            dx = rev[a][0] - rev[b][0]
+            dy = rev[a][1] - rev[b][1]
+            if dx == 0 and dy == 0:
+                tb += 1
+            elif dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif (dx > 0) == (dy > 0):
+                C += 1
+            else:
+                D += 1
+    row = q284(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    n = len(top) * (len(top) - 1) // 2
+    assert got["n_pairs"] == n
+    assert (
+        got["concordant"],
+        got["discordant"],
+        got["ties_x"],
+        got["ties_y"],
+        got["ties_both"],
+    ) == (C, D, tx, ty, tb)
+    assert C + D + tx + ty + tb == n
+
+
+def test_q285_dp_twin(spark):
+    """Replay the seeded geometric mechanism (md5 uniform, exact CDF
+    thresholds) and pin distributional sanity: noise is centered and
+    bounded, and the thresholds are a valid CDF."""
+    import hashlib
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q285_T,
+        q285,
+    )
+
+    # thresholds strictly increasing, ending below 2^48
+    ts = [t for _, t in _Q285_T]
+    assert all(a < b for a, b in zip(ts, ts[1:]))
+    assert ts[-1] < 1 << 48
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    cells = defaultdict(int)
+    for r in ev:
+        cells[(r["event_type"], r["ts"].date())] += 1
+
+    def noise_for(et, d):
+        u = int(
+            hashlib.md5(f"dp:{et}:{d.isoformat()}".encode()).hexdigest()[:12],
+            16,
+        )
+        for k, t in _Q285_T:
+            if u < t:
+                return k
+        return 16
+
+    rows = {(r["event_type"], r["d"]): r for r in q285(spark, SF001).collect()}
+    assert set(rows) == set(cells)
+    for (et, d), n in cells.items():
+        got = rows[(et, d)]
+        k = noise_for(et, d)
+        assert got["true_count"] == n
+        assert got["noise"] == k and -16 <= k <= 16
+        assert got["noisy_count"] == n + k
+    # mechanism sanity: not all-zero noise, roughly centered
+    ks = [r["noise"] for r in rows.values()]
+    assert any(k != 0 for k in ks)
+    assert abs(sum(ks)) <= 4 * len(ks) ** 0.5 * 3  # ~3 sigma of sum
