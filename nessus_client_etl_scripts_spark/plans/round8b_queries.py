@@ -1632,3 +1632,260 @@ def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise.alias("noise"),
         (F.col("true_count") + noise).cast("long").alias("noisy_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q286 — hard-negative mining for contrastive training pairs
+# ---------------------------------------------------------------------------
+
+_Q286_ANCHORS = 30
+
+_Q286_ORACLE = f"""
+WITH a AS (
+  SELECT vec_id AS query_id, label AS q_label,
+         embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_Q286_ANCHORS}
+), c AS (
+  SELECT vec_id AS cand_id, label AS c_label,
+         embedding::DOUBLE[] AS cv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, q_label, cand_id, c_label,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS score
+  FROM a JOIN c ON cand_id <> query_id
+), pos AS (
+  SELECT query_id, cand_id AS pos_id, score AS pos_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, cand_id) AS rn
+        FROM scored WHERE c_label = q_label) t
+  WHERE rn = 1
+), neg AS (
+  SELECT query_id, cand_id AS neg_id, score AS neg_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, cand_id) AS rn
+        FROM scored WHERE c_label <> q_label) t
+  WHERE rn = 1
+)
+SELECT pos.query_id, pos_id, pos_score, neg_id, neg_score,
+       pos_score - neg_score AS margin
+FROM pos JOIN neg ON neg.query_id = pos.query_id
+"""
+
+
+@register("q286_hard_negative_mining", _Q286_ORACLE)
+def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING — the training-pair construction step of
+    every contrastive embedding pipeline (SimCSE/DPR/CLIP fine-tuning):
+    for each anchor, the most-similar SAME-label candidate (the
+    positive) and the most-similar DIFFERENT-label candidate (the hard
+    negative — the example that actually moves the loss, vs a random
+    negative that is already far away), plus the margin between them
+    (negative margin = the anchor's neighborhood is dominated by
+    another class — a label-noise signal).  Cosine via dot products
+    and single-op sqrt/divide — the q27/q30 portability argument, so
+    even the float scores value-hash across engines; ranks carry the
+    (score desc, cand_id) pinned tiebreak.
+
+    Scale: anchors broadcast, the corpus streams — one pass, no corpus
+    shuffle (the q27 shape); at 100 TB the same mining runs per LSH
+    bucket (q203's cogrouped form) to bound the candidate set, with
+    identical pair-selection semantics."""
+    from ..catalog import spread_for_compute
+    from ..operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < _Q286_ANCHORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    c = spread_for_compute(emb).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    score = dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    scored = c.join(
+        F.broadcast(a), F.col("cand_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "q_label",
+        "cand_id",
+        "c_label",
+        score.alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cand_id")
+    )
+    pos = (
+        scored.filter(F.col("c_label") == F.col("q_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("pos_id"),
+            F.col("score").alias("pos_score"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("c_label") != F.col("q_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("score").alias("neg_score"),
+        )
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "pos_id",
+        "pos_score",
+        "neg_id",
+        "neg_score",
+        (F.col("pos_score") - F.col("neg_score")).alias("margin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q287 — stratified treatment-effect estimate (observational ATE)
+# ---------------------------------------------------------------------------
+
+_Q287_SPLIT = "2024-01-15"  # exposure window before, outcome window after
+
+_Q287_ORACLE = f"""
+WITH p1 AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS activity,
+         CAST(max(CASE WHEN event_type = 'error' AND value > 90
+                  THEN 1 ELSE 0 END) AS BIGINT) AS treated
+  FROM events WHERE CAST(ts AS DATE) < DATE '{_Q287_SPLIT}'
+  GROUP BY user_id
+), p2 AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS y_cents
+  FROM events WHERE CAST(ts AS DATE) >= DATE '{_Q287_SPLIT}'
+  GROUP BY user_id
+), subj AS (
+  SELECT p1.user_id, p1.activity // 10 AS stratum, p1.treated,
+         coalesce(p2.y_cents, 0) AS y
+  FROM p1 LEFT JOIN p2 USING (user_id)
+), cells AS (
+  SELECT stratum,
+         CAST(sum(treated) AS BIGINT) AS n_treated,
+         CAST(sum(1 - treated) AS BIGINT) AS n_control,
+         CAST(sum(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+           AS y_treated,
+         CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+           AS y_control
+  FROM subj GROUP BY stratum
+)
+SELECT stratum, n_treated, n_control, y_treated, y_control,
+       CAST((2 * (1000000 * (y_treated * n_control
+                             - y_control * n_treated))
+             + (CASE WHEN y_treated * n_control
+                          - y_control * n_treated < 0
+                THEN -(n_treated * n_control)
+                ELSE n_treated * n_control END))
+            // (2 * n_treated * n_control) AS BIGINT) AS diff_micro
+FROM cells WHERE n_treated > 0 AND n_control > 0
+"""
+
+
+@register("q287_stratified_ate", _Q287_ORACLE)
+def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED treatment-effect table — the observational causal
+    estimate (Cochran's subclassification; the pre-model baseline of
+    every uplift analysis): treatment = experienced an ``error`` in
+    the exposure window, outcome = purchase cents in the disjoint
+    outcome window, strata = exposure-window activity buckets (the
+    confounder: active users both hit more errors AND buy more, which
+    a naive treated-vs-control difference absorbs as fake effect).
+    Per stratum with POSITIVITY (both arms non-empty): arm counts,
+    exact outcome sums, and the within-stratum mean difference as one
+    SIGNED half-away micro ratio — (Σy_t·n_c − Σy_c·n_t) over n_t·n_c,
+    the cross-multiplied form that needs no intermediate float means;
+    the ATE finalizes downstream as the n_s-weighted average.
+
+    Scale: two map-side-combined per-user rollups (disjoint date
+    filters push to the scan), one user-keyed join, one stratum
+    rollup.  Strata buckets are fixed-width integer ranges —
+    deterministic, unlike ntile whose tie placement is
+    engine-specific."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    split = F.lit(_Q287_SPLIT).cast("date")
+    p1 = (
+        ev.filter(d < split)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("activity"),
+            F.max(
+                (
+                    (F.col("event_type") == "error")
+                    & (F.col("value") > 90)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("treated"),
+        )
+    )
+    p2 = (
+        ev.filter(d >= split)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y_cents")
+        )
+    )
+    subj = p1.join(p2, "user_id", "left").select(
+        F.expr("activity div 10").alias("stratum"),
+        "treated",
+        F.coalesce("y_cents", F.lit(0)).alias("y"),
+    )
+    cells = subj.groupBy("stratum").agg(
+        F.sum("treated").cast("long").alias("n_treated"),
+        F.sum(F.lit(1) - F.col("treated")).cast("long").alias("n_control"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("y_treated"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("y_control"),
+    )
+    num = F.lit(1000000) * (
+        F.col("y_treated") * F.col("n_control")
+        - F.col("y_control") * F.col("n_treated")
+    )
+    den = F.col("n_treated") * F.col("n_control")
+    return cells.filter(
+        (F.col("n_treated") > 0) & (F.col("n_control") > 0)
+    ).select(
+        "stratum",
+        "n_treated",
+        "n_control",
+        "y_treated",
+        "y_control",
+        F.expr(
+            "CAST((2 * (1000000 * (y_treated * n_control"
+            "              - y_control * n_treated))"
+            " + (CASE WHEN y_treated * n_control"
+            "               - y_control * n_treated < 0"
+            "    THEN -(n_treated * n_control)"
+            "    ELSE n_treated * n_control END))"
+            " div (2 * n_treated * n_control) AS BIGINT)"
+        ).alias("diff_micro"),
+    )

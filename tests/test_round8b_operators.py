@@ -682,3 +682,94 @@ def test_q285_dp_twin(spark):
     ks = [r["noise"] for r in rows.values()]
     assert any(k != 0 for k in ks)
     assert abs(sum(ks)) <= 4 * len(ks) ** 0.5 * 3  # ~3 sigma of sum
+
+
+def test_q286_hard_negative_twin(spark):
+    """Brute-force cosine mining in Python floats must agree on pair
+    SELECTION exactly and on scores to float tolerance; every anchor
+    appears once with both arms from the right label sets."""
+    import math
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q286_ANCHORS,
+        q286,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"]) for r in emb}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    rows = {r["query_id"]: r for r in q286(spark, SF001).collect()}
+    anchors = [v for v in vecs if v < _Q286_ANCHORS]
+    assert set(rows) == set(anchors)
+    for qid in anchors:
+        qv, ql = vecs[qid]
+        best = {True: None, False: None}
+        for cid, (cv, cl) in vecs.items():
+            if cid == qid:
+                continue
+            key = (-cos(qv, cv), cid)
+            same = cl == ql
+            if best[same] is None or key < best[same]:
+                best[same] = key + (cl,)
+        got = rows[qid]
+        assert got["pos_id"] == best[True][1]
+        assert got["neg_id"] == best[False][1]
+        assert abs(got["pos_score"] - -best[True][0]) < 1e-9
+        assert abs(got["neg_score"] - -best[False][0]) < 1e-9
+        assert abs(got["margin"] - (got["pos_score"] - got["neg_score"])) == 0
+        assert vecs[got["pos_id"]][1] == ql
+        assert vecs[got["neg_id"]][1] != ql
+
+
+def test_q287_ate_twin(spark):
+    """Per-user replay of the exposure/outcome windows, strata, and
+    the signed cross-multiplied difference; both arms populated."""
+    import datetime
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q287_SPLIT,
+        q287,
+    )
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    split = datetime.date.fromisoformat(_Q287_SPLIT)
+    users = defaultdict(lambda: [0, 0, 0])  # activity_p1, treated, y_p2
+    for r in ev:
+        u = users[r["user_id"]]
+        if r["ts"].date() < split:
+            u[0] += 1
+            if r["event_type"] == "error" and r["value"] > 90:
+                u[1] = 1
+        elif r["event_type"] == "purchase":
+            u[2] += round(r["value"] * 100)
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for act, tr, y in users.values():
+        if act == 0:
+            continue  # no exposure-window activity -> not in p1
+        c = cells[act // 10]
+        c[0] += tr
+        c[1] += 1 - tr
+        c[2] += y if tr else 0
+        c[3] += y if not tr else 0
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    rows = {r["stratum"]: r for r in q287(spark, SF001).collect()}
+    want = {s: c for s, c in cells.items() if c[0] > 0 and c[1] > 0}
+    assert set(rows) == set(want)
+    assert len(want) > 0
+    for s, (nt, nc, yt, yc) in want.items():
+        got = rows[s]
+        assert (got["n_treated"], got["n_control"]) == (nt, nc)
+        assert (got["y_treated"], got["y_control"]) == (yt, yc)
+        num = 1_000_000 * (yt * nc - yc * nt)
+        adj = -(nt * nc) if yt * nc - yc * nt < 0 else nt * nc
+        assert got["diff_micro"] == tdiv(2 * num + adj, 2 * nt * nc)
