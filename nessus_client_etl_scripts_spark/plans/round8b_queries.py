@@ -1889,3 +1889,196 @@ def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * n_treated * n_control) AS BIGINT)"
         ).alias("diff_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q288 — Wilson score interval with exact integer square root
+# ---------------------------------------------------------------------------
+
+# shared integer spelling (both engines): floor(sqrt(T)) from the
+# double sqrt, then a +-1 adjust that makes it EXACT isqrt regardless
+# of the double rounding (T stays far below 2^52 here, but the adjust
+# removes the boundary dependence entirely)
+_Q288_ISQRT = (
+    "(CAST(floor(sqrt(CAST({t} AS DOUBLE))) AS BIGINT)"
+    " + (CASE WHEN (CAST(floor(sqrt(CAST({t} AS DOUBLE))) AS BIGINT) + 1)"
+    "          * (CAST(floor(sqrt(CAST({t} AS DOUBLE))) AS BIGINT) + 1)"
+    "          <= {t} THEN 1"
+    "     WHEN CAST(floor(sqrt(CAST({t} AS DOUBLE))) AS BIGINT)"
+    "          * CAST(floor(sqrt(CAST({t} AS DOUBLE))) AS BIGINT)"
+    "          > {t} THEN -1 ELSE 0 END))"
+)
+
+_Q288_T = "((s * (n - s) + n) * 1000000000000 {div} n)"
+_Q288_EXPRS = (
+    "CAST((2000000 * s + n) {div} (2 * n) AS BIGINT) AS rate_micro",
+    "CAST(greatest(CAST(0 AS BIGINT),"
+    " (2000000 * (s + 2) + (n + 4)) {div} (2 * (n + 4))"
+    " - (2 * " + _Q288_ISQRT.format(t=_Q288_T) + ") {div} (n + 4)"
+    ") AS BIGINT) AS wilson_lo_micro",
+    "CAST(least(CAST(1000000 AS BIGINT),"
+    " (2000000 * (s + 2) + (n + 4)) {div} (2 * (n + 4))"
+    " + (2 * " + _Q288_ISQRT.format(t=_Q288_T) + ") {div} (n + 4)"
+    ") AS BIGINT) AS wilson_hi_micro",
+)
+
+_Q288_COUNTS = """
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value > 90 THEN 1 ELSE 0 END) AS BIGINT)
+           AS s
+  FROM events GROUP BY event_type
+"""
+
+_Q288_ORACLE = (
+    f"WITH counts AS ({_Q288_COUNTS}) SELECT event_type, n, s, "
+    + ", ".join(e.format(div="//") for e in _Q288_EXPRS)
+    + " FROM counts"
+)
+
+
+@register("q288_wilson_interval", _Q288_ORACLE)
+def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON score interval (z = 2) for per-segment proportions — the
+    binomial CI every experimentation/quality dashboard should use
+    instead of the Wald interval (which collapses to zero width at
+    p̂ ∈ {0,1} and goes negative near the edges; Wilson stays inside
+    [0,1] and behaves at small n).  The entire interval is integer
+    arithmetic: center = (s+2)/(n+4) as a round-half-up micro ratio,
+    half-width = 2·√((s(n−s)+n)·10¹²/n)/(n+4) where the square root
+    is an EXACT integer sqrt — floor(double sqrt) plus a ±1 adjust
+    that cancels any last-ulp rounding, so both engines emit identical
+    bounds with zero libm dependence (the √ is the only non-rational
+    in Wilson; sqrt is IEEE-correctly-rounded, and the adjust makes
+    even that irrelevance explicit).
+
+    Scale: one map-side-combined rollup; the interval math is
+    row-local on |segments| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("value") > 90).cast("long")).cast("long").alias("s"),
+    )
+    return counts.selectExpr(
+        "event_type", "n", "s", *[e.format(div="div") for e in _Q288_EXPRS]
+    )
+
+
+# ---------------------------------------------------------------------------
+# q289 — seasonal decomposition (trend / day-of-week seasonal / remainder)
+# ---------------------------------------------------------------------------
+
+# portable day-of-week: days since epoch mod 7 (0 = Thursday) — the
+# engines' dayofweek() builtins disagree on week start, epoch math
+# does not
+_Q289_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+), ma AS (
+  SELECT event_type, d, cents,
+         CAST(sum(cents) OVER w AS BIGINT) AS s7,
+         CAST(count(*) OVER w AS BIGINT) AS c7,
+         date_diff('day', DATE '1970-01-01', d) % 7 AS dow
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), tr AS (
+  SELECT event_type, d, cents, dow,
+         (2000 * s7 + 7) // 14 AS trend_milli,
+         1000 * cents - (2000 * s7 + 7) // 14 AS detr_milli
+  FROM ma WHERE c7 = 7
+), sea AS (
+  SELECT event_type, dow,
+         CAST(sum(detr_milli) AS BIGINT) AS sd,
+         CAST(count(*) AS BIGINT) AS nd
+  FROM tr GROUP BY event_type, dow
+), seam AS (
+  SELECT event_type, dow,
+         (2 * sd + (CASE WHEN sd < 0 THEN -nd ELSE nd END))
+           // (2 * nd) AS seasonal_milli
+  FROM sea
+)
+SELECT tr.event_type, tr.d, tr.cents AS y_cents,
+       CAST(tr.trend_milli AS BIGINT) AS trend_milli,
+       CAST(seam.seasonal_milli AS BIGINT) AS seasonal_milli,
+       CAST(tr.detr_milli - seam.seasonal_milli AS BIGINT)
+         AS remainder_milli
+FROM tr JOIN seam
+  ON seam.event_type = tr.event_type AND seam.dow = tr.dow
+"""
+
+
+@register("q289_seasonal_decomposition", _Q289_ORACLE)
+def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical SEASONAL DECOMPOSITION (the moving-average
+    trend/seasonal/remainder split behind every STL plot): trend =
+    centered 7-observation moving average per series (edge days
+    without a full window are excluded — the textbook treatment),
+    seasonal = per day-of-week mean of the detrended series (signed
+    half-away milli), remainder = what neither explains.  Day-of-week
+    comes from epoch-day mod 7 — the engines' dayofweek() builtins
+    disagree on week start (Spark 1=Sunday, DuckDB 0=Sunday), epoch
+    arithmetic cannot.
+
+    Scale: one map-side-combined (type, day) rollup; the centered MA
+    is a ROWS window per series (series count × observation days —
+    bounded frames); the seasonal pass is a 7-row-per-series rollup
+    broadcast back.  At unbounded history the MA window and DOW means
+    run over a bounded trailing slice, same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type",
+        "d",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w).cast("long").alias("c7"),
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7)
+        .cast("long")
+        .alias("dow"),
+    )
+    tr = ma.filter(F.col("c7") == 7).select(
+        "event_type",
+        "d",
+        "cents",
+        "dow",
+        F.expr("(2000 * s7 + 7) div 14").alias("trend_milli"),
+        F.expr("1000 * cents - (2000 * s7 + 7) div 14").alias(
+            "detr_milli"
+        ),
+    )
+    sea = tr.groupBy("event_type", "dow").agg(
+        F.sum("detr_milli").cast("long").alias("sd"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    seam = sea.select(
+        "event_type",
+        "dow",
+        F.expr(
+            "(2 * sd + (CASE WHEN sd < 0 THEN -nd ELSE nd END))"
+            " div (2 * nd)"
+        ).alias("seasonal_milli"),
+    )
+    return tr.join(F.broadcast(seam), ["event_type", "dow"]).select(
+        "event_type",
+        F.col("d"),
+        F.col("cents").alias("y_cents"),
+        F.col("trend_milli").cast("long").alias("trend_milli"),
+        F.col("seasonal_milli").cast("long").alias("seasonal_milli"),
+        (F.col("detr_milli") - F.col("seasonal_milli"))
+        .cast("long")
+        .alias("remainder_milli"),
+    )

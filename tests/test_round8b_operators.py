@@ -773,3 +773,101 @@ def test_q287_ate_twin(spark):
         num = 1_000_000 * (yt * nc - yc * nt)
         adj = -(nt * nc) if yt * nc - yc * nt < 0 else nt * nc
         assert got["diff_micro"] == tdiv(2 * num + adj, 2 * nt * nc)
+
+
+def test_q288_wilson_twin(spark):
+    """Exact-isqrt replay plus the float cross-check against the
+    textbook Wilson formula, and the containment guarantees."""
+    import math
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q288
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in ev:
+        agg[r["event_type"]][0] += 1
+        agg[r["event_type"]][1] += 1 if r["value"] > 90 else 0
+
+    rows = {r["event_type"]: r for r in q288(spark, SF001).collect()}
+    assert set(rows) == set(agg)
+    for et, (n, s) in agg.items():
+        got = rows[et]
+        assert (got["n"], got["s"]) == (n, s)
+        assert got["rate_micro"] == (2_000_000 * s + n) // (2 * n)
+        t = (s * (n - s) + n) * 10**12 // n
+        r0 = math.isqrt(t)
+        center = (2_000_000 * (s + 2) + (n + 4)) // (2 * (n + 4))
+        half = (2 * r0) // (n + 4)
+        assert got["wilson_lo_micro"] == max(0, center - half)
+        assert got["wilson_hi_micro"] == min(1_000_000, center + half)
+        # float cross-check (z = 2)
+        p, z = s / n, 2.0
+        c = (p + z * z / (2 * n)) / (1 + z * z / n)
+        h = (
+            z
+            * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+            / (1 + z * z / n)
+        )
+        assert abs(got["wilson_lo_micro"] - (c - h) * 1e6) <= 3
+        assert abs(got["wilson_hi_micro"] - (c + h) * 1e6) <= 3
+        assert (
+            got["wilson_lo_micro"]
+            <= got["rate_micro"]
+            <= got["wilson_hi_micro"]
+        )
+
+
+def test_q289_decomposition_twin(spark):
+    """Python replay of the 7-observation centered MA, DOW seasonal
+    means and remainder, plus the decomposition identity
+    y*1000 = trend + seasonal + remainder and zero-mean-ish seasonal."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q289
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r["event_type"], r["ts"].date())] += round(r["value"] * 100)
+    series = defaultdict(list)
+    for (et, d), c in sorted(daily.items(), key=lambda kv: kv[0]):
+        series[et].append((d, c))
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    want = {}
+    sea_acc = defaultdict(lambda: [0, 0])
+    detr = {}
+    for et, obs in series.items():
+        for i in range(3, len(obs) - 3):
+            d, c = obs[i]
+            s7 = sum(x for _, x in obs[i - 3 : i + 4])
+            trend = (2000 * s7 + 7) // 14
+            dt = 1000 * c - trend
+            dow = (d - __import__("datetime").date(1970, 1, 1)).days % 7
+            detr[(et, d)] = (c, trend, dt, dow)
+            sea_acc[(et, dow)][0] += dt
+            sea_acc[(et, dow)][1] += 1
+    sea = {
+        k: tdiv(2 * sd + (-nd if sd < 0 else nd), 2 * nd)
+        for k, (sd, nd) in sea_acc.items()
+    }
+    for (et, d), (c, trend, dt, dow) in detr.items():
+        want[(et, d)] = (c, trend, sea[(et, dow)], dt - sea[(et, dow)])
+
+    rows = {(r["event_type"], r["d"]): r for r in q289(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for k, (c, trend, s_m, rem) in want.items():
+        got = rows[k]
+        assert (
+            got["y_cents"],
+            got["trend_milli"],
+            got["seasonal_milli"],
+            got["remainder_milli"],
+        ) == (c, trend, s_m, rem)
+        assert (
+            1000 * got["y_cents"]
+            == got["trend_milli"]
+            + got["seasonal_milli"]
+            + got["remainder_milli"]
+        )
