@@ -2082,3 +2082,122 @@ def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("remainder_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q290 — synchronized k-core peeling (fixed rounds, unrolled oracle)
+# ---------------------------------------------------------------------------
+
+_Q290_ROUNDS = 6
+# k = floor(2/3 * average degree) of the co-order part graph — adapts
+# to SF (degree grows with density) and peels a REAL cascade at every
+# test SF (sf0.01: 2000 -> 1921 -> 1905 -> 1901 -> 1899 -> 1898 ->
+# 1898 = converged) where k = avg collapses the whole graph in two
+# rounds (random-ish graphs have a sharp core threshold).
+_Q290_K_SQL = "(2 * count(*)) // (3 * count(DISTINCT u))"
+
+
+def _q290_oracle() -> str:
+    # CTE layers MUST be MATERIALIZED: DuckDB inlines plain CTEs, and
+    # alive{r} referencing alive{r-1} twice makes the un-materialized
+    # expansion exponential in rounds (measured: 8 rounds never
+    # finish; materialized: 0.1 s).
+    sql = f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+), ed AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM e0 a JOIN e0 b ON a.ok = b.ok AND a.p <> b.p
+), kk AS MATERIALIZED (SELECT {_Q290_K_SQL} AS k FROM ed),
+alive0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM ed)"""
+    for r in range(1, _Q290_ROUNDS + 1):
+        sql += f""",
+alive{r} AS MATERIALIZED (
+  SELECT d.u AS node FROM (
+    SELECT ed.u, count(*) AS deg FROM ed
+    JOIN alive{r - 1} a1 ON a1.node = ed.u
+    JOIN alive{r - 1} a2 ON a2.node = ed.v
+    GROUP BY ed.u
+  ) d CROSS JOIN kk WHERE d.deg >= kk.k
+)"""
+    last = f"alive{_Q290_ROUNDS}"
+    sql += f"""
+SELECT CAST(f.u AS BIGINT) AS part,
+       CAST(count(*) AS BIGINT) AS core_degree,
+       CAST(max(kk.k) AS BIGINT) AS k
+FROM ed f
+JOIN {last} a1 ON a1.node = f.u
+JOIN {last} a2 ON a2.node = f.v
+CROSS JOIN kk
+GROUP BY f.u
+"""
+    return sql
+
+
+@register("q290_kcore_peeling", _q290_oracle())
+def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE extraction by SYNCHRONIZED peeling — the graph-mining
+    primitive behind community cores, spam/bot rings, and graph
+    sparsification (Seidman 1983; Batagelj-Zaveršnik at scale): drop
+    every node whose degree among SURVIVORS is < k, simultaneously,
+    for a FIXED {rounds} rounds (the declared spec — deterministic
+    whether or not the cascade has converged; at every test SF it
+    converges by round 5, and production iterates the same round to a
+    fixpoint).  Graph = parts co-occurring in an order; k = ⌊2·d̄/3⌋
+    from the exact average degree, so the threshold adapts to scale.
+    Output: surviving parts with their within-core degree.
+
+    Scale: each round is ONE degree aggregation over edges
+    semi-joined to the survivor set (both joins key on the node —
+    co-partitioned), and survivor state is ``localCheckpoint``ed per
+    round (the operators/graph.py rule: iterative plans referencing
+    the previous round twice otherwise grow an exponential lineage —
+    the same blow-up the oracle dodges with MATERIALIZED CTEs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = e0.select(F.col("ok"), F.col("p").alias("v"))
+    ed = (
+        e0.join(b, "ok")
+        .filter(F.col("p") != F.col("v"))
+        .select(F.col("p").alias("u"), "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    kk = ed.agg(
+        F.expr("(2 * count(*)) div (3 * count(DISTINCT u))")
+        .cast("long")
+        .alias("k")
+    ).localCheckpoint(eager=True)
+    alive = ed.select(F.col("u").alias("node")).distinct()
+    for _ in range(_Q290_ROUNDS):
+        deg = (
+            ed.join(
+                alive.select(F.col("node").alias("u")), "u"
+            )
+            .join(alive.select(F.col("node").alias("v")), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = (
+            deg.crossJoin(F.broadcast(kk))
+            .filter(F.col("deg") >= F.col("k"))
+            .select(F.col("u").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ed.join(alive.select(F.col("node").alias("u")), "u")
+        .join(alive.select(F.col("node").alias("v")), "v")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .crossJoin(F.broadcast(kk))
+        .select(
+            F.col("u").cast("long").alias("part"),
+            "core_degree",
+            F.col("k").cast("long").alias("k"),
+        )
+    )
+
+
+q290.__doc__ = q290.__doc__.format(rounds=_Q290_ROUNDS)

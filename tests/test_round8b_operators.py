@@ -871,3 +871,50 @@ def test_q289_decomposition_twin(spark):
             + got["seasonal_milli"]
             + got["remainder_milli"]
         )
+
+
+def test_q290_kcore_twin(spark):
+    """Python peeling simulation (6 synchronized rounds) must match
+    the survivor set and within-core degrees exactly; the cascade is
+    live (round 2 removes someone) and converged at sf0.001."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q290_ROUNDS,
+        q290,
+    )
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    orders = defaultdict(set)
+    for r in li:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    adj = defaultdict(set)
+    for parts in orders.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    directed = sum(len(v) for v in adj.values())
+    k = (2 * directed) // (3 * len(adj))
+    alive = set(adj)
+    sizes = [len(alive)]
+    for _ in range(_Q290_ROUNDS):
+        alive = {
+            u
+            for u in alive
+            if sum(1 for v in adj[u] if v in alive) >= k
+        }
+        sizes.append(len(alive))
+    # the CASCADE is live: a removal happens after round 1 (a node
+    # dragged under k only by earlier removals), and rounds converge
+    assert sizes[1] > sizes[2] or sizes[2] > sizes[3]
+    assert sizes[-1] == sizes[-2]
+    want = {
+        u: sum(1 for v in adj[u] if v in alive)
+        for u in alive
+    }
+    rows = {r["part"]: r for r in q290(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for u, d in want.items():
+        assert rows[u]["core_degree"] == d
+        assert rows[u]["k"] == k
+        assert d >= k  # converged: every survivor meets the bar
+    assert 0 < len(want) < len(adj)  # peeling removed some, kept some
