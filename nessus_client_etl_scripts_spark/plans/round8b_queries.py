@@ -2201,3 +2201,267 @@ def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q290.__doc__ = q290.__doc__.format(rounds=_Q290_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# q291 — Qini uplift curve by score decile
+# ---------------------------------------------------------------------------
+
+_Q291_ORACLE = f"""
+WITH p1 AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS score,
+         CAST(max(CASE WHEN event_type = 'error' AND value > 90
+                  THEN 1 ELSE 0 END) AS BIGINT) AS treated
+  FROM events WHERE CAST(ts AS DATE) < DATE '{_Q287_SPLIT}'
+  GROUP BY user_id
+), p2 AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase' AND value > 90
+                  THEN 1 ELSE 0 END) AS BIGINT) AS converted
+  FROM events WHERE CAST(ts AS DATE) >= DATE '{_Q287_SPLIT}'
+  GROUP BY user_id
+), subj AS (
+  SELECT p1.user_id, p1.score, p1.treated,
+         coalesce(p2.converted, 0) AS converted,
+         row_number() OVER (ORDER BY p1.score DESC, p1.user_id)
+           AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM p1 LEFT JOIN p2 USING (user_id)
+), bucketed AS (
+  SELECT ((rn - 1) * 10) // n AS decile, treated, converted FROM subj
+), cells AS (
+  SELECT decile,
+         CAST(sum(treated) AS BIGINT) AS nt,
+         CAST(sum(1 - treated) AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN treated = 1 THEN converted ELSE 0 END)
+              AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN treated = 0 THEN converted ELSE 0 END)
+              AS BIGINT) AS cc
+  FROM bucketed GROUP BY decile
+), cum AS (
+  SELECT decile,
+         CAST(sum(nt) OVER wo AS BIGINT) AS nt_cum,
+         CAST(sum(nc) OVER wo AS BIGINT) AS nc_cum,
+         CAST(sum(ct) OVER wo AS BIGINT) AS ct_cum,
+         CAST(sum(cc) OVER wo AS BIGINT) AS cc_cum
+  FROM cells
+  WINDOW wo AS (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT decile, nt_cum, nc_cum, ct_cum, cc_cum,
+       CAST(CASE WHEN nc_cum = 0 THEN NULL ELSE
+            (2 * 1000 * (ct_cum * nc_cum - cc_cum * nt_cum)
+             + (CASE WHEN ct_cum * nc_cum - cc_cum * nt_cum < 0
+                THEN -nc_cum ELSE nc_cum END))
+            // (2 * nc_cum) END AS BIGINT) AS qini_milli
+FROM cum
+"""
+
+
+@register("q291_qini_uplift", _Q291_ORACLE)
+def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QINI uplift curve — the evaluation every uplift/targeting model
+    is judged by (Radcliffe 2007): rank the population by a targeting
+    score, and per cumulative decile report the incremental
+    conversions Q(k) = ct − cc·(nt/nc) — conversions among the
+    treated beyond what the control rate predicts.  Deciles come from
+    row_number with a pinned (score desc, user_id) tiebreak and the
+    ((rn−1)·10) div n bucket rule — ntile's tie placement is
+    engine-specific, positional bucketing is not.  Q(k) is emitted as
+    the SIGNED cross-multiplied milli ratio over nc_cum (no float
+    means), alongside the four exact cumulative arm counts.
+
+    Scale: two per-user rollups and a join (the q287 frames), one
+    global rank over USERS (the ranked entity set is the small side —
+    at true scale the two-phase range-exchange rank of
+    operators/windows takes over, the PLANS.md cardinality rule),
+    then all algebra on 10 decile rows."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    split = F.lit(_Q287_SPLIT).cast("date")
+    p1 = (
+        ev.filter(d < split)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("score"),
+            F.max(
+                (
+                    (F.col("event_type") == "error")
+                    & (F.col("value") > 90)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("treated"),
+        )
+    )
+    p2 = (
+        ev.filter(d >= split)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 90)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("converted")
+        )
+    )
+    subj = p1.join(p2, "user_id", "left").select(
+        "user_id",
+        "score",
+        "treated",
+        F.coalesce("converted", F.lit(0)).alias("converted"),
+    )
+    wr = Window.orderBy(F.desc("score"), F.asc("user_id"))
+    n = subj.count()
+    bucketed = subj.withColumn("rn", F.row_number().over(wr)).select(
+        F.expr(f"((rn - 1) * 10) div {n}").alias("decile"),
+        "treated",
+        "converted",
+    )
+    cells = bucketed.groupBy("decile").agg(
+        F.sum("treated").cast("long").alias("nt"),
+        F.sum(F.lit(1) - F.col("treated")).cast("long").alias("nc"),
+        F.sum(F.when(F.col("treated") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("treated") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("cc"),
+    )
+    wo = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "decile",
+        F.sum("nt").over(wo).cast("long").alias("nt_cum"),
+        F.sum("nc").over(wo).cast("long").alias("nc_cum"),
+        F.sum("ct").over(wo).cast("long").alias("ct_cum"),
+        F.sum("cc").over(wo).cast("long").alias("cc_cum"),
+    )
+    return cum.select(
+        "decile",
+        "nt_cum",
+        "nc_cum",
+        "ct_cum",
+        "cc_cum",
+        F.expr(
+            "CAST(CASE WHEN nc_cum = 0 THEN NULL ELSE"
+            " (2 * 1000 * (ct_cum * nc_cum - cc_cum * nt_cum)"
+            " + (CASE WHEN ct_cum * nc_cum - cc_cum * nt_cum < 0"
+            "    THEN -nc_cum ELSE nc_cum END))"
+            " div (2 * nc_cum) END AS BIGINT)"
+        ).alias("qini_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q292 — B-cubed clustering evaluation
+# ---------------------------------------------------------------------------
+
+_Q292_ORACLE = """
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+), src AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS ns,
+         CAST(sum(c * c) AS BIGINT) AS t2
+  FROM cells GROUP BY source
+), lng AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS nl,
+         CAST(sum(c * c) AS BIGINT) AS t2
+  FROM cells GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM cells
+), pq AS (
+  SELECT CAST(sum((2000000 * t2 + ns) // (2 * ns)) AS BIGINT) AS sp
+  FROM src
+), rq AS (
+  SELECT CAST(sum((2000000 * t2 + nl) // (2 * nl)) AS BIGINT) AS sr
+  FROM lng
+), pr AS (
+  SELECT n, n_sources, n_langs,
+         (2 * sp + n) // (2 * n) AS p_micro,
+         (2 * sr + n) // (2 * n) AS r_micro
+  FROM tot CROSS JOIN pq CROSS JOIN rq
+)
+SELECT n AS n_docs, n_sources, n_langs,
+       CAST(p_micro AS BIGINT) AS bcubed_p_micro,
+       CAST(r_micro AS BIGINT) AS bcubed_r_micro,
+       CAST((2 * (2 * p_micro * r_micro) + (p_micro + r_micro))
+            // (2 * (p_micro + r_micro)) AS BIGINT) AS bcubed_f1_micro
+FROM pr
+"""
+
+
+@register("q292_bcubed_clustering", _Q292_ORACLE)
+def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-CUBED clustering evaluation (Bagga & Baldwin 1998; the metric
+    the entity-resolution literature settled on after pairwise-F and
+    purity were shown gameable — Amigó et al. 2009): treating
+    ``source`` as a system clustering and ``lang`` as gold classes,
+    item-level precision Σ c_sl²/n_s and recall Σ c_sl²/n_l average
+    over all documents.  Everything reduces to the (source, lang)
+    contingency table: per-cluster contributions are micro-rounded
+    once (Σc² over n_s), then the item average rounds once more —
+    a documented two-step quantization identical in both engines; F1
+    is the harmonic mean of the two micro integers, again one
+    rounding.  The dedup pipeline's cluster-quality gate (q55/q96
+    resolve) would consume exactly this readout against labeled gold.
+
+    Scale: ONE map-side-combined contingency rollup (|sources|×|langs|
+    cells), then constant-size algebra — the standard trick that makes
+    B-cubed O(cells), not O(n²) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    src = cells.groupBy("source").agg(
+        F.sum("c").cast("long").alias("ns"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("t2"),
+    )
+    lng = cells.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("nl"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("t2"),
+    )
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    sp = src.agg(
+        F.sum(F.expr("(2000000 * t2 + ns) div (2 * ns)"))
+        .cast("long")
+        .alias("sp")
+    )
+    sr = lng.agg(
+        F.sum(F.expr("(2000000 * t2 + nl) div (2 * nl)"))
+        .cast("long")
+        .alias("sr")
+    )
+    pr = (
+        tot.crossJoin(F.broadcast(sp))
+        .crossJoin(F.broadcast(sr))
+        .selectExpr(
+            "n",
+            "n_sources",
+            "n_langs",
+            "(2 * sp + n) div (2 * n) AS p_micro",
+            "(2 * sr + n) div (2 * n) AS r_micro",
+        )
+    )
+    return pr.selectExpr(
+        "n AS n_docs",
+        "n_sources",
+        "n_langs",
+        "CAST(p_micro AS BIGINT) AS bcubed_p_micro",
+        "CAST(r_micro AS BIGINT) AS bcubed_r_micro",
+        "CAST((2 * (2 * p_micro * r_micro) + (p_micro + r_micro))"
+        " div (2 * (p_micro + r_micro)) AS BIGINT) AS bcubed_f1_micro",
+    )

@@ -918,3 +918,114 @@ def test_q290_kcore_twin(spark):
         assert rows[u]["k"] == k
         assert d >= k  # converged: every survivor meets the bar
     assert 0 < len(want) < len(adj)  # peeling removed some, kept some
+
+
+def test_q291_qini_twin(spark):
+    """Python replay of ranking, positional deciles, cumulative arms
+    and the signed Qini ratio; monotone cumulative counts."""
+    import datetime
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q287_SPLIT,
+        q291,
+    )
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    split = datetime.date.fromisoformat(_Q287_SPLIT)
+    users = defaultdict(lambda: [0, 0, 0])  # score, treated, converted
+    for r in ev:
+        u = users[r["user_id"]]
+        if r["ts"].date() < split:
+            u[0] += 1
+            if r["event_type"] == "error" and r["value"] > 90:
+                u[1] = 1
+        elif r["event_type"] == "purchase" and r["value"] > 90:
+            u[2] = 1
+    subj = [
+        (uid, s, t, c) for uid, (s, t, c) in users.items() if s > 0
+    ]
+    subj.sort(key=lambda x: (-x[1], x[0]))
+    n = len(subj)
+    cum = defaultdict(lambda: [0, 0, 0, 0])
+    for rn, (_, _, t, c) in enumerate(subj, 1):
+        dec = ((rn - 1) * 10) // n
+        cell = cum[dec]
+        cell[0] += t
+        cell[1] += 1 - t
+        cell[2] += c if t else 0
+        cell[3] += c if not t else 0
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    rows = {r["decile"]: r for r in q291(spark, SF001).collect()}
+    assert set(rows) == set(cum)
+    nt = nc = ct = cc = 0
+    for dec in sorted(cum):
+        nt += cum[dec][0]
+        nc += cum[dec][1]
+        ct += cum[dec][2]
+        cc += cum[dec][3]
+        got = rows[dec]
+        assert (got["nt_cum"], got["nc_cum"], got["ct_cum"], got["cc_cum"]) \
+            == (nt, nc, ct, cc)
+        if nc == 0:
+            assert got["qini_milli"] is None
+        else:
+            num = 1000 * (ct * nc - cc * nt)
+            adj = -nc if ct * nc - cc * nt < 0 else nc
+            assert got["qini_milli"] == tdiv(2 * num + adj, 2 * nc)
+    assert nt + nc == n
+
+
+def test_q292_bcubed_twin(spark):
+    """Item-level B-cubed computed the O(n^2)-free way in Python plus
+    the float cross-check against the textbook per-item average."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q292
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    cells = defaultdict(int)
+    for r in docs:
+        cells[(r["source"], r["lang"])] += 1
+    ns = defaultdict(int)
+    nl = defaultdict(int)
+    for (s, g), c in cells.items():
+        ns[s] += c
+        nl[g] += c
+    n = sum(cells.values())
+    sp = sum(
+        (
+            2_000_000 * sum(c * c for (s2, _), c in cells.items() if s2 == s)
+            + ns[s]
+        )
+        // (2 * ns[s])
+        for s in ns
+    )
+    sr = sum(
+        (
+            2_000_000 * sum(c * c for (_, g2), c in cells.items() if g2 == g)
+            + nl[g]
+        )
+        // (2 * nl[g])
+        for g in nl
+    )
+    p_micro = (2 * sp + n) // (2 * n)
+    r_micro = (2 * sr + n) // (2 * n)
+    row = q292(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert got["n_docs"] == n
+    assert (got["bcubed_p_micro"], got["bcubed_r_micro"]) == (p_micro, r_micro)
+    assert got["bcubed_f1_micro"] == (
+        2 * (2 * p_micro * r_micro) + (p_micro + r_micro)
+    ) // (2 * (p_micro + r_micro))
+    # float cross-check: textbook per-item averages
+    fp = sum(
+        c * c / ns[s] for (s, _), c in cells.items()
+    ) / n
+    fr = sum(
+        c * c / nl[g] for (_, g), c in cells.items()
+    ) / n
+    assert abs(got["bcubed_p_micro"] - fp * 1e6) <= len(ns) + 2
+    assert abs(got["bcubed_r_micro"] - fr * 1e6) <= len(nl) + 2
