@@ -2465,3 +2465,107 @@ def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((2 * (2 * p_micro * r_micro) + (p_micro + r_micro))"
         " div (2 * (p_micro + r_micro)) AS BIGINT) AS bcubed_f1_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# q293 — point-in-time feature backfill (union + window, no as-of joins)
+# ---------------------------------------------------------------------------
+
+_Q293_ORACLE = """
+WITH stream AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_label,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+         CASE WHEN event_type = 'error'
+              THEN CAST(round(value * 100) AS BIGINT) END AS err_cents,
+         CASE WHEN event_type = 'signup' THEN ts END AS signup_ts
+  FROM events
+), feat AS (
+  SELECT user_id, ts, event_id, is_label,
+         coalesce(CAST(sum(is_click) OVER wprev AS BIGINT), 0)
+           AS clicks_before,
+         CAST(last_value(err_cents IGNORE NULLS) OVER wprev AS BIGINT)
+           AS last_error_cents,
+         CAST(min(signup_ts) OVER wprev AS TIMESTAMP) AS first_signup
+  FROM stream
+  WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(event_id AS BIGINT) AS label_id, user_id,
+       clicks_before, last_error_cents,
+       CAST(CASE WHEN first_signup IS NULL THEN NULL ELSE
+            (epoch_us(ts) - epoch_us(first_signup)) // 1000000 END
+            AS BIGINT) AS secs_since_signup
+FROM feat WHERE is_label = 1
+"""
+
+
+@register("q293_pit_feature_backfill", _Q293_ORACLE)
+def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature backfill — the feature-store operation
+    that builds leakage-free training rows: for every label event
+    (purchase), each feature reflects ONLY what was knowable STRICTLY
+    BEFORE it (clicks so far, last error severity, seconds since first
+    signup).  Instead of one as-of join per feature table (N shuffles,
+    the naive backfill), labels and feature events ride ONE stream:
+    a single (user, ts, event_id)-ordered window with a
+    rows-to-1-PRECEDING frame computes every feature simultaneously,
+    and the label filter keeps the training rows — the union+window
+    backfill pattern, one shuffle total regardless of feature count.
+    Strictness (ties broken by event_id, frame ends 1 PRECEDING) is
+    the leakage guarantee q167's splitter enforces at the dataset
+    level, here enforced at the feature level.
+
+    Scale: one window keyed on the entity — high-cardinality
+    partitionBy, bounded per-user frames; adding a feature adds a
+    column, not a shuffle.  last_value(... IGNORE NULLS) and the
+    epoch-micros div are the portable spellings (both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    stream = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("is_label"),
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+        F.when(
+            F.col("event_type") == "error",
+            F.round(F.col("value") * 100, 0).cast("long"),
+        ).alias("err_cents"),
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias(
+            "signup_ts"
+        ),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feat = stream.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_label",
+        F.coalesce(F.sum("is_click").over(wprev), F.lit(0))
+        .cast("long")
+        .alias("clicks_before"),
+        F.last("err_cents", ignorenulls=True)
+        .over(wprev)
+        .cast("long")
+        .alias("last_error_cents"),
+        F.min("signup_ts").over(wprev).alias("first_signup"),
+    )
+    return feat.filter(F.col("is_label") == 1).select(
+        F.col("event_id").cast("long").alias("label_id"),
+        "user_id",
+        "clicks_before",
+        "last_error_cents",
+        F.when(
+            F.col("first_signup").isNotNull(),
+            F.expr(
+                "(unix_micros(ts) - unix_micros(first_signup))"
+                " div 1000000"
+            ),
+        )
+        .cast("long")
+        .alias("secs_since_signup"),
+    )

@@ -1029,3 +1029,51 @@ def test_q292_bcubed_twin(spark):
     ) / n
     assert abs(got["bcubed_p_micro"] - fp * 1e6) <= len(ns) + 2
     assert abs(got["bcubed_r_micro"] - fr * 1e6) <= len(nl) + 2
+
+
+def test_q293_pit_twin(spark):
+    """Per-user event replay: features must reflect strictly-earlier
+    events only (the leakage guarantee), including the (ts, event_id)
+    tie rule."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q293
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    per = defaultdict(list)
+    for r in ev:
+        per[r["user_id"]].append(r)
+    want = {}
+    for uid, rs in per.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        clicks = 0
+        last_err = None
+        first_signup = None
+        for r in rs:
+            if r["event_type"] == "purchase":
+                secs = None
+                if first_signup is not None:
+                    # exact micros div, not float seconds
+                    us = int(
+                        (r["ts"] - first_signup)
+                        / __import__("datetime").timedelta(microseconds=1)
+                    )
+                    secs = us // 1_000_000
+                want[r["event_id"]] = (uid, clicks, last_err, secs)
+            if r["event_type"] == "click":
+                clicks += 1
+            elif r["event_type"] == "error":
+                last_err = round(r["value"] * 100)
+            elif r["event_type"] == "signup":
+                if first_signup is None or r["ts"] < first_signup:
+                    first_signup = r["ts"]
+
+    rows = {r["label_id"]: r for r in q293(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for lid, (uid, clicks, last_err, secs) in want.items():
+        got = rows[lid]
+        assert got["user_id"] == uid
+        assert got["clicks_before"] == clicks
+        assert got["last_error_cents"] == last_err
+        assert got["secs_since_signup"] == secs
+    # both null branches are live early in each user's stream
+    assert any(r["last_error_cents"] is None for r in rows.values())
+    assert any(r["secs_since_signup"] is None for r in rows.values())
