@@ -2569,3 +2569,324 @@ def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("secs_since_signup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q294 — exponential-bucket histogram with reconstruction audit
+# ---------------------------------------------------------------------------
+
+_Q294_ORACLE = """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value > 0
+), ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rk,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM v
+), exact AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(max(CASE WHEN rk = (n + 1) // 2 THEN cents END)
+              AS BIGINT) AS p50_exact,
+         CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN cents END)
+              AS BIGINT) AS p90_exact
+  FROM ranked GROUP BY event_type
+), hist AS (
+  SELECT event_type, length(bin(cents)) - 1 AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM v GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, b, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cc
+  FROM hist
+), picks AS (
+  SELECT cum.event_type,
+         CAST(min(CASE WHEN cc >= (e.n + 1) // 2 THEN b END)
+              AS BIGINT) AS b50,
+         CAST(min(CASE WHEN cc >= (9 * e.n + 9) // 10 THEN b END)
+              AS BIGINT) AS b90,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM cum JOIN exact e ON e.event_type = cum.event_type
+  GROUP BY cum.event_type
+)
+SELECT e.event_type, e.n, p.n_buckets, e.p50_exact, e.p90_exact,
+       CAST(((1::BIGINT << b50) + ((1::BIGINT << (b50 + 1)) - 1)) // 2
+            AS BIGINT) AS p50_hist_mid,
+       CAST(((1::BIGINT << b90) + ((1::BIGINT << (b90 + 1)) - 1)) // 2
+            AS BIGINT) AS p90_hist_mid
+FROM exact e JOIN picks p ON p.event_type = e.event_type
+"""
+
+
+@register("q294_exp_histogram", _Q294_ORACLE)
+def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIAL-BUCKET histogram percentiles with a reconstruction
+    AUDIT — the observability-pipeline shape (OpenTelemetry
+    exponential histograms, HdrHistogram): values land in power-of-two
+    buckets b = floor_log2(cents) (len(bin(x)) − 1 — pure
+    integer/string, the q204 no-libm rule), the p50/p90 are read back
+    from cumulative bucket counts as bucket midpoints, and the EXACT
+    positional percentiles ride along so the query itself reports the
+    quantization error a fixed-size histogram trades for its O(1)
+    memory (relative error ≤ 2× bucket base by construction).
+
+    Scale: the histogram is the whole point — per series it is ≤ 64
+    rows regardless of event volume, mergeable by adding counts (the
+    HLL/count-min posture); the exact side exists for the audit and
+    costs one per-series rank."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    exact = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("p50_exact"),
+        F.max(
+            F.when(
+                F.col("rk") == F.expr("(9 * n + 9) div 10"), F.col("cents")
+            )
+        )
+        .cast("long")
+        .alias("p90_exact"),
+    )
+    hist = v.groupBy(
+        "event_type",
+        (F.length(F.bin(F.col("cents"))) - 1).cast("long").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type", "b", F.sum("c").over(wc).cast("long").alias("cc")
+    )
+    picks = (
+        cum.join(exact.select("event_type", "n"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cc") >= F.expr("(n + 1) div 2"), F.col("b")
+                )
+            )
+            .cast("long")
+            .alias("b50"),
+            F.min(
+                F.when(
+                    F.col("cc") >= F.expr("(9 * n + 9) div 10"),
+                    F.col("b"),
+                )
+            )
+            .cast("long")
+            .alias("b90"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        )
+    )
+    return exact.join(picks, "event_type").select(
+        "event_type",
+        "n",
+        "n_buckets",
+        "p50_exact",
+        "p90_exact",
+        F.expr(
+            "CAST((shiftleft(CAST(1 AS BIGINT), CAST(b50 AS INT))"
+            " + shiftleft(CAST(1 AS BIGINT), CAST(b50 + 1 AS INT)) - 1)"
+            " div 2 AS BIGINT)"
+        ).alias("p50_hist_mid"),
+        F.expr(
+            "CAST((shiftleft(CAST(1 AS BIGINT), CAST(b90 AS INT))"
+            " + shiftleft(CAST(1 AS BIGINT), CAST(b90 + 1 AS INT)) - 1)"
+            " div 2 AS BIGINT)"
+        ).alias("p90_hist_mid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q295 — business-day lead times (weekday interval arithmetic)
+# ---------------------------------------------------------------------------
+
+# W(n) = weekdays among epoch days [0, n): epoch day 0 = Thursday, so
+# the within-week cumulative table is Thu,Fri,Sat,Sun,Mon,Tue,Wed ->
+# 0,1,2,2,2,3,4 (closed-form, no calendar table — both engines share
+# the integer formula)
+_Q295_WTAB = "(CASE ({d}) % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END)"
+
+
+def _q295_w(d: str, div: str) -> str:
+    return f"((({d}) {div} 7) * 5 + {_Q295_WTAB.format(d=d)})"
+
+
+def _q295_oracle() -> str:
+    lo = "date_diff('day', DATE '1970-01-01', least(od, sd))"
+    hi = "date_diff('day', DATE '1970-01-01', greatest(od, sd))"
+    return f"""
+WITH pairs AS (
+  SELECT year(CAST(li.l_shipdate AS DATE)) AS yr,
+         CAST(o.o_orderdate AS DATE) AS od,
+         CAST(li.l_shipdate AS DATE) AS sd
+  FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+), bd AS (
+  SELECT yr,
+         CAST({_q295_w(hi, "//")} - {_q295_w(lo, "//")} AS BIGINT)
+           AS bdays
+  FROM pairs
+)
+SELECT CAST(yr AS BIGINT) AS yr,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(bdays) AS BIGINT) AS sum_bdays,
+       CAST((2000000 * sum(bdays) + count(*)) // (2 * count(*))
+            AS BIGINT) AS mean_bdays_micro,
+       CAST(max(bdays) AS BIGINT) AS max_bdays
+FROM bd GROUP BY yr
+"""
+
+
+@register("q295_business_days", _q295_oracle())
+def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUSINESS-DAY interval arithmetic — the SLA measure ops teams
+    actually contract on (calendar days overstate weekend-spanning
+    lead times): weekdays in [lo, hi) via the closed-form prefix
+    function W(n) = (n div 7)·5 + table[n mod 7] on epoch days (epoch
+    day 0 = Thursday anchors the table), so no calendar/holiday
+    dimension table, no per-day explode — O(1) per row where the
+    naive spine join costs O(interval length).  Ship/order date pairs
+    are direction-normalized (the synthetic dates are not ordered);
+    per ship-year: count, exact business-day sum, round-half-up micro
+    mean, max.
+
+    Scale: one fact-dim equi-join (orders broadcast at test SF,
+    shuffle-hash beyond), one rollup; the interval math is row-local
+    integer arithmetic inside WholeStageCodegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    pairs = li.select(
+        F.col("l_orderkey"),
+        F.year(F.col("l_shipdate").cast("date")).alias("yr"),
+        F.col("l_shipdate").cast("date").alias("sd"),
+    ).join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+    lo = "datediff(least(od, sd), DATE '1970-01-01')"
+    hi = "datediff(greatest(od, sd), DATE '1970-01-01')"
+    bd = pairs.select(
+        "yr",
+        F.expr(
+            f"CAST({_q295_w(hi, 'div')} - {_q295_w(lo, 'div')} AS BIGINT)"
+        ).alias("bdays"),
+    )
+    return bd.groupBy(F.col("yr").cast("long").alias("yr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("bdays").cast("long").alias("sum_bdays"),
+        F.expr(
+            "CAST((2000000 * sum(bdays) + count(*))"
+            " div (2 * count(*)) AS BIGINT)"
+        ).alias("mean_bdays_micro"),
+        F.max("bdays").cast("long").alias("max_bdays"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q296 — degree assortativity sufficient statistics
+# ---------------------------------------------------------------------------
+
+_Q296_ORACLE = """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+), ed AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM e0 a JOIN e0 b ON a.ok = b.ok AND a.p <> b.p
+), deg AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY u
+), pairs AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM ed JOIN deg du ON du.node = ed.u JOIN deg dv ON dv.node = ed.v
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+         AS assort_num,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+         AS assort_den
+FROM pairs
+"""
+
+
+@register("q296_degree_assortativity", _Q296_ORACLE)
+def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY sufficient statistics (Newman 2002) — do
+    high-degree nodes attach to high-degree nodes?  The one-number
+    mixing diagnostic read before trusting any community/core
+    structure (socials assort, tech/dependency graphs disassort).
+    Over the DIRECTED edge list of the co-order part graph, endpoint
+    degrees (x, y) are symmetric, so Pearson's r needs only n, Σx,
+    Σxy, Σx² — emitted exactly, with the correlation numerator
+    n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² as exact integers
+    (r = num/den since both marginal variances coincide; the q281
+    emit-the-sufficient-statistics pattern keeps the hash float-free).
+
+    Scale: one degree rollup, two node-keyed joins edge←degree (the
+    same co-partitioned shape as q290's peel round), one reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = e0.select(F.col("ok"), F.col("p").alias("v"))
+    ed = (
+        e0.join(b, "ok")
+        .filter(F.col("p") != F.col("v"))
+        .select(F.col("p").alias("u"), "v")
+        .distinct()
+    )
+    deg = ed.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    pairs = (
+        ed.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("x")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("y")),
+            "v",
+        )
+        .select("x", "y")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        )
+        .cast("long")
+        .alias("assort_num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        )
+        .cast("long")
+        .alias("assort_den"),
+    )

@@ -1077,3 +1077,122 @@ def test_q293_pit_twin(spark):
     # both null branches are live early in each user's stream
     assert any(r["last_error_cents"] is None for r in rows.values())
     assert any(r["secs_since_signup"] is None for r in rows.values())
+
+
+def test_q294_exp_histogram_twin(spark):
+    """Python replay of buckets, cumulative picks and exact positional
+    percentiles; the histogram error bound (mid within 2x of exact)
+    holds by construction."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q294
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    per = defaultdict(list)
+    for r in ev:
+        if r["value"] > 0:
+            per[r["event_type"]].append(
+                (round(r["value"] * 100), r["event_id"])
+            )
+    rows = {r["event_type"]: r for r in q294(spark, SF001).collect()}
+    assert set(rows) == set(per)
+    for et, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        p50 = vals[(n + 1) // 2 - 1][0]
+        p90 = vals[(9 * n + 9) // 10 - 1][0]
+        buckets = defaultdict(int)
+        for c, _ in vals:
+            buckets[c.bit_length() - 1] += 1
+        cum = 0
+        b50 = b90 = None
+        for b in sorted(buckets):
+            cum += buckets[b]
+            if b50 is None and cum >= (n + 1) // 2:
+                b50 = b
+            if b90 is None and cum >= (9 * n + 9) // 10:
+                b90 = b
+        got = rows[et]
+        assert got["n"] == n and got["n_buckets"] == len(buckets)
+        assert (got["p50_exact"], got["p90_exact"]) == (p50, p90)
+        assert got["p50_hist_mid"] == ((1 << b50) + (1 << (b50 + 1)) - 1) // 2
+        assert got["p90_hist_mid"] == ((1 << b90) + (1 << (b90 + 1)) - 1) // 2
+        # the audit's own guarantee: midpoint within a factor of 2
+        assert got["p50_hist_mid"] <= 2 * p50 and p50 <= 2 * got["p50_hist_mid"]
+
+
+def test_q295_business_days_twin(spark):
+    """The closed-form weekday prefix function must equal a literal
+    day-by-day weekday count for every (order, ship) pair."""
+    import datetime
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q295
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    orders = {
+        r["o_orderkey"]: datetime.date.fromisoformat(
+            str(r["o_orderdate"])[:10]
+        )
+        for r in spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in li:
+        sd = datetime.date.fromisoformat(str(r["l_shipdate"])[:10])
+        od = orders[r["l_orderkey"]]
+        lo, hi = min(od, sd), max(od, sd)
+        bd = 0
+        d = lo
+        while d < hi:  # literal loop the closed form replaces
+            if d.weekday() < 5:
+                bd += 1
+            d += datetime.timedelta(days=1)
+        a = agg[sd.year]
+        a[0] += 1
+        a[1] += bd
+        a[2] = max(a[2], bd)
+
+    rows = {r["yr"]: r for r in q295(spark, SF001).collect()}
+    assert set(rows) == set(agg)
+    for yr, (n, s, mx) in agg.items():
+        got = rows[yr]
+        assert (got["n_lines"], got["sum_bdays"], got["max_bdays"]) == (
+            n,
+            s,
+            mx,
+        )
+        assert got["mean_bdays_micro"] == (2_000_000 * s + n) // (2 * n)
+
+
+def test_q296_assortativity_twin(spark):
+    """Edge-endpoint degree sums replayed in Python; the symmetric
+    identity sum_x == sum_y and Cauchy-Schwarz |num| <= den."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q296
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    orders = defaultdict(set)
+    for r in li:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    adj = defaultdict(set)
+    for parts in orders.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    deg = {u: len(vs) for u, vs in adj.items()}
+    n = sx = sxy = sxx = 0
+    for u, vs in adj.items():
+        for v in vs:
+            n += 1
+            sx += deg[u]
+            sxy += deg[u] * deg[v]
+            sxx += deg[u] * deg[u]
+    row = q296(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert (got["n_edges"], got["sum_x"], got["sum_xy"], got["sum_xx"]) == (
+        n,
+        sx,
+        sxy,
+        sxx,
+    )
+    assert got["assort_num"] == n * sxy - sx * sx
+    assert got["assort_den"] == n * sxx - sx * sx
+    assert abs(got["assort_num"]) <= got["assort_den"]
