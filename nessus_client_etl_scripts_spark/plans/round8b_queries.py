@@ -2890,3 +2890,128 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("assort_den"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q297 — Kneser-Ney smoothed bigram probabilities (exact rational)
+# ---------------------------------------------------------------------------
+
+_Q297_TOPK = 50
+
+_Q297_ORACLE = None  # assigned below (needs corpus _NORM_SQL)
+
+
+def _q297_oracle() -> str:
+    from .corpus_queries import _NORM_SQL
+
+    return f"""
+WITH s AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i])) AS a,
+         unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i + 1])) AS b
+  FROM s WHERE len(l) >= 2
+), bi AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bg GROUP BY 1, 2
+), uni AS (
+  SELECT a, CAST(sum(cab) AS BIGINT) AS ca,
+         CAST(count(*) AS BIGINT) AS n_follow
+  FROM bi GROUP BY a
+), prec AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_precede FROM bi GROUP BY b
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM bi),
+scored AS (
+  SELECT bi.a, bi.b, bi.cab, uni.ca, uni.n_follow, prec.n_precede,
+         (2000000 * (greatest(4 * bi.cab - 3, 0) * tot.bt
+                     + 3 * uni.n_follow * prec.n_precede)
+          + (4 * uni.ca * tot.bt))
+           // (2 * 4 * uni.ca * tot.bt) AS p_kn_micro
+  FROM bi JOIN uni ON uni.a = bi.a
+  JOIN prec ON prec.b = bi.b CROSS JOIN tot
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY cab DESC, a, b) AS rk
+  FROM scored
+)
+SELECT a, b, cab, ca, n_follow, n_precede,
+       CAST(p_kn_micro AS BIGINT) AS p_kn_micro
+FROM ranked WHERE rk <= {_Q297_TOPK}
+"""
+
+
+@register("q297_kneser_ney", _q297_oracle())
+def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY smoothed bigram probabilities — THE language-model
+    smoothing (Kneser & Ney 1995; what KenLM ships) and the reason a
+    bigram LM generalizes: absolute discounting D moves mass from seen
+    bigrams to a CONTINUATION prior P_cont(b) ∝ |distinct predecessors
+    of b| (how many contexts a word completes — \"Francisco\" is
+    frequent but follows only \"San\", so its continuation mass is
+    tiny).  With D = 3/4 the whole estimate is ONE exact rational:
+    P = [max(4c(ab)−3, 0)·B + 3·N₊(a·)·N₊(·b)] / (4·c(a)·B), emitted
+    as a round-half-up micro ratio beside its integer components for
+    the top-{k} bigrams (pinned (count desc, a, b) tiebreak).  c(a) is
+    the bigram-marginal (Σ_b c(ab)), the convention that makes the
+    model a proper distribution per context.
+
+    Scale: the model is two map-side-combined rollups over the
+    exploded bigram stream (vocabulary²-bounded, distributed — the
+    q216 shape) plus one broadcast 1-row total; the top-k rank is
+    TakeOrderedAndProject."""
+    from ..operators.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(normalize_text("text"))
+    bg = (
+        docs.select(toks.alias("l"))
+        .filter(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("l"), 1, F.size("l") - 1),
+                    F.slice(F.col("l"), 2, F.size("l") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    bi = bg.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cab")
+    )
+    uni = bi.groupBy("a").agg(
+        F.sum("cab").cast("long").alias("ca"),
+        F.count(F.lit(1)).cast("long").alias("n_follow"),
+    )
+    prec = bi.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_precede")
+    )
+    tot = bi.agg(F.count(F.lit(1)).cast("long").alias("bt"))
+    scored = (
+        bi.join(uni, "a")
+        .join(prec, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "cab",
+            "ca",
+            "n_follow",
+            "n_precede",
+            F.expr(
+                "(2000000 * (greatest(4 * cab - 3, 0) * bt"
+                " + 3 * n_follow * n_precede)"
+                " + (4 * ca * bt))"
+                " div (2 * 4 * ca * bt)"
+            )
+            .cast("long")
+            .alias("p_kn_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cab"), F.asc("a"), F.asc("b")
+    ).limit(_Q297_TOPK)
+
+
+q297.__doc__ = q297.__doc__.format(k=_Q297_TOPK)

@@ -1196,3 +1196,69 @@ def test_q296_assortativity_twin(spark):
     assert got["assort_num"] == n * sxy - sx * sx
     assert got["assort_den"] == n * sxx - sx * sx
     assert abs(got["assort_num"]) <= got["assort_den"]
+
+
+def test_q297_kneser_ney_twin(spark):
+    """Python KN replay over the same normalized bigrams, plus the
+    probability-mass identity: per context a, the exact rational
+    sum_b P_KN(b|a) == 1 (what makes KN a proper distribution)."""
+    from fractions import Fraction
+
+    from nessus_client_etl_scripts_spark.operators.text import (
+        normalize_text,
+        tokens,
+    )
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q297_TOPK,
+        q297,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    toks = [
+        r["l"]
+        for r in docs.select(
+            tokens(normalize_text("text")).alias("l")
+        ).collect()
+    ]
+    bi = defaultdict(int)
+    for l in toks:
+        for a, b in zip(l, l[1:]):
+            bi[(a, b)] += 1
+    ca = defaultdict(int)
+    nf = defaultdict(int)
+    np_ = defaultdict(int)
+    for (a, b), c in bi.items():
+        ca[a] += c
+        nf[a] += 1
+        np_[b] += 1
+    B = len(bi)
+
+    rows = q297(spark, SF001).collect()
+    assert len(rows) == _Q297_TOPK
+    ranked = sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[:_Q297_TOPK]
+    assert [(r["a"], r["b"]) for r in rows] == [k for k, _ in ranked] or {
+        (r["a"], r["b"]) for r in rows
+    } == {k for k, _ in ranked}
+    for r in rows:
+        a, b = r["a"], r["b"]
+        assert r["cab"] == bi[(a, b)]
+        assert r["ca"] == ca[a] and r["n_follow"] == nf[a]
+        assert r["n_precede"] == np_[b]
+        num = max(4 * bi[(a, b)] - 3, 0) * B + 3 * nf[a] * np_[b]
+        den = 4 * ca[a] * B
+        assert r["p_kn_micro"] == (2_000_000 * num + den) // (2 * den)
+    # mass identity for the three heaviest contexts: the discounted
+    # seen mass plus lambda(a) * sum over the WHOLE vocabulary of the
+    # continuation prior (sum_b N+( . b) == B) is exactly 1
+    heavy = sorted(ca, key=lambda a: -ca[a])[:3]
+    for a in heavy:
+        seen = sum(
+            Fraction(max(4 * c - 3, 0), 4 * ca[a])
+            for (a2, _), c in bi.items()
+            if a2 == a
+        )
+        cont = Fraction(3 * nf[a], 4 * ca[a]) * Fraction(
+            sum(np_.values()), B
+        )
+        assert seen + cont == 1
