@@ -3015,3 +3015,135 @@ def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q297.__doc__ = q297.__doc__.format(k=_Q297_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q298 — k-anonymity generalization-lattice search
+# ---------------------------------------------------------------------------
+
+_Q298_K = 5
+
+# generalization levels: nation -> region -> * ; acctbal cents
+# bucketed by 10^4 -> 10^5 -> *
+_Q298_G1 = {
+    0: "CAST(c_nationkey AS STRING)",
+    1: "CAST(n_regionkey AS STRING)",
+    2: "'*'",
+}
+_Q298_G2 = {
+    0: "CAST(CAST(round(c_acctbal * 100) AS BIGINT) {div} 10000 AS STRING)",
+    1: "CAST(CAST(round(c_acctbal * 100) AS BIGINT) {div} 100000 AS STRING)",
+    2: "'*'",
+}
+
+
+def _q298_node_sql(h1: int, h2: int, div: str) -> str:
+    g1 = _Q298_G1[h1]
+    g2 = _Q298_G2[h2].format(div=div)
+    return (
+        f"SELECT {h1} AS h1, {h2} AS h2, {g1} AS k1, {g2} AS k2"
+        " FROM customer JOIN nation ON n_nationkey = c_nationkey"
+    )
+
+
+def _q298_oracle() -> str:
+    nodes = " UNION ALL ".join(
+        _q298_node_sql(h1, h2, "//") for h1 in range(3) for h2 in range(3)
+    )
+    return f"""
+WITH expanded AS ({nodes}
+), grp AS (
+  SELECT h1, h2, k1, k2, CAST(count(*) AS BIGINT) AS g
+  FROM expanded GROUP BY h1, h2, k1, k2
+), node AS (
+  SELECT h1, h2,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(min(g) AS BIGINT) AS k_min,
+         CAST(coalesce(sum(CASE WHEN g < {_Q298_K} THEN g END), 0)
+              AS BIGINT) AS n_suppressed
+  FROM grp GROUP BY h1, h2
+), best AS (
+  SELECT h1 AS b1, h2 AS b2 FROM node WHERE k_min >= {_Q298_K}
+  ORDER BY h1 + h2, h1, h2 LIMIT 1
+)
+SELECT CAST(h1 AS BIGINT) AS h1, CAST(h2 AS BIGINT) AS h2,
+       n_groups, k_min, n_suppressed,
+       CAST(CASE WHEN h1 = b1 AND h2 = b2 THEN 1 ELSE 0 END AS BIGINT)
+         AS chosen
+FROM node CROSS JOIN best
+"""
+
+
+@register("q298_generalization_lattice", _q298_oracle())
+def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ANONYMITY GENERALIZATION-LATTICE search (Samarati 2001 /
+    Incognito) — not the single-config audit q246 runs, but the search
+    a privacy-release pipeline performs: every combination of
+    quasi-identifier generalization levels (nation→region→* ×
+    balance-bucket 10²→10³→*) is scored for its minimum group size,
+    group count, and the rows that would need SUPPRESSION at
+    k = {k}, and the MINIMAL node (lowest total height, pinned
+    (h1+h2, h1, h2) tiebreak) that achieves k without suppression is
+    flagged — the utility-maximizing release the analyst publishes.
+
+    Scale: the 9-node lattice rides ONE pass — each input row expands
+    ×9 with CASE-generalized keys (a flatMap, no shuffle), then one
+    (node, key) rollup and a 9-row reduction; lattice pruning
+    (Incognito's monotonicity) would drop dominated nodes before the
+    expansion at larger lattices, same data-plane."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    joined = cust.join(
+        F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey")
+    )
+    parts = []
+    for h1 in range(3):
+        for h2 in range(3):
+            parts.append(
+                joined.select(
+                    F.lit(h1).alias("h1"),
+                    F.lit(h2).alias("h2"),
+                    F.expr(_Q298_G1[h1]).alias("k1"),
+                    F.expr(_Q298_G2[h2].format(div="div")).alias("k2"),
+                )
+            )
+    expanded = parts[0]
+    for p in parts[1:]:
+        expanded = expanded.unionByName(p)
+    grp = expanded.groupBy("h1", "h2", "k1", "k2").agg(
+        F.count(F.lit(1)).cast("long").alias("g")
+    )
+    node = grp.groupBy("h1", "h2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("g").cast("long").alias("k_min"),
+        F.coalesce(
+            F.sum(F.when(F.col("g") < _Q298_K, F.col("g"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_suppressed"),
+    )
+    best = (
+        node.filter(F.col("k_min") >= _Q298_K)
+        .orderBy(F.col("h1") + F.col("h2"), F.col("h1"), F.col("h2"))
+        .limit(1)
+        .select(F.col("h1").alias("b1"), F.col("h2").alias("b2"))
+    )
+    return node.crossJoin(F.broadcast(best)).select(
+        F.col("h1").cast("long").alias("h1"),
+        F.col("h2").cast("long").alias("h2"),
+        "n_groups",
+        "k_min",
+        "n_suppressed",
+        F.when(
+            (F.col("h1") == F.col("b1")) & (F.col("h2") == F.col("b2")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("chosen"),
+    )
+
+
+q298.__doc__ = q298.__doc__.format(k=_Q298_K)

@@ -1262,3 +1262,67 @@ def test_q297_kneser_ney_twin(spark):
             sum(np_.values()), B
         )
         assert seen + cont == 1
+
+
+def test_q298_lattice_twin(spark):
+    """Python replay of all 9 lattice nodes plus the monotonicity
+    property (generalizing can only raise k_min) and minimality of
+    the chosen node."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q298_K,
+        q298,
+    )
+
+    cust = spark.read.parquet(f"{SF001}/customer.parquet").collect()
+    nat = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in spark.read.parquet(f"{SF001}/nation.parquet").collect()
+    }
+
+    def key(r, h1, h2):
+        k1 = (
+            str(r["c_nationkey"])
+            if h1 == 0
+            else str(nat[r["c_nationkey"]])
+            if h1 == 1
+            else "*"
+        )
+        cents = round(r["c_acctbal"] * 100)
+        k2 = (
+            str(cents // 10_000)
+            if h2 == 0
+            else str(cents // 100_000)
+            if h2 == 1
+            else "*"
+        )
+        return k1, k2
+
+    want = {}
+    for h1 in range(3):
+        for h2 in range(3):
+            groups = defaultdict(int)
+            for r in cust:
+                groups[key(r, h1, h2)] += 1
+            kmin = min(groups.values())
+            supp = sum(g for g in groups.values() if g < _Q298_K)
+            want[(h1, h2)] = (len(groups), kmin, supp)
+    ok = [
+        (h1 + h2, h1, h2)
+        for (h1, h2), (_, kmin, _s) in want.items()
+        if kmin >= _Q298_K
+    ]
+    chosen = min(ok)[1:]
+
+    rows = {(r["h1"], r["h2"]): r for r in q298(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for node, (ng, kmin, supp) in want.items():
+        got = rows[node]
+        assert (got["n_groups"], got["k_min"], got["n_suppressed"]) == (
+            ng,
+            kmin,
+            supp,
+        )
+        assert got["chosen"] == (1 if node == chosen else 0)
+    # monotonicity: fully generalized dominates
+    assert want[(2, 2)][1] >= max(want[(0, 0)][1], 1)
+    assert sum(r["chosen"] for r in rows.values()) == 1
