@@ -1288,10 +1288,15 @@ def test_q298_lattice_twin(spark):
             else "*"
         )
         cents = round(r["c_acctbal"] * 100)
+
+        def tdiv(a, b):  # engines truncate toward zero; Python floors
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+
         k2 = (
-            str(cents // 10_000)
+            str(tdiv(cents, 10_000))
             if h2 == 0
-            else str(cents // 100_000)
+            else str(tdiv(cents, 100_000))
             if h2 == 1
             else "*"
         )
