@@ -5793,7 +5793,10 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = grouped_row_number(
         ct, "ym", ("days", "k", "ln"), out_col="rk"
     )
-    n = ct.groupBy("ym").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # group sizes from the ranked frame (max position) — reads the
+    # rank machinery's staged materialization instead of re-running
+    # the fact-dim join a second time
+    n = ranked.groupBy("ym").agg(F.max("rk").cast("long").alias("n"))
     j = ranked.join(F.broadcast(n), "ym")
     return j.groupBy("ym", "n").agg(
         F.max(

@@ -1248,9 +1248,17 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import RMAX, hll_register_frame
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
-    ).distinct()
+    # edges feed three consumers (per-order registers, the merge join,
+    # the degree rollup) — pin the distinct() once instead of paying
+    # its shuffle three times
+    edges = (
+        li.select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     regs = hll_register_frame(
         edges.withColumn("pstr", F.col("part").cast("string")),
         ["ok"],
@@ -2852,11 +2860,13 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
     ).distinct()
     b = e0.select(F.col("ok"), F.col("p").alias("v"))
+    # ed feeds the degree rollup and both endpoint joins — pin it once
     ed = (
         e0.join(b, "ok")
         .filter(F.col("p") != F.col("v"))
         .select(F.col("p").alias("u"), "v")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = ed.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
