@@ -3157,3 +3157,223 @@ def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q298.__doc__ = q298.__doc__.format(k=_Q298_K)
+
+
+# ---------------------------------------------------------------------------
+# q299 — cluster medoid (1-median) per label in embedding space
+# ---------------------------------------------------------------------------
+
+_Q299_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), pairs AS (
+  SELECT a.label, a.vec_id AS i, b.vec_id AS j,
+         CAST(round(1000000000 * (1.0 -
+           list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e))))) AS BIGINT)
+           AS d_nano
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+), sums AS (
+  SELECT label, i AS vec_id,
+         CAST(sum(d_nano) AS BIGINT) AS sum_dist_nano,
+         CAST(count(*) + 1 AS BIGINT) AS n_members
+  FROM pairs GROUP BY label, i
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY label
+             ORDER BY sum_dist_nano, vec_id) AS rn
+  FROM sums
+)
+SELECT label, vec_id AS medoid_id, sum_dist_nano, n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("q299_cluster_medoid", _Q299_ORACLE)
+def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster MEDOID (1-median) per label — the exemplar selection
+    k-medoids/PAM builds on and the \"most representative member\"
+    every cluster-inspection UI shows: the member minimizing the sum
+    of cosine distances to its cluster.  Pairwise distances are
+    QUANTIZED to nano integers BEFORE summation (JVM round() and
+    DuckDB round() share the half-away tie rule — this is the
+    float-sum-order hazard killed the same way as q272's bridge: a
+    sum of doubles is order-dependent, a sum of int64 is not), so the
+    argmin is bit-portable.
+
+    Scale: the quadratic step is WITHIN-CLUSTER by construction (the
+    per-label self-join the intra-class structure bounds — the same
+    blocking argument as the LSH buckets); clusters too large for
+    exact 1-median switch to the sampled medoid (evaluate candidates
+    against a fixed sample), identical frame shapes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import dot
+
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a = v.select(
+        "label", F.col("vec_id").alias("i"), F.col("e").alias("ea")
+    )
+    b = v.select(
+        "label", F.col("vec_id").alias("j"), F.col("e").alias("eb")
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "label",
+            "i",
+            F.round(F.lit(1000000000) * (F.lit(1.0) - cos), 0)
+            .cast("long")
+            .alias("d_nano"),
+        )
+    )
+    sums = pairs.groupBy("label", "i").agg(
+        F.sum("d_nano").cast("long").alias("sum_dist_nano"),
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_members"),
+    )
+    w = Window.partitionBy("label").orderBy("sum_dist_nano", "i")
+    return (
+        sums.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("i").alias("medoid_id"),
+            "sum_dist_nano",
+            "n_members",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q300 — column-level fingerprint diff between table versions
+# ---------------------------------------------------------------------------
+
+# v2 = orders with the q283 mutation rules applied (deterministic):
+# every 7th order's totalprice restated, every 5th order's priority
+# rewritten — so exactly  two columns should fingerprint-differ.
+_Q300_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _q300_hash(expr: str) -> str:
+    # keyed row-content hash: 48-bit md5 prefix of key:value — XORial
+    # (order-independent, mergeable) and identical in both engines
+    return (
+        "('0x' || substring(md5(CAST(o_orderkey AS STRING) || ':' ||"
+        f" coalesce(CAST({expr} AS STRING), '<null>')), 1, 12))::BIGINT"
+    )
+
+
+def _q300_v2(col: str) -> str:
+    # price is hashed as integer CENTS on both sides: double->string
+    # rendering is NOT portable (JDK 17 Double.toString predates
+    # shortest-round-trip; DuckDB uses ryu), integer strings are
+    if col == "o_totalprice":
+        return (
+            "CASE WHEN o_orderkey % 7 = 0 THEN"
+            " CAST(round(o_totalprice * 100) AS BIGINT)"
+            " + o_orderkey % 1000 - 500"
+            " ELSE CAST(round(o_totalprice * 100) AS BIGINT) END"
+        )
+    if col == "o_orderpriority":
+        return (
+            "CASE WHEN o_orderkey % 5 = 0 THEN '9-RESTATED'"
+            " ELSE o_orderpriority END"
+        )
+    return col
+
+
+def _q300_v1(col: str) -> str:
+    if col == "o_totalprice":
+        return "CAST(round(o_totalprice * 100) AS BIGINT)"
+    return col
+
+
+def _q300_oracle() -> str:
+    arms = []
+    for c in _Q300_COLS:
+        arms.append(
+            f"SELECT '{c}' AS col, {_q300_hash(_q300_v1(c))} AS h1,"
+            f" {_q300_hash(_q300_v2(c))} AS h2 FROM orders"
+        )
+    u = " UNION ALL ".join(arms)
+    return f"""
+WITH rowhash AS ({u})
+SELECT col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h1) AS BIGINT) AS fp_v1,
+       CAST(bit_xor(h2) AS BIGINT) AS fp_v2,
+       CAST(CASE WHEN bit_xor(h1) = bit_xor(h2) THEN 0 ELSE 1 END
+            AS BIGINT) AS changed,
+       CAST(sum(CASE WHEN h1 <> h2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rows_changed
+FROM rowhash GROUP BY col
+"""
+
+
+@register("q300_column_fingerprint_diff", _q300_oracle())
+def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-LEVEL content-fingerprint diff between two table
+    versions — the data-diff primitive (Datafold-style) that answers
+    \"which COLUMNS changed, and how many rows\" without shipping
+    either table: per column, an order-independent XOR of keyed row
+    hashes (md5 prefix of key:value) is the whole fingerprint, so two
+    warehouses compare 6 integers instead of 2×|rows| values.
+    Complements q166's Merkle ROW-BLOCK diff (which localizes WHERE;
+    this localizes WHICH FIELD).  Version 2 applies the q283 mutation
+    rules, so exactly o_totalprice and o_orderpriority must flag —
+    with the per-row change counts as the drill-down.
+
+    Scale: one pass over the table computes all columns' hashes (the
+    ×|cols| expansion is a flatMap); XOR is
+    associative/commutative/mergeable — per-partition fingerprints
+    combine map-side exactly like the HLL registers."""
+    o = load_table(spark, sf_dir, "orders")
+    parts = []
+    for c in _Q300_COLS:
+        v1 = _q300_v1(c)
+        h1 = (
+            "conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':',"
+            f" coalesce(CAST({v1} AS STRING), '<null>'))), 1, 12), 16, 10)"
+        )
+        h2 = (
+            "conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':',"
+            f" coalesce(CAST({_q300_v2(c)} AS STRING), '<null>'))), 1, 12),"
+            " 16, 10)"
+        )
+        parts.append(
+            o.select(
+                F.lit(c).alias("col"),
+                F.expr(h1).cast("long").alias("h1"),
+                F.expr(h2).cast("long").alias("h2"),
+            )
+        )
+    rowhash = parts[0]
+    for p in parts[1:]:
+        rowhash = rowhash.unionByName(p)
+    return rowhash.groupBy("col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("bit_xor(h1)").cast("long").alias("fp_v1"),
+        F.expr("bit_xor(h2)").cast("long").alias("fp_v2"),
+        F.expr(
+            "CAST(CASE WHEN bit_xor(h1) = bit_xor(h2) THEN 0 ELSE 1 END"
+            " AS BIGINT)"
+        ).alias("changed"),
+        F.sum((F.col("h1") != F.col("h2")).cast("long"))
+        .cast("long")
+        .alias("n_rows_changed"),
+    )

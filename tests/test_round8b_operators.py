@@ -1331,3 +1331,88 @@ def test_q298_lattice_twin(spark):
     # monotonicity: fully generalized dominates
     assert want[(2, 2)][1] >= max(want[(0, 0)][1], 1)
     assert sum(r["chosen"] for r in rows.values()) == 1
+
+
+def test_q299_medoid_twin(spark):
+    """Brute-force medoid per label with the same nano quantization;
+    the medoid's sum must be the label's minimum."""
+    import math
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q299
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").collect()
+    by_label = defaultdict(dict)
+    for r in emb:
+        by_label[r["label"]][r["vec_id"]] = [float(x) for x in r["embedding"]]
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    def half_away(x):
+        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+    rows = {r["label"]: r for r in q299(spark, SF001).collect()}
+    assert set(rows) == set(by_label)
+    for label, members in by_label.items():
+        sums = {}
+        for i, vi in members.items():
+            sums[i] = sum(
+                half_away(1_000_000_000 * (1.0 - cos(vi, vj)))
+                for j, vj in members.items()
+                if j != i
+            )
+        best = min(sums, key=lambda i: (sums[i], i))
+        got = rows[label]
+        assert got["medoid_id"] == best
+        assert got["sum_dist_nano"] == sums[best]
+        assert got["n_members"] == len(members)
+        assert got["sum_dist_nano"] == min(sums.values())
+
+
+def test_q300_fingerprint_twin(spark):
+    """Python replay of keyed XOR fingerprints; exactly the two
+    mutated columns flag, with the expected per-row change counts."""
+    import hashlib
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q300_COLS,
+        q300,
+    )
+
+    orders = spark.read.parquet(f"{SF001}/orders.parquet").collect()
+
+    def h(key, val):
+        s = f"{key}:{val if val is not None else '<null>'}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    want = {}
+    for c in _Q300_COLS:
+        fp1 = fp2 = nch = 0
+        for r in orders:
+            k = r["o_orderkey"]
+            if c == "o_totalprice":
+                v1 = round(r["o_totalprice"] * 100)
+                v2 = v1 + k % 1000 - 500 if k % 7 == 0 else v1
+            elif c == "o_orderpriority":
+                v1 = r[c]
+                v2 = "9-RESTATED" if k % 5 == 0 else v1
+            else:
+                v1 = v2 = r[c]
+            a, b = h(k, v1), h(k, v2)
+            fp1 ^= a
+            fp2 ^= b
+            nch += 1 if a != b else 0
+        want[c] = (len(orders), fp1, fp2, nch)
+
+    rows = {r["col"]: r for r in q300(spark, SF001).collect()}
+    assert set(rows) == set(_Q300_COLS)
+    for c, (n, fp1, fp2, nch) in want.items():
+        got = rows[c]
+        assert got["n_rows"] == n
+        assert (got["fp_v1"], got["fp_v2"]) == (fp1, fp2)
+        assert got["n_rows_changed"] == nch
+        assert got["changed"] == (0 if fp1 == fp2 else 1)
+    flagged = {c for c, r in rows.items() if r["changed"] == 1}
+    assert flagged == {"o_totalprice", "o_orderpriority"}
