@@ -51,7 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # TAIL: queries with r5-r7 green evidence, newest last.
 _R8_HEAD = (
     ("q177", "q179", "q182")
-    + tuple(f"q{n}" for n in range(214, 300))
+    + tuple(f"q{n}" for n in range(214, 330))
     + ("q54", "q56", "q58")
     + tuple(f"q{n}" for n in range(29, 39))
     + tuple(f"q{n}" for n in range(40, 50))

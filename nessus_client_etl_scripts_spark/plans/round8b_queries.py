@@ -3377,3 +3377,252 @@ def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rows_changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q301 — coordinated (join-preserving) sampling across tables
+# ---------------------------------------------------------------------------
+
+# keep a customer iff the md5 48-bit prefix of 'cs:custkey' falls under
+# p = 1/8 of the hash space — the same deterministic coordinate in
+# every table that references the customer
+_Q301_THRESHOLD = (1 << 48) // 8
+
+_Q301_HASH = (
+    "('0x' || substring(md5('cs:' || CAST({k} AS VARCHAR)), 1, 12))::BIGINT"
+)
+_Q301_HASH_SPARK = (
+    "conv(substring(md5(concat('cs:', CAST({k} AS STRING))), 1, 12), 16, 10)"
+)
+
+_Q301_ORACLE = f"""
+WITH sc AS (
+  SELECT c_custkey FROM customer
+  WHERE {_Q301_HASH.format(k="c_custkey")} < {_Q301_THRESHOLD}
+), so AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE {_Q301_HASH.format(k="o_custkey")} < {_Q301_THRESHOLD}
+), sl AS (
+  SELECT l.l_orderkey FROM lineitem l JOIN so ON so.o_orderkey = l.l_orderkey
+), stats AS (
+  SELECT 'customer' AS tbl,
+         CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total,
+         CAST((SELECT count(*) FROM sc) AS BIGINT) AS n_sampled
+  UNION ALL
+  SELECT 'orders',
+         CAST((SELECT count(*) FROM orders) AS BIGINT),
+         CAST((SELECT count(*) FROM so) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem',
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT count(*) FROM sl) AS BIGINT)
+), integ AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orphans
+  FROM so LEFT JOIN sc ON sc.c_custkey = so.o_custkey
+  WHERE sc.c_custkey IS NULL
+)
+SELECT tbl, n_total, n_sampled,
+       CAST((2000000 * n_sampled + n_total) // (2 * n_total) AS BIGINT)
+         AS rate_micro,
+       (SELECT n_orphans FROM integ) AS n_orphans
+FROM stats
+"""
+
+
+@register("q301_coordinated_sample", _Q301_ORACLE)
+def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COORDINATED sampling across a star schema — the sampling
+    discipline a 100 TB dev environment needs: sampling each table
+    independently destroys every join (a 1% × 1% independent sample
+    keeps 0.01% of join pairs), so all tables sample on the SAME
+    deterministic coordinate — here, keep a customer iff
+    md5('cs:'||custkey) < p·2⁴⁸, keep an order iff ITS customer's
+    coordinate passes, keep a lineitem iff its order survived.  The
+    declared output is the per-table sample census (exact totals,
+    sampled counts, micro rates — expect ≈ p for customers and
+    orders) plus the REFERENTIAL-INTEGRITY proof: zero sampled orders
+    whose customer is missing, the property independent sampling
+    cannot give.
+
+    Scale: the customer/orders predicates are row-local hash filters
+    at the SCAN (no join needed — both tables carry the custkey
+    coordinate); lineitem, which lacks the custkey, joins the sampled
+    order keys — the one semi-join the pattern needs."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    thr = _Q301_THRESHOLD
+    sc = cust.filter(
+        F.expr(_Q301_HASH_SPARK.format(k="c_custkey")).cast("long") < thr
+    ).select("c_custkey")
+    so = orders.filter(
+        F.expr(_Q301_HASH_SPARK.format(k="o_custkey")).cast("long") < thr
+    ).select("o_orderkey", "o_custkey")
+    sl = li.select("l_orderkey").join(
+        so.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    rows = []
+    for tbl, full, samp in (
+        ("customer", cust, sc),
+        ("orders", orders, so),
+        ("lineitem", li, sl),
+    ):
+        rows.append(
+            full.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+            .crossJoin(
+                samp.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_sampled")
+                )
+            )
+            .select(F.lit(tbl).alias("tbl"), "n_total", "n_sampled")
+        )
+    stats = rows[0]
+    for r in rows[1:]:
+        stats = stats.unionByName(r)
+    orphans = (
+        so.join(sc, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .filter(F.col("c_custkey").isNull())
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+    )
+    return stats.crossJoin(F.broadcast(orphans)).select(
+        "tbl",
+        "n_total",
+        "n_sampled",
+        F.expr(
+            "CAST((2000000 * n_sampled + n_total) div (2 * n_total)"
+            " AS BIGINT)"
+        ).alias("rate_micro"),
+        "n_orphans",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q302 — difference-in-differences panel with pre-trend check
+# ---------------------------------------------------------------------------
+
+# four 1-week periods: two PRE (parallel-trends check), adoption at
+# the start of week 3, two POST pooled as the effect window
+_Q302_W = ("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-29")
+
+_Q302_ORACLE = f"""
+WITH treat AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'error' AND value > 90
+                  AND CAST(ts AS DATE) < DATE '{_Q302_W[2]}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS treated
+  FROM events GROUP BY user_id
+), y AS (
+  SELECT e.user_id,
+         CASE WHEN CAST(ts AS DATE) < DATE '{_Q302_W[1]}' THEN 0
+              WHEN CAST(ts AS DATE) < DATE '{_Q302_W[2]}' THEN 1
+              ELSE 2 END AS period,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events e WHERE event_type = 'purchase'
+), cells AS (
+  SELECT t.treated, y.period,
+         CAST(count(DISTINCT y.user_id) AS BIGINT) AS n_users,
+         CAST(sum(y.cents) AS BIGINT) AS y_cents
+  FROM y JOIN treat t ON t.user_id = y.user_id
+  GROUP BY t.treated, y.period
+), wide AS (
+  SELECT
+    max(CASE WHEN treated = 1 AND period = 0 THEN y_cents END) AS t0,
+    max(CASE WHEN treated = 1 AND period = 1 THEN y_cents END) AS t1,
+    max(CASE WHEN treated = 1 AND period = 2 THEN y_cents END) AS t2,
+    max(CASE WHEN treated = 0 AND period = 0 THEN y_cents END) AS c0,
+    max(CASE WHEN treated = 0 AND period = 1 THEN y_cents END) AS c1,
+    max(CASE WHEN treated = 0 AND period = 2 THEN y_cents END) AS c2,
+    max(CASE WHEN treated = 1 AND period = 1 THEN n_users END) AS nt,
+    max(CASE WHEN treated = 0 AND period = 1 THEN n_users END) AS nc
+  FROM cells
+)
+SELECT CAST(nt AS BIGINT) AS n_treated_pre,
+       CAST(nc AS BIGINT) AS n_control_pre,
+       CAST(t1 - t0 AS BIGINT) AS pre_trend_treated_cents,
+       CAST(c1 - c0 AS BIGINT) AS pre_trend_control_cents,
+       CAST((t1 - t0) - (c1 - c0) AS BIGINT) AS pre_trend_gap_cents,
+       CAST((t2 - t1) - (c2 - c1) AS BIGINT) AS did_cents
+FROM wide
+"""
+
+
+@register("q302_diff_in_differences", _Q302_ORACLE)
+def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES panel — the quasi-experimental
+    estimate for rollouts without randomization (Card & Krueger
+    shape): treatment group = users who hit a high-severity error
+    BEFORE adoption, outcome = purchase cents, and the effect is
+    (ΔT_post − ΔC_post) — the control arm's change nets out secular
+    trends the q287 cross-section cannot.  The PRE-TREND CHECK rides
+    along: the same difference across the two pre-periods
+    (parallel-trends gap) is the identifying-assumption diagnostic
+    every DID readout must print.  All cells are exact integer cents;
+    the two-way pivot is a 6-cell max-CASE.
+
+    Scale: one per-user treatment rollup, one filtered outcome scan,
+    a user-keyed join, a 6-row pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    treat = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "error")
+                & (F.col("value") > 90)
+                & (d < F.lit(_Q302_W[2]).cast("date"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("treated")
+    )
+    y = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.when(d < F.lit(_Q302_W[1]).cast("date"), 0)
+        .when(d < F.lit(_Q302_W[2]).cast("date"), 1)
+        .otherwise(2)
+        .alias("period"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cells = (
+        y.join(treat, "user_id")
+        .groupBy("treated", "period")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("y_cents"),
+        )
+    )
+
+    def pick(tr, per, col):
+        return F.max(
+            F.when(
+                (F.col("treated") == tr) & (F.col("period") == per),
+                F.col(col),
+            )
+        )
+
+    wide = cells.agg(
+        pick(1, 0, "y_cents").alias("t0"),
+        pick(1, 1, "y_cents").alias("t1"),
+        pick(1, 2, "y_cents").alias("t2"),
+        pick(0, 0, "y_cents").alias("c0"),
+        pick(0, 1, "y_cents").alias("c1"),
+        pick(0, 2, "y_cents").alias("c2"),
+        pick(1, 1, "n_users").alias("nt"),
+        pick(0, 1, "n_users").alias("nc"),
+    )
+    return wide.select(
+        F.col("nt").cast("long").alias("n_treated_pre"),
+        F.col("nc").cast("long").alias("n_control_pre"),
+        (F.col("t1") - F.col("t0")).cast("long").alias(
+            "pre_trend_treated_cents"
+        ),
+        (F.col("c1") - F.col("c0")).cast("long").alias(
+            "pre_trend_control_cents"
+        ),
+        ((F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")))
+        .cast("long")
+        .alias("pre_trend_gap_cents"),
+        ((F.col("t2") - F.col("t1")) - (F.col("c2") - F.col("c1")))
+        .cast("long")
+        .alias("did_cents"),
+    )

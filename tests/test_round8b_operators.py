@@ -1416,3 +1416,95 @@ def test_q300_fingerprint_twin(spark):
         assert got["changed"] == (0 if fp1 == fp2 else 1)
     flagged = {c for c, r in rows.items() if r["changed"] == 1}
     assert flagged == {"o_totalprice", "o_orderpriority"}
+
+
+def test_q301_coordinated_sample_twin(spark):
+    """Python replay of the hash coordinate across all three tables;
+    zero orphans by construction and a rate near p = 1/8."""
+    import hashlib
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q301_THRESHOLD,
+        q301,
+    )
+
+    def keep(k):
+        return (
+            int(hashlib.md5(f"cs:{k}".encode()).hexdigest()[:12], 16)
+            < _Q301_THRESHOLD
+        )
+
+    cust = spark.read.parquet(f"{SF001}/customer.parquet").collect()
+    orders = spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    sc = {r["c_custkey"] for r in cust if keep(r["c_custkey"])}
+    so = {r["o_orderkey"] for r in orders if keep(r["o_custkey"])}
+    nl = sum(1 for r in li if r["l_orderkey"] in so)
+
+    rows = {r["tbl"]: r for r in q301(spark, SF001).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    assert rows["customer"]["n_sampled"] == len(sc)
+    assert rows["orders"]["n_sampled"] == len(so)
+    assert rows["lineitem"]["n_sampled"] == nl
+    for tbl, full in (
+        ("customer", len(cust)),
+        ("orders", len(orders)),
+        ("lineitem", len(li)),
+    ):
+        got = rows[tbl]
+        assert got["n_total"] == full
+        assert got["n_orphans"] == 0
+        assert got["rate_micro"] == (
+            2_000_000 * got["n_sampled"] + full
+        ) // (2 * full)
+    # the join-preserving property: every sampled order's customer kept
+    assert all(keep(r["o_custkey"]) for r in orders if r["o_orderkey"] in so)
+    # rate lands near p = 1/8 for the directly-sampled tables
+    assert abs(rows["customer"]["rate_micro"] - 125_000) < 80_000
+
+
+def test_q302_did_twin(spark):
+    """Python replay of the 2x3 panel and the DID identity."""
+    import datetime
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q302_W,
+        q302,
+    )
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    w1 = datetime.date.fromisoformat(_Q302_W[1])
+    w2 = datetime.date.fromisoformat(_Q302_W[2])
+    treated = set()
+    for r in ev:
+        if (
+            r["event_type"] == "error"
+            and r["value"] > 90
+            and r["ts"].date() < w2
+        ):
+            treated.add(r["user_id"])
+    cells = defaultdict(int)
+    users_pre = defaultdict(set)
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        d = r["ts"].date()
+        period = 0 if d < w1 else 1 if d < w2 else 2
+        arm = 1 if r["user_id"] in treated else 0
+        cells[(arm, period)] += round(r["value"] * 100)
+        if period == 1:
+            users_pre[arm].add(r["user_id"])
+
+    row = q302(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert got["n_treated_pre"] == len(users_pre[1])
+    assert got["n_control_pre"] == len(users_pre[0])
+    assert got["pre_trend_treated_cents"] == cells[(1, 1)] - cells[(1, 0)]
+    assert got["pre_trend_control_cents"] == cells[(0, 1)] - cells[(0, 0)]
+    assert got["pre_trend_gap_cents"] == (
+        cells[(1, 1)] - cells[(1, 0)]
+    ) - (cells[(0, 1)] - cells[(0, 0)])
+    assert got["did_cents"] == (cells[(1, 2)] - cells[(1, 1)]) - (
+        cells[(0, 2)] - cells[(0, 1)]
+    )
