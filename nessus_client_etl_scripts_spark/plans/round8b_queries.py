@@ -3626,3 +3626,418 @@ def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("did_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q303 — two-level percentile (p90 of per-user p90s)
+# ---------------------------------------------------------------------------
+
+_Q303_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT user_id, event_type, cents,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY cents, event_id) AS rk,
+         CAST(count(*) OVER (PARTITION BY user_id, event_type)
+              AS BIGINT) AS n
+  FROM v
+), userp AS (
+  SELECT user_id, event_type,
+         CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN cents END)
+              AS BIGINT) AS p90_user
+  FROM ranked GROUP BY user_id, event_type
+), ranked2 AS (
+  SELECT event_type, p90_user,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY p90_user, user_id) AS rk,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM userp
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_users,
+       CAST(max(CASE WHEN rk = (n + 1) // 2 THEN p90_user END)
+            AS BIGINT) AS p50_of_p90,
+       CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN p90_user END)
+            AS BIGINT) AS p90_of_p90,
+       CAST(max(p90_user) AS BIGINT) AS max_p90
+FROM ranked2 GROUP BY event_type
+"""
+
+
+@register("q303_percentile_of_percentiles", _Q303_ORACLE)
+def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL percentiles — the SRE/SLO aggregation rule: a global
+    p90 over raw events is dominated by the heaviest users, so
+    latency/spend SLOs are stated as \"p90 of per-user p90s\" (every
+    user is one vote at the outer level).  Both levels are EXACT
+    positional picks with pinned tie-breaks: inner p90 per (user,
+    type) at ⌈9n/10⌉ over (cents, event_id) order, outer p50/p90 over
+    (p90_user, user_id) order — the q269 percentile discipline,
+    nested.  The well-known caveat that percentiles do not compose
+    (p90 of p90s ≠ p90) is exactly WHY the two-level form must be
+    computed explicitly rather than approximated from a global
+    histogram.
+
+    Scale: the inner rank partitions on the HIGH-cardinality
+    (user, type) key — plain windows per the PLANS.md cardinality
+    rule; the outer rank runs over |users| rows per type."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w1 = Window.partitionBy("user_id", "event_type").orderBy(
+        "cents", "event_id"
+    )
+    wn1 = Window.partitionBy("user_id", "event_type")
+    userp = (
+        v.select(
+            "user_id",
+            "event_type",
+            "cents",
+            F.row_number().over(w1).alias("rk"),
+            F.count(F.lit(1)).over(wn1).cast("long").alias("n"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(9 * n + 9) div 10"),
+                    F.col("cents"),
+                )
+            )
+            .cast("long")
+            .alias("p90_user")
+        )
+    )
+    w2 = Window.partitionBy("event_type").orderBy("p90_user", "user_id")
+    wn2 = Window.partitionBy("event_type")
+    ranked2 = userp.select(
+        "event_type",
+        "p90_user",
+        F.row_number().over(w2).alias("rk"),
+        F.count(F.lit(1)).over(wn2).cast("long").alias("n"),
+    )
+    return ranked2.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.max(
+            F.when(
+                F.col("rk") == F.expr("(n + 1) div 2"), F.col("p90_user")
+            )
+        )
+        .cast("long")
+        .alias("p50_of_p90"),
+        F.max(
+            F.when(
+                F.col("rk") == F.expr("(9 * n + 9) div 10"),
+                F.col("p90_user"),
+            )
+        )
+        .cast("long")
+        .alias("p90_of_p90"),
+        F.max("p90_user").cast("long").alias("max_p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q304 — columnar encoding advisor (dictionary vs plain size model)
+# ---------------------------------------------------------------------------
+
+# per column: plain size = total string bytes; dict size = distinct
+# string bytes + n * ceil(log2(distinct+1))/8 index bytes (emitted as
+# BITS to stay integer) — the standard back-of-envelope a columnar
+# writer runs when choosing encodings
+_Q304_COLS = (
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+    "o_custkey",
+)
+
+_Q304_ARM = (
+    "SELECT '{c}' AS col,"
+    " CAST(coalesce(CAST({v} AS STRING), '') AS STRING) AS s"
+    " FROM orders"
+)
+
+_Q304_BODY = """
+, stats AS (
+  SELECT col,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT s) AS BIGINT) AS n_distinct,
+         CAST(sum(length(s)) AS BIGINT) AS plain_bytes
+  FROM arms GROUP BY col
+), dict AS (
+  SELECT col, CAST(sum(length(s)) AS BIGINT) AS dict_entry_bytes
+  FROM (SELECT DISTINCT col, s FROM arms) t GROUP BY col
+)
+SELECT stats.col, n_rows, n_distinct, plain_bytes,
+       CAST(8 * dict_entry_bytes
+            + n_rows * (length(bin(n_distinct)) - 1 + 1) AS BIGINT)
+         AS dict_bits,
+       CAST(8 * plain_bytes AS BIGINT) AS plain_bits,
+       CAST(CASE WHEN 8 * dict_entry_bytes
+                      + n_rows * (length(bin(n_distinct)) - 1 + 1)
+                      < 8 * plain_bytes
+            THEN 1 ELSE 0 END AS BIGINT) AS recommend_dict
+FROM stats JOIN dict ON dict.col = stats.col
+"""
+
+
+def _q304_oracle() -> str:
+    arms = " UNION ALL ".join(
+        _Q304_ARM.format(c=c, v=c) for c in _Q304_COLS
+    )
+    return f"WITH arms AS ({arms}){_Q304_BODY}"
+
+
+@register("q304_encoding_advisor", _q304_oracle())
+def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar ENCODING ADVISOR — the size model every parquet/ORC
+    writer (and every table-format OPTIMIZE job) evaluates when
+    choosing dictionary vs plain encoding: dictionary pays the
+    distinct values once plus ceil(log2 |dict|) index bits per row,
+    plain pays the raw bytes per row.  Sizes are emitted in exact
+    integer BITS (bit width via the no-libm floor_log2 + 1) with the
+    recommendation flag; the advisor's DISCRIMINATION is the test —
+    low-cardinality columns (status: 3 values) save dramatically more
+    than the key column, whose dictionary is a tenth of the table.
+
+    Scale: the ×|cols| expansion is a flatMap; per column the stats
+    are one count-distinct rollup plus one distinct-value byte sum —
+    both map-side combinable (at 100 TB the same decision runs per
+    row-group from page-level stats, identical arithmetic)."""
+    o = load_table(spark, sf_dir, "orders")
+    parts = []
+    for c in _Q304_COLS:
+        parts.append(
+            o.select(
+                F.lit(c).alias("col"),
+                F.coalesce(F.col(c).cast("string"), F.lit("")).alias("s"),
+            )
+        )
+    arms = parts[0]
+    for p in parts[1:]:
+        arms = arms.unionByName(p)
+    stats = arms.groupBy("col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("s").cast("long").alias("n_distinct"),
+        F.sum(F.length("s")).cast("long").alias("plain_bytes"),
+    )
+    dic = (
+        arms.distinct()
+        .groupBy("col")
+        .agg(F.sum(F.length("s")).cast("long").alias("dict_entry_bytes"))
+    )
+    return stats.join(dic, "col").selectExpr(
+        "col",
+        "n_rows",
+        "n_distinct",
+        "plain_bytes",
+        "CAST(8 * dict_entry_bytes"
+        " + n_rows * (length(bin(n_distinct)) - 1 + 1) AS BIGINT)"
+        " AS dict_bits",
+        "CAST(8 * plain_bytes AS BIGINT) AS plain_bits",
+        "CAST(CASE WHEN 8 * dict_entry_bytes"
+        " + n_rows * (length(bin(n_distinct)) - 1 + 1)"
+        " < 8 * plain_bytes THEN 1 ELSE 0 END AS BIGINT)"
+        " AS recommend_dict",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q305 — feature hashing (the hashing trick) with collision audit
+# ---------------------------------------------------------------------------
+
+_Q305_BITS = 10  # 1024 hash buckets
+
+_Q305_ORACLE = f"""
+WITH feats AS (
+  SELECT DISTINCT
+         ('0x' || substring(md5('fh:' || tok), 1, 12))::BIGINT
+           % {1 << _Q305_BITS} AS bucket,
+         tok
+  FROM (
+    SELECT unnest(string_split(
+      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+    FROM documents
+  ) t
+), per_bucket AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_feats
+  FROM feats GROUP BY bucket
+)
+SELECT CAST((SELECT count(*) FROM feats) AS BIGINT) AS n_features,
+       CAST(count(*) AS BIGINT) AS n_buckets_used,
+       CAST({1 << _Q305_BITS} AS BIGINT) AS n_buckets,
+       CAST(max(n_feats) AS BIGINT) AS max_load,
+       CAST(sum(CASE WHEN n_feats > 1 THEN n_feats ELSE 0 END)
+            AS BIGINT) AS n_collided_features,
+       CAST(sum(CASE WHEN n_feats > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_collision_buckets
+FROM per_bucket
+"""
+
+
+@register("q305_feature_hashing", _Q305_ORACLE)
+def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE HASHING (the hashing trick — Weinberger et al. 2009)
+    collision audit: before a training pipeline commits to hashing its
+    vocabulary into 2^{bits} buckets instead of carrying a dictionary,
+    it measures what the trick costs — how many distinct features
+    share a bucket (gradient collisions), the maximum bucket load, and
+    the bucket occupancy.  The hash is the repo's portable md5-prefix
+    construction mod 2^{bits}, so the audit is value-exact across
+    engines and reproduces the exact bucketing the training job would
+    use.
+
+    Scale: distinct (bucket, feature) pairs are vocabulary-bounded —
+    one map-side-combined distinct plus a bucket rollup; the audit is
+    the same shape at any corpus size because it never touches
+    per-occurrence rows after the distinct."""
+    from ..operators.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = (
+        docs.select(
+            F.explode(tokens(normalize_text("text"))).alias("tok")
+        )
+        .distinct()
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("fh:"), F.col("tok"))), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % (1 << _Q305_BITS)
+            ).alias("bucket"),
+            "tok",
+        )
+    )
+    per_bucket = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats")
+    )
+    tot = feats.agg(F.count(F.lit(1)).cast("long").alias("n_features"))
+    return per_bucket.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.lit(1 << _Q305_BITS).cast("long").alias("n_buckets"),
+        F.max("n_feats").cast("long").alias("max_load"),
+        F.sum(
+            F.when(F.col("n_feats") > 1, F.col("n_feats")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_collided_features"),
+        F.sum((F.col("n_feats") > 1).cast("long"))
+        .cast("long")
+        .alias("n_collision_buckets"),
+    ).crossJoin(F.broadcast(tot)).select(
+        "n_features",
+        "n_buckets_used",
+        "n_buckets",
+        "max_load",
+        "n_collided_features",
+        "n_collision_buckets",
+    )
+
+
+q305.__doc__ = q305.__doc__.format(bits=_Q305_BITS)
+
+
+# ---------------------------------------------------------------------------
+# q306 — insert/retract multiset net (differential-dataflow core)
+# ---------------------------------------------------------------------------
+
+# synthesized change log over orders: +1 at creation for every order,
+# -1 retraction for every 3rd order, a second +1 (re-insert) for every
+# 5th — net multiplicities in {0, 1, 2}; a RETRACT WITHOUT INSERT is
+# injected for keys that never existed (negative net = violation)
+_Q306_ORACLE = """
+WITH log AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri, 1 AS mult FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, -1 FROM orders
+  WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, 1 FROM orders
+  WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT -o_orderkey, o_orderpriority, -1 FROM orders
+  WHERE o_orderkey % 1000 = 0
+), net AS (
+  SELECT k, pri, CAST(sum(mult) AS BIGINT) AS net FROM log
+  GROUP BY k, pri
+)
+SELECT pri,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN net = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cancelled,
+       CAST(sum(CASE WHEN net > 0 THEN net ELSE 0 END) AS BIGINT)
+         AS live_multiplicity,
+       CAST(sum(CASE WHEN net < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM net GROUP BY pri
+"""
+
+
+@register("q306_retraction_net", _Q306_ORACLE)
+def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT/RETRACT multiset consolidation — the core primitive of
+    differential/incremental dataflow (Materialize, Flink retract
+    streams): every change is a (key, ±multiplicity) delta, a view's
+    state is the NET sum per key, net-zero keys vanish
+    (insert+retract cancel), and a NEGATIVE net is a correctness
+    violation (retraction without a matching insert) that must
+    surface, not silently clamp.  The synthesized log exercises all
+    three: cancellations (every 3rd order), multiplicity 2
+    (re-inserted 5th — coprime with the retraction rule, so some keys
+    genuinely net to 2), and injected orphan retractions.
+
+    Scale: consolidation IS a map-side-combined sum per key — the
+    reason retract streams scale; the per-priority audit rollup rides
+    the same shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.lit(1).alias("mult"),
+    )
+    retract = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.lit(-1).alias("mult"),
+    )
+    reinsert = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.lit(1).alias("mult"),
+    )
+    orphan = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (-F.col("o_orderkey")).alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.lit(-1).alias("mult"),
+    )
+    log = base.unionByName(retract).unionByName(reinsert).unionByName(
+        orphan
+    )
+    net = log.groupBy("k", "pri").agg(
+        F.sum("mult").cast("long").alias("net")
+    )
+    return net.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum((F.col("net") == 0).cast("long"))
+        .cast("long")
+        .alias("n_cancelled"),
+        F.sum(F.when(F.col("net") > 0, F.col("net")).otherwise(0))
+        .cast("long")
+        .alias("live_multiplicity"),
+        F.sum((F.col("net") < 0).cast("long"))
+        .cast("long")
+        .alias("n_violations"),
+    )

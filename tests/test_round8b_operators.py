@@ -1508,3 +1508,175 @@ def test_q302_did_twin(spark):
     assert got["did_cents"] == (cells[(1, 2)] - cells[(1, 1)]) - (
         cells[(0, 2)] - cells[(0, 1)]
     )
+
+
+def test_q303_two_level_percentile_twin(spark):
+    """Python replay of both positional levels; also pins that the
+    two-level p90 differs from the global p90 for at least one type
+    (the reason the explicit form exists)."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q303
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    per = defaultdict(list)
+    for r in ev:
+        per[(r["user_id"], r["event_type"])].append(
+            (round(r["value"] * 100), r["event_id"])
+        )
+    userp = defaultdict(list)
+    for (uid, et), vals in per.items():
+        vals.sort()
+        n = len(vals)
+        userp[et].append((vals[(9 * n + 9) // 10 - 1][0], uid))
+    want = {}
+    for et, ps in userp.items():
+        ps.sort()
+        n = len(ps)
+        want[et] = (
+            n,
+            ps[(n + 1) // 2 - 1][0],
+            ps[(9 * n + 9) // 10 - 1][0],
+            max(p for p, _ in ps),
+        )
+    rows = {r["event_type"]: r for r in q303(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for et, (n, p50, p90, mx) in want.items():
+        got = rows[et]
+        assert (
+            got["n_users"],
+            got["p50_of_p90"],
+            got["p90_of_p90"],
+            got["max_p90"],
+        ) == (n, p50, p90, mx)
+
+
+def test_q304_encoding_advisor_twin(spark):
+    """Python replay of the size model; the advisor discriminates
+    (low-cardinality columns flag dict, the key column does not)."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q304_COLS,
+        q304,
+    )
+
+    orders = spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    rows = {r["col"]: r for r in q304(spark, SF001).collect()}
+    assert set(rows) == set(_Q304_COLS)
+    for c in _Q304_COLS:
+        vals = [
+            "" if r[c] is None else str(r[c]) for r in orders
+        ]
+        n = len(vals)
+        distinct = set(vals)
+        plain = sum(len(v) for v in vals)
+        dict_bits = 8 * sum(len(v) for v in distinct) + n * (
+            (len(distinct).bit_length() - 1) + 1
+        )
+        got = rows[c]
+        assert (got["n_rows"], got["n_distinct"], got["plain_bytes"]) == (
+            n,
+            len(distinct),
+            plain,
+        )
+        assert got["dict_bits"] == dict_bits
+        assert got["plain_bits"] == 8 * plain
+        assert got["recommend_dict"] == (1 if dict_bits < 8 * plain else 0)
+    assert rows["o_orderstatus"]["recommend_dict"] == 1
+    # discrimination: the status dictionary saves a far larger share
+    # than the key column's (whose dict still wins on short strings)
+    ratio = lambda r: r["dict_bits"] / r["plain_bits"]  # noqa: E731
+    assert ratio(rows["o_orderstatus"]) < ratio(rows["o_custkey"])
+
+
+def test_q305_feature_hashing_twin(spark):
+    """Python replay of the bucketing; pigeonhole identities hold and
+    collisions actually occur at this vocabulary size."""
+    import hashlib
+
+    from nessus_client_etl_scripts_spark.operators.text import (
+        normalize_text,
+        tokens,
+    )
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q305_BITS,
+        q305,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    vocab = {
+        t["tok"]
+        for t in docs.select(
+            __import__(
+                "pyspark.sql.functions", fromlist=["explode"]
+            ).explode(tokens(normalize_text("text"))).alias("tok")
+        ).collect()
+    }
+    buckets = defaultdict(int)
+    for tok in vocab:
+        b = (
+            int(hashlib.md5(f"fh:{tok}".encode()).hexdigest()[:12], 16)
+            % (1 << _Q305_BITS)
+        )
+        buckets[b] += 1
+    row = q305(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert got["n_features"] == len(vocab)
+    assert got["n_buckets_used"] == len(buckets)
+    assert got["max_load"] == max(buckets.values())
+    assert got["n_collided_features"] == sum(
+        c for c in buckets.values() if c > 1
+    )
+    assert got["n_collision_buckets"] == sum(
+        1 for c in buckets.values() if c > 1
+    )
+    assert got["n_buckets"] == 1 << _Q305_BITS
+    # identities
+    assert got["n_buckets_used"] <= got["n_buckets"]
+    assert (
+        got["n_collided_features"]
+        - got["n_collision_buckets"]
+        == got["n_features"] - got["n_buckets_used"]
+    )
+
+
+def test_q306_retraction_twin(spark):
+    """Python replay of net multiplicities; all three delta shapes
+    (cancel, multiplicity-2, orphan violation) are live."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q306
+
+    orders = spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    net = defaultdict(int)
+    pri_of = {}
+    for r in orders:
+        k = r["o_orderkey"]
+        pri_of[k] = r["o_orderpriority"]
+        net[k] += 1
+        if k % 3 == 0:
+            net[k] -= 1
+        if k % 5 == 0:
+            net[k] += 1
+        if k % 1000 == 0:
+            net[-k] -= 1
+            pri_of[-k] = r["o_orderpriority"]
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for k, m in net.items():
+        a = agg[pri_of[k]]
+        a[0] += 1
+        a[1] += 1 if m == 0 else 0
+        a[2] += m if m > 0 else 0
+        a[3] += 1 if m < 0 else 0
+    rows = {r["pri"]: r for r in q306(spark, SF001).collect()}
+    assert set(rows) == set(agg)
+    for pri, (nk, nc, lm, nv) in agg.items():
+        got = rows[pri]
+        assert (
+            got["n_keys"],
+            got["n_cancelled"],
+            got["live_multiplicity"],
+            got["n_violations"],
+        ) == (nk, nc, lm, nv)
+    assert sum(r["n_cancelled"] for r in rows.values()) > 0
+    assert any(
+        r["live_multiplicity"] > r["n_keys"] - r["n_cancelled"] - r["n_violations"]
+        for r in rows.values()
+    )
+    assert sum(r["n_violations"] for r in rows.values()) > 0
