@@ -4041,3 +4041,168 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_violations"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q307 — k-hop BFS layers from a seed set (layered frontier expansion)
+# ---------------------------------------------------------------------------
+
+_Q307_HOPS = 3
+_Q307_SEED_MOD = 97  # parts with partkey % 97 == 0 seed the search
+
+
+def _q307_oracle() -> str:
+    # layered BFS unrolled as MATERIALIZED CTEs (the q290 rule)
+    sql = f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+), ed AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM e0 a JOIN e0 b ON a.ok = b.ok AND a.p <> b.p
+), reach0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist FROM ed
+  WHERE u % {_Q307_SEED_MOD} = 0
+)"""
+    for r in range(1, _Q307_HOPS + 1):
+        sql += f""",
+reach{r} AS MATERIALIZED (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM reach{r - 1}
+    UNION ALL
+    SELECT ed.v AS node, {r} AS dist
+    FROM ed JOIN reach{r - 1} f ON f.node = ed.u AND f.dist = {r - 1}
+  ) t GROUP BY node
+)"""
+    sql += f"""
+SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+FROM reach{_Q307_HOPS} GROUP BY dist
+"""
+    return sql
+
+
+@register("q307_bfs_layers", _q307_oracle())
+def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS from a SEED SET with per-layer census — the frontier
+    expansion behind blast-radius analysis, contamination spread, and
+    label propagation warm-starts: seeds at distance 0, each round
+    extends the frontier one hop and keeps the MINIMUM distance per
+    node (min is the BFS invariant; the union+min consolidation makes
+    re-discoveries free).  {hops} synchronized rounds, like q290's
+    peel: deterministic round count, per-round localCheckpoint, the
+    oracle unrolled as MATERIALIZED CTE layers.
+
+    Scale: each round joins the CURRENT frontier only (f.dist = r−1)
+    against the edge list — the frontier-delta optimization that
+    makes BFS O(Σ frontier degrees), not O(rounds·|E|); state is one
+    (node, dist) row per reached node."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = e0.select(F.col("ok"), F.col("p").alias("v"))
+    ed = (
+        e0.join(b, "ok")
+        .filter(F.col("p") != F.col("v"))
+        .select(F.col("p").alias("u"), "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reach = (
+        ed.select(F.col("u").alias("node"))
+        .filter(F.col("node") % _Q307_SEED_MOD == 0)
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, _Q307_HOPS + 1):
+        frontier = reach.filter(F.col("dist") == r - 1).select(
+            F.col("node").alias("u")
+        )
+        expanded = (
+            ed.join(frontier, "u")
+            .select(F.col("v").alias("node"))
+            .withColumn("dist", F.lit(r).cast("long"))
+        )
+        reach = (
+            reach.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return reach.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+q307.__doc__ = q307.__doc__.format(hops=_Q307_HOPS)
+
+
+# ---------------------------------------------------------------------------
+# q308 — accounts-receivable aging report
+# ---------------------------------------------------------------------------
+
+_Q308_ASOF = "1998-08-01"
+
+_Q308_ORACLE = f"""
+WITH open_orders AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   DATE '{_Q308_ASOF}') AS age
+  FROM orders
+  WHERE o_orderstatus <> 'F'
+    AND CAST(o_orderdate AS DATE) <= DATE '{_Q308_ASOF}'
+), bucketed AS (
+  SELECT o_custkey, cents,
+         CASE WHEN age <= 30 THEN '0-30'
+              WHEN age <= 60 THEN '31-60'
+              WHEN age <= 90 THEN '61-90'
+              ELSE '90+' END AS bucket
+  FROM open_orders
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS outstanding_cents,
+       CAST(max(cents) AS BIGINT) AS largest_cents
+FROM bucketed GROUP BY bucket
+"""
+
+
+@register("q308_ar_aging", _Q308_ORACLE)
+def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACCOUNTS-RECEIVABLE AGING — the standard finance close report:
+    open (non-finalized) orders as of a reference date, bucketed by
+    invoice age into the canonical 0-30/31-60/61-90/90+ bands with
+    outstanding totals, order and customer counts, and the largest
+    single exposure per band.  Exact integer cents; the age buckets
+    are CASE bands on one date_diff (no calendar table).
+
+    Scale: one filtered scan (the status and date predicates push to
+    parquet) into a 4-group rollup — the count(DISTINCT customer) is
+    the only expensive aggregate and is map-side partial."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    asof = F.lit(_Q308_ASOF).cast("date")
+    open_orders = o.filter(
+        (F.col("o_orderstatus") != "F") & (od <= asof)
+    ).select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.datediff(asof, od).alias("age"),
+    )
+    bucketed = open_orders.select(
+        "o_custkey",
+        "cents",
+        F.when(F.col("age") <= 30, "0-30")
+        .when(F.col("age") <= 60, "31-60")
+        .when(F.col("age") <= 90, "61-90")
+        .otherwise("90+")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("outstanding_cents"),
+        F.max("cents").cast("long").alias("largest_cents"),
+    )

@@ -1680,3 +1680,94 @@ def test_q306_retraction_twin(spark):
         for r in rows.values()
     )
     assert sum(r["n_violations"] for r in rows.values()) > 0
+
+
+def test_q307_bfs_twin(spark):
+    """Python BFS replay: per-layer counts match and distances are
+    genuine minima (re-running BFS to convergence within k hops)."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q307_HOPS,
+        _Q307_SEED_MOD,
+        q307,
+    )
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    orders = defaultdict(set)
+    for r in li:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    adj = defaultdict(set)
+    for parts in orders.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    dist = {u: 0 for u in adj if u % _Q307_SEED_MOD == 0}
+    frontier = set(dist)
+    for r in range(1, _Q307_HOPS + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = r
+                    nxt.add(v)
+        frontier = nxt
+    want = defaultdict(int)
+    for d in dist.values():
+        want[d] += 1
+
+    rows = {r["dist"]: r["n_nodes"] for r in q307(spark, SF001).collect()}
+    assert rows == dict(want)
+    assert 0 in rows and rows[0] == sum(
+        1 for u in adj if u % _Q307_SEED_MOD == 0
+    )
+    assert any(d > 0 for d in rows)  # expansion actually happened
+
+
+def test_q308_ar_aging_twin(spark):
+    """Python replay of the aging bands; bands partition the open
+    set and both old and young exposures exist."""
+    import datetime
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q308_ASOF,
+        q308,
+    )
+
+    orders = spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    asof = datetime.date.fromisoformat(_Q308_ASOF)
+    agg = defaultdict(lambda: [0, set(), 0, 0])
+    total_open = 0
+    for r in orders:
+        od = datetime.date.fromisoformat(str(r["o_orderdate"])[:10])
+        if r["o_orderstatus"] == "F" or od > asof:
+            continue
+        total_open += 1
+        age = (asof - od).days
+        b = (
+            "0-30"
+            if age <= 30
+            else "31-60"
+            if age <= 60
+            else "61-90"
+            if age <= 90
+            else "90+"
+        )
+        cents = round(r["o_totalprice"] * 100)
+        a = agg[b]
+        a[0] += 1
+        a[1].add(r["o_custkey"])
+        a[2] += cents
+        a[3] = max(a[3], cents)
+
+    rows = {r["bucket"]: r for r in q308(spark, SF001).collect()}
+    assert set(rows) == set(agg)
+    for b, (n, custs, cents, mx) in agg.items():
+        got = rows[b]
+        assert (
+            got["n_orders"],
+            got["n_customers"],
+            got["outstanding_cents"],
+            got["largest_cents"],
+        ) == (n, len(custs), cents, mx)
+    assert sum(r["n_orders"] for r in rows.values()) == total_open
+    assert "0-30" in rows and "90+" in rows
