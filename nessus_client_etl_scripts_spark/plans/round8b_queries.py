@@ -4206,3 +4206,197 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("outstanding_cents"),
         F.max("cents").cast("long").alias("largest_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q309 — temporal graph edge churn between two periods
+# ---------------------------------------------------------------------------
+
+_Q309_Y1, _Q309_Y2 = 1997, 1998
+
+_Q309_ORACLE = f"""
+WITH e AS (
+  SELECT DISTINCT year(CAST(l_shipdate AS DATE)) AS yr,
+         l_partkey AS u, l_suppkey AS v
+  FROM lineitem
+  WHERE year(CAST(l_shipdate AS DATE)) IN ({_Q309_Y1}, {_Q309_Y2})
+), flags AS (
+  SELECT u, v,
+         CAST(max(CASE WHEN yr = {_Q309_Y1} THEN 1 ELSE 0 END)
+              AS BIGINT) AS in1,
+         CAST(max(CASE WHEN yr = {_Q309_Y2} THEN 1 ELSE 0 END)
+              AS BIGINT) AS in2
+  FROM e GROUP BY u, v
+)
+SELECT CAST(sum(in1) AS BIGINT) AS n_edges_y1,
+       CAST(sum(in2) AS BIGINT) AS n_edges_y2,
+       CAST(sum(in1 * in2) AS BIGINT) AS n_stable,
+       CAST(sum(CASE WHEN in1 = 1 AND in2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN in1 = 0 AND in2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST((2000000 * sum(in1 * in2) + count(*)) // (2 * count(*))
+            AS BIGINT) AS jaccard_micro
+FROM flags
+"""
+
+
+@register("q309_graph_edge_churn", _Q309_ORACLE)
+def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL GRAPH edge churn — the stability diagnostic run before
+    trusting any graph feature in production (a supplier graph whose
+    edges churn 80% year-over-year invalidates last year's embeddings
+    and communities): the part-supplier edge sets of two years
+    compared as stable/dropped/new with the edge-set Jaccard.  One
+    distinct pass with per-edge year flags (max-CASE) — never two
+    separate edge materializations joined.
+
+    Scale: the distinct is the only shuffle (keyed on the edge); the
+    flags pivot and census are map-side combinable; k periods
+    generalize to a bitmask per edge, same single pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = F.year(F.col("l_shipdate").cast("date"))
+    e = (
+        li.filter(yr.isin(_Q309_Y1, _Q309_Y2))
+        .select(
+            yr.alias("yr"),
+            F.col("l_partkey").alias("u"),
+            F.col("l_suppkey").alias("v"),
+        )
+        .distinct()
+    )
+    flags = e.groupBy("u", "v").agg(
+        F.max((F.col("yr") == _Q309_Y1).cast("long"))
+        .cast("long")
+        .alias("in1"),
+        F.max((F.col("yr") == _Q309_Y2).cast("long"))
+        .cast("long")
+        .alias("in2"),
+    )
+    return flags.agg(
+        F.sum("in1").cast("long").alias("n_edges_y1"),
+        F.sum("in2").cast("long").alias("n_edges_y2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("n_stable"),
+        F.sum(((F.col("in1") == 1) & (F.col("in2") == 0)).cast("long"))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(((F.col("in1") == 0) & (F.col("in2") == 1)).cast("long"))
+        .cast("long")
+        .alias("n_new"),
+        F.expr(
+            "CAST((2000000 * sum(in1 * in2) + count(*))"
+            " div (2 * count(*)) AS BIGINT)"
+        ).alias("jaccard_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q310 — join-path discovery (cross-table key containment profiling)
+# ---------------------------------------------------------------------------
+
+# candidate (fk-side, pk-side) column pairs across the star schema —
+# the profiler scores REAL joins high and a decoy near zero
+_Q310_PAIRS = (
+    ("orders.o_custkey", "customer.c_custkey"),
+    ("lineitem.l_orderkey", "orders.o_orderkey"),
+    ("lineitem.l_partkey", "part.p_partkey"),
+    ("lineitem.l_suppkey", "supplier.s_suppkey"),
+    ("customer.c_nationkey", "nation.n_nationkey"),
+    ("orders.o_orderkey", "customer.c_custkey"),
+)
+
+
+def _q310_arm_sql(fk: str, pk: str) -> str:
+    ft, fc = fk.split(".")
+    pt, pc = pk.split(".")
+    return f"""
+  SELECT '{fk}' AS fk_col, '{pk}' AS pk_col,
+         CAST((SELECT count(DISTINCT {fc}) FROM {ft}) AS BIGINT)
+           AS fk_distinct,
+         CAST((SELECT count(DISTINCT {pc}) FROM {pt}) AS BIGINT)
+           AS pk_distinct,
+         CAST((SELECT count(*) FROM
+               (SELECT DISTINCT {fc} AS k FROM {ft}) a
+               JOIN (SELECT DISTINCT {pc} AS k FROM {pt}) b
+               USING (k)) AS BIGINT) AS n_common
+"""
+
+
+def _q310_oracle() -> str:
+    arms = " UNION ALL ".join(
+        _q310_arm_sql(fk, pk) for fk, pk in _Q310_PAIRS
+    )
+    return f"""
+WITH arms AS ({arms})
+SELECT fk_col, pk_col, fk_distinct, pk_distinct, n_common,
+       CAST((2000000 * n_common + fk_distinct) // (2 * fk_distinct)
+            AS BIGINT) AS containment_micro
+FROM arms
+"""
+
+
+@register("q310_join_discovery", _q310_oracle())
+def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-PATH DISCOVERY — the data-catalog profiling pass (Aurum /
+    Valentine class) that finds joinable column pairs in an undocumented
+    lake: for each candidate (fk, pk) pair, the CONTAINMENT of the fk
+    side's distinct values in the pk side's — the directional measure
+    that scores true foreign keys ≈ 1 regardless of cardinality skew
+    (Jaccard would punish a small dim joined to a huge fact).  The
+    panel carries the four real star-schema edges plus a DECOY pair
+    (orderkey ⊆? custkey) that must score near zero — the profiler's
+    discrimination, pinned by the twin test.
+
+    Scale: per pair, two scan-local distincts and one distinct-key
+    semi-join — at lake scale the distinct sets are pre-sketched
+    (the q98/q138 Bloom/HLL machinery) and containment is estimated
+    from sketches, same pairing loop."""
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in (
+            "orders",
+            "customer",
+            "lineitem",
+            "part",
+            "supplier",
+            "nation",
+        )
+    }
+    arms = []
+    for fk, pk in _Q310_PAIRS:
+        ft, fc = fk.split(".")
+        pt, pc = pk.split(".")
+        fks = tables[ft].select(F.col(fc).alias("k")).distinct()
+        pks = tables[pt].select(F.col(pc).alias("k")).distinct()
+        arms.append(
+            fks.agg(F.count(F.lit(1)).cast("long").alias("fk_distinct"))
+            .crossJoin(
+                pks.agg(
+                    F.count(F.lit(1)).cast("long").alias("pk_distinct")
+                )
+            )
+            .crossJoin(
+                fks.join(pks, "k").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_common")
+                )
+            )
+            .select(
+                F.lit(fk).alias("fk_col"),
+                F.lit(pk).alias("pk_col"),
+                "fk_distinct",
+                "pk_distinct",
+                "n_common",
+            )
+        )
+    panel = arms[0]
+    for a in arms[1:]:
+        panel = panel.unionByName(a)
+    return panel.selectExpr(
+        "fk_col",
+        "pk_col",
+        "fk_distinct",
+        "pk_distinct",
+        "n_common",
+        "CAST((2000000 * n_common + fk_distinct)"
+        " div (2 * fk_distinct) AS BIGINT) AS containment_micro",
+    )

@@ -1771,3 +1771,70 @@ def test_q308_ar_aging_twin(spark):
         ) == (n, len(custs), cents, mx)
     assert sum(r["n_orders"] for r in rows.values()) == total_open
     assert "0-30" in rows and "90+" in rows
+
+
+def test_q309_edge_churn_twin(spark):
+    """Python replay of the year-flag census plus set identities."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q309_Y1,
+        _Q309_Y2,
+        q309,
+    )
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    e1, e2 = set(), set()
+    for r in li:
+        y = int(str(r["l_shipdate"])[:4])
+        edge = (r["l_partkey"], r["l_suppkey"])
+        if y == _Q309_Y1:
+            e1.add(edge)
+        elif y == _Q309_Y2:
+            e2.add(edge)
+    row = q309(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert got["n_edges_y1"] == len(e1)
+    assert got["n_edges_y2"] == len(e2)
+    assert got["n_stable"] == len(e1 & e2)
+    assert got["n_dropped"] == len(e1 - e2)
+    assert got["n_new"] == len(e2 - e1)
+    u = len(e1 | e2)
+    assert got["jaccard_micro"] == (2_000_000 * len(e1 & e2) + u) // (2 * u)
+
+
+def test_q310_join_discovery_twin(spark):
+    """Python replay of distincts and containment; the real FKs score
+    1e6 and the decoy scores far below."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q310_PAIRS,
+        q310,
+    )
+
+    data = {
+        t: spark.read.parquet(f"{SF001}/{t}.parquet").collect()
+        for t in ("orders", "customer", "lineitem", "part", "supplier", "nation")
+    }
+    rows = {(r["fk_col"], r["pk_col"]): r for r in q310(spark, SF001).collect()}
+    assert set(rows) == set(_Q310_PAIRS)
+    for fk, pk in _Q310_PAIRS:
+        ft, fc = fk.split(".")
+        pt, pc = pk.split(".")
+        fset = {r[fc] for r in data[ft]}
+        pset = {r[pc] for r in data[pt]}
+        got = rows[(fk, pk)]
+        assert got["fk_distinct"] == len(fset)
+        assert got["pk_distinct"] == len(pset)
+        assert got["n_common"] == len(fset & pset)
+        assert got["containment_micro"] == (
+            2_000_000 * len(fset & pset) + len(fset)
+        ) // (2 * len(fset))
+    real = [
+        rows[p]["containment_micro"]
+        for p in _Q310_PAIRS
+        if p != ("orders.o_orderkey", "customer.c_custkey")
+    ]
+    decoy = rows[("orders.o_orderkey", "customer.c_custkey")][
+        "containment_micro"
+    ]
+    assert all(r == 1_000_000 for r in real)
+    assert decoy < 200_000
