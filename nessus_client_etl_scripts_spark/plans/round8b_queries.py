@@ -4400,3 +4400,169 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((2000000 * n_common + fk_distinct)"
         " div (2 * fk_distinct) AS BIGINT) AS containment_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# q311 — sliding-log rate limiter audit (RANGE frame on event time)
+# ---------------------------------------------------------------------------
+
+_Q311_WINDOW_S = 86400  # sliding 24 h log
+_Q311_LIMIT = 6  # max events per user per sliding day — offenders
+#               exist but are not universal at every test SF
+#               (sf0.001: 9/15 users, sf0.01: 80/150, sf0.1: 866/1500)
+
+_Q311_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) // 1000000 AS sec
+  FROM events
+), counted AS (
+  SELECT user_id, event_id,
+         CAST(count(*) OVER (
+           PARTITION BY user_id ORDER BY sec
+           RANGE BETWEEN {_Q311_WINDOW_S - 1} PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS in_window
+  FROM ev
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(in_window) AS BIGINT) AS max_rate,
+       CAST(sum(CASE WHEN in_window > {_Q311_LIMIT} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rejected
+FROM counted GROUP BY user_id
+HAVING sum(CASE WHEN in_window > {_Q311_LIMIT} THEN 1 ELSE 0 END) > 0
+"""
+
+
+@register("q311_rate_limit_audit", _Q311_ORACLE)
+def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-LOG rate limiter replay — the audit an API platform
+    runs to size limits before enforcing them: for every event, the
+    count of the same user's events in the trailing {w}-second window
+    (a RANGE frame on event-time seconds — the frame type that counts
+    by TIME DISTANCE, where a ROWS frame would count by position and
+    silently break on bursts), then per user the peak rate and how
+    many requests a limit of {lim}/window WOULD have rejected.  Only
+    offending users are emitted (the HAVING audit shape).
+
+    Ties inside one second land in the same RANGE frame on both
+    engines by definition — no ordering hazard; the window-second
+    subtraction uses {w}−1 PRECEDING so the frame is exactly [t−{w},
+    t] in whole seconds.
+
+    Scale: one window per user (high-cardinality partition key), one
+    rollup; the sliding log at serving time is the q83
+    applyInPandasWithState path with a deque per key — this is its
+    batch twin for capacity planning."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-(_Q311_WINDOW_S - 1), Window.currentRow)
+    )
+    counted = ev.select("user_id", sec.alias("sec")).select(
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("in_window"),
+    )
+    return (
+        counted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("in_window").cast("long").alias("max_rate"),
+            F.sum((F.col("in_window") > _Q311_LIMIT).cast("long"))
+            .cast("long")
+            .alias("n_rejected"),
+        )
+        .filter(F.col("n_rejected") > 0)
+    )
+
+
+q311.__doc__ = q311.__doc__.format(w=_Q311_WINDOW_S, lim=_Q311_LIMIT)
+
+
+# ---------------------------------------------------------------------------
+# q312 — data-subject access report (DSAR extract census)
+# ---------------------------------------------------------------------------
+
+# subjects = every 37th customer key (the deterministic request batch)
+_Q312_MOD = 37
+
+_Q312_ORACLE = f"""
+WITH subjects AS (
+  SELECT c_custkey AS sid FROM customer WHERE c_custkey % {_Q312_MOD} = 0
+), arms AS (
+  SELECT 'customer' AS tbl, sid, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(NULL AS DATE) AS first_d, CAST(NULL AS DATE) AS last_d
+  FROM customer JOIN subjects ON sid = c_custkey GROUP BY sid
+  UNION ALL
+  SELECT 'orders', sid, CAST(count(*) AS BIGINT),
+         min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))
+  FROM orders JOIN subjects ON sid = o_custkey GROUP BY sid
+  UNION ALL
+  SELECT 'events', sid, CAST(count(*) AS BIGINT),
+         min(CAST(ts AS DATE)), max(CAST(ts AS DATE))
+  FROM events JOIN subjects ON sid = user_id GROUP BY sid
+)
+SELECT tbl, sid, n_rows, first_d, last_d FROM arms
+"""
+
+
+@register("q312_dsar_extract", _Q312_ORACLE)
+def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-SUBJECT ACCESS REPORT census — the GDPR/CCPA Article-15
+    counterpart of q84's erasure audit: for a batch of requesting
+    subjects, every table holding their data reports row counts and
+    first/last activity dates — the inventory the privacy office
+    attaches to an access response, and the scoping input the erasure
+    job (q84) consumes.  Subject linkage follows the same key
+    conventions as the FK audit (q77): custkey in the warehouse,
+    user_id in the event stream.
+
+    Scale: the subject batch broadcasts into each table's scan
+    (semi-join at the source, no full-table shuffle); per-table
+    rollups are map-side combined.  Adding a table adds an arm, not a
+    pass over existing ones."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    subjects = (
+        cust.filter(F.col("c_custkey") % _Q312_MOD == 0)
+        .select(F.col("c_custkey").alias("sid"))
+    )
+    arms = [
+        cust.join(
+            F.broadcast(subjects), F.col("sid") == F.col("c_custkey")
+        )
+        .groupBy("sid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            F.lit("customer").alias("tbl"),
+            "sid",
+            "n_rows",
+            F.lit(None).cast("date").alias("first_d"),
+            F.lit(None).cast("date").alias("last_d"),
+        ),
+        orders.join(
+            F.broadcast(subjects), F.col("sid") == F.col("o_custkey")
+        )
+        .groupBy("sid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+        .select(F.lit("orders").alias("tbl"), "sid", "n_rows", "first_d", "last_d"),
+        ev.join(F.broadcast(subjects), F.col("sid") == F.col("user_id"))
+        .groupBy("sid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(F.col("ts").cast("date")).alias("first_d"),
+            F.max(F.col("ts").cast("date")).alias("last_d"),
+        )
+        .select(F.lit("events").alias("tbl"), "sid", "n_rows", "first_d", "last_d"),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

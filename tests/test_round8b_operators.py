@@ -1838,3 +1838,91 @@ def test_q310_join_discovery_twin(spark):
     ]
     assert all(r == 1_000_000 for r in real)
     assert decoy < 200_000
+
+
+def test_q311_rate_limit_twin(spark):
+    """Sliding-log replay per user in Python (deque over seconds)
+    must match peak rates and rejection counts; some but not all
+    users offend."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q311_LIMIT,
+        _Q311_WINDOW_S,
+        q311,
+    )
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    per = defaultdict(list)
+    for r in ev:
+        us = int(
+            r["ts"].replace(tzinfo=__import__("datetime").timezone.utc)
+            .timestamp()
+            * 1_000_000
+        )
+        per[r["user_id"]].append(us // 1_000_000)
+    want = {}
+    for uid, secs in per.items():
+        secs.sort()
+        from collections import deque
+
+        dq = deque()
+        peak = rejected = 0
+        for s in secs:
+            dq.append(s)
+            while dq[0] < s - (_Q311_WINDOW_S - 1):
+                dq.popleft()
+            peak = max(peak, len(dq))
+            if len(dq) > _Q311_LIMIT:
+                rejected += 1
+        if rejected > 0:
+            want[uid] = (len(secs), peak, rejected)
+
+    rows = {r["user_id"]: r for r in q311(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for uid, (n, peak, rej) in want.items():
+        got = rows[uid]
+        assert (got["n_events"], got["max_rate"], got["n_rejected"]) == (
+            n,
+            peak,
+            rej,
+        )
+    assert 0 < len(want) < len(per)
+
+
+def test_q312_dsar_twin(spark):
+    """Python replay of the access census across the three tables."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q312_MOD,
+        q312,
+    )
+
+    cust = spark.read.parquet(f"{SF001}/customer.parquet").collect()
+    orders = spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    subjects = {
+        r["c_custkey"] for r in cust if r["c_custkey"] % _Q312_MOD == 0
+    }
+    want = {}
+    for s in subjects:
+        want[("customer", s)] = (1, None, None)
+    od = defaultdict(list)
+    for r in orders:
+        if r["o_custkey"] in subjects:
+            od[r["o_custkey"]].append(str(r["o_orderdate"])[:10])
+    for s, ds in od.items():
+        want[("orders", s)] = (len(ds), min(ds), max(ds))
+    ed = defaultdict(list)
+    for r in ev:
+        if r["user_id"] in subjects:
+            ed[r["user_id"]].append(r["ts"].date().isoformat())
+    for s, ds in ed.items():
+        want[("events", s)] = (len(ds), min(ds), max(ds))
+
+    rows = {(r["tbl"], r["sid"]): r for r in q312(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for k, (n, lo, hi) in want.items():
+        got = rows[k]
+        assert got["n_rows"] == n
+        assert (
+            got["first_d"].isoformat() if got["first_d"] else None
+        ) == lo
+        assert (got["last_d"].isoformat() if got["last_d"] else None) == hi
