@@ -4818,3 +4818,137 @@ def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cur").cast("long").alias("revenue_cents"),
         (F.sum("cur") - F.sum("prev")).cast("long").alias("delta_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q315 — quantile treatment effects (distributional uplift)
+# ---------------------------------------------------------------------------
+
+_Q315_ORACLE = f"""
+WITH treat AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'error' AND value > 90
+                  AND CAST(ts AS DATE) < DATE '{_Q287_SPLIT}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS arm
+  FROM events GROUP BY user_id
+), y AS (
+  SELECT t.arm, e.user_id,
+         CAST(sum(CASE WHEN e.event_type = 'purchase'
+                  AND CAST(e.ts AS DATE) >= DATE '{_Q287_SPLIT}'
+                  THEN CAST(round(e.value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y_cents
+  FROM events e JOIN treat t ON t.user_id = e.user_id
+  GROUP BY t.arm, e.user_id
+), ranked AS (
+  SELECT arm, y_cents,
+         row_number() OVER (PARTITION BY arm
+                            ORDER BY y_cents, user_id) AS rk,
+         CAST(count(*) OVER (PARTITION BY arm) AS BIGINT) AS n
+  FROM y
+), qs AS (
+  SELECT arm, CAST(max(n) AS BIGINT) AS n,
+         CAST(max(CASE WHEN rk = (n + 3) // 4 THEN y_cents END)
+              AS BIGINT) AS p25,
+         CAST(max(CASE WHEN rk = (n + 1) // 2 THEN y_cents END)
+              AS BIGINT) AS p50,
+         CAST(max(CASE WHEN rk = (3 * n + 3) // 4 THEN y_cents END)
+              AS BIGINT) AS p75,
+         CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN y_cents END)
+              AS BIGINT) AS p90
+  FROM ranked GROUP BY arm
+)
+SELECT t.n AS n_treated, c.n AS n_control,
+       CAST(t.p25 - c.p25 AS BIGINT) AS qte_p25_cents,
+       CAST(t.p50 - c.p50 AS BIGINT) AS qte_p50_cents,
+       CAST(t.p75 - c.p75 AS BIGINT) AS qte_p75_cents,
+       CAST(t.p90 - c.p90 AS BIGINT) AS qte_p90_cents
+FROM (SELECT * FROM qs WHERE arm = 1) t
+CROSS JOIN (SELECT * FROM qs WHERE arm = 0) c
+"""
+
+
+@register("q315_quantile_treatment_effect", _Q315_ORACLE)
+def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE treatment effects — the distributional readout a mean
+    ATE (q287) hides: the treated-minus-control gap at p25/p50/p75/p90
+    of the outcome distribution answers \"did the intervention lift
+    everyone, or just the tail?\" (Lehmann/Doksum QTE; what uplift
+    teams plot as the effect-by-quantile curve).  Per-arm quantiles
+    are EXACT positional picks with pinned (outcome, user_id)
+    tie-breaks — no interpolation, so every gap is an exact integer
+    cents difference.
+
+    Scale: one per-user outcome rollup joined to the arm assignment,
+    one rank per arm (two partitions — the two-phase range-exchange
+    rank takes over at population scale), a 2-row pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    split = F.lit(_Q287_SPLIT).cast("date")
+    treat = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "error")
+                & (F.col("value") > 90)
+                & (d < split)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("arm")
+    )
+    y = (
+        ev.join(treat, "user_id")
+        .groupBy("arm", "user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (d >= split),
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y_cents")
+        )
+    )
+    wr = Window.partitionBy("arm").orderBy("y_cents", "user_id")
+    wn = Window.partitionBy("arm")
+    ranked = y.select(
+        "arm",
+        "y_cents",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+
+    def pick(expr):
+        return F.max(
+            F.when(F.col("rk") == F.expr(expr), F.col("y_cents"))
+        ).cast("long")
+
+    qs = ranked.groupBy("arm").agg(
+        F.max("n").cast("long").alias("n"),
+        pick("(n + 3) div 4").alias("p25"),
+        pick("(n + 1) div 2").alias("p50"),
+        pick("(3 * n + 3) div 4").alias("p75"),
+        pick("(9 * n + 9) div 10").alias("p90"),
+    )
+    t = qs.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_treated"),
+        F.col("p25").alias("tp25"),
+        F.col("p50").alias("tp50"),
+        F.col("p75").alias("tp75"),
+        F.col("p90").alias("tp90"),
+    )
+    c = qs.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_control"),
+        F.col("p25").alias("cp25"),
+        F.col("p50").alias("cp50"),
+        F.col("p75").alias("cp75"),
+        F.col("p90").alias("cp90"),
+    )
+    return t.crossJoin(c).select(
+        "n_treated",
+        "n_control",
+        (F.col("tp25") - F.col("cp25")).cast("long").alias("qte_p25_cents"),
+        (F.col("tp50") - F.col("cp50")).cast("long").alias("qte_p50_cents"),
+        (F.col("tp75") - F.col("cp75")).cast("long").alias("qte_p75_cents"),
+        (F.col("tp90") - F.col("cp90")).cast("long").alias("qte_p90_cents"),
+    )

@@ -2036,3 +2036,54 @@ def test_q314_growth_accounting_twin(spark):
             r["delta_cents"] for (w, _), r in rows.items() if w == wk
         )
         assert delta == total_wk - total_prev
+
+
+def test_q315_qte_twin(spark):
+    """Python replay of per-arm positional quantiles and gaps."""
+    import datetime
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q287_SPLIT,
+        q315,
+    )
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    split = datetime.date.fromisoformat(_Q287_SPLIT)
+    arm = defaultdict(int)
+    y = defaultdict(int)
+    for r in ev:
+        u = r["user_id"]
+        y.setdefault(u, 0)
+        if (
+            r["event_type"] == "error"
+            and r["value"] > 90
+            and r["ts"].date() < split
+        ):
+            arm[u] = 1
+        if r["event_type"] == "purchase" and r["ts"].date() >= split:
+            y[u] += round(r["value"] * 100)
+
+    def quantiles(users):
+        vals = sorted((y[u], u) for u in users)
+        n = len(vals)
+        return (
+            n,
+            vals[(n + 3) // 4 - 1][0],
+            vals[(n + 1) // 2 - 1][0],
+            vals[(3 * n + 3) // 4 - 1][0],
+            vals[(9 * n + 9) // 10 - 1][0],
+        )
+
+    treated = [u for u in y if arm[u] == 1]
+    control = [u for u in y if arm[u] == 0]
+    tn, t25, t50, t75, t90 = quantiles(treated)
+    cn, c25, c50, c75, c90 = quantiles(control)
+
+    row = q315(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert (got["n_treated"], got["n_control"]) == (tn, cn)
+    assert got["qte_p25_cents"] == t25 - c25
+    assert got["qte_p50_cents"] == t50 - c50
+    assert got["qte_p75_cents"] == t75 - c75
+    assert got["qte_p90_cents"] == t90 - c90
