@@ -4952,3 +4952,152 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tp75") - F.col("cp75")).cast("long").alias("qte_p75_cents"),
         (F.col("tp90") - F.col("cp90")).cast("long").alias("qte_p90_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q316 — MMR diversified retrieval (greedy top-k with redundancy penalty)
+# ---------------------------------------------------------------------------
+
+_Q316_K = 8
+
+_Q316_COS = (
+    "CAST(round(1000000000 * (list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    "    * sqrt(list_dot_product({b}, {b}))))) AS BIGINT)"
+)
+
+
+def _q316_oracle() -> str:
+    sql = f"""
+WITH q AS MATERIALIZED (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), cand AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         {_Q316_COS.format(a="embedding::DOUBLE[]", b="qv")} AS rel
+  FROM embeddings CROSS JOIN q WHERE vec_id > 0
+), sel1 AS MATERIALIZED (
+  SELECT 1 AS rank, vec_id, e, rel, CAST(0 AS BIGINT) AS red
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+)"""
+    for r in range(2, _Q316_K + 1):
+        prev = f"sel{r - 1}" if r == 2 else f"all{r - 1}"
+        sql += f""",
+all{r - 1} AS MATERIALIZED (
+  {"SELECT * FROM sel1" if r == 2 else
+   f"SELECT * FROM all{r - 2} UNION ALL SELECT * FROM sel{r - 1}"}
+),
+sel{r} AS MATERIALIZED (
+  SELECT {r} AS rank, c.vec_id, c.e, c.rel, t.red
+  FROM cand c JOIN (
+    SELECT c2.vec_id,
+           CAST(max({_Q316_COS.format(a="c2.e", b="s.e")}) AS BIGINT)
+             AS red
+    FROM cand c2 CROSS JOIN all{r - 1} s
+    WHERE c2.vec_id NOT IN (SELECT vec_id FROM all{r - 1})
+    GROUP BY c2.vec_id
+  ) t ON t.vec_id = c.vec_id
+  ORDER BY c.rel - t.red DESC, c.vec_id LIMIT 1
+)"""
+    last_union = " UNION ALL ".join(
+        f"SELECT rank, vec_id, rel, red FROM sel{r}"
+        for r in range(1, _Q316_K + 1)
+    )
+    sql += f"""
+SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+       rel AS rel_nano, red AS red_nano,
+       CAST(rel - red AS BIGINT) AS objective_nano
+FROM ({last_union}) t
+"""
+    return sql
+
+
+@register("q316_mmr_diversify", _q316_oracle())
+def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR DIVERSIFIED retrieval (Carbonell & Goldstein 1998) — the
+    re-ranking every search/RAG stack applies so the top-k is not k
+    paraphrases of one document: greedily pick argmax of
+    relevance − redundancy, where redundancy is the max similarity to
+    anything ALREADY SELECTED (λ = 1/2 scales both terms equally, so
+    the integer difference ranks identically).  Similarities quantize
+    to nano integers via JVM/DuckDB round() (shared half-away ties),
+    making each greedy argmax — and therefore the whole selection
+    path — bit-portable; ties pin on vec_id.
+
+    Scale: each of the K rounds scores candidates against ≤K selected
+    vectors (a broadcast of K rows — the selected set is small BY
+    DEFINITION of top-k), so the loop costs K·|cand|·K dot products;
+    the driver holds only the K chosen rows (bounded collect).  The
+    oracle unrolls the greedy rounds as MATERIALIZED CTE layers (the
+    q290 rule)."""
+    from ..operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    qv = v.filter(F.col("vec_id") == 0).select(F.col("e").alias("qv"))
+    cos_rel = dot(F.col("e"), F.col("qv")) / (
+        F.sqrt(dot(F.col("e"), F.col("e")))
+        * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    cand = (
+        v.filter(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "e",
+            F.round(F.lit(1000000000) * cos_rel, 0)
+            .cast("long")
+            .alias("rel"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected = []  # driver-held (rank, vec_id, e, rel, red) — K rows
+    first = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).collect()[0]
+    selected.append((1, first["vec_id"], first["e"], first["rel"], 0))
+    for r in range(2, _Q316_K + 1):
+        sel_df = cand.sparkSession.createDataFrame(
+            [(vid, list(e)) for _, vid, e, _, _ in selected],
+            "svec_id LONG, se ARRAY<DOUBLE>",
+        )
+        chosen_ids = [vid for _, vid, *_ in selected]
+        cos_red = dot(F.col("e"), F.col("se")) / (
+            F.sqrt(dot(F.col("e"), F.col("e")))
+            * F.sqrt(dot(F.col("se"), F.col("se")))
+        )
+        nxt = (
+            cand.filter(~F.col("vec_id").isin(chosen_ids))
+            .crossJoin(F.broadcast(sel_df))
+            .select(
+                "vec_id",
+                "e",
+                "rel",
+                F.round(F.lit(1000000000) * cos_red, 0)
+                .cast("long")
+                .alias("sim"),
+            )
+            .groupBy("vec_id", "e", "rel")
+            .agg(F.max("sim").cast("long").alias("red"))
+            .orderBy(
+                F.desc(F.col("rel") - F.col("red")), F.asc("vec_id")
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(
+            (r, nxt["vec_id"], nxt["e"], nxt["rel"], nxt["red"])
+        )
+    out = cand.sparkSession.createDataFrame(
+        [(rk, vid, rel, red) for rk, vid, _, rel, red in selected],
+        "rank LONG, vec_id LONG, rel_nano LONG, red_nano LONG",
+    )
+    return out.select(
+        "rank",
+        "vec_id",
+        "rel_nano",
+        "red_nano",
+        (F.col("rel_nano") - F.col("red_nano"))
+        .cast("long")
+        .alias("objective_nano"),
+    )

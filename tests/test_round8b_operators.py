@@ -2087,3 +2087,58 @@ def test_q315_qte_twin(spark):
     assert got["qte_p50_cents"] == t50 - c50
     assert got["qte_p75_cents"] == t75 - c75
     assert got["qte_p90_cents"] == t90 - c90
+
+
+def test_q316_mmr_twin(spark):
+    """Python greedy replay with the same nano quantization; MMR's
+    selection must differ from the plain relevance top-k (the
+    diversification actually bites) while rank 1 agrees."""
+    import math
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q316_K,
+        q316,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb}
+
+    def nano_cos(a, b):
+        c = sum(x * y for x, y in zip(a, b)) / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+        v = 1_000_000_000 * c
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    qv = vecs[0]
+    rel = {i: nano_cos(v, qv) for i, v in vecs.items() if i > 0}
+    selected = []
+    first = min(rel, key=lambda i: (-rel[i], i))
+    selected.append((1, first, rel[first], 0))
+    chosen = {first}
+    for r in range(2, _Q316_K + 1):
+        best = None
+        for i in rel:
+            if i in chosen:
+                continue
+            red = max(nano_cos(vecs[i], vecs[j]) for _, j, _, _ in selected)
+            key = (-(rel[i] - red), i)
+            if best is None or key < best[0]:
+                best = (key, i, red)
+        _, i, red = best
+        selected.append((r, i, rel[i], red))
+        chosen.add(i)
+
+    rows = {r["rank"]: r for r in q316(spark, SF001).collect()}
+    assert set(rows) == set(range(1, _Q316_K + 1))
+    for rk, vid, rl, rd in selected:
+        got = rows[rk]
+        assert (got["vec_id"], got["rel_nano"], got["red_nano"]) == (
+            vid,
+            rl,
+            rd,
+        )
+        assert got["objective_nano"] == rl - rd
+    plain_topk = sorted(rel, key=lambda i: (-rel[i], i))[:_Q316_K]
+    assert {r["vec_id"] for r in rows.values()} != set(plain_topk)
+    assert rows[1]["vec_id"] == plain_topk[0]
