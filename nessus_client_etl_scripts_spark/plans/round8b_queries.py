@@ -1917,7 +1917,16 @@ _Q288_ISQRT = (
     "          > {t} THEN -1 ELSE 0 END))"
 )
 
-_Q288_T = "((s * (n - s) + n) * 1000000000000 {div} n)"
+# T = floor(s(n-s)*10^12 / n) + 10^12, computed WITHOUT the 10^12
+# product overflowing: floor(a*K/n) = (a div n)*K + ((a mod n)*K) div n
+# (exact for nonnegative integers). Headroom: (a div n) <= n/4, so the
+# first term stays in int64 through n ~ 5e6 per group - by which point
+# the Wilson half-width is below the micro quantum anyway.
+_Q288_T = (
+    "(((s * (n - s)) {div} n) * 1000000000000"
+    " + (((s * (n - s)) % n) * 1000000000000) {div} n"
+    " + 1000000000000)"
+)
 _Q288_EXPRS = (
     "CAST((2000000 * s + n) {div} (2 * n) AS BIGINT) AS rate_micro",
     "CAST(greatest(CAST(0 AS BIGINT),"
