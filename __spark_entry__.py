@@ -49,9 +49,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # That is 3+N+3+20 ≈ 30+; the budget remainder flows into MIDDLE =
 # everything not head and not fresh-green (r4-era rows, oldest next).
 # TAIL: queries with r5-r7 green evidence, newest last.
+def _interleave(*seqs):
+    out = []
+    for group in __import__("itertools").zip_longest(*seqs):
+        out.extend(n for n in group if n is not None)
+    return tuple(out)
+
+
+# The driver checks ~50 queries in iteration order; round 8 added TWO
+# waves (q214-q272 and q273+), both never driver-checked, so the head
+# interleaves them — each wave earns driver rows instead of the first
+# exhausting the budget.
 _R8_HEAD = (
     ("q177", "q179", "q182")
-    + tuple(f"q{n}" for n in range(214, 330))
+    + _interleave(
+        tuple(f"q{n}" for n in range(214, 273)),
+        tuple(f"q{n}" for n in range(273, 330)),
+    )
     + ("q54", "q56", "q58")
     + tuple(f"q{n}" for n in range(29, 39))
     + tuple(f"q{n}" for n in range(40, 50))
