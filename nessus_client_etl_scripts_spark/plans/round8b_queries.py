@@ -5110,3 +5110,203 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("objective_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q317 — LRU cache hit-ratio simulation (list-state ordered fold)
+# ---------------------------------------------------------------------------
+
+_Q317_CAP = 4  # cache entries per user
+# page id: 16 synthetic pages derived from the event value
+_Q317_PAGE = "CAST(round(value * 100) AS BIGINT) % 16"
+
+_Q317_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, {_Q317_PAGE} AS page,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM events
+), fsm AS (
+  SELECT user_id, i, n, [page] AS cache, CAST(0 AS BIGINT) AS hits
+  FROM ev WHERE i = 1
+  UNION ALL
+  SELECT x.user_id, x.i, x.n,
+         list_slice(
+           list_prepend(x.page,
+             list_filter(f.cache, p -> p <> x.page)),
+           1, {_Q317_CAP}) AS cache,
+         CAST(f.hits + (CASE WHEN list_contains(f.cache, x.page)
+              THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM fsm f JOIN ev x ON x.user_id = f.user_id AND x.i = f.i + 1
+)
+SELECT user_id, n AS n_accesses, hits AS n_hits,
+       CAST((2000000 * hits + (n - 1)) // (2 * (n - 1)) AS BIGINT)
+         AS hit_micro
+FROM fsm WHERE i = n
+"""
+
+
+@register("q317_lru_hit_ratio", _Q317_ORACLE)
+def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LRU CACHE hit-ratio simulation — the capacity-planning replay
+    run before sizing a cache tier (would {cap} entries per user have
+    served this traffic?): per user, the event stream's synthetic page
+    ids drive an exact LRU — hit if the page is resident, then
+    move-to-front and truncate to capacity.  Recency order makes the
+    state a LIST whose every step depends on the last — fold
+    machinery with an ARRAY-valued accumulator (Spark ``aggregate``
+    with array ops; DuckDB WITH RECURSIVE carrying a list column —
+    list_reduce's struct bug, PLANS.md #9, applies to structs; the
+    recursive form sidesteps it entirely).  Hit ratio is over the
+    n−1 post-warmup accesses (the first access can never hit).
+
+    Scale: one window for per-user sequence numbers, then the fold is
+    O(events·cap) row-local work per user; the online twin carries
+    the same list per key in the q83 state store."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.expr(_Q317_PAGE).alias("page"),
+        F.struct(
+            F.col("ts").alias("ts"), F.col("event_id").alias("eid")
+        ).alias("ord"),
+    )
+    series = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_accesses"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ord").alias("o"), F.col("page").alias("p")
+                    )
+                )
+            ),
+            lambda s: s["p"],
+        ).alias("pages"),
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          slice(pages, 2, size(pages) - 1),
+          struct(array(pages[0]) AS cache, CAST(0 AS BIGINT) AS hits),
+          (acc, p) -> struct(
+            slice(concat(array(p), filter(acc.cache, c -> c != p)),
+                  1, {_Q317_CAP}) AS cache,
+            CAST(acc.hits + (CASE WHEN array_contains(acc.cache, p)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS hits))
+        """
+    )
+    return series.select(
+        "user_id",
+        "n_accesses",
+        fold.alias("st"),
+    ).select(
+        "user_id",
+        "n_accesses",
+        F.col("st.hits").alias("n_hits"),
+        F.expr(
+            "CAST((2000000 * st.hits + (n_accesses - 1))"
+            " div (2 * (n_accesses - 1)) AS BIGINT)"
+        ).alias("hit_micro"),
+    )
+
+
+q317.__doc__ = q317.__doc__.format(cap=_Q317_CAP)
+
+
+# ---------------------------------------------------------------------------
+# q318 — multi-currency consolidation with as-of weekly rates
+# ---------------------------------------------------------------------------
+
+# deterministic synthesis: currency from custkey (4 currencies), and a
+# weekly micro-rate per currency that drifts with the week index —
+# both engines derive identical tables from the same integers
+_Q318_NCUR = 4
+
+_Q318_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) AS od,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           // 7 AS wk,
+         o_custkey % {_Q318_NCUR} AS cur
+  FROM orders
+), rates AS (
+  SELECT DISTINCT wk, cur,
+         1000000 + 100000 * cur
+           + 10000 * ((wk * (cur + 3)) % 11) AS rate_micro
+  FROM o
+), converted AS (
+  SELECT o.cur, o.wk, o.cents, r.rate_micro,
+         (2 * o.cents * r.rate_micro + 1000000) // (2 * 1000000)
+           AS base_cents
+  FROM o JOIN rates r ON r.wk = o.wk AND r.cur = o.cur
+)
+SELECT CAST(cur AS BIGINT) AS currency,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS local_cents,
+       CAST(sum(base_cents) AS BIGINT) AS base_cents,
+       CAST(min(rate_micro) AS BIGINT) AS min_rate_micro,
+       CAST(max(rate_micro) AS BIGINT) AS max_rate_micro
+FROM converted GROUP BY cur
+"""
+
+
+@register("q318_fx_consolidation", _Q318_ORACLE)
+def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-CURRENCY ledger consolidation — the close-process join
+    every multinational warehouse runs: each order converts at the
+    rate IN EFFECT FOR ITS WEEK (as-of semantics on the rate
+    dimension; using today's rate restates history and fails audit),
+    with per-currency local and base-currency totals plus the rate
+    range actually applied.  Rates are integer micro (per-order
+    conversion rounds half-up ONCE, then sums — the per-item-then-sum
+    discipline of q272), synthesized deterministically per (currency,
+    week) so both engines derive the identical dimension.
+
+    Scale: the rate dimension is |currencies|×|weeks| — broadcast
+    territory forever; one fact scan, one broadcast join, one
+    rollup."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+            " div 7"
+        ).alias("wk"),
+        (F.col("o_custkey") % _Q318_NCUR).alias("cur"),
+    )
+    rates = (
+        o.select("wk", "cur")
+        .distinct()
+        .select(
+            "wk",
+            "cur",
+            (
+                F.lit(1000000)
+                + F.lit(100000) * F.col("cur")
+                + F.lit(10000)
+                * ((F.col("wk") * (F.col("cur") + 3)) % 11)
+            )
+            .cast("long")
+            .alias("rate_micro"),
+        )
+    )
+    converted = o.join(F.broadcast(rates), ["wk", "cur"]).select(
+        "cur",
+        "cents",
+        "rate_micro",
+        F.expr(
+            "(2 * cents * rate_micro + 1000000) div (2 * 1000000)"
+        ).alias("base_cents"),
+    )
+    return converted.groupBy(
+        F.col("cur").cast("long").alias("currency")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("local_cents"),
+        F.sum("base_cents").cast("long").alias("base_cents"),
+        F.min("rate_micro").cast("long").alias("min_rate_micro"),
+        F.max("rate_micro").cast("long").alias("max_rate_micro"),
+    )

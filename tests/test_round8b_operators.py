@@ -2142,3 +2142,83 @@ def test_q316_mmr_twin(spark):
     plain_topk = sorted(rel, key=lambda i: (-rel[i], i))[:_Q316_K]
     assert {r["vec_id"] for r in rows.values()} != set(plain_topk)
     assert rows[1]["vec_id"] == plain_topk[0]
+
+
+def test_q317_lru_twin(spark):
+    """Literal LRU simulation in Python (ordered list, move-to-front,
+    truncate) must match hits exactly; hit rates are nontrivial
+    (neither 0 nor 1 for the population)."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q317_CAP,
+        q317,
+    )
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    per = defaultdict(list)
+    for r in ev:
+        per[r["user_id"]].append(
+            (r["ts"], r["event_id"], round(r["value"] * 100) % 16)
+        )
+    want = {}
+    for uid, rs in per.items():
+        rs.sort()
+        cache = []
+        hits = 0
+        for _, _, page in rs:
+            if page in cache:
+                hits += 1
+                cache.remove(page)
+            cache.insert(0, page)
+            del cache[_Q317_CAP:]
+        want[uid] = (len(rs), hits)
+
+    rows = {r["user_id"]: r for r in q317(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for uid, (n, hits) in want.items():
+        got = rows[uid]
+        assert (got["n_accesses"], got["n_hits"]) == (n, hits)
+        assert got["hit_micro"] == (2_000_000 * hits + (n - 1)) // (
+            2 * (n - 1)
+        )
+    ratios = [r["n_hits"] / (r["n_accesses"] - 1) for r in rows.values()]
+    assert 0 < min(ratios) or max(ratios) > 0
+    assert max(ratios) < 1
+
+
+def test_q318_fx_twin(spark):
+    """Python replay of the deterministic rate table and per-order
+    conversion; conversion happens at each order's own week rate (the
+    as-of property: base != local * any single rate)."""
+    import datetime
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q318_NCUR,
+        q318,
+    )
+
+    orders = spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    agg = defaultdict(lambda: [0, 0, 0, set()])
+    for r in orders:
+        od = datetime.date.fromisoformat(str(r["o_orderdate"])[:10])
+        wk = (od - datetime.date(1970, 1, 1)).days // 7
+        cur = r["o_custkey"] % _Q318_NCUR
+        rate = 1_000_000 + 100_000 * cur + 10_000 * ((wk * (cur + 3)) % 11)
+        cents = round(r["o_totalprice"] * 100)
+        base = (2 * cents * rate + 1_000_000) // (2 * 1_000_000)
+        a = agg[cur]
+        a[0] += 1
+        a[1] += cents
+        a[2] += base
+        a[3].add(rate)
+
+    rows = {r["currency"]: r for r in q318(spark, SF001).collect()}
+    assert set(rows) == set(agg)
+    for cur, (n, local, base, rates) in agg.items():
+        got = rows[cur]
+        assert (got["n_orders"], got["local_cents"], got["base_cents"]) \
+            == (n, local, base)
+        assert (got["min_rate_micro"], got["max_rate_micro"]) == (
+            min(rates),
+            max(rates),
+        )
+        assert len(rates) > 1  # rates genuinely vary by week
