@@ -5310,3 +5310,274 @@ def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rate_micro").cast("long").alias("min_rate_micro"),
         F.max("rate_micro").cast("long").alias("max_rate_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q319 — mod-97 account validation (chunked big-number arithmetic)
+# ---------------------------------------------------------------------------
+
+# synthesized 18-digit account numbers: two zero-padded 9-digit halves
+# derived from the key; the check digits make every 3rd key invalid
+_Q319_ACCT = (
+    "lpad(CAST(({k} * 7919) % 1000000000 AS STRING), 9, '0') ||"
+    " lpad(CAST(({k} * 104729 + (CASE WHEN {k} % 3 = 0 THEN 1 ELSE 0 END))"
+    " % 1000000000 AS STRING), 9, '0')"
+)
+
+_Q319_ORACLE = f"""
+WITH acct AS (
+  SELECT c_custkey,
+         {_Q319_ACCT.format(k="c_custkey")} AS digits
+  FROM customer
+), folded AS (
+  SELECT c_custkey, digits,
+         list_reduce(
+           list_transform(generate_series(1, 3),
+             i -> CAST(substring(digits, 1 + (i - 1) * 6, 6) AS BIGINT)),
+           (acc, chunk) -> (acc * 1000000 + chunk) % 97) AS mod97
+  FROM acct
+)
+SELECT CAST(mod97 AS BIGINT) AS mod97,
+       CAST(count(*) AS BIGINT) AS n_accounts,
+       CAST(min(c_custkey) AS BIGINT) AS example_key
+FROM folded GROUP BY mod97
+"""
+
+
+@register("q319_mod97_validation", _Q319_ORACLE)
+def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOD-97 validation of account strings (the IBAN/ISO-7064 check)
+    via CHUNKED modular arithmetic — the standard trick for numbers
+    too big for any integer type: fold 6-digit chunks left-to-right
+    with acc ← (acc·10⁶ + chunk) mod 97, exactly how payment systems
+    validate 30+ digit references without bignum support.  The fold
+    is row-local over a constant 3-chunk split (scalar accumulator —
+    safe in DuckDB's list_reduce per PLANS.md #9); the remainder
+    distribution is the audit (a healthy feed concentrates on the
+    valid remainder; the synthetic corruption shifts every 3rd key).
+
+    Scale: pure row-local string/integer work inside
+    WholeStageCodegen, one small rollup."""
+    cust = load_table(spark, sf_dir, "customer")
+    acct = cust.select(
+        "c_custkey",
+        F.expr(_Q319_ACCT.format(k="c_custkey")).alias("digits"),
+    )
+    folded = acct.select(
+        "c_custkey",
+        F.expr(
+            """
+            aggregate(
+              transform(sequence(1, 3),
+                i -> CAST(substring(digits, 1 + (i - 1) * 6, 6)
+                          AS BIGINT)),
+              CAST(0 AS BIGINT),
+              (acc, chunk) -> (acc * 1000000 + chunk) % 97)
+            """
+        ).alias("mod97"),
+    )
+    return folded.groupBy(F.col("mod97").cast("long").alias("mod97")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_accounts"),
+        F.min("c_custkey").cast("long").alias("example_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q320 — largest-remainder (Hamilton) apportionment
+# ---------------------------------------------------------------------------
+
+_Q320_BUDGET = 1_000_000  # units to allocate exactly
+
+_Q320_ORACLE = f"""
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+), tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+quota AS (
+  SELECT nation, cents,
+         ({_Q320_BUDGET} * cents) // t AS floor_units,
+         ({_Q320_BUDGET} * cents) % t AS remainder
+  FROM rev CROSS JOIN tot
+), short AS (
+  SELECT CAST({_Q320_BUDGET} - sum(floor_units) AS BIGINT) AS k
+  FROM quota
+), ranked AS (
+  SELECT nation, cents, floor_units, remainder,
+         row_number() OVER (ORDER BY remainder DESC, nation) AS rk
+  FROM quota
+)
+SELECT nation, cents,
+       CAST(floor_units AS BIGINT) AS floor_units,
+       CAST(remainder AS BIGINT) AS remainder,
+       CAST(floor_units + (CASE WHEN rk <= k THEN 1 ELSE 0 END)
+            AS BIGINT) AS allocated_units
+FROM ranked CROSS JOIN short
+"""
+
+
+@register("q320_largest_remainder", _Q320_ORACLE)
+def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGEST-REMAINDER (Hamilton) apportionment — the exact
+    proportional-allocation rule behind penny-exact invoice splits,
+    ad-budget distribution, and seat apportionment: floor each group's
+    exact quota (budget·share), then hand the leftover units to the
+    largest remainders (pinned (remainder desc, name) tiebreak).  The
+    allocation SUMS EXACTLY to the budget by construction — the
+    property naive per-group rounding cannot give and the reason this
+    is an operator, not a format string.  All integer: quotas via one
+    multiply-then-divide against the exact total.
+
+    Scale: one fact rollup through two broadcast dims, a |groups|-row
+    quota frame, one metadata-sized rank."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "cents",
+        F.expr(f"({_Q320_BUDGET} * cents) div t").alias("floor_units"),
+        F.expr(f"({_Q320_BUDGET} * cents) % t").alias("remainder"),
+    )
+    short = quota.agg(
+        (F.lit(_Q320_BUDGET) - F.sum("floor_units"))
+        .cast("long")
+        .alias("k")
+    )
+    w = Window.orderBy(F.desc("remainder"), F.asc("nation"))
+    ranked = quota.withColumn("rk", F.row_number().over(w))
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "nation",
+        "cents",
+        F.col("floor_units").cast("long").alias("floor_units"),
+        F.col("remainder").cast("long").alias("remainder"),
+        (
+            F.col("floor_units")
+            + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocated_units"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q321 — posting-list compression sizing (Elias-Fano vs delta-varint)
+# ---------------------------------------------------------------------------
+
+_Q321_ORACLE = """
+WITH postings AS (
+  SELECT tok, CAST(doc_id AS BIGINT) AS doc_id
+  FROM (
+    SELECT DISTINCT doc_id,
+           unnest(string_split(
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+             ' ')) AS tok
+    FROM documents
+  ) t
+), gaps AS (
+  SELECT tok, doc_id,
+         doc_id - lag(doc_id) OVER (PARTITION BY tok ORDER BY doc_id)
+           AS gap
+  FROM postings
+), stats AS (
+  SELECT tok,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(max(doc_id) + 1 AS BIGINT) AS u,
+         CAST(sum(CASE WHEN gap IS NULL THEN
+               1 + (length(bin(doc_id + 1)) - 1) // 7
+              ELSE 1 + (length(bin(gap)) - 1) // 7 END) AS BIGINT)
+           AS varint_bytes
+  FROM gaps GROUP BY tok
+), sized AS (
+  SELECT tok, n, u, 8 * varint_bytes AS varint_bits,
+         2 * n + n * greatest(
+           length(bin(greatest(u // n, 1))) - 1, 0) + n AS ef_bits
+  FROM stats
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(n) AS BIGINT) AS n_postings,
+       CAST(sum(varint_bits) AS BIGINT) AS varint_bits,
+       CAST(sum(ef_bits) AS BIGINT) AS ef_bits,
+       CAST(sum(CASE WHEN ef_bits < varint_bits THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_terms_ef_wins
+FROM sized
+"""
+
+
+@register("q321_postinglist_sizing", _Q321_ORACLE)
+def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSTING-LIST compression sizing — the index-build decision every
+    search engine makes per term: Elias-Fano (n·(2 + ⌈log₂(U/n)⌉)
+    bits — the quasi-succinct encoding Lucene/Vigna use for long
+    runs) versus delta-gap VARINT (⌈bitlen/7⌉ bytes per gap — wins on
+    short, dense-gap lists).  Gap streams come from one lag window
+    per term over the distinct (term, doc) postings; bit widths use
+    the no-libm floor_log2.  The corpus-level census (total bits per
+    scheme, how many terms each wins) is what the sizing decision
+    reads.
+
+    Scale: the posting build is the q60/q132 inverted-index shape
+    (distinct + per-term window on the term key); the sizing is
+    row-local integer math folded into one reduce."""
+    from ..operators.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(normalize_text("text"))).alias("tok"),
+        )
+        .distinct()
+        .select("tok", F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    gaps = postings.select(
+        "tok",
+        "doc_id",
+        (F.col("doc_id") - F.lag("doc_id").over(w)).alias("gap"),
+    )
+    varint_expr = (
+        "CASE WHEN gap IS NULL THEN"
+        " 1 + (length(bin(doc_id + 1)) - 1) div 7"
+        " ELSE 1 + (length(bin(gap)) - 1) div 7 END"
+    )
+    stats = gaps.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.max("doc_id") + 1).cast("long").alias("u"),
+        F.sum(F.expr(varint_expr)).cast("long").alias("varint_bytes"),
+    )
+    sized = stats.selectExpr(
+        "tok",
+        "n",
+        "8 * varint_bytes AS varint_bits",
+        "2 * n + n * greatest(length(bin(greatest(u div n, 1))) - 1, 0)"
+        " + n AS ef_bits",
+    )
+    return sized.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("n").cast("long").alias("n_postings"),
+        F.sum("varint_bits").cast("long").alias("varint_bits"),
+        F.sum("ef_bits").cast("long").alias("ef_bits"),
+        F.sum((F.col("ef_bits") < F.col("varint_bits")).cast("long"))
+        .cast("long")
+        .alias("n_terms_ef_wins"),
+    )

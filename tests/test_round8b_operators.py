@@ -2222,3 +2222,122 @@ def test_q318_fx_twin(spark):
             max(rates),
         )
         assert len(rates) > 1  # rates genuinely vary by week
+
+
+def test_q319_mod97_twin(spark):
+    """Python bignum replay: the chunked fold must equal int(digits)
+    % 97 for every account, and the corruption shifts remainders."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q319
+
+    cust = spark.read.parquet(f"{SF001}/customer.parquet").collect()
+    agg = defaultdict(lambda: [0, None])
+    for r in cust:
+        k = r["c_custkey"]
+        digits = (
+            f"{(k * 7919) % 10**9:09d}"
+            f"{(k * 104729 + (1 if k % 3 == 0 else 0)) % 10**9:09d}"
+        )
+        m = int(digits) % 97  # bignum ground truth
+        a = agg[m]
+        a[0] += 1
+        a[1] = k if a[1] is None else min(a[1], k)
+
+    rows = {r["mod97"]: r for r in q319(spark, SF001).collect()}
+    assert set(rows) == set(agg)
+    for m, (n, ex) in agg.items():
+        got = rows[m]
+        assert (got["n_accounts"], got["example_key"]) == (n, ex)
+    assert len(rows) > 1  # the corruption spreads remainders
+
+
+def test_q320_largest_remainder_twin(spark):
+    """Python Hamilton replay; the allocation sums EXACTLY to the
+    budget and every group gets floor or floor+1."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q320_BUDGET,
+        q320,
+    )
+
+    orders = spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{SF001}/customer.parquet").collect()
+    }
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF001}/nation.parquet").collect()
+    }
+    rev = defaultdict(int)
+    for r in orders:
+        rev[nation[cust[r["o_custkey"]]]] += round(r["o_totalprice"] * 100)
+    t = sum(rev.values())
+    floors = {g: (_Q320_BUDGET * c) // t for g, c in rev.items()}
+    rems = {g: (_Q320_BUDGET * c) % t for g, c in rev.items()}
+    k = _Q320_BUDGET - sum(floors.values())
+    order = sorted(rev, key=lambda g: (-rems[g], g))
+    alloc = {
+        g: floors[g] + (1 if i < k else 0) for i, g in enumerate(order)
+    }
+
+    rows = {r["nation"]: r for r in q320(spark, SF001).collect()}
+    assert set(rows) == set(rev)
+    for g in rev:
+        got = rows[g]
+        assert got["cents"] == rev[g]
+        assert got["floor_units"] == floors[g]
+        assert got["remainder"] == rems[g]
+        assert got["allocated_units"] == alloc[g]
+    assert sum(r["allocated_units"] for r in rows.values()) == _Q320_BUDGET
+    assert all(
+        r["allocated_units"] - r["floor_units"] in (0, 1)
+        for r in rows.values()
+    )
+
+
+def test_q321_sizing_twin(spark):
+    """Python replay of gaps, varint bytes and Elias-Fano bits over
+    the same postings; both encodings win somewhere OR one dominates
+    consistently (the census is what matters)."""
+    from nessus_client_etl_scripts_spark.operators.text import (
+        normalize_text,
+        tokens,
+    )
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q321
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    rows_ = docs.select(
+        "doc_id", tokens(normalize_text("text")).alias("l")
+    ).collect()
+    postings = defaultdict(set)
+    for r in rows_:
+        for tok in set(r["l"]):
+            postings[tok].add(r["doc_id"])
+
+    def varint_bytes(x):
+        return 1 + (x.bit_length() - 1) // 7
+
+    n_terms = len(postings)
+    n_post = vb = ef = wins = 0
+    for tok, ids in postings.items():
+        ids = sorted(ids)
+        n = len(ids)
+        n_post += n
+        u = ids[-1] + 1
+        v = varint_bytes(ids[0] + 1) + sum(
+            varint_bytes(b - a) for a, b in zip(ids, ids[1:])
+        )
+        low_bits = max((max(u // n, 1)).bit_length() - 1, 0)
+        e = 2 * n + n * low_bits + n
+        vb += 8 * v
+        ef += e
+        wins += 1 if e < 8 * v else 0
+
+    row = q321(spark, SF001).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert got["n_terms"] == n_terms
+    assert got["n_postings"] == n_post
+    assert got["varint_bits"] == vb
+    assert got["ef_bits"] == ef
+    assert got["n_terms_ef_wins"] == wins
