@@ -5581,3 +5581,287 @@ def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_terms_ef_wins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q322 — sequence pattern detection (MATCH_RECOGNIZE-style V shape)
+# ---------------------------------------------------------------------------
+
+_Q322_ORACLE = """
+WITH weekly AS (
+  SELECT l_partkey AS part,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           // 7 AS wk,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+), avgp AS (
+  SELECT part, wk, (2 * cents + n) // (2 * n) AS p
+  FROM weekly
+), laged AS (
+  SELECT part, wk, p,
+         lag(p, 1) OVER w AS p1, lag(p, 2) OVER w AS p2,
+         lag(p, 3) OVER w AS p3, lag(p, 4) OVER w AS p4,
+         lag(wk, 4) OVER w AS wk4
+  FROM avgp WINDOW w AS (PARTITION BY part ORDER BY wk)
+), hits AS (
+  SELECT part, wk4 AS start_wk, wk AS end_wk,
+         p4 AS p_start, p2 AS p_trough, p AS p_end
+  FROM laged
+  WHERE p4 > p3 AND p3 > p2 AND p2 < p1 AND p1 < p
+)
+SELECT part, start_wk, end_wk, p_start, p_trough, p_end
+FROM hits
+"""
+
+
+@register("q322_pattern_vshape", _Q322_ORACLE)
+def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PATTERN detection — SQL:2016 MATCH_RECOGNIZE's
+    ``DOWN DOWN UP UP`` (the V-shape / dip-and-recovery every pricing
+    and monitoring team scans for), which Spark lacks as a clause and
+    this query re-expresses as fixed-length LAG algebra: a 5-point
+    strictly-down-twice-then-strictly-up-twice run over each part's
+    weekly average price (round-half-up integer cents).  Fixed-length
+    patterns compile to lag windows exactly; variable-length
+    quantifiers (A+ B+) are the gaps-and-islands forms q19/q202
+    already cover — together they span MATCH_RECOGNIZE's practical
+    surface.
+
+    Scale: one (part, week) rollup, one 4-deep lag window on the
+    high-cardinality part key; emitted hits carry the full pattern
+    span for drill-down."""
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.expr(
+            "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') div 7"
+        ).alias("wk"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    avgp = weekly.select(
+        "part", "wk", F.expr("(2 * cents + n) div (2 * n)").alias("p")
+    )
+    w = Window.partitionBy("part").orderBy("wk")
+    laged = avgp.select(
+        "part",
+        "wk",
+        "p",
+        F.lag("p", 1).over(w).alias("p1"),
+        F.lag("p", 2).over(w).alias("p2"),
+        F.lag("p", 3).over(w).alias("p3"),
+        F.lag("p", 4).over(w).alias("p4"),
+        F.lag("wk", 4).over(w).alias("wk4"),
+    )
+    return laged.filter(
+        (F.col("p4") > F.col("p3"))
+        & (F.col("p3") > F.col("p2"))
+        & (F.col("p2") < F.col("p1"))
+        & (F.col("p1") < F.col("p"))
+    ).select(
+        "part",
+        F.col("wk4").alias("start_wk"),
+        F.col("wk").alias("end_wk"),
+        F.col("p4").alias("p_start"),
+        F.col("p2").alias("p_trough"),
+        F.col("p").alias("p_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q323 — greedy weighted set cover (source selection for coverage)
+# ---------------------------------------------------------------------------
+
+_Q323_ROUNDS = 5
+
+
+def _q323_oracle() -> str:
+    sql = """
+WITH s0 AS MATERIALIZED (
+  SELECT source,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ',
+                      'g'), ' ') AS l
+  FROM documents
+), pairs AS MATERIALIZED (
+  SELECT DISTINCT source, l[i] || ' ' || l[i + 1] AS tok
+  FROM s0, unnest(generate_series(1, len(l) - 1)) t(i)
+), cov0 AS MATERIALIZED (
+  SELECT CAST(NULL AS VARCHAR) AS tok WHERE FALSE
+)"""
+    for r in range(1, _Q323_ROUNDS + 1):
+        sql += f""",
+pick{r} AS MATERIALIZED (
+  SELECT p.source, CAST(count(*) AS BIGINT) AS gain
+  FROM pairs p
+  WHERE p.tok NOT IN (SELECT tok FROM cov{r - 1} WHERE tok IS NOT NULL)
+    AND p.source NOT IN ({", ".join(f"(SELECT source FROM pick{j} LIMIT 1)" for j in range(1, r)) or "''"})
+  GROUP BY p.source ORDER BY gain DESC, p.source LIMIT 1
+),
+cov{r} AS MATERIALIZED (
+  SELECT tok FROM cov{r - 1}
+  UNION
+  SELECT p.tok FROM pairs p JOIN pick{r} s ON s.source = p.source
+)"""
+    picks = " UNION ALL ".join(
+        f"SELECT {r} AS rank, source, gain FROM pick{r}"
+        for r in range(1, _Q323_ROUNDS + 1)
+    )
+    sql += f"""
+SELECT CAST(rank AS BIGINT) AS rank, source,
+       CAST(gain AS BIGINT) AS gain_tokens
+FROM ({picks}) t
+"""
+    return sql
+
+
+@register("q323_greedy_set_cover", _q323_oracle())
+def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY weighted SET COVER — the (1−1/e)-approximation behind
+    data-acquisition planning (\"which {r} sources buy the most
+    vocabulary coverage?\"), test-suite minimization, and sensor
+    placement: each round picks the source covering the most
+    NOT-YET-COVERED tokens (pinned (gain desc, source) tiebreak) and
+    folds its tokens into the covered set.  Marginal gains are the
+    whole point — a source ranked #1 by raw vocabulary can fall to
+    #4 once its overlap with earlier picks is discounted (the
+    submodularity the greedy exploits).
+
+    Scale: per round, one anti-join of the (source, token) pairs
+    against the covered set (token-keyed, co-partitioned) and one
+    argmax; the covered set is vocabulary-bounded state,
+    localCheckpointed per round (the q290 loop rule); the oracle
+    unrolls rounds as MATERIALIZED layers."""
+    from ..operators.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(normalize_text("text"))
+    pairs = (
+        docs.select("source", toks.alias("l"))
+        .filter(F.size("l") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("l"), 1, F.size("l") - 1),
+                    F.slice(F.col("l"), 2, F.size("l") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark_ = pairs.sparkSession
+    covered = None
+    chosen = []
+    for r in range(1, _Q323_ROUNDS + 1):
+        cand = pairs
+        if chosen:
+            cand = cand.filter(
+                ~F.col("source").isin([s for s, _ in chosen])
+            )
+        if covered is not None:
+            cand = cand.join(covered, "tok", "left_anti")
+        top = (
+            cand.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("source"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # full coverage reached — greedy stops early
+            break
+        best = top[0]
+        chosen.append((best["source"], best["gain"]))
+        new_cov = pairs.filter(
+            F.col("source") == best["source"]
+        ).select("tok")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+    return spark_.createDataFrame(
+        [(r + 1, s, g) for r, (s, g) in enumerate(chosen)],
+        "rank LONG, source STRING, gain_tokens LONG",
+    )
+
+
+q323.__doc__ = q323.__doc__.format(r=_Q323_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# q324 — Poisson volume anomaly (squared z-test, no square roots)
+# ---------------------------------------------------------------------------
+
+_Q324_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), mu AS (
+  SELECT event_type,
+         CAST(sum(n) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS days
+  FROM daily GROUP BY event_type
+)
+SELECT daily.event_type, d, n,
+       CAST((total + days - 1) // days AS BIGINT) AS mu_ceil,
+       CAST(CASE WHEN days * days * (days * n - total)
+                      * (days * n - total)
+                 > 4 * days * days * days * total
+            THEN 1 ELSE 0 END AS BIGINT) AS anomalous
+FROM daily JOIN mu ON mu.event_type = daily.event_type
+WHERE days * days * (days * n - total) * (days * n - total)
+      > 4 * days * days * days * total
+"""
+
+
+@register("q324_poisson_anomaly", _Q324_ORACLE)
+def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON volume anomaly — the pipeline-health alarm (\"today's
+    record count is off\") under the right null for counts: a day is
+    anomalous when |n − μ| > 2√μ (z = 2 — live but rare on the test
+    corpus at every SF; z = 3 finds nothing at sf0.01, PLANS.md rule
+    #11).  SQUARING the test kills the square
+    root: with μ = total/days as an exact rational, the comparison
+    (days·n − total)² · days² > 4 · days³ · total is pure int64
+    algebra — no isqrt, no float, no tie hazard (strict inequality of
+    integers).  Emitted: the offending (series, day) rows with the
+    ceiling of μ for context.
+
+    Scale: one (type, day) rollup, a broadcast per-series stats join,
+    a row-local filter.  Overflow headroom: (days·n)² ≈ (30·n)² keeps
+    int64 through n ≈ 10⁸ events/day per series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mu = daily.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("days"),
+    )
+    joined = daily.join(F.broadcast(mu), "event_type")
+    dev = F.col("days") * F.col("n") - F.col("total")
+    lhs = F.col("days") * F.col("days") * dev * dev
+    rhs = (
+        F.lit(4)
+        * F.col("days")
+        * F.col("days")
+        * F.col("days")
+        * F.col("total")
+    )
+    return joined.filter(lhs > rhs).select(
+        "event_type",
+        "d",
+        "n",
+        F.expr("CAST((total + days - 1) div days AS BIGINT)").alias(
+            "mu_ceil"
+        ),
+        F.lit(1).cast("long").alias("anomalous"),
+    )

