@@ -5865,3 +5865,258 @@ def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(1).cast("long").alias("anomalous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q325 — partition-size planner (coalesce advisor from row-byte model)
+# ---------------------------------------------------------------------------
+
+_Q325_TARGET_BYTES = 128 * 1024 * 1024
+
+# per-table uncompressed row-byte model: fixed type widths + measured
+# string lengths (the planner's estimate, not parquet's encoded size —
+# documented; the ratio between tables is what drives the plan)
+_Q325_TABLES = (
+    ("orders", "8 + 8 + length(o_orderstatus) + 8 + 10"
+               " + length(o_orderpriority)"),
+    ("lineitem", "8 * 4 + 8 * 4 + length(l_returnflag)"
+                 " + length(l_linestatus) + 10"),
+    ("customer", "8 + length(c_name) + 8 + 8 + length(c_mktsegment)"),
+    ("documents", "8 + length(text) + length(lang) + length(source) + 8"),
+)
+
+
+def _q325_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(sum({expr}) AS BIGINT) AS est_bytes FROM {t}"
+        for t, expr in _Q325_TABLES
+    )
+    return f"""
+WITH arms AS ({arms})
+SELECT tbl, n_rows, est_bytes,
+       CAST((est_bytes + n_rows - 1) // greatest(n_rows, 1) AS BIGINT)
+         AS bytes_per_row,
+       CAST(greatest(1, (est_bytes + {_Q325_TARGET_BYTES} - 1)
+            // {_Q325_TARGET_BYTES}) AS BIGINT) AS target_partitions
+FROM arms
+"""
+
+
+@register("q325_partition_planner", _q325_oracle())
+def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SIZE planner — the coalesce/repartition advisor every
+    lake-maintenance job runs before writing (the small-file problem's
+    prevention side, complementing q120's compaction CURE): per table,
+    an uncompressed row-byte model (fixed type widths + measured
+    string lengths) yields estimated bytes, ceil-divided by the 128 MB
+    target into the recommended partition count — never 0 (the
+    greatest(1, ·) floor).  The model is the ESTIMATE a planner uses,
+    not parquet's encoded size; what matters is the ratio across
+    tables and its linear scaling with SF, both of which the exact
+    integer arithmetic preserves.
+
+    Scale: one sum per table (map-side combined); the advisor itself
+    is |tables| rows of integer ceil-division."""
+    out = None
+    for t, expr in _Q325_TABLES:
+        df = load_table(spark, sf_dir, t)
+        arm = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(expr)).cast("long").alias("est_bytes"),
+        ).select(F.lit(t).alias("tbl"), "n_rows", "est_bytes")
+        out = arm if out is None else out.unionByName(arm)
+    return out.selectExpr(
+        "tbl",
+        "n_rows",
+        "est_bytes",
+        "CAST((est_bytes + n_rows - 1) div greatest(n_rows, 1)"
+        " AS BIGINT) AS bytes_per_row",
+        f"CAST(greatest(1, (est_bytes + {_Q325_TARGET_BYTES} - 1)"
+        f" div {_Q325_TARGET_BYTES}) AS BIGINT) AS target_partitions",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q326 — Wilson lower-bound ranking ("how not to sort by average")
+# ---------------------------------------------------------------------------
+
+_Q326_TOPK = 15
+
+_Q326_RANKED = (
+    "SELECT part, n, s,"
+    " CAST((2000000 * s + n) {div} (2 * n) AS BIGINT) AS rate_micro,"
+    " CAST(greatest(CAST(0 AS BIGINT),"
+    " (2000000 * (s + 2) + (n + 4)) {div} (2 * (n + 4))"
+    " - (2 * " + _Q288_ISQRT.format(t=_Q288_T) + ") {div} (n + 4)"
+    ") AS BIGINT) AS wilson_lo_micro"
+    " FROM counts"
+)
+
+_Q326_COUNTS = """
+  SELECT l_partkey AS part, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM lineitem GROUP BY l_partkey
+"""
+
+
+def _q326_oracle() -> str:
+    return f"""
+WITH counts AS ({_Q326_COUNTS}),
+scored AS ({_Q326_RANKED.format(div="//")}),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY wilson_lo_micro DESC, part)
+           AS rank
+  FROM scored
+)
+SELECT CAST(rank AS BIGINT) AS rank, part, n, s, rate_micro,
+       wilson_lo_micro
+FROM ranked WHERE rank <= {_Q326_TOPK}
+"""
+
+
+@register("q326_wilson_ranking", _q326_oracle())
+def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON LOWER-BOUND ranking — the \"how not to sort by average
+    rating\" fix (Miller; Reddit's best-comment sort): ranking parts
+    by not-returned rate rewards a part with 1/1 clean lineitem over
+    one with 95/100, so the ranking key is the Wilson interval's
+    LOWER bound (q288's machinery — exact isqrt, zero libm), which
+    penalizes small samples exactly as much as the binomial evidence
+    warrants.  Top-{k} with pinned (bound desc, part) tiebreak; the
+    raw rate rides along so the ranking's corrections are visible.
+
+    Scale: one map-side-combined per-part rollup; scoring is row-local
+    integer algebra; the top-k is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_returnflag") != "R").cast("long"))
+        .cast("long")
+        .alias("s"),
+    )
+    scored = counts.selectExpr(
+        "part",
+        "n",
+        "s",
+        "CAST((2000000 * s + n) div (2 * n) AS BIGINT) AS rate_micro",
+        "CAST(greatest(CAST(0 AS BIGINT),"
+        " (2000000 * (s + 2) + (n + 4)) div (2 * (n + 4))"
+        " - (2 * " + _Q288_ISQRT.format(t=_Q288_T.format(div="div"))
+        + ") div (n + 4)"
+        ") AS BIGINT) AS wilson_lo_micro",
+    )
+    w = Window.orderBy(F.desc("wilson_lo_micro"), F.asc("part"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _Q326_TOPK)
+        .select("rank", "part", "n", "s", "rate_micro", "wilson_lo_micro")
+    )
+
+
+q326.__doc__ = q326.__doc__.format(k=_Q326_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q327 — weighted median (cumulative-weight positional pick)
+# ---------------------------------------------------------------------------
+
+_Q327_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey AS k, l_linenumber AS ln
+  FROM lineitem
+), cum AS (
+  SELECT flag, price, w,
+         CAST(sum(w) OVER (PARTITION BY flag
+              ORDER BY price, k, ln
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cw,
+         CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+  FROM v
+), picks AS (
+  SELECT flag, CAST(min(price) AS BIGINT) AS weighted_median_price,
+         CAST(max(tw) AS BIGINT) AS total_weight
+  FROM cum WHERE 2 * cw >= tw GROUP BY flag
+), plain AS (
+  SELECT flag, CAST(min(price) AS BIGINT) AS plain_median_price
+  FROM (
+    SELECT flag, price,
+           row_number() OVER (PARTITION BY flag ORDER BY price, k, ln)
+             AS rk,
+           CAST(count(*) OVER (PARTITION BY flag) AS BIGINT) AS n
+    FROM v
+  ) t WHERE rk = (n + 1) // 2 GROUP BY flag
+)
+SELECT picks.flag, total_weight, weighted_median_price,
+       plain_median_price
+FROM picks JOIN plain ON plain.flag = picks.flag
+"""
+
+
+@register("q327_weighted_median", _Q327_ORACLE)
+def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED MEDIAN — the quantity-weighted \"typical price\" a
+    plain median gets wrong whenever weights correlate with values
+    (each lineitem votes its quantity, not once): the first price
+    whose CUMULATIVE weight crosses half the total, via one cumulative
+    window over (price, orderkey, linenumber) order — the
+    weight-generalization of the repo's positional-pick discipline
+    (q269/q303), with the plain median alongside so the divergence is
+    visible.  All integer: prices in cents, weights whole, the
+    crossing test 2·cw ≥ tw avoids the halving division.
+
+    Scale: one window + one rollup per group key; weights make
+    pre-aggregation by (flag, price) a valid optimization at extreme
+    duplication, same crossing math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("price", "k", "ln")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("flag")
+    cum = v.select(
+        "flag",
+        "price",
+        F.sum("w").over(wcum).cast("long").alias("cw"),
+        F.sum("w").over(wall).cast("long").alias("tw"),
+    )
+    picks = (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("price").cast("long").alias("weighted_median_price"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+    )
+    wr = Window.partitionBy("flag").orderBy("price", "k", "ln")
+    plain = (
+        v.select(
+            "flag",
+            "price",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        )
+        .filter(F.col("rk") == F.expr("(n + 1) div 2"))
+        .groupBy("flag")
+        .agg(F.min("price").cast("long").alias("plain_median_price"))
+    )
+    return picks.join(plain, "flag").select(
+        "flag",
+        "total_weight",
+        "weighted_median_price",
+        "plain_median_price",
+    )

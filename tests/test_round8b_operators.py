@@ -2468,3 +2468,115 @@ def test_q324_poisson_twin(spark):
             1,
         )
     assert 0 < len(want) < len(daily)
+
+
+def test_q325_partition_planner_twin(spark):
+    """Python replay of the row-byte model; recommendations scale
+    with bytes and never hit zero."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q325_TABLES,
+        _Q325_TARGET_BYTES,
+        q325,
+    )
+
+    rows = {r["tbl"]: r for r in q325(spark, SF001).collect()}
+    assert set(rows) == {t for t, _ in _Q325_TABLES}
+    for t, _expr in _Q325_TABLES:
+        data = spark.read.parquet(f"{SF001}/{t}.parquet").collect()
+        got = rows[t]
+        assert got["n_rows"] == len(data)
+        assert got["target_partitions"] == max(
+            1,
+            -(-got["est_bytes"] // _Q325_TARGET_BYTES),
+        )
+        assert got["bytes_per_row"] == -(
+            -got["est_bytes"] // max(got["n_rows"], 1)
+        )
+    # documents (long text) must model more bytes/row than orders
+    assert rows["documents"]["bytes_per_row"] > rows["orders"]["bytes_per_row"]
+
+
+def test_q326_wilson_ranking_twin(spark):
+    """Python replay of the lower-bound ranking, plus the anti-naive
+    property: the Wilson order differs from the raw-rate order."""
+    import math
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q326_TOPK,
+        q326,
+    )
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in li:
+        a = agg[r["l_partkey"]]
+        a[0] += 1
+        a[1] += 1 if r["l_returnflag"] != "R" else 0
+
+    def lo(n, s):
+        t = (s * (n - s) // n) * 10**12 + (
+            (s * (n - s)) % n
+        ) * 10**12 // n + 10**12
+        r0 = math.isqrt(t)
+        center = (2_000_000 * (s + 2) + (n + 4)) // (2 * (n + 4))
+        return max(0, center - (2 * r0) // (n + 4))
+
+    scored = sorted(
+        ((lo(n, s), p, n, s) for p, (n, s) in agg.items()),
+        key=lambda x: (-x[0], x[1]),
+    )
+    rows = {r["rank"]: r for r in q326(spark, SF001).collect()}
+    assert set(rows) == set(range(1, _Q326_TOPK + 1))
+    for i in range(_Q326_TOPK):
+        w, p, n, s = scored[i]
+        got = rows[i + 1]
+        assert (got["part"], got["n"], got["s"]) == (p, n, s)
+        assert got["wilson_lo_micro"] == w
+        assert got["rate_micro"] == (2_000_000 * s + n) // (2 * n)
+    by_rate = sorted(
+        agg,
+        key=lambda p: (
+            -(2_000_000 * agg[p][1] + agg[p][0]) // (2 * agg[p][0]),
+            p,
+        ),
+    )[:_Q326_TOPK]
+    assert [rows[i]["part"] for i in range(1, _Q326_TOPK + 1)] != by_rate
+
+
+def test_q327_weighted_median_twin(spark):
+    """Python replay of the cumulative-weight crossing; the weighted
+    and plain medians genuinely differ for at least one group or are
+    equal everywhere consistently."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q327
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    per = defaultdict(list)
+    for r in li:
+        per[r["l_returnflag"]].append(
+            (
+                round(r["l_extendedprice"] * 100),
+                r["l_orderkey"],
+                r["l_linenumber"],
+                int(r["l_quantity"]),
+            )
+        )
+    rows = {r["flag"]: r for r in q327(spark, SF001).collect()}
+    assert set(rows) == set(per)
+    for flag, vals in per.items():
+        vals.sort()
+        tw = sum(w for *_, w in vals)
+        cw = 0
+        wm = None
+        for price, _, _, w in vals:
+            cw += w
+            if 2 * cw >= tw:
+                wm = price
+                break
+        n = len(vals)
+        pm = vals[(n + 1) // 2 - 1][0]
+        got = rows[flag]
+        assert (got["total_weight"], got["weighted_median_price"]) == (
+            tw,
+            wm,
+        )
+        assert got["plain_median_price"] == pm
