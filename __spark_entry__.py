@@ -64,7 +64,7 @@ _R8_HEAD = (
     ("q177", "q179", "q182")
     + _interleave(
         tuple(f"q{n}" for n in range(214, 273)),
-        tuple(f"q{n}" for n in range(273, 330)),
+        tuple(f"q{n}" for n in range(273, 360)),
     )
     + ("q54", "q56", "q58")
     + tuple(f"q{n}" for n in range(29, 39))

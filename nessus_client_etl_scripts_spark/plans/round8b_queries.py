@@ -6120,3 +6120,204 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weighted_median_price",
         "plain_median_price",
     )
+
+
+# ---------------------------------------------------------------------------
+# q328 — negative sequence pattern (view → purchase with NO error between)
+# ---------------------------------------------------------------------------
+
+_Q328_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT p.user_id, p.purchase_id, p.pts, p.cents,
+         max(e.ts) AS vts
+  FROM p JOIN events e
+    ON e.user_id = p.user_id AND e.event_type = 'view'
+   AND e.ts < p.pts
+  GROUP BY p.user_id, p.purchase_id, p.pts, p.cents
+), flagged AS (
+  SELECT v.user_id, v.purchase_id, v.cents,
+         CAST(epoch_us(v.pts) - epoch_us(v.vts) AS BIGINT)
+           // 1000000 AS secs_from_view,
+         CAST(coalesce(sum(CASE WHEN e.event_type = 'error'
+              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_errors_between
+  FROM v LEFT JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'error'
+   AND e.ts > v.vts AND e.ts < v.pts
+  GROUP BY v.user_id, v.purchase_id, v.cents, v.pts, v.vts
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases_after_view,
+       CAST(sum(CASE WHEN n_errors_between = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clean_paths,
+       CAST(sum(CASE WHEN n_errors_between = 0 THEN cents ELSE 0 END)
+            AS BIGINT) AS clean_cents,
+       CAST(max(secs_from_view) AS BIGINT) AS max_secs_from_view
+FROM flagged GROUP BY user_id
+"""
+
+
+@register("q328_negative_pattern", _Q328_ORACLE)
+def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE sequence pattern — the ABSENCE constraint
+    (view → purchase with NO error in between) that positive funnels
+    (q72/q264) and positive patterns (q322) cannot express, and the
+    pattern class MATCH_RECOGNIZE handles with ``NOT``-rows: per
+    purchase, anchor the latest preceding view (as-of), then count
+    interfering errors INSIDE the open interval — zero means a clean
+    path.  The per-user rollup (clean paths, clean revenue, longest
+    view-to-purchase span) is the friction readout UX teams ask for.
+
+    The one-stream formulation: both the as-of anchor and the
+    interval count ride user-keyed joins against the SAME events
+    relation — co-partitioned, no window over mixed types needed
+    (the q293 union trick solves strictly-before features; absence
+    needs the interval's BOTH ends, hence the join form).
+
+    Scale: two user-keyed joins (as-of via groupBy-max, interval via
+    range predicate bounded per user-day density), one rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts0")
+    )
+    v = (
+        p.join(views, (F.col("user_id") == F.col("vu")) & (F.col("vts0") < F.col("pts")))
+        .groupBy("user_id", "purchase_id", "pts", "cents")
+        .agg(F.max("vts0").alias("vts"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("eu"), F.col("ts").alias("ets")
+    )
+    flagged = (
+        v.join(
+            errors,
+            (F.col("user_id") == F.col("eu"))
+            & (F.col("ets") > F.col("vts"))
+            & (F.col("ets") < F.col("pts")),
+            "left",
+        )
+        .groupBy("user_id", "purchase_id", "cents", "pts", "vts")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("ets").isNotNull().cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_errors_between")
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "cents",
+            F.expr(
+                "(unix_micros(pts) - unix_micros(vts)) div 1000000"
+            ).alias("secs_from_view"),
+            "n_errors_between",
+        )
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases_after_view"),
+        F.sum((F.col("n_errors_between") == 0).cast("long"))
+        .cast("long")
+        .alias("n_clean_paths"),
+        F.sum(
+            F.when(F.col("n_errors_between") == 0, F.col("cents")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("clean_cents"),
+        F.max("secs_from_view").cast("long").alias("max_secs_from_view"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q329 — shipment consolidation savings (gaps-and-islands accounting)
+# ---------------------------------------------------------------------------
+
+_Q329_GAP_DAYS = 3
+
+_Q329_ORACLE = f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od
+  FROM orders
+), marked AS (
+  SELECT o_custkey, od,
+         CASE WHEN date_diff('day',
+               lag(od) OVER (PARTITION BY o_custkey ORDER BY od),
+               od) <= {_Q329_GAP_DAYS} THEN 0 ELSE 1 END AS new_grp
+  FROM o
+), grp AS (
+  SELECT o_custkey,
+         CAST(sum(new_grp) OVER (PARTITION BY o_custkey ORDER BY od
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS g
+  FROM marked
+)
+SELECT o_custkey AS custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_shipments,
+       CAST(count(*) - count(DISTINCT g) AS BIGINT) AS shipments_saved
+FROM grp GROUP BY o_custkey
+HAVING count(*) > count(DISTINCT g)
+"""
+
+
+@register("q329_shipment_consolidation", _Q329_ORACLE)
+def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIPMENT CONSOLIDATION savings — the logistics what-if (\"how
+    many shipments disappear if orders within {gap} days combine?\")
+    that prices free-shipping thresholds and batching policies:
+    per-customer order dates chain into islands wherever consecutive
+    orders are ≤ {gap} days apart (ties at the same date share an
+    island — LAG ≤ gap covers duplicates), and the savings is
+    orders − islands.  The gaps-and-islands machinery of q19/q99
+    pointed at an OPTIMIZATION question instead of a history
+    reconstruction; only customers with savings emit (HAVING).
+
+    Scale: one lag window + one cumulative window per customer (high-
+    cardinality key), one rollup."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("od")
+    marked = o.select(
+        "o_custkey",
+        "od",
+        F.when(
+            F.datediff(F.col("od"), F.lag("od").over(wl))
+            <= _Q329_GAP_DAYS,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_grp"),
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("od").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grp = marked.select(
+        "o_custkey",
+        F.sum("new_grp").over(wc).cast("long").alias("g"),
+    )
+    return (
+        grp.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("g").cast("long").alias("n_shipments"),
+            (F.count(F.lit(1)) - F.countDistinct("g"))
+            .cast("long")
+            .alias("shipments_saved"),
+        )
+        .filter(F.col("shipments_saved") > 0)
+    )
+
+
+q329.__doc__ = q329.__doc__.format(gap=_Q329_GAP_DAYS)

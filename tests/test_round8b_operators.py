@@ -2580,3 +2580,91 @@ def test_q327_weighted_median_twin(spark):
             wm,
         )
         assert got["plain_median_price"] == pm
+
+
+def test_q328_negative_pattern_twin(spark):
+    """Python replay of the anchor + absence count; both clean and
+    dirty paths exist."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q328
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").collect()
+    per = defaultdict(list)
+    for r in ev:
+        per[r["user_id"]].append(r)
+    want = {}
+    any_dirty = any_clean = False
+    for uid, rs in per.items():
+        views = sorted(r["ts"] for r in rs if r["event_type"] == "view")
+        errors = sorted(r["ts"] for r in rs if r["event_type"] == "error")
+        acc = [0, 0, 0, None]
+        for r in rs:
+            if r["event_type"] != "purchase":
+                continue
+            prior = [t for t in views if t < r["ts"]]
+            if not prior:
+                continue
+            vts = max(prior)
+            n_err = sum(1 for t in errors if vts < t < r["ts"])
+            secs = int(
+                (r["ts"] - vts)
+                / __import__("datetime").timedelta(microseconds=1)
+            ) // 1_000_000
+            acc[0] += 1
+            if n_err == 0:
+                acc[1] += 1
+                acc[2] += round(r["value"] * 100)
+                any_clean = True
+            else:
+                any_dirty = True
+            acc[3] = secs if acc[3] is None else max(acc[3], secs)
+        if acc[0]:
+            want[uid] = tuple(acc)
+
+    rows = {r["user_id"]: r for r in q328(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for uid, (n, clean, cents, mx) in want.items():
+        got = rows[uid]
+        assert (
+            got["n_purchases_after_view"],
+            got["n_clean_paths"],
+            got["clean_cents"],
+            got["max_secs_from_view"],
+        ) == (n, clean, cents, mx)
+    assert any_clean and any_dirty  # the absence constraint is live
+
+
+def test_q329_consolidation_twin(spark):
+    """Python islands replay; savings positive for emitted customers
+    and the identity orders = shipments + saved holds."""
+    import datetime
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q329_GAP_DAYS,
+        q329,
+    )
+
+    orders = spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    per = defaultdict(list)
+    for r in orders:
+        per[r["o_custkey"]].append(
+            datetime.date.fromisoformat(str(r["o_orderdate"])[:10])
+        )
+    want = {}
+    for cust, ds in per.items():
+        ds.sort()
+        islands = 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days > _Q329_GAP_DAYS:
+                islands += 1
+        saved = len(ds) - islands
+        if saved > 0:
+            want[cust] = (len(ds), islands, saved)
+
+    rows = {r["custkey"]: r for r in q329(spark, SF001).collect()}
+    assert set(rows) == set(want)
+    for cust, (n, sh, sv) in want.items():
+        got = rows[cust]
+        assert (got["n_orders"], got["n_shipments"], got["shipments_saved"]) \
+            == (n, sh, sv)
+        assert got["n_orders"] == got["n_shipments"] + got["shipments_saved"]
+    assert len(want) > 0
