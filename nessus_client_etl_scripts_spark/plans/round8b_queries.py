@@ -6321,3 +6321,228 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q329.__doc__ = q329.__doc__.format(gap=_Q329_GAP_DAYS)
+
+
+# ---------------------------------------------------------------------------
+# q330 — ABC class migration matrix (year-over-year Pareto band moves)
+# ---------------------------------------------------------------------------
+
+
+def _q330_class_sql(yr: int) -> str:
+    return f"""
+  SELECT part, cls FROM (
+    SELECT part,
+           CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+                WHEN 100 * cum <= 95 * tot THEN 'B'
+                ELSE 'C' END AS cls
+    FROM (
+      SELECT l_partkey AS part,
+             sum(sum(CAST(round(l_extendedprice * 100) AS BIGINT)))
+               OVER (ORDER BY
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       DESC, l_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(sum(CAST(round(l_extendedprice * 100) AS BIGINT)))
+               OVER () AS tot
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = {yr}
+      GROUP BY l_partkey
+    ) c
+  ) t
+"""
+
+
+_Q330_ORACLE = f"""
+WITH c97 AS ({_q330_class_sql(1997)}
+), c98 AS ({_q330_class_sql(1998)}
+)
+SELECT coalesce(c97.cls, '-') AS cls_1997,
+       coalesce(c98.cls, '-') AS cls_1998,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM c97 FULL OUTER JOIN c98 ON c98.part = c97.part
+GROUP BY 1, 2
+"""
+
+
+@register("q330_abc_migration", _Q330_ORACLE)
+def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC CLASS MIGRATION — the year-over-year transition matrix of
+    Pareto bands (A = first 80% of cumulative revenue, B = to 95%,
+    C = tail; '-' = absent that year): inventory planners read the
+    A→C and C→A cells as the demand-shift signal that a single year's
+    ABC snapshot (q259) cannot show.  Class cuts use integer
+    cross-multiplication (5·cum ≤ 4·tot), the cumulative revenue
+    window carries the pinned (revenue desc, part) order, and the
+    FULL OUTER join surfaces births and discontinuations as the '-'
+    row/column.
+
+    Scale: two filtered per-part rollups; each year's classing is one
+    ordered cumulative window over |parts| rows; the matrix is ≤ 16
+    cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def classed(yr: int, alias: str) -> DataFrame:
+        rev = (
+            li.filter(F.year(F.col("l_shipdate").cast("date")) == yr)
+            .groupBy(F.col("l_partkey").alias("part"))
+            .agg(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                )
+                .cast("long")
+                .alias("cents")
+            )
+        )
+        wcum = Window.orderBy(F.desc("cents"), F.asc("part")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wall = Window.partitionBy()
+        return rev.select(
+            "part",
+            F.sum("cents").over(wcum).cast("long").alias("cum"),
+            F.sum("cents").over(wall).cast("long").alias("tot"),
+        ).select(
+            "part",
+            F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A")
+            .when(100 * F.col("cum") <= 95 * F.col("tot"), "B")
+            .otherwise("C")
+            .alias(alias),
+        )
+
+    c97 = classed(1997, "cls_1997").withColumnRenamed("part", "p97")
+    c98 = classed(1998, "cls_1998").withColumnRenamed("part", "p98")
+    return (
+        c97.join(c98, F.col("p97") == F.col("p98"), "full_outer")
+        .select(
+            F.coalesce("cls_1997", F.lit("-")).alias("cls_1997"),
+            F.coalesce("cls_1998", F.lit("-")).alias("cls_1998"),
+        )
+        .groupBy("cls_1997", "cls_1998")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q331 — bilateral netting of inter-nation trade flows
+# ---------------------------------------------------------------------------
+
+_Q331_ORACLE = """
+WITH flows AS (
+  SELECT sn.n_name AS from_nation, cn.n_name AS to_nation,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  WHERE sn.n_name < cn.n_name OR sn.n_name > cn.n_name
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT least(a.from_nation, a.to_nation) AS nation_a,
+         greatest(a.from_nation, a.to_nation) AS nation_b,
+         CAST(sum(CASE WHEN a.from_nation < a.to_nation
+                  THEN a.cents ELSE 0 END) AS BIGINT) AS ab_cents,
+         CAST(sum(CASE WHEN a.from_nation > a.to_nation
+                  THEN a.cents ELSE 0 END) AS BIGINT) AS ba_cents
+  FROM flows a GROUP BY 1, 2
+)
+SELECT nation_a, nation_b, ab_cents, ba_cents,
+       CAST(ab_cents + ba_cents AS BIGINT) AS gross_cents,
+       CAST(abs(ab_cents - ba_cents) AS BIGINT) AS net_cents,
+       CAST(ab_cents + ba_cents - abs(ab_cents - ba_cents) AS BIGINT)
+         AS netting_savings_cents
+FROM pairs
+"""
+
+
+@register("q331_bilateral_netting", _Q331_ORACLE)
+def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BILATERAL NETTING — the clearing-house calculation that
+    collapses opposing payment flows: for every nation pair, gross
+    settlement (both directions summed) versus net (the absolute
+    difference) and the liquidity the netting frees — the number
+    payment-system design actually optimizes (CLS/CHIPS report
+    exactly this ratio).  Flows aggregate supplier-nation →
+    customer-nation revenue through the full five-table star chain;
+    the pair canonicalizes by (least, greatest) so each relationship
+    is ONE row with both directions as columns.
+
+    Scale: one fact pass through four broadcast dims into a
+    |nations|²-bounded rollup; the netting algebra is row-local
+    integer arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    flows = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                                 F.col("n_name").alias("from_nation"))),
+            F.col("snk") == F.col("s_nationkey"),
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("cnk"),
+                                 F.col("n_name").alias("to_nation"))),
+            F.col("cnk") == F.col("c_nationkey"),
+        )
+        .filter(F.col("from_nation") != F.col("to_nation"))
+        .groupBy("from_nation", "to_nation")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    pairs = flows.groupBy(
+        F.least("from_nation", "to_nation").alias("nation_a"),
+        F.greatest("from_nation", "to_nation").alias("nation_b"),
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("from_nation") < F.col("to_nation"), F.col("cents")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ab_cents"),
+        F.sum(
+            F.when(
+                F.col("from_nation") > F.col("to_nation"), F.col("cents")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ba_cents"),
+    )
+    return pairs.select(
+        "nation_a",
+        "nation_b",
+        "ab_cents",
+        "ba_cents",
+        (F.col("ab_cents") + F.col("ba_cents"))
+        .cast("long")
+        .alias("gross_cents"),
+        F.abs(F.col("ab_cents") - F.col("ba_cents"))
+        .cast("long")
+        .alias("net_cents"),
+        (
+            F.col("ab_cents")
+            + F.col("ba_cents")
+            - F.abs(F.col("ab_cents") - F.col("ba_cents"))
+        )
+        .cast("long")
+        .alias("netting_savings_cents"),
+    )

@@ -2668,3 +2668,91 @@ def test_q329_consolidation_twin(spark):
             == (n, sh, sv)
         assert got["n_orders"] == got["n_shipments"] + got["shipments_saved"]
     assert len(want) > 0
+
+
+def test_q330_abc_migration_twin(spark):
+    """Python replay of both years' Pareto classes and the matrix;
+    migrations and births/deaths ('-') both occur."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q330
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+
+    def classes(yr):
+        rev = defaultdict(int)
+        for r in li:
+            if int(str(r["l_shipdate"])[:4]) == yr:
+                rev[r["l_partkey"]] += round(r["l_extendedprice"] * 100)
+        tot = sum(rev.values())
+        cum = 0
+        out = {}
+        for p in sorted(rev, key=lambda p: (-rev[p], p)):
+            cum += rev[p]
+            out[p] = (
+                "A"
+                if 5 * cum <= 4 * tot
+                else "B"
+                if 100 * cum <= 95 * tot
+                else "C"
+            )
+        return out
+
+    c97, c98 = classes(1997), classes(1998)
+    want = defaultdict(int)
+    for p in set(c97) | set(c98):
+        want[(c97.get(p, "-"), c98.get(p, "-"))] += 1
+
+    rows = {
+        (r["cls_1997"], r["cls_1998"]): r["n_parts"]
+        for r in q330(spark, SF001).collect()
+    }
+    assert rows == dict(want)
+    assert any(a != b for (a, b) in rows if a != "-" and b != "-")
+    assert any("-" in k for k in rows)
+
+
+def test_q331_netting_twin(spark):
+    """Python replay of directional flows and the netting identity
+    gross = net + savings with savings = 2*min(ab, ba)."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import q331
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").collect()
+    sup = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in spark.read.parquet(f"{SF001}/supplier.parquet").collect()
+    }
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(f"{SF001}/orders.parquet").collect()
+    }
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{SF001}/customer.parquet").collect()
+    }
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF001}/nation.parquet").collect()
+    }
+    flows = defaultdict(int)
+    for r in li:
+        fn = nation[sup[r["l_suppkey"]]]
+        tn = nation[cust[orders[r["l_orderkey"]]]]
+        if fn != tn:
+            flows[(fn, tn)] += round(r["l_extendedprice"] * 100)
+    pairs = defaultdict(lambda: [0, 0])
+    for (fn, tn), cents in flows.items():
+        a, b = min(fn, tn), max(fn, tn)
+        pairs[(a, b)][0 if fn == a else 1] += cents
+
+    rows = {
+        (r["nation_a"], r["nation_b"]): r for r in q331(spark, SF001).collect()
+    }
+    assert set(rows) == set(pairs)
+    for k, (ab, ba) in pairs.items():
+        got = rows[k]
+        assert (got["ab_cents"], got["ba_cents"]) == (ab, ba)
+        assert got["gross_cents"] == ab + ba
+        assert got["net_cents"] == abs(ab - ba)
+        assert got["netting_savings_cents"] == 2 * min(ab, ba)
+        assert got["gross_cents"] == got["net_cents"] + got[
+            "netting_savings_cents"
+        ]
