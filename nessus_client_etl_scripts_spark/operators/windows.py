@@ -661,3 +661,47 @@ def group_median(
         F.max("_n").cast("long").alias("n"),
         (F.sum(val_col) / F.count(F.lit(1))).alias(out_col),
     )
+
+
+def scalable_ntile(
+    df: DataFrame,
+    order_cols: tuple[str, ...],
+    buckets: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ``ntile(b) OVER (ORDER BY order_cols)`` without the
+    single-task global window — positions come from
+    :func:`scalable_row_number` (range-exchange two-phase) and the
+    bucket is the closed-form ntile rule on (rn, n): with q = n div b
+    and r = n mod b, the first r buckets hold q+1 rows and the rest q,
+    so rn ≤ r·(q+1) lands in bucket (rn−1) div (q+1) + 1 and anything
+    after in bucket r + (rn − r·(q+1) − 1) div q + 1. That is exactly
+    the ANSI/Spark/DuckDB tile assignment, including n < b (every row
+    its own bucket 1..n) — closed-form, so the only cross-engine
+    freedom left is the ORDER, which callers must pin with a unique
+    tiebreaker (the q04 contract).
+
+    ``n`` is read back as max(rn) from the ranked frame — one cheap
+    aggregate over the checkpointed stage, broadcast as a 1-row cross —
+    rather than a separate count() action that would re-run the
+    caller's upstream.
+
+    Descending metrics: negate the column (ntile only reads the total
+    order, so x DESC ≡ (−x) ASC for any integer metric)."""
+    ranked = scalable_row_number(
+        df, order_cols, out_col="_ntile_rn", num_partitions=num_partitions
+    )
+    n_frame = ranked.agg(F.max("_ntile_rn").cast("long").alias("_ntile_n"))
+    b = buckets
+    tiled = ranked.crossJoin(F.broadcast(n_frame)).withColumn(
+        out_col,
+        F.expr(
+            f"CASE WHEN _ntile_rn <= (_ntile_n % {b}) * (_ntile_n div {b} + 1)"
+            f" THEN (_ntile_rn - 1) div (_ntile_n div {b} + 1) + 1"
+            f" ELSE (_ntile_n % {b})"
+            f"  + (_ntile_rn - (_ntile_n % {b}) * (_ntile_n div {b} + 1) - 1)"
+            f"    div (_ntile_n div {b}) + 1 END"
+        ).cast("int"),
+    )
+    return tiled.select(*df.columns, out_col)

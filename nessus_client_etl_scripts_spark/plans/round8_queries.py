@@ -1569,9 +1569,12 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break affects nothing.
 
     Scale: the ranked frame is VOCABULARY-sized (≈10⁵-10⁶ terms at
-    100 TB), not corpus-sized — the only global sort in the plan runs
-    on the aggregated counts, the standard two-phase shape (map-side
-    combined groupBy, then a dimension-sized analytic)."""
+    100 TB), not corpus-sized — and even that dimension frame never
+    funnels into one task: the global position comes from the
+    range-exchange two-phase row number (operators/windows), so the
+    only sorts are per-partition."""
+    from ..operators.windows import scalable_row_number
+
     docs = load_table(spark, sf_dir, "documents")
     c = (
         docs.select(
@@ -1580,12 +1583,8 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    r = c.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy(F.col("c").asc(), F.col("w").asc()))
-        .cast("long")
-        .alias("i"),
+    r = scalable_row_number(c, ("c", "w"), out_col="i").select(
+        "c", F.col("i").cast("long").alias("i")
     )
     s = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -3856,7 +3855,12 @@ def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
     window touches a frame that aggregation already collapsed.
 
     Scale: per-user groupBy, distinct-value groupBy, a cumulative
-    window over the value frame, one-row algebra."""
+    prefix-sum over the value frame — which is value-cardinality
+    sized (up to |users| distinct revenue sums), so it runs through
+    the range-exchange two-phase scan (operators/windows), not a
+    single-task global window — then one-row algebra."""
+    from ..operators.windows import scalable_cumsum
+
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100, 0).cast("long"))
@@ -3869,17 +3873,12 @@ def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("t1"),
     )
-    wcum = (
-        Window.orderBy(F.col("v").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = vals.select(
+    # exclusive prefix (rows strictly below v) = inclusive − own t
+    ranked = scalable_cumsum(vals, ("v",), "t", out_col="_ct").select(
         "v",
         "t",
         "t1",
-        F.coalesce(F.sum("t").over(wcum), F.lit(0))
-        .cast("long")
-        .alias("c"),
+        (F.col("_ct") - F.col("t")).cast("long").alias("c"),
     )
     agg = ranked.agg(
         F.sum("t").cast("long").alias("n"),
@@ -4703,10 +4702,13 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplying (10⁶·cum_before < cut·total, never a division).
 
     Scale: revenue aggregates to a PARTS-sized frame before any
-    ordering (the fact table never sorts); the running sum is one
-    ordered window over that dimension-sized frame — at extreme part
-    cardinality the same plan swaps in the q153 two-phase prefix-sum
-    machinery, same semantics."""
+    ordering (the fact table never sorts); the running sum over that
+    frame IS the q153 two-phase prefix-sum (operators/windows) — a
+    parts dimension is ~2·10⁸ keys at 100 TB, too big for the
+    single-task global window the naive plan would use (revenue desc
+    negated into an ascending key, the scalable_ntile contract)."""
+    from ..operators.windows import scalable_cumsum
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
         F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
@@ -4714,14 +4716,12 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev_cents")
     )
     tot = rev.agg(F.sum("rev_cents").cast("long").alias("t"))
-    wcum = Window.orderBy(
-        F.col("rev_cents").desc(), F.col("part").asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = rev.select(
-        "part",
+    ranked = scalable_cumsum(
+        rev.withColumn("_neg_rev", -F.col("rev_cents")),
+        ("_neg_rev", "part"),
         "rev_cents",
-        F.sum("rev_cents").over(wcum).cast("long").alias("cum"),
-    )
+        out_col="cum",
+    ).select("part", "rev_cents", F.col("cum").cast("long").alias("cum"))
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "rev_cents",
         "t",
@@ -5423,10 +5423,14 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three metrics are exact integers (epoch-day recency, counts,
     cents).
 
-    Scale: the fact table collapses to a users-sized frame first; the
-    three ntile windows order that dimension frame (at extreme user
-    cardinality each becomes a q153-style two-phase percentile cut,
-    same semantics); the output is ≤ 125 segment rows."""
+    Scale: the fact table collapses to a users-sized frame first; at
+    ~10⁹ users that frame is entity-scale, so each quintile cut runs
+    through scalable_ntile (operators/windows — range-exchange
+    two-phase row number + the closed-form ANSI tile rule), never a
+    single-task global window; descending metrics enter negated (the
+    scalable_ntile contract). The output is ≤ 125 segment rows."""
+    from ..operators.windows import scalable_ntile
+
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.datediff(
@@ -5443,21 +5447,20 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("monetary_cents"),
     )
-    scored = u.select(
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc()))
-        .alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc()))
-        .alias("f"),
-        F.ntile(5)
-        .over(
-            Window.orderBy(
-                F.col("monetary_cents").desc(), F.col("user_id").asc()
-            )
-        )
-        .alias("m"),
+    neg = u.withColumn("_neg_f", -F.col("frequency")).withColumn(
+        "_neg_m", -F.col("monetary_cents")
     )
+    scored = scalable_ntile(
+        scalable_ntile(
+            scalable_ntile(neg, ("recency_days", "user_id"), 5, out_col="r"),
+            ("_neg_f", "user_id"),
+            5,
+            out_col="f",
+        ),
+        ("_neg_m", "user_id"),
+        5,
+        out_col="m",
+    ).select("r", "f", "m")
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     ).select(

@@ -2289,11 +2289,15 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SIGNED cross-multiplied milli ratio over nc_cum (no float
     means), alongside the four exact cumulative arm counts.
 
-    Scale: two per-user rollups and a join (the q287 frames), one
-    global rank over USERS (the ranked entity set is the small side —
-    at true scale the two-phase range-exchange rank of
-    operators/windows takes over, the PLANS.md cardinality rule),
-    then all algebra on 10 decile rows."""
+    Scale: two per-user rollups and a join (the q287 frames); the
+    rank over USERS is entity-scale, so it runs through the
+    range-exchange two-phase row number (operators/windows, the
+    PLANS.md cardinality rule — score desc negated into an ascending
+    key), with n read back as max(rn) from the checkpointed stage
+    instead of a separate count() action; then all algebra on 10
+    decile rows."""
+    from ..operators.windows import scalable_row_number
+
     ev = load_table(spark, sf_dir, "events")
     d = F.col("ts").cast("date")
     split = F.lit(_Q287_SPLIT).cast("date")
@@ -2332,10 +2336,14 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
         "treated",
         F.coalesce("converted", F.lit(0)).alias("converted"),
     )
-    wr = Window.orderBy(F.desc("score"), F.asc("user_id"))
-    n = subj.count()
-    bucketed = subj.withColumn("rn", F.row_number().over(wr)).select(
-        F.expr(f"((rn - 1) * 10) div {n}").alias("decile"),
+    ranked = scalable_row_number(
+        subj.withColumn("_neg_score", -F.col("score")),
+        ("_neg_score", "user_id"),
+        out_col="rn",
+    )
+    n_frame = ranked.agg(F.max("rn").cast("long").alias("_n"))
+    bucketed = ranked.crossJoin(F.broadcast(n_frame)).select(
+        F.expr("((rn - 1) * 10) div _n").alias("decile"),
         "treated",
         "converted",
     )
@@ -2661,13 +2669,23 @@ def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
-    wr = Window.partitionBy("event_type").orderBy("cents", "event_id")
-    wn = Window.partitionBy("event_type")
-    ranked = v.select(
+    # the exact-side rank partitions on event_type — a handful of
+    # keys over an EVENTS-scale frame, so positions come from the
+    # two-phase grouped row number (operators/windows) and group
+    # sizes from a broadcast hash aggregate, never a |types|-task
+    # window sort
+    from ..operators.windows import grouped_row_number
+
+    ns = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ranked = grouped_row_number(
+        v.select("event_type", "cents", "event_id"),
         "event_type",
-        "cents",
-        F.row_number().over(wr).alias("rk"),
-        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        ("cents", "event_id"),
+        out_col="rk",
+    ).join(F.broadcast(ns), "event_type").select(
+        "event_type", "cents", "rk", "n"
     )
     exact = ranked.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n"),
@@ -3198,6 +3216,65 @@ FROM ranked WHERE rn = 1
 """
 
 
+# exact all-pairs below the cap (every sf0.01 cluster is ≤ 59, so the
+# oracle's exact form is what the driver compares); above it each
+# candidate scores against a fixed deterministic sample
+_Q299_EXACT_MAX = 100
+_Q299_SAMPLE = 64
+
+
+def _q299_pairs(v: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Candidate×reference distance pairs for the medoid pick: the
+    reference set per label is the whole cluster when n ≤
+    _Q299_EXACT_MAX, else the _Q299_SAMPLE members with the smallest
+    xxhash64(vec_id) (two-phase grouped row number — no per-label
+    window sort). Pair count per label: n·(n−1) below the cap, ≤ n·m
+    above it; the reference frame is ≤ |labels|·max(cap, m) rows and
+    broadcast. Factored out so the pair-count cap is unit-testable."""
+    from ..operators.similarity import dot
+    from ..operators.windows import grouped_row_number
+
+    ranked = grouped_row_number(
+        v.withColumn("_h", F.xxhash64("vec_id")),
+        "label",
+        ("_h", "vec_id"),
+        out_col="_srn",
+    )
+    # norms once per VECTOR, not per pair — each pair then costs one
+    # dot product instead of three
+    ref = (
+        ranked.join(F.broadcast(sizes), "label")
+        .filter(
+            (F.col("n_members") <= _Q299_EXACT_MAX)
+            | (F.col("_srn") <= _Q299_SAMPLE)
+        )
+        .select(
+            "label",
+            F.col("vec_id").alias("j"),
+            F.col("e").alias("eb"),
+            F.sqrt(dot(F.col("e"), F.col("e"))).alias("nb"),
+        )
+    )
+    a = v.select(
+        "label",
+        F.col("vec_id").alias("i"),
+        F.col("e").alias("ea"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("na"),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(F.broadcast(ref), "label")
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "label",
+            "i",
+            F.round(F.lit(1000000000) * (F.lit(1.0) - cos), 0)
+            .cast("long")
+            .alias("d_nano"),
+        )
+    )
+
+
 @register("q299_cluster_medoid", _Q299_ORACLE)
 def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster MEDOID (1-median) per label — the exemplar selection
@@ -3210,55 +3287,48 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum of doubles is order-dependent, a sum of int64 is not), so the
     argmin is bit-portable.
 
-    Scale: the quadratic step is WITHIN-CLUSTER by construction (the
-    per-label self-join the intra-class structure bounds — the same
-    blocking argument as the LSH buckets); clusters too large for
-    exact 1-median switch to the sampled medoid (evaluate candidates
-    against a fixed sample), identical frame shapes."""
+    Scale: the quadratic step is CAPPED, never just cluster-bounded —
+    clusters of n ≤ {t} members get the exact all-pairs (n·(n−1)
+    pairs, the oracle's form; every sf0.01 cluster is under the cap
+    so the driver compare runs the exact path end-to-end); larger
+    clusters evaluate EVERY candidate against a fixed {m}-member
+    reference sample (the n smallest xxhash64(vec_id) — deterministic
+    across runs and engines), so the pair count is n·{m}: linear in
+    the cluster.  The reference side is ≤ |labels|·max({t},{m}) rows
+    by construction, so the pair generator is a BROADCAST hash join —
+    no shuffle touches the candidate frame, and a skewed label costs
+    map-side work only.  Self-pairs stay excluded on both paths (an
+    in-sample candidate sums {m}−1 terms — the standard sampled-
+    medoid self-exclusion; the argmin it picks is the exact medoid
+    whenever the sample is representative, and the exact path is
+    bit-identical to the oracle).  The per-label argmin is a
+    min(struct) hash aggregate — no window at all."""
     emb = load_table(spark, sf_dir, "embeddings")
-    from ..operators.similarity import dot
 
     v = emb.select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    a = v.select(
-        "label", F.col("vec_id").alias("i"), F.col("e").alias("ea")
+    sizes = v.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
     )
-    b = v.select(
-        "label", F.col("vec_id").alias("j"), F.col("e").alias("eb")
-    )
-    cos = dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(dot(F.col("ea"), F.col("ea")))
-        * F.sqrt(dot(F.col("eb"), F.col("eb")))
-    )
-    pairs = (
-        a.join(b, "label")
-        .filter(F.col("i") != F.col("j"))
-        .select(
-            "label",
-            "i",
-            F.round(F.lit(1000000000) * (F.lit(1.0) - cos), 0)
-            .cast("long")
-            .alias("d_nano"),
-        )
-    )
+    pairs = _q299_pairs(v, sizes)
     sums = pairs.groupBy("label", "i").agg(
         F.sum("d_nano").cast("long").alias("sum_dist_nano"),
-        (F.count(F.lit(1)) + 1).cast("long").alias("n_members"),
     )
-    w = Window.partitionBy("label").orderBy("sum_dist_nano", "i")
-    return (
-        sums.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "label",
-            F.col("i").alias("medoid_id"),
-            "sum_dist_nano",
-            "n_members",
-        )
+    best = sums.groupBy("label").agg(
+        F.min(F.struct("sum_dist_nano", "i")).alias("b")
     )
+    return best.join(F.broadcast(sizes), "label").select(
+        "label",
+        F.col("b.i").alias("medoid_id"),
+        F.col("b.sum_dist_nano").alias("sum_dist_nano"),
+        "n_members",
+    )
+
+
+q299.__doc__ = q299.__doc__.format(t=_Q299_EXACT_MAX, m=_Q299_SAMPLE)
 
 
 # ---------------------------------------------------------------------------
@@ -3692,7 +3762,9 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the inner rank partitions on the HIGH-cardinality
     (user, type) key — plain windows per the PLANS.md cardinality
-    rule; the outer rank runs over |users| rows per type."""
+    rule; the outer rank runs over |users| rows per TYPE (entity
+    scale under a handful of keys), so it routes through the
+    two-phase grouped row number of operators/windows."""
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
         "user_id",
@@ -3724,13 +3796,22 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p90_user")
         )
     )
-    w2 = Window.partitionBy("event_type").orderBy("p90_user", "user_id")
-    wn2 = Window.partitionBy("event_type")
-    ranked2 = userp.select(
+    # the outer rank is |users| rows per TYPE — an entity-scale frame
+    # under a handful of partition keys, so it runs through the
+    # two-phase grouped row number (operators/windows) with group
+    # sizes from a broadcast hash aggregate
+    from ..operators.windows import grouped_row_number
+
+    ns2 = userp.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ranked2 = grouped_row_number(
+        userp.select("event_type", "p90_user", "user_id"),
         "event_type",
-        "p90_user",
-        F.row_number().over(w2).alias("rk"),
-        F.count(F.lit(1)).over(wn2).cast("long").alias("n"),
+        ("p90_user", "user_id"),
+        out_col="rk",
+    ).join(F.broadcast(ns2), "event_type").select(
+        "event_type", "p90_user", "rk", "n"
     )
     return ranked2.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n_users"),
@@ -4887,9 +4968,10 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks — no interpolation, so every gap is an exact integer
     cents difference.
 
-    Scale: one per-user outcome rollup joined to the arm assignment,
-    one rank per arm (two partitions — the two-phase range-exchange
-    rank takes over at population scale), a 2-row pivot."""
+    Scale: one per-user outcome rollup joined to the arm assignment;
+    the per-arm rank is |users| rows under TWO partition keys, so it
+    runs through the two-phase grouped row number of
+    operators/windows (never a 2-task window sort); a 2-row pivot."""
     ev = load_table(spark, sf_dir, "events")
     d = F.col("ts").cast("date")
     split = F.lit(_Q287_SPLIT).cast("date")
@@ -4918,14 +5000,15 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y_cents")
         )
     )
-    wr = Window.partitionBy("arm").orderBy("y_cents", "user_id")
-    wn = Window.partitionBy("arm")
-    ranked = y.select(
+    from ..operators.windows import grouped_row_number
+
+    ns = y.groupBy("arm").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = grouped_row_number(
+        y.select("arm", "y_cents", "user_id"),
         "arm",
-        "y_cents",
-        F.row_number().over(wr).alias("rk"),
-        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
-    )
+        ("y_cents", "user_id"),
+        out_col="rk",
+    ).join(F.broadcast(ns), "arm").select("arm", "y_cents", "rk", "n")
 
     def pick(expr):
         return F.max(
@@ -6007,12 +6090,17 @@ def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ") div (n + 4)"
         ") AS BIGINT) AS wilson_lo_micro",
     )
+    # orderBy().limit(k) IS TakeOrderedAndProject (per-partition
+    # top-k, driver merge of k·P rows) — unlike a global row_number
+    # window + filter, which would sort the whole parts frame in one
+    # task; the rank window then runs on the k-row result only.
+    top = scored.orderBy(
+        F.desc("wilson_lo_micro"), F.asc("part")
+    ).limit(_Q326_TOPK)
     w = Window.orderBy(F.desc("wilson_lo_micro"), F.asc("part"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _Q326_TOPK)
-        .select("rank", "part", "n", "s", "rate_micro", "wilson_lo_micro")
-    )
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", "part", "n", "s", "rate_micro", "wilson_lo_micro")
 
 
 q326.__doc__ = q326.__doc__.format(k=_Q326_TOPK)
@@ -6069,30 +6157,52 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible.  All integer: prices in cents, weights whole, the
     crossing test 2·cw ≥ tw avoids the halving division.
 
-    Scale: one window + one rollup per group key; weights make
-    pre-aggregation by (flag, price) a valid optimization at extreme
-    duplication, same crossing math."""
+    Scale: the fact table pre-aggregates to (flag, price) — weights
+    and row counts are additive, so both medians read the SAME
+    grouped cumulative (a crossing within a price group always
+    crosses at the group boundary too); the cumulative runs through
+    ONE two-phase prefix-sum over (flag, price) order
+    (operators/windows — |flags| is 3, far too few for a window
+    partition over a lineitem-scale frame), with per-flag exclusive
+    offsets from a broadcast |flags|-row frame."""
+    from ..operators.windows import scalable_prefix_sums
+
     li = load_table(spark, sf_dir, "lineitem")
-    v = li.select(
-        F.col("l_returnflag").alias("flag"),
-        F.round(F.col("l_extendedprice") * 100, 0)
-        .cast("long")
-        .alias("price"),
-        F.col("l_quantity").cast("long").alias("w"),
-        F.col("l_orderkey").alias("k"),
-        F.col("l_linenumber").alias("ln"),
+    g = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("price"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("flag", "price")
+        .agg(
+            F.sum("w").cast("long").alias("w"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
     )
-    wcum = (
-        Window.partitionBy("flag")
-        .orderBy("price", "k", "ln")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = scalable_prefix_sums(g, ("flag", "price"), ("w", "cnt"))
+    woff = Window.orderBy("flag").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # |flags| rows — metadata-sized cumulative
+    offs = g.groupBy("flag").agg(
+        F.sum("w").cast("long").alias("tw"),
+        F.sum("cnt").cast("long").alias("nr"),
+    ).select(
+        "flag",
+        "tw",
+        "nr",
+        F.coalesce(F.sum("tw").over(woff), F.lit(0)).alias("_ow"),
+        F.coalesce(F.sum("nr").over(woff), F.lit(0)).alias("_on"),
     )
-    wall = Window.partitionBy("flag")
-    cum = v.select(
+    cum = pre.join(F.broadcast(offs), "flag").select(
         "flag",
         "price",
-        F.sum("w").over(wcum).cast("long").alias("cw"),
-        F.sum("w").over(wall).cast("long").alias("tw"),
+        (F.col("cum_w") - F.col("_ow")).cast("long").alias("cw"),
+        (F.col("cum_cnt") - F.col("_on")).cast("long").alias("cr"),
+        "tw",
+        "nr",
     )
     picks = (
         cum.filter(2 * F.col("cw") >= F.col("tw"))
@@ -6102,15 +6212,8 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tw").cast("long").alias("total_weight"),
         )
     )
-    wr = Window.partitionBy("flag").orderBy("price", "k", "ln")
     plain = (
-        v.select(
-            "flag",
-            "price",
-            F.row_number().over(wr).alias("rk"),
-            F.count(F.lit(1)).over(wall).cast("long").alias("n"),
-        )
-        .filter(F.col("rk") == F.expr("(n + 1) div 2"))
+        cum.filter(F.col("cr") >= F.expr("(nr + 1) div 2"))
         .groupBy("flag")
         .agg(F.min("price").cast("long").alias("plain_median_price"))
     )
@@ -6377,9 +6480,13 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL OUTER join surfaces births and discontinuations as the '-'
     row/column.
 
-    Scale: two filtered per-part rollups; each year's classing is one
-    ordered cumulative window over |parts| rows; the matrix is ≤ 16
-    cells."""
+    Scale: two filtered per-part rollups; each year's cumulative
+    revenue runs through the two-phase prefix-sum of
+    operators/windows (parts are ~2·10⁸ keys at 100 TB — the q259
+    argument), with the year total as a broadcast 1-row cross instead
+    of an all-rows window; the matrix is ≤ 16 cells."""
+    from ..operators.windows import scalable_cumsum
+
     li = load_table(spark, sf_dir, "lineitem")
 
     def classed(yr: int, alias: str) -> DataFrame:
@@ -6394,15 +6501,16 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("cents")
             )
         )
-        wcum = Window.orderBy(F.desc("cents"), F.asc("part")).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        wall = Window.partitionBy()
-        return rev.select(
-            "part",
-            F.sum("cents").over(wcum).cast("long").alias("cum"),
-            F.sum("cents").over(wall).cast("long").alias("tot"),
-        ).select(
+        cummed = scalable_cumsum(
+            rev.withColumn("_neg_cents", -F.col("cents")),
+            ("_neg_cents", "part"),
+            "cents",
+            out_col="cum",
+        ).select("part", F.col("cum").cast("long").alias("cum"))
+        # year total = the last running sum — an aggregate over the
+        # checkpointed stage, not a second pass over lineitem
+        tot = cummed.agg(F.max("cum").cast("long").alias("tot"))
+        return cummed.crossJoin(F.broadcast(tot)).select(
             "part",
             F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A")
             .when(100 * F.col("cum") <= 95 * F.col("tot"), "B")

@@ -2756,3 +2756,41 @@ def test_q331_netting_twin(spark):
         assert got["gross_cents"] == got["net_cents"] + got[
             "netting_savings_cents"
         ]
+
+
+def test_q299_pair_count_capped_and_sampled_path(spark):
+    """The medoid pair generator must be exact all-pairs (n·(n−1))
+    for clusters at or under _Q299_EXACT_MAX and LINEAR (candidates ×
+    fixed sample, self-pairs excluded) above it — never quadratic in
+    a large cluster. Built on a synthetic two-cluster frame: one
+    under the cap, one over it."""
+    from pyspark.sql import functions as F
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q299_EXACT_MAX,
+        _Q299_SAMPLE,
+        _q299_pairs,
+    )
+
+    small, big = 10, _Q299_EXACT_MAX + 50
+    rows = [(i, 0, [1.0, float(i % 7)]) for i in range(small)] + [
+        (1000 + i, 1, [1.0, float(i % 13)]) for i in range(big)
+    ]
+    v = spark.createDataFrame(
+        rows, "vec_id long, label long, e array<double>"
+    )
+    sizes = v.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    counts = {
+        r["label"]: r["n"]
+        for r in _q299_pairs(v, sizes)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts[0] == small * (small - 1)  # exact path
+    # sampled path: every candidate scores the m-sample, in-sample
+    # candidates lose their self-pair → n·m − m, far below n·(n−1)
+    assert counts[1] == big * _Q299_SAMPLE - _Q299_SAMPLE
+    assert counts[1] < big * (big - 1) // 2

@@ -229,3 +229,32 @@ def test_prefix_sums_stable_under_nondeterministic_upstream(spark):
         c1 += 1
         cv += v
         assert got[k] == (c1, cv)
+
+
+def test_scalable_ntile_matches_global_ntile_window(spark):
+    """scalable_ntile must reproduce ntile(b) OVER (ORDER BY v, k)
+    exactly — including the n % b remainder (first buckets one row
+    larger), n < b (each row its own bucket), and n divisible by b —
+    with a tiny num_partitions so bucket spans straddle range
+    boundaries."""
+    from nessus_client_etl_scripts_spark.operators.windows import (
+        scalable_ntile,
+    )
+
+    for n, b in ((23, 5), (3, 5), (20, 4), (1, 7), (40, 3)):
+        data = [(k, float((k * 7) % 11)) for k in range(n)]
+        df = spark.createDataFrame(data, "k long, v double")
+        got = sorted(
+            (r.k, r.bucket)
+            for r in scalable_ntile(
+                df, ("v", "k"), b, num_partitions=4
+            ).collect()
+        )
+        w = Window.orderBy("v", "k")
+        want = sorted(
+            (r.k, r.t)
+            for r in df.select(
+                "k", F.ntile(b).over(w).alias("t")
+            ).collect()
+        )
+        assert got == want, (n, b)
