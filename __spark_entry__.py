@@ -38,17 +38,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return _tq.spark_queries()["q01_folder_results_latest"](spark, SF0001)
 
 
-# Round-8 driver-budget ordering (the driver checks ~50 queries in
-# iteration order per round).  HEAD, in priority order per the r7
-# verdict: (a) q177/q179/q182 — the three r7 RED rows (oracle HUGEINT
-# casts + half-away kernel rounding fixed this round) need their
-# re-proof rows first; (b) queries ADDED THIS ROUND (q214+) — never
-# checked by construction; (c) the r2-era trio q54/q56/q58 that
-# spilled off the r7 head exactly as predicted; (d) the r3-era twenty
-# (q29-q38, q40-q49 minus fresh) — the oldest remaining evidence.
-# That is 3+N+3+20 ≈ 30+; the budget remainder flows into MIDDLE =
-# everything not head and not fresh-green (r4-era rows, oldest next).
-# TAIL: queries with r5-r7 green evidence, newest last.
+# Round-9 driver-budget ordering (the driver checks ~50 queries in
+# iteration order per round).  Round 9 adds ZERO queries — the whole
+# budget clears evidence debt per the r8 verdict.  HEAD, in priority
+# order: (a) the twelve queries whose PLANS CHANGED this round
+# (entity-scale windows routed through the two-phase machinery;
+# q299's sampled-medoid cap) — three of them (q227/q291/q294) held r8
+# green rows that the edits staled; (b) the riskiest never-checked r8
+# additions (graph/iterative/quantized-float: q307/q316/q323/q331),
+# then the remaining never-checked pool — q239-q272 and q298-q331
+# minus the 47 r8-checked — interleaved so both waves earn rows;
+# (c) the r2-era trio q54/q56/q58; (d) the r3-era nineteen.  That is
+# 12+4+50+3+19 ≈ 88 against a ~50 budget: the overflow (lowest-risk
+# never-checked + the stale blocks) spills to r10 by design.
 def _interleave(*seqs):
     out = []
     for group in __import__("itertools").zip_longest(*seqs):
@@ -56,25 +58,32 @@ def _interleave(*seqs):
     return tuple(out)
 
 
-# The driver checks ~50 queries in iteration order; round 8 added TWO
-# waves (q214-q272 and q273+), both never driver-checked, so the head
-# interleaves them — each wave earns driver rows instead of the first
-# exhausting the budget.
-_R8_HEAD = (
-    ("q177", "q179", "q182")
+_R9_CHANGED = (
+    "q299", "q266", "q291", "q227", "q251", "q259",
+    "q294", "q303", "q315", "q326", "q327", "q330",
+)
+_R9_RISKY = ("q307", "q316", "q323", "q331")
+_R9_HEAD = (
+    _R9_CHANGED
+    + _R9_RISKY
     + _interleave(
-        tuple(f"q{n}" for n in range(214, 273)),
-        tuple(f"q{n}" for n in range(273, 360)),
+        tuple(f"q{n}" for n in range(239, 273)),
+        tuple(f"q{n}" for n in range(298, 332)),
     )
     + ("q54", "q56", "q58")
     + tuple(f"q{n}" for n in range(29, 39))
     + tuple(f"q{n}" for n in range(40, 50))
 )
-# Fresh-evidence tail: r7-green rows (q174-q213 minus the three reds,
-# plus the re-proven stale-8 and q51/q52), the r6-green block
-# q120+q125-q173, and the r5-green block.
+# Fresh-evidence tail: r8-green rows (q177/q179/q182 re-proofs plus
+# the two checked new-wave blocks q214-q238 and q273-q297 — minus the
+# three whose plans changed this round, which sit in the head), the
+# r7-green rows, the r6-green block q120+q125-q173, and the r5-green
+# block.
 _FRESH_GREEN = (
-    tuple(f"q{n}" for n in range(174, 214) if n not in (177, 179, 182))
+    ("q177", "q179", "q182")
+    + tuple(f"q{n}" for n in range(214, 239) if n != 227)
+    + tuple(f"q{n}" for n in range(273, 298) if n not in (291, 294))
+    + tuple(f"q{n}" for n in range(174, 214) if n not in (177, 179, 182))
     + ("q114", "q115", "q92", "q112", "q50", "q55", "q93", "q96")
     + ("q51", "q52")
     + ("q120",)
@@ -91,7 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Insertion order == driver iteration order; see the ordering note
-    above (_R8_HEAD / stale middle / fresh-green tail)."""
+    above (_R9_HEAD / stale middle / fresh-green tail)."""
     all_queries = dict(sorted(_tq.spark_queries().items()))
 
     def prefix(name: str) -> str:
@@ -99,7 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     head = {
         n: all_queries[n]
-        for p in _R8_HEAD
+        for p in _R9_HEAD
         for n in all_queries
         if prefix(n) == p
     }
