@@ -357,3 +357,40 @@ def test_q162_grouping_sets_single_expand_single_agg_pair(spark):
     plan = _plan(spark, "q162_grouping_sets")
     assert plan.count("Expand") == 1
     assert "partial_" in plan
+
+
+def test_q266_quintiles_have_no_ntile_window(spark):
+    # the three quintile cuts are closed-form tile rules on two-phase
+    # row numbers (PLANS.md rule #14) — a native ntile() in the plan
+    # would mean the single-partition global window came back
+    plan = _plan(spark, "q266_rfm_segmentation")
+    assert "ntile(" not in plan, plan
+    assert "_pid" in plan  # the range-exchange staging is in the plan
+
+
+def test_q326_topk_is_take_ordered_and_project(spark):
+    # global top-k must be per-partition heaps + k-row merge, never a
+    # partition-less row_number window over the parts frame
+    plan = _plan(spark, "q326_wilson_ranking")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q299_reference_side_broadcasts(spark):
+    # the medoid pair generator joins candidates against a bounded
+    # (≤ |labels|·max(cap, m) rows) reference — that side must ship as
+    # a broadcast, so no shuffle ever touches the candidate frame on
+    # the label key
+    plan = _plan(spark, "q299_cluster_medoid")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q259_abc_classification", "q330_abc_migration", "q227_token_gini"],
+)
+def test_parts_scale_analytics_ride_two_phase(spark, name):
+    # parts/vocabulary-sized rank and running-share frames go through
+    # the range-exchange two-phase machinery (visible as the _pid
+    # staging column), never a global ordered window
+    plan = _plan(spark, name)
+    assert "_pid" in plan, plan

@@ -258,3 +258,36 @@ def test_scalable_ntile_matches_global_ntile_window(spark):
             ).collect()
         )
         assert got == want, (n, b)
+
+
+def test_scalable_ntile_property_random_ties(spark):
+    """Randomized n/b/tie-structure agreement with the native window
+    ntile — deterministic LCG-driven trials (seeded, reproducible,
+    no hypothesis-Spark session cost), ties made heavy on purpose."""
+    from nessus_client_etl_scripts_spark.operators.windows import (
+        scalable_ntile,
+    )
+
+    seed = 0xC0FFEE
+    for trial in range(6):
+        seed = (seed * 6364136223846793005 + 1442695040888963407) % 2**64
+        n = 1 + seed % 57
+        b = 2 + (seed >> 8) % 9
+        vals = []
+        s = seed
+        for k in range(n):
+            s = (s * 6364136223846793005 + 1442695040888963407) % 2**64
+            vals.append((k, float(s % 7)))  # heavy ties
+        df = spark.createDataFrame(vals, "k long, v double")
+        got = sorted(
+            (r.k, r.bucket)
+            for r in scalable_ntile(
+                df, ("v", "k"), b, num_partitions=3
+            ).collect()
+        )
+        w = Window.orderBy("v", "k")
+        want = sorted(
+            (r.k, r.t)
+            for r in df.select("k", F.ntile(b).over(w).alias("t")).collect()
+        )
+        assert got == want, (trial, n, b)
