@@ -534,6 +534,7 @@ def grouped_row_number(
     order_cols: tuple[str, ...],
     out_col: str = "rn",
     num_partitions: int | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Per-group ``row_number() OVER (PARTITION BY part ORDER BY …)``
     without a low-cardinality window partition AND without rank
@@ -552,7 +553,14 @@ def grouped_row_number(
     deliberate single-task sort of metadata. Group ordering inside
     the offsets window and inside the range exchange are both
     Spark-native orderings of the same column, so they agree by
-    construction."""
+    construction.
+
+    ``count_col`` (optional) additionally emits each group's total row
+    count — the helper computes it anyway for the offsets, and callers
+    that need positions AND group sizes (positional percentile picks:
+    rk == (n+1) div 2) would otherwise pay a second aggregate over the
+    caller's upstream; exposing it makes the checkpointed stage the
+    single source of both."""
     from pyspark.sql import types as T
 
     spark = df.sparkSession
@@ -601,6 +609,7 @@ def grouped_row_number(
         .agg(F.count(F.lit(1)).alias("_n"))
         .select(
             part_col,
+            *([F.col("_n").alias(count_col)] if count_col else []),
             F.coalesce(F.sum("_n").over(w_group), F.lit(0)).alias("_goff"),
         )
     )
@@ -614,7 +623,7 @@ def grouped_row_number(
             + F.col("_poff")
             - F.col("_goff"),
         )
-        .select(*df.columns, out_col)
+        .select(*df.columns, out_col, *([count_col] if count_col else []))
     )
 
 

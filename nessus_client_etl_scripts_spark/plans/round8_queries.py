@@ -4715,13 +4715,16 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_cents")
     )
-    tot = rev.agg(F.sum("rev_cents").cast("long").alias("t"))
     ranked = scalable_cumsum(
         rev.withColumn("_neg_rev", -F.col("rev_cents")),
         ("_neg_rev", "part"),
         "rev_cents",
         out_col="cum",
     ).select("part", "rev_cents", F.col("cum").cast("long").alias("cum"))
+    # total revenue = the last running sum (cents ≥ 0 so cum is
+    # monotone) — an aggregate over the checkpointed stage, not a
+    # second pass over lineitem
+    tot = ranked.agg(F.max("cum").cast("long").alias("t"))
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "rev_cents",
         "t",

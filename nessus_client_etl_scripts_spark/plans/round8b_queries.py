@@ -2670,23 +2670,18 @@ def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
     # the exact-side rank partitions on event_type — a handful of
-    # keys over an EVENTS-scale frame, so positions come from the
-    # two-phase grouped row number (operators/windows) and group
-    # sizes from a broadcast hash aggregate, never a |types|-task
-    # window sort
+    # keys over an EVENTS-scale frame, so positions AND group sizes
+    # come from ONE two-phase grouped row number pass
+    # (operators/windows), never a |types|-task window sort
     from ..operators.windows import grouped_row_number
 
-    ns = v.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
     ranked = grouped_row_number(
         v.select("event_type", "cents", "event_id"),
         "event_type",
         ("cents", "event_id"),
         out_col="rk",
-    ).join(F.broadcast(ns), "event_type").select(
-        "event_type", "cents", "rk", "n"
-    )
+        count_col="n",
+    ).select("event_type", "cents", "rk", "n")
     exact = ranked.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n"),
         F.max(
@@ -3797,22 +3792,17 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # the outer rank is |users| rows per TYPE — an entity-scale frame
-    # under a handful of partition keys, so it runs through the
-    # two-phase grouped row number (operators/windows) with group
-    # sizes from a broadcast hash aggregate
+    # under a handful of partition keys, so positions AND group sizes
+    # come from ONE two-phase grouped row number pass
     from ..operators.windows import grouped_row_number
 
-    ns2 = userp.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
     ranked2 = grouped_row_number(
         userp.select("event_type", "p90_user", "user_id"),
         "event_type",
         ("p90_user", "user_id"),
         out_col="rk",
-    ).join(F.broadcast(ns2), "event_type").select(
-        "event_type", "p90_user", "rk", "n"
-    )
+        count_col="n",
+    ).select("event_type", "p90_user", "rk", "n")
     return ranked2.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n_users"),
         F.max(
@@ -5002,13 +4992,13 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.windows import grouped_row_number
 
-    ns = y.groupBy("arm").agg(F.count(F.lit(1)).cast("long").alias("n"))
     ranked = grouped_row_number(
         y.select("arm", "y_cents", "user_id"),
         "arm",
         ("y_cents", "user_id"),
         out_col="rk",
-    ).join(F.broadcast(ns), "arm").select("arm", "y_cents", "rk", "n")
+        count_col="n",
+    ).select("arm", "y_cents", "rk", "n")
 
     def pick(expr):
         return F.max(
@@ -6182,11 +6172,13 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("cnt"),
         )
     )
-    pre = scalable_prefix_sums(g, ("flag", "price"), ("w", "cnt"))
+    pre = scalable_prefix_sums(g, ("flag", "price"), ("w", "cnt"), pin=True)
     woff = Window.orderBy("flag").rowsBetween(
         Window.unboundedPreceding, -1
     )  # |flags| rows — metadata-sized cumulative
-    offs = g.groupBy("flag").agg(
+    # per-flag totals aggregate the PINNED prefix frame (it carries
+    # the original w/cnt columns), not g — no second lineitem rollup
+    offs = pre.groupBy("flag").agg(
         F.sum("w").cast("long").alias("tw"),
         F.sum("cnt").cast("long").alias("nr"),
     ).select(
