@@ -41,10 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-9 driver-budget ordering (the driver checks ~50 queries in
 # iteration order per round).  Round 9 adds ZERO queries — the whole
 # budget clears evidence debt per the r8 verdict.  HEAD, in priority
-# order: (a) the twelve queries whose PLANS CHANGED this round
+# order: (a) the thirteen queries whose PLANS CHANGED this round
 # (entity-scale windows routed through the two-phase machinery;
-# q299's sampled-medoid cap) — three of them (q227/q291/q294) held r8
-# green rows that the edits staled; (b) the riskiest never-checked r8
+# q299's sampled-medoid cap; q290's fixpoint early-exit) — four of
+# them (q227/q291/q294/q290) held r8 green rows that the edits
+# staled; (b) the riskiest never-checked r8
 # additions (graph/iterative/quantized-float: q307/q316/q323/q331),
 # then the remaining never-checked pool — q239-q272 and q298-q331
 # minus the 47 r8-checked — interleaved so both waves earn rows;
@@ -60,7 +61,7 @@ def _interleave(*seqs):
 
 _R9_CHANGED = (
     "q299", "q266", "q291", "q227", "q251", "q259",
-    "q294", "q303", "q315", "q326", "q327", "q330",
+    "q294", "q303", "q315", "q326", "q327", "q330", "q290",
 )
 _R9_RISKY = ("q307", "q316", "q323", "q331")
 _R9_HEAD = (
@@ -76,7 +77,7 @@ _R9_HEAD = (
 )
 # Fresh-evidence tail: r8-green rows (q177/q179/q182 re-proofs plus
 # the two checked new-wave blocks q214-q238 and q273-q297 — minus the
-# three whose plans changed this round, which sit in the head), the
+# four whose plans changed this round, which sit in the head), the
 # r7-green rows, the r6-green block q120+q125-q173, and the r5-green
 # block.
 _FRESH_GREEN = (

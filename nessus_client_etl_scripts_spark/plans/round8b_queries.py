@@ -2188,6 +2188,12 @@ def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k")
     ).localCheckpoint(eager=True)
     alive = ed.select(F.col("u").alias("node")).distinct()
+    # survivor sets shrink monotonically (a node absent from alive_t
+    # cannot re-enter: degrees count edges among alive_t only), so
+    # equal consecutive COUNTS mean equal SETS mean a fixpoint — the
+    # remaining declared rounds are no-ops and the early exit is
+    # output-exact. The count is one action on the round's checkpoint.
+    prev_alive = None
     for _ in range(_Q290_ROUNDS):
         deg = (
             ed.join(
@@ -2203,6 +2209,10 @@ def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("u").alias("node"))
             .localCheckpoint(eager=True)
         )
+        n_alive = alive.count()
+        if n_alive == prev_alive:
+            break
+        prev_alive = n_alive
     return (
         ed.join(alive.select(F.col("node").alias("u")), "u")
         .join(alive.select(F.col("node").alias("v")), "v")
