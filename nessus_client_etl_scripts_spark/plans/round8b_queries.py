@@ -4208,6 +4208,11 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = reach.filter(F.col("dist") == r - 1).select(
             F.col("node").alias("u")
         )
+        # an empty frontier means every later layer is empty too —
+        # the remaining declared rounds are no-ops and skipping them
+        # is output-exact (one cheap count on the round's checkpoint)
+        if frontier.count() == 0:
+            break
         expanded = (
             ed.join(frontier, "u")
             .select(F.col("v").alias("node"))
@@ -5115,12 +5120,16 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
     making each greedy argmax — and therefore the whole selection
     path — bit-portable; ties pin on vec_id.
 
-    Scale: each of the K rounds scores candidates against ≤K selected
-    vectors (a broadcast of K rows — the selected set is small BY
-    DEFINITION of top-k), so the loop costs K·|cand|·K dot products;
-    the driver holds only the K chosen rows (bounded collect).  The
-    oracle unrolls the greedy rounds as MATERIALIZED CTE layers (the
-    q290 rule)."""
+    Scale: redundancy folds INCREMENTALLY — each round scores
+    candidates against ONLY the newly selected vector (a broadcast of
+    1 row) and keeps red = greatest(red, sim) as a carried column, so
+    the loop costs K·|cand| dot products (not K²·|cand|) and NO
+    per-round shuffle (the naive re-scan needs a groupBy-max over the
+    candidate frame every round); per-round state is checkpointed
+    (the q290 lineage rule) and the driver holds only the K chosen
+    rows (bounded collect).  max-of-rounded == rounded-per-pair max,
+    so the fold is bit-identical to the oracle's unrolled
+    MATERIALIZED CTE layers."""
     from ..operators.similarity import dot
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -5148,30 +5157,36 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected = []  # driver-held (rank, vec_id, e, rel, red) — K rows
     first = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).collect()[0]
     selected.append((1, first["vec_id"], first["e"], first["rel"], 0))
+    # red starts NULL, not 0: a candidate's max similarity can be
+    # NEGATIVE (anti-aligned vectors), and greatest() skips nulls, so
+    # the first fold sets red = sim exactly — a 0 floor would clamp it
+    state = cand.filter(F.col("vec_id") != first["vec_id"]).withColumn(
+        "red", F.lit(None).cast("long")
+    )
+    cos_red = dot(F.col("e"), F.col("se")) / (
+        F.sqrt(dot(F.col("e"), F.col("e")))
+        * F.sqrt(dot(F.col("se"), F.col("se")))
+    )
     for r in range(2, _Q316_K + 1):
-        sel_df = cand.sparkSession.createDataFrame(
-            [(vid, list(e)) for _, vid, e, _, _ in selected],
-            "svec_id LONG, se ARRAY<DOUBLE>",
+        last = selected[-1]
+        last_df = cand.sparkSession.createDataFrame(
+            [(list(last[2]),)], "se ARRAY<DOUBLE>"
         )
-        chosen_ids = [vid for _, vid, *_ in selected]
-        cos_red = dot(F.col("e"), F.col("se")) / (
-            F.sqrt(dot(F.col("e"), F.col("e")))
-            * F.sqrt(dot(F.col("se"), F.col("se")))
-        )
-        nxt = (
-            cand.filter(~F.col("vec_id").isin(chosen_ids))
-            .crossJoin(F.broadcast(sel_df))
+        state = (
+            state.crossJoin(F.broadcast(last_df))
             .select(
                 "vec_id",
                 "e",
                 "rel",
-                F.round(F.lit(1000000000) * cos_red, 0)
-                .cast("long")
-                .alias("sim"),
+                F.greatest(
+                    F.col("red"),
+                    F.round(F.lit(1000000000) * cos_red, 0).cast("long"),
+                ).alias("red"),
             )
-            .groupBy("vec_id", "e", "rel")
-            .agg(F.max("sim").cast("long").alias("red"))
-            .orderBy(
+            .localCheckpoint(eager=True)
+        )
+        nxt = (
+            state.orderBy(
                 F.desc(F.col("rel") - F.col("red")), F.asc("vec_id")
             )
             .limit(1)
@@ -5180,6 +5195,7 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected.append(
             (r, nxt["vec_id"], nxt["e"], nxt["rel"], nxt["red"])
         )
+        state = state.filter(F.col("vec_id") != nxt["vec_id"])
     out = cand.sparkSession.createDataFrame(
         [(rk, vid, rel, red) for rk, vid, _, rel, red in selected],
         "rank LONG, vec_id LONG, rel_nano LONG, red_nano LONG",
