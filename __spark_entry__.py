@@ -62,6 +62,10 @@ def _interleave(*seqs):
 _R9_CHANGED = (
     "q299", "q266", "q291", "q227", "q251", "q259",
     "q294", "q303", "q315", "q326", "q327", "q330", "q290",
+    # float-path restages: the r9 full-sf0.1 sweep proved DuckDB's
+    # HUGEINT→DOUBLE cast double-rounds (PLANS.md #17) — both now emit
+    # pinned integer micro ratios and need fresh rows
+    "q155", "q164",
 )
 _R9_RISKY = ("q307", "q316", "q323", "q331")
 _R9_HEAD = (

@@ -304,21 +304,23 @@ WITH tok AS (
   WHERE tt.term_total >= {_Q155_MIN_TERM} AND c.a >= {_Q155_MIN_CELL}
 ), scored AS (
   SELECT lang, term, a,
-         CAST(CAST(n AS HUGEINT)
-              * CAST(a * d - b * c2 AS HUGEINT)
-              * CAST(a * d - b * c2 AS HUGEINT) AS DOUBLE)
-         / CAST(CAST(a + b AS HUGEINT) * CAST(c2 + d AS HUGEINT)
-                * CAST(a + c2 AS HUGEINT) * CAST(b + d AS HUGEINT)
-                AS DOUBLE) AS chi2
+         CAST((2000000 * (CAST(n AS HUGEINT)
+                          * CAST(a * d - b * c2 AS HUGEINT)
+                          * CAST(a * d - b * c2 AS HUGEINT))
+               + (CAST(a + b AS HUGEINT) * CAST(c2 + d AS HUGEINT)
+                  * CAST(a + c2 AS HUGEINT) * CAST(b + d AS HUGEINT)))
+              // (2 * (CAST(a + b AS HUGEINT) * CAST(c2 + d AS HUGEINT)
+                       * CAST(a + c2 AS HUGEINT) * CAST(b + d AS HUGEINT)))
+              AS BIGINT) AS chi2_micro
   FROM abcd
 ), ranked AS (
-  SELECT lang, term, a, chi2,
+  SELECT lang, term, a, chi2_micro,
          row_number() OVER (
-           PARTITION BY lang ORDER BY chi2 DESC, term
+           PARTITION BY lang ORDER BY chi2_micro DESC, term
          ) AS rn
   FROM scored
 )
-SELECT lang, term, a, chi2 FROM ranked WHERE rn <= {_Q155_TOPK}
+SELECT lang, term, a, chi2_micro FROM ranked WHERE rn <= {_Q155_TOPK}
 """
 
 
@@ -338,12 +340,20 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dimension-bounded, not corpus-bounded), so the low-cardinality
     partition is safe here.
 
-    Bit portability: χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) is ONE
-    IEEE division of two exact integer products — Spark carries them
-    in DECIMAL(38,0), the oracle in HUGEINT; both cast correctly-
-    rounded to double (the q64/q152 exact-moments rule; (ad−bc)
-    stays within BIGINT below ~2×10⁹ tokens per margin, and the
-    DECIMAL/HUGEINT widening covers the rest)."""
+    Bit portability: χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) is
+    emitted as the PINNED half-up micro ratio (2·10⁶·num + den) div
+    (2·den), computed wholly in DECIMAL(38,0)/HUGEINT — never as a
+    double. The r9 full-sf0.1 sweep caught why the earlier "one IEEE
+    division of exactly-cast integers" form was unsound: the operands
+    exceed 2⁵³, and DuckDB's HUGEINT→DOUBLE cast is double-rounded
+    (upper·2⁶⁴ + lower in floating point) while Spark's
+    DECIMAL→DOUBLE is correctly rounded — a data-dependent ±1-2 ulp
+    divergence invisible at sf0.01. Integer headroom: 2·10⁶·num needs
+    ~27 digits at sf0.1 (fits 38), and chi2_micro ≤ 10⁶·N fits int64
+    through N ≈ 9·10¹² tokens; beyond that drop the quantum, not the
+    integer discipline. (ad−bc) stays within BIGINT below ~2×10⁹
+    tokens per margin; the DECIMAL/HUGEINT widening covers the
+    products."""
     docs = load_table(spark, sf_dir, "documents")
     tok = spread_for_compute(docs).select(
         "lang",
@@ -378,19 +388,28 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,0)"
     diff = (F.col("a") * F.col("d") - F.col("b") * F.col("c2")).cast(dec)
-    num = (F.col("n").cast(dec) * diff * diff).cast("double")
+    num = F.col("n").cast(dec) * diff * diff
     den = (
         (F.col("a") + F.col("b")).cast(dec)
         * (F.col("c2") + F.col("d")).cast(dec)
         * (F.col("a") + F.col("c2")).cast(dec)
         * (F.col("b") + F.col("d")).cast(dec)
-    ).cast("double")
-    scored = abcd.select("lang", "term", "a", (num / den).alias("chi2"))
-    w = Window.partitionBy("lang").orderBy(F.desc("chi2"), "term")
+    )
+    # decimal `div` floors and returns BIGINT; a decimal `/` followed
+    # by a cast would HALF_UP-round — the wrong half of the pinned
+    # (2Kx + y) div 2y idiom
+    scored = abcd.withColumn("_num", num).withColumn("_den", den).selectExpr(
+        "lang",
+        "term",
+        "a",
+        "CAST((CAST(2000000 AS DECIMAL(38,0)) * _num + _den)"
+        " div (CAST(2 AS DECIMAL(38,0)) * _den) AS BIGINT) AS chi2_micro",
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2_micro"), "term")
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _Q155_TOPK)
-        .select("lang", "term", "a", "chi2")
+        .select("lang", "term", "a", "chi2_micro")
     )
 
 
@@ -1127,10 +1146,11 @@ WITH base AS (
   FROM ranked GROUP BY prio
 )
 SELECT prio, n, total_cents,
-       CAST(2 * siy - CAST((n + 1) AS HUGEINT)
-              * CAST(total_cents AS HUGEINT) AS DOUBLE)
-         / CAST(CAST(n AS HUGEINT)
-                * CAST(total_cents AS HUGEINT) AS DOUBLE) AS gini
+       CAST((2000000 * (2 * siy - CAST((n + 1) AS HUGEINT)
+                        * CAST(total_cents AS HUGEINT))
+             + CAST(n AS HUGEINT) * CAST(total_cents AS HUGEINT))
+            // (2 * CAST(n AS HUGEINT) * CAST(total_cents AS HUGEINT))
+            AS BIGINT) AS gini_micro
 FROM mom
 """
 
@@ -1141,9 +1161,13 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality/concentration metric a mixture pipeline watches (is
     one source's token mass concentrating into few documents?) —
     computed from exact integer moments: with values ranked ascending
-    per group, G = (2·Σi·yᵢ − (n+1)·Σy) / (n·Σy), ONE division of
-    exact integers (DECIMAL(38,0) on Spark, HUGEINT in the oracle —
-    the q152/q155 rule, since Σi·y reaches n²·y̅).
+    per group, G = (2·Σi·yᵢ − (n+1)·Σy) / (n·Σy), emitted as the
+    PINNED half-up micro ratio computed wholly in
+    DECIMAL(38,0)/HUGEINT (the q227 shape). Σi·y reaches n²·y̅ —
+    already past 2⁵³ at sf0.1 — and the r9 q155 finding showed
+    DuckDB's HUGEINT→DOUBLE cast is double-rounded, so the former
+    "one division of exactly-cast integers" form was a latent
+    data-dependent ±ulp divergence (PLANS.md rule #17).
 
     The 5-value priority column never becomes a window partition: the
     ranking is grouped_row_number (one global scalable_row_number over
@@ -1172,11 +1196,15 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (
         F.lit(2).cast(dec) * F.col("siy")
         - (F.col("n") + 1).cast(dec) * F.col("total_cents").cast(dec)
-    ).cast("double")
-    den = (
-        F.col("n").cast(dec) * F.col("total_cents").cast(dec)
-    ).cast("double")
-    return mom.select("prio", "n", "total_cents", (num / den).alias("gini"))
+    )
+    den = F.col("n").cast(dec) * F.col("total_cents").cast(dec)
+    return mom.withColumn("_num", num).withColumn("_den", den).selectExpr(
+        "prio",
+        "n",
+        "total_cents",
+        "CAST((CAST(2000000 AS DECIMAL(38,0)) * _num + _den)"
+        " div (CAST(2 AS DECIMAL(38,0)) * _den) AS BIGINT) AS gini_micro",
+    )
 
 
 # ---------------------------------------------------------------------------

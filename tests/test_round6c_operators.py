@@ -474,7 +474,7 @@ def test_gini_bounds_and_uniform_zero(spark):
     from nessus_client_etl_scripts_spark.plans.round6c_queries import q164
 
     for r in q164(spark, SF001).collect():
-        assert 0.0 <= r["gini"] < 1.0
+        assert 0 <= r["gini_micro"] < 1_000_000
     # uniform values => gini exactly (n+1)/n - (n+1)/n = ... == 0? For
     # identical y: 2*sum(i*y) = 2*y*n(n+1)/2 = y*n*(n+1) and
     # (n+1)*sum y = (n+1)*n*y -> numerator 0 exactly
