@@ -51,7 +51,7 @@ from ..operators.web import (
 )
 from .corpus_queries import _NORM_SQL
 from .round6b_queries import _Q132_ORACLE, _Q133_ORACLE
-from .round7_queries import _Q201_MERGES, _q201_state_chain
+from .round7_queries import _Q201_MERGES, _q201_state_chain, shared_bpe_merges
 from .testdata_queries import register
 
 # ---------------------------------------------------------------------------
@@ -498,12 +498,9 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
     |languages|-group aggregate — map-side combined, nothing driver-
     side but the K-row merge table."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = [
-        r["merged_pair"]
-        for r in bpe_train(docs, n_merges=_Q201_MERGES)
-        .orderBy("merge_rank")
-        .collect()
-    ]
+    # shared trainer memo (round7_queries.shared_bpe_merges): q201/
+    # q206/q217 ship the same tokenizer — one training per session
+    merges = shared_bpe_merges(spark, sf_dir)
     norm = normalize_text("text")
     per = (
         docs.select(
