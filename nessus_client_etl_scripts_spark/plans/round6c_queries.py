@@ -395,9 +395,13 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("a") + F.col("c2")).cast(dec)
         * (F.col("b") + F.col("d")).cast(dec)
     )
-    # decimal `div` floors and returns BIGINT; a decimal `/` followed
-    # by a cast would HALF_UP-round — the wrong half of the pinned
-    # (2Kx + y) div 2y idiom
+    # decimal `div` TRUNCATES TOWARD ZERO (IntegralDivide) and returns
+    # BIGINT, while DuckDB `//` FLOORS — they agree only because this
+    # numerator (n·(ad−bc)²) is provably ≥ 0 and the denominator > 0;
+    # a decimal `/` followed by a cast would HALF_UP-round — the wrong
+    # half of the pinned (2Kx + y) div 2y idiom. Reusing the idiom for
+    # a SIGNED metric needs an explicit sign-split (PLANS.md rule #17
+    # states the num ≥ 0, den > 0 precondition).
     scored = abcd.withColumn("_num", num).withColumn("_den", den).selectExpr(
         "lang",
         "term",

@@ -4718,9 +4718,14 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_cents",
         out_col="cum",
     ).select("part", "rev_cents", F.col("cum").cast("long").alias("cum"))
-    # total revenue = the last running sum (cents ≥ 0 so cum is
-    # monotone) — an aggregate over the checkpointed stage, not a
-    # second pass over lineitem
+    # total revenue = the last running sum — an aggregate over the
+    # checkpointed stage, not a second pass over lineitem.
+    # PRECONDITION (r9 ADVICE): max(cum) == grand total ONLY while
+    # every per-part rev_cents aggregate is ≥ 0, which holds here by
+    # construction (rev = extendedprice·(1−discount), both source
+    # columns non-negative in this data model); a credit/return line
+    # model would break monotonicity and needs sum() over the parts
+    # frame instead. q330 reads its total the same way.
     tot = ranked.agg(F.max("cum").cast("long").alias("t"))
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "rev_cents",

@@ -3195,52 +3195,73 @@ q298.__doc__ = q298.__doc__.format(k=_Q298_K)
 # q299 — cluster medoid (1-median) per label in embedding space
 # ---------------------------------------------------------------------------
 
-_Q299_ORACLE = """
-WITH v AS (
-  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-), pairs AS (
-  SELECT a.label, a.vec_id AS i, b.vec_id AS j,
-         CAST(round(1000000000 * (1.0 -
-           list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e))
-                * sqrt(list_dot_product(b.e, b.e))))) AS BIGINT)
-           AS d_nano
-  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
-), sums AS (
-  SELECT label, i AS vec_id,
-         CAST(sum(d_nano) AS BIGINT) AS sum_dist_nano,
-         CAST(count(*) + 1 AS BIGINT) AS n_members
-  FROM pairs GROUP BY label, i
-), ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY label
-             ORDER BY sum_dist_nano, vec_id) AS rn
-  FROM sums
-)
-SELECT label, vec_id AS medoid_id, sum_dist_nano, n_members
-FROM ranked WHERE rn = 1
-"""
-
-
 # exact all-pairs below the cap (every sf0.01 cluster is ≤ 59, so the
 # oracle's exact form is what the driver compares); above it each
-# candidate scores against a fixed deterministic sample
+# candidate scores against a fixed deterministic sample.  The sample
+# is picked by an ENGINE-PORTABLE pinned LCG hash of vec_id (glibc
+# constants; all operands < 2^31 so the product stays under 2^63 —
+# exact in both engines' BIGINT arithmetic), NOT xxhash64: the r9
+# ADVICE flagged that a Spark-only sample hash makes any compare at a
+# scale factor with a >cap cluster red by construction.  The oracle
+# below mirrors cap, sample and the mean-distance argmin exactly, so
+# the full-sf0.1 sweep now covers the sampled branch too.
 _Q299_EXACT_MAX = 100
 _Q299_SAMPLE = 64
+_Q299_HASH = "((vec_id % 2147483647) * 1103515245 + 12345) % 2147483648"
+
+_Q299_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), sz AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_members FROM v GROUP BY label
+), r AS (
+  SELECT v.*, row_number() OVER (PARTITION BY label
+             ORDER BY {_Q299_HASH}, vec_id) AS srn
+  FROM v
+), ref AS (
+  SELECT r.label, r.vec_id AS j, r.e AS eb
+  FROM r JOIN sz USING (label)
+  WHERE sz.n_members <= {_Q299_EXACT_MAX} OR r.srn <= {_Q299_SAMPLE}
+), pairs AS (
+  SELECT a.label, a.vec_id AS i,
+         CAST(round(1000000000 * (1.0 -
+           list_dot_product(a.e, b.eb)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.eb, b.eb))))) AS BIGINT)
+           AS d_nano
+  FROM v a JOIN ref b ON a.label = b.label AND a.vec_id <> b.j
+), sums AS (
+  SELECT label, i AS vec_id,
+         CAST(sum(d_nano) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n_ref
+  FROM pairs GROUP BY label, i
+), ranked AS (
+  SELECT label, vec_id, (2 * s + n_ref) // (2 * n_ref) AS mean_dist_nano,
+         n_ref,
+         row_number() OVER (PARTITION BY label
+             ORDER BY (2 * s + n_ref) // (2 * n_ref), vec_id) AS rn
+  FROM sums
+)
+SELECT label, vec_id AS medoid_id, mean_dist_nano, n_ref, n_members
+FROM ranked JOIN sz USING (label) WHERE rn = 1
+"""
 
 
 def _q299_pairs(v: DataFrame, sizes: DataFrame) -> DataFrame:
     """Candidate×reference distance pairs for the medoid pick: the
     reference set per label is the whole cluster when n ≤
     _Q299_EXACT_MAX, else the _Q299_SAMPLE members with the smallest
-    xxhash64(vec_id) (two-phase grouped row number — no per-label
-    window sort). Pair count per label: n·(n−1) below the cap, ≤ n·m
-    above it; the reference frame is ≤ |labels|·max(cap, m) rows and
-    broadcast. Factored out so the pair-count cap is unit-testable."""
+    pinned-LCG hash of vec_id (two-phase grouped row number — no
+    per-label window sort; the hash is exact BIGINT arithmetic in
+    Spark AND DuckDB, so the oracle draws the identical sample).
+    Pair count per label: n·(n−1) below the cap, ≤ n·m above it; the
+    reference frame is ≤ |labels|·max(cap, m) rows and broadcast.
+    Factored out so the pair-count cap is unit-testable."""
     from ..operators.similarity import dot
     from ..operators.windows import grouped_row_number
 
     ranked = grouped_row_number(
-        v.withColumn("_h", F.xxhash64("vec_id")),
+        v.withColumn("_h", F.expr(_Q299_HASH)),
         "label",
         ("_h", "vec_id"),
         out_col="_srn",
@@ -3294,20 +3315,24 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the quadratic step is CAPPED, never just cluster-bounded —
     clusters of n ≤ {t} members get the exact all-pairs (n·(n−1)
-    pairs, the oracle's form; every sf0.01 cluster is under the cap
-    so the driver compare runs the exact path end-to-end); larger
-    clusters evaluate EVERY candidate against a fixed {m}-member
-    reference sample (the n smallest xxhash64(vec_id) — deterministic
-    across runs and engines), so the pair count is n·{m}: linear in
-    the cluster.  The reference side is ≤ |labels|·max({t},{m}) rows
-    by construction, so the pair generator is a BROADCAST hash join —
+    pairs; every sf0.01 cluster is under the cap so the driver
+    compare runs the exact path end-to-end); larger clusters evaluate
+    EVERY candidate against a fixed {m}-member reference sample (the
+    n smallest pinned-LCG-hash(vec_id) — deterministic across runs
+    AND across engines, so the oracle replays the identical sample
+    and the sampled branch is value-checked too, not just the exact
+    one).  The reference side is ≤ |labels|·max({t},{m}) rows by
+    construction, so the pair generator is a BROADCAST hash join —
     no shuffle touches the candidate frame, and a skewed label costs
-    map-side work only.  Self-pairs stay excluded on both paths (an
-    in-sample candidate sums {m}−1 terms — the standard sampled-
-    medoid self-exclusion; the argmin it picks is the exact medoid
-    whenever the sample is representative, and the exact path is
-    bit-identical to the oracle).  The per-label argmin is a
-    min(struct) hash aggregate — no window at all."""
+    map-side work only.  Self-pairs stay excluded on both paths, and
+    the argmin compares the MEAN distance over each candidate's
+    ACTUAL reference count (round-half-up nano integer, the
+    (2s+c) div 2c idiom — s,c ≥ 0 so both engines' integer division
+    agree): an in-sample candidate averages over {m}−1 references,
+    an out-of-sample one over {m}, which removes the one-missing-term
+    bias that favored sample members when comparing raw sums (r9
+    ADVICE).  The per-label argmin is a min(struct) hash aggregate —
+    no window at all."""
     emb = load_table(spark, sf_dir, "embeddings")
 
     v = emb.select(
@@ -3320,15 +3345,20 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = _q299_pairs(v, sizes)
     sums = pairs.groupBy("label", "i").agg(
-        F.sum("d_nano").cast("long").alias("sum_dist_nano"),
+        F.sum("d_nano").cast("long").alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("n_ref"),
     )
-    best = sums.groupBy("label").agg(
-        F.min(F.struct("sum_dist_nano", "i")).alias("b")
+    means = sums.withColumn(
+        "mean_dist_nano", F.expr("(2 * _s + n_ref) div (2 * n_ref)")
+    )
+    best = means.groupBy("label").agg(
+        F.min(F.struct("mean_dist_nano", "i", "n_ref")).alias("b")
     )
     return best.join(F.broadcast(sizes), "label").select(
         "label",
         F.col("b.i").alias("medoid_id"),
-        F.col("b.sum_dist_nano").alias("sum_dist_nano"),
+        F.col("b.mean_dist_nano").alias("mean_dist_nano"),
+        F.col("b.n_ref").alias("n_ref"),
         "n_members",
     )
 
@@ -5154,8 +5184,17 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    selected = []  # driver-held (rank, vec_id, e, rel, red) — K rows
-    first = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).collect()[0]
+    selected = []  # driver-held (rank, vec_id, e, rel, red) — ≤K rows
+    head = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).collect()
+    if not head:
+        # no candidates at all — empty result, same schema (the
+        # oracle's unrolled layers degenerate to zero rows too)
+        return spark.createDataFrame(
+            [],
+            "rank LONG, vec_id LONG, rel_nano LONG, red_nano LONG,"
+            " objective_nano LONG",
+        )
+    first = head[0]
     selected.append((1, first["vec_id"], first["e"], first["rel"], 0))
     # red starts NULL, not 0: a candidate's max similarity can be
     # NEGATIVE (anti-aligned vectors), and greatest() skips nulls, so
@@ -5185,13 +5224,20 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        nxt = (
+        picked = (
             state.orderBy(
                 F.desc(F.col("rel") - F.col("red")), F.asc("vec_id")
             )
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not picked:
+            # candidate pool exhausted before round K (state shrinks
+            # by one per round + the initial filter): emit the
+            # selected prefix — exactly how the oracle's unrolled
+            # layers would degenerate (r9 ADVICE)
+            break
+        nxt = picked[0]
         selected.append(
             (r, nxt["vec_id"], nxt["e"], nxt["rel"], nxt["red"])
         )
@@ -6526,7 +6572,11 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_col="cum",
         ).select("part", F.col("cum").cast("long").alias("cum"))
         # year total = the last running sum — an aggregate over the
-        # checkpointed stage, not a second pass over lineitem
+        # checkpointed stage, not a second pass over lineitem.
+        # PRECONDITION (r9 ADVICE, same as q259's total read):
+        # max(cum) == total only while every per-part cents aggregate
+        # is ≥ 0 — true here (extendedprice·(1−discount), non-negative
+        # sources); a returns-bearing model must sum() instead.
         tot = cummed.agg(F.max("cum").cast("long").alias("tot"))
         return cummed.crossJoin(F.broadcast(tot)).select(
             "part",

@@ -1334,8 +1334,10 @@ def test_q298_lattice_twin(spark):
 
 
 def test_q299_medoid_twin(spark):
-    """Brute-force medoid per label with the same nano quantization;
-    the medoid's sum must be the label's minimum."""
+    """Brute-force medoid per label with the same nano quantization
+    and round-half-up mean; the medoid's mean must be the label's
+    minimum (sf0.001 clusters are all under the exact-path cap, so
+    every candidate's reference count is n−1)."""
     import math
 
     from nessus_client_etl_scripts_spark.plans.round8b_queries import q299
@@ -1356,19 +1358,22 @@ def test_q299_medoid_twin(spark):
     rows = {r["label"]: r for r in q299(spark, SF001).collect()}
     assert set(rows) == set(by_label)
     for label, members in by_label.items():
-        sums = {}
+        means = {}
         for i, vi in members.items():
-            sums[i] = sum(
+            s = sum(
                 half_away(1_000_000_000 * (1.0 - cos(vi, vj)))
                 for j, vj in members.items()
                 if j != i
             )
-        best = min(sums, key=lambda i: (sums[i], i))
+            c = len(members) - 1
+            means[i] = (2 * s + c) // (2 * c)
+        best = min(means, key=lambda i: (means[i], i))
         got = rows[label]
         assert got["medoid_id"] == best
-        assert got["sum_dist_nano"] == sums[best]
+        assert got["mean_dist_nano"] == means[best]
+        assert got["n_ref"] == len(members) - 1
         assert got["n_members"] == len(members)
-        assert got["sum_dist_nano"] == min(sums.values())
+        assert got["mean_dist_nano"] == min(means.values())
 
 
 def test_q300_fingerprint_twin(spark):
@@ -2087,6 +2092,28 @@ def test_q315_qte_twin(spark):
     assert got["qte_p50_cents"] == t50 - c50
     assert got["qte_p75_cents"] == t75 - c75
     assert got["qte_p90_cents"] == t90 - c90
+
+
+def test_q316_short_candidate_pool_emits_prefix(spark, tmp_path):
+    """When the candidate pool has fewer than K rows the selection
+    loop must emit the selected prefix, not raise (r9 ADVICE: state
+    shrinks by one per round, so an exhausted pool made the
+    .limit(1).collect()[0] read IndexError)."""
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import _Q316_K, q316
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),  # query vector
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = q316(spark, str(tmp_path)).orderBy("rank").collect()
+    assert 0 < len(got) < _Q316_K
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    # both candidates selected, query vector excluded
+    assert {r["vec_id"] for r in got} == {1, 2}
 
 
 def test_q316_mmr_twin(spark):
