@@ -24,6 +24,7 @@ from nessus_client_etl_scripts_spark.plans import round6d_queries as _r6d  # noq
 from nessus_client_etl_scripts_spark.plans import round7_queries as _r7  # noqa: F401 — registers q201+
 from nessus_client_etl_scripts_spark.plans import round8_queries as _r8  # noqa: F401 — registers q214+
 from nessus_client_etl_scripts_spark.plans import round8b_queries as _r8b  # noqa: F401 — registers q273+
+from nessus_client_etl_scripts_spark.plans import round10_queries as _r10  # noqa: F401 — registers q332+
 from nessus_client_etl_scripts_spark.plans import streaming_queries as _sq  # noqa: F401 — registers q53
 from nessus_client_etl_scripts_spark.plans import testdata_queries as _tq
 
@@ -38,66 +39,71 @@ def entry(spark: SparkSession) -> DataFrame:
     return _tq.spark_queries()["q01_folder_results_latest"](spark, SF0001)
 
 
-# Round-9 driver-budget ordering (the driver checks ~50 queries in
-# iteration order per round).  Round 9 adds ZERO queries — the whole
-# budget clears evidence debt per the r8 verdict.  HEAD, in priority
-# order: (a) the thirteen queries whose PLANS CHANGED this round
-# (entity-scale windows routed through the two-phase machinery;
-# q299's sampled-medoid cap; q290's fixpoint early-exit) — four of
-# them (q227/q291/q294/q290) held r8 green rows that the edits
-# staled; (b) the riskiest never-checked r8
-# additions (graph/iterative/quantized-float: q307/q316/q323/q331),
-# then the remaining never-checked pool — q239-q272 and q298-q331
-# minus the 47 r8-checked — interleaved so both waves earn rows;
-# (c) the r2-era trio q54/q56/q58; (d) the r3-era nineteen.  That is
-# 12+4+50+3+19 ≈ 88 against a ~50 budget: the overflow (lowest-risk
-# never-checked + the stale blocks) spills to r10 by design.
-def _interleave(*seqs):
-    out = []
-    for group in __import__("itertools").zip_longest(*seqs):
-        out.extend(n for n in group if n is not None)
-    return tuple(out)
-
-
-_R9_CHANGED = (
-    "q299", "q266", "q291", "q227", "q251", "q259",
-    "q294", "q303", "q315", "q326", "q327", "q330", "q290",
-    # float-path restages: the r9 full-sf0.1 sweep proved DuckDB's
-    # HUGEINT→DOUBLE cast double-rounds (PLANS.md #17) — both now emit
-    # pinned integer micro ratios and need fresh rows
-    "q155", "q164",
-)
-_R9_RISKY = ("q307", "q316", "q323", "q331")
-_R9_HEAD = (
-    _R9_CHANGED
-    + _R9_RISKY
-    + _interleave(
-        tuple(f"q{n}" for n in range(239, 273)),
-        tuple(f"q{n}" for n in range(298, 332)),
+# Round-10 driver-budget ordering (the driver checks ~50 queries in
+# iteration order per round).  Round 10 clears the LAST of the
+# evidence debt (44 rows) and lifts the growth freeze by exactly two
+# new queries.  HEAD, in priority order: (a) the three queries whose
+# PLANS CHANGED this round — q299 (portable sample hash + unbiased
+# mean argmin + mirrored oracle), q207 (group_median rides
+# grouped_row_number's count_col), q316 (short-pool prefix exit);
+# (b) the 22 never-checked r8-wave rows, riskiest shapes first
+# (iterative / sequential-pattern, then the arithmetic finance band);
+# (c) the two NEW round-10 queries (q332 rerank, q333 streaming rate
+# limiter) — never-checked but younger than the old debt, so they
+# rank below it (a budget shortfall should strand new queries, not
+# the r8 debt the last two verdicts tracked); (d) the r2-era trio;
+# (e) the r3-era nineteen; (f) q201, whose plan changed shape (memoized
+# trainer rebuilds the merge table as a local relation — values
+# unchanged, re-proof is hygiene not debt).  Total = exactly 50.
+_R10_HEAD = (
+    ("q299", "q207", "q316")
+    + (
+        "q268", "q272", "q322", "q328", "q329",  # iterative/pattern
+        "q260", "q261", "q262", "q263", "q264", "q265", "q267",
+        "q269", "q270", "q271", "q317", "q318", "q319", "q320",
+        "q321", "q324", "q325",
     )
+    + ("q332", "q333")
     + ("q54", "q56", "q58")
     + tuple(f"q{n}" for n in range(29, 39))
-    + tuple(f"q{n}" for n in range(40, 50))
+    + tuple(f"q{n}" for n in range(40, 50) if n != 41)  # q41 is r4-era
+    + ("q201",)
 )
-# Fresh-evidence tail: r8-green rows (q177/q179/q182 re-proofs plus
-# the two checked new-wave blocks q214-q238 and q273-q297 — minus the
-# four whose plans changed this round, which sit in the head), the
-# r7-green rows, the r6-green block q120+q125-q173, and the r5-green
-# block.
-_FRESH_GREEN = (
-    ("q177", "q179", "q182")
-    + tuple(f"q{n}" for n in range(214, 239) if n != 227)
-    + tuple(f"q{n}" for n in range(273, 298) if n not in (291, 294))
-    + tuple(f"q{n}" for n in range(174, 214) if n not in (177, 179, 182))
-    + ("q114", "q115", "q92", "q112", "q50", "q55", "q93", "q96")
-    + ("q51", "q52")
-    + ("q120",)
-    + tuple(f"q{n}" for n in range(125, 174))
-    + tuple(f"q{n}" for n in range(97, 112) if n not in (103,))
-    + ("q103", "q113", "q116", "q117", "q118", "q119")
-    + tuple(f"q{n}" for n in range(121, 125))
+# Post-head rotation: every remaining query ordered by the ROUND of
+# its latest green driver row, oldest first (r4 → r9 per the
+# CORRECTNESS_r* scan), so any budget overflow refreshes the stalest
+# evidence first.  Blocks are the r4/r5/r6/r7/r8/r9 cohorts.
+_R10_STALE_ORDER = (
+    # r4 cohort
+    tuple(f"q{n:02d}" for n in range(1, 12))
+    + ("q41", "q57")
+    + tuple(f"q{n}" for n in range(59, 92))
+    + ("q94", "q95")
+    # r5 cohort
     + tuple(f"q{n:02d}" for n in range(12, 29))
     + ("q39", "q53")
+    + tuple(f"q{n}" for n in range(97, 112))
+    + ("q113", "q116", "q117", "q118", "q119")
+    + tuple(f"q{n}" for n in range(121, 125))
+    # r6 cohort
+    + ("q120",)
+    + tuple(f"q{n}" for n in range(125, 174) if n not in (155, 164))
+    # r7 cohort
+    + ("q50", "q51", "q52", "q55", "q92", "q93", "q96", "q112", "q114", "q115")
+    + tuple(f"q{n}" for n in range(174, 214) if n not in (177, 179, 182, 201, 207))
+    # r8 cohort
+    + ("q177", "q179", "q182")
+    + tuple(f"q{n}" for n in range(214, 239) if n != 227)
+    + tuple(f"q{n}" for n in range(273, 298) if n not in (290, 291, 294))
+    # r9 cohort (freshest)
+    + ("q155", "q164", "q227")
+    + tuple(f"q{n}" for n in range(239, 260))
+    + ("q266", "q290", "q291", "q294")
+    + tuple(
+        f"q{n}"
+        for n in range(298, 332)
+        if n not in (299, 316, 317, 318, 319, 320, 321, 322, 324, 325, 328, 329)
+    )
 )
 
 
@@ -105,25 +111,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Insertion order == driver iteration order; see the ordering note
-    above (_R9_HEAD / stale middle / fresh-green tail)."""
+    above (_R10_HEAD, then staleness-ordered rotation)."""
     all_queries = dict(sorted(_tq.spark_queries().items()))
 
     def prefix(name: str) -> str:
         return name.split("_", 1)[0]
 
-    head = {
-        n: all_queries[n]
-        for p in _R9_HEAD
-        for n in all_queries
-        if prefix(n) == p
-    }
-    mid = {
-        n: f
-        for n, f in all_queries.items()
-        if n not in head and prefix(n) not in _FRESH_GREEN
-    }
-    rest = {n: f for n, f in all_queries.items() if n not in head and n not in mid}
-    return {**head, **mid, **rest}
+    by_prefix = {}
+    for n in all_queries:
+        by_prefix.setdefault(prefix(n), []).append(n)
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for p in _R10_HEAD + _R10_STALE_ORDER:
+        for n in by_prefix.get(p, ()):
+            out.setdefault(n, all_queries[n])
+    for n, f in all_queries.items():  # safety net for unlisted names
+        out.setdefault(n, f)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

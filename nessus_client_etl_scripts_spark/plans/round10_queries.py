@@ -1,0 +1,246 @@
+"""Round-10 wave — the two serving-side shapes the r9 verdict named
+as first candidates after the evidence-debt freeze lifted: cross-
+encoder-style reranking over a bounded candidate set (q332) and an
+unbounded-stream sliding-log rate-limit audit on custom streaming
+state (q333).
+
+Float portability: every similarity is quantized to a nano integer
+via JVM/DuckDB round() (shared half-away-from-zero ties) BEFORE any
+ranking, and the per-pair cosine is the same IEEE op chain both
+engines run (dot, sqrt, sqrt, multiply, divide over DOUBLE lists —
+the q27/q218 precedent); rank ties pin on neighbor_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.similarity import dot
+from .testdata_queries import register
+
+# ---------------------------------------------------------------------------
+# q332 — cross-encoder-style reranking over a bounded retrieval set
+# ---------------------------------------------------------------------------
+
+_Q332_NQ = 5  # query vectors: vec_id < 5
+_Q332_RETRIEVE = 20  # stage-1 candidates per query (bi-encoder top-N)
+_Q332_K = 10  # final reranked top-k
+
+_Q332_COS = (
+    "round(1000000000 * (list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))))"
+)
+
+_Q332_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qe,
+         list_transform(e, x -> x * x) AS tq
+  FROM v WHERE vec_id < {_Q332_NQ}
+), c AS (
+  SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= {_Q332_NQ}
+), s1 AS (
+  SELECT query_id, neighbor_id, tq, ce,
+         CAST({_Q332_COS.format(a="qe", b="ce")} AS BIGINT)
+           AS retr_score_nano
+  FROM q CROSS JOIN c
+), r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY retr_score_nano DESC, neighbor_id) AS retr_rank
+  FROM s1
+), s2 AS (
+  SELECT query_id, neighbor_id,
+         CAST(retr_rank AS BIGINT) AS retr_rank, retr_score_nano,
+         CAST({_Q332_COS.format(a="tq", b="ce")} AS BIGINT)
+           AS ce_score_nano
+  FROM r1 WHERE retr_rank <= {_Q332_RETRIEVE}
+), r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY ce_score_nano DESC, neighbor_id) AS rn2
+  FROM s2
+)
+SELECT query_id, neighbor_id, retr_rank, retr_score_nano,
+       CAST(rn2 AS BIGINT) AS ce_rank, ce_score_nano
+FROM r2 WHERE rn2 <= {_Q332_K}
+"""
+
+
+@register("q332_crossencoder_rerank", _Q332_ORACLE)
+def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with CROSS-ENCODER-STYLE reranking — the
+    serving pattern every modern search/RAG stack runs: a cheap
+    bi-encoder (plain cosine) retrieves top-{n} per query, then an
+    expensive pairwise scorer re-ranks ONLY that bounded set and the
+    top-{k} survive.  The stand-in pairwise scorer is a second-order
+    interaction kernel, cosine(q∘q, d) — a genuinely different
+    ranking from stage 1 (it re-weights dimensions by the query's own
+    energy), deterministic, and expressible in both engines as the
+    exact same IEEE chain (a real cross-encoder forward pass slots in
+    behind the same bounded `mapInPandas` contract; the model libs
+    are absent in this container, so the kernel keeps the plumbing
+    value-checkable end to end).
+
+    Scale: stage 1 is the brute-force baseline (q27's shape) — the
+    corpus NEVER shuffles; each task scores its partition against the
+    broadcast query set, and only (query_id, neighbor_id, score)
+    triples enter the per-query rank exchange, never the vectors.
+    Stage 2 re-joins the ≤ |Q|·{n} winning keys back to the corpus as
+    a BROADCAST (map-side pick of the winner embeddings — the
+    candidate set is bounded by construction, which is the entire
+    point of the rerank pattern), so the expensive scorer touches
+    |Q|·{n} pairs no matter the corpus size.  That is the plan you
+    want at 100 TB: rerank cost is policy-bounded, not data-bounded.
+    At an unbounded query count the stage-1 window swaps for the
+    grouped two-phase machinery; the query set here is a bounded
+    serving batch (the q27/q30/q316 contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    q = v.filter(F.col("vec_id") < _Q332_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.transform("e", lambda x: x * x).alias("tq"),
+    )
+    c = v.filter(F.col("vec_id") >= _Q332_NQ).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+    )
+
+    def _cos_nano(a, b):
+        return (
+            F.round(
+                F.lit(1000000000)
+                * (
+                    dot(F.col(a), F.col(b))
+                    / (
+                        F.sqrt(dot(F.col(a), F.col(a)))
+                        * F.sqrt(dot(F.col(b), F.col(b)))
+                    )
+                ),
+                0,
+            )
+            .cast("long")
+        )
+
+    # stage 1: triples only through the rank exchange — vectors are
+    # dropped before the shuffle and re-fetched for the winners
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("retr_score_nano"), F.asc("neighbor_id")
+    )
+    stage1 = (
+        c.crossJoin(F.broadcast(q.select("query_id", "qe")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos_nano("qe", "ce").alias("retr_score_nano"),
+        )
+        .withColumn("retr_rank", F.row_number().over(w1).cast("long"))
+        .filter(F.col("retr_rank") <= _Q332_RETRIEVE)
+    )
+    # stage 2: winner keys are ≤ |Q|·N rows — broadcast them against
+    # the corpus to pick up embeddings map-side, then score the
+    # bounded candidate set against the interaction-encoded queries
+    rejoined = c.join(F.broadcast(stage1), "neighbor_id")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("ce_score_nano"), F.asc("neighbor_id")
+    )
+    return (
+        rejoined.join(F.broadcast(q.select("query_id", "tq")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "retr_rank",
+            "retr_score_nano",
+            _cos_nano("tq", "ce").alias("ce_score_nano"),
+        )
+        .withColumn("ce_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("ce_rank") <= _Q332_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "retr_rank",
+            "retr_score_nano",
+            "ce_rank",
+            "ce_score_nano",
+        )
+    )
+
+
+q332.__doc__ = q332.__doc__.format(n=_Q332_RETRIEVE, k=_Q332_K)
+
+
+# ---------------------------------------------------------------------------
+# q333 — unbounded-stream sliding-log rate-limit audit (custom state)
+# ---------------------------------------------------------------------------
+
+_Q333_WINDOW_S = 43200  # trailing 12 h log
+_Q333_LIMIT = 4  # max events per user per sliding window
+
+_Q333_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) // 1000000 AS sec FROM events
+), counted AS (
+  SELECT user_id,
+         CAST(count(*) OVER (
+           PARTITION BY user_id ORDER BY sec
+           RANGE BETWEEN {_Q333_WINDOW_S - 1} PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS in_window
+  FROM ev
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(in_window) AS BIGINT) AS max_rate,
+       CAST(sum(CASE WHEN in_window > {_Q333_LIMIT} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rejected
+FROM counted GROUP BY user_id
+"""
+
+
+@register("q333_streaming_rate_limiter", _Q333_ORACLE)
+def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-log rate-limit audit over an UNBOUNDED event stream —
+    q311's batch audit made continuous on CUSTOM streaming state
+    (streaming/stateful.sliding_log_rate_audit,
+    applyInPandasWithState; the transformWithState ValueState port is
+    1:1 once protobuf exists — see stateful.py's API-choice note):
+    per user the lifetime event count, the peak trailing-{w}-second
+    rate, and how many events a {lim}-per-window policy would have
+    rejected.  Every user is emitted (q311's HAVING audit keeps only
+    offenders — different question), with distinct window/limit
+    constants so the two queries cannot shadow each other.
+
+    The state is the per-user sorted event-second log, merged and
+    re-scored per micro-batch in vectorized numpy — order-INSENSITIVE
+    by construction (the stream-end log is the same multiset however
+    availableNow batches the input, so the final emission equals the
+    batch oracle exactly), with RANGE-frame peer semantics (an event
+    at second t counts ALL events in [t−{w}−1…, t], same-second peers
+    included — the searchsorted side='right' read).  Per-batch
+    emissions grow monotonically in n_events, so the dominant row per
+    user (q83's contract) is the answer."""
+    from ..streaming.stateful import sliding_log_rate_audit
+    from .streaming_queries import run_available_now, stream_events
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+    )
+    sink = run_available_now(
+        sliding_log_rate_audit(ev, _Q333_WINDOW_S, _Q333_LIMIT),
+        "q333_rate_limit",
+        output_mode="append",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "max_rate", "n_rejected")
+    )
+
+
+q333.__doc__ = q333.__doc__.format(w=_Q333_WINDOW_S, lim=_Q333_LIMIT)

@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StructField,
@@ -136,6 +137,87 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         _update_user_totals,
         USER_TOTALS_SCHEMA,
         USER_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+RATE_LIMIT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_rate", LongType()),
+        StructField("n_rejected", LongType()),
+    ]
+)
+
+RATE_STATE_SCHEMA = StructType(
+    [StructField("secs", ArrayType(LongType()))]
+)
+
+
+def _make_rate_update(window_s: int, limit: int):
+    """Build the per-key update fn with the window/limit pinned at
+    plan time (closure, not state) so the same operator serves any
+    policy without schema changes."""
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Sliding-log rate audit per key: state is the FULL sorted
+        event-second log, merged per batch and re-scored from scratch
+        — order-INSENSITIVE by construction (the final log is the
+        same multiset whatever the batch boundaries or arrival order,
+        so the last emission equals the batch oracle exactly; q83's
+        dominance contract).  Keeping every event is the exact-replay
+        contract of a bounded backfill/audit; an enforcing production
+        limiter would watermark-prune the log below max(sec) − window
+        after each batch and accept late-arrival semantics, which is
+        a policy choice this audit deliberately avoids.  The
+        per-batch rescan is O(n log n) in numpy over the key's log —
+        vectorized, no per-row Python."""
+        import numpy as np
+
+        prev = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            prev.extend(int(s) for s in pdf["sec"])
+        secs = np.sort(np.asarray(prev, dtype=np.int64))
+        state.update((secs.tolist(),))
+        # RANGE-frame peer semantics (q311's batch twin): the count
+        # for an event at second t is ALL events in [t-(W-1), t] —
+        # including same-second peers — hence side='right' on t.
+        hi = np.searchsorted(secs, secs, side="right")
+        lo = np.searchsorted(secs, secs - (window_s - 1), side="left")
+        in_window = hi - lo
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": int(key[0]),
+                    "n_events": int(len(secs)),
+                    "max_rate": int(in_window.max()) if len(secs) else 0,
+                    "n_rejected": int((in_window > limit).sum()),
+                }
+            ]
+        )
+
+    return _update
+
+
+def sliding_log_rate_audit(
+    events: DataFrame, window_s: int, limit: int
+) -> DataFrame:
+    """Streaming sliding-log rate-limit audit over an UNBOUNDED event
+    stream (columns: user_id, sec): per user the lifetime event
+    count, the peak trailing-``window_s`` rate and how many events a
+    ``limit``-per-window policy would have rejected, emitted after
+    every micro-batch (the final emission per user is the stream-end
+    answer — keep the max-n_events row downstream).  This is q311's
+    batch audit made continuous: the serving-side shape the reference
+    has no analogue for (SURVEY.md §2.9 extension surface)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_rate_update(window_s, limit),
+        RATE_LIMIT_SCHEMA,
+        RATE_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
     )
