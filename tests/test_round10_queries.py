@@ -169,3 +169,82 @@ def test_q333_matches_batch_window_replay(spark):
             got[u]["max_rate"],
             got[u]["n_rejected"],
         ) == (n, mx, rej)
+
+
+def test_rate_update_property_random_multisets():
+    """Hypothesis-style sweep without Spark: random event-second
+    multisets and random batch partitions must all agree with the
+    brute-force RANGE-peer replay."""
+    import random
+
+    from nessus_client_etl_scripts_spark.streaming.stateful import (
+        _make_rate_update,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(25):
+        w = rng.choice([10, 100, 3600])
+        lim = rng.randint(1, 5)
+        n = rng.randint(1, 60)
+        secs = [rng.randint(0, 5000) for _ in range(n)]
+        fn = _make_rate_update(window_s=w, limit=lim)
+        # random batch split, random order
+        shuffled = secs[:]
+        rng.shuffle(shuffled)
+        batches, i = [], 0
+        while i < len(shuffled):
+            j = i + rng.randint(1, 7)
+            batches.append(shuffled[i:j])
+            i = j
+        st_ = FakeState()
+        out = None
+        for b in batches:
+            out = list(fn((1,), iter([pd.DataFrame({"sec": b})]), st_))[-1]
+        got = out.iloc[0]
+        ss = sorted(secs)
+        iw = [
+            bisect_right(ss, t) - bisect_left(ss, t - (w - 1)) for t in ss
+        ]
+        assert got["n_events"] == n
+        assert got["max_rate"] == max(iw)
+        assert got["n_rejected"] == sum(1 for x in iw if x > lim)
+
+
+def test_q332_stage1_pushes_topk_groupwise(spark):
+    """Stage-1's per-query rank must ship only triples and push the
+    top-N partially map-side (WindowGroupLimit below the exchange) —
+    the shape that keeps the corpus un-shuffled at 100 TB."""
+    from nessus_client_etl_scripts_spark.plans.round10_queries import q332
+
+    plan = q332(spark, SF001)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_bpe_memo_consistent_and_trains_once(spark):
+    """The shared trainer memo must return the same rows on repeat
+    calls and actually memoize (no retraining)."""
+    from nessus_client_etl_scripts_spark.plans import round7_queries as r7
+
+    a = r7.shared_bpe_merge_rows(spark, SF001)
+    key = (SF001, r7._Q201_MERGES)
+    assert key in r7._BPE_MEMO
+    r7._BPE_MEMO[key].append({"sentinel": True})  # mutate the cache
+    b = r7.shared_bpe_merge_rows(spark, SF001)
+    assert b[-1] == {"sentinel": True}  # same object — no retrain
+    r7._BPE_MEMO[key].pop()
+    assert [r["merged_pair"] for r in a[: len(b) - 0]] == [
+        r["merged_pair"] for r in b
+    ]
