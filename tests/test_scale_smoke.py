@@ -104,3 +104,57 @@ def test_hash_split_proportions_and_determinism_at_2m(spark):
     assert abs(c1["train"] / n - 0.8) < 0.005
     assert abs(c1["val"] / n - 0.1) < 0.005
     assert abs(c1["test"] / n - 0.1) < 0.005
+
+
+def test_grouped_row_number_count_col_analytic_at_3m(spark):
+    """1000 groups × 3000 rows: for g = id % 1000 ordered by id, the
+    in-group position of row id is id // 1000 + 1 and every row's
+    count_col is exactly 3000 — exercises the r10 single-source-counts
+    path (group sizes off the same checkpointed stage as the
+    positions, the group_median feed) across dozens of range
+    partitions."""
+    from nessus_client_etl_scripts_spark.operators.windows import (
+        grouped_row_number,
+    )
+
+    groups = 1000
+    df = (
+        spark.range(N)
+        .select(
+            (F.col("id") % groups).alias("g"),
+            F.col("id").alias("k"),
+        )
+        .repartition(48)
+    )
+    out = grouped_row_number(
+        df, "g", ("k",), out_col="rn", num_partitions=64, count_col="n"
+    )
+    bad = out.filter(
+        (F.col("rn") != (F.col("k") / groups).cast("long") + 1)
+        | (F.col("n") != F.lit(N // groups))
+    ).count()
+    assert bad == 0
+
+
+def test_scalable_ntile_analytic_at_3m(spark):
+    """ntile(7) over 3M rows ordered by id: N % 7 = 3000000 % 7 = 6
+    oversized buckets of q+1 rows lead, the rest hold q — the
+    closed-form tile of row id must match the ANSI rule exactly at
+    every bucket boundary (the failure mode is an off-by-one at the
+    remainder seam, invisible at 500 rows)."""
+    from nessus_client_etl_scripts_spark.operators.windows import (
+        scalable_ntile,
+    )
+
+    b = 7
+    q, r = divmod(N, b)
+    df = spark.range(N).select(F.col("id").alias("k")).repartition(48)
+    out = scalable_ntile(df, ("k",), b, out_col="t", num_partitions=64)
+    # analytic tile of 0-based position p = k (unique order key)
+    expected = F.when(
+        F.col("k") < r * (q + 1), (F.col("k") / (q + 1)).cast("long") + 1
+    ).otherwise(
+        F.lit(r) + ((F.col("k") - r * (q + 1)) / q).cast("long") + 1
+    )
+    bad = out.filter(F.col("t").cast("long") != expected).count()
+    assert bad == 0
