@@ -248,3 +248,35 @@ def test_bpe_memo_consistent_and_trains_once(spark):
     assert [r["merged_pair"] for r in a[: len(b) - 0]] == [
         r["merged_pair"] for r in b
     ]
+
+
+def test_q299_lcg_hash_is_engine_portable(spark):
+    """The q299 sample hash must evaluate bit-identically in Spark and
+    DuckDB for arbitrary BIGINT vec_ids — the property the sampled
+    branch's cross-engine compare stands on (r9 ADVICE: the previous
+    xxhash64 sample was Spark-only)."""
+    import random
+
+    import duckdb
+
+    from nessus_client_etl_scripts_spark.plans.round8b_queries import (
+        _Q299_HASH,
+    )
+
+    rng = random.Random(299)
+    ids = [rng.randint(0, 2**62) for _ in range(500)] + list(range(8))
+    got_spark = {
+        r["vec_id"]: r["h"]
+        for r in spark.createDataFrame([(i,) for i in ids], "vec_id long")
+        .selectExpr("vec_id", f"{_Q299_HASH} AS h")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (vec_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    got_duck = dict(
+        con.execute(f"SELECT vec_id, {_Q299_HASH} FROM t").fetchall()
+    )
+    assert got_spark == got_duck
+    # and the hash actually spreads (sample selection isn't degenerate)
+    assert len(set(got_spark.values())) > 450
