@@ -219,7 +219,7 @@ def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction (the stream-end log is the same multiset however
     availableNow batches the input, so the final emission equals the
     batch oracle exactly), with RANGE-frame peer semantics (an event
-    at second t counts ALL events in [t−{w}−1…, t], same-second peers
+    at second t counts ALL events in [t−({w}−1), t], same-second peers
     included — the searchsorted side='right' read).  Per-batch
     emissions grow monotonically in n_events, so the dominant row per
     user (q83's contract) is the answer."""

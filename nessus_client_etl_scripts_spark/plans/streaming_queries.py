@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import itertools
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -42,6 +43,14 @@ from pyspark.sql import types as T
 from .testdata_queries import dsum, register
 
 _run_ids = itertools.count()
+
+# compare_oracle.py --jobs runs queries concurrently on ONE session;
+# the shuffle-partition save/set/restore below must not interleave
+# (two racing streaming queries could strand the session conf at 8 for
+# the rest of a sweep). The engine pins the count at first checkpoint
+# creation inside start(), so the critical section spans the whole
+# drain — streaming queries serialize under --jobs, a few seconds each.
+_conf_lock = threading.Lock()
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,20 +103,25 @@ def run_available_now(
     state volume, which is precisely what this knob models."""
     spark = result.sparkSession
     tbl = f"{name}_{next(_run_ids)}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(tbl)
-            .outputMode(output_mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="sgq53_"))
-            .trigger(availableNow=True)
-            .start()
+    with _conf_lock:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        try:
+            q = (
+                result.writeStream.format("memory")
+                .queryName(tbl)
+                .outputMode(output_mode)
+                .option(
+                    "checkpointLocation", tempfile.mkdtemp(prefix="sgq53_")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(tbl)
 
 

@@ -23,7 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def load_evidence(repo: str = "/root/repo") -> dict[str, tuple[int, bool]]:
     """prefix -> (latest round checked, green at that round)."""
     latest: dict[str, tuple[int, bool]] = {}
-    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    # numeric sort, not lexicographic — r100 would sort before r11,
+    # and an unpadded r1 before r01, silently corrupting "latest round"
+    files = sorted(
+        glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")),
+        key=lambda f: int(re.search(r"r(\d+)", os.path.basename(f)).group(1)),
+    )
+    for f in files:
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         for q, row in json.load(open(f)).items():
             green = bool(
