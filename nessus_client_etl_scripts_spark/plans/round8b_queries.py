@@ -2192,7 +2192,12 @@ def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot re-enter: degrees count edges among alive_t only), so
     # equal consecutive COUNTS mean equal SETS mean a fixpoint — the
     # remaining declared rounds are no-ops and the early exit is
-    # output-exact. The count is one action on the round's checkpoint.
+    # output-exact. ONE action per round: the checkpoint is LAZY and
+    # the convergence count is the job that materializes it
+    # (SparkContext.runJob → rdd.doCheckpoint() on the lineage), so
+    # the old checkpoint-job + count-job pair collapses to a single
+    # job — halving the per-round ambient job latency the r10 bench
+    # attributed the q290/q307 regressions to.
     prev_alive = None
     for _ in range(_Q290_ROUNDS):
         deg = (
@@ -2207,7 +2212,7 @@ def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
             deg.crossJoin(F.broadcast(kk))
             .filter(F.col("deg") >= F.col("k"))
             .select(F.col("u").alias("node"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_alive = alive.count()
         if n_alive == prev_alive:
@@ -4232,7 +4237,7 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node") % _Q307_SEED_MOD == 0)
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for r in range(1, _Q307_HOPS + 1):
         frontier = reach.filter(F.col("dist") == r - 1).select(
@@ -4240,7 +4245,12 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # an empty frontier means every later layer is empty too —
         # the remaining declared rounds are no-ops and skipping them
-        # is output-exact (one cheap count on the round's checkpoint)
+        # is output-exact. ONE action per round: the previous round's
+        # checkpoint is LAZY and this frontier count is the job that
+        # materializes it (runJob → doCheckpoint on the lineage), so
+        # the checkpoint-job + count-job pair collapses to one job
+        # per round (the r10 ambient-latency fix, same as q290); the
+        # final layer-census action materializes the last round's.
         if frontier.count() == 0:
             break
         expanded = (
@@ -4252,7 +4262,7 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
             reach.unionByName(expanded)
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return reach.groupBy("dist").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
