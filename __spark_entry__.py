@@ -40,45 +40,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return _tq.spark_queries()["q01_folder_results_latest"](spark, SF0001)
 
 
-# Round-10 driver-budget ordering (the driver checks ~50 queries in
-# iteration order per round).  Round 10 clears the LAST of the
-# evidence debt (44 rows) and lifts the growth freeze by exactly two
-# new queries.  HEAD, in priority order: (a) the three queries whose
-# PLANS CHANGED this round — q299 (portable sample hash + unbiased
-# mean argmin + mirrored oracle), q207 (group_median rides
-# grouped_row_number's count_col), q316 (short-pool prefix exit);
-# (b) the 22 never-checked r8-wave rows, riskiest shapes first
-# (iterative / sequential-pattern, then the arithmetic finance band);
-# (c) the two NEW round-10 queries (q332 rerank, q333 streaming rate
-# limiter) — never-checked but younger than the old debt, so they
-# rank below it (a budget shortfall should strand new queries, not
-# the r8 debt the last two verdicts tracked); (d) the r2-era trio;
-# (e) the r3-era nineteen; (f) q201, whose plan changed shape (memoized
-# trainer rebuilds the merge table as a local relation — values
-# unchanged, re-proof is hygiene not debt).  Total = exactly 50.
-_R10_HEAD = (
-    ("q299", "q207", "q316")
-    + (
-        "q268", "q272", "q322", "q328", "q329",  # iterative/pattern
-        "q260", "q261", "q262", "q263", "q264", "q265", "q267",
-        "q269", "q270", "q271", "q317", "q318", "q319", "q320",
-        "q321", "q324", "q325",
-    )
-    + ("q332", "q333")
-    + ("q54", "q56", "q58")
-    + tuple(f"q{n}" for n in range(29, 39))
-    + tuple(f"q{n}" for n in range(40, 50) if n != 41)  # q41 is r4-era
-    + ("q201",)
+# Round-11 driver-budget ordering (the driver checks ~50 queries in
+# iteration order per round).  Round 10 cleared the evidence debt to
+# zero, so the r11 head is pure changed-plans + growth + stale
+# rotation.  HEAD, in priority order: (a) the two queries whose PLANS
+# CHANGED this round — q290/q307 (per-round checkpoint+count pair
+# collapsed to ONE materializing count job); (b) the ten NEW round-11
+# queries q334–q343 (never-checked ranks above mere staleness);
+# (c) 38 rows of the r4 staleness cohort — the reference-parity
+# flagships q01–q11 first (the stored-procedure analogues), then
+# q41/q57 and the q59–q83 band.  Total = exactly 50; the r4 leftover
+# (q84–q91, q94, q95) leads the post-head rotation and is the r12
+# target.
+_R11_HEAD = (
+    ("q290", "q307")
+    + tuple(f"q{n}" for n in range(334, 344))
+    + tuple(f"q{n:02d}" for n in range(1, 12))
+    + ("q41", "q57")
+    + tuple(f"q{n}" for n in range(59, 84))
 )
 # Post-head rotation: every remaining query ordered by the ROUND of
-# its latest green driver row, oldest first (r4 → r9 per the
-# CORRECTNESS_r* scan), so any budget overflow refreshes the stalest
-# evidence first.  Blocks are the r4/r5/r6/r7/r8/r9 cohorts.
-_R10_STALE_ORDER = (
-    # r4 cohort
-    tuple(f"q{n:02d}" for n in range(1, 12))
-    + ("q41", "q57")
-    + tuple(f"q{n}" for n in range(59, 92))
+# its latest green driver row, oldest first (r4 leftover → r10 per
+# the CORRECTNESS_r* scan — tools/evidence.py regenerates the
+# cohorts), so any budget overflow refreshes the stalest evidence
+# first.
+_R11_STALE_ORDER = (
+    # r4 leftover (next round's rotation target)
+    tuple(f"q{n}" for n in range(84, 92))
     + ("q94", "q95")
     # r5 cohort
     + tuple(f"q{n:02d}" for n in range(12, 29))
@@ -96,15 +84,29 @@ _R10_STALE_ORDER = (
     + ("q177", "q179", "q182")
     + tuple(f"q{n}" for n in range(214, 239) if n != 227)
     + tuple(f"q{n}" for n in range(273, 298) if n not in (290, 291, 294))
-    # r9 cohort (freshest)
+    # r9 cohort (q290/q307 moved to the head — changed plans)
     + ("q155", "q164", "q227")
     + tuple(f"q{n}" for n in range(239, 260))
-    + ("q266", "q290", "q291", "q294")
+    + ("q266", "q291", "q294")
     + tuple(
         f"q{n}"
         for n in range(298, 332)
-        if n not in (299, 316, 317, 318, 319, 320, 321, 322, 324, 325, 328, 329)
+        if n
+        not in (299, 307, 316, 317, 318, 319, 320, 321, 322, 324, 325, 328, 329)
     )
+    # r10 cohort (last round's head — freshest evidence)
+    + ("q299", "q207", "q316")
+    + (
+        "q268", "q272", "q322", "q328", "q329",
+        "q260", "q261", "q262", "q263", "q264", "q265", "q267",
+        "q269", "q270", "q271", "q317", "q318", "q319", "q320",
+        "q321", "q324", "q325",
+    )
+    + ("q332", "q333")
+    + ("q54", "q56", "q58")
+    + tuple(f"q{n}" for n in range(29, 39))
+    + tuple(f"q{n}" for n in range(40, 50) if n != 41)
+    + ("q201",)
 )
 
 
@@ -112,7 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Insertion order == driver iteration order; see the ordering note
-    above (_R10_HEAD, then staleness-ordered rotation)."""
+    above (_R11_HEAD, then staleness-ordered rotation)."""
     all_queries = dict(sorted(_tq.spark_queries().items()))
 
     def prefix(name: str) -> str:
@@ -123,7 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         by_prefix.setdefault(prefix(n), []).append(n)
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for p in _R10_HEAD + _R10_STALE_ORDER:
+    for p in _R11_HEAD + _R11_STALE_ORDER:
         for n in by_prefix.get(p, ()):
             out.setdefault(n, all_queries[n])
     for n, f in all_queries.items():  # safety net for unlisted names
