@@ -585,6 +585,8 @@ def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cc") > 0)
     )
     merged = compressed.groupBy("k").agg(F.sum("cc").alias("mc"))
+    # global window is legal here (rule #14): `merged` is bounded by
+    # construction at ≤ P·m = 96 summary rows, not data-proportional
     wm = Window.orderBy(F.desc("mc"), F.asc("k"))
     mr = merged.withColumn("rnk", F.row_number().over(wm))
     tf = mr.agg(
