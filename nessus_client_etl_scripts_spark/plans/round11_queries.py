@@ -284,9 +284,10 @@ def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: chunking is ROW-LOCAL (split + slice + md5 inside one
     projection — no explode of text, only of the start index); the
-    dedup join keys on the 32-char hash so shuffles never carry chunk
-    text (the q97/q111 rule), and the global-count side is a map-side
-    partial groupBy on the same key the join reuses."""
+    copy-count is ONE window over the 32-char hash — a single corpus
+    scan and a single hash exchange that never carries chunk text
+    (the q97/q111 rule); hash cardinality is maximal so the window
+    partitions spread evenly."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     chunks = docs.select(
@@ -312,10 +313,15 @@ def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_hash"),
     )
-    gcounts = chunks.groupBy("chunk_hash").agg(
-        F.count(F.lit(1)).alias("n_copies")
+    # global copy-counts as a window over the hash instead of an
+    # agg + self-join: ONE corpus scan and one hash exchange (the
+    # join form scans the corpus twice for the same answer);
+    # chunk_hash is maximal-cardinality so the partition spread is
+    # even by construction
+    joined = chunks.withColumn(
+        "n_copies",
+        F.count(F.lit(1)).over(Window.partitionBy("chunk_hash")),
     )
-    joined = chunks.join(gcounts, "chunk_hash")
     return joined.groupBy("source").agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
@@ -570,7 +576,14 @@ def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = ev.select(
         (F.col("event_id") % _Q338_P).alias("part"), k.alias("k")
     )
-    pc = keyed.groupBy("part", "k").agg(F.count(F.lit(1)).alias("c"))
+    # pc feeds FOUR consumers (rank, threshold, merge, audit); it is
+    # summary-scale (≤ P·|keys| rows) so pin it once — one events
+    # scan + one exchange total (the q282 multi-consumer rule)
+    pc = (
+        keyed.groupBy("part", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     wp = Window.partitionBy("part").orderBy(F.desc("c"), F.asc("k"))
     pr = pc.withColumn("rnk", F.row_number().over(wp))
     pt = pr.groupBy("part").agg(
@@ -598,11 +611,9 @@ def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = pt.agg(F.sum("t").alias("st")).crossJoin(F.broadcast(tf)).select(
         (F.col("st") + F.col("tf")).alias("eb"), "tf"
     )
-    truth = (
-        ev.select(k.alias("k"))
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("tc"))
-    )
+    # exact audit counts derive from the SAME per-(partition,key)
+    # frame the sketch compresses — no second events scan
+    truth = pc.groupBy("k").agg(F.sum("c").alias("tc"))
     return (
         mr.crossJoin(F.broadcast(eb))
         .withColumn("mg_count", (F.col("mc") - F.col("tf")).cast("long"))
