@@ -82,7 +82,7 @@ SELECT target_action,
        CAST(sum(matched * w_scaled * reward_cents) AS BIGINT) AS ips_num,
        CAST(sum(matched * w_scaled) AS BIGINT) AS w_sum,
        CAST({_milli_sql('sum(matched * w_scaled * reward_cents)',
-                        f'2520 * count(*)')} AS BIGINT)
+                        '2520 * count(*)')} AS BIGINT)
          AS ips_milli_cents,
        CAST({_milli_sql('sum(matched * w_scaled * reward_cents)',
                         'sum(matched * w_scaled)')} AS BIGINT)
