@@ -293,3 +293,44 @@ def test_sliding_window_multiplicity_vs_tumbling(spark):
     slide_starts = {r["window_start"] for r in sliding.select("window_start").collect()}
     for r in tumbling.select("window_start").collect():
         assert r["window_start"] in slide_starts
+
+
+def test_run_available_now_conf_safe_under_concurrency(spark):
+    """The r10 ADVICE race: two concurrent run_available_now calls
+    could interleave their save/set/restore of
+    spark.sql.shuffle.partitions and strand the session conf at the
+    streaming value for the rest of a --jobs sweep. The module lock
+    serializes the critical section — after N concurrent streaming
+    drains the conf must be exactly what it was before."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from nessus_client_etl_scripts_spark.plans.streaming_queries import (
+        run_available_now,
+        stream_events,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    errs = []
+
+    def drain(i: int) -> None:
+        try:
+            ev = stream_events(spark, "/root/testdata/sf0.001")
+            agg = ev.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            sink = run_available_now(
+                agg, f"conf_race_{i}", shuffle_partitions=2 + i
+            )
+            assert sink.count() > 0
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=drain, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
