@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import SESSION_CONF_LOCK
+
 # Edge sets at or below this size finish with a driver-side union-find
 # instead of distributed contraction rounds. Each star round costs 4-6
 # shuffle+checkpoint stages of pure scheduling; on the sparse verified
@@ -167,26 +169,30 @@ def _cc_star(
     # governs only the final (tiny) label aggregate. At real scale
     # n_edges/100k keeps one partition per ~100k edges up to the
     # session default.
-    # NOTE: the scoped set/restore mutates SESSION state — safe under
-    # this engine's one-driver-thread-per-session execution model, but
-    # a concurrently-submitted query on the same SparkSession could
-    # observe the scoped value for the duration of the loop.  Scope it
-    # per-plan (repartition hints on every round) if that model changes.
+    # NOTE: the scoped set/restore mutates SESSION state, so it holds
+    # SESSION_CONF_LOCK for the whole save→loop→restore span — a
+    # concurrent sweep (compare_oracle --jobs) interleaving two
+    # scoped mutators would otherwise capture a temporary value as
+    # "previous" and strand the session conf (the r11 review's
+    # residual race; run_available_now shares the same lock). The
+    # timing-only cost is that CC loops and streaming drains
+    # serialize against each other under --jobs.
     spark = edges.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     n_edges = base.count()
     if n_edges <= driver_finish:
         return _cc_driver_union_find(base), 0
-    try:
-        session_parts = int(prev_parts)
-    except (TypeError, ValueError):  # e.g. "auto" under AQE-managed confs
-        session_parts = 32
-    scoped = max(4, min(session_parts, n_edges // 100_000 + 4))
-    spark.conf.set("spark.sql.shuffle.partitions", str(scoped))
-    try:
-        return _cc_star_rounds(base, max_iter, n_edges)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    with SESSION_CONF_LOCK:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            session_parts = int(prev_parts)
+        except (TypeError, ValueError):  # e.g. "auto" under AQE confs
+            session_parts = 32
+        scoped = max(4, min(session_parts, n_edges // 100_000 + 4))
+        spark.conf.set("spark.sql.shuffle.partitions", str(scoped))
+        try:
+            return _cc_star_rounds(base, max_iter, n_edges)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _cc_star_rounds(

@@ -39,20 +39,44 @@ def _milli_col(num: str, den: str):
     ).cast("long")
 
 
-def _nano_pair_scores(M):
-    """Engine-exact nano cosine matrix for a cell (q337/q343): micro-
-    quantize (round half away, the DuckDB round() twin), take the
-    gram matrix — EXACT integers in any summation order because every
-    term and partial sum is an integer-valued double < 2^53 — then
-    the shared scalar chain 1e9·(dot/(na·nb)) rounded half-away."""
+def _round_half_away(x):
+    """Exact round-half-away-from-zero on doubles — bit-identical to
+    DuckDB round() / std::round. NOT floor(abs+0.5): for v just below
+    a half (e.g. 0.49999999999999994) the +0.5 ADDITION rounds up
+    across the boundary and floor then misrounds; the fractional-part
+    comparison below involves only exact FP ops (a − floor(a) is
+    exact for every double: Sterbenz for a ≥ 1, trivially for a < 1)."""
     import numpy as np
 
-    Mu = M * 1e6
-    Mq = np.floor(np.abs(Mu) + 0.5) * np.sign(Mu)
+    a = np.abs(x)
+    f = np.floor(a)
+    return np.where(a - f >= 0.5, f + 1.0, f) * np.sign(x)
+
+
+def _nano_pair_scores(M):
+    """Engine-exact nano cosine matrix for a cell (q337/q343): micro-
+    quantize (exact half-away, the DuckDB round() twin), take the
+    gram matrix — EXACT integers in any summation order because every
+    term and partial sum is an integer-valued double < 2^53 — then
+    the shared scalar chain 1e9·(dot/(na·nb)) rounded half-away.
+    Raises loudly on a zero-norm quantized vector (cosine undefined;
+    silent NaN→int64 garbage would win rank 1 via sentinel-negation
+    overflow) — the corpus precondition pinned by
+    test_q337_q343_exactness_precondition."""
+    import numpy as np
+
+    Mq = _round_half_away(M * 1e6)
     G = Mq @ Mq.T
-    nrm = np.sqrt(np.diag(G))
+    nrm2 = np.diag(G)
+    if np.any(nrm2 == 0):
+        raise ValueError(
+            "zero-norm micro-quantized vector: cosine undefined "
+            "(every |component| < 5e-7) — violates the q337/q343 "
+            "corpus precondition"
+        )
+    nrm = np.sqrt(nrm2)
     S = G / np.outer(nrm, nrm) * 1e9
-    return (np.floor(np.abs(S) + 0.5) * np.sign(S)).astype(np.int64)
+    return _round_half_away(S).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -418,8 +442,17 @@ def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    # NULL-cell rows emit no edges: the oracle's a.label = b.label
+    # equi-join never matches NULL, and the pandas scorer's int cast
+    # would crash on a NULL group
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isNotNull())
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
     )
 
     # Per-cell blocked matmul instead of a cell self-join with a
@@ -584,7 +617,12 @@ def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    wp = Window.partitionBy("part").orderBy(F.desc("c"), F.asc("k"))
+    # asc_nulls_last: a NULL key (malformed props) must tie-rank the
+    # same as the oracle's default ASC NULLS LAST — Spark's bare asc
+    # is NULLS FIRST, which would shift the (m+1)-th threshold
+    wp = Window.partitionBy("part").orderBy(
+        F.desc("c"), F.asc_nulls_last("k")
+    )
     pr = pc.withColumn("rnk", F.row_number().over(wp))
     pt = pr.groupBy("part").agg(
         F.coalesce(
@@ -600,7 +638,7 @@ def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = compressed.groupBy("k").agg(F.sum("cc").alias("mc"))
     # global window is legal here (rule #14): `merged` is bounded by
     # construction at ≤ P·m = 96 summary rows, not data-proportional
-    wm = Window.orderBy(F.desc("mc"), F.asc("k"))
+    wm = Window.orderBy(F.desc("mc"), F.asc_nulls_last("k"))
     mr = merged.withColumn("rnk", F.row_number().over(wm))
     tf = mr.agg(
         F.coalesce(
@@ -909,12 +947,21 @@ def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = ann.groupBy("item_id", "label").agg(
         F.count(F.lit(1)).alias("c")
     )
-    wv = Window.partitionBy("item_id").orderBy(F.desc("c"), F.asc("label"))
+    # asc_nulls_last on the label tiebreaks: parity with the oracle's
+    # default ASC NULLS LAST if a malformed props row yields NULL
+    wv = Window.partitionBy("item_id").orderBy(
+        F.desc("c"), F.asc_nulls_last("label")
+    )
     maj = (
         votes.withColumn("rn", F.row_number().over(wv))
         .filter(F.col("rn") == 1)
         .select("item_id", F.col("label").alias("maj_label"))
     )
+    # acc is |workers| rows and feeds TWO consumers (the weighted
+    # re-vote and the final compare); pin it once so the events scan
+    # + majority-vote subtree beneath it runs a single time (the
+    # q282/q338 multi-consumer rule — maj itself is item-scale, i.e.
+    # data-proportional, so it is deliberately NOT pinned)
     acc = (
         ann.join(maj, "item_id")
         .groupBy("worker_id")
@@ -928,6 +975,7 @@ def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "count(*)",
             ).alias("acc_milli"),
         )
+        .localCheckpoint(eager=True)
     )
     wvotes = (
         ann.join(F.broadcast(acc.select("worker_id", "acc_milli")), "worker_id")
@@ -935,7 +983,7 @@ def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("acc_milli").alias("wsum"))
     )
     ww = Window.partitionBy("item_id").orderBy(
-        F.desc("wsum"), F.asc("label")
+        F.desc("wsum"), F.asc_nulls_last("label")
     )
     wlab = (
         wvotes.withColumn("rn", F.row_number().over(ww))
@@ -1137,11 +1185,30 @@ def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    stats = emb.groupBy("label").applyInPandas(
-        cell_stats,
-        "label int, n_queries long, n_hits long, n_providers long",
+    # NULL-bucket rows can never hit (the oracle's equi-join skips
+    # NULL = NULL) but DO count as queries in its base CTE — keep them
+    # out of the pandas scorer (int cast would crash) and union their
+    # zero-hit summary row back
+    stats = (
+        emb.filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .applyInPandas(
+            cell_stats,
+            "label int, n_queries long, n_hits long, n_providers long",
+        )
     )
-    return stats.select(
+    null_bucket = (
+        emb.filter(F.col("label").isNull())
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+        .select(
+            "label",
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.lit(0).cast("long").alias("n_hits"),
+            F.lit(0).cast("long").alias("n_providers"),
+        )
+    )
+    return stats.unionByName(null_bucket).select(
         "label",
         "n_queries",
         "n_hits",

@@ -34,12 +34,12 @@ from __future__ import annotations
 
 import itertools
 import tempfile
-import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import SESSION_CONF_LOCK
 from .testdata_queries import dsum, register
 
 _run_ids = itertools.count()
@@ -50,7 +50,9 @@ _run_ids = itertools.count()
 # the rest of a sweep). The engine pins the count at first checkpoint
 # creation inside start(), so the critical section spans the whole
 # drain — streaming queries serialize under --jobs, a few seconds each.
-_conf_lock = threading.Lock()
+# The lock is SHARED with every other session-conf mutator (graph.py's
+# scoped partitioning) — a private lock would still race against them.
+_conf_lock = SESSION_CONF_LOCK
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,13 +443,12 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny per-key state). The streaming engine pins the count at FIRST
     checkpoint creation, so it is set just for this run and restored
     after the query drains; a production deployment sizes it once to
-    match state volume, exactly as this does."""
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return _q115_plan(spark, sf_dir)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    match state volume, exactly as this does — run_available_now's
+    locked shuffle_partitions=8 pin IS that set (the engine reads the
+    conf at first checkpoint creation, inside start() under the lock),
+    so no outer conf mutation is needed here (an unlocked outer
+    save/set/restore was the r11 review's residual conf race)."""
+    return _q115_plan(spark, sf_dir)
 
 
 def _q115_plan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,8 +10,19 @@ date/timestamp semantics are environment-independent).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
+
+# Serializes every scoped save/set/restore of session-level SQL confs
+# (spark.sql.shuffle.partitions today). compare_oracle.py --jobs runs
+# queries concurrently on ONE session; two unlocked scoped mutators can
+# interleave so a temporary value is captured as another mutator's
+# "previous" and stranded for the rest of the sweep. Every site that
+# mutates session conf must hold this lock across its whole
+# save→run→restore span (streaming_queries.run_available_now,
+# operators/graph.connected_components).
+SESSION_CONF_LOCK = threading.Lock()
 
 # Shuffle partitioning: ~cores for local mode. On a real cluster this
 # is overridden (or simply left to AQE's coalescing, which shrinks the

@@ -145,7 +145,10 @@ def test_quantized_cosine_matmul_equals_fold(vecs):
     )
 
     def half_away(x):
-        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+        a = abs(x)
+        f = math.floor(a)
+        r = f + 1 if a - f >= 0.5 else f
+        return int(r) if x >= 0 else -int(r)
 
     def quant(v):
         return [half_away(x * 1_000_000) for x in v]

@@ -23,7 +23,13 @@ def _milli(num: int, den: int) -> int:
 
 
 def _half_away(x: float) -> int:
-    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+    """Exact round-half-away (DuckDB round / Spark F.round twin) via
+    the fractional-part comparison — floor(abs+0.5) misrounds doubles
+    just below a half (the +0.5 addition rounds across the boundary)."""
+    a = abs(x)
+    f = math.floor(a)
+    r = f + 1 if a - f >= 0.5 else f
+    return int(r) if x >= 0 else -int(r)
 
 
 def _rows(df):
@@ -65,6 +71,17 @@ def _cos_nano(a, b):
         )
     )
     return _half_away(c)
+
+
+def test_twin_nonnegativity_preconditions(spark):
+    """The pure-python twins use Python's % and // whose results
+    differ from BOTH engines on negative operands (Python -3 % 10 = 7;
+    Spark and DuckDB give -3) — pin the nonnegativity of every field
+    the twins fold with % or //."""
+    for r in _events(spark):
+        assert r["event_id"] >= 0
+        assert json.loads(r["props"])["k"] >= 0
+        assert r["user_id"] >= 0
 
 
 def test_q334_ips_twin(spark):
@@ -167,8 +184,9 @@ def test_q337_mutual_knn_twin(spark):
         q337,
     )
 
+    embs = _embs(spark)
     by_label = defaultdict(list)
-    for vid, lab, e in _embs(spark):
+    for vid, lab, e in embs:
         by_label[lab].append((vid, e))
     topk = {}
     for lab, vecs in by_label.items():
@@ -180,7 +198,7 @@ def test_q337_mutual_knn_twin(spark):
             topk[vid] = {
                 o: (rank + 1, s) for rank, (s, o) in enumerate(scored)
             }
-    lab_of = {vid: lab for vid, lab, _ in _embs(spark)}
+    lab_of = {vid: lab for vid, lab, _ in embs}
     want = sorted(
         (lab_of[u], u, v, ruv, topk[v][u][0], s)
         for u, nb in topk.items()
@@ -190,8 +208,8 @@ def test_q337_mutual_knn_twin(spark):
     got = _rows(q337(spark, SF001))
     assert got == want
     # score symmetry contract: cos(u,v) nano == cos(v,u) nano
+    eu = {vid: e for vid, _, e in embs}
     for lab, u, v, _, _, s in got:
-        eu = dict((vid, e) for vid, _, e in _embs(spark))
         assert _cos_nano(eu[v], eu[u]) == s
         break  # one spot check is enough; the twin covers the rest
 
@@ -214,6 +232,12 @@ def test_q337_q343_exactness_precondition(spark):
         max_abs = max(abs(x) for v in vecs for x in v) * 1e6 + 1
         dims = len(vecs[0])
         assert max_abs * max_abs * dims < 2**53, max_abs
+        # the zero-norm lower bound: every vector must survive micro
+        # quantization (else cosine is undefined and the scorer raises)
+        min_norm2 = min(
+            sum(_half_away(x * 1_000_000) ** 2 for x in v) for v in vecs
+        )
+        assert min_norm2 > 0, sf_dir
 
     # bit-identical cross-check (sf0.001 sample, all labels)
     by_label = defaultdict(list)
