@@ -59,8 +59,15 @@ def round_half_away(x):
     (reproduced at sf0.1 in the q177 matmul chain: ±1 in ``sa_pico``)
     diverges under np.round — every quantize-to-integer kernel must use
     this helper instead.
-    """
-    return np.copysign(np.floor(np.abs(x) + 0.5), x)
+
+    Implementation note (r11 hardening): NOT ``floor(abs+0.5)`` — for
+    a value one ulp BELOW a half (0.49999999999999994) the ``+0.5``
+    addition itself rounds up across the boundary and floor then
+    misrounds vs std::round.  The fractional-part comparison uses only
+    exact FP ops (``a − floor(a)`` is exact for every double)."""
+    a = np.abs(x)
+    f = np.floor(a)
+    return np.copysign(np.where(a - f >= 0.5, f + 1.0, f), x)
 
 
 def _as_double(vec: Column | str) -> Column:

@@ -44,13 +44,12 @@ def _round_half_away(x):
     DuckDB round() / std::round. NOT floor(abs+0.5): for v just below
     a half (e.g. 0.49999999999999994) the +0.5 ADDITION rounds up
     across the boundary and floor then misrounds; the fractional-part
-    comparison below involves only exact FP ops (a − floor(a) is
-    exact for every double: Sterbenz for a ≥ 1, trivially for a < 1)."""
-    import numpy as np
+    comparison involves only exact FP ops (a − floor(a) is exact for
+    every double: Sterbenz for a ≥ 1, trivially for a < 1). Delegates
+    to the shared matmul-kernel helper."""
+    from ..operators.similarity import round_half_away
 
-    a = np.abs(x)
-    f = np.floor(a)
-    return np.where(a - f >= 0.5, f + 1.0, f) * np.sign(x)
+    return round_half_away(x)
 
 
 def _nano_pair_scores(M):
