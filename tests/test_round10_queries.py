@@ -20,9 +20,12 @@ def _cos(a, b):
 
 
 def _nano(x):
-    return int(math.floor(abs(x) * 1_000_000_000 + 0.5)) * (
-        1 if x >= 0 else -1
-    )
+    # exact half-away via the fractional-part compare (floor(abs+0.5)
+    # misrounds doubles one ulp below a half — the r11 hardening)
+    a = abs(x) * 1_000_000_000
+    f = math.floor(a)
+    r = f + 1 if a - f >= 0.5 else f
+    return int(r) if x >= 0 else -int(r)
 
 
 def test_q332_rerank_twin(spark):

@@ -265,7 +265,11 @@ def test_standardize_matches_numpy(spark):
     # rounding (np.round is half-to-even, Spark/DuckDB round is
     # ties-away-from-zero)
     def half_up(a):
-        return np.sign(a) * np.floor(np.abs(a) + 0.5)
+        # exact half-away (the r11 hardening; matches
+        # operators/similarity.round_half_away)
+        m = np.abs(a)
+        f = np.floor(m)
+        return np.sign(a) * np.where(m - f >= 0.5, f + 1.0, f)
 
     e = half_up(vecs.astype("float64") * 1e6)
     n = e.shape[0]

@@ -1353,7 +1353,10 @@ def test_q299_medoid_twin(spark):
         )
 
     def half_away(x):
-        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+        a = abs(x)
+        f = math.floor(a)
+        r = f + 1 if a - f >= 0.5 else f  # exact (r11 hardening)
+        return int(r) if x >= 0 else -int(r)
 
     rows = {r["label"]: r for r in q299(spark, SF001).collect()}
     assert set(rows) == set(by_label)
@@ -2135,7 +2138,10 @@ def test_q316_mmr_twin(spark):
             math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
         )
         v = 1_000_000_000 * c
-        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+        a = abs(v)
+        f = math.floor(a)
+        r = f + 1 if a - f >= 0.5 else f  # exact (r11 hardening)
+        return int(r) if v >= 0 else -int(r)
 
     qv = vecs[0]
     rel = {i: nano_cos(v, qv) for i, v in vecs.items() if i > 0}
