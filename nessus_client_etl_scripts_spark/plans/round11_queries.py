@@ -227,7 +227,7 @@ def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(pos) FILTER (reward = max) — and a 4-group final rollup."""
     ev = load_table(spark, sf_dir, "events")
     cand = ev.select(
-        (F.col("event_id") / 8).cast("long").alias("prompt_id"),
+        F.expr("event_id div 8").alias("prompt_id"),
         (F.col("event_id") % 8).alias("pos"),
         F.round(F.col("value") * 100).cast("long").alias("reward_cents"),
     )
@@ -767,7 +767,13 @@ def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
     dists = vecs.crossJoin(F.broadcast(cent_arr)).select(
         "vec_id", "label", "cell", d2.alias("d2")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    # NULL-cell parity (r11 ADVICE): oracle ORDER BY d2, cell is NULLS
+    # LAST; pin asc_nulls_last so a NULL-labelled centroid cell (never
+    # present today, but q337/q343 defend the same case) ties the same
+    # way in both engines.
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc_nulls_last("d2"), F.asc_nulls_last("cell")
+    )
     assigned = dists.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
     )
@@ -939,7 +945,7 @@ def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast into the re-vote."""
     ev = load_table(spark, sf_dir, "events")
     ann = ev.select(
-        (F.col("event_id") / 5).cast("long").alias("item_id"),
+        F.expr("event_id div 5").alias("item_id"),
         (F.col("event_id") % 5).alias("worker_id"),
         (F.get_json_object("props", "$.k").cast("long") % 3).alias("label"),
     )
@@ -1067,7 +1073,7 @@ def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10
     ).cast("long")
     drafts = ev.select(
-        (F.col("event_id") / 10).cast("long").alias("request_id"),
+        F.expr("event_id div 10").alias("request_id"),
         (F.col("event_id") % 10).alias("pos"),
         (h % 4 != 0).cast("long").alias("accepted"),
     )

@@ -22,7 +22,14 @@ from pyspark.sql import SparkSession
 # mutates session conf must hold this lock across its whole
 # save→run→restore span (streaming_queries.run_available_now,
 # operators/graph.connected_components).
-SESSION_CONF_LOCK = threading.Lock()
+#
+# RLock, not Lock: the holders span long regions (awaitTermination in
+# run_available_now, the whole CC loop in graph._cc_star), and a future
+# plan composing the two on one thread — or a foreachBatch body that
+# reaches a scoped mutator — would DEADLOCK under a plain Lock. Re-entry
+# is still conf-safe: the inner scope's save/restore nests inside the
+# outer's, so the outer restore always wins and no value is stranded.
+SESSION_CONF_LOCK = threading.RLock()
 
 # Shuffle partitioning: ~cores for local mode. On a real cluster this
 # is overridden (or simply left to AQE's coalescing, which shrinks the
