@@ -26,6 +26,7 @@ from nessus_client_etl_scripts_spark.plans import round8_queries as _r8  # noqa:
 from nessus_client_etl_scripts_spark.plans import round8b_queries as _r8b  # noqa: F401 — registers q273+
 from nessus_client_etl_scripts_spark.plans import round10_queries as _r10  # noqa: F401 — registers q332+
 from nessus_client_etl_scripts_spark.plans import round11_queries as _r11  # noqa: F401 — registers q334+
+from nessus_client_etl_scripts_spark.plans import round12_queries as _r12  # noqa: F401 — registers q344+
 from nessus_client_etl_scripts_spark.plans import streaming_queries as _sq  # noqa: F401 — registers q53
 from nessus_client_etl_scripts_spark.plans import testdata_queries as _tq
 
