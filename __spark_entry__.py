@@ -41,38 +41,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return _tq.spark_queries()["q01_folder_results_latest"](spark, SF0001)
 
 
-# Round-11 driver-budget ordering (the driver checks ~50 queries in
-# iteration order per round).  Round 10 cleared the evidence debt to
-# zero, so the r11 head is pure changed-plans + growth + stale
-# rotation.  HEAD, in priority order: (a) the two queries whose PLANS
-# CHANGED this round — q290/q307 (per-round checkpoint+count pair
-# collapsed to ONE materializing count job); (b) the ten NEW round-11
-# queries q334–q343 (never-checked ranks above mere staleness);
-# (c) 38 rows of the r4 staleness cohort — the reference-parity
-# flagships q01–q11 first (the stored-procedure analogues), then
-# q41/q57 and the q59–q83 band.  Total = exactly 50; the r4 leftover
-# (q84–q91, q94, q95) leads the post-head rotation and is the r12
-# target.
-_R11_HEAD = (
-    ("q290", "q307")
-    + tuple(f"q{n}" for n in range(334, 344))
-    + tuple(f"q{n:02d}" for n in range(1, 12))
-    + ("q41", "q57")
-    + tuple(f"q{n}" for n in range(59, 84))
+# Round-12 driver-budget ordering (the driver checks ~50 queries in
+# iteration order per round).  HEAD, in priority order: (a) the four
+# queries whose PLANS CHANGED this round — the r11 ADVICE fixes
+# (q339 NULL-safe tiebreak; q335/q341/q342 integer-div derived keys);
+# (b) the six NEW round-12 queries q344–q349 (never-checked ranks
+# above mere staleness); (c) the r4 leftover q84–q91/q94/q95 — incl.
+# the §2.10 UDTF anchor q86 and §2.11 lookback anchor q90; (d) 30
+# rows of the r5 cohort in stale order (q12–q28 carry the §2 F-family
+# anchors q12/q13/q14/q17/q22).  Total = exactly 50; the r5 leftover
+# (q108–q111, q113, q116–q119, q121–q124) leads the post-head
+# rotation and is the r13 target.
+_R12_HEAD = (
+    ("q335", "q339", "q341", "q342")
+    + tuple(f"q{n}" for n in range(344, 350))
+    + tuple(f"q{n}" for n in range(84, 92))
+    + ("q94", "q95")
+    + tuple(f"q{n:02d}" for n in range(12, 29))
+    + ("q39", "q53")
+    + tuple(f"q{n}" for n in range(97, 108))
 )
 # Post-head rotation: every remaining query ordered by the ROUND of
-# its latest green driver row, oldest first (r4 leftover → r10 per
+# its latest green driver row, oldest first (r5 leftover → r11 per
 # the CORRECTNESS_r* scan — tools/evidence.py regenerates the
 # cohorts), so any budget overflow refreshes the stalest evidence
 # first.
-_R11_STALE_ORDER = (
-    # r4 leftover (next round's rotation target)
-    tuple(f"q{n}" for n in range(84, 92))
-    + ("q94", "q95")
-    # r5 cohort
-    + tuple(f"q{n:02d}" for n in range(12, 29))
-    + ("q39", "q53")
-    + tuple(f"q{n}" for n in range(97, 112))
+_R12_STALE_ORDER = (
+    # r5 leftover (next round's rotation target)
+    tuple(f"q{n}" for n in range(108, 112))
     + ("q113", "q116", "q117", "q118", "q119")
     + tuple(f"q{n}" for n in range(121, 125))
     # r6 cohort
@@ -85,7 +81,7 @@ _R11_STALE_ORDER = (
     + ("q177", "q179", "q182")
     + tuple(f"q{n}" for n in range(214, 239) if n != 227)
     + tuple(f"q{n}" for n in range(273, 298) if n not in (290, 291, 294))
-    # r9 cohort (q290/q307 moved to the head — changed plans)
+    # r9 cohort
     + ("q155", "q164", "q227")
     + tuple(f"q{n}" for n in range(239, 260))
     + ("q266", "q291", "q294")
@@ -95,7 +91,7 @@ _R11_STALE_ORDER = (
         if n
         not in (299, 307, 316, 317, 318, 319, 320, 321, 322, 324, 325, 328, 329)
     )
-    # r10 cohort (last round's head — freshest evidence)
+    # r10 cohort
     + ("q299", "q207", "q316")
     + (
         "q268", "q272", "q322", "q328", "q329",
@@ -108,6 +104,13 @@ _R11_STALE_ORDER = (
     + tuple(f"q{n}" for n in range(29, 39))
     + tuple(f"q{n}" for n in range(40, 50) if n != 41)
     + ("q201",)
+    # r11 cohort (last round's head — freshest evidence; q335/q339/
+    # q341/q342 re-appear in _R12_HEAD as changed plans, harmless here)
+    + ("q290", "q307")
+    + tuple(f"q{n}" for n in range(334, 344))
+    + tuple(f"q{n:02d}" for n in range(1, 12))
+    + ("q41", "q57")
+    + tuple(f"q{n}" for n in range(59, 84))
 )
 
 
@@ -115,7 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Insertion order == driver iteration order; see the ordering note
-    above (_R11_HEAD, then staleness-ordered rotation)."""
+    above (_R12_HEAD, then staleness-ordered rotation)."""
     all_queries = dict(sorted(_tq.spark_queries().items()))
 
     def prefix(name: str) -> str:
@@ -126,7 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         by_prefix.setdefault(prefix(n), []).append(n)
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for p in _R11_HEAD + _R11_STALE_ORDER:
+    for p in _R12_HEAD + _R12_STALE_ORDER:
         for n in by_prefix.get(p, ()):
             out.setdefault(n, all_queries[n])
     for n, f in all_queries.items():  # safety net for unlisted names
