@@ -20,6 +20,15 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Rows recorded under a PRE-RENAME query name: folded into the current
+# prefix so "queries ever checked" audits don't read one high (the r11
+# verdict's hygiene note — 339 named rows ≠ 338 queries).
+# q41_groupwise_pandas_rank is the r3 twin of today's
+# q41_group_pct_rank; both collapse to prefix q41 anyway, this map just
+# makes the aliasing explicit and auditable.
+RENAMED_ROWS = {"q41_groupwise_pandas_rank": "q41"}
+
+
 def load_evidence(repo: str = "/root/repo") -> dict[str, tuple[int, bool]]:
     """prefix -> (latest round checked, green at that round)."""
     latest: dict[str, tuple[int, bool]] = {}
@@ -38,7 +47,7 @@ def load_evidence(repo: str = "/root/repo") -> dict[str, tuple[int, bool]]:
                 and row.get("hash_match") in (True, None)  # rows-only ops
                 and not row.get("err")
             )
-            latest[q.split("_", 1)[0]] = (rnd, green)
+            latest[RENAMED_ROWS.get(q, q.split("_", 1)[0])] = (rnd, green)
     return latest
 
 
