@@ -394,3 +394,27 @@ def test_parts_scale_analytics_ride_two_phase(spark, name):
     # staging column), never a global ordered window
     plan = _plan(spark, name)
     assert "_pid" in plan, plan
+
+
+def test_q344_single_exchange_fold(spark):
+    # per-user array fold: ONE hash exchange (map-side partial
+    # collect_list), the recurrence itself is row-local
+    plan = _plan(spark, "q344_token_bucket_admission")
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_collect_list" in plan
+
+
+def test_q347_two_exchanges_with_partials(spark):
+    # prompt-keyed window + 8-group pos rollup; the rollup must show
+    # map-side partial aggregation
+    plan = _plan(spark, "q347_grpo_advantage")
+    assert plan.count("Exchange") == 2, plan
+    assert "partial_count" in plan
+
+
+def test_q348_single_exchange_into_kernel(spark):
+    # the ANN-cell kernel is the only shuffle consumer — pair frame
+    # never materializes engine-side
+    plan = _plan(spark, "q348_provenance_attribution")
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
