@@ -110,6 +110,13 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd (or misplaced — e.g. "--jobs" AFTER the sf_dir)
+        # filter would otherwise select ZERO queries and report a
+        # vacuous "0 failures"
+        print(f"error: unknown query names: {sorted(unknown)}")
+        return 2
     todo = [
         (n, f) for n, f in sorted(qs.items()) if not only or n in only
     ]
