@@ -387,7 +387,12 @@ def _q346_grid_sql() -> str:
 
 
 def _q346_oracle() -> str:
-    players = ", ".join(f"({p}, {_Q346_R0})" for p in range(8))
+    # BIGINT ratings: VALUES would type 1500000 as INTEGER, and the
+    # per-round delta sum scales linearly with matches-per-cell —
+    # INT32 would overflow around sf1 (4.3e8 measured at sf0.1)
+    players = ", ".join(
+        f"({p}, CAST({_Q346_R0} AS BIGINT))" for p in range(8)
+    )
     ctes = [
         # MATERIALIZED: each round CTE is referenced 3× by the next
         # — plain CTEs inline multiplicatively (3^8 copies of the
