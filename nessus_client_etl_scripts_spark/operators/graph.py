@@ -157,7 +157,10 @@ def _cc_star(
     base = (
         edges.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the n_edges count below is the materializing action —
+        # a full scan, so the checkpoint completes in that same job
+        # (one job instead of a dedicated materialize + a count)
+        .localCheckpoint(eager=False)
     )
     # Size the per-round shuffles to the ACTUAL edge count: the
     # contraction loop is 4-6 shuffle+checkpoint stages per round, and
@@ -198,12 +201,16 @@ def _cc_star(
 def _cc_star_rounds(
     base: DataFrame, max_iter: int, n_edges: int
 ) -> tuple[DataFrame, int]:
-    cur = base.filter(F.col("lo") != F.col("hi")).localCheckpoint()
+    # lazy checkpoints (the windows.py merge rule): cur materializes in
+    # its n_cur count below; nodes is not consumed until the final
+    # labels job after the loop, so its materialization folds into that
+    # job — two fewer barrier jobs per CC call, same cached frames.
+    cur = base.filter(F.col("lo") != F.col("hi")).localCheckpoint(eager=False)
     nodes = (
         base.select(F.col("lo").alias("id"))
         .union(base.select(F.col("hi").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rounds = 0
     n_cur = cur.count()
@@ -234,7 +241,13 @@ def _cc_star_rounds(
             .filter(F.col("lo") != F.col("hi"))
             .union(small_m.select(F.col("m").alias("lo"), F.col("hi")))
             .distinct()
-            .localCheckpoint()
+            # lazy: the n_nxt count right below materializes it (full
+            # scan) — one job per round instead of two. `large` stays
+            # EAGER: it is consumed twice inside one job (small_m
+            # aggregate + join probe side), and two concurrent AQE
+            # stages over an uncached lazy checkpoint would each
+            # compute it.
+            .localCheckpoint(eager=False)
         )
         n_nxt = nxt.count()
         if n_nxt == n_cur:

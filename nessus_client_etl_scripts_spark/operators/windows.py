@@ -126,10 +126,18 @@ def two_phase_rank(
 
     spark = df.sparkSession
     num = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # eager=False: the stats collect right below is ALWAYS the first
+    # action on the staged frame, so it both materializes the local
+    # checkpoint (computing and caching every partition — a full
+    # hash-aggregate scan, never a partial take) and reads the stats in
+    # ONE job instead of a dedicated materialize job followed by a
+    # stats job. The pinning invariant is unchanged: offsets are
+    # collected from, and the final join reads, the same cached
+    # materialization.
     staged = (
         df.repartitionByRange(num, F.col(part_col), F.col(val_col), F.col(key_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     stats = (
@@ -246,7 +254,9 @@ def scalable_cumsum(
     staged = (
         df.repartitionByRange(num, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # lazy: the stats collect below is the materializing action
+        # (one job instead of two — the two_phase_rank merge rule)
+        .localCheckpoint(eager=False)
     )
 
     stats = sorted(
@@ -328,7 +338,9 @@ def scalable_running_max(
             num, F.col(part_col), *[F.col(c) for c in order_cols]
         )
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # lazy: the stats collect below is the materializing action
+        # (one job instead of two — the two_phase_rank merge rule)
+        .localCheckpoint(eager=False)
     )
 
     stats = staged.groupBy(part_col, "_pid").agg(F.max(val_col).alias("m"))
@@ -407,7 +419,9 @@ def scalable_row_number(
     staged = (
         df.repartitionByRange(num, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # lazy: the stats collect below is the materializing action
+        # (one job instead of two — the two_phase_rank merge rule)
+        .localCheckpoint(eager=False)
     )
     stats = sorted(
         staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect(),
@@ -478,7 +492,9 @@ def scalable_prefix_sums(
     staged = (
         df.repartitionByRange(num, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # lazy: the stats collect below is the materializing action
+        # (one job instead of two — the two_phase_rank merge rule)
+        .localCheckpoint(eager=False)
     )
     if derive:
         for name, expr in derive.items():
@@ -582,7 +598,9 @@ def grouped_row_number(
             num, F.col(part_col), *[F.col(c) for c in order_cols]
         )
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # lazy: the stats collect below is the materializing action
+        # (one job instead of two — the two_phase_rank merge rule)
+        .localCheckpoint(eager=False)
     )
     stats = sorted(
         staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect(),

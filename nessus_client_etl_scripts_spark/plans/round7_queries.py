@@ -731,8 +731,17 @@ def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     med = group_median(ev, "event_type", "value", out_col="median")
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "dev", F.abs(F.col("value") - F.col("median"))
+    # dev feeds the MAD median machinery (its own range-exchange jobs)
+    # AND the final outlier aggregate — unpinned it was recomputed
+    # (events scan + broadcast join + the med broadcast REBUILD) three
+    # times across those driver-side actions (r12 opt: 34 jobs/pass
+    # measured, most of them duplicate subtree stages). Lazy local
+    # checkpoint: the MAD kernel's range-sampling pass is the
+    # materializing action; every later consumer reads the cache.
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.abs(F.col("value") - F.col("median")))
+        .localCheckpoint(eager=False)
     )
     mad = group_median(
         dev.select("event_type", "dev"), "event_type", "dev", out_col="mad"

@@ -1320,6 +1320,12 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p", "s")
     )
     a, b = capped.alias("a"), capped.alias("b")
+    # edges feeds FOUR consumers (both arms of the degree union, the
+    # orientation join, the n_edges count) — unpinned, the whole
+    # pair-generation subtree (scan → cap window → self-join →
+    # support aggregate) was re-inlined at every reference: the
+    # formatted plan carried 260 Exchange nodes (r12 opt). One eager
+    # materialization; every consumer reads the cache.
     edges = (
         a.join(
             b,
@@ -1330,16 +1336,30 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_sup"))
         .filter(F.col("_sup") >= _Q224_SUPPORT)
         .select("s1", "s2")
+        .localCheckpoint()
     )
+    # deg is VERTEX state (suppliers) — the pagerank broadcast_vertices
+    # posture: below ~5M nodes both endpoint joins broadcast it and
+    # the edge frame never crosses an exchange; above, shuffled joins
+    # (the honest Pregel regime). Lazy checkpoint: the mode-deciding
+    # count is the materializing action.
     deg = (
         edges.select(F.col("s1").alias("v"))
         .unionAll(edges.select(F.col("s2").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
     )
+    hint = F.broadcast if deg.count() <= 5_000_000 else (lambda df: df)
     ed = (
-        edges.join(deg.select(F.col("v").alias("s1"), F.col("d").alias("d1")), "s1")
-        .join(deg.select(F.col("v").alias("s2"), F.col("d").alias("d2")), "s2")
+        edges.join(
+            hint(deg.select(F.col("v").alias("s1"), F.col("d").alias("d1"))),
+            "s1",
+        )
+        .join(
+            hint(deg.select(F.col("v").alias("s2"), F.col("d").alias("d2"))),
+            "s2",
+        )
     )
     keep = F.col("d1") <= F.col("d2")
     oriented = ed.select(
@@ -1354,8 +1374,13 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JOIN formulation would materialize Σ d_out² rows (tens of
     # millions on a dense co-occurrence graph) only to filter most
     # away.
-    adj = oriented.groupBy("u").agg(
-        F.array_sort(F.collect_list("v")).alias("nb")
+    # adj is consumed by BOTH sides of the closing join — pin the
+    # aggregate once (|V| rows, O(√m) arrays — a persistable vertex
+    # frame) instead of running the collect_list exchange twice.
+    adj = (
+        oriented.groupBy("u")
+        .agg(F.array_sort(F.collect_list("v")).alias("nb"))
+        .localCheckpoint()
     )
     tri = (
         oriented.join(

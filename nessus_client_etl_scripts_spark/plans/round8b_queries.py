@@ -2905,16 +2905,28 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = ed.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
+    # deg is VERTEX state (16 B/node, nodes = parts — the pagerank
+    # broadcast_vertices posture): up to ~5M nodes both endpoint-degree
+    # joins BROADCAST it, so the |E| edge frame never crosses an
+    # exchange (before: two SortMergeJoins each re-shuffling ed, and
+    # the deg aggregate computed twice — 4 data-sized exchanges).
+    # Past the threshold the joins fall back to the shuffled form —
+    # the honest Pregel regime. The lazy checkpoint materializes deg
+    # in the count that decides the mode; both broadcast builds then
+    # read the cache.
+    deg = (
+        ed.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
     )
+    hint = F.broadcast if deg.count() <= 5_000_000 else (lambda df: df)
     pairs = (
         ed.join(
-            deg.select(F.col("node").alias("u"), F.col("d").alias("x")),
+            hint(deg.select(F.col("node").alias("u"), F.col("d").alias("x"))),
             "u",
         )
         .join(
-            deg.select(F.col("node").alias("v"), F.col("d").alias("y")),
+            hint(deg.select(F.col("node").alias("v"), F.col("d").alias("y"))),
             "v",
         )
         .select("x", "y")
