@@ -383,15 +383,22 @@ def pagerank_integer(
         e = e.distinct()
     # the ONE |E|-sized materialization; everything per-iteration
     # reads this frame map-side
+    # e stays EAGER (it is referenced by two arms of the nodes union
+    # and by every iteration — concurrent stages over an uncached lazy
+    # checkpoint would duplicate the |E| distinct); deg and nodes go
+    # LAZY: nodes materializes in the mode-deciding count below, deg in
+    # the first iteration's unit join — two fewer barrier jobs.
     e = e.localCheckpoint()
     deg = (
-        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     base = scale * (100 - damping_pct) // 100
@@ -422,7 +429,11 @@ def pagerank_integer(
                     "rank"
                 ),
             )
-            .localCheckpoint()
+            # lazy: each round's rank state is referenced exactly once
+            # (next round's unit join, or the caller's final consumer),
+            # so it materializes inside that consumer's job — one job
+            # per iteration saved; lineage still truncates per round.
+            .localCheckpoint(eager=False)
         )
     return ranks
 

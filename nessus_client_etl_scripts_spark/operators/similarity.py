@@ -1304,7 +1304,9 @@ def kcenter_greedy(
     eq = (
         df.select(F.col(id_col).alias("vec_id"), q.alias("vq"))
         .withColumn("_sn", sn_fold)
-        .localCheckpoint()  # quantization + self-norm run once
+        # quantization + self-norm run once; lazy — the seed argmin
+        # (TakeOrderedAndProject, full scan) materializes it
+        .localCheckpoint(eager=False)
     )
 
     def d2(center: list[int]) -> Column:

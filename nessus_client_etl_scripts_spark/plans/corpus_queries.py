@@ -3476,6 +3476,10 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens")
     )
+    # pin the budget-selected frame: the final ranking kernel
+    # evaluates its input twice (range-bounds sampling + exchange),
+    # and unpinned each pass re-ran the budget cumsum window + joins;
+    # lazy — the sampling pass is the materializing action
     keyed = sel.select(
         "doc_id",
         "n_tokens",
@@ -3491,7 +3495,7 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shuffle_key"),
         F.lit(0).alias("_all"),
-    )
+    ).localCheckpoint(eager=False)
     ranked = scalable_row_number(
         keyed, ("shuffle_key", "doc_id"), out_col="pos"
     )

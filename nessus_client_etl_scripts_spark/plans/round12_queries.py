@@ -300,10 +300,14 @@ def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(src), "source")
         .withColumn("scum", F.col("cum_src_order") - F.col("src_base"))
     )
+    # pin phase-1 survivors: the phase-2 kernel evaluates its input
+    # TWICE (range-bounds sampling pass + the exchange itself), and
+    # unpinned each pass re-ran the phase-1 window + both broadcast
+    # joins; lazy — the sampling pass is the materializing action
     surv = p1.filter(
         F.col("scum")
         <= F.expr(f"stot * {_Q345_CAP_NUM} div {_Q345_CAP_DEN}")
-    )
+    ).localCheckpoint(eager=False)
     p2 = scalable_cumsum(
         surv.select("doc_id", "source", "tok", "density_micro")
         .withColumn("neg_density", -F.col("density_micro")),

@@ -5204,7 +5204,9 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("rel"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: the head argmax below (TakeOrderedAndProject — a full
+        # scan) is the materializing action; one job instead of two
+        .localCheckpoint(eager=False)
     )
     selected = []  # driver-held (rank, vec_id, e, rel, red) — ≤K rows
     head = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).collect()
@@ -5244,7 +5246,10 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.lit(1000000000) * cos_red, 0).cast("long"),
                 ).alias("red"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the per-round argmax (TakeOrderedAndProject, full
+            # scan) materializes the fold — ONE job per MMR round
+            # instead of a checkpoint job + an argmax job
+            .localCheckpoint(eager=False)
         )
         picked = (
             state.orderBy(
@@ -5952,7 +5957,10 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_cov
             if covered is None
             else covered.unionByName(new_cov).distinct()
-        ).localCheckpoint(eager=True)
+            # lazy: next round's argmax collect (a full anti-join scan
+            # over this frame) is the materializing action — one job
+            # per greedy round instead of two
+        ).localCheckpoint(eager=False)
     return spark_.createDataFrame(
         [(r + 1, s, g) for r, (s, g) in enumerate(chosen)],
         "rank LONG, source STRING, gain_tokens LONG",
