@@ -218,6 +218,7 @@ def scalable_cumsum(
     val_col: str,
     out_col: str = "cumsum",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact GLOBAL running sum over a total order — the distributed
     prefix-sum (scan) primitive — without the single-task trap of
@@ -239,7 +240,15 @@ def scalable_cumsum(
 
     Matches SQL ``SUM(val) OVER (ORDER BY order_cols ROWS UNBOUNDED
     PRECEDING)`` exactly for integer-typed ``val_col`` (float prefix
-    sums are order-defined anyway — prefer integer weights)."""
+    sums are order-defined anyway — prefer integer weights).
+
+    ``total_col`` (optional) attaches the GRAND TOTAL of ``val_col``
+    as a literal column: the driver's stats pass computes it anyway
+    (the final running offset), so callers that otherwise pay a
+    separate ``agg(sum(...))`` subtree — which re-runs the caller's
+    whole upstream in its own execution — read it for free. The value
+    is identical to ``SUM(val)`` over the frame by construction (it is
+    the sum of the same per-partition sums)."""
     from pyspark.sql import types as T
 
     spark = df.sparkSession
@@ -281,11 +290,17 @@ def scalable_cumsum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         staged.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, F.sum(val_col).over(w_local) + F.col("_off"))
-        .select(*df.columns, out_col)
     )
+    extra = []
+    if total_col:
+        out = out.withColumn(
+            total_col, F.lit(int(off)).cast("long")
+        )
+        extra = [total_col]
+    return out.select(*df.columns, out_col, *extra)
 
 
 def scalable_running_max(
@@ -390,6 +405,9 @@ def scalable_row_number(
     order_cols: tuple[str, ...],
     out_col: str = "rn",
     num_partitions: int | None = None,
+    total_col: str | None = None,
+    derive: dict[str, Column] | None = None,
+    total_out: dict | None = None,
 ) -> DataFrame:
     """Global ``row_number() OVER (ORDER BY order_cols)`` (1-based)
     without a single-task global window — and without
@@ -405,7 +423,22 @@ def scalable_row_number(
     offsets; the staged frame is ``localCheckpoint``ed before the
     stats collect (the two_phase_rank/scalable_cumsum pinning rule:
     offsets are keyed by physical partition id and must read the same
-    materialization)."""
+    materialization).
+
+    ``total_col`` attaches the total row count as a literal column
+    (the driver stats pass computes it anyway — the scalable_cumsum
+    total rule).  ``derive`` maps extra column names to expressions
+    evaluated ON THE STAGED FRAME, after the exchange (the
+    scalable_prefix_sums derive rule): a heavy payload column (q267's
+    token arrays) would otherwise be computed on BOTH pre-exchange
+    passes (range-bounds sampling + the exchange map side) and carried
+    through the shuffle; deriving it post-stage computes it once per
+    consuming action and keeps the exchange metadata-narrow.  Derived
+    expressions must not reference the range order (they are appended
+    after ordering is fixed).  ``total_out`` (optional dict) receives
+    the same total as a PYTHON int under key ``"n"`` — for callers
+    that need the value in expressions over OTHER frames, where a
+    column attached to this frame is unreachable without a join."""
     from pyspark.sql import types as T
 
     spark = df.sparkSession
@@ -423,6 +456,9 @@ def scalable_row_number(
         # (one job instead of two — the two_phase_rank merge rule)
         .localCheckpoint(eager=False)
     )
+    if derive:
+        for name, expr in derive.items():
+            staged = staged.withColumn(name, expr)
     stats = sorted(
         staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect(),
         key=lambda r: r["_pid"],
@@ -441,11 +477,17 @@ def scalable_row_number(
         ),
     )
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    out = (
         staged.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, F.row_number().over(w_local) + F.col("_off"))
-        .select(*df.columns, out_col)
     )
+    extra = list(derive) if derive else []
+    if total_col:
+        out = out.withColumn(total_col, F.lit(int(off)).cast("long"))
+        extra.append(total_col)
+    if total_out is not None:
+        total_out["n"] = int(off)
+    return out.select(*df.columns, *extra, out_col)
 
 
 def scalable_prefix_sums(
@@ -456,6 +498,7 @@ def scalable_prefix_sums(
     out_prefix: str = "cum_",
     num_partitions: int | None = None,
     pin: bool = False,
+    total_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Inclusive running sums of SEVERAL columns over ONE total order
     with ONE range exchange — the n-monoid generalization of
@@ -478,7 +521,14 @@ def scalable_prefix_sums(
 
     Same pinning rule as the siblings: the staged frame is
     ``localCheckpoint``ed before the stats job because the offsets are
-    keyed by physical partition id."""
+    keyed by physical partition id.
+
+    ``total_cols`` maps summand names to output column names holding
+    that summand's GRAND TOTAL as a literal (the scalable_cumsum
+    total rule — the driver's stats fold ends on exactly these
+    values); callers that otherwise aggregate the same totals in a
+    separate subtree (q185's n1/n2 over the events rollup) read them
+    for free."""
     from pyspark.sql import types as T
 
     spark = df.sparkSession
@@ -528,12 +578,20 @@ def scalable_prefix_sums(
         out = out.withColumn(
             f"{out_prefix}{c}", F.sum(c).over(w_local) + F.col(f"_off_{c}")
         )
+    totals = []
+    if total_cols:
+        for c, name in total_cols.items():
+            out = out.withColumn(name, F.lit(int(run[c])).cast("long"))
+            totals.append(name)
     # derived summands are part of the contract: callers filter on
     # them (q153 keeps sample rows via the indicator), so emit them
     # explicitly rather than leaning on missing-reference resolution
     derived = tuple(derive) if derive else ()
     out = out.select(
-        *df.columns, *derived, *[f"{out_prefix}{c}" for c in val_cols]
+        *df.columns,
+        *derived,
+        *[f"{out_prefix}{c}" for c in val_cols],
+        *totals,
     )
     # ``pin=True`` materializes the summed frame for MULTI-CONSUMER
     # callers (q153 reads it three times — per-group counts plus two
@@ -716,19 +774,23 @@ def scalable_ntile(
     freedom left is the ORDER, which callers must pin with a unique
     tiebreaker (the q04 contract).
 
-    ``n`` is read back as max(rn) from the ranked frame — one cheap
-    aggregate over the checkpointed stage, broadcast as a 1-row cross —
-    rather than a separate count() action that would re-run the
-    caller's upstream.
+    ``n`` comes from the row-number kernel's driver stats as a LITERAL
+    (the scalable_cumsum total rule) — no n-frame aggregate and no
+    1-row cross join, so consuming the tiled frame never re-triggers a
+    broadcast build (nested ntile calls, q266, previously rebuilt each
+    inner n-frame once per outer kernel execution).
 
     Descending metrics: negate the column (ntile only reads the total
     order, so x DESC ≡ (−x) ASC for any integer metric)."""
     ranked = scalable_row_number(
-        df, order_cols, out_col="_ntile_rn", num_partitions=num_partitions
+        df,
+        order_cols,
+        out_col="_ntile_rn",
+        num_partitions=num_partitions,
+        total_col="_ntile_n",
     )
-    n_frame = ranked.agg(F.max("_ntile_rn").cast("long").alias("_ntile_n"))
     b = buckets
-    tiled = ranked.crossJoin(F.broadcast(n_frame)).withColumn(
+    tiled = ranked.withColumn(
         out_col,
         F.expr(
             f"CASE WHEN _ntile_rn <= (_ntile_n % {b}) * (_ntile_n div {b} + 1)"

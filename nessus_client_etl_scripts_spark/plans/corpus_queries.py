@@ -3226,8 +3226,9 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality order — the single-task ``Window.orderBy`` trap — so it
     rides :func:`scalable_cumsum` (two-phase distributed prefix sum:
     range-exchange on (−diversity, doc_id), P-row stats collect,
-    broadcast offsets). The corpus total is a 1-row aggregate joined
-    via broadcast; the budget predicate is then row-local. At 100 TB
+    broadcast offsets). The corpus total is the kernel's driver-stats
+    grand total, attached as a literal (``total_col``) — no separate
+    aggregate subtree; the budget predicate is then row-local. At 100 TB
     the only data-size shuffle is the range exchange itself — the same
     cost q92's training shuffle already pays — and everything else is
     tiny-side broadcast. Scores/tiebreaks are computed identically in
@@ -3245,11 +3246,18 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
         ).alias("diversity"),
     ).withColumn("neg_div", -F.col("diversity"))
-    c = scalable_cumsum(t, ("neg_div", "doc_id"), "n_tokens", out_col="cum_tokens")
-    total = t.agg(F.sum("n_tokens").alias("total"))
+    # the grand total rides the cumsum kernel's driver stats as a
+    # literal (total_col) — the separate t.agg(sum) subtree re-ran the
+    # docs scan + split + array_distinct in its own execution
+    c = scalable_cumsum(
+        t,
+        ("neg_div", "doc_id"),
+        "n_tokens",
+        out_col="cum_tokens",
+        total_col="total",
+    )
     return (
-        c.join(F.broadcast(total))
-        .filter(
+        c.filter(
             (F.col("cum_tokens") - F.col("n_tokens"))
             < F.lit(_Q110_FRAC) * F.col("total")
         )

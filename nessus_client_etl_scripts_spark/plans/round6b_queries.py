@@ -921,32 +921,35 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    n_total_df = ev.agg(F.count(F.lit(1)).alias("n_total"))
-    grp_n = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_grp")
-    )
+    # n_total rides the global kernel's driver stats as a PYTHON int
+    # (total_out → a literal in the pos expression) and n_grp rides
+    # the grouped kernel's offsets pass (count_col) — the two
+    # standalone count aggregates each re-ran a full events scan per
+    # consuming execution, plus their broadcast joins; all gone
+    tot: dict = {}
     g = scalable_row_number(
         ev.select("value", "event_id"), ("value", "event_id"),
         out_col="pos",
+        total_out=tot,
     ).select("pos", F.col("value").alias("q_value"))
     s = grouped_row_number(
-        ev, "event_type", ("value", "event_id"), out_col="rn"
-    ).select("event_id", "event_type", "value", "rn")
+        ev, "event_type", ("value", "event_id"), out_col="rn",
+        count_col="n_grp",
+    ).select("event_id", "event_type", "value", "rn", "n_grp")
+    n_total = F.lit(tot["n"]).cast("long")
     m = (
-        s.join(F.broadcast(grp_n), "event_type")
-        .crossJoin(F.broadcast(n_total_df))
-        .select(
+        s.select(
             "event_id",
             "event_type",
             "value",
             F.when(
                 F.col("n_grp") == 1,
-                F.floor((F.col("n_total") + 1) / 2).cast("long"),
+                F.floor((n_total + 1) / 2).cast("long"),
             )
             .otherwise(
                 1
                 + F.floor(
-                    ((F.col("rn") - 1) * (F.col("n_total") - 1))
+                    ((F.col("rn") - 1) * (n_total - 1))
                     / (F.col("n_grp") - 1)
                 ).cast("long")
             )

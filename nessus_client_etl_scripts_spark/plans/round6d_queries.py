@@ -1111,12 +1111,17 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c2"),
     )
-    cum = scalable_prefix_sums(m, ("vm",), val_cols=("c1", "c2"))
-    t = m.agg(
-        F.sum("c1").cast("long").alias("n1"),
-        F.sum("c2").cast("long").alias("n2"),
+    # n1/n2 are the prefix kernel's driver-stats grand totals,
+    # attached as literals (total_cols) — the separate m.agg subtree
+    # re-ran the events scan + rollup in its own execution, plus a
+    # 1-row broadcast cross, both gone
+    cum = scalable_prefix_sums(
+        m,
+        ("vm",),
+        val_cols=("c1", "c2"),
+        total_cols={"c1": "n1", "c2": "n2"},
     )
-    d = cum.crossJoin(F.broadcast(t)).select(
+    d = cum.select(
         "vm",
         "n1",
         "n2",

@@ -488,20 +488,23 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer/string ops in both engines (the q121 no-libm rule); the
     least-squares moments are exact BIGINT sums and the slope is ONE
     IEEE division of two exact integers. Ranking uses
-    grouped_row_number (range-exchange two-phase), never a
+    scalable_row_number (range-exchange two-phase), never a
     single-partition global window — vocabulary at web scale is 10⁸
     rows and still ranks across all cores."""
-    from ..operators.windows import grouped_row_number
+    from ..operators.windows import scalable_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(tokens(normalize_text("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .withColumn("_g", F.lit(1))
         .withColumn("nc", -F.col("c"))
     )
-    ranked = grouped_row_number(vocab, "_g", ("nc", "tok"), out_col="rank")
+    # the ranking is GLOBAL (the old constant "_g" group bought
+    # nothing): scalable_row_number drops grouped_row_number's
+    # per-group offsets aggregate + metadata window + second
+    # broadcast join from every consuming execution
+    ranked = scalable_row_number(vocab, ("nc", "tok"), out_col="rank")
     xy = ranked.select(
         (F.length(F.bin(F.col("rank"))) - 1).cast("long").alias("x"),
         (F.length(F.bin(F.col("c"))) - 1).cast("long").alias("y"),

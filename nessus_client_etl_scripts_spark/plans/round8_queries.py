@@ -4757,22 +4757,21 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_cents")
     )
+    # total revenue = the kernel's driver-stats grand total, attached
+    # as a literal (total_col) — exact for ANY sign of rev_cents (it
+    # is the sum of the same per-partition sums), retiring the r9
+    # max(cum) non-negativity precondition AND the aggregate + 1-row
+    # cross join that read it. q330 reads its totals the same way.
     ranked = scalable_cumsum(
         rev.withColumn("_neg_rev", -F.col("rev_cents")),
         ("_neg_rev", "part"),
         "rev_cents",
         out_col="cum",
-    ).select("part", "rev_cents", F.col("cum").cast("long").alias("cum"))
-    # total revenue = the last running sum — an aggregate over the
-    # checkpointed stage, not a second pass over lineitem.
-    # PRECONDITION (r9 ADVICE): max(cum) == grand total ONLY while
-    # every per-part rev_cents aggregate is ≥ 0, which holds here by
-    # construction (rev = extendedprice·(1−discount), both source
-    # columns non-negative in this data model); a credit/return line
-    # model would break monotonicity and needs sum() over the parts
-    # frame instead. q330 reads its total the same way.
-    tot = ranked.agg(F.max("cum").cast("long").alias("t"))
-    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        total_col="t",
+    ).select(
+        "part", "rev_cents", F.col("cum").cast("long").alias("cum"), "t"
+    )
+    classed = ranked.select(
         "rev_cents",
         "t",
         F.when(
@@ -5588,11 +5587,17 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from ..operators.windows import scalable_row_number
 
+    # the token arrays are DERIVED on the staged frame (post-exchange):
+    # passed as an input column they were tokenized TWICE (range-bounds
+    # sampling pass + exchange map side) and shipped through the range
+    # exchange; now the exchange carries (doc_id, text) only and
+    # normalize+tokenize runs once, in the consuming action
     ranked = scalable_row_number(
-        docs.select("doc_id", tokens(normalize_text("text")).alias("l")),
+        docs.select("doc_id", "text"),
         ("doc_id",),
         out_col="rk",
-    )
+        derive={"l": tokens(normalize_text("text"))},
+    ).drop("text")
     n = ranked.agg(F.max("rk").cast("long").alias("n"))
     cuts = (
         spark.createDataFrame(

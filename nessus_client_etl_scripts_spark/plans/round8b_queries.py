@@ -6577,7 +6577,7 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two filtered per-part rollups; each year's cumulative
     revenue runs through the two-phase prefix-sum of
     operators/windows (parts are ~2·10⁸ keys at 100 TB — the q259
-    argument), with the year total as a broadcast 1-row cross instead
+    argument), with the year total as a driver-stats literal instead
     of an all-rows window; the matrix is ≤ 16 cells."""
     from ..operators.windows import scalable_cumsum
 
@@ -6595,20 +6595,19 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("cents")
             )
         )
+        # year total = the cumsum kernel's driver-stats grand total as
+        # a literal (total_col) — exact for any sign (sum of the same
+        # per-partition sums; the r9 max(cum) non-negativity
+        # precondition is retired), and the aggregate + 1-row cross
+        # join that previously read it are gone (the q259 pattern).
         cummed = scalable_cumsum(
             rev.withColumn("_neg_cents", -F.col("cents")),
             ("_neg_cents", "part"),
             "cents",
             out_col="cum",
-        ).select("part", F.col("cum").cast("long").alias("cum"))
-        # year total = the last running sum — an aggregate over the
-        # checkpointed stage, not a second pass over lineitem.
-        # PRECONDITION (r9 ADVICE, same as q259's total read):
-        # max(cum) == total only while every per-part cents aggregate
-        # is ≥ 0 — true here (extendedprice·(1−discount), non-negative
-        # sources); a returns-bearing model must sum() instead.
-        tot = cummed.agg(F.max("cum").cast("long").alias("tot"))
-        return cummed.crossJoin(F.broadcast(tot)).select(
+            total_col="tot",
+        ).select("part", F.col("cum").cast("long").alias("cum"), "tot")
+        return cummed.select(
             "part",
             F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A")
             .when(100 * F.col("cum") <= 95 * F.col("tot"), "B")

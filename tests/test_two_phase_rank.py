@@ -291,3 +291,56 @@ def test_scalable_ntile_property_random_ties(spark):
             for r in df.select("k", F.ntile(b).over(w).alias("t")).collect()
         )
         assert got == want, (trial, n, b)
+
+
+def test_kernel_totals_and_derive(spark):
+    """The r12 optimization surface: totals attached from the driver
+    stats pass must equal the separate aggregate they replace, the
+    total_out side-channel must carry the same value as a Python int,
+    and scalable_row_number derived columns (computed post-exchange)
+    must match the same expression computed pre-exchange."""
+    import pyspark.sql.functions as F
+
+    from nessus_client_etl_scripts_spark.operators.windows import (
+        scalable_cumsum,
+        scalable_prefix_sums,
+        scalable_row_number,
+    )
+
+    rows = [(i, (i * 37) % 101, (i * 13) % 7) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, ["k", "w", "u"]).repartition(5)
+
+    # scalable_cumsum total_col: literal equals SUM(w)
+    c = scalable_cumsum(
+        df, ("k",), "w", num_partitions=4, total_col="tw"
+    ).collect()
+    want_total = sum(r[1] for r in rows)
+    assert {r["tw"] for r in c} == {want_total}
+    assert max(r["cumsum"] for r in c) == want_total
+
+    # scalable_row_number total_col + total_out + derive
+    tot: dict = {}
+    r = scalable_row_number(
+        df,
+        ("k",),
+        out_col="rn",
+        num_partitions=4,
+        total_col="n",
+        derive={"w2": F.col("w") * 2},
+        total_out=tot,
+    ).collect()
+    assert tot["n"] == len(rows)
+    assert {x["n"] for x in r} == {len(rows)}
+    assert all(x["w2"] == 2 * x["w"] for x in r)
+    assert sorted(x["rn"] for x in r) == list(range(1, len(rows) + 1))
+
+    # scalable_prefix_sums total_cols: literals equal the summand sums
+    p = scalable_prefix_sums(
+        df,
+        ("k",),
+        val_cols=("w", "u"),
+        num_partitions=4,
+        total_cols={"w": "tw", "u": "tu"},
+    ).collect()
+    assert {x["tw"] for x in p} == {sum(r[1] for r in rows)}
+    assert {x["tu"] for x in p} == {sum(r[2] for r in rows)}
