@@ -509,7 +509,18 @@ def simhash_hamming_pairs(
         ).alias("bb"),
     ).select(id_col, hash_col, F.col("bb.b").alias("b"), F.col("bb.bv").alias("bv"))
     left, right = blk.alias("l"), blk.alias("r")
-    cand = (
+    # Verify BEFORE the distinct: the xor+popcount is row-local and
+    # cheap, while the candidate fan-out is quadratic in hot-block
+    # population (near-empty documents hashing alike), so filtering
+    # first keeps the dedup exchange to true near-dup pairs instead
+    # of every hot-bucket candidate ×(shared blocks). Equivalent:
+    # the predicate is deterministic per row, and doc_id → simhash
+    # is functional (one signature per doc), so distinct over
+    # (doc_a, doc_b, hamming) equals the old distinct-then-filter.
+    ham = F.bit_count(
+        F.col(f"l.{hash_col}").bitwiseXOR(F.col(f"r.{hash_col}"))
+    )
+    return (
         left.join(
             right,
             (F.col("l.b") == F.col("r.b"))
@@ -519,14 +530,10 @@ def simhash_hamming_pairs(
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
-            F.col(f"l.{hash_col}").alias("sim_a"),
-            F.col(f"r.{hash_col}").alias("sim_b"),
+            ham.cast("long").alias("hamming"),
         )
+        .filter(F.col("hamming") <= threshold)
         .distinct()
-    )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cand.filter(ham <= threshold).select(
-        "doc_a", "doc_b", ham.cast("long").alias("hamming")
     )
 
 
@@ -1127,6 +1134,12 @@ def prefix_filter_pairs(
         .withColumn("idx", F.row_number().over(w_doc))
         .withColumn("n", F.count(F.lit(1)).over(w_n))
     )
+    # NOTE (r12): pinning this frame (or ``sets``) measured ~1.7×
+    # SLOWER at sf0.1 — the AQE-coalesced window output checkpoints
+    # into a 1-partition RDD, so every downstream stage (both
+    # self-join sides) loses its parallelism; recomputing the window
+    # chain per side is cheaper. Same conclusion as the posting-pin
+    # note in containment_pairs.
     prefix = pos.filter(
         F.col("idx")
         <= F.col("n") - ((F.lit(pct) * F.col("n") + 99) / 100).cast("long")

@@ -359,7 +359,15 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of the same md5 pipeline."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(
-        docs, num_hashes=64, bands=16, k=3, family="md5"
+        docs,
+        num_hashes=64,
+        bands=16,
+        k=3,
+        family="md5",
+        # the q65/q96/q167 posture: unmaterialized, the 64-permutation
+        # signature pipeline ran once per self-join side (two full
+        # scan→shingle→md5→sign chains in the before plan)
+        materialize_signatures=True,
     )
 
 

@@ -5727,6 +5727,11 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("v"))
         .distinct()
+        # 4 consumers (N count, item supports, both self-join sides),
+        # several of them concurrent broadcast builds — unpinned, the
+        # scan→broadcast-join→distinct chain ran once per consumer;
+        # pinned, the narrow (orderkey, brand) rows are computed once
+        .localCheckpoint()
     )
     n = b.agg(F.count_distinct("k").cast("long").alias("n"))
     item = b.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("s"))
@@ -5848,14 +5853,15 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("k"),
         F.col("l_linenumber").alias("ln"),
     )
-    ranked = grouped_row_number(
-        ct, "ym", ("days", "k", "ln"), out_col="rk"
+    # count_col: group sizes come from the rank machinery's own
+    # offsets aggregate (it counts every group anyway) instead of a
+    # second full consumer of the ranked frame — the old
+    # max(rk)-aggregate + broadcast join re-ran the staged window
+    # and its offset joins once more (the whole subtree appeared
+    # twice in the plan, 26 Exchanges → half that)
+    j = grouped_row_number(
+        ct, "ym", ("days", "k", "ln"), out_col="rk", count_col="n"
     )
-    # group sizes from the ranked frame (max position) — reads the
-    # rank machinery's staged materialization instead of re-running
-    # the fact-dim join a second time
-    n = ranked.groupBy("ym").agg(F.max("rk").cast("long").alias("n"))
-    j = ranked.join(F.broadcast(n), "ym")
     return j.groupBy("ym", "n").agg(
         F.max(
             F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("days"))

@@ -2711,7 +2711,11 @@ def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("p90_exact"),
-    )
+        # |event_types| rows; pinned EAGERLY because it feeds two
+        # consumers (the picks join's n lookup and the final join)
+        # that build as concurrent broadcast stages — unpinned, the
+        # whole ranked-window subtree re-ran once per consumer
+    ).localCheckpoint()
     hist = v.groupBy(
         "event_type",
         (F.length(F.bin(F.col("cents"))) - 1).cast("long").alias("b"),
@@ -6298,20 +6302,27 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tw",
         "nr",
     )
-    picks = (
-        cum.filter(2 * F.col("cw") >= F.col("tw"))
-        .groupBy("flag")
-        .agg(
-            F.min("price").cast("long").alias("weighted_median_price"),
-            F.max("tw").cast("long").alias("total_weight"),
+    # ONE conditional aggregate instead of two filtered aggregates
+    # joined back on flag: min(when(cond, price)) ignores the NULLs
+    # the old filters removed, tw is constant per flag, and both
+    # crossing conditions are guaranteed to fire by the last row of
+    # each flag (cw = tw, cr = nr), so the old inner join never
+    # dropped a flag — identical rows, half the plan (the cum/offs/
+    # pre subtree was re-inlined per join side, 16 Exchanges → 8,
+    # and the 3-row SortMergeJoin disappears).
+    return cum.groupBy("flag").agg(
+        F.max("tw").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price")))
+        .cast("long")
+        .alias("weighted_median_price"),
+        F.min(
+            F.when(
+                F.col("cr") >= F.expr("(nr + 1) div 2"), F.col("price")
+            )
         )
-    )
-    plain = (
-        cum.filter(F.col("cr") >= F.expr("(nr + 1) div 2"))
-        .groupBy("flag")
-        .agg(F.min("price").cast("long").alias("plain_median_price"))
-    )
-    return picks.join(plain, "flag").select(
+        .cast("long")
+        .alias("plain_median_price"),
+    ).select(
         "flag",
         "total_weight",
         "weighted_median_price",
