@@ -346,8 +346,15 @@ def simhash64(
     # closure factories, NOT default-arg captures: pyspark derives the
     # HOF lambda's arity from its parameter list, so an extra `i=i`
     # parameter makes transform() pass the element index into it
-    def _nib(i: int):
-        return lambda h: F.conv(F.substring(h, i + 1, 1), 16, 10).cast("long")
+    def _word(i: int):
+        # 8 hex chars per conv: the value of chars [8i, 8i+8) as one
+        # long < 2^32 — 2 string parses per token instead of 16
+        # single-nibble ones; nibble n of the hash is then
+        # (word(n div 8) >> 4*(7 - n mod 8)) & 15, integer-exact, so
+        # every vote bit is unchanged
+        return lambda h: F.conv(
+            F.substring(h, 8 * i + 1, 8), 16, 10
+        ).cast("long")
 
     def _vote(shift: int):
         return lambda acc, h: (
@@ -358,19 +365,24 @@ def simhash64(
         hexed = staged.select(
             "doc_id", F.transform("toks", lambda t: F.md5(t)).alias("hs")
         )
-        nibbled = hexed.select(
+        worded = hexed.select(
             "doc_id",
             *[
-                F.transform("hs", _nib(i)).alias(f"_a{i}")
-                for i in range((bits + 3) // 4)
+                F.transform("hs", _word(i)).alias(f"_w{i}")
+                for i in range((bits + 31) // 32)
             ],
         )
-        votes = nibbled.select(
+        # bit j lives in word j div 32 at in-word bit position
+        # 4*(7 - (j div 4 - 8*(j div 32))) + j mod 4 (hex chars are
+        # most-significant-first within each parsed word)
+        votes = worded.select(
             "doc_id",
             *[
-                F.aggregate(F.col(f"_a{j // 4}"), zero, _vote(j % 4)).alias(
-                    f"_v{j}"
-                )
+                F.aggregate(
+                    F.col(f"_w{j // 32}"),
+                    zero,
+                    _vote(4 * (7 - (j // 4 - 8 * (j // 32))) + j % 4),
+                ).alias(f"_v{j}")
                 for j in range(bits)
             ],
         )

@@ -598,8 +598,12 @@ def scalable_prefix_sums(
     # position lookups): without it every downstream scan re-runs the
     # per-partition window sort and any derived expressions (the md5
     # indicator); with it they read cached rows. Single-consumer
-    # callers skip the extra materialization.
-    return out.localCheckpoint() if pin else out
+    # callers skip the extra materialization. Lazy: the first consumer
+    # action materializes it (every pin consumer opens with a
+    # full-scan aggregate; even a partial first action completes all
+    # partitions at job end — localCheckpoint semantics), merging the
+    # dedicated materialize job into it.
+    return out.localCheckpoint(eager=False) if pin else out
 
 
 def grouped_row_number(
