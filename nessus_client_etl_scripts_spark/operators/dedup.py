@@ -91,13 +91,21 @@ def shingles(text: Column | str, k: int = 3) -> Column:
 def shingle_posting(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     block_cols: tuple[str, ...] = (), k: int = 3,
+    with_size: bool = False,
 ) -> DataFrame:
     """(doc_id[, blocks], shingle) posting list — the staged explode all
     shingle-based operators build on. Tokenization and shingling are
     materialized in separate projections so each runs once per doc.
     The input is spread across cores first when the source is
     under-split (catalog.spread_for_compute) — shingling is the
-    per-row-heavy stage of every dedup pipeline."""
+    per-row-heavy stage of every dedup pipeline.
+
+    ``with_size=True`` additionally carries ``n_sh`` = size(sh) (the
+    per-doc DISTINCT shingle-set size, identical to the posting's
+    per-doc row count) on every exploded row: one long per row through
+    downstream exchanges buys consumers their set sizes WITHOUT a
+    second pass over the shingle pipeline + a doc-keyed join back
+    (guide §2.3 — shuffle a few extra bytes instead of re-joining)."""
     from ..catalog import spread_for_compute
 
     df = spread_for_compute(df)
@@ -109,6 +117,7 @@ def shingle_posting(
     sh = toks.select(
         "doc_id", *block_cols, shingles_from_tokens(F.col("toks"), k).alias("sh")
     )
+    size_cols = [F.size("sh").alias("n_sh")] if with_size else []
     # explode_outer, deliberately: plain explode triggers Catalyst's
     # InferFiltersFromGenerate, which inserts a `size(sh) > 0` filter
     # with the ENTIRE shingle expression re-inlined below the staged
@@ -116,7 +125,10 @@ def shingle_posting(
     # per-element blowup). Shingle arrays are never empty (the index
     # sequence always has >=1 element), so outer semantics are
     # identical and the inferred filter never appears.
-    return sh.select("doc_id", *block_cols, F.explode_outer("sh").alias("shingle"))
+    return sh.select(
+        "doc_id", *block_cols, *size_cols,
+        F.explode_outer("sh").alias("shingle"),
+    )
 
 
 def minhash_signatures(
@@ -574,11 +586,20 @@ def ngram_jaccard_pairs(
     Set sizes stay derived from the UNCAPPED posting, so for pairs
     whose overlap is not boilerplate-only the Jaccard is exact or a
     slight underestimate (capped shingles leave the numerator only) —
-    the standard inverted-index prefix-filter trade."""
-    posting = shingle_posting(df, text_col, id_col, block_cols, k)
-    # sizes derived FROM the posting (shingles are distinct, so the
-    # per-doc count is the set size) — the shingle pipeline runs once
-    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    the standard inverted-index prefix-filter trade.
+
+    Plan shape (r12): the per-doc set size rides the posting as a
+    carried ``n_sh`` long (shingle_posting with_size=True) instead of
+    a separate posting→groupBy(doc) pass + two pair-keyed joins back —
+    the old form re-executed the whole tokenize+shingle pipeline for
+    the sizes frame and shuffled the pair frame twice more (guide
+    §2.3/§2.4; n_sh is the UNCAPPED size because it is computed on
+    the pre-explode array, before any max_df filtering). The group
+    keys extend by the two functionally-dependent size columns, which
+    changes no group: doc_id → n_sh."""
+    posting = shingle_posting(
+        df, text_col, id_col, block_cols, k, with_size=True
+    )
     joinable = posting
     if max_df is not None:
         hot = (
@@ -602,25 +623,14 @@ def ngram_jaccard_pairs(
             ],
         )
         .groupBy(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.n_sh").alias("n_a"),
+            F.col("r.n_sh").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    with_sizes = (
-        joined.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "n_sh", "n_a"
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "n_sh", "n_b"
-            ),
-            "doc_b",
-        )
-    )
-    return with_sizes.select(
+    return joined.select(
         "doc_a",
         "doc_b",
         (
@@ -704,9 +714,14 @@ def verify_pairs_jaccard(
         F.col(id_col).alias("_vid"),
         tokens(normalize_text(text_col)).alias("_toks"),
     )
+    # pinned: both pair-side probes read the shingle-array frame —
+    # unpinned, the tokenize+shingle pipeline runs once per side
+    # (Catalyst shares no subtree across a self-join — the q65
+    # lesson). Eager: the two probe joins build concurrently inside
+    # one action, so a lazy pin could race both into computing it.
     sh = staged.select(
         "_vid", shingles_from_tokens(F.col("_toks"), k).alias("_sh")
-    )
+    ).localCheckpoint()
     a = sh.select(F.col("_vid").alias("doc_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col("_vid").alias("doc_b"), F.col("_sh").alias("_sh_b"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
@@ -955,8 +970,9 @@ def containment_pairs(
     chain over a small parquet scan is cheaper than one cache write +
     five cache reads; contrast lm.bigram_novelty, where the cached
     frame feeds cheap consumers and persist wins)."""
-    posting = shingle_posting(df, text_col, id_col, block_cols, k)
-    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    posting = shingle_posting(
+        df, text_col, id_col, block_cols, k, with_size=True
+    )
     joinable = posting
     if max_df is not None:
         hot = (
@@ -966,6 +982,12 @@ def containment_pairs(
             .select(*block_cols, "shingle")
         )
         joinable = posting.join(hot, [*block_cols, "shingle"], "left_anti")
+    # per-doc set sizes ride the posting as a carried long
+    # (shingle_posting with_size=True) so BOTH directions' n_a come
+    # out of the one aggregate — the old sizes frame re-ran the whole
+    # shingle pipeline and joined the (2×pairs)-row directed frame
+    # back on doc_a (one more exchange of the pair frame). The extra
+    # group keys are functionally dependent on the doc ids.
     inter = (
         joinable.alias("l")
         .join(
@@ -977,34 +999,33 @@ def containment_pairs(
             ],
         )
         .groupBy(
-            F.col("l.doc_id").alias("doc_lo"), F.col("r.doc_id").alias("doc_hi")
+            F.col("l.doc_id").alias("doc_lo"),
+            F.col("r.doc_id").alias("doc_hi"),
+            F.col("l.n_sh").alias("n_lo"),
+            F.col("r.n_sh").alias("n_hi"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     # both directions from the single undirected intersection count —
     # a row-local explode, never a re-execution of the join subtree
-    directed = inter.select(
+    with_sizes = inter.select(
         F.explode(
             F.array(
                 F.struct(
                     F.col("doc_lo").alias("doc_a"),
                     F.col("doc_hi").alias("doc_b"),
                     F.col("inter").alias("inter"),
+                    F.col("n_lo").alias("n_a"),
                 ),
                 F.struct(
                     F.col("doc_hi").alias("doc_a"),
                     F.col("doc_lo").alias("doc_b"),
                     F.col("inter").alias("inter"),
+                    F.col("n_hi").alias("n_a"),
                 ),
             )
         ).alias("p")
-    ).select("p.doc_a", "p.doc_b", "p.inter")
-    with_sizes = directed.join(
-        sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-            "n_sh", "n_a"
-        ),
-        "doc_a",
-    )
+    ).select("p.doc_a", "p.doc_b", "p.inter", "p.n_a")
     return with_sizes.select(
         "doc_a",
         "doc_b",

@@ -2073,8 +2073,16 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: components only exist for documents that appear in a
     similarity pair (sparse by construction), so the components frame
     is small relative to the corpus and the label join broadcasts or
-    AQE-shuffles cheaply; the keep choice is a window over cluster_id —
-    fine-grained keys, every core busy.
+    AQE-shuffles cheaply; the keep window runs ONLY over the clustered
+    subset (comp-sized). Documents outside the component frame are
+    singletons by construction (their cluster_id is their own doc_id,
+    which can never equal a component label — labels are minima over
+    comp members), so their keep decision is the literal True and
+    they ride a broadcast anti-join branch that never crosses an
+    exchange — at 100 TB the corpus-wide cluster_id window of the
+    literal oracle transcription would shuffle every document to
+    decide a column that is constant for all but the dup-pair
+    minority.
 
     Pair source: this query deliberately keeps the oracle-simple
     n-gram-Jaccard posting join (max_df-capped) so the whole
@@ -2093,19 +2101,40 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, "doc_a", "doc_b").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
-    labeled = docs.select("doc_id", "n_chars").join(comp, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-        "n_chars",
-    )
+    return _resolve_keep(docs, comp)
+
+
+def _resolve_keep(docs: DataFrame, comp: DataFrame) -> DataFrame:
+    """Shared q93/q96 keep/drop resolution with the singleton split
+    (see the q93 docstring's scale-shape paragraph): the per-cluster
+    window runs over the comp-sized clustered subset only; documents
+    outside comp are singletons whose keep is the literal True — both
+    join branches broadcast the sparse comp frame, so the corpus
+    never crosses an exchange. The broadcast is count-gated (the
+    pagerank_integer broadcast_vertices posture) because the comp
+    frame is RDD-backed (driver union-find labels) with unknown
+    stats: without the hint the anti join plans as a corpus-shuffling
+    SortMergeJoin, with an unconditional hint a giant dup-heavy comp
+    could not fall back. The count is driver-cheap — on the
+    small-graph path comp is already driver-local data."""
+    hint = F.broadcast if comp.count() <= 5_000_000 else (lambda df: df)
+    comp = hint(comp)
+    base = docs.select("doc_id", "n_chars")
+    clustered = base.join(comp, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
-    return labeled.select(
+    kept = clustered.select(
         "doc_id",
         "cluster_id",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+    singles = base.join(comp.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        F.lit(True).alias("keep"),
+    )
+    return kept.unionByName(singles)
 
 
 # ---------------------------------------------------------------------------
@@ -2180,19 +2209,9 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(verified, "doc_a", "doc_b").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
-    labeled = docs.select("doc_id", "n_chars").join(comp, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-        "n_chars",
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
-    )
-    return labeled.select(
-        "doc_id",
-        "cluster_id",
-        (F.row_number().over(w) == 1).alias("keep"),
-    )
+    # same singleton split as q93 (see _resolve_keep): the keep window
+    # touches only the comp-sized clustered subset
+    return _resolve_keep(docs, comp)
 
 
 # ---------------------------------------------------------------------------

@@ -831,8 +831,19 @@ def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-find finish (operators/graph); both argmins ride ONE
     per-cluster aggregate via lexicographic struct-min — min(doc_id,
     n_chars) and min(−n_chars, doc_id) — no per-cluster window, no
-    second shuffle. Both engines compare structs lexicographically,
-    and doc_id uniqueness makes every pick deterministic."""
+    second shuffle.  The HAVING ≥ 2 makes the oracle's full-corpus
+    left join dead weight in the plan: a document outside the
+    component frame forms a singleton group (cluster_id = its own
+    doc_id, which can never collide with a component label — labels
+    are minima OVER component members, all of which are in comp), so
+    every surviving group consists exactly of one component's
+    members.  The Spark plan therefore INNER-joins the comp frame
+    (sparse — only docs appearing in a verified pair) to the corpus
+    for n_chars and aggregates the comp-sized result: the corpus
+    never crosses an exchange (comp broadcasts), where the literal
+    transcription shuffled every document through the groupBy.  Both
+    engines compare structs lexicographically, and doc_id uniqueness
+    makes every pick deterministic."""
     from ..operators.dedup import ngram_jaccard_pairs
     from ..operators.graph import connected_components
 
@@ -843,13 +854,12 @@ def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, "doc_a", "doc_b").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
-    labeled = docs.select("doc_id", "n_chars").join(
-        comp, "doc_id", "left"
-    ).select(
-        "doc_id",
-        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-        "n_chars",
-    )
+    # count-gated broadcast hint (the corpus_queries._resolve_keep
+    # posture): the RDD-backed comp frame has no stats, so the planner
+    # would otherwise pick the corpus as the build side (or shuffle it)
+    if comp.count() <= 5_000_000:
+        comp = F.broadcast(comp)
+    labeled = docs.select("doc_id", "n_chars").join(comp, "doc_id")
     pc = (
         labeled.groupBy("cluster_id")
         .agg(

@@ -1257,9 +1257,13 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     Item counts and the basket total are dimension-sized; lift is one
     IEEE division of exact integer products."""
     li = load_table(spark, sf_dir, "lineitem")
+    # pinned: the distinct basket frame feeds FOUR consumers (item
+    # counts, the basket total, and both self-join sides) — unpinned,
+    # the lineitem scan + distinct exchange ran once per consumer
+    # (the q268 basket-frame posture)
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
+    ).distinct().localCheckpoint()
     pc = items.groupBy("part").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     nb = items.agg(F.countDistinct("okey").alias("n_baskets"))
     pairs = (
@@ -1520,16 +1524,21 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(verified, "doc_a", "doc_b").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
-    labeled = (
-        docs.select("doc_id")
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-        )
-    )
+    # Singleton split (the q93/q96 _resolve_keep shape): a document
+    # outside comp is a singleton by construction (its cluster_id is
+    # its own doc_id, never a component label), so its cluster_size is
+    # the literal 1 and its split hashes its own id — that branch is a
+    # broadcast anti-join that never crosses an exchange, and the
+    # count window runs over the comp-sized clustered subset only
+    # instead of shuffling the whole corpus by cluster_id.
+    # count-gated broadcast hint, as in corpus_queries._resolve_keep:
+    # the RDD-backed comp frame has no stats, so without the hint the
+    # anti join plans as a corpus-shuffling SortMergeJoin
+    hint = F.broadcast if comp.count() <= 5_000_000 else (lambda df: df)
+    comp = hint(comp)
+    base = docs.select("doc_id")
     w = Window.partitionBy("cluster_id")
-    return labeled.select(
+    clustered = base.join(comp, "doc_id").select(
         "doc_id",
         "cluster_id",
         split_assign(
@@ -1537,6 +1546,15 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("split"),
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
     )
+    singles = base.join(comp.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        split_assign(
+            F.col("doc_id"), _Q167_WEIGHTS, salt=_Q167_SALT
+        ).alias("split"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return clustered.unionByName(singles)
 
 
 # ---------------------------------------------------------------------------
@@ -2239,9 +2257,14 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs, sorted_neighborhood_pairs
 
     docs = load_table(spark, sf_dir, "documents")
+    # pinned: truth feeds its own count AND the caught join — each
+    # consumer would otherwise re-run the whole posting self-join
+    # subtree (64 Exchanges / 22 scans before); the pinned frame is
+    # the id-pair list, tiny relative to the corpus
     truth = (
         ngram_jaccard_pairs(docs, k=3, threshold=_Q175_TAU)
         .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     cand = sorted_neighborhood_pairs(
         docs, block_cols=("lang",), k=3, window=5
@@ -2250,15 +2273,20 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("doc_a", "doc_b").alias("doc_b"),
     )
     nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    caught = cand.join(truth, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_caught")
+    # ONE pass over the candidate frame yields both its total and the
+    # caught count (left join against the pinned truth, count the
+    # hits) — the old shape ran the sorted-neighborhood subtree once
+    # per consumer. Truth pairs are distinct by construction (one row
+    # per unordered pair), so the left join never fans out a
+    # candidate row and count(*) stays the candidate total.
+    hit = truth.withColumn("_t", F.lit(1))
+    cand_counts = cand.join(hit, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.count("_t").cast("long").alias("n_caught"),
     )
     counts = (
-        nd.crossJoin(
-            cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        )
+        nd.crossJoin(cand_counts)
         .crossJoin(truth.agg(F.count(F.lit(1)).cast("long").alias("n_true")))
-        .crossJoin(caught)
         .withColumn(
             "n_possible",
             F.expr("n_docs * (n_docs - 1) div 2").cast("long"),

@@ -587,19 +587,37 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
     m = F.col("m")
-    tot = labeled.agg(
-        cnt(m).alias("nm"),
-        cnt(~m).alias("nu"),
-        cnt(m & F.col("ag_lang")).alias("nm_lang"),
-        cnt(~m & F.col("ag_lang")).alias("nu_lang"),
-        cnt(m & F.col("ag_len")).alias("nm_len"),
-        cnt(~m & F.col("ag_len")).alias("nu_len"),
-        cnt(m & F.col("ag_tok")).alias("nm_tok"),
-        cnt(~m & F.col("ag_tok")).alias("nu_tok"),
-    )
+    # pinned: pat (≤2³ rows) feeds the output AND the tot marginals
+    # below — unpinned, the candidate+truth join subtree would run
+    # once per consumer
     pat = labeled.groupBy("ag_lang", "ag_len", "ag_tok").agg(
         cnt(m).alias("n_match"),
         cnt(~m).alias("n_unmatch"),
+    ).localCheckpoint()
+    # the m/u totals are exact MARGINALS of the ≤2³-row pattern table
+    # (each labeled row lands in exactly one pattern group, and every
+    # tot counter conditions only on m and the group keys), so they
+    # fold out of `pat` instead of a SECOND full aggregate over
+    # `labeled` — the old twin-aggregate form re-executed the entire
+    # candidate+truth join subtree (66 Exchanges / 28 scans before).
+    # Boolean-NULL parity: cnt(m & ag_x) skips NULL-ag rows exactly as
+    # summing n_match over ag_x = TRUE groups does.
+    def marg(flag: str, src: str):
+        # otherwise(0), so an all-false flag yields 0 like the old
+        # cnt() form, never a NULL that would poison the ratios
+        return F.sum(
+            F.when(F.col(flag), F.col(src)).otherwise(F.lit(0))
+        ).cast("long")
+
+    tot = pat.agg(
+        F.sum("n_match").cast("long").alias("nm"),
+        F.sum("n_unmatch").cast("long").alias("nu"),
+        marg("ag_lang", "n_match").alias("nm_lang"),
+        marg("ag_lang", "n_unmatch").alias("nu_lang"),
+        marg("ag_len", "n_match").alias("nm_len"),
+        marg("ag_len", "n_unmatch").alias("nu_len"),
+        marg("ag_tok", "n_match").alias("nm_tok"),
+        marg("ag_tok", "n_unmatch").alias("nu_tok"),
     )
 
     def ratio(field: str):

@@ -3563,10 +3563,14 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrk = Window.partitionBy("p").orderBy(
         F.col("n_items").desc(), F.col("s").asc()
     )
+    # pinned: the capped frame feeds BOTH sides of the wedge self-join
+    # (Catalyst shares no subtree across a self-join, so the lineitem
+    # rollup + per-part window ran twice — the q224 posture)
     capped = (
         ps.withColumn("rk", F.row_number().over(wrk))
         .filter(F.col("rk") <= _Q224_CAP)
         .select("p", "s")
+        .localCheckpoint()
     )
     a, b = capped.alias("a"), capped.alias("b")
     edges = (
@@ -3576,13 +3580,32 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_sup") >= _Q224_SUPPORT)
         .select("s1", "s2")
     )
+    # undirected doubling as a row-local explode of ONE edge row — a
+    # union of two selects would re-execute the whole self-join
+    # subtree per branch (the containment_pairs directed-pair rule)
     und = edges.select(
-        F.col("s1").alias("v"), F.col("s2").alias("w")
-    ).unionAll(edges.select(F.col("s2").alias("v"), F.col("s1").alias("w")))
+        F.explode(
+            F.array(
+                F.struct(F.col("s1").alias("v"), F.col("s2").alias("w")),
+                F.struct(F.col("s2").alias("v"), F.col("s1").alias("w")),
+            )
+        ).alias("e")
+    ).select("e.v", "e.w")
     lab = sup.select(
         F.col("s_suppkey").alias("v"),
         F.col("s_nationkey").cast("long").alias("nation"),
     )
+    # ONE aggregate produces degree, majority pick and the same-nation
+    # count: the oracle's window + two joins back onto msg re-executed
+    # the whole edge subtree once per consumer (the plan carried three
+    # copies of the capped self-join — 62 Exchanges / 22 scans before).
+    # Equivalences: row_number()=1 over (c desc, nb_nation asc) is
+    # max_by over the (c, -nb_nation) struct (nb_nation is unique per
+    # (v, nb_nation) group, so the pick is deterministic); degree is
+    # the plain sum; the left self-join for n_same is the conditional
+    # sum over the own-nation bucket (no matching bucket → 0, matching
+    # COALESCE). lab joins BEFORE the per-node rollup — supplier is
+    # dimension-sized, so the join broadcasts and adds no exchange.
     msg = (
         und.join(
             lab.select(F.col("v").alias("w"), F.col("nation").alias("nb_nation")),
@@ -3591,32 +3614,20 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v", "nb_nation")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    wv = Window.partitionBy("v")
-    ranked_msg = msg.select(
-        "v",
-        "nb_nation",
-        "c",
-        F.row_number()
-        .over(wv.orderBy(F.col("c").desc(), F.col("nb_nation").asc()))
-        .alias("rk"),
-        F.sum("c").over(wv).cast("long").alias("degree"),
-    )
     own = (
-        ranked_msg.filter(F.col("rk") == 1)
-        .join(lab, "v")
-        .join(
-            msg.select(
-                "v", F.col("nb_nation").alias("nation"), F.col("c").alias("n_same")
-            ),
-            ["v", "nation"],
-            "left",
-        )
-        .select(
-            "v",
-            "nation",
-            "degree",
-            F.coalesce("n_same", F.lit(0)).cast("long").alias("n_same"),
-            F.col("nb_nation").alias("majority_nation"),
+        msg.join(lab, "v")
+        .groupBy("v", "nation")
+        .agg(
+            F.sum("c").cast("long").alias("degree"),
+            F.max_by(
+                "nb_nation", F.struct(F.col("c"), (-F.col("nb_nation")))
+            ).alias("majority_nation"),
+            F.coalesce(
+                F.sum(F.when(F.col("nb_nation") == F.col("nation"), F.col("c"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_same"),
         )
     )
     return own.select(

@@ -3361,9 +3361,13 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
+    # pinned: the |labels|-row sizes frame is broadcast TWICE (into
+    # the reference filter and the final output join) — each
+    # BroadcastExchange otherwise re-runs the embeddings scan +
+    # aggregate to rebuild the relation
     sizes = v.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
-    )
+    ).localCheckpoint()
     pairs = _q299_pairs(v, sizes)
     sums = pairs.groupBy("label", "i").agg(
         F.sum("d_nano").cast("long").alias("_s"),
