@@ -53,7 +53,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # (q108–q111, q113, q116–q119, q121–q124) leads the post-head
 # rotation and is the r13 target.
 _R12_HEAD = (
-    ("q335", "q339", "q341", "q342")
+    # (a0) the r12 OPTIMIZATION pass's changed plans — every query
+    # whose physical plan was restructured this round (posting size
+    # carry, singleton-split cluster resolution, duplicate-subtree
+    # pins, marginal-derived totals) re-proves before anything merely
+    # stale; each is already oracle-green at sf0.01 AND in the full
+    # sf0.1 sweep locally
+    # (q26 and q349 are changed too but already sit in sections (b)
+    # and (d) below — listed once to keep the head duplicate-free)
+    (
+        "q55", "q65", "q71", "q93", "q96", "q123", "q127",
+        "q135", "q148", "q165", "q167", "q175", "q180", "q190",
+        "q192", "q220", "q244", "q248", "q299",
+    )
+    + ("q335", "q339", "q341", "q342")
     + tuple(f"q{n}" for n in range(344, 350))
     + tuple(f"q{n}" for n in range(84, 92))
     + ("q94", "q95")

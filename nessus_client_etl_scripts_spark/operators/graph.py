@@ -462,6 +462,10 @@ def triangle_counts(
     is exactly the candidate-pair pattern elsewhere in this engine:
     skew on a hub vertex is AQE-splittable because the join is a
     plain equi-join."""
+    # pinned: the canonical edge frame feeds THREE join sides (both
+    # wedge sides + the closing probe) — unpinned, the caller's whole
+    # edge-construction subtree and the distinct exchange ran once per
+    # side. Eager, because the sides build concurrently in one action.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -469,6 +473,7 @@ def triangle_counts(
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     wedges = (
         e.alias("e1")

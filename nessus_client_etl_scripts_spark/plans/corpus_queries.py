@@ -1664,7 +1664,11 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     posting = shingle_posting(docs, block_cols=("source",), k=3)
-    src_sh = posting.select("source", "shingle").distinct()
+    # pinned: the distinct (source, shingle) frame feeds THREE
+    # consumers (sizes + both self-join sides) — unpinned, the whole
+    # tokenize+shingle+distinct pipeline ran once per consumer
+    src_sh = posting.select("source", "shingle").distinct() \
+        .localCheckpoint()
     sizes = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     left = src_sh.alias("l")
     right = src_sh.alias("r")

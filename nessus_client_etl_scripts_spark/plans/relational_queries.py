@@ -1422,9 +1422,13 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = _group_median(docs, "n_chars", "med")
+    # pinned lazily (the q207 posture): dev feeds the MAD median
+    # kernel (whose driver-side passes would otherwise re-run the
+    # scan + med broadcast build per job) AND the final outlier
+    # filter; the kernel's first full-scan pass materializes it
     dev = docs.join(F.broadcast(med), "lang").withColumn(
         "dev", F.abs(F.col("n_chars") - F.col("med"))
-    )
+    ).localCheckpoint(eager=False)
     mad = _group_median(dev.select("lang", "doc_id", "dev"), "dev", "mad")
     return (
         dev.join(F.broadcast(mad), "lang")

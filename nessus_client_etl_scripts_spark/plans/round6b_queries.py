@@ -291,10 +291,12 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.triangle_counts — see docstring for the
     degree-ordered variant at skew)."""
     ev = load_table(spark, sf_dir, "events")
+    # pinned: ui feeds both sides of the co-interaction self-join —
+    # unpinned, the events scan + JSON extract + distinct ran twice
     ui = ev.select(
         "user_id",
         F.get_json_object("props", "$.k").cast("long").alias("item"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     co = (
         ui.alias("l")
         .join(
@@ -309,6 +311,8 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.graph import triangle_counts
 
+    # co itself is single-consumer here: triangle_counts pins its
+    # canonical edge frame before fanning it out to three join sides
     return triangle_counts(co)
 
 

@@ -1695,11 +1695,21 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1000000.0) * score).cast("long").alias("vm"),
         "split",
     )
-    cal = (
-        labeled.filter(F.col("split") != "test")
-        .groupBy("vm")
+    # ONE corpus pass serves both splits: group by (vm, is_test) and
+    # split the value-domain-sized grouped frame afterwards — the old
+    # shape ran the scan + tokenize + score subtree once for the
+    # calibration rollup and once for the test rollup. For a fixed vm
+    # each is_test bucket is one group, so the filtered selects are
+    # already per-vm unique. Pinned eagerly: cal feeds the prefix-sums
+    # kernel (its own driver jobs) and test feeds two consumers.
+    g = (
+        labeled.groupBy(
+            "vm", (F.col("split") == "test").alias("is_test")
+        )
         .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
     )
+    cal = g.filter(~F.col("is_test")).select("vm", "cnt")
     cum = scalable_prefix_sums(cal, ("vm",), val_cols=("cnt",), pin=True)
     ncal = cum.agg(F.sum("cnt").cast("long").alias("n_cal"))
     alphas = F.explode(
@@ -1717,12 +1727,7 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("alpha_pct", "n_cal", "k")
         .agg(F.min("vm").alias("t_micro"))
     )
-    test = (
-        labeled.filter(F.col("split") == "test")
-        .groupBy("vm")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint()  # two consumers: total + the coverage read
-    )
+    test = g.filter(F.col("is_test")).select("vm", "cnt")
     ntest = test.agg(F.sum("cnt").cast("long").alias("n_test"))
     cov = (
         test.crossJoin(F.broadcast(th))
@@ -2041,10 +2046,12 @@ def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_counts
 
     ev = load_table(spark, sf_dir, "events")
+    # pinned: ui feeds both sides of the co-interaction self-join
+    # (the q135 posture)
     ui = ev.select(
         "user_id",
         F.get_json_object("props", "$.k").cast("long").alias("item"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     co = (
         ui.alias("l")
         .join(

@@ -892,14 +892,29 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmp = cmp_parts[0]
     for part in cmp_parts[1:]:
         cmp = cmp.unionAll(part)
-    wins = cmp.groupBy(F.col("wsrc").alias("item")).agg(
-        F.count(F.lit(1)).cast("long").alias("wins")
+    # ONE corpus-sized aggregate, pinned: wins and the unordered pair
+    # matrix are both MARGINALS of the (wsrc, lsrc) directed pair
+    # counts (≤|items|² rows). The previous shape aggregated the
+    # 3-offset comparison union separately per consumer, and the
+    # unrolled MM iterations then re-inlined that whole lineage once
+    # per broadcast side per round — the plan carried 294 scans of the
+    # documents table for K=2. Now the corpus is read three times
+    # (once per offset join side pair), everything downstream reads
+    # dimension-sized pins.
+    pair_counts = cmp.groupBy("wsrc", "lsrc").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint()
+    wins = pair_counts.groupBy(F.col("wsrc").alias("item")).agg(
+        F.sum("c").cast("long").alias("wins")
     )
-    n = cmp.groupBy(
+    n = pair_counts.groupBy(
         F.least("wsrc", "lsrc").alias("a"),
         F.greatest("wsrc", "lsrc").alias("b"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    items = docs.select(F.col("source").alias("item")).distinct()
+    ).agg(F.sum("c").cast("long").alias("n"))
+    # pinned: items seeds p0, whose lineage both broadcast sides of
+    # every MM round reference
+    items = docs.select(F.col("source").alias("item")).distinct() \
+        .localCheckpoint()
     p = items.select("item", F.lit(1_000_000).cast("long").alias("p"))
 
     p_hist = []
@@ -924,6 +939,10 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("item")
             .agg(F.sum("t").cast("long").alias("s"))
         )
+        # pinned per round (the "K iterations = K tiny jobs" contract
+        # this docstring claims): unpinned, round k's two broadcast
+        # sides each re-execute round k-1's whole chain — exponential
+        # plan growth in K
         p = (
             s.join(F.broadcast(wins), "item", "left")
             .select(
@@ -935,6 +954,7 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("p"),
             )
+            .localCheckpoint()
         )
         p_hist.append(p)
 
@@ -3217,6 +3237,9 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
         F.col("o_orderkey").alias("k"),
     )
+    # pinned: the 1-row stats frame is broadcast into four consumers
+    # (width buckets, width frame, depth positions, final) — each
+    # BroadcastExchange otherwise re-runs the orders scan + aggregate
     st = c.agg(
         F.min("c").cast("long").alias("cmin"),
         F.max("c").cast("long").alias("cmax"),
@@ -3226,7 +3249,7 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("true_count"),
-    )
+    ).localCheckpoint()
     wbuck = (
         c.crossJoin(F.broadcast(st))
         .groupBy(
@@ -3261,23 +3284,33 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"((b + 1) * n) div {_Q244_B}").alias("hi_pos"),
         )
     )
-    lo_vals = ranked.join(
-        F.broadcast(dpos.select("b", F.col("lo_pos").alias("rn"))), "rn"
-    ).select("b", F.col("c").alias("lo"))
-    hi_vals = ranked.join(
-        F.broadcast(dpos.select("b", F.col("hi_pos").alias("rn"))), "rn"
-    ).select("b", F.col("c").alias("hi"))
-    dframe = (
-        lo_vals.join(hi_vals, "b")
-        .join(F.broadcast(dpos), "b")
-        .select(
-            "b",
-            (F.col("hi_pos") - F.col("lo_pos") + 1)
-            .cast("long")
-            .alias("cb"),
-            "lo",
-            "hi",
+    # ONE probe join instead of two: melt (lo_pos, hi_pos) into 2·B
+    # tagged position rows and pivot back after the join — the old
+    # two-probe form re-executed the whole range-exchange rank subtree
+    # once per boundary side. rn is unique, so each max(when) reads
+    # exactly one row.
+    pos = dpos.select(
+        "b",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lo").alias("w"), F.col("lo_pos").alias("rn")),
+                F.struct(F.lit("hi").alias("w"), F.col("hi_pos").alias("rn")),
+            )
+        ).alias("p"),
+    ).select("b", "p.w", "p.rn")
+    bounds = (
+        ranked.join(F.broadcast(pos), "rn")
+        .groupBy("b")
+        .agg(
+            F.max(F.when(F.col("w") == "lo", F.col("c"))).alias("lo"),
+            F.max(F.when(F.col("w") == "hi", F.col("c"))).alias("hi"),
         )
+    )
+    dframe = bounds.join(F.broadcast(dpos), "b").select(
+        "b",
+        (F.col("hi_pos") - F.col("lo_pos") + 1).cast("long").alias("cb"),
+        "lo",
+        "hi",
     )
     dest = dframe.agg(
         F.lit("depth").alias("histogram"),
