@@ -74,11 +74,20 @@ def bm25_scores(
 
         return F.size(F.filter(F.col("toks"), eq)).alias(f"tf_{i}")
 
+    # Pin the tokenized projection: `lens` feeds BOTH the stats
+    # aggregate and the scoring pass, and unpinned each consumer
+    # re-ran normalize+tokenize over the corpus (the expensive text
+    # work — everything downstream is integer algebra on 2+|Q| narrow
+    # columns). Lazy: the stats aggregate is always a full scan, so
+    # it materializes the checkpoint inside its own job; the pin sits
+    # on the spread (or raw-scan) partitioning, never on an
+    # AQE-coalesced exchange, so downstream parallelism is preserved
+    # (the q161 counter-case does not apply).
     lens = staged.select(
         "doc_id",
         F.size("toks").alias("dl"),
         *[_tf_col(i, t) for i, t in enumerate(terms)],
-    )
+    ).localCheckpoint(eager=False)
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),

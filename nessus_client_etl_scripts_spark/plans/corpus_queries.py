@@ -3505,10 +3505,18 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("neg_div", -F.col("diversity"))
     )
-    c = scalable_cumsum(t, ("neg_div", "doc_id"), "n_tokens", out_col="cum_tokens")
-    total = t.agg(F.sum("n_tokens").alias("total"))
+    # grand total as a literal (total_col) — the separate t.agg(sum)
+    # subtree re-ran the quality filter + dedup semi-join + tokenize
+    # once more per execution, plus a 1-row broadcast join
+    c = scalable_cumsum(
+        t,
+        ("neg_div", "doc_id"),
+        "n_tokens",
+        out_col="cum_tokens",
+        total_col="total",
+    )
     sel = (
-        c.join(F.broadcast(total))
+        c
         .filter(
             (F.col("cum_tokens") - F.col("n_tokens"))
             < F.lit(_Q112_FRAC) * F.col("total")

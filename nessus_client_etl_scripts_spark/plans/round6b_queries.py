@@ -1204,6 +1204,11 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_estimate_pairs, verify_pairs_jaccard
 
     docs = load_table(spark, sf_dir, "documents")
+    # NOTE (r12 opt round): minhash_estimate_pairs already returns an
+    # eagerly checkpointed frame (its "released after an eager cut"
+    # contract), so both consumers below (verify's candidate list and
+    # the calibration join) read ONE materialization — a second pin
+    # here measured as pure overhead (+1 job) and was dropped.
     est = minhash_estimate_pairs(docs, family="md5")
     exact = verify_pairs_jaccard(
         docs, est.select("doc_a", "doc_b"), k=3, threshold=0.0

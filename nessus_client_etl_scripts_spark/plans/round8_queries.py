@@ -713,7 +713,7 @@ def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped_row_number's two-phase range exchange — NO single-
     partition global window, the q204/q40 rule; the schedule of a
     trillion-document mix sorts across all executors."""
-    from ..operators.windows import grouped_row_number
+    from ..operators.windows import grouped_row_number, scalable_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
@@ -734,9 +734,12 @@ def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("((2 * src_rank - 1) * 12) div w")
         .cast("long")
         .alias("ikey"),
-    ).withColumn("_g", F.lit(1))
-    sched = grouped_row_number(
-        k, "_g", ("ikey", "source", "doc_id"), out_col="pos"
+    )
+    # global order is ONE group (the q204 rule): scalable_row_number
+    # drops grouped_row_number's per-group offsets aggregate, its
+    # metadata window and the second broadcast join for a constant key
+    sched = scalable_row_number(
+        k, ("ikey", "source", "doc_id"), out_col="pos"
     )
     return sched.select(
         "doc_id",

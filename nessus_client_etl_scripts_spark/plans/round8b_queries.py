@@ -4517,35 +4517,64 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation",
         )
     }
-    arms = []
-    for fk, pk in _Q310_PAIRS:
+    # r12 opt round: the per-arm shape (two distinct subtrees, each
+    # consumed TWICE — count + join probe — plus three scalar aggs and
+    # two 1-row cross joins, × 6 arms) ran 59 jobs/pass and scanned
+    # lineitem/orders once per referencing arm.  Rewritten as the q309
+    # single-pass flags pattern: every (pair, key, side) use melts into
+    # one tagged stream (each table scanned ONCE, row-local explode of
+    # ≤3 narrow structs), one map-side-combinable groupBy(pair_id, k)
+    # computes the side flags, and one census aggregate per pair yields
+    # all three counts.  NULL keys: max-flag grouping counts a NULL key
+    # as one distinct value per side (exactly what distinct()+count did)
+    # but must NOT count it as common (the old inner join dropped it) —
+    # hence the isNotNull guard on n_common only.
+    from collections import defaultdict
+
+    uses: dict[str, list[tuple[int, str, bool]]] = defaultdict(list)
+    for i, (fk, pk) in enumerate(_Q310_PAIRS):
         ft, fc = fk.split(".")
         pt, pc = pk.split(".")
-        fks = tables[ft].select(F.col(fc).alias("k")).distinct()
-        pks = tables[pt].select(F.col(pc).alias("k")).distinct()
-        arms.append(
-            fks.agg(F.count(F.lit(1)).cast("long").alias("fk_distinct"))
-            .crossJoin(
-                pks.agg(
-                    F.count(F.lit(1)).cast("long").alias("pk_distinct")
-                )
+        uses[ft].append((i, fc, True))
+        uses[pt].append((i, pc, False))
+    parts = []
+    for t, us in uses.items():
+        structs = [
+            F.struct(
+                F.lit(i).alias("pair_id"),
+                F.col(c).cast("long").alias("k"),
+                F.lit(1 if is_fk else 0).alias("f"),
+                F.lit(0 if is_fk else 1).alias("p"),
             )
-            .crossJoin(
-                fks.join(pks, "k").agg(
-                    F.count(F.lit(1)).cast("long").alias("n_common")
-                )
-            )
-            .select(
-                F.lit(fk).alias("fk_col"),
-                F.lit(pk).alias("pk_col"),
-                "fk_distinct",
-                "pk_distinct",
-                "n_common",
+            for i, c, is_fk in us
+        ]
+        parts.append(
+            tables[t]
+            .select(F.explode(F.array(*structs)).alias("x"))
+            .select("x.pair_id", "x.k", "x.f", "x.p")
+        )
+    tagged = parts[0]
+    for q in parts[1:]:
+        tagged = tagged.unionByName(q)
+    flags = tagged.groupBy("pair_id", "k").agg(
+        F.max("f").alias("f"), F.max("p").alias("p")
+    )
+    census = flags.groupBy("pair_id").agg(
+        F.sum("f").cast("long").alias("fk_distinct"),
+        F.sum("p").cast("long").alias("pk_distinct"),
+        F.sum(
+            F.when(F.col("k").isNotNull(), F.col("f") * F.col("p")).otherwise(
+                0
             )
         )
-    panel = arms[0]
-    for a in arms[1:]:
-        panel = panel.unionByName(a)
+        .cast("long")
+        .alias("n_common"),
+    )
+    labels = spark.createDataFrame(
+        [(i, fk, pk) for i, (fk, pk) in enumerate(_Q310_PAIRS)],
+        "pair_id INT, fk_col STRING, pk_col STRING",
+    )
+    panel = census.join(F.broadcast(labels), "pair_id")
     return panel.selectExpr(
         "fk_col",
         "pk_col",
