@@ -66,6 +66,13 @@ _R12_HEAD = (
         "q135", "q148", "q165", "q167", "q175", "q180", "q190",
         "q192", "q220", "q244", "q248", "q299",
     )
+    # session-4 changed plans (BM25 token-frame pin and riders, q112
+    # kernel total, q219 constant-group rank, q310 single-pass melt,
+    # shared-scan delta view q171, lm/sketch operator pins q168/q169/
+    # q149, multi-consumer pins q241/q275/q315/q221, q291 kernel total)
+    + ("q112", "q132", "q133", "q173", "q219", "q265", "q310")
+    + ("q171", "q168", "q169", "q241", "q149", "q275", "q291",
+       "q221", "q315")
     + ("q335", "q339", "q341", "q342")
     + tuple(f"q{n}" for n in range(344, 350))
     + tuple(f"q{n}" for n in range(84, 92))

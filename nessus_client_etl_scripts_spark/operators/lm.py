@@ -420,10 +420,15 @@ def bigram_lm_score(
     vocab, scoring join), and each unpinned scan re-runs the
     tokenize+explode pipeline (the two-consumer recompute==cache
     finding from bigram_novelty does not extend to three)."""
+    # staged is pinned EAGERLY: it feeds the posting (below) and the
+    # vocab aggregate, which build as concurrent stages of the final
+    # action — a lazy pin could be materialized twice under that
+    # concurrency (the graph.py `large`-frame rule), and eager keeps
+    # normalize+tokenize to exactly ONE corpus pass.
     staged = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(normalize_text(text_col)).alias("toks"),
-    )
+    ).localCheckpoint()
     posting = (
         staged.select(
             "doc_id", bigrams_from_tokens(F.col("toks")).alias("bg")
@@ -523,42 +528,50 @@ def dsir_importance(
         "is_target",
         (_u48(F.col("w"), salt) % F.lit(buckets)).alias("b"),
     )
-    src = words.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cnt_s"))
-    tgt = (
-        words.filter("is_target")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt_t"))
+    # r12 opt round: src/tgt/totals each re-ran the tokenize + explode
+    # + hash pipeline (`words` had FOUR consumers).  The per-document
+    # histogram — keyed (doc_id, is_target, b); is_target is
+    # functionally dependent on doc_id so the groups are unchanged —
+    # is now the ONLY corpus-sized pass, pinned eagerly (its two
+    # consumers build as concurrent stages), and every corpus
+    # statistic is a marginal of it: the per-bucket source/target
+    # counts sum `c` (conditionally for the target side — a bucket
+    # with no target tokens yields 0 where the old left join yielded
+    # NULL, identical after the +1 smoothing's coalesce), and n_s/n_t
+    # are the bucket table's own sums, so the ratio table costs two
+    # ≤B-row aggregates instead of two more corpus scans.
+    hist = (
+        words.groupBy("doc_id", "is_target", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
     )
-    totals = words.agg(
-        F.count(F.lit(1)).cast("long").alias("n_s"),
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+    bucket = hist.groupBy("b").agg(
+        F.sum("c").cast("long").alias("cnt_s"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0))
         .cast("long")
-        .alias("n_t"),
+        .alias("cnt_t"),
     )
-    ratio = (
-        src.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            F.round(
-                F.lit(1000000.0)
-                * (
-                    (
-                        (F.coalesce("cnt_t", F.lit(0)) + F.lit(1))
-                        * (F.col("n_s") + F.lit(buckets))
-                    ).cast("double")
-                    / (
-                        (F.col("cnt_s") + F.lit(1))
-                        * (F.col("n_t") + F.lit(buckets))
-                    ).cast("double")
-                )
+    totals = bucket.agg(
+        F.sum("cnt_s").cast("long").alias("n_s"),
+        F.sum("cnt_t").cast("long").alias("n_t"),
+    )
+    ratio = bucket.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.lit(1000000.0)
+            * (
+                (
+                    (F.col("cnt_t") + F.lit(1))
+                    * (F.col("n_s") + F.lit(buckets))
+                ).cast("double")
+                / (
+                    (F.col("cnt_s") + F.lit(1))
+                    * (F.col("n_t") + F.lit(buckets))
+                ).cast("double")
             )
-            .cast("long")
-            .alias("r_micro"),
         )
-    )
-    hist = words.groupBy("doc_id", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+        .cast("long")
+        .alias("r_micro"),
     )
     return (
         hist.join(F.broadcast(ratio), "b")

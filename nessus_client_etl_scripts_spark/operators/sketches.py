@@ -454,28 +454,45 @@ def cm_join_size_estimate(
     exact companion join is computed alongside for calibration (it
     is the thing a production planner does NOT have; here it keeps
     the estimator honest, the q148 pattern)."""
-    def cells(df: DataFrame, col: str) -> DataFrame:
-        v = F.col(col).cast("string")
+    # r12 opt round: the sketch cells and the exact-side key counts
+    # both reduce over the same key space, so each input is scanned
+    # ONCE into a per-key count frame (pinned — it feeds the cell
+    # aggregate and the exact join as concurrent stages) and the
+    # ≤depth×width cell table derives from it: cnt(j, cell) is the sum
+    # of per-key counts over keys hashing to the cell — identical by
+    # associativity to counting raw rows. NULL keys group to a NULL
+    # cell either way and are dropped by both inner joins.
+    def keyed(df: DataFrame, col: str) -> DataFrame:
         return (
-            df.select(
+            df.groupBy(F.col(col).cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint()
+        )
+
+    def cells(kf: DataFrame) -> DataFrame:
+        return (
+            kf.select(
+                "cnt",
                 F.explode(
                     F.array(
                         *[
                             F.struct(
                                 F.lit(j).alias("j"),
-                                _cm_hash(j, v, width).alias("cell"),
+                                _cm_hash(j, F.col("k"), width).alias("cell"),
                             )
                             for j in range(depth)
                         ]
                     )
-                ).alias("jc")
+                ).alias("jc"),
             )
             .groupBy(F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum("cnt").alias("cnt"))
         )
 
-    ca = cells(a, a_col)
-    cb = cells(b, b_col)
+    fa = keyed(a, a_col)
+    fb = keyed(b, b_col)
+    ca = cells(fa)
+    cb = cells(fb)
     per_row = (
         ca.alias("x")
         .join(
@@ -491,16 +508,14 @@ def cm_join_size_estimate(
     est = per_row.agg(
         F.coalesce(F.min("ip"), F.lit(0)).cast("long").alias("cm_estimate")
     )
-    fa = a.groupBy(F.col(a_col).cast("string").alias("k")).agg(
-        F.count(F.lit(1)).alias("na")
-    )
-    fb = b.groupBy(F.col(b_col).cast("string").alias("k")).agg(
-        F.count(F.lit(1)).alias("nb")
-    )
-    exact = fa.join(fb, "k").agg(
-        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
-        .cast("long")
-        .alias("exact_size")
+    exact = (
+        fa.select("k", F.col("cnt").alias("na"))
+        .join(fb.select("k", F.col("cnt").alias("nb")), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+            .cast("long")
+            .alias("exact_size")
+        )
     )
     return exact.crossJoin(est).select(
         "exact_size",

@@ -1856,41 +1856,54 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    def view(l, o):
-        return (
-            l.join(o, l["l_orderkey"] == o["o_orderkey"])
-            .groupBy("o_orderpriority")
-            .agg(
-                F.sum("rev").alias("rev"),
-                F.count(F.lit(1)).cast("long").alias("n"),
-            )
-        )
+    # r12 opt round: the four view() calls each re-ran the
+    # lineitem ⋈ orders join (4 scans of each side, 4 join exchanges).
+    # The delta decomposition shares ONE join: each term (old, ΔL, ΔO)
+    # becomes a conditional-sum branch of a single aggregate, and inc
+    # is still computed as old + ΔL + ΔO — three separately-summed
+    # per-group DECIMAL terms added together (exact, so the delta-rule
+    # arithmetic is unchanged), never folded into sum(all). A group
+    # absent from a term sums to NULL → coalesce 0, exactly what the
+    # old union-of-absent-groups produced. At production scale the
+    # recurring increment runs the delta joins ALONE with pushed-down
+    # ingest-date predicates; this declared query's job is to prove
+    # the rule against the full recompute, which forces the full join
+    # anyway — sharing it is pure win.
+    both = li.join(od, li["l_orderkey"] == od["o_orderkey"])
+    is_old = ~F.col("new_l") & ~F.col("new_o")
+    is_dl = F.col("new_l")
+    is_do = ~F.col("new_l") & F.col("new_o")
 
-    full_v = view(li, od)
-    old_v = view(li.filter(~F.col("new_l")), od.filter(~F.col("new_o")))
-    d_l = view(li.filter(F.col("new_l")), od)
-    d_o = view(li.filter(~F.col("new_l")), od.filter(F.col("new_o")))
-    inc = (
-        old_v.unionByName(d_l)
-        .unionByName(d_o)
-        .groupBy("o_orderpriority")
-        .agg(F.sum("rev").alias("rev"), F.sum("n").alias("n"))
+    def branch(cond, tag):
+        return [
+            F.sum(F.when(cond, F.col("rev"))).alias(f"rev_{tag}"),
+            F.sum(F.when(cond, F.lit(1)).otherwise(0))
+            .cast("long")
+            .alias(f"n_{tag}"),
+        ]
+
+    g = both.groupBy("o_orderpriority").agg(
+        F.sum("rev").alias("rev_full"),
+        F.count(F.lit(1)).cast("long").alias("n_full"),
+        *branch(is_old, "old"),
+        *branch(is_dl, "dl"),
+        *branch(is_do, "do"),
     )
-    f, i = full_v.alias("f"), inc.alias("i")
-    return f.join(
-        i, F.col("f.o_orderpriority") == F.col("i.o_orderpriority"), "left"
-    ).select(
-        F.col("f.o_orderpriority").alias("o_orderpriority"),
-        F.col("f.n").alias("n_full"),
-        F.coalesce(F.col("i.n"), F.lit(0)).cast("long").alias("n_inc"),
-        F.col("f.rev").cast("double").alias("rev_full"),
-        F.coalesce(F.col("i.rev"), F.lit(0)).cast("double").alias("rev_inc"),
+    zero = F.lit(0).cast("decimal(24,4)")
+    inc_rev = (
+        F.coalesce(F.col("rev_old"), zero)
+        + F.coalesce(F.col("rev_dl"), zero)
+        + F.coalesce(F.col("rev_do"), zero)
+    )
+    inc_n = F.col("n_old") + F.col("n_dl") + F.col("n_do")
+    return g.select(
+        "o_orderpriority",
+        F.col("n_full"),
+        inc_n.cast("long").alias("n_inc"),
+        F.col("rev_full").cast("double").alias("rev_full"),
+        inc_rev.cast("double").alias("rev_inc"),
         (
-            (F.col("f.n") == F.coalesce(F.col("i.n"), F.lit(0)))
-            & (
-                F.col("f.rev")
-                == F.coalesce(F.col("i.rev"), F.lit(0).cast("decimal(12,2)"))
-            )
+            (F.col("n_full") == inc_n) & (F.col("rev_full") == inc_rev)
         ).alias("matches"),
     )
 

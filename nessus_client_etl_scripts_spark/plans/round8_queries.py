@@ -1048,8 +1048,13 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import grouped_row_number
 
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+    # r12 opt round: pinned eagerly — the |langs|-row count frame
+    # otherwise re-ran its corpus aggregate once per consumer (the tw
+    # total and the quota broadcast build)
+    n = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .localCheckpoint()
     )
     w = n.select(
         "lang",
@@ -2997,9 +3002,18 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_u48(F.col("source"), _Q241_SALT) % _Q241_K).alias("fold"),
         tokens(normalize_text("text")).alias("l"),
     )
-    folds = d.groupBy("fold").agg(
-        F.count_distinct("source").cast("long").alias("n_sources"),
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    # r12 opt round: `folds` feeds the final join AND the total (a
+    # second corpus aggregate), and `tg` feeds the spread aggregate
+    # AND the join back (a second run of the trigram explode +
+    # distinct). Both pin eagerly — folds is K rows; tg's consumers
+    # build as concurrent stages of one action (the graph.py rule).
+    folds = (
+        d.groupBy("fold")
+        .agg(
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .localCheckpoint()
     )
     tot = folds.agg(F.sum("n_docs").cast("long").alias("n"))
     tg = (
@@ -3019,6 +3033,7 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t"),
         )
         .distinct()
+        .localCheckpoint()
     )
     spread = tg.groupBy("t").agg(
         F.count(F.lit(1)).cast("long").alias("n_folds")

@@ -373,10 +373,19 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
     up to ~20 channels, beyond which the sampling estimator replaces
     the lattice join, same data-plane."""
     ev = load_table(spark, sf_dir, "events")
+    # r12 opt round: unpinned, `fp` ran twice inside conv (touched's
+    # probe + the left join), `conv` ran three times (the two v
+    # broadcasts and touched_per_channel) and `v` twice (the vs/vi
+    # broadcast sides) — 9 events scans per execution. All three pin
+    # eagerly: conv and v are ≤2^|channels| rows, fp is the per-user
+    # first-purchase frame consumed by two concurrent stages of one
+    # job (the graph.py rule). Events now scan exactly twice (fp +
+    # touched), the theoretical floor for this query.
     fp = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.min("ts").alias("fp_ts"))
+        .localCheckpoint()
     )
     bit = F.create_map(
         *[
@@ -401,6 +410,7 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.coalesce("mask", F.lit(0)).cast("long").alias("mask"))
         .groupBy("mask")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .localCheckpoint()
     )
     lattice = spark.range(16).select(F.col("id").cast("long").alias("S"))
     v = (
@@ -411,6 +421,7 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("S")
         .agg(F.coalesce(F.sum("n_users"), F.lit(0)).cast("long").alias("v"))
+        .localCheckpoint()
     )
     ch = spark.createDataFrame(
         list(_Q275_CHANNELS), "channel STRING, bit LONG"
@@ -2351,13 +2362,16 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
         "treated",
         F.coalesce("converted", F.lit(0)).alias("converted"),
     )
+    # r12 opt round: n as the kernel's driver-known total (total_col)
+    # — the max(rn) aggregate re-scanned the checkpointed stage and
+    # its broadcast rebuilt once per consuming action
     ranked = scalable_row_number(
         subj.withColumn("_neg_score", -F.col("score")),
         ("_neg_score", "user_id"),
         out_col="rn",
+        total_col="_n",
     )
-    n_frame = ranked.agg(F.max("rn").cast("long").alias("_n"))
-    bucketed = ranked.crossJoin(F.broadcast(n_frame)).select(
+    bucketed = ranked.select(
         F.expr("((rn - 1) * 10) div _n").alias("decile"),
         "treated",
         "converted",
@@ -5109,13 +5123,16 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rk") == F.expr(expr), F.col("y_cents"))
         ).cast("long")
 
+    # r12 opt round: pinned eagerly — the 2-row quantile frame feeds
+    # BOTH pivot arms below, and unpinned each arm re-ran the whole
+    # rollup + two-phase rank pipeline
     qs = ranked.groupBy("arm").agg(
         F.max("n").cast("long").alias("n"),
         pick("(n + 3) div 4").alias("p25"),
         pick("(n + 1) div 2").alias("p50"),
         pick("(3 * n + 3) div 4").alias("p75"),
         pick("(9 * n + 9) div 10").alias("p90"),
-    )
+    ).localCheckpoint()
     t = qs.filter(F.col("arm") == 1).select(
         F.col("n").alias("n_treated"),
         F.col("p25").alias("tp25"),
