@@ -41,96 +41,80 @@ def entry(spark: SparkSession) -> DataFrame:
     return _tq.spark_queries()["q01_folder_results_latest"](spark, SF0001)
 
 
-# Round-12 driver-budget ordering (the driver checks ~50 queries in
-# iteration order per round).  HEAD, in priority order: (a) the four
-# queries whose PLANS CHANGED this round — the r11 ADVICE fixes
-# (q339 NULL-safe tiebreak; q335/q341/q342 integer-div derived keys);
-# (b) the six NEW round-12 queries q344–q349 (never-checked ranks
-# above mere staleness); (c) the r4 leftover q84–q91/q94/q95 — incl.
-# the §2.10 UDTF anchor q86 and §2.11 lookback anchor q90; (d) 30
-# rows of the r5 cohort in stale order (q12–q28 carry the §2 F-family
-# anchors q12/q13/q14/q17/q22).  Total = exactly 50; the r5 leftover
-# (q108–q111, q113, q116–q119, q121–q124) leads the post-head
-# rotation and is the r13 target.
-_R12_HEAD = (
-    # (a0) the r12 OPTIMIZATION pass's changed plans — every query
-    # whose physical plan was restructured this round (posting size
-    # carry, singleton-split cluster resolution, duplicate-subtree
-    # pins, marginal-derived totals) re-proves before anything merely
-    # stale; each is already oracle-green at sf0.01 AND in the full
-    # sf0.1 sweep locally
-    # (q26 and q349 are changed too but already sit in sections (b)
-    # and (d) below — listed once to keep the head duplicate-free)
-    (
-        "q55", "q65", "q71", "q93", "q96", "q123", "q127",
-        "q135", "q148", "q165", "q167", "q175", "q180", "q190",
-        "q192", "q220", "q244", "q248", "q299",
-    )
-    # session-4 changed plans (BM25 token-frame pin and riders, q112
-    # kernel total, q219 constant-group rank, q310 single-pass melt,
-    # shared-scan delta view q171, lm/sketch operator pins q168/q169/
-    # q149, multi-consumer pins q241/q275/q315/q221, q291 kernel total)
-    + ("q112", "q132", "q133", "q173", "q219", "q265", "q310")
-    + ("q171", "q168", "q169", "q241", "q149", "q275", "q291",
-       "q221", "q315")
-    + ("q335", "q339", "q341", "q342")
-    + tuple(f"q{n}" for n in range(344, 350))
-    + tuple(f"q{n}" for n in range(84, 92))
-    + ("q94", "q95")
-    + tuple(f"q{n:02d}" for n in range(12, 29))
-    + ("q39", "q53")
-    + tuple(f"q{n}" for n in range(97, 108))
+# Round-13 driver-budget ordering (the driver checks ~50 queries in
+# iteration order per round). _R13_HEAD is EXACTLY 50 prefixes:
+# (a) 26 + (b) 5 + (c) 19 — the arithmetic is enforced by
+# tests (a head longer than the driver budget silently drops its tail
+# from the round's sample, the r12 ADVICE bug). Post-head, every
+# remaining query is ordered by the round of its latest green driver
+# row, oldest first (tools/evidence.py regenerates the cohorts), so
+# any budget overflow refreshes the stalest evidence first; the 49
+# r12-checked queries sit last (freshest evidence).
+_R13_HEAD = (
+    # (a) the 26 queries the r12 optimization pass touched (or whose
+    # plans ride touched operators) that the r12 driver sample did NOT
+    # verify — builder-local sweeps only; the r12 verdict's explicit
+    # head-rotation directive, re-proved before anything merely stale
+    ("q26", "q28", "q29", "q64", "q103", "q110", "q124", "q145", "q153",
+     "q161", "q176", "q185", "q204", "q207", "q224", "q259", "q266",
+     "q267", "q268", "q269", "q294", "q296", "q316", "q323", "q327",
+     "q330",)
+    # (b) the r13 changed-execution queries: the BPE family now trains
+    # per call (the retired _BPE_MEMO/_Q215_MEMO result caches) and
+    # q310's melt key went type-agnostic (string union key, r12 ADVICE)
+    + ("q201", "q206", "q215", "q217", "q310",)
+    # (c) staleness fill to exactly 50: the r4 leftover (q89-q95,
+    # oldest evidence in the ledger) then the head of the r5 cohort
+    + ("q89", "q90", "q91", "q94", "q95", "q12", "q13", "q14", "q15", "q16",
+     "q17", "q18", "q19", "q20", "q21", "q22", "q23", "q24", "q25",)
 )
-# Post-head rotation: every remaining query ordered by the ROUND of
-# its latest green driver row, oldest first (r5 leftover → r11 per
-# the CORRECTNESS_r* scan — tools/evidence.py regenerates the
-# cohorts), so any budget overflow refreshes the stalest evidence
-# first.
-_R12_STALE_ORDER = (
-    # r5 leftover (next round's rotation target)
-    tuple(f"q{n}" for n in range(108, 112))
-    + ("q113", "q116", "q117", "q118", "q119")
-    + tuple(f"q{n}" for n in range(121, 125))
-    # r6 cohort
-    + ("q120",)
-    + tuple(f"q{n}" for n in range(125, 174) if n not in (155, 164))
-    # r7 cohort
-    + ("q50", "q51", "q52", "q55", "q92", "q93", "q96", "q112", "q114", "q115")
-    + tuple(f"q{n}" for n in range(174, 214) if n not in (177, 179, 182, 201, 207))
-    # r8 cohort
-    + ("q177", "q179", "q182")
-    + tuple(f"q{n}" for n in range(214, 239) if n != 227)
-    + tuple(f"q{n}" for n in range(273, 298) if n not in (290, 291, 294))
-    # r9 cohort
-    + ("q155", "q164", "q227")
-    + tuple(f"q{n}" for n in range(239, 260))
-    + ("q266", "q291", "q294")
-    + tuple(
-        f"q{n}"
-        for n in range(298, 332)
-        if n
-        not in (299, 307, 316, 317, 318, 319, 320, 321, 322, 324, 325, 328, 329)
-    )
-    # r10 cohort
-    + ("q299", "q207", "q316")
-    + (
-        "q268", "q272", "q322", "q328", "q329",
-        "q260", "q261", "q262", "q263", "q264", "q265", "q267",
-        "q269", "q270", "q271", "q317", "q318", "q319", "q320",
-        "q321", "q324", "q325",
-    )
-    + ("q332", "q333")
-    + ("q54", "q56", "q58")
-    + tuple(f"q{n}" for n in range(29, 39))
-    + tuple(f"q{n}" for n in range(40, 50) if n != 41)
-    + ("q201",)
-    # r11 cohort (last round's head — freshest evidence; q335/q339/
-    # q341/q342 re-appear in _R12_HEAD as changed plans, harmless here)
-    + ("q290", "q307")
-    + tuple(f"q{n}" for n in range(334, 344))
-    + tuple(f"q{n:02d}" for n in range(1, 12))
-    + ("q41", "q57")
-    + tuple(f"q{n}" for n in range(59, 84))
+_R13_STALE_ORDER = (
+    # r5 cohort (23)
+    ("q27", "q39", "q53", "q97", "q98", "q99", "q100", "q101", "q102",
+     "q104", "q105", "q106", "q107", "q108", "q109", "q111", "q113",
+     "q116", "q117", "q118", "q119", "q121", "q122",)
+    # r6 cohort (33)
+    + ("q120", "q125", "q126", "q128", "q129", "q130", "q131", "q134",
+     "q136", "q137", "q138", "q139", "q140", "q141", "q142", "q143",
+     "q144", "q146", "q147", "q150", "q151", "q152", "q154", "q156",
+     "q157", "q158", "q159", "q160", "q162", "q163", "q166", "q170",
+     "q172",)
+    # r7 cohort (33)
+    + ("q50", "q51", "q52", "q92", "q114", "q115", "q174", "q178", "q181",
+     "q183", "q184", "q186", "q187", "q188", "q189", "q191", "q193",
+     "q194", "q195", "q196", "q197", "q198", "q199", "q200", "q202",
+     "q203", "q205", "q208", "q209", "q210", "q211", "q212", "q213",)
+    # r8 cohort (38)
+    + ("q177", "q179", "q182", "q214", "q216", "q218", "q223", "q225",
+     "q229", "q230", "q231", "q232", "q233", "q234", "q235", "q236",
+     "q237", "q238", "q273", "q274", "q276", "q277", "q278", "q279",
+     "q280", "q281", "q282", "q283", "q284", "q285", "q286", "q287",
+     "q288", "q289", "q292", "q293", "q295", "q297",)
+    # r9 cohort (34)
+    + ("q155", "q164", "q227", "q239", "q240", "q242", "q246", "q247",
+     "q249", "q250", "q251", "q252", "q253", "q254", "q255", "q256",
+     "q257", "q258", "q298", "q300", "q301", "q302", "q303", "q304",
+     "q305", "q306", "q308", "q309", "q311", "q312", "q313", "q314",
+     "q326", "q331",)
+    # r10 cohort (41)
+    + ("q30", "q31", "q32", "q33", "q34", "q35", "q36", "q37", "q38", "q40",
+     "q42", "q43", "q44", "q45", "q46", "q47", "q48", "q49", "q54", "q56",
+     "q58", "q260", "q261", "q262", "q263", "q264", "q270", "q271", "q272",
+     "q317", "q318", "q319", "q320", "q321", "q322", "q324", "q325",
+     "q328", "q329", "q332", "q333",)
+    # r11 cohort (43)
+    + ("q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
+     "q11", "q41", "q57", "q59", "q60", "q61", "q62", "q63", "q66", "q67",
+     "q68", "q69", "q70", "q72", "q73", "q74", "q75", "q76", "q77", "q78",
+     "q79", "q80", "q81", "q82", "q83", "q290", "q307", "q334", "q336",
+     "q337", "q338", "q340", "q343",)
+    # r12 cohort (49)
+    + ("q55", "q65", "q71", "q84", "q85", "q86", "q87", "q88", "q93", "q96",
+     "q112", "q123", "q127", "q132", "q133", "q135", "q148", "q149",
+     "q165", "q167", "q168", "q169", "q171", "q173", "q175", "q180",
+     "q190", "q192", "q219", "q220", "q221", "q241", "q244", "q248",
+     "q265", "q275", "q291", "q299", "q315", "q335", "q339", "q341",
+     "q342", "q344", "q345", "q346", "q347", "q348", "q349",)
 )
 
 
@@ -138,7 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Insertion order == driver iteration order; see the ordering note
-    above (_R12_HEAD, then staleness-ordered rotation)."""
+    above (_R13_HEAD, then staleness-ordered rotation)."""
     all_queries = dict(sorted(_tq.spark_queries().items()))
 
     def prefix(name: str) -> str:
@@ -149,7 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         by_prefix.setdefault(prefix(n), []).append(n)
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for p in _R12_HEAD + _R12_STALE_ORDER:
+    for p in _R13_HEAD + _R13_STALE_ORDER:
         for n in by_prefix.get(p, ()):
             out.setdefault(n, all_queries[n])
     for n, f in all_queries.items():  # safety net for unlisted names

@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from nessus_client_etl_scripts_spark import pins
 from nessus_client_etl_scripts_spark.session import get_spark
 
 
@@ -41,17 +42,22 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001 — warmup must never fail the bench
             pass
+        pins.drain()
         gc.collect()
 
     # Two timed passes, min taken: host-level CPU contention (this box
     # is a shared VM) adds seconds of one-sided noise to single shots;
     # the min of two runs is the reproducible steady-state figure.
-    # gc.collect() between queries releases the Python-side DataFrame
-    # refs so the JVM ContextCleaner can drop localCheckpointed RDD
-    # blocks — after ~600 query executions in one session the
-    # accumulated blocks otherwise evict executor memory and single
-    # queries spike 10-20× (q179 measured 30 s in-bench vs 1.4 s
-    # standalone before this).
+    # Between queries (untimed — session maintenance, not query
+    # computation): pins.drain() deterministically unpersists the
+    # localCheckpointed frames the finished query pinned (the engine's
+    # round-13 pin lifecycle — pins are never shared across queries,
+    # so draining cannot skip work for the next one), and gc.collect()
+    # releases the remaining Python-side DataFrame refs for the JVM
+    # ContextCleaner. Without both, ~690 query executions accumulate
+    # dead RDD blocks that evict executor memory and inflate late
+    # queries 2-4x (q96 measured 5.3 s in-bench vs 3.0 s isolated in
+    # round 12; q179 30 s vs 1.4 s before the gc.collect was added).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for _ in range(2):
@@ -67,9 +73,11 @@ def main() -> None:
                 # not null the whole round's bench record
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
                 timings.pop(name, None)
+                pins.drain()
                 continue
             dt = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, dt), dt)
+            pins.drain()
 
     total = round(sum(timings.values()), 4)
     record = {
@@ -96,9 +104,14 @@ def main() -> None:
         pass  # a read-only checkout must not fail the bench
     # The driver's log capture clips long output (BENCH_r04/r05/r06 all
     # recorded parsed:null because the single ~8 KB line was cut
-    # mid-record).  Emit a compact totals record — small enough to
-    # survive any clipping — BOTH before and after the full line, so a
-    # head-limited or tail-limited capture each sees one intact record.
+    # mid-record, and PERF_r12 had n_common=0 because the per-query
+    # dict reached the driver only as a file pointer).  Emit, in order:
+    # a compact totals record (head-limited capture insurance), the
+    # full one-line record (the contract), then the per-query dict
+    # SPLIT across self-describing <1 KB compact chunk records — every
+    # line individually parseable, so a line-clipping or tail-limited
+    # capture still yields per-query timings — and a final compact
+    # totals record (the tail-capture parse proven in rounds 7-12).
     compact = json.dumps(
         {
             "metric": record["metric"],
@@ -112,6 +125,31 @@ def main() -> None:
     )
     print(compact)
     print(line)
+    names = sorted(timings)
+    chunks: list[list[str]] = [[]]
+    size = 0
+    for n in names:
+        entry = len(n) + 16
+        if size + entry > 820 and chunks[-1]:
+            chunks.append([])
+            size = 0
+        chunks[-1].append(n)
+        size += entry
+    for i, chunk in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "metric": record["metric"],
+                    "value": total,
+                    "unit": "sec",
+                    "sf": record["sf"],
+                    "n_queries": len(timings),
+                    "part": i + 1,
+                    "n_parts": len(chunks),
+                    "queries": {n: timings[n] for n in chunk},
+                }
+            )
+        )
     print(compact)
 
 

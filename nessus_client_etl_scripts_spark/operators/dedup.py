@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text, tokens
+from ..pins import pin as _pin
 
 # 2^31 - 1 (Mersenne prime) — modulus of the universal MinHash family.
 # Chosen so a·x + b stays under 2^59: the whole family runs in plain
@@ -310,7 +311,7 @@ def minhash_lsh_candidates(
         # eager: run the candidate job now (signature stage executes
         # once via the cache), then release the cache — no session-
         # lifetime leak across repeated invocations
-        out = out.localCheckpoint()
+        out = out.transform(_pin)
         sig.unpersist()
     return out
 
@@ -721,7 +722,7 @@ def verify_pairs_jaccard(
     # one action, so a lazy pin could race both into computing it.
     sh = staged.select(
         "_vid", shingles_from_tokens(F.col("_toks"), k).alias("_sh")
-    ).localCheckpoint()
+    ).transform(_pin)
     a = sh.select(F.col("_vid").alias("doc_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col("_vid").alias("doc_b"), F.col("_sh").alias("_sh_b"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
@@ -1096,7 +1097,7 @@ def minhash_estimate_pairs(
             F.col("est_matches").cast("double") / F.lit(float(num_hashes)),
         )
     )
-    out = est.localCheckpoint()
+    out = est.transform(_pin)
     sig.unpersist()
     return out
 
@@ -1167,12 +1168,19 @@ def prefix_filter_pairs(
         .withColumn("idx", F.row_number().over(w_doc))
         .withColumn("n", F.count(F.lit(1)).over(w_n))
     )
-    # NOTE (r12): pinning this frame (or ``sets``) measured ~1.7×
-    # SLOWER at sf0.1 — the AQE-coalesced window output checkpoints
-    # into a 1-partition RDD, so every downstream stage (both
-    # self-join sides) loses its parallelism; recomputing the window
-    # chain per side is cheaper. Same conclusion as the posting-pin
-    # note in containment_pairs.
+    # NOTE (r12): pinning this frame (or ``sets``) AS-IS measured
+    # ~1.7× SLOWER at sf0.1 — the AQE-coalesced window output
+    # checkpoints into a 1-partition RDD, so every downstream stage
+    # (both self-join sides) loses its parallelism. r13 re-measured
+    # the verdict-prescribed counter-case (repartition by the
+    # self-join key BEFORE each pin so the checkpoint stays N-way and
+    # LogicalRDD carries a reusable hashpartitioning): STILL worse —
+    # isolated min-of-3 at sf0.1 2.04 s / 9 jobs unpinned vs 4.20 s /
+    # 13 jobs with prefix+sets pinned-and-repartitioned (control
+    # q64 FAVORED the pinned run, 2.24 vs 1.99). The two eager pin
+    # materializations + two repartition exchanges cost more than the
+    # duplicate window/groupBy subtree runs they save at any local
+    # size; recomputing the chain per side stays the cheaper plan.
     prefix = pos.filter(
         F.col("idx")
         <= F.col("n") - ((F.lit(pct) * F.col("n") + 99) / 100).cast("long")
@@ -1311,7 +1319,7 @@ def aligned_duplicate_runs(
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
         # feeds the freq count AND both self-join sides: pin so the
         # tokenize+hash explode runs once, not three times
-        .localCheckpoint()
+        .transform(_pin)
     )
     ok = (
         posting.groupBy("h")

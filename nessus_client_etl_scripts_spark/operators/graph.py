@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..session import SESSION_CONF_LOCK
+from ..pins import pin as _pin, pin_lazy as _pin_lazy
 
 # Edge sets at or below this size finish with a driver-side union-find
 # instead of distributed contraction rounds. Each star round costs 4-6
@@ -160,7 +161,7 @@ def _cc_star(
         # lazy: the n_edges count below is the materializing action —
         # a full scan, so the checkpoint completes in that same job
         # (one job instead of a dedicated materialize + a count)
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     # Size the per-round shuffles to the ACTUAL edge count: the
     # contraction loop is 4-6 shuffle+checkpoint stages per round, and
@@ -205,12 +206,12 @@ def _cc_star_rounds(
     # its n_cur count below; nodes is not consumed until the final
     # labels job after the loop, so its materialization folds into that
     # job — two fewer barrier jobs per CC call, same cached frames.
-    cur = base.filter(F.col("lo") != F.col("hi")).localCheckpoint(eager=False)
+    cur = base.filter(F.col("lo") != F.col("hi")).transform(_pin_lazy)
     nodes = (
         base.select(F.col("lo").alias("id"))
         .union(base.select(F.col("hi").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     rounds = 0
     n_cur = cur.count()
@@ -228,7 +229,7 @@ def _cc_star_rounds(
             )
             .select(F.col("m").alias("lo"), F.col("hi").alias("hi"))
             .distinct()
-            .localCheckpoint()
+            .transform(_pin)
         )
         # SMALL-STAR: center u over its SMALLER neighbors N⁻(u),
         # m = min(N⁻(u)); emit (v, m) for v ∈ N⁻(u) \ {m} and (u, m).
@@ -247,7 +248,7 @@ def _cc_star_rounds(
             # aggregate + join probe side), and two concurrent AQE
             # stages over an uncached lazy checkpoint would each
             # compute it.
-            .localCheckpoint(eager=False)
+            .transform(_pin_lazy)
         )
         n_nxt = nxt.count()
         if n_nxt == n_cur:
@@ -286,7 +287,7 @@ def _cc_propagation(
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .transform(_pin)
     )
     rounds = 0
     for _ in range(max_iter):
@@ -302,7 +303,7 @@ def _cc_propagation(
             labels.union(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .transform(_pin)
         )
         changed = (
             new_labels.alias("n")
@@ -388,17 +389,17 @@ def pagerank_integer(
     # checkpoint would duplicate the |E| distinct); deg and nodes go
     # LAZY: nodes materializes in the mode-deciding count below, deg in
     # the first iteration's unit join — two fewer barrier jobs.
-    e = e.localCheckpoint()
+    e = e.transform(_pin)
     deg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
 
     base = scale * (100 - damping_pct) // 100
@@ -433,7 +434,7 @@ def pagerank_integer(
             # (next round's unit join, or the caller's final consumer),
             # so it materializes inside that consumer's job — one job
             # per iteration saved; lineage still truncates per round.
-            .localCheckpoint(eager=False)
+            .transform(_pin_lazy)
         )
     return ranks
 
@@ -473,7 +474,7 @@ def triangle_counts(
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(_pin)
     )
     wedges = (
         e.alias("e1")

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import normalize_text, tokens
+from ..pins import pin as _pin, pin_lazy as _pin_lazy
 
 
 def bigrams_from_tokens(toks: Column) -> Column:
@@ -318,7 +319,7 @@ def bpe_train(
             normalize_text(text_col).alias("s"),
         )
         .filter(F.col("s").isNotNull())
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     # ONE job per round: the (count desc, pair asc) winner is
     # min(struct(-c, bigram)) and the corpus token count falls out of
@@ -363,7 +364,7 @@ def bpe_train(
         state = state.select(
             "doc_id",
             F.trim(F.replace(merged, F.lit("  "), F.lit(" "))).alias("s"),
-        ).localCheckpoint(eager=False)
+        ).transform(_pin_lazy)
     # one final scan closes the ledger: tokens after the last merge
     tok.append(
         int(
@@ -428,13 +429,13 @@ def bigram_lm_score(
     staged = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(normalize_text(text_col)).alias("toks"),
-    ).localCheckpoint()
+    ).transform(_pin)
     posting = (
         staged.select(
             "doc_id", bigrams_from_tokens(F.col("toks")).alias("bg")
         )
         .select("doc_id", F.explode("bg").alias("bigram"))
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     model = posting.groupBy("bigram").agg(
         F.count(F.lit(1)).cast("long").alias("c12")
@@ -543,7 +544,7 @@ def dsir_importance(
     hist = (
         words.groupBy("doc_id", "is_target", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(_pin)
     )
     bucket = hist.groupBy("b").agg(
         F.sum("c").cast("long").alias("cnt_s"),

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import spread_for_compute
 from .text import normalize_text, tokens
+from ..pins import pin_lazy as _pin_lazy
 
 __all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
 
@@ -87,7 +88,7 @@ def bm25_scores(
         "doc_id",
         F.size("toks").alias("dl"),
         *[_tf_col(i, t) for i, t in enumerate(terms)],
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),

@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..pins import pin as _pin, pin_lazy as _pin_lazy
 
 
 # Hard ceiling on rows a kernel may pull to the driver to build a
@@ -940,7 +941,7 @@ def semantic_dedup(
     dropped = (
         assigned.groupBy("cell")
         .applyInPandas(cell_dropped, schema="vec_id long")
-        .localCheckpoint()
+        .transform(_pin)
     )
     out = (
         assigned.join(
@@ -951,7 +952,7 @@ def semantic_dedup(
             F.col("cell").cast("int").alias("cell"),
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
-        .localCheckpoint()  # verdict rows only — 13 B/vector, no vectors
+        .transform(_pin)  # verdict rows only — 13 B/vector, no vectors
     )
     assigned.unpersist()
     return out
@@ -1306,7 +1307,7 @@ def kcenter_greedy(
         .withColumn("_sn", sn_fold)
         # quantization + self-norm run once; lazy — the seed argmin
         # (TakeOrderedAndProject, full scan) materializes it
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
 
     def d2(center: list[int]) -> Column:
@@ -1337,7 +1338,7 @@ def kcenter_greedy(
         centers.append((int(far["vec_id"]), [int(x) for x in far["vq"]]))
         dm = F.least(dm, d2(centers[-1][1]))
         if (r + 1) % ckpt_every == 0:
-            base = base.withColumn("_dmc", dm).localCheckpoint()
+            base = base.withColumn("_dmc", dm).transform(_pin)
             dm = F.col("_dmc")
 
     # final assignment: argmin over the k literal centers, tie → the

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..pins import pin as _pin
 
 HASH_BITS = 48  # 12 hex chars of md5 → fits BIGINT exactly in both engines
 BUCKET_BITS = 9  # m = 512 registers → ~4.6% standard error
@@ -466,7 +467,7 @@ def cm_join_size_estimate(
         return (
             df.groupBy(F.col(col).cast("string").alias("k"))
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .localCheckpoint()
+            .transform(_pin)
         )
 
     def cells(kf: DataFrame) -> DataFrame:

@@ -14,6 +14,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..pins import pin_lazy as _pin_lazy
 
 
 def nth_per_group(
@@ -137,7 +138,7 @@ def two_phase_rank(
     staged = (
         df.repartitionByRange(num, F.col(part_col), F.col(val_col), F.col(key_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
 
     stats = (
@@ -265,7 +266,7 @@ def scalable_cumsum(
         .withColumn("_pid", F.spark_partition_id())
         # lazy: the stats collect below is the materializing action
         # (one job instead of two — the two_phase_rank merge rule)
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
 
     stats = sorted(
@@ -355,7 +356,7 @@ def scalable_running_max(
         .withColumn("_pid", F.spark_partition_id())
         # lazy: the stats collect below is the materializing action
         # (one job instead of two — the two_phase_rank merge rule)
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
 
     stats = staged.groupBy(part_col, "_pid").agg(F.max(val_col).alias("m"))
@@ -454,7 +455,7 @@ def scalable_row_number(
         .withColumn("_pid", F.spark_partition_id())
         # lazy: the stats collect below is the materializing action
         # (one job instead of two — the two_phase_rank merge rule)
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     if derive:
         for name, expr in derive.items():
@@ -544,7 +545,7 @@ def scalable_prefix_sums(
         .withColumn("_pid", F.spark_partition_id())
         # lazy: the stats collect below is the materializing action
         # (one job instead of two — the two_phase_rank merge rule)
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     if derive:
         for name, expr in derive.items():
@@ -603,7 +604,7 @@ def scalable_prefix_sums(
     # full-scan aggregate; even a partial first action completes all
     # partitions at job end — localCheckpoint semantics), merging the
     # dedicated materialize job into it.
-    return out.localCheckpoint(eager=False) if pin else out
+    return out.transform(_pin_lazy) if pin else out
 
 
 def grouped_row_number(
@@ -662,7 +663,7 @@ def grouped_row_number(
         .withColumn("_pid", F.spark_partition_id())
         # lazy: the stats collect below is the materializing action
         # (one job instead of two — the two_phase_rank merge rule)
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     stats = sorted(
         staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect(),

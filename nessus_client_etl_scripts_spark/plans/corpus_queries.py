@@ -29,6 +29,7 @@ from ..operators.text import (
     quality_keep,
 )
 from .testdata_queries import register
+from ..pins import pin as _pin, pin_lazy as _pin_lazy
 
 _NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -1668,7 +1669,7 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers (sizes + both self-join sides) — unpinned, the whole
     # tokenize+shingle+distinct pipeline ran once per consumer
     src_sh = posting.select("source", "shingle").distinct() \
-        .localCheckpoint()
+        .transform(_pin)
     sizes = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     left = src_sh.alias("l")
     right = src_sh.alias("r")
@@ -2543,7 +2544,7 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster scale the same role is played by persisting the verdict.
     agg = bloom_membership(
         corpus, probes, m=_Q98_M, k=_Q98_K
-    ).localCheckpoint()
+    ).transform(_pin)
 
     # bloom-pruned exact verify: only maybe-hits touch the corpus join
     exact = (
@@ -2696,7 +2697,7 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash64, simhash_hamming_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    sims = simhash64(docs, family="md5").localCheckpoint()
+    sims = simhash64(docs, family="md5").transform(_pin)
     return simhash_hamming_pairs(sims, threshold=3, n_blocks=4)
 
 
@@ -3376,7 +3377,7 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both the winner election and the keep-join, and without the
         # pin Catalyst re-derives it from the parquet text twice —
         # three full corpus scans instead of two (q96's same pattern)
-        .localCheckpoint()
+        .transform(_pin)
     )
     winners = occ.groupBy("h").agg(
         F.min(F.struct("doc_id", "idx")).alias("w")
@@ -3542,7 +3543,7 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shuffle_key"),
         F.lit(0).alias("_all"),
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     ranked = scalable_row_number(
         keyed, ("shuffle_key", "doc_id"), out_col="pos"
     )

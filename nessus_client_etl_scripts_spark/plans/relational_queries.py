@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, load_tables
 from ..operators.temporal import as_of_join, band_join
 from .testdata_queries import dsum, register
+from ..pins import pin_lazy as _pin_lazy
 
 # ---------------------------------------------------------------------------
 # q42 — as-of join: for each click, the user's most recent prior purchase
@@ -1428,7 +1429,7 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter; the kernel's first full-scan pass materializes it
     dev = docs.join(F.broadcast(med), "lang").withColumn(
         "dev", F.abs(F.col("n_chars") - F.col("med"))
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     mad = _group_median(dev.select("lang", "doc_id", "dev"), "dev", "mad")
     return (
         dev.join(F.broadcast(mad), "lang")

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .testdata_queries import register
+from ..pins import pin as _pin
 
 
 def _milli_sql(num: str, den: str) -> str:
@@ -614,7 +615,7 @@ def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = (
         keyed.groupBy("part", "k")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     # asc_nulls_last: a NULL key (malformed props) must tie-rank the
     # same as the oracle's default ASC NULLS LAST — Spark's bare asc
@@ -980,7 +981,7 @@ def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "count(*)",
             ).alias("acc_milli"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     wvotes = (
         ann.join(F.broadcast(acc.select("worker_id", "acc_milli")), "worker_id")

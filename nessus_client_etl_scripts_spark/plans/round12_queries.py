@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from .round11_queries import _milli_col, _milli_sql, _nano_pair_scores
 from .testdata_queries import register
+from ..pins import pin_lazy as _pin_lazy
 
 # ---------------------------------------------------------------------------
 # q344 — token-bucket admission simulation (q333's enforcing sibling)
@@ -307,7 +308,7 @@ def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = p1.filter(
         F.col("scum")
         <= F.expr(f"stot * {_Q345_CAP_NUM} div {_Q345_CAP_DEN}")
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     p2 = scalable_cumsum(
         surv.select("doc_id", "source", "tok", "density_micro")
         .withColumn("neg_density", -F.col("density_micro")),

@@ -41,6 +41,7 @@ from ..operators.ranking import bm25_scores, bm25_topk, rrf_fuse
 from ..operators.similarity import cosine
 from .corpus_queries import _NORM_SQL
 from .testdata_queries import register
+from ..pins import pin as _pin
 
 _BM25_TERMS = ("vector", "merge", "scan")
 _BM25_TERMS_SQL = "['vector', 'merge', 'scan']"
@@ -296,7 +297,7 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
     ui = ev.select(
         "user_id",
         F.get_json_object("props", "$.k").cast("long").alias("item"),
-    ).distinct().localCheckpoint()
+    ).distinct().transform(_pin)
     co = (
         ui.alias("l")
         .join(
@@ -1448,7 +1449,7 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zval"),
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rk"),
-    ).localCheckpoint()  # both layout passes range-exchange this frame:
+    ).transform(_pin)  # both layout passes range-exchange this frame:
     # unpinned, each would rescan parquet and re-interleave the Z bits
     layouts = []
     for tag, order in (("zorder", ("zval", "rk")), ("linear", ("l_partkey", "rk"))):

@@ -55,6 +55,7 @@ from ..operators.windows import (
 )
 from .corpus_queries import _NORM_SQL
 from .testdata_queries import register
+from ..pins import pin as _pin
 
 # ---------------------------------------------------------------------------
 # q153 — hash-sampled quantiles with exact calibration
@@ -99,25 +100,34 @@ FROM fx JOIN sx USING (flag, q)
 """
 
 
-def _q153_targets(counts: DataFrame, n_col: str, off_col: str) -> DataFrame:
-    """12-row (flag, q, n, grn) target frame: per-flag quantile
-    position ceil(q·n/100) shifted by the flag's global offset. Flags
-    with n = 0 (a group entirely outside the hash sample) emit no
-    target at all — their ceil-rank would collapse onto the PREVIOUS
+def _q153_target_rows(
+    crows: list, n_key: str = "n", s_key: str = "ns"
+) -> tuple[list[tuple], list[tuple]]:
+    """Driver-side (flag, q, grn, n) target rows for the full-table
+    and in-sample branches: per-flag quantile position ceil(q·n/100)
+    shifted by the flag's global offset (a Python-int running sum in
+    ascending-flag order — the flag domain is ASCII, so Python's str
+    sort and Spark's UTF8 binary ordering agree). Flags with n = 0 in
+    a branch (a group entirely outside the hash sample) emit no
+    target THERE — their ceil-rank would collapse onto the PREVIOUS
     flag's last position and join a foreign row; the oracle likewise
-    emits nothing for them."""
-    return counts.filter(F.col(n_col) > 0).select(
-        "flag",
-        F.col(n_col).alias("n"),
-        F.col(off_col).alias("off"),
-        F.explode(
-            F.array(*[F.lit(q).cast("long") for q in _Q153_QS])
-        ).alias("q"),
-    ).withColumn(
-        "grn",
-        F.col("off")
-        + F.floor((F.col("q") * F.col("n") + 99) / F.lit(100)).cast("long"),
-    )
+    emits nothing for them (review finding, round 6). ≤ |flags|·|QS|
+    rows per branch — bounded small state."""
+    full_t: list[tuple] = []
+    samp_t: list[tuple] = []
+    off = soff = 0
+    for r in sorted(crows, key=lambda r: r["flag"]):
+        n, ns = int(r[n_key]), int(r[s_key] or 0)
+        for q in _Q153_QS:
+            if n > 0:
+                full_t.append((r["flag"], q, off + (q * n + 99) // 100, n))
+            if ns > 0:
+                samp_t.append(
+                    (r["flag"], q, soff + (q * ns + 99) // 100, ns)
+                )
+        off += n
+        soff += ns
+    return full_t, samp_t
 
 
 @register("q153_sampled_quantiles", _Q153_ORACLE)
@@ -165,28 +175,29 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         pin=True,  # three consumers below — counts, fx, sx
     )
-    w = Window.orderBy("flag").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # |flags| rows — the single-task window is metadata-sized
-    counts = (
-        cum.groupBy("flag")  # reads the pinned staged frame — no
-        # second parquet scan, no per-row md5 re-evaluation
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("ins").cast("long").alias("ns"),
-        )
-        .select(
-            "flag",
-            "n",
-            "ns",
-            F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off"),
-            F.coalesce(F.sum("ns").over(w), F.lit(0)).alias("soff"),
-        )
-    )
+    # Per-flag counts: ONE aggregate over the pinned staged frame,
+    # collected to the driver — |flags| is the l_returnflag domain
+    # (3 values), bounded small state (the q39 pattern). r13: the
+    # former distributed ``counts`` frame (aggregate + metadata
+    # window) was built TWICE — once inside EACH broadcast target
+    # subtree (the plan carried the aggregate/window/explode chain
+    # twice, plans/r13/q153_..._before.txt operators (6-17) and
+    # (27-38)) — and both target frames are 12 exact-integer rows
+    # derivable on the driver from the same counts. Offsets use
+    # Python integer running sums in ascending-flag order; the flag
+    # domain is ASCII, so Python's str sort and Spark's UTF8 binary
+    # ordering agree (same ceil arithmetic as the oracle, exact ints
+    # throughout).
+    crows = cum.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ins").cast("long").alias("ns"),
+    ).collect()
+    full_t, samp_t = _q153_target_rows(crows)
+    t_schema = "flag string, q long, grn long, n long"
     fx = (
         cum.withColumnRenamed("cum_one", "grn")
         .drop("flag")
-        .join(F.broadcast(_q153_targets(counts, "n", "off")), "grn")
+        .join(F.broadcast(spark.createDataFrame(full_t, t_schema)), "grn")
         .select(
             "flag", "q",
             F.col("cents").alias("exact_cents"),
@@ -197,7 +208,7 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.filter(F.col("ins") == 1)
         .withColumnRenamed("cum_ins", "grn")
         .drop("flag")
-        .join(F.broadcast(_q153_targets(counts, "ns", "soff")), "grn")
+        .join(F.broadcast(spark.createDataFrame(samp_t, t_schema)), "grn")
         .select(
             "flag", "q",
             F.col("cents").alias("est_cents"),
@@ -1263,7 +1274,7 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the q268 basket-frame posture)
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct().localCheckpoint()
+    ).distinct().transform(_pin)
     pc = items.groupBy("part").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     nb = items.agg(F.countDistinct("okey").alias("n_baskets"))
     pairs = (
@@ -2277,7 +2288,7 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         ngram_jaccard_pairs(docs, k=3, threshold=_Q175_TAU)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .transform(_pin)
     )
     cand = sorted_neighborhood_pairs(
         docs, block_cols=("lang",), k=3, window=5

@@ -33,6 +33,7 @@ from ..operators.similarity import collect_bounded_side, round_half_away
 from ..operators.text import normalize_text
 from .corpus_queries import _NORM_SQL
 from .testdata_queries import register
+from ..pins import pin as _pin
 
 # ---------------------------------------------------------------------------
 # q177 — margin-based mutual-kNN pair mining (bitext-mining shape)
@@ -593,7 +594,7 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
     pat = labeled.groupBy("ag_lang", "ag_len", "ag_tok").agg(
         cnt(m).alias("n_match"),
         cnt(~m).alias("n_unmatch"),
-    ).localCheckpoint()
+    ).transform(_pin)
     # the m/u totals are exact MARGINALS of the ≤2³-row pattern table
     # (each labeled row lands in exactly one pattern group, and every
     # tot counter conditions only on m and the group keys), so they
@@ -1707,7 +1708,7 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vm", (F.col("split") == "test").alias("is_test")
         )
         .agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint()
+        .transform(_pin)
     )
     cal = g.filter(~F.col("is_test")).select("vm", "cnt")
     cum = scalable_prefix_sums(cal, ("vm",), val_cols=("cnt",), pin=True)
@@ -1881,7 +1882,7 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("q", vq)
         .withColumn("nq", F.sqrt(dot(F.col("q"), F.col("q"))))
         .select("vec_id", "cell", "q", "nq")
-        .localCheckpoint()  # consumers: both adjacency sides + verdict base
+        .transform(_pin)  # consumers: both adjacency sides + verdict base
     )
     # Per-cell Arrow matmul instead of a pair join + per-pair fold:
     # the quantized inputs make the pico chain exact in any summation
@@ -1925,7 +1926,7 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = (
         assigned.groupBy("cell")
         .applyInPandas(cell_pairs, schema="ia long, ib long")
-        .localCheckpoint()  # pin BEFORE mirroring — the union's two
+        .transform(_pin)  # pin BEFORE mirroring — the union's two
         # branches would otherwise each re-run the cell matmul
     )
     adj = half.unionByName(
@@ -2051,7 +2052,7 @@ def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
     ui = ev.select(
         "user_id",
         F.get_json_object("props", "$.k").cast("long").alias("item"),
-    ).distinct().localCheckpoint()
+    ).distinct().transform(_pin)
     co = (
         ui.alias("l")
         .join(
@@ -2063,7 +2064,7 @@ def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nu"))
         .filter(F.col("nu") >= 40)
         .select("src", "dst")
-        .localCheckpoint()  # consumers: degrees + the wedge join (×3 scans)
+        .transform(_pin)  # consumers: degrees + the wedge join (×3 scans)
     )
     deg = (
         co.select(F.col("src").alias("node"))
@@ -2337,7 +2338,7 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
 
     media = docs.mapInPandas(render, MEDIA_SCHEMA)
-    fr = audio_frame_energy(media, frame=_Q194_FRAME).localCheckpoint()
+    fr = audio_frame_energy(media, frame=_Q194_FRAME).transform(_pin)
     # consumers: per-clip totals + the silence islands
     sil = fr.filter(F.col("energy") < _Q194_SILENT)
     wd = Window.partitionBy("media_id").orderBy("frame_idx")

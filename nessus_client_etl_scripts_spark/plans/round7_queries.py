@@ -62,6 +62,7 @@ from ..operators.text import normalize_text, tokens
 from .corpus_queries import _NORM_SQL
 from .round6d_queries import _Q177_K, _Q177_SCALE
 from .testdata_queries import register
+from ..pins import pin as _pin, pin_lazy as _pin_lazy
 
 # ---------------------------------------------------------------------------
 # q201 — full BPE vocabulary trainer (K merge rounds)
@@ -69,41 +70,32 @@ from .testdata_queries import register
 
 _Q201_MERGES = 5
 
-# One trained merge table per (sf_dir, n_merges) per process: q201,
-# q206 and q217 all train the SAME tokenizer on the SAME corpus —
-# re-running the K sequential aggregation jobs three times per
-# bench/driver session was ~10 s of pure restage at sf0.1 (r9 VERDICT
-# "what's wrong" #1). The memo holds the K-row merge table as plain
-# Python rows (session-independent — a driver restarting its
-# SparkSession still hits), so a warm q201 rebuilds its result from a
-# local relation and warm q206/q217 read merged_pair strings straight
-# out of the cache. Values are identical by construction: the trainer
-# is deterministic ((count DESC, pair ASC) winner per round), so the
-# declared plans and their oracles are unchanged — only the redundant
-# recomputation is gone. q215 does NOT share: it trains a different
-# corpus (augmented even-doc_id half) and needs the final state.
+# q201, q206 and q217 all train the SAME deterministic tokenizer
+# ((count DESC, pair ASC) winner per round) on the SAME corpus, so
+# their values agree — but each declared query TRAINS ITS OWN table
+# inside its own call: a round-12 audit ruled the former module-level
+# memo (warm-started by the bench's untimed warmup pass) result
+# caching, which the brief forbids. Every bench/oracle invocation now
+# pays the K aggregation rounds itself; only the merge strings (K
+# driver-side rows, bounded small state) leave the cluster.
 _BPE_TABLE_SCHEMA = (
     "merge_rank long, merged_pair string, pair_count long,"
     " n_merges long, n_tokens_after long"
 )
-_BPE_MEMO: dict[tuple[str, int], list[dict]] = {}
 
 
 def shared_bpe_merge_rows(
     spark: SparkSession, sf_dir: str, n_merges: int = _Q201_MERGES
 ) -> list[dict]:
-    """The q201 merge table for (sf_dir, n_merges), trained at most
-    once per process; rows ordered by merge_rank."""
-    key = (sf_dir, n_merges)
-    if key not in _BPE_MEMO:
-        docs = load_table(spark, sf_dir, "documents")
-        _BPE_MEMO[key] = [
-            r.asDict()
-            for r in bpe_train(docs, n_merges=n_merges)
-            .orderBy("merge_rank")
-            .collect()
-        ]
-    return _BPE_MEMO[key]
+    """The q201 merge table for (sf_dir, n_merges), trained per call
+    (no cross-query caching); rows ordered by merge_rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    return [
+        r.asDict()
+        for r in bpe_train(docs, n_merges=n_merges)
+        .orderBy("merge_rank")
+        .collect()
+    ]
 
 
 def shared_bpe_merges(
@@ -189,9 +181,10 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation + one projection over the corpus — the honest
     distributed cost of BPE training (cf. Sennrich et al. 2016;
     reference analogue: SURVEY.md §2 text tier, upgrading q35's
-    fixed-vocab estimate to a trained vocabulary). The trained table
-    is memoized per (sf_dir, K) — q206/q217 encode with the SAME
-    tokenizer, so the session trains once."""
+    fixed-vocab estimate to a trained vocabulary). Training runs
+    inside this call — the timed path pays the K rounds itself;
+    q206/q217 train their own identical table the same way (no
+    cross-query result caching)."""
     rows = shared_bpe_merge_rows(spark, sf_dir)
     return spark.createDataFrame(
         [tuple(r.values()) for r in rows], _BPE_TABLE_SCHEMA
@@ -604,7 +597,7 @@ def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
         # feeds both split sides: hash+flag rows, pin once
-        .localCheckpoint()
+        .transform(_pin)
     )
     train = p.filter(~F.col("is_test")).select("h").distinct()
     test_w = p.filter(F.col("is_test")).select("doc_id", "h").distinct()
@@ -744,7 +737,7 @@ def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = (
         ev.join(F.broadcast(med), "event_type")
         .withColumn("dev", F.abs(F.col("value") - F.col("median")))
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     mad = group_median(
         dev.select("event_type", "dev"), "event_type", "dev", out_col="mad"
@@ -835,7 +828,7 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         # feeds per-source counts AND both self-join sides
-        .localCheckpoint()
+        .transform(_pin)
     )
     c = p.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = p.select(F.col("h"), F.col("source").alias("source_a"))
@@ -1236,7 +1229,7 @@ def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
         )
-        .localCheckpoint()
+        .transform(_pin)
     )
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -1259,7 +1252,7 @@ def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("w")
             )
             .select("node", F.col("w.label").alias("label"))
-            .localCheckpoint(eager=False)
+            .transform(_pin_lazy)
         )
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("community_size")

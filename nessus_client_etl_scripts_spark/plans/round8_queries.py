@@ -53,6 +53,7 @@ from .corpus_queries import _NORM_SQL
 from .round6b_queries import _Q132_ORACLE, _Q133_ORACLE
 from .round7_queries import _Q201_MERGES, _q201_state_chain, shared_bpe_merges
 from .testdata_queries import register
+from ..pins import pin as _pin, pin_lazy as _pin_lazy
 
 # ---------------------------------------------------------------------------
 # q214 — URL canonicalization, registered domains, per-domain budget
@@ -224,10 +225,6 @@ _Q215_AUG = (
     " FROM documents)"
 )
 
-# (sf_dir, n_merges) -> (spark session, merges list, checkpointed vocab
-# frame); the session sits IN the key check because the vocab frame is
-# a localCheckpoint bound to that session's executors
-_Q215_MEMO: dict[tuple[str, int], tuple] = {}
 
 
 def _q215_oracle(k: int = _Q201_MERGES) -> str:
@@ -304,35 +301,24 @@ def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"), F.lit(" w"), F.col("doc_id").cast("string")
         ).alias("text"),
     )
-    # q215 trains its OWN tokenizer (augmented even-half corpus — it
-    # cannot share q201's memo), but like the q201 family it trains
-    # deterministically, so one training per (sf_dir, K, session) is
-    # enough: the memo holds the merge list plus the DISTRIBUTED
-    # (localCheckpoint'ed, session-bound — hence the session key)
-    # vocab frame derived from the trainer's final state. Values are
-    # unchanged; only the per-call K-round restage is gone.
-    key = (sf_dir, _Q201_MERGES)
-    hit = _Q215_MEMO.get(key)
-    if hit is not None and hit[0] is spark:
-        _, merges, vocab = hit
-    else:
-        train = docs.filter(F.col("doc_id") % 2 == 0)
-        table, train_state = bpe_train(
-            train, n_merges=_Q201_MERGES, return_state=True
-        )
-        merges = [
-            r["merged_pair"] for r in table.orderBy("merge_rank").collect()
-        ]
-        # the trainer's final state IS the merged train corpus —
-        # extract the vocabulary from it instead of re-running the
-        # K-deep rewrite
-        vocab = (
-            train_state.select(F.explode(F.split("s", " ")).alias("tok"))
-            .distinct()
-            .withColumn("known", F.lit(True))
-            .localCheckpoint(eager=True)
-        )
-        _Q215_MEMO[key] = (spark, merges, vocab)
+    # q215 trains its OWN tokenizer (augmented even-half corpus)
+    # inside this call — per-call training, no cross-query caching
+    # (the round-12 gaming audit retired the former session memo).
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    table, train_state = bpe_train(
+        train, n_merges=_Q201_MERGES, return_state=True
+    )
+    merges = [
+        r["merged_pair"] for r in table.orderBy("merge_rank").collect()
+    ]
+    # the trainer's final state IS the merged train corpus — extract
+    # the vocabulary from it instead of re-running the K-deep rewrite
+    vocab = (
+        train_state.select(F.explode(F.split("s", " ")).alias("tok"))
+        .distinct()
+        .withColumn("known", F.lit(True))
+        .transform(_pin)
+    )
     tok = bpe_apply(docs.filter(F.col("doc_id") % 2 == 1), merges).select(
         "doc_id", F.explode(F.split("s", " ")).alias("tok")
     )
@@ -518,8 +504,8 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
     |languages|-group aggregate — map-side combined, nothing driver-
     side but the K-row merge table."""
     docs = load_table(spark, sf_dir, "documents")
-    # shared trainer memo (round7_queries.shared_bpe_merges): q201/
-    # q206/q217 ship the same tokenizer — one training per session
+    # shared trainer (round7_queries.shared_bpe_merges): q201/q206/
+    # q217 ship the same tokenizer, each training it in its own call
     merges = shared_bpe_merges(spark, sf_dir)
     norm = normalize_text("text")
     per = (
@@ -906,7 +892,7 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dimension-sized pins.
     pair_counts = cmp.groupBy("wsrc", "lsrc").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint()
+    ).transform(_pin)
     wins = pair_counts.groupBy(F.col("wsrc").alias("item")).agg(
         F.sum("c").cast("long").alias("wins")
     )
@@ -917,7 +903,7 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned: items seeds p0, whose lineage both broadcast sides of
     # every MM round reference
     items = docs.select(F.col("source").alias("item")).distinct() \
-        .localCheckpoint()
+        .transform(_pin)
     p = items.select("item", F.lit(1_000_000).cast("long").alias("p"))
 
     p_hist = []
@@ -957,7 +943,7 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("p"),
             )
-            .localCheckpoint()
+            .transform(_pin)
         )
         p_hist.append(p)
 
@@ -1054,7 +1040,7 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .localCheckpoint()
+        .transform(_pin)
     )
     w = n.select(
         "lang",
@@ -1364,7 +1350,7 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_sup"))
         .filter(F.col("_sup") >= _Q224_SUPPORT)
         .select("s1", "s2")
-        .localCheckpoint()
+        .transform(_pin)
     )
     # deg is VERTEX state (suppliers) — the pagerank broadcast_vertices
     # posture: below ~5M nodes both endpoint joins broadcast it and
@@ -1376,7 +1362,7 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("s2").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     hint = F.broadcast if deg.count() <= 5_000_000 else (lambda df: df)
     ed = (
@@ -1408,7 +1394,7 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = (
         oriented.groupBy("u")
         .agg(F.array_sort(F.collect_list("v")).alias("nb"))
-        .localCheckpoint()
+        .transform(_pin)
     )
     tri = (
         oriented.join(
@@ -3013,7 +2999,7 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("source").cast("long").alias("n_sources"),
             F.count(F.lit(1)).cast("long").alias("n_docs"),
         )
-        .localCheckpoint()
+        .transform(_pin)
     )
     tot = folds.agg(F.sum("n_docs").cast("long").alias("n"))
     tg = (
@@ -3033,7 +3019,7 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t"),
         )
         .distinct()
-        .localCheckpoint()
+        .transform(_pin)
     )
     spread = tg.groupBy("t").agg(
         F.count(F.lit(1)).cast("long").alias("n_folds")
@@ -3267,7 +3253,7 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("true_count"),
-    ).localCheckpoint()
+    ).transform(_pin)
     wbuck = (
         c.crossJoin(F.broadcast(st))
         .groupBy(
@@ -3621,7 +3607,7 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.withColumn("rk", F.row_number().over(wrk))
         .filter(F.col("rk") <= _Q224_CAP)
         .select("p", "s")
-        .localCheckpoint()
+        .transform(_pin)
     )
     a, b = capped.alias("a"), capped.alias("b")
     edges = (
@@ -5793,7 +5779,7 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
         # several of them concurrent broadcast builds — unpinned, the
         # scan→broadcast-join→distinct chain ran once per consumer;
         # pinned, the narrow (orderkey, brand) rows are computed once
-        .localCheckpoint()
+        .transform(_pin)
     )
     n = b.agg(F.count_distinct("k").cast("long").alias("n"))
     item = b.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("s"))

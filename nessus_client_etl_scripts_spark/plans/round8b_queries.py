@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .testdata_queries import register
+from ..pins import pin as _pin, pin_lazy as _pin_lazy
 
 # ---------------------------------------------------------------------------
 # q273 — Kaplan-Meier survival estimate (right-censored)
@@ -385,7 +386,7 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.min("ts").alias("fp_ts"))
-        .localCheckpoint()
+        .transform(_pin)
     )
     bit = F.create_map(
         *[
@@ -410,7 +411,7 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.coalesce("mask", F.lit(0)).cast("long").alias("mask"))
         .groupBy("mask")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .localCheckpoint()
+        .transform(_pin)
     )
     lattice = spark.range(16).select(F.col("id").cast("long").alias("S"))
     v = (
@@ -421,7 +422,7 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("S")
         .agg(F.coalesce(F.sum("n_users"), F.lit(0)).cast("long").alias("v"))
-        .localCheckpoint()
+        .transform(_pin)
     )
     ch = spark.createDataFrame(
         list(_Q275_CHANNELS), "channel STRING, bit LONG"
@@ -1268,7 +1269,7 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("part"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     regs = hll_register_frame(
         edges.withColumn("pstr", F.col("part").cast("string")),
@@ -2191,13 +2192,13 @@ def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p") != F.col("v"))
         .select(F.col("p").alias("u"), "v")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     kk = ed.agg(
         F.expr("(2 * count(*)) div (3 * count(DISTINCT u))")
         .cast("long")
         .alias("k")
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
     alive = ed.select(F.col("u").alias("node")).distinct()
     # survivor sets shrink monotonically (a node absent from alive_t
     # cannot re-enter: degrees count edges among alive_t only), so
@@ -2223,7 +2224,7 @@ def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
             deg.crossJoin(F.broadcast(kk))
             .filter(F.col("deg") >= F.col("k"))
             .select(F.col("u").alias("node"))
-            .localCheckpoint(eager=False)
+            .transform(_pin_lazy)
         )
         n_alive = alive.count()
         if n_alive == prev_alive:
@@ -2729,7 +2730,7 @@ def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumers (the picks join's n lookup and the final join)
         # that build as concurrent broadcast stages — unpinned, the
         # whole ranked-window subtree re-ran once per consumer
-    ).localCheckpoint()
+    ).transform(_pin)
     hist = v.groupBy(
         "event_type",
         (F.length(F.bin(F.col("cents"))) - 1).cast("long").alias("b"),
@@ -2921,7 +2922,7 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p") != F.col("v"))
         .select(F.col("p").alias("u"), "v")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     # deg is VERTEX state (16 B/node, nodes = parts — the pagerank
     # broadcast_vertices posture): up to ~5M nodes both endpoint-degree
@@ -2935,7 +2936,7 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = (
         ed.groupBy(F.col("u").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     hint = F.broadcast if deg.count() <= 5_000_000 else (lambda df: df)
     pairs = (
@@ -3381,7 +3382,7 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate to rebuild the relation
     sizes = v.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
-    ).localCheckpoint()
+    ).transform(_pin)
     pairs = _q299_pairs(v, sizes)
     sums = pairs.groupBy("label", "i").agg(
         F.sum("d_nano").cast("long").alias("_s"),
@@ -4264,14 +4265,14 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p") != F.col("v"))
         .select(F.col("p").alias("u"), "v")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     reach = (
         ed.select(F.col("u").alias("node"))
         .filter(F.col("node") % _Q307_SEED_MOD == 0)
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     for r in range(1, _Q307_HOPS + 1):
         frontier = reach.filter(F.col("dist") == r - 1).select(
@@ -4296,7 +4297,7 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
             reach.unionByName(expanded)
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
-            .localCheckpoint(eager=False)
+            .transform(_pin_lazy)
         )
     return reach.groupBy("dist").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
@@ -4553,6 +4554,21 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
         uses[pt].append((i, pc, False))
     parts = []
     for t, us in uses.items():
+        # long union key, guarded: the r12 ADVICE flagged that a
+        # future non-numeric _Q310_PAIRS entry would cast to NULL and
+        # silently zero n_common. The string-key variant it suggested
+        # was measured (isolated min-of-3 at sf0.1: 1.46 s long vs
+        # 1.96 s string — the exchange carries ~2x the key bytes,
+        # guide §2.3 "narrower types"), so the melt keeps the narrow
+        # long and FAILS LOUDLY on a non-integral key instead.
+        for _, c, _ in us:
+            dt = tables[t].schema[c].dataType.simpleString()
+            if dt not in ("tinyint", "smallint", "int", "bigint"):
+                raise TypeError(
+                    f"q310 melt key {t}.{c} is {dt}; the long union key"
+                    " requires integral keys — widen the melt key type"
+                    " deliberately before adding this pair"
+                )
         structs = [
             F.struct(
                 F.lit(i).alias("pair_id"),
@@ -5132,7 +5148,7 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("(n + 1) div 2").alias("p50"),
         pick("(3 * n + 3) div 4").alias("p75"),
         pick("(9 * n + 9) div 10").alias("p90"),
-    ).localCheckpoint()
+    ).transform(_pin)
     t = qs.filter(F.col("arm") == 1).select(
         F.col("n").alias("n_treated"),
         F.col("p25").alias("tp25"),
@@ -5260,7 +5276,7 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # lazy: the head argmax below (TakeOrderedAndProject — a full
         # scan) is the materializing action; one job instead of two
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     selected = []  # driver-held (rank, vec_id, e, rel, red) — ≤K rows
     head = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).collect()
@@ -5303,7 +5319,7 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
             # lazy: the per-round argmax (TakeOrderedAndProject, full
             # scan) materializes the fold — ONE job per MMR round
             # instead of a checkpoint job + an argmax job
-            .localCheckpoint(eager=False)
+            .transform(_pin_lazy)
         )
         picked = (
             state.orderBy(
@@ -5980,7 +5996,7 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     spark_ = pairs.sparkSession
     covered = None
@@ -6014,7 +6030,7 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
             # lazy: next round's argmax collect (a full anti-join scan
             # over this frame) is the materializing action — one job
             # per greedy round instead of two
-        ).localCheckpoint(eager=False)
+        ).transform(_pin_lazy)
     return spark_.createDataFrame(
         [(r + 1, s, g) for r, (s, g) in enumerate(chosen)],
         "rank LONG, source STRING, gain_tokens LONG",

@@ -72,3 +72,33 @@ def test_head_has_no_duplicates():
             continue
         dupes = sorted({p for p in tup if tup.count(p) > 1})
         assert not dupes, (attr, dupes)
+
+
+def test_head_fits_driver_budget():
+    """The CURRENT round's head must be exactly the ~50-query driver
+    budget: a longer head silently pushes its own tail outside the
+    round's sample (the r12 ADVICE bug — an 85-entry head left
+    sections (c)/(d) unchecked while the comment still said 50)."""
+    tuples = _ordering_tuples()
+    latest = max(
+        (a for a in tuples if a.endswith("_HEAD")),
+        key=lambda a: int(re.search(r"_R(\d+)_", a).group(1)),
+    )
+    assert len(tuples[latest]) == 50, (latest, len(tuples[latest]))
+
+
+def test_head_and_stale_cover_every_query_once():
+    """HEAD + STALE_ORDER of the current round must enumerate every
+    declared prefix exactly once — the safety-net loop in queries()
+    hides coverage gaps, which silently demote missing queries to the
+    very back of the rotation."""
+    tuples = _ordering_tuples()
+    latest_n = max(
+        int(re.search(r"_R(\d+)_", a).group(1)) for a in tuples
+    )
+    head = tuples.get(f"_R{latest_n}_HEAD", ())
+    stale = tuples.get(f"_R{latest_n}_STALE_ORDER", ())
+    combined = list(head) + list(stale)
+    dupes = sorted({p for p in combined if combined.count(p) > 1})
+    assert not dupes, dupes
+    assert set(combined) == _declared_prefixes()

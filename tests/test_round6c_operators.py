@@ -511,22 +511,31 @@ def test_merkle_diff_finds_exactly_planted_changes(spark):
         assert r["n_changed"] >= 1  # every emitted bucket is truly dirty
 
 
-def test_q153_targets_skip_empty_sample_groups(spark):
+def test_q153_targets_skip_empty_sample_groups():
     """A flag whose rows all fall outside the hash sample must emit NO
     sample targets: its ceil-rank would otherwise collapse onto the
     previous flag's last cumulative position and join a foreign row
-    (review finding, round 6)."""
+    (review finding, round 6 — preserved across the r13 driver-side
+    target derivation). Offsets must also SKIP the empty flag (N
+    contributes nothing to the sample running sum)."""
     from nessus_client_etl_scripts_spark.plans.round6c_queries import (
-        _q153_targets,
+        _q153_target_rows,
     )
 
-    counts = spark.createDataFrame(
-        [("A", 10, 0), ("N", 0, 10), ("R", 7, 17)],
-        "flag string, ns long, soff long",
-    )
-    rows = _q153_targets(counts, "ns", "soff").collect()
-    assert {r["flag"] for r in rows} == {"A", "R"}
-    assert len(rows) == 8  # 4 quantile targets per surviving flag
+    crows = [
+        {"flag": "R", "n": 9, "ns": 7},  # unsorted on purpose — the
+        {"flag": "A", "n": 12, "ns": 10},  # helper must sort by flag
+        {"flag": "N", "n": 5, "ns": 0},
+    ]
+    full_t, samp_t = _q153_target_rows(crows)
+    assert {t[0] for t in samp_t} == {"A", "R"}
+    assert len(samp_t) == 8  # 4 quantile targets per surviving flag
+    assert len(full_t) == 12  # every flag present in the full branch
+    # sample offsets: A spans sample positions 1..10, N adds nothing,
+    # so R's q=25 target is 10 + ceil(25*7/100) = 12
+    assert ("R", 25, 12, 7) in samp_t
+    # full offsets: A(12) then N(5) precede R -> 17 + ceil(25*9/100)
+    assert ("R", 25, 20, 9) in full_t
 
 
 def test_leakage_safe_split_no_straddle(spark):

@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
+from nessus_client_etl_scripts_spark import pins
 from nessus_client_etl_scripts_spark.catalog import TESTDATA_TABLES
 from nessus_client_etl_scripts_spark.session import get_spark
 
@@ -51,6 +52,11 @@ def _check_one(name, fn, oracles, spark, sf_dir, con) -> tuple[bool, str]:
         s_rows = [tuple(r) for r in sdf.collect()]
     except Exception as e:  # noqa: BLE001
         return False, f"FAIL  {name}: spark error: {e}"
+    finally:
+        # Release this query's localCheckpoint pins (registered on
+        # THIS worker thread — safe under --jobs concurrency) so a
+        # 344-query sweep doesn't accumulate dead RDD blocks.
+        pins.drain()
     if name not in oracles:
         return True, f"ok    {name}: rows-only ({len(s_rows)} rows)"
     try:

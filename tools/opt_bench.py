@@ -1,5 +1,5 @@
 """Optimization-round measurement harness (guide §1): for each named
-query, capture `.explain("formatted")` into plans/r12/<name>_<tag>.txt
+query, capture `.explain("formatted")` into plans/<round>/<name>_<tag>.txt
 and time it isolated with the noop sink (1 warmup + min of N timed
 passes, the bench.py protocol), labelling jobs for UI readability.
 
@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nessus_client_etl_scripts_spark import pins
 from nessus_client_etl_scripts_spark.session import get_spark
 
 
@@ -33,6 +34,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--no-plan", action="store_true")
+    ap.add_argument("--round", default="r13", help="plans/<round>/ output dir")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -41,7 +43,9 @@ def main() -> None:
     qs = entrymod.queries()
     spark = get_spark("opt_bench", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        args.round,
     )
     os.makedirs(out_dir, exist_ok=True)
 
@@ -51,6 +55,7 @@ def main() -> None:
             df = fn(spark, args.sf)
             with open(os.path.join(out_dir, f"{name}_{args.tag}.txt"), "w") as f:
                 f.write(explain_formatted(df))
+            pins.drain()
         best = None
         n_jobs = 0
         tracker = spark.sparkContext.statusTracker()
@@ -61,6 +66,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, args.sf).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            pins.drain()
             if i > 0:
                 best = dt if best is None else min(best, dt)
                 n_jobs = len(tracker.getJobIdsForGroup(group) or [])
